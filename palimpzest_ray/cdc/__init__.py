@@ -1,0 +1,30 @@
+from palimpzest_ray.cdc.engine import (
+    ApplyResult,
+    apply_changes,
+    final_state,
+    final_state_table,
+    lww_latest,
+)
+from palimpzest_ray.cdc.manifest import LakeManifest, load_latest_manifest
+from palimpzest_ray.cdc.oracle import sequential_replay
+from palimpzest_ray.cdc.synth import (
+    make_base_table,
+    make_change_table,
+    write_base_lake,
+    write_change_log,
+)
+
+__all__ = [
+    "apply_changes",
+    "final_state",
+    "final_state_table",
+    "lww_latest",
+    "ApplyResult",
+    "LakeManifest",
+    "load_latest_manifest",
+    "sequential_replay",
+    "make_base_table",
+    "make_change_table",
+    "write_base_lake",
+    "write_change_log",
+]

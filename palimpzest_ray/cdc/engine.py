@@ -1,0 +1,452 @@
+"""The CDC / incremental-ingest engine (the north-rule headline).
+
+Pipeline (all Ray Data, streaming, zero-copy Arrow batches)::
+
+    ray.data.read_parquet(change_log)                     # prune at the read
+      -> map_batches(normalize)        # validate ops, derive n_tok,
+                                       #   conform to unified schema,
+                                       #   assign part = hash(doc_id) % P
+      -> map_batches(lww_combine)      # per-batch last-writer-wins
+                                       #   combiner (bounds shuffle volume;
+                                       #   hot keys collapse to 1 row/block)
+      -> groupby("__part")             # the one all-to-all shuffle,
+                                       #   keyed on the partition id
+      -> map_groups(MergeApplier)      # stateful merge: memtable LWW vs
+                                       #   base partition, tombstones,
+                                       #   staged Parquet write + sidecar
+      -> (driver) commit manifest      # exactly-once version flip
+
+Design notes for 10^10 events / 100 TB:
+
+- The per-batch combiner is the skew treatment: a Zipf-hot ``doc_id``
+  contributes at most one row per input block to the shuffle, so the
+  shuffle stays balanced; a second LWW pass inside the merge resolves
+  across blocks. This replaces explicit key-salting with a strictly
+  cheaper algebraic combine — LWW is commutative and associative per
+  key, so order between partitions and between blocks is free
+  (SURVEY.md §4 "Ordering"; the reference's nondeterministic
+  ``as_completed`` ordering at ``parallel_execution_strategy.py:65`` is
+  the anti-pattern this avoids).
+- Each partition merge is independent and writes its own staged file +
+  watermark sidecar, so a failed run resumes by skipping finished
+  partitions (checkpoint/resume), and reruns are idempotent: LWW
+  against the persisted ``_lsn`` column means applying the same events
+  twice converges to the same bytes.
+- Memory: a merge holds one partition's latest-change memtable plus its
+  base partition. ``num_partitions`` is the sizing knob — choose P so
+  (change keys + base rows)/P fits a worker heap; thousands at cluster
+  scale. A larger-than-memory partition would flush sorted runs and
+  k-way merge them (LSM-style); at sandbox scale one in-memory memtable
+  per partition is exact and faster, and the flush path is not needed.
+- Replay contract: a replayed log segment must extend to the log head
+  (tombstones are not persisted after being applied; replay from any
+  checkpoint watermark forward — which includes every later DELETE —
+  converges to the identical final state).
+
+Capability lineage vs the reference: replaces Palimpzest's in-memory
+operator state (``join.py:274-276`` retained inputs, ``distinct.py:12``
+seen-set) with keyed shuffles + partition-scoped state, per SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from palimpzest_ray.cdc.manifest import (
+    LakeManifest,
+    PartEntry,
+    commit_version,
+    load_latest_manifest,
+)
+from palimpzest_ray.functions.tokens import first_per_key, stable_bucket, token_length
+from palimpzest_ray.schemas import CHANGE_OPS, LSN_COL, conform, drop_internal, unify
+
+PART_COL = "__part"
+SRC_COL = "__is_change"
+
+
+def lww_latest(table: pa.Table, key: str = "doc_id", lsn: str = "lsn") -> pa.Table:
+    """Last-writer-wins reduction: keep the max-``lsn`` row per key.
+
+    Ties (duplicate-LSN replay) break toward the change side via the
+    ``__is_change`` marker when present — deterministic either way
+    because a duplicated LSN carries identical content.
+    """
+    order = [(lsn, "descending")]
+    if SRC_COL in table.column_names:
+        order.append((SRC_COL, "descending"))
+    return first_per_key(table, key, order)
+
+
+@dataclasses.dataclass
+class ApplyResult:
+    manifest: LakeManifest
+    events_seen: int
+    rows_upserted: int
+    rows_deleted: int
+    partitions_rewritten: int
+    partitions_resumed: int
+
+
+def _expand_paths(changes: str | list[str]) -> list[str]:
+    paths = [changes] if isinstance(changes, str) else list(changes)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {changes}")
+    return files
+
+
+def _unified_change_schema(files: list[str]) -> pa.Schema:
+    """Unify footer schemas across log files — a mid-stream schema
+    evolution means early files lack the added columns, and Ray's
+    ``read_parquet`` reports only one file's schema. Footer-only reads:
+    cheap, and embarrassingly parallel if ever needed."""
+    return unify(*[pq.read_schema(f) for f in files])
+
+
+def _normalize_factory(target_schema: pa.Schema, num_partitions: int, key: str):
+    """Stateless normalize stage: validate + conform + partition-assign.
+
+    Columnar analogue of the reference's scan-time field validation
+    (``scan.py:95-124``): op ∈ {INSERT,UPDATE,DELETE}, non-null
+    lsn/doc_id, ``n_tok`` derived from ``tokens`` where missing.
+    """
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        ok = pc.is_in(batch["op"], value_set=pa.array(CHANGE_OPS))
+        bad = batch.num_rows - (pc.sum(ok.cast(pa.int64())).as_py() or 0)
+        if bad:
+            raise ValueError(f"{bad} change events with op outside {CHANGE_OPS}")
+        if batch["lsn"].null_count or batch[key].null_count:
+            raise ValueError("null lsn/doc_id in change log")
+        if "tokens" in batch.column_names:
+            derived = token_length(batch["tokens"])
+            if "n_tok" in batch.column_names:
+                n_tok = pc.coalesce(batch["n_tok"].cast(pa.int32()), derived)
+                batch = batch.set_column(
+                    batch.column_names.index("n_tok"), pa.field("n_tok", pa.int32()), n_tok
+                )
+            else:
+                batch = batch.append_column("n_tok", derived)
+        batch = conform(batch, target_schema)
+        part = stable_bucket(batch[key], num_partitions)
+        return batch.append_column(PART_COL, pa.array(part))
+
+    return normalize
+
+
+class MergeApplier:
+    """Stateful per-partition merge: memtable + LWW index + tombstones.
+
+    Passed as a callable class to ``map_groups`` so Ray Data runs it as
+    an actor pool — constructor work happens once per actor, the
+    pattern that replaces the reference's process-wide Singleton + lock
+    (``topk.py:21-37``). Each call receives ALL change rows for one
+    partition (already batch-combined), merges them against the base
+    partition file, and stages the output atomically. Returns a one-row
+    lineage table (applied-LSN watermark + upsert/delete counters).
+    """
+
+    def __init__(
+        self,
+        lake_root: str,
+        staging_dir: str,
+        target_schema_json: str,
+        base_files: dict[int, str],
+        key: str = "doc_id",
+        fail_parts: tuple[int, ...] = (),
+    ):
+        from palimpzest_ray.schemas import schema_from_json
+
+        self.lake_root = lake_root
+        self.staging_dir = staging_dir
+        self.target_schema = schema_from_json(target_schema_json)  # user cols + _lsn
+        self.user_schema = pa.schema([f for f in self.target_schema if f.name != LSN_COL])
+        self.base_files = base_files
+        self.key = key
+        self.fail_parts = set(fail_parts)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = group[PART_COL][0].as_py()
+        if part in self.fail_parts:
+            raise RuntimeError(f"injected failure for partition {part}")
+
+        # memtable: final LWW reduce across this partition's blocks
+        changes = lww_latest(group.drop_columns([PART_COL]), self.key)
+
+        base_path = self.base_files.get(part)
+        base = (
+            pq.read_table(os.path.join(self.lake_root, base_path))
+            if base_path is not None
+            else None
+        )
+
+        merged, upserted, deleted = self._merge(base, changes)
+        max_lsn = pc.max(changes["lsn"]).as_py() or 0
+
+        # staged atomic write: tmp + rename, then .done sidecar
+        fname = f"part-{part:05d}.parquet"
+        out = os.path.join(self.staging_dir, fname)
+        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(merged, tmp, compression="zstd", row_group_size=64 * 1024)
+        os.replace(tmp, out)
+
+        lineage = {
+            "part": int(part),
+            "file": fname,
+            "max_lsn": int(max_lsn),
+            "rows": merged.num_rows,
+            "rows_upserted": int(upserted),
+            "rows_deleted": int(deleted),
+        }
+        side = os.path.join(self.staging_dir, f"part-{part:05d}.done.json")
+        tmp = side + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f)
+        os.replace(tmp, side)
+        return pa.Table.from_pylist([lineage])
+
+    def _merge(self, base: pa.Table | None, changes: pa.Table) -> tuple[pa.Table, int, int]:
+        """LWW merge of the change memtable into the base partition.
+
+        Base rows participate as implicit upserts at their persisted
+        ``_lsn``; concat -> max-lsn per key -> drop tombstone winners ->
+        canonical sort by key (byte-identical output across replays,
+        SURVEY.md §7.5 item 2).
+        """
+        ch_schema = pa.schema(
+            list(self.user_schema)
+            + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        )
+        ch = conform(changes, ch_schema)
+        ch = ch.append_column(SRC_COL, pa.array(np.ones(ch.num_rows, dtype=bool)))
+
+        if base is not None and base.num_rows:
+            lsn_col = (
+                base[LSN_COL]
+                if LSN_COL in base.column_names
+                else pa.nulls(base.num_rows, pa.int64())
+            )
+            b = conform(base, self.user_schema)
+            b = b.append_column("lsn", pc.coalesce(lsn_col, pa.scalar(0, pa.int64())))
+            b = b.append_column("op", pa.array(np.full(base.num_rows, "INSERT")))
+            b = b.append_column(SRC_COL, pa.array(np.zeros(base.num_rows, dtype=bool)))
+            both = pa.concat_tables([ch, b], promote_options="permissive")
+        else:
+            both = ch
+
+        winners = lww_latest(both, self.key)
+        alive = winners.filter(pc.not_equal(winners["op"], pa.scalar("DELETE")))
+
+        # lineage stats
+        change_winners = winners.filter(winners[SRC_COL])
+        del_mask = pc.equal(change_winners["op"], pa.scalar("DELETE"))
+        n_del_winners = pc.sum(del_mask.cast(pa.int64())).as_py() or 0
+        upserted = change_winners.num_rows - n_del_winners
+        if base is not None and base.num_rows and n_del_winners:
+            deleted_keys = change_winners.filter(del_mask)[self.key]
+            in_base = pc.is_in(deleted_keys, value_set=base[self.key].combine_chunks())
+            deleted = pc.sum(in_base.cast(pa.int64())).as_py() or 0
+        else:
+            deleted = 0
+
+        out = alive.rename_columns(
+            [LSN_COL if c == "lsn" else c for c in alive.column_names]
+        ).drop_columns(["op", SRC_COL])
+        out = conform(out, self.target_schema).sort_by(self.key)
+        return out, upserted, deleted
+
+
+def apply_changes(
+    changes: str | list[str] | rd.Dataset,
+    lake_root: str,
+    *,
+    num_partitions: int = 32,
+    key: str = "doc_id",
+    run_id: str | None = None,
+    resume: bool = True,
+    batch_size: int = 8192,
+    merge_concurrency: int | None = None,
+    fail_parts: tuple[int, ...] = (),
+) -> ApplyResult:
+    """Apply a change log to the lake; commit a new version exactly-once.
+
+    ``changes`` may be parquet path(s) or a prepared ``ray.data.Dataset``.
+    ``run_id`` names the staging/checkpoint directory: re-running with
+    the same ``run_id`` after a failure skips partitions whose
+    ``.done.json`` sidecar exists (checkpoint/resume). ``fail_parts``
+    injects failures (tests only).
+    """
+    os.makedirs(lake_root, exist_ok=True)
+    prev = load_latest_manifest(lake_root)
+    prev_version = prev.version if prev else 0
+
+    events_seen = 0
+    if isinstance(changes, (str, list)):
+        files = _expand_paths(changes)
+        change_schema = _unified_change_schema(files)
+        events_seen = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        ds = rd.read_parquet(files)
+    else:
+        ds = changes
+        change_schema = ds.schema().base_schema
+
+    # unified target schema: previous lake schema ∪ incoming change schema
+    user_change = pa.schema([f for f in change_schema if f.name not in ("lsn", "op")])
+    if prev is not None:
+        prev_user = pa.schema([f for f in prev.schema if f.name != LSN_COL])
+        user_schema = unify(prev_user, user_change)
+    else:
+        user_schema = user_change
+    norm_schema = pa.schema(
+        [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + list(user_schema)
+    )
+    lake_schema = pa.schema(list(user_schema) + [pa.field(LSN_COL, pa.int64())])
+
+    # ---- staging / checkpoint
+    run_id = run_id or uuid.uuid4().hex[:12]
+    staging_dir = os.path.join(lake_root, ".staging", run_id)
+    os.makedirs(staging_dir, exist_ok=True)
+    done: dict[int, dict] = {}
+    if resume:
+        for f in os.listdir(staging_dir):
+            if f.endswith(".done.json"):
+                with open(os.path.join(staging_dir, f)) as fh:
+                    d = json.load(fh)
+                done[int(d["part"])] = d
+
+    base_files = {p: e.file for p, e in (prev.parts.items() if prev else {}.items())}
+
+    # batch_size=None => one batch per input block: Ray must NOT coalesce
+    # blocks from different schema epochs before normalize unifies them
+    # (its internal concat cannot unify struct columns missing on one
+    # side). After normalize every block has the unified schema.
+    pipeline = ds.map_batches(
+        _normalize_factory(norm_schema, num_partitions, key),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    if done:
+        done_set = pa.array(np.array(sorted(done), dtype=np.int32))
+
+        def _skip_done(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(batch[PART_COL], value_set=done_set)))
+
+        pipeline = pipeline.map_batches(_skip_done, batch_format="pyarrow")
+
+    # per-batch LWW combiner (module docstring: the skew treatment)
+    def combine(batch: pa.Table) -> pa.Table:
+        return first_per_key(batch, key, [("lsn", "descending")])
+
+    pipeline = pipeline.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
+    # Ensure the shuffle emits enough blocks that the merge stage can run
+    # one task per partition in parallel (a single input block would
+    # serialize the whole merge behind one task).
+    pipeline = pipeline.repartition(num_partitions)
+
+    from palimpzest_ray.schemas import schema_to_json
+
+    if merge_concurrency is None:
+        # Size the MergeApplier actor pool to the cluster but NEVER to the
+        # whole cluster: a pool that reserves every CPU starves the read /
+        # normalize / shuffle stages and the streaming executor deadlocks
+        # (observed at num_cpus=4). Autoscale from 1 so actors only claim
+        # CPUs as merge inputs actually arrive.
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 4))
+        merge_concurrency = max(1, min(num_partitions, max(1, ncpu - 2)))
+    map_groups_kwargs: dict = {
+        "batch_format": "pyarrow",
+        "concurrency": (1, merge_concurrency) if merge_concurrency > 1 else 1,
+    }
+    lineage_ds = pipeline.groupby(PART_COL).map_groups(
+        MergeApplier,
+        fn_constructor_kwargs={
+            "lake_root": lake_root,
+            "staging_dir": staging_dir,
+            "target_schema_json": schema_to_json(lake_schema),
+            "base_files": base_files,
+            "key": key,
+            "fail_parts": fail_parts,
+        },
+        **map_groups_kwargs,
+    )
+    # Lineage is tiny (<= num_partitions rows) — safe to materialize.
+    lineage_rows = lineage_ds.take_all()
+
+    new_parts: dict[int, PartEntry] = {}
+    for d in list(done.values()) + lineage_rows:
+        new_parts[int(d["part"])] = PartEntry(
+            file=d["file"],
+            max_lsn=int(d["max_lsn"]),
+            rows=int(d["rows"]),
+            rows_upserted=int(d["rows_upserted"]),
+            rows_deleted=int(d["rows_deleted"]),
+        )
+
+    carried = {
+        p: e for p, e in (prev.parts.items() if prev else {}.items()) if p not in new_parts
+    }
+    manifest = commit_version(
+        lake_root, staging_dir, new_parts, carried, num_partitions, lake_schema, prev_version
+    )
+    shutil.rmtree(staging_dir, ignore_errors=True)
+
+    return ApplyResult(
+        manifest=manifest,
+        events_seen=events_seen,
+        rows_upserted=sum(e.rows_upserted for e in new_parts.values()),
+        rows_deleted=sum(e.rows_deleted for e in new_parts.values()),
+        partitions_rewritten=len(lineage_rows),
+        partitions_resumed=len(done),
+    )
+
+
+def final_state(lake_root: str, *, user_columns_only: bool = True) -> rd.Dataset:
+    """Read the lake's current version as a streaming Dataset, unifying
+    per-file schemas — carried-forward partitions may predate an
+    evolution epoch, so added columns are null-backfilled at read."""
+    manifest = load_latest_manifest(lake_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    files = manifest.data_files(lake_root)
+    schema = manifest.schema
+
+    def _conform(batch: pa.Table) -> pa.Table:
+        t = conform(batch, schema)
+        return drop_internal(t) if user_columns_only else t
+
+    return rd.read_parquet(files).map_batches(_conform, batch_format="pyarrow")
+
+
+def final_state_table(lake_root: str, *, user_columns_only: bool = True) -> pa.Table:
+    """Materialized, canonically sorted final state (tests / small lakes
+    only — the streaming path is :func:`final_state`)."""
+    manifest = load_latest_manifest(lake_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    tables = [
+        conform(pq.read_table(f), manifest.schema)
+        for f in manifest.data_files(lake_root)
+    ]
+    t = pa.concat_tables(tables) if tables else manifest.schema.empty_table()
+    if user_columns_only:
+        t = drop_internal(t)
+    return t.sort_by("doc_id")

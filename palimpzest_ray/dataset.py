@@ -1,0 +1,597 @@
+"""Fluent relational layer over ``ray.data.Dataset``.
+
+API parity with the reference's ``Dataset`` fluent surface
+(``src/palimpzest/core/data/dataset.py:246-686``): filter, map /
+add_columns / flat_map, project, distinct, groupby, join, global
+aggregates (count/average/sum/min/max), limit, plus engine-side
+additions the reference lacks (sort, top-k, union, semi/anti join).
+
+Reference semantics preserved (SURVEY.md §7.5 item 7):
+- ``distinct`` keeps the *first* occurrence per key
+  (``distinct.py:43-45``) — here made deterministic by an explicit
+  tie-break ordering instead of arrival order.
+- join duplicate (non-key) columns rename with ``_right``
+  (``schemas.py:163-166``).
+- groupby aggregate output columns are named ``"func(field)"``
+  (``groupbysig.py:55-59``).
+- ``average``/``sum`` silently skip unparseable values
+  (``aggregate.py:245-251``).
+
+Execution is Ray-Data-native throughout: row UDFs are accepted for
+reference compatibility but run inside ``map_batches`` (one Python call
+per row only in that compat path); every built-in operator is
+vectorized Arrow. Wide operators (distinct / groupby / shuffle join /
+sort) are keyed shuffles; small-side joins broadcast via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from palimpzest_ray.functions.tokens import first_per_key, stable_bucket
+
+RIGHT_SUFFIX = "_right"
+_JOIN_BUCKET = "__jbucket"
+_JOIN_SIDE = "__jside"
+
+
+# --------------------------------------------------------------------------
+# sources
+# --------------------------------------------------------------------------
+
+
+def read_parquet(paths, columns: list[str] | None = None, **kw) -> "Dataset":
+    """Parquet source with column pruning at the read (pass ``columns``)."""
+    return Dataset(rd.read_parquet(paths, columns=columns, **kw))
+
+
+def from_pandas(df: pd.DataFrame) -> "Dataset":
+    return Dataset(rd.from_pandas(df))
+
+
+def from_arrow(table: pa.Table) -> "Dataset":
+    return Dataset(rd.from_arrow(table))
+
+
+def from_items(items: list[dict]) -> "Dataset":
+    return Dataset(rd.from_items(items))
+
+
+# --------------------------------------------------------------------------
+
+
+class Dataset:
+    """Thin immutable wrapper; every method returns a new ``Dataset``."""
+
+    def __init__(self, ds: rd.Dataset):
+        self._ds = ds
+
+    # ---- plumbing ----
+    @property
+    def ray(self) -> rd.Dataset:
+        return self._ds
+
+    def to_pandas(self, limit: int | None = None) -> pd.DataFrame:
+        return self._ds.to_pandas(limit=limit) if limit else self._ds.to_pandas()
+
+    def to_arrow(self) -> pa.Table:
+        tables = [
+            b
+            for b in self._ds.iter_batches(batch_format="pyarrow", batch_size=65536)
+        ]
+        if not tables:
+            base = self._ds.schema()
+            return base.base_schema.empty_table() if base else pa.table({})
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    def take_all(self):
+        return self._ds.take_all()
+
+    def schema(self):
+        return self._ds.schema()
+
+    def write_parquet(self, path: str, **kw) -> None:
+        self._ds.write_parquet(path, **kw)
+
+    def stats(self) -> str:
+        return self._ds.stats()
+
+    # ---- projections / maps ----
+
+    def project(self, cols: list[str]) -> "Dataset":
+        """Column projection (reference ``ProjectOp``, ``project.py:8-53``)."""
+        return Dataset(self._ds.select_columns(cols))
+
+    select_columns = project
+
+    def rename_columns(self, mapping: dict[str, str]) -> "Dataset":
+        return Dataset(self._ds.rename_columns(mapping))
+
+    def map_batches(self, fn, **kw) -> "Dataset":
+        """Vectorized batch transform — the preferred hot path."""
+        kw.setdefault("batch_format", "pyarrow")
+        return Dataset(self._ds.map_batches(fn, **kw))
+
+    def map(self, udf: Callable[[dict], dict], **kw) -> "Dataset":
+        """Row-dict UDF map, 1:1 (reference ``NonLLMConvert``,
+        ``convert.py:198-259``). The UDF's output dict is merged over the
+        input row (parent fields preserved, reference ``union_schemas``
+        merge). Compat path: executes inside ``map_batches`` but calls
+        Python once per row — prefer :meth:`map_batches`."""
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            out = [{**r, **udf(r)} for r in rows]
+            return pa.Table.from_pylist(out)
+
+        kw.setdefault("batch_format", "pyarrow")
+        return Dataset(self._ds.map_batches(_apply, **kw))
+
+    add_columns = map
+
+    def flat_map(self, udf: Callable[[dict], list[dict]], **kw) -> "Dataset":
+        """Row-dict UDF, 1:N (reference ``Cardinality.ONE_TO_MANY``)."""
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            out = []
+            for r in batch.to_pylist():
+                for child in udf(r):
+                    out.append({**r, **child})
+            return pa.Table.from_pylist(out)
+
+        kw.setdefault("batch_format", "pyarrow")
+        return Dataset(self._ds.map_batches(_apply, **kw))
+
+    def with_column(self, name: str, fn: Callable[[pa.Table], pa.Array]) -> "Dataset":
+        """Vectorized computed column: ``fn(batch) -> Array``."""
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            col = fn(batch)
+            if name in batch.column_names:
+                return batch.set_column(batch.column_names.index(name), name, col)
+            return batch.append_column(name, col)
+
+        return Dataset(self._ds.map_batches(_apply, batch_format="pyarrow"))
+
+    def explode(self, list_col: str, out_col: str | None = None) -> "Dataset":
+        """Vectorized 1:N explode of a list column (flat_map fast path):
+        parent rows repeated via ``take`` on list parent indices."""
+        out_col = out_col or list_col
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            col = batch[list_col].combine_chunks()
+            flat = pc.list_flatten(col)
+            parents = pc.list_parent_indices(col)
+            others = batch.drop_columns([list_col]).take(parents)
+            return others.append_column(out_col, flat)
+
+        return Dataset(self._ds.map_batches(_apply, batch_format="pyarrow"))
+
+    # ---- filters ----
+
+    def filter(
+        self,
+        fn: Callable[[dict], bool] | None = None,
+        expr: str | None = None,
+        batch_fn: Callable[[pa.Table], pa.Table] | None = None,
+    ) -> "Dataset":
+        """Filter (reference ``NonLLMFilter``, ``filter.py:125-162``).
+
+        ``expr``: Ray expression string (vectorized, pushdown-friendly).
+        ``batch_fn``: vectorized ``Table -> Table``. ``fn``: row-dict
+        predicate compat path.
+        """
+        if expr is not None:
+            return Dataset(self._ds.filter(expr=expr))
+        if batch_fn is not None:
+            return Dataset(self._ds.map_batches(batch_fn, batch_format="pyarrow"))
+        assert fn is not None
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            mask = pa.array([bool(fn(r)) for r in batch.to_pylist()])
+            return batch.filter(mask)
+
+        return Dataset(self._ds.map_batches(_apply, batch_format="pyarrow"))
+
+    # ---- distinct / limit / sort / union ----
+
+    def distinct(
+        self, cols: list[str] | None = None, order_by: list[str] | None = None
+    ) -> "Dataset":
+        """Exact dedup on ``cols`` (default: all columns), keep-first
+        semantics (reference ``distinct.py:43-45``). The reference keeps
+        the first *arrival*; under a distributed shuffle arrival order is
+        meaningless, so determinism comes from ``order_by`` (default: the
+        remaining columns, ascending) — hash-partition on the key then
+        per-group first, no global mutable seen-set (SURVEY.md §2.3).
+        """
+        ds = self._ds
+        schema = ds.schema()
+        all_cols = list(schema.names)
+        key_cols = cols or all_cols
+        tie = order_by or [c for c in all_cols if c not in key_cols]
+
+        def _first(group: pa.Table) -> pa.Table:
+            if group.num_rows <= 1:
+                return group
+            if tie:
+                group = group.sort_by([(c, "ascending") for c in tie])
+            return group.slice(0, 1)
+
+        return Dataset(ds.groupby(key_cols).map_groups(_first, batch_format="pyarrow"))
+
+    def limit(self, n: int) -> "Dataset":
+        """Streaming limit — the executor early-stops upstream work
+        (reference enforces this in the driver loop,
+        ``parallel_execution_strategy.py:179-191``)."""
+        return Dataset(self._ds.limit(n))
+
+    def sort(self, key, descending: bool = False) -> "Dataset":
+        """Global sort (range shuffle). Absent in the reference
+        (SURVEY.md §2.3 'global sort: absent')."""
+        return Dataset(self._ds.sort(key, descending=descending))
+
+    def topk(self, k: int, key, descending: bool = True) -> "Dataset":
+        """Relational top-k = sort + streaming limit."""
+        return Dataset(self._ds.sort(key, descending=descending).limit(k))
+
+    def union(self, *others: "Dataset") -> "Dataset":
+        return Dataset(self._ds.union(*[o._ds for o in others]))
+
+    def random_sample(self, fraction: float, seed: int | None = None) -> "Dataset":
+        return Dataset(self._ds.random_sample(fraction, seed=seed))
+
+    def repartition(self, n: int, shuffle: bool = False) -> "Dataset":
+        return Dataset(self._ds.repartition(n, shuffle=shuffle))
+
+    # ---- group-by & aggregates ----
+
+    def groupby(self, cols: str | list[str]) -> "GroupedDataset":
+        return GroupedDataset(self._ds, [cols] if isinstance(cols, str) else list(cols))
+
+    def count(self) -> int:
+        """Global count (reference ``CountAggregateOp``)."""
+        return self._ds.count()
+
+    def _numeric(self, col: str) -> rd.Dataset:
+        """Coerce ``col`` to float64, silently skipping unparseable values
+        (reference ``aggregate.py:245-251`` semantics)."""
+
+        def _coerce(batch: pa.Table) -> pa.Table:
+            arr = batch[col]
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                vals = pd.to_numeric(arr.to_pandas(), errors="coerce")
+                arr = pa.array(vals, type=pa.float64())
+            else:
+                arr = arr.cast(pa.float64())
+            return pa.table({col: arr})
+
+        return self._ds.map_batches(_coerce, batch_format="pyarrow")
+
+    def average(self, col: str) -> float:
+        return self._numeric(col).mean(col)
+
+    mean = average
+
+    def sum(self, col: str):
+        return self._numeric(col).sum(col)
+
+    def min(self, col: str):
+        return self._ds.min(col)
+
+    def max(self, col: str):
+        return self._ds.max(col)
+
+    # ---- joins ----
+
+    def join(
+        self,
+        other: "Dataset",
+        on: str | list[str],
+        how: str = "inner",
+        *,
+        strategy: str = "shuffle",
+        num_buckets: int = 32,
+        suffix: str = RIGHT_SUFFIX,
+    ) -> "Dataset":
+        """Equi-join (reference ``RelationalJoin``, ``join.py:179-286``,
+        minus its in-memory nested loop). Duplicate non-key columns on
+        the right are renamed with ``_right`` (``schemas.py:163-166``).
+
+        ``strategy="broadcast"``: materialize the (small) right side
+        once, ``ray.put`` it, and merge per batch inside ``map_batches``
+        — no shuffle; the idiom for dimension tables.
+        ``strategy="shuffle"``: bucketed cogroup hash join — both sides
+        tagged with ``hash(key) % B``, unioned, ``groupby(bucket)``, and
+        merged per bucket; scales to two large sides. Skewed keys salt
+        naturally across buckets only if keys are diverse; for a single
+        pathological hot key prefer broadcast of the side containing it.
+        """
+        on = [on] if isinstance(on, str) else list(on)
+        how = {"outer": "outer", "full": "outer", "full_outer": "outer"}.get(how, how)
+        assert how in ("inner", "left", "right", "outer"), how
+
+        left_ds, right_ds = self._ds, other._ds
+        left_names = left_ds.schema().names
+        right_names = right_ds.schema().names
+        collisions = [c for c in right_names if c in left_names and c not in on]
+        if collisions:
+            right_ds = right_ds.rename_columns({c: c + suffix for c in collisions})
+            right_names = [c + suffix if c in collisions else c for c in right_names]
+
+        if strategy == "broadcast":
+            return Dataset(
+                _broadcast_join(left_ds, right_ds, on, how)
+            )
+        return Dataset(
+            _shuffle_join(left_ds, right_ds, on, how, num_buckets)
+        )
+
+    def semi_join(self, other: "Dataset", on: str | list[str]) -> "Dataset":
+        """Keep rows whose key appears in ``other`` — broadcast key set +
+        vectorized ``is_in`` filter (no shuffle)."""
+        return self._semi_anti(other, on, anti=False)
+
+    def anti_join(self, other: "Dataset", on: str | list[str]) -> "Dataset":
+        """Keep rows whose key does NOT appear in ``other``."""
+        return self._semi_anti(other, on, anti=True)
+
+    def _semi_anti(self, other: "Dataset", on, anti: bool) -> "Dataset":
+        on = [on] if isinstance(on, str) else list(on)
+        keys = other._ds.select_columns(on).unique(on[0]) if len(on) == 1 else None
+        if len(on) == 1:
+            key_set = pa.array(sorted(keys, key=lambda x: (x is None, x)))
+            ref = ray.put(key_set)
+            col = on[0]
+
+            def _flt(batch: pa.Table) -> pa.Table:
+                ks = ray.get(ref)
+                mask = pc.is_in(batch[col], value_set=ks)
+                if anti:
+                    mask = pc.invert(mask)
+                return batch.filter(mask)
+
+            return Dataset(self._ds.map_batches(_flt, batch_format="pyarrow"))
+        # multi-key: broadcast a python set of tuples
+        key_rows = {tuple(r[c] for c in on) for r in other._ds.select_columns(on).take_all()}
+        ref = ray.put(key_rows)
+
+        def _flt2(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            cols = [batch[c].to_pylist() for c in on]
+            mask = pa.array([(t in ks) != anti for t in zip(*cols)])
+            return batch.filter(mask)
+
+        return Dataset(self._ds.map_batches(_flt2, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# join internals
+# --------------------------------------------------------------------------
+
+
+def _merge_frames(lf: pd.DataFrame, rf: pd.DataFrame, on: list[str], how: str) -> pd.DataFrame:
+    return lf.merge(rf, on=on, how=how)
+
+
+def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str) -> rd.Dataset:
+    """Small right side: ship once via ``ray.put``, pandas-merge per batch.
+
+    right/outer joins additionally require emitting right rows that
+    matched nothing anywhere — tracked per-batch is impossible without
+    global state, so for how in (right, outer) we invert: broadcast
+    LEFT-join from the right side would have the same issue. Instead we
+    run the matched part per batch and compute the unmatched right rows
+    with one distributed semi-join pass at the end.
+    """
+    right_tbl = _to_table(right)
+    ref = ray.put(right_tbl)
+
+    base_how = {"right": "inner", "outer": "left"}.get(how, how)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        lf = batch.to_pandas()
+        rf = rt.to_pandas()
+        out = _merge_frames(lf, rf, on, base_how)
+        return _from_pandas_safe(out)
+
+    out = left.map_batches(_merge, batch_format="pyarrow")
+
+    if how in ("right", "outer"):
+        # unmatched right rows: right anti-join left on key
+        left_keys = _to_table(left.select_columns(on))
+        lref = ray.put(left_keys)
+
+        def _unmatched(batch: pa.Table) -> pa.Table:
+            lk = ray.get(lref)
+            if len(on) == 1:
+                mask = pc.invert(
+                    pc.is_in(batch[on[0]], value_set=lk[on[0]].combine_chunks())
+                )
+                rem = batch.filter(mask)
+            else:
+                lset = {tuple(r.values()) for r in lk.to_pylist()}
+                cols = [batch[c].to_pylist() for c in on]
+                rem = batch.filter(pa.array([t not in lset for t in zip(*cols)]))
+            return _from_pandas_safe(rem.to_pandas())
+
+        unmatched = right.map_batches(_unmatched, batch_format="pyarrow")
+        out = _union_aligned(out, unmatched)
+    return out
+
+
+def _shuffle_join(
+    left: rd.Dataset, right: rd.Dataset, on: list[str], how: str, num_buckets: int
+) -> rd.Dataset:
+    """Bucketed cogroup hash join: hash-partition both sides on the key,
+    pandas-merge each bucket inside ``map_groups`` (SURVEY.md §7.4)."""
+    lnames = [c for c in left.schema().names]
+    rnames = [c for c in right.schema().names]
+    l_only = [c for c in lnames if c not in on]
+    r_only = [c for c in rnames if c not in on]
+
+    def _tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            key = batch[on[0]] if len(on) == 1 else pa.StructArray.from_arrays(
+                [batch[c].combine_chunks() for c in on], names=on
+            )
+            b = stable_bucket(key, num_buckets)
+            batch = batch.append_column(_JOIN_BUCKET, pa.array(b))
+            return batch.append_column(
+                _JOIN_SIDE, pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            )
+
+        return _t
+
+    lt = left.map_batches(_tag(0), batch_format="pyarrow")
+    rt = right.map_batches(_tag(1), batch_format="pyarrow")
+    # align schemas for union: add each side's missing columns as nulls
+    lt = lt.map_batches(lambda b: _pad_columns(b, r_only, right), batch_format="pyarrow")
+    rt = rt.map_batches(lambda b: _pad_columns(b, l_only, left), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    how_pd = {"outer": "outer", "inner": "inner", "left": "left", "right": "right"}[how]
+
+    def _cogroup(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=[_JOIN_BUCKET])
+        lf = g[g[_JOIN_SIDE] == 0][on + l_only]
+        rf = g[g[_JOIN_SIDE] == 1][on + r_only]
+        return _merge_frames(lf, rf, on, how_pd)
+
+    return both.groupby(_JOIN_BUCKET).map_groups(_cogroup, batch_format="pandas")
+
+
+_schema_cache: dict[int, pa.Schema] = {}
+
+
+def _pad_columns(batch: pa.Table, missing: list[str], src_ds: rd.Dataset) -> pa.Table:
+    schema = src_ds.schema().base_schema
+    for name in missing:
+        field = schema.field(name)
+        batch = batch.append_column(field.name, pa.nulls(batch.num_rows, field.type))
+    return batch
+
+
+def _to_table(ds: rd.Dataset) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=65536))
+    if not tables:
+        return ds.schema().base_schema.empty_table()
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _from_pandas_safe(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _union_aligned(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
+    """Union two datasets whose column sets may differ (outer-join
+    unmatched side lacks the other side's columns): pad with nulls."""
+    a_schema = a.schema().base_schema
+    b_schema = b.schema().base_schema
+    names = list(dict.fromkeys(list(a_schema.names) + list(b_schema.names)))
+
+    def _align(schema_from: pa.Schema, other: pa.Schema):
+        def _f(batch: pa.Table) -> pa.Table:
+            for n in names:
+                if n not in batch.column_names:
+                    f = other.field(n) if n in other.names else schema_from.field(n)
+                    batch = batch.append_column(n, pa.nulls(batch.num_rows, f.type))
+            return batch.select(names)
+
+        return _f
+
+    return a.map_batches(_align(a_schema, b_schema), batch_format="pyarrow").union(
+        b.map_batches(_align(b_schema, a_schema), batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped data
+# --------------------------------------------------------------------------
+
+_AGG_FUNCS = ("count", "sum", "average", "min", "max", "list", "set")
+
+
+class GroupedDataset:
+    """Grouped view: reference ``GroupByAggregate`` semantics
+    (``aggregate.py:33-189``) on Ray Data's shuffle groupby."""
+
+    def __init__(self, ds: rd.Dataset, keys: list[str]):
+        self._ds = ds
+        self._keys = keys
+
+    def aggregate(self, *aggs) -> Dataset:
+        """Pass-through to ``ray.data`` aggregate objects
+        (``Sum/Count/Mean/Min/Max(col, alias_name=...)``)."""
+        return Dataset(self._ds.groupby(self._keys).aggregate(*aggs))
+
+    def agg(self, funcs: list[tuple[str, str]]) -> Dataset:
+        """Reference-parity aggregate: ``funcs`` is a list of
+        ``(func, field)`` with func in count/sum/average/min/max/list/set;
+        output columns are named ``"func(field)"``
+        (reference ``groupbysig.py:55-59``). None values are skipped
+        (``aggregate.py:65-122``)."""
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        ray_aggs = []
+        post: list[tuple[str, str, str]] = []  # (func, field, name)
+        for func, field in funcs:
+            name = f"{func}({field})"
+            if func == "count":
+                ray_aggs.append(Count(field, alias_name=name, ignore_nulls=True))
+            elif func == "sum":
+                ray_aggs.append(Sum(field, alias_name=name))
+            elif func == "average":
+                ray_aggs.append(Mean(field, alias_name=name))
+            elif func == "min":
+                ray_aggs.append(Min(field, alias_name=name))
+            elif func == "max":
+                ray_aggs.append(Max(field, alias_name=name))
+            elif func in ("list", "set"):
+                post.append((func, field, name))
+            else:
+                raise ValueError(f"unsupported agg func {func!r}")
+
+        if not post:
+            return Dataset(self._ds.groupby(self._keys).aggregate(*ray_aggs))
+
+        # list/set need map_groups; fold any scalar aggs into the same pass
+        keys = self._keys
+        scalar = [(f, fld) for (f, fld) in funcs if f not in ("list", "set")]
+
+        def _group(g: pd.DataFrame) -> pd.DataFrame:
+            out = {k: [g[k].iloc[0]] for k in keys}
+            for func, field in scalar:
+                col = g[field].dropna()
+                name = f"{func}({field})"
+                if func == "count":
+                    out[name] = [len(col)]
+                elif func == "sum":
+                    out[name] = [col.sum()]
+                elif func == "average":
+                    out[name] = [col.mean()]
+                elif func == "min":
+                    out[name] = [col.min()]
+                elif func == "max":
+                    out[name] = [col.max()]
+            for func, field, name in post:
+                vals = [v for v in g[field].tolist() if v is not None]
+                out[name] = [sorted(set(vals))] if func == "set" else [vals]
+            return pd.DataFrame(out)
+
+        return Dataset(
+            self._ds.groupby(keys).map_groups(_group, batch_format="pandas")
+        )
+
+    def map_groups(self, fn, **kw) -> Dataset:
+        kw.setdefault("batch_format", "pyarrow")
+        return Dataset(self._ds.groupby(self._keys).map_groups(fn, **kw))

@@ -1,0 +1,76 @@
+"""Vectorized columnar kernels used across the engine.
+
+All kernels are Arrow/numpy/polars vectorized — no Python loop touches a
+row in any hot path. The reference computes everything record-at-a-time
+over Pydantic objects (SURVEY.md §1.1); these kernels are the columnar
+replacements.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HASH_SEED = 0x51_7C_C1_B7  # fixed => stable across processes / runs
+
+
+def stable_hash(values: pa.Array | pa.ChunkedArray, seed: int = _HASH_SEED) -> np.ndarray:
+    """Deterministic 64-bit hash of a column, vectorized via polars.
+
+    Python's builtin ``hash`` is salted per process so it can never be a
+    partition function on a cluster; polars' xxhash-based ``Series.hash``
+    is stable for a fixed seed. Works for strings, ints, and list
+    columns (hashes the whole list per row).
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    s = pl.from_arrow(values)
+    return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def stable_bucket(
+    values: pa.Array | pa.ChunkedArray, num_buckets: int, seed: int = _HASH_SEED
+) -> np.ndarray:
+    """``hash(key) % P`` partition assignment (int32), the shuffle key for
+    upserts / dedup / joins (SURVEY.md §7.4)."""
+    return (stable_hash(values, seed) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def first_per_key(
+    table: pa.Table,
+    key: str,
+    order: list[tuple[str, str]] | None = None,
+) -> pa.Table:
+    """Keep the first row per ``key`` after sorting by ``[key] + order``.
+
+    Fully vectorized: one ``sort_indices`` + one adjacent-inequality scan.
+    With ``order=[("lsn", "descending")]`` this is the last-writer-wins
+    reduction — the combiner run per batch before a shuffle and again per
+    partition after it, which is what bounds shuffle volume for hot keys
+    (a hot ``doc_id`` collapses to one row per input block, the salting
+    equivalent described in SURVEY.md §7.5 item 3).
+    """
+    if table.num_rows <= 1:
+        return table
+    sort_keys = [(key, "ascending")] + (order or [])
+    idx = pc.sort_indices(table, sort_keys=sort_keys)
+    t = table.take(idx)
+    keys = t.column(key).combine_chunks()
+    # row i survives iff keys[i] != keys[i-1]
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+    mask = np.ones(len(keys), dtype=bool)
+    mask[1:] = neq.to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(mask))
+
+
+def token_length(tokens: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """``n_tok`` derivation: ``pc.list_value_length`` (null-safe)."""
+    return pc.list_value_length(tokens).cast(pa.int32())
+
+
+def token_fingerprint(tokens: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Stable 64-bit fingerprint of each token array (for dedup /
+    equality checks without shipping the full payload)."""
+    return stable_hash(tokens)

@@ -1,0 +1,155 @@
+"""CDC engine correctness vs the sequential-replay oracle.
+
+The gate from BASELINE.json: per-row token-array equality of the final
+lake state against a single-process sequential replay (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import (
+    apply_changes,
+    final_state_table,
+    make_base_table,
+    make_change_table,
+    sequential_replay,
+)
+
+N_BASE = 1_000
+N_EVENTS = 5_000
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> str:
+    p = os.path.join(str(tmp_path), name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(table, p)
+    return p
+
+
+def _assert_tables_equal(got: pa.Table, want: pa.Table):
+    got = got.sort_by("doc_id")
+    want = want.select(got.column_names).sort_by("doc_id")
+    assert got.num_rows == want.num_rows, (got.num_rows, want.num_rows)
+    for col in got.column_names:
+        g, w = got[col].combine_chunks(), want[col].cast(got[col].type).combine_chunks()
+        assert g.equals(w), f"column {col} differs"
+
+
+@pytest.fixture(scope="module")
+def base_and_changes():
+    base = make_base_table(N_BASE, seed=42)
+    changes = make_change_table(N_EVENTS, N_BASE, seed=43)
+    return base, changes
+
+
+def _seed_lake(tmp_path, tmp_lake, base):
+    """Bootstrap the lake with the base table (an INSERT-only change log)."""
+    bootstrap = pa.table(
+        {
+            "lsn": pa.array([0] * base.num_rows, pa.int64()),
+            "op": pa.array(["INSERT"] * base.num_rows),
+            **{c: base[c] for c in base.column_names},
+        }
+    )
+    p = _write(tmp_path, "bootstrap/log.parquet", bootstrap)
+    apply_changes(p, tmp_lake, num_partitions=8)
+
+
+def test_final_state_matches_sequential_replay(tmp_path, tmp_lake, base_and_changes):
+    base, changes = base_and_changes
+    _seed_lake(tmp_path, tmp_lake, base)
+    log = _write(tmp_path, "log/changes.parquet", changes)
+
+    res = apply_changes(log, tmp_lake, num_partitions=8)
+    got = final_state_table(tmp_lake)
+    want = sequential_replay(base, changes)
+
+    _assert_tables_equal(got, want)
+    assert res.events_seen == N_EVENTS
+    assert res.rows_upserted > 0 and res.rows_deleted > 0
+
+
+def test_replay_is_idempotent(tmp_path, tmp_lake, base_and_changes):
+    """Applying the identical log twice converges to identical state
+    (duplicate-LSN replay, FIXTURES.md §2)."""
+    base, changes = base_and_changes
+    _seed_lake(tmp_path, tmp_lake, base)
+    log = _write(tmp_path, "log/changes.parquet", changes)
+
+    apply_changes(log, tmp_lake, num_partitions=8)
+    first = final_state_table(tmp_lake, user_columns_only=False)
+    apply_changes(log, tmp_lake, num_partitions=8)
+    second = final_state_table(tmp_lake, user_columns_only=False)
+    assert first.equals(second)
+
+
+def test_split_log_equals_single_log(tmp_path, tmp_lake, base_and_changes):
+    """Applying the log in two sequential segments == applying it whole."""
+    base, changes = base_and_changes
+    _seed_lake(tmp_path, tmp_lake, base)
+    half = changes.num_rows // 2
+    p1 = _write(tmp_path, "log/a.parquet", changes.slice(0, half))
+    p2 = _write(tmp_path, "log/b.parquet", changes.slice(half))
+    apply_changes(p1, tmp_lake, num_partitions=8)
+    apply_changes(p2, tmp_lake, num_partitions=8)
+    got = final_state_table(tmp_lake)
+    want = sequential_replay(base, changes)
+    _assert_tables_equal(got, want)
+
+
+def test_empty_lake_bootstrap(tmp_path, tmp_lake, base_and_changes):
+    """Applying changes to an empty lake == replay over empty base
+    (UPDATE/DELETE of missing keys are upsert/no-op)."""
+    _, changes = base_and_changes
+    log = _write(tmp_path, "log/changes.parquet", changes)
+    apply_changes(log, tmp_lake, num_partitions=8)
+    got = final_state_table(tmp_lake)
+    want = sequential_replay(None, changes)
+    _assert_tables_equal(got, want)
+
+
+def test_schema_evolution_backfill(tmp_path, tmp_lake, base_and_changes):
+    """Post-cutover events carry token_meta/shard; pre-cutover rows and
+    never-updated base rows read back with nulls (FIXTURES.md §3)."""
+    base, changes = base_and_changes
+    _seed_lake(tmp_path, tmp_lake, base)
+    evolved = make_change_table(
+        1_000, N_BASE, seed=77, start_lsn=N_EVENTS + 1, evolved=True
+    )
+    p1 = _write(tmp_path, "log/a.parquet", changes)
+    p2 = _write(tmp_path, "log/b.parquet", evolved)
+
+    apply_changes([p1, p2], tmp_lake, num_partitions=8)
+    got = final_state_table(tmp_lake)
+    assert "token_meta" in got.column_names and "shard" in got.column_names
+
+    combined = pa.concat_tables([changes, evolved], promote_options="permissive")
+    want = sequential_replay(base, combined)
+    _assert_tables_equal(got, want)
+    # rows never touched post-cutover have null evolved columns
+    assert got["shard"].null_count > 0
+
+
+def test_tombstone_then_reinsert(tmp_path, tmp_lake):
+    """DELETE then higher-LSN INSERT in one log -> row present; the
+    reverse -> absent."""
+    rows = [
+        {"lsn": 1, "op": "INSERT", "doc_id": "a", "tokens": [1, 2], "n_tok": 2, "source": "web"},
+        {"lsn": 2, "op": "DELETE", "doc_id": "a", "tokens": None, "n_tok": None, "source": None},
+        {"lsn": 3, "op": "INSERT", "doc_id": "a", "tokens": [3], "n_tok": 1, "source": "web"},
+        {"lsn": 4, "op": "INSERT", "doc_id": "b", "tokens": [9], "n_tok": 1, "source": "web"},
+        {"lsn": 5, "op": "DELETE", "doc_id": "b", "tokens": None, "n_tok": None, "source": None},
+        {"lsn": 6, "op": "DELETE", "doc_id": "zzz-missing", "tokens": None, "n_tok": None, "source": None},
+    ]
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    log = _write(tmp_path := tmp_path, "log/t.parquet", pa.Table.from_pylist(rows, CHANGELOG_SCHEMA))
+    apply_changes(log, tmp_lake, num_partitions=4)
+    got = final_state_table(tmp_lake)
+    assert got["doc_id"].to_pylist() == ["a"]
+    assert got["tokens"].to_pylist() == [[3]]

@@ -1,0 +1,126 @@
+"""Checkpoint/resume + exactly-once semantics of the CDC engine."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import (
+    apply_changes,
+    final_state_table,
+    load_latest_manifest,
+    make_base_table,
+    make_change_table,
+    sequential_replay,
+)
+
+N_BASE, N_EVENTS = 500, 2_000
+
+
+def _bootstrap(tmp_path, lake, base):
+    boot = pa.table(
+        {
+            "lsn": pa.array([0] * base.num_rows, pa.int64()),
+            "op": pa.array(["INSERT"] * base.num_rows),
+            **{c: base[c] for c in base.column_names},
+        }
+    )
+    p = os.path.join(str(tmp_path), "boot.parquet")
+    pq.write_table(boot, p)
+    apply_changes(p, lake, num_partitions=8)
+
+
+def test_failure_then_resume_converges(tmp_path, tmp_lake):
+    """Inject a failure in one partition's merge; rerun with the same
+    run_id: finished partitions are skipped (resumed from checkpoint)
+    and the final state equals the oracle replay."""
+    base = make_base_table(N_BASE, seed=42)
+    changes = make_change_table(N_EVENTS, N_BASE, seed=43)
+    _bootstrap(tmp_path, tmp_lake, base)
+    log = os.path.join(str(tmp_path), "changes.parquet")
+    pq.write_table(changes, log)
+
+    with pytest.raises(Exception):
+        apply_changes(
+            log, tmp_lake, num_partitions=8, run_id="run-a", fail_parts=(3,)
+        )
+    # some partitions checkpointed before the failure
+    staging = os.path.join(tmp_lake, ".staging", "run-a")
+    done_before = [f for f in os.listdir(staging) if f.endswith(".done.json")]
+
+    res = apply_changes(log, tmp_lake, num_partitions=8, run_id="run-a")
+    # >=: in-flight merge tasks may still land sidecars between the
+    # failure propagating and the staging listing above
+    assert res.partitions_resumed >= len(done_before) > 0
+    assert res.partitions_rewritten + res.partitions_resumed == 8
+
+    got = final_state_table(tmp_lake)
+    want = sequential_replay(base, changes)
+    got = got.sort_by("doc_id")
+    want = want.select(got.column_names).sort_by("doc_id")
+    assert got.num_rows == want.num_rows
+    for col in got.column_names:
+        assert got[col].combine_chunks().equals(
+            want[col].cast(got[col].type).combine_chunks()
+        ), col
+
+
+def test_crash_before_commit_leaves_previous_version(tmp_path, tmp_lake):
+    """A failed run must not disturb the committed lake (version flip is
+    the last, atomic step)."""
+    base = make_base_table(N_BASE, seed=42)
+    _bootstrap(tmp_path, tmp_lake, base)
+    v1 = load_latest_manifest(tmp_lake)
+    before = final_state_table(tmp_lake, user_columns_only=False)
+
+    changes = make_change_table(N_EVENTS, N_BASE, seed=43)
+    log = os.path.join(str(tmp_path), "changes.parquet")
+    pq.write_table(changes, log)
+    with pytest.raises(Exception):
+        apply_changes(log, tmp_lake, num_partitions=8, run_id="run-b", fail_parts=(0,))
+
+    assert load_latest_manifest(tmp_lake).version == v1.version
+    assert final_state_table(tmp_lake, user_columns_only=False).equals(before)
+
+
+def test_replay_outputs_byte_identical(tmp_path, tmp_lake):
+    """Two independent applies of the same log from the same base lake
+    produce byte-identical partition files (canonical sort + fixed
+    writer settings, SURVEY.md §7.5 item 2)."""
+    base = make_base_table(N_BASE, seed=42)
+    changes = make_change_table(N_EVENTS, N_BASE, seed=43)
+    log = os.path.join(str(tmp_path), "changes.parquet")
+    pq.write_table(changes, log)
+
+    lakes = [tmp_lake + "-x", tmp_lake + "-y"]
+    for lake in lakes:
+        _bootstrap(tmp_path, lake, base)
+        apply_changes(log, lake, num_partitions=8)
+
+    m0, m1 = (load_latest_manifest(lk) for lk in lakes)
+    assert sorted(m0.parts) == sorted(m1.parts)
+    for p in m0.parts:
+        b0 = open(os.path.join(lakes[0], m0.parts[p].file), "rb").read()
+        b1 = open(os.path.join(lakes[1], m1.parts[p].file), "rb").read()
+        assert b0 == b1, f"partition {p} bytes differ"
+
+
+def test_lineage_metrics(tmp_path, tmp_lake):
+    """Manifest records per-partition applied-LSN watermarks and
+    upsert/delete counters (north-rule lineage)."""
+    base = make_base_table(N_BASE, seed=42)
+    changes = make_change_table(N_EVENTS, N_BASE, seed=43)
+    _bootstrap(tmp_path, tmp_lake, base)
+    log = os.path.join(str(tmp_path), "changes.parquet")
+    pq.write_table(changes, log)
+    res = apply_changes(log, tmp_lake, num_partitions=8)
+
+    m = load_latest_manifest(tmp_lake)
+    assert m.max_lsn == N_EVENTS  # global watermark = last LSN in the log
+    assert all(e.max_lsn > 0 for e in m.parts.values())
+    total_rows = sum(e.rows for e in m.parts.values())
+    assert total_rows == final_state_table(tmp_lake).num_rows
+    assert res.rows_upserted > 0 and res.rows_deleted >= 0
