@@ -54,7 +54,9 @@ def read_parquet(paths, columns: list[str] | None = None, **kw) -> "Dataset":
 
 
 def from_pandas(df: pd.DataFrame) -> "Dataset":
-    return Dataset(rd.from_pandas(df))
+    # go through Arrow so every block is a pa.Table (pandas-backed blocks
+    # trip several Ray 2.49 paths, e.g. PandasBlockSchema vs pa.Schema)
+    return Dataset(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)))
 
 
 def from_arrow(table: pa.Table) -> "Dataset":
@@ -113,7 +115,7 @@ class Dataset:
     select_columns = project
 
     def rename_columns(self, mapping: dict[str, str]) -> "Dataset":
-        return Dataset(self._ds.rename_columns(mapping))
+        return Dataset(_rename(self._ds, mapping))
 
     def map_batches(self, fn, **kw) -> "Dataset":
         """Vectorized batch transform — the preferred hot path."""
@@ -324,7 +326,7 @@ class Dataset:
         right_names = right_ds.schema().names
         collisions = [c for c in right_names if c in left_names and c not in on]
         if collisions:
-            right_ds = right_ds.rename_columns({c: c + suffix for c in collisions})
+            right_ds = _rename(right_ds, {c: c + suffix for c in collisions})
             right_names = [c + suffix if c in collisions else c for c in right_names]
 
         if strategy == "broadcast":
@@ -376,6 +378,32 @@ class Dataset:
 # --------------------------------------------------------------------------
 # join internals
 # --------------------------------------------------------------------------
+
+
+
+def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+    """Arrow schema of a dataset, tolerating pandas-backed blocks
+    (whose ``schema().base_schema`` is a PandasBlockSchema)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(base.names, base.types):
+        try:
+            at = pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            at = pa.string()
+        fields.append(pa.field(n, at))
+    return pa.schema(fields)
+
+def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
+    """Rename via a pyarrow map_batches — ``Dataset.rename_columns``
+    breaks on pandas-backed blocks in Ray 2.49."""
+
+    def _r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(_r, batch_format="pyarrow")
 
 
 def _merge_frames(lf: pd.DataFrame, rf: pd.DataFrame, on: list[str], how: str) -> pd.DataFrame:
@@ -460,12 +488,19 @@ def _shuffle_join(
     both = lt.union(rt)
 
     how_pd = {"outer": "outer", "inner": "inner", "left": "left", "right": "right"}[how]
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    out_schema = pa.schema(
+        [lschema.field(c) for c in on + l_only] + [rschema.field(c) for c in r_only]
+    )
 
-    def _cogroup(group: pd.DataFrame) -> pd.DataFrame:
+    def _cogroup(group: pd.DataFrame) -> pa.Table:
         g = group.drop(columns=[_JOIN_BUCKET])
         lf = g[g[_JOIN_SIDE] == 0][on + l_only]
         rf = g[g[_JOIN_SIDE] == 1][on + r_only]
-        return _merge_frames(lf, rf, on, how_pd)
+        merged = _merge_frames(lf, rf, on, how_pd)
+        # the null-padded union turned ints into float64(NaN) — cast back
+        # to the true schema (NaN -> null) so output dtypes are stable
+        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
 
     return both.groupby(_JOIN_BUCKET).map_groups(_cogroup, batch_format="pandas")
 
@@ -474,7 +509,7 @@ _schema_cache: dict[int, pa.Schema] = {}
 
 
 def _pad_columns(batch: pa.Table, missing: list[str], src_ds: rd.Dataset) -> pa.Table:
-    schema = src_ds.schema().base_schema
+    schema = _arrow_schema(src_ds)
     for name in missing:
         field = schema.field(name)
         batch = batch.append_column(field.name, pa.nulls(batch.num_rows, field.type))
@@ -484,7 +519,7 @@ def _pad_columns(batch: pa.Table, missing: list[str], src_ds: rd.Dataset) -> pa.
 def _to_table(ds: rd.Dataset) -> pa.Table:
     tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=65536))
     if not tables:
-        return ds.schema().base_schema.empty_table()
+        return _arrow_schema(ds).empty_table()
     return pa.concat_tables(tables, promote_options="permissive")
 
 
@@ -495,8 +530,8 @@ def _from_pandas_safe(df: pd.DataFrame) -> pa.Table:
 def _union_aligned(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
     """Union two datasets whose column sets may differ (outer-join
     unmatched side lacks the other side's columns): pad with nulls."""
-    a_schema = a.schema().base_schema
-    b_schema = b.schema().base_schema
+    a_schema = _arrow_schema(a)
+    b_schema = _arrow_schema(b)
     names = list(dict.fromkeys(list(a_schema.names) + list(b_schema.names)))
 
     def _align(schema_from: pa.Schema, other: pa.Schema):

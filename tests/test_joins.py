@@ -1,0 +1,78 @@
+"""Join semantics (FIXTURES.md §5b): inner/left/right/outer, the
+``_right`` duplicate-column rename (reference ``schemas.py:163-166``),
+unmatched-row emission (``join.py:118-169``), semi/anti joins, and
+broadcast == shuffle equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import palimpzest_ray as pzr
+
+CUSTOMERS = pd.DataFrame(
+    {
+        "cust_id": [1, 2, 3, 4, 5, 6],
+        "name": ["c-a", "c-b", "c-c", "c-d", "c-e", "c-f"],
+        "segment": ["x", "y", "x", "y", "x", "y"],
+    }
+)
+# orders: two rows reference missing customer 99; duplicate `name` column
+ORDERS = pd.DataFrame(
+    {
+        "order_id": list(range(10)),
+        "cust_id": [1, 1, 2, 3, 3, 3, 4, 5, 99, 99],
+        "total": [float(i) * 10 for i in range(10)],
+        "name": [f"o-{i}" for i in range(10)],
+    }
+)
+
+
+def _pd_oracle(how: str) -> pd.DataFrame:
+    right = CUSTOMERS.rename(columns={"name": "name_right"})
+    return ORDERS.merge(right, on="cust_id", how=how)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (
+        df[cols]
+        .sort_values(cols, key=lambda s: s.astype(str))
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+@pytest.mark.parametrize("strategy", ["shuffle", "broadcast"])
+def test_join_matches_pandas(how, strategy):
+    left = pzr.from_pandas(ORDERS)
+    right = pzr.from_pandas(CUSTOMERS)
+    got = left.join(right, on="cust_id", how=how, strategy=strategy).to_pandas()
+    # duplicate non-key column renamed with _right
+    assert "name_right" in got.columns
+    want = _pd_oracle(how)
+    g, w = _normalize(got), _normalize(want)
+    assert len(g) == len(w), (how, strategy, len(g), len(w))
+    for col in w.columns:
+        gv = g[col].astype("float64") if w[col].dtype.kind == "f" else g[col]
+        assert (
+            gv.fillna("<na>").astype(str).tolist()
+            == w[col].fillna("<na>").astype(str).tolist()
+        ), (how, strategy, col)
+
+
+def test_semi_anti_join():
+    left = pzr.from_pandas(CUSTOMERS)
+    right = pzr.from_pandas(ORDERS)
+    semi = left.semi_join(right, on="cust_id").to_pandas()
+    assert sorted(semi["cust_id"]) == [1, 2, 3, 4, 5]
+    anti = left.anti_join(right, on="cust_id").to_pandas()
+    assert sorted(anti["cust_id"]) == [6]
+
+
+def test_multi_key_join():
+    a = pzr.from_pandas(pd.DataFrame({"k1": [1, 1, 2], "k2": ["a", "b", "a"], "v": [10, 20, 30]}))
+    b = pzr.from_pandas(pd.DataFrame({"k1": [1, 2, 2], "k2": ["a", "a", "z"], "w": [7, 8, 9]}))
+    got = a.join(b, on=["k1", "k2"], how="inner").to_pandas().sort_values("v")
+    assert got[["v", "w"]].values.tolist() == [[10, 7], [30, 8]]
