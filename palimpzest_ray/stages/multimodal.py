@@ -1,0 +1,243 @@
+"""Multimodal column plumbing: images / audio / video as opaque binary.
+
+Reference parity: the reference reads media as base64 strings per row
+(``ImageFileDataset`` / ``AudioFileDataset``, ``iter_dataset.py:284-323,
+472-511``) and types them via ``ImageBase64`` / ``AudioBase64`` aliases
+(``schemas.py:21-57``). Here media is an Arrow ``binary`` column plus a
+typed metadata struct, processed by ACTOR-POOL ``map_batches`` stages
+(decoder/model load once per actor in ``__init__`` — the pattern that
+replaces the reference's process-wide Singleton+lock, ``topk.py:21-37``).
+
+The actual codecs (PIL / torchaudio / ffmpeg) are not in this container,
+so the decode kernel is STUBBED: each stage tries the real import and
+otherwise falls back to a deterministic fake (seeded by a stable hash of
+the payload bytes) so the Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — is real and testable. The fake is
+clearly marked; swapping in a real codec touches only ``_decode_one``.
+
+Scale notes: media payloads are KB–MB per row, so these stages must run
+with SMALL ``batch_size`` (bytes, not rows, dominate) and the binary
+column stays zero-copy Arrow end-to-end; feature outputs are
+fixed-width ``fixed_size_list<float32>`` so downstream stages shuffle
+narrow columns, never the payload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from palimpzest_ray.functions.tokens import stable_hash
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.string()),
+        pa.field("content", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("n_bytes", pa.int64()),
+    ]
+)
+
+# recommended map_batches kwargs for payload-heavy stages
+MEDIA_BATCH_KWARGS = dict(batch_format="pyarrow", batch_size=32)
+
+
+def read_media_dir(path: str) -> rd.Dataset:
+    """Directory of media files → MEDIA_SCHEMA dataset (streaming)."""
+    ds = rd.read_binary_files(path, include_paths=True)
+
+    def _conform(batch: pa.Table) -> pa.Table:
+        import os
+
+        paths = batch["path"].to_pylist()
+        content = batch["bytes"]
+        mimes = [_guess_mime(p) for p in paths]
+        return pa.table(
+            {
+                "media_id": pa.array([os.path.basename(p) for p in paths]),
+                "content": content,
+                "mime": pa.array(mimes),
+                "n_bytes": pa.array([len(b) for b in content.to_pylist()], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_conform, batch_format="pyarrow")
+
+
+def _guess_mime(path: str) -> str:
+    import mimetypes
+
+    return mimetypes.guess_type(path)[0] or "application/octet-stream"
+
+
+def table_from_blobs(ids: list[str], blobs: list[bytes], mime: str) -> pa.Table:
+    """Build a MEDIA_SCHEMA table from in-memory payloads (tests)."""
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "content": pa.array(blobs, pa.binary()),
+            "mime": pa.array([mime] * len(ids)),
+            "n_bytes": pa.array([len(b) for b in blobs], pa.int64()),
+        }
+    )
+
+
+class _MediaStage:
+    """Base actor-pool stage: expensive setup once per actor."""
+
+    def __init__(self):
+        self._codec = self._load_codec()  # once per ACTOR, not per batch
+
+    def _load_codec(self):
+        return None  # overridden; None => deterministic fake
+
+    @staticmethod
+    def _fake_features(content: pa.Array | pa.ChunkedArray, dim: int) -> np.ndarray:
+        """STUB decode: deterministic pseudo-features seeded by a stable
+        hash of the payload bytes. NOT a real decode — replace via
+        ``_load_codec`` when the codec library exists."""
+        seeds = stable_hash(content)
+        out = np.empty((len(seeds), dim), dtype=np.float32)
+        for i, s in enumerate(seeds):  # per-row RNG init only; dim-vector fill is vectorized
+            out[i] = np.random.default_rng(int(s)).standard_normal(dim)
+        return out
+
+
+class ImageDecodeStage(_MediaStage):
+    """content:binary → image feature vector + inferred width/height.
+
+    Real path (PIL present): decode, resize to ``target_size``, emit
+    normalized pixel features. Stub path: deterministic fake features +
+    dimensions derived from the payload hash.
+    """
+
+    def __init__(self, target_size: int = 16, feature_dim: int = 64):
+        self.target_size = target_size
+        self.feature_dim = feature_dim
+        super().__init__()
+
+    def _load_codec(self):
+        try:
+            from PIL import Image  # noqa: F401  (absent in this container)
+
+            return Image
+        except ImportError:
+            return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch["content"].combine_chunks()
+        if self._codec is not None:
+            import io
+
+            feats = np.empty((batch.num_rows, self.feature_dim), dtype=np.float32)
+            dims = np.empty((batch.num_rows, 2), dtype=np.int32)
+            for i, blob in enumerate(content.to_pylist()):
+                img = self._codec.open(io.BytesIO(blob)).convert("L")
+                dims[i] = img.size
+                img = img.resize((self.target_size, self.target_size))
+                px = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+                feats[i] = px[: self.feature_dim]
+        else:
+            feats = self._fake_features(content, self.feature_dim)
+            seeds = stable_hash(content)
+            dims = np.stack(
+                [(seeds % 1920 + 1).astype(np.int32), (seeds % 1080 + 1).astype(np.int32)],
+                axis=1,
+            )
+        batch = batch.append_column(
+            "image_feat",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.feature_dim
+            ),
+        )
+        batch = batch.append_column("width", pa.array(dims[:, 0]))
+        return batch.append_column("height", pa.array(dims[:, 1]))
+
+
+class AudioFeatureStage(_MediaStage):
+    """content:binary → fixed-width audio features + duration estimate.
+
+    Stub path derives duration from byte length at an assumed bitrate —
+    deterministic and schema-correct; real path would use soundfile."""
+
+    BYTES_PER_SEC = 32_000  # 16 kHz × 16-bit mono assumption for the stub
+
+    def __init__(self, feature_dim: int = 32):
+        self.feature_dim = feature_dim
+        super().__init__()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch["content"].combine_chunks()
+        feats = self._fake_features(content, self.feature_dim)
+        n_bytes = batch["n_bytes"].to_numpy(zero_copy_only=False)
+        dur = np.round(n_bytes / self.BYTES_PER_SEC, 3)
+        batch = batch.append_column(
+            "audio_feat",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.feature_dim
+            ),
+        )
+        return batch.append_column("duration_s", pa.array(dur))
+
+
+class FrameSampleStage(_MediaStage):
+    """video content:binary → N sampled frame features (1:N explode).
+
+    Emits one output row per sampled frame with ``frame_idx`` — the
+    multimodal analogue of the reference's ``Cardinality.ONE_TO_MANY``
+    converts (``convert.py:198-259``)."""
+
+    def __init__(self, num_frames: int = 4, feature_dim: int = 64):
+        self.num_frames = num_frames
+        self.feature_dim = feature_dim
+        super().__init__()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        content = batch["content"].combine_chunks()
+        seeds = stable_hash(content)
+        rows = np.repeat(np.arange(n), self.num_frames)
+        frame_idx = np.tile(np.arange(self.num_frames), n)
+        feats = np.empty((n * self.num_frames, self.feature_dim), dtype=np.float32)
+        for i in range(n):  # stub decode; per-frame fill vectorized
+            rng = np.random.default_rng(int(seeds[i]))
+            feats[i * self.num_frames : (i + 1) * self.num_frames] = (
+                rng.standard_normal((self.num_frames, self.feature_dim))
+            )
+        out = batch.drop_columns(["content"]).take(pa.array(rows))
+        out = out.append_column("frame_idx", pa.array(frame_idx.astype(np.int32)))
+        return out.append_column(
+            "frame_feat",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.feature_dim
+            ),
+        )
+
+
+def decode_images(ds: rd.Dataset, *, concurrency=(1, 4), **stage_kw) -> rd.Dataset:
+    """Actor-pool image decode: ``map_batches(ImageDecodeStage, ...)``."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs=stage_kw,
+        concurrency=concurrency,
+        **MEDIA_BATCH_KWARGS,
+    )
+
+
+def audio_features(ds: rd.Dataset, *, concurrency=(1, 4), **stage_kw) -> rd.Dataset:
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs=stage_kw,
+        concurrency=concurrency,
+        **MEDIA_BATCH_KWARGS,
+    )
+
+
+def sample_frames(ds: rd.Dataset, *, concurrency=(1, 4), **stage_kw) -> rd.Dataset:
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=stage_kw,
+        concurrency=concurrency,
+        **MEDIA_BATCH_KWARGS,
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Reference parity: the reference's only vector machinery is per-record
+chroma index lookup (``TopKOp``, ``topk.py:39-313``) and
+``EmbeddingJoin`` thresholding (``join.py:492+``). Here search is a
+first-class distributed operator:
+
+- :func:`knn_search` — exact brute-force cosine top-k: the query matrix
+  is broadcast once via ``ray.put``; every batch does one numpy matmul
+  and emits only its LOCAL top-k per query (k rows, not the batch), so
+  the final ``groupby(query)`` reduce moves O(num_blocks × k) rows.
+  This is the canonical map-side-combine top-k.
+- :func:`lsh_knn_search` — the scale path: random-hyperplane buckets
+  prune the scan to candidate buckets within Hamming ``probe`` of each
+  query's bucket. Approximate (recall < 1 by design); same reduce.
+
+Both stream — no full materialization of the vector table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return V / norms
+
+
+def _vectors(batch: pa.Table, emb_col: str) -> np.ndarray:
+    emb = batch[emb_col].combine_chunks()
+    dim = len(emb[0])
+    return (
+        np.asarray(emb.flatten(), dtype=np.float32).reshape(batch.num_rows, dim)
+    )
+
+
+def _topk_reduce(partials: rd.Dataset, k: int, id_col: str) -> rd.Dataset:
+    """Global per-query top-k over local-top-k partials. Deterministic
+    tie-break: higher score first, then smaller id."""
+
+    def _final(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("score", "descending"), (id_col, "ascending")]).slice(0, k)
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))
+        )
+
+    return partials.groupby("query_idx").map_groups(_final, batch_format="pyarrow")
+
+
+def knn_search(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Exact cosine top-k: rows ``(query_idx, id, score, rank)``."""
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(Q)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(qref)
+        V = _normalize(_vectors(batch, emb_col))
+        S = Qm @ V.T  # (num_queries, batch_rows)
+        ids = batch[id_col].combine_chunks()
+        nq, n = S.shape
+        kk = min(k, n)
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        vi = part.reshape(-1)
+        return pa.table(
+            {
+                "query_idx": pa.array(qi),
+                id_col: ids.take(pa.array(vi)),
+                "score": pa.array(
+                    np.round(S[qi, vi].astype(np.float64), 6)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(_local, batch_format="pyarrow")
+    return _topk_reduce(partials, k, id_col)
+
+
+def lsh_knn_search(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    probe: int = 1,
+    seed: int = 11,
+) -> rd.Dataset:
+    """Approximate cosine top-k: scan only vectors whose hyperplane-sign
+    bucket is within Hamming ``probe`` of some query's bucket. The
+    candidate-bucket set (≤ num_queries × Σ C(planes, i)) is broadcast;
+    each batch filters then matmuls only survivors."""
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = Q.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
+
+    def bucket_of(M: np.ndarray) -> np.ndarray:
+        signs = (M @ planes) > 0
+        return (signs.astype(np.uint64) << np.arange(num_planes, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+
+    qb = bucket_of(Q)
+    cand: set[int] = set()
+    flips = [np.uint64(0)]
+    if probe >= 1:
+        flips += [np.uint64(1) << np.uint64(i) for i in range(num_planes)]
+    if probe >= 2:
+        flips += [
+            (np.uint64(1) << np.uint64(i)) | (np.uint64(1) << np.uint64(j))
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    for b in qb:
+        for f in flips:
+            cand.add(int(b ^ f))
+    cand_arr = pa.array(np.array(sorted(cand), dtype=np.uint64))
+    cref = ray.put(cand_arr)
+    qref = ray.put(Q)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        V = _normalize(_vectors(batch, emb_col))
+        b = bucket_of(V)
+        mask = pc.is_in(pa.array(b), value_set=ray.get(cref))
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch[id_col].type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        Vf = V[mask.to_numpy(zero_copy_only=False)]
+        Qm = ray.get(qref)
+        S = Qm @ Vf.T
+        ids = batch[id_col].combine_chunks()
+        nq, n = S.shape
+        kk = min(k, n)
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        vi = part.reshape(-1)
+        return pa.table(
+            {
+                "query_idx": pa.array(qi),
+                id_col: ids.take(pa.array(vi)),
+                "score": pa.array(np.round(S[qi, vi].astype(np.float64), 6)),
+            }
+        )
+
+    partials = ds.map_batches(_local, batch_format="pyarrow")
+    return _topk_reduce(partials, k, id_col)

@@ -1,0 +1,131 @@
+"""Text-analysis stages over a documents table.
+
+Every kernel is vectorized (pyarrow.compute / numpy) and runs inside
+``map_batches`` on zero-copy Arrow batches; there is no per-row Python
+in any hot path. The reference has no scalar-function library at all —
+row-level computation there is user UDFs or LLM calls (SURVEY.md §2.3
+"Scalar functions") — so these stages are engine additions, with
+semantics chosen to be exactly SQL-expressible so the duckdb oracle can
+verify them value-for-value:
+
+- ``token_count``  : whitespace tokens = ``len(string_split(text, ' '))``
+- ``bpe_token_count``: BPE-ish regex tokens = ``\\w+|[^\\w\\s]`` matches
+- ``word_stats``   : n_words, alpha/digit/space char counts, quality score
+- ``language_id``  : argmax over per-language stopword hit counts
+  (the SQL oracle is *generated from the same constant table*, see
+  :func:`language_id_sql`)
+- ``fingerprint``  : stable 64-bit xxhash of the text (not SQL-expressible;
+  verified by a rows/pytest oracle instead)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from palimpzest_ray.functions.tokens import stable_hash
+
+# Stopword table for the n-gram language heuristic. Deliberately tiny
+# and whole-word: the SQL oracle counts the same words with
+# regexp_extract_all, so both sides are the same pure function of text.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "que"),
+}
+LANG_ORDER = tuple(LANG_STOPWORDS)  # tie-break: first language wins
+BPE_PATTERN = r"\w+|[^\w\s]"
+
+
+def _count_words(col: pa.ChunkedArray | pa.Array, word: str) -> np.ndarray:
+    """Whole-word occurrence count per row, vectorized."""
+    n = pc.count_substring_regex(col, rf"\b{word}\b")
+    return n.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def token_count(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Whitespace token count with ``split(' ')`` semantics (empty runs
+    count), matching duckdb ``len(string_split(text, ' '))``."""
+    return pc.list_value_length(pc.split_pattern(col, " ")).cast(pa.int64())
+
+
+def bpe_token_count(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """BPE-ish token count: number of ``\\w+|[^\\w\\s]`` matches,
+    matching duckdb ``len(regexp_extract_all(text, ...))``."""
+    return pc.count_substring_regex(col, BPE_PATTERN).cast(pa.int64())
+
+
+def add_word_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_words / n_alpha / n_digit / n_space / quality_score.
+
+    quality_score = round(n_alpha / greatest(n_chars,1), 6) — a simple
+    printable-density heuristic; low scores flag boilerplate/garbage.
+    All counts defined so the duckdb oracle reproduces them exactly.
+    """
+    col = batch[text_col]
+    n_chars = pc.utf8_length(col).cast(pa.int64())
+    n_words = token_count(col)
+    n_alpha = pc.count_substring_regex(col, r"[A-Za-z]").cast(pa.int64())
+    n_digit = pc.count_substring_regex(col, r"[0-9]").cast(pa.int64())
+    n_space = pc.count_substring_regex(col, r" ").cast(pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())).cast(pa.float64())
+    quality = pc.round(pc.divide(n_alpha.cast(pa.float64()), denom), 6)
+    for name, arr in [
+        ("n_words", n_words),
+        ("n_alpha", n_alpha),
+        ("n_digit", n_digit),
+        ("n_space", n_space),
+        ("quality_score", quality),
+    ]:
+        batch = batch.append_column(name, arr)
+    return batch
+
+
+def add_language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``lang_pred``: argmax over per-language stopword counts,
+    ``und`` (undetermined) when no stopword hits at all. Ties break by
+    LANG_ORDER. Vectorized: one regex count per stopword."""
+    col = batch[text_col]
+    scores = np.zeros((len(LANG_ORDER), batch.num_rows), dtype=np.int64)
+    for i, lang in enumerate(LANG_ORDER):
+        for w in LANG_STOPWORDS[lang]:
+            scores[i] += _count_words(col, w)
+    best = scores.argmax(axis=0)  # first max wins = LANG_ORDER tie-break
+    pred = np.array(LANG_ORDER, dtype=object)[best]
+    pred[scores.max(axis=0) == 0] = "und"
+    return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+def language_id_sql(text_col: str = "text") -> str:
+    """The duckdb expression equivalent to :func:`add_language_id`,
+    generated from the SAME stopword table so the two can never drift."""
+
+    def score(lang: str) -> str:
+        terms = [
+            f"len(regexp_extract_all({text_col}, '\\b{w}\\b'))"
+            for w in LANG_STOPWORDS[lang]
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    greatest = "greatest(" + ", ".join(score(l) for l in LANG_ORDER) + ")"
+    case = "case when " + greatest + " = 0 then 'und' "
+    # first language reaching the max wins — same order as numpy argmax
+    for lang in LANG_ORDER:
+        case += f"when {score(lang)} = {greatest} then '{lang}' "
+    return case + "end"
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``fp``: stable 64-bit document fingerprint (xxhash via
+    polars, fixed seed — stable across processes, see
+    ``functions/tokens.py``). Not SQL-expressible; verified by the
+    rows-only driver check + a pytest determinism oracle."""
+    fp = stable_hash(batch[text_col])
+    return batch.append_column("fp", pa.array(fp.astype(np.uint64)))
+
+
+def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    batch = batch.append_column("n_ws_tokens", token_count(batch[text_col]))
+    return batch.append_column("n_bpe_tokens", bpe_token_count(batch[text_col]))

@@ -1,0 +1,232 @@
+"""Stage tests: text analysis, dedup families, similarity search,
+multimodal plumbing — small deterministic inputs with exact oracles
+(mirrors the reference's small-in-memory-table test style,
+``tests/pytest/test_distinct.py:19-35``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from palimpzest_ray.stages import dedup, multimodal, similarity, text
+
+DOCS = [
+    ("the cat sat on the mat and the dog slept", "en"),
+    ("der hund und die katze das ist nicht gut", "de"),
+    ("le chat et la maison les portes des villes", "fr"),
+    ("el perro los gatos las casas una cosa que bien", "es"),
+    ("zzz qqq xxx", "und"),
+]
+
+
+def _docs_ds():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+                "text": pa.array([t for t, _ in DOCS]),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------- text
+
+
+def test_token_counts_match_python_split():
+    t = pa.table({"text": pa.array(["a b  c", "", "one two three"])})
+    out = text.add_token_counts(t)
+    assert out["n_ws_tokens"].to_pylist() == [
+        len(s.split(" ")) for s in t["text"].to_pylist()
+    ]
+    assert out["n_bpe_tokens"].to_pylist() == [3, 0, 3]
+
+
+def test_word_stats():
+    t = pa.table({"text": pa.array(["Abc 123!"])})
+    out = text.add_word_stats(t)
+    row = out.to_pylist()[0]
+    assert row["n_words"] == 2
+    assert row["n_alpha"] == 3
+    assert row["n_digit"] == 3
+    assert row["n_space"] == 1
+    assert row["quality_score"] == round(3 / 8, 6)
+
+
+def test_language_id():
+    t = pa.table({"text": pa.array([d for d, _ in DOCS])})
+    out = text.add_language_id(t)
+    assert out["lang_pred"].to_pylist() == [l for _, l in DOCS]
+
+
+def test_language_id_sql_matches(tmp_path):
+    import duckdb
+
+    t = pa.table({"text": pa.array([d for d, _ in DOCS])})
+    expr = text.language_id_sql("text")
+    got = duckdb.connect().execute(f"select {expr} as lang_pred from t").df()
+    assert got["lang_pred"].tolist() == [l for _, l in DOCS]
+
+
+def test_fingerprint_deterministic():
+    t = pa.table({"text": pa.array(["same", "same", "other"])})
+    fp = text.add_fingerprint(t)["fp"].to_pylist()
+    assert fp[0] == fp[1] != fp[2]
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def _dup_table():
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different content about ray data streaming engines " * 4
+    return pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array([base, base, near, other]),
+        }
+    )
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = rd.from_arrow(_dup_table())
+    out = dedup.exact_dedup(ds, ["text"], "doc_id").take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [10, 12, 13]
+
+
+def test_minhash_lsh_dedup_drops_near_dup():
+    ds = rd.from_arrow(_dup_table())
+    out = dedup.minhash_lsh_dedup(ds, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == [10, 13]  # 11 exact-dup of 10, 12 near-dup of 10
+
+
+def test_minhash_pairs_estimates():
+    ds = rd.from_arrow(_dup_table())
+    pairs = dedup.minhash_candidate_pairs(ds, threshold=0.5).take_all()
+    by_pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert by_pair[(10, 11)] == 1.0  # identical text => identical signature
+
+
+def test_ngram_jaccard_exact():
+    ds = rd.from_arrow(_dup_table())
+    out = dedup.ngram_jaccard_pairs(ds, [(10, 11), (10, 13)]).to_pylist()
+    assert out[0]["jaccard"] == 1.0
+    assert out[1]["jaccard"] < 0.1
+
+
+def test_simhash_dedup():
+    ds = rd.from_arrow(_dup_table())
+    out = dedup.simhash_dedup(ds, max_hamming=3)
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert 10 in ids and 13 in ids and 11 not in ids
+
+
+def test_embedding_neardup():
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((20, 8)).astype(np.float32)
+    V[7] = V[3] + 1e-4  # near-identical pair
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.reshape(-1)), 8
+                ),
+            }
+        )
+    )
+    out = dedup.embedding_neardup(ds, threshold=0.999)
+    ids = sorted(r["vec_id"] for r in out.take_all())
+    assert 3 in ids and 7 not in ids and len(ids) == 19
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_knn_matches_numpy_oracle():
+    rng = np.random.default_rng(1)
+    V = rng.standard_normal((100, 16)).astype(np.float32)
+    Q = rng.standard_normal((3, 16)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(100), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.reshape(-1)), 16
+                ),
+            }
+        )
+    )
+    got = similarity.knn_search(ds, Q, k=5).take_all()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    for qi in range(3):
+        expect = list(np.argsort(-S[qi])[:5])
+        mine = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in got if r["query_idx"] == qi), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == expect
+
+
+def test_lsh_knn_finds_self():
+    rng = np.random.default_rng(2)
+    V = rng.standard_normal((50, 8)).astype(np.float32)
+    Q = V[17:18].copy()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.reshape(-1)), 8
+                ),
+            }
+        )
+    )
+    got = similarity.lsh_knn_search(ds, Q, k=3).take_all()
+    top = next(r for r in got if r["rank"] == 1)
+    assert top["vec_id"] == 17 and top["score"] == 1.0
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_image_decode_stub_schema():
+    blobs = [b"fakejpg-%d" % i * 10 for i in range(5)]
+    ds = rd.from_arrow(
+        multimodal.table_from_blobs([f"img{i}.jpg" for i in range(5)], blobs, "image/jpeg")
+    )
+    out = multimodal.decode_images(ds, concurrency=1, feature_dim=8)
+    rows = out.take_all()
+    assert len(rows) == 5
+    assert len(rows[0]["image_feat"]) == 8
+    assert rows[0]["width"] >= 1 and rows[0]["height"] >= 1
+    # deterministic: same payload -> same features
+    again = multimodal.decode_images(ds, concurrency=1, feature_dim=8).take_all()
+    assert np.allclose(rows[0]["image_feat"], again[0]["image_feat"])
+
+
+def test_frame_sample_explodes():
+    blobs = [b"vid-%d" % i * 10 for i in range(3)]
+    ds = rd.from_arrow(
+        multimodal.table_from_blobs([f"v{i}.mp4" for i in range(3)], blobs, "video/mp4")
+    )
+    rows = multimodal.sample_frames(ds, concurrency=1, num_frames=4).take_all()
+    assert len(rows) == 12
+    assert sorted({r["frame_idx"] for r in rows}) == [0, 1, 2, 3]
+    assert "content" not in rows[0]
+
+
+def test_audio_duration():
+    blobs = [b"\0" * 64_000]
+    ds = rd.from_arrow(multimodal.table_from_blobs(["a.wav"], blobs, "audio/wav"))
+    rows = multimodal.audio_features(ds, concurrency=1).take_all()
+    assert rows[0]["duration_s"] == pytest.approx(2.0)
