@@ -1,44 +1,551 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC pipeline over sf0.001. ``queries()``
+exposes one callable per implemented operator/pipeline from SURVEY.md
+§2 (+ the training-data stages); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one. Column names match exactly
+between the Ray result and the SQL (the driver hash-compares values).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float determinism: aggregates exposed to the oracle are exact-safe
+(counts, min/max, 2-decimal money sums) or integer floor-scaled ratios
+— never round(avg) columns, because numpy rounds half-to-even and
+duckdb half-away-from-zero. ANN scores are rounded to 3 decimals on
+both sides (duckdb's ``list_cosine_similarity`` computes in float32,
+~1e-8 off an exact float64 result).
+
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` anywhere in here or the library.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import palimpzest_ray.dataset as pzd
+from palimpzest_ray.stages import text as T
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> pzd.Dataset:
+    return pzd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(ds: pzd.Dataset, cols: list[str]) -> pzd.Dataset:
+    """Scale float sums to integer hundredths (int64). Rounding a double
+    to 2 decimals is NOT bit-stable across engines (arrow and duckdb can
+    land on adjacent ulps); scale-then-round-to-int is, as long as the
+    accumulated sum error stays below half a cent."""
+
+    def _r(batch: pa.Table) -> pa.Table:
+        for col in cols:
+            i = batch.column_names.index(col)
+            scaled = pc.round(pc.multiply(batch[col], pa.scalar(100.0))).cast(
+                pa.int64()
+            )
+            batch = batch.set_column(i, col, scaled)
+        return batch
+
+    return ds.map_batches(_r)
+
+
+# --------------------------------------------------------------------------
+# relational queries (duckdb-oracled)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style groupby aggregate with map-side partial combine."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty_c100"),
+        Sum("l_extendedprice", alias_name="sum_price_c100"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Count(alias_name="n_rows"),
+    )
+    return _cents(out, ["sum_qty_c100", "sum_price_c100"])
+
+
+def q02_filter_project(sf_dir: str):
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 150000")
+    )
+
+
+def q03_segment_revenue(sf_dir: str):
+    """Broadcast join (dimension customer shipped once via ray.put)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.rename_columns({"o_custkey": "c_custkey"}).join(
+        cust, on="c_custkey", how="inner", strategy="broadcast"
+    )
+    out = j.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue_c100"),
+        Count(alias_name="num_orders"),
+    )
+    return _cents(out, ["revenue_c100"])
+
+
+def q04_priority_lineitems(sf_dir: str):
+    """Shuffle (bucketed cogroup) join of the two big tables."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = li.rename_columns({"l_orderkey": "o_orderkey"}).join(
+        orders, on="o_orderkey", how="inner", strategy="shuffle"
+    )
+    out = j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="qty_c100"),
+    )
+    return _cents(out, ["qty_c100"])
+
+
+def q05_nation_revenue(sf_dir: str):
+    """Multi-hop star join: region ⋈ nation ⋈ customer ⋈ orders."""
+    from ray.data.aggregate import Sum
+
+    region = _read(sf_dir, "region")
+    nation = _read(sf_dir, "nation")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nr = nation.rename_columns({"n_regionkey": "r_regionkey"}).join(
+        region, on="r_regionkey", how="inner", strategy="broadcast"
+    )
+    cn = cust.rename_columns({"c_nationkey": "n_nationkey"}).join(
+        nr, on="n_nationkey", how="inner", strategy="broadcast"
+    )
+    oc = orders.rename_columns({"o_custkey": "c_custkey"}).join(
+        cn, on="c_custkey", how="inner", strategy="broadcast"
+    )
+    out = oc.groupby(["r_name", "n_name"]).aggregate(
+        Sum("o_totalprice", alias_name="revenue_c100")
+    )
+    return _cents(out, ["revenue_c100"])
+
+
+def q06_distinct_pairs(sf_dir: str):
+    return (
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+        .distinct()
+    )
+
+
+def q07_top_orders(sf_dir: str):
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q08_customer_order_counts(sf_dir: str):
+    """Left outer shuffle join, count preserving zero-order customers."""
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = cust.join(
+        orders.rename_columns({"o_custkey": "c_custkey"}),
+        on="c_custkey", how="left", strategy="shuffle",
+    )
+    return j.groupby("c_custkey").aggregate(
+        Count("o_orderkey", ignore_nulls=True, alias_name="n_orders")
+    )
+
+
+def q09_customers_with_orders(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"]).rename_columns(
+        {"o_custkey": "c_custkey"}
+    )
+    return cust.semi_join(orders, on="c_custkey")
+
+
+def q10_customers_without_big_orders(sf_dir: str):
+    """Anti-join against a filtered subquery (non-empty at every sf)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 250000")
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    return cust.anti_join(big, on="c_custkey")
+
+
+def q11_union_filters(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    hi = orders.filter(expr="o_totalprice > 200000")
+    lo = orders.filter(expr="o_totalprice < 10000")
+    return hi.union(lo)
+
+
+def q12_event_type_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    out = ev.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value_c100"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return _cents(out, ["sum_value_c100"])
+
+
+def q13_lineitem_global(sf_dir: str):
+    """Global (ungrouped) aggregates → one-row table."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    row = li.ray.aggregate(
+        Count(alias_name="n_rows"),
+        Sum("l_quantity", alias_name="sum_qty"),  # scaled to c100 below
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([row["n_rows"]], pa.int64()),
+            "sum_qty_c100": pa.array([int(round(row["sum_qty"] * 100.0))], pa.int64()),
+            "min_price": pa.array([row["min_price"]], pa.float64()),
+            "max_price": pa.array([row["max_price"]], pa.float64()),
+        }
+    )
+
+
+def q14_wordcount(sf_dir: str):
+    """Vectorized explode (split → list_flatten) + groupby count."""
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def _words(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        return pa.table({"word": pc.list_flatten(words)})
+
+    return docs.map_batches(_words).groupby("word").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def q15_acctbal_band(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return cust.with_column(
+        "band",
+        lambda b: pc.floor(pc.divide(b["c_acctbal"], pa.scalar(1000.0))).cast(
+            pa.int64()
+        ),
+    ).project(["c_custkey", "band"])
+
+
+def q16_outer_join_summary(sf_dir: str):
+    """Full outer shuffle join → one-row null-accounting summary."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).rename_columns(
+        {"o_custkey": "c_custkey"}
+    )
+    j = cust.join(orders, on="c_custkey", how="outer", strategy="shuffle")
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "no_order": pc.is_null(batch["o_orderkey"]).cast(pa.int64()),
+                "no_cust": pc.is_null(batch["c_name"]).cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    row = j.map_batches(_flags).ray.aggregate(
+        Count(alias_name="n_rows"),
+        Sum("no_order", alias_name="n_no_order"),
+        Sum("no_cust", alias_name="n_no_cust"),
+    )
+    return pa.table({k: pa.array([int(row[k])], pa.int64()) for k in
+                     ("n_rows", "n_no_order", "n_no_cust")})
+
+
+# --------------------------------------------------------------------------
+# training-data stages (oracled where SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+def d01_dedup_exact_text(sf_dir: str):
+    from palimpzest_ray.stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pzd.Dataset(exact_dedup(docs.ray, ["text"], "doc_id")).project(["doc_id"])
+
+
+def d02_text_stats(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(T.add_word_stats).project(
+        ["doc_id", "n_words", "n_alpha", "n_digit", "n_space", "quality_ppm"]
+    )
+
+
+def d03_language_id(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(T.add_language_id).project(["doc_id", "lang_pred"])
+
+
+def d04_token_counts(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(T.add_token_counts).project(
+        ["doc_id", "n_ws_tokens", "n_bpe_tokens"]
+    )
+
+
+def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n)).sort_by("vec_id")
+    return np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+
+def d05_ann_topk(sf_dir: str):
+    """Exact brute-force cosine top-10 for queries = vec_id 0 and 1."""
+    from palimpzest_ray.stages.similarity import knn_search
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pzd.Dataset(
+        knn_search(emb.ray, _load_queries(sf_dir), k=10, dtype=np.float64,
+                   round_to=3, int_scores=True)
+    )
+
+
+def d06_minhash_dedup(sf_dir: str):
+    from palimpzest_ray.stages.dedup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pzd.Dataset(minhash_lsh_dedup(docs.ray, threshold=0.8)).project(["doc_id"])
+
+
+def d07_simhash(sf_dir: str):
+    from palimpzest_ray.stages.dedup import simhash_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pzd.Dataset(simhash_ds(docs.ray))
+
+
+def d08_embedding_neardup(sf_dir: str):
+    from palimpzest_ray.stages.dedup import embedding_neardup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pzd.Dataset(embedding_neardup(emb.ray, threshold=0.99)).project(["vec_id"])
+
+
+def d09_lsh_ann(sf_dir: str):
+    from palimpzest_ray.stages.similarity import lsh_knn_search
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pzd.Dataset(
+        lsh_knn_search(emb.ray, _load_queries(sf_dir), k=10, probe=2)
+    )
+
+
+def cdc_replay(sf_dir: str):
+    """The north-rule headline: tokenized-sequence lake, two change
+    epochs, exactly-once apply, final state (rows-only driver check;
+    the full token-array-equality oracle runs in pytest)."""
+    from palimpzest_ray.pipelines.cdc_demo import run_cdc_demo
+
+    return pzd.Dataset(run_cdc_demo(sf_dir)).project(["doc_id", "n_tok", "source"])
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: CDC apply → final lake state."""
+    from palimpzest_ray.pipelines.cdc_demo import run_cdc_demo
+
+    return run_cdc_demo(SF001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filter_project": q02_filter_project,
+        "q03_segment_revenue": q03_segment_revenue,
+        "q04_priority_lineitems": q04_priority_lineitems,
+        "q05_nation_revenue": q05_nation_revenue,
+        "q06_distinct_pairs": q06_distinct_pairs,
+        "q07_top_orders": q07_top_orders,
+        "q08_customer_order_counts": q08_customer_order_counts,
+        "q09_customers_with_orders": q09_customers_with_orders,
+        "q10_customers_without_big_orders": q10_customers_without_big_orders,
+        "q11_union_filters": q11_union_filters,
+        "q12_event_type_stats": q12_event_type_stats,
+        "q13_lineitem_global": q13_lineitem_global,
+        "q14_wordcount": q14_wordcount,
+        "q15_acctbal_band": q15_acctbal_band,
+        "q16_outer_join_summary": q16_outer_join_summary,
+        "d01_dedup_exact_text": d01_dedup_exact_text,
+        "d02_text_stats": d02_text_stats,
+        "d03_language_id": d03_language_id,
+        "d04_token_counts": d04_token_counts,
+        "d05_ann_topk": d05_ann_topk,
+        "d06_minhash_dedup": d06_minhash_dedup,
+        "d07_simhash": d07_simhash,
+        "d08_embedding_neardup": d08_embedding_neardup,
+        "d09_lsh_ann": d09_lsh_ann,
+        "cdc_replay": cdc_replay,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_expr = T.language_id_sql("text")
+    return {
+        "q01_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   cast(round(sum(l_quantity) * 100) as bigint) as sum_qty_c100,
+                   cast(round(sum(l_extendedprice) * 100) as bigint) as sum_price_c100,
+                   min(l_quantity) as min_qty,
+                   max(l_quantity) as max_qty,
+                   count(*) as n_rows
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "q02_filter_project": """
+            select o_orderkey, o_custkey, o_totalprice
+            from orders where o_totalprice > 150000
+        """,
+        "q03_segment_revenue": """
+            select c_mktsegment,
+                   cast(round(sum(o_totalprice) * 100) as bigint) as revenue_c100,
+                   count(*) as num_orders
+            from orders join customer on o_custkey = c_custkey
+            group by c_mktsegment
+        """,
+        "q04_priority_lineitems": """
+            select o_orderpriority, count(*) as n,
+                   cast(round(sum(l_quantity) * 100) as bigint) as qty_c100
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by o_orderpriority
+        """,
+        "q05_nation_revenue": """
+            select r_name, n_name, cast(round(sum(o_totalprice) * 100) as bigint) as revenue_c100
+            from orders
+              join customer on o_custkey = c_custkey
+              join nation on c_nationkey = n_nationkey
+              join region on n_regionkey = r_regionkey
+            group by r_name, n_name
+        """,
+        "q06_distinct_pairs": """
+            select distinct c_nationkey, c_mktsegment from customer
+        """,
+        "q07_top_orders": """
+            select o_orderkey, o_totalprice from orders
+            order by o_totalprice desc, o_orderkey limit 10
+        """,
+        "q08_customer_order_counts": """
+            select c_custkey, count(o_orderkey) as n_orders
+            from customer left join orders on c_custkey = o_custkey
+            group by c_custkey
+        """,
+        "q09_customers_with_orders": """
+            select c_custkey, c_name from customer
+            where exists (select 1 from orders where o_custkey = c_custkey)
+        """,
+        "q10_customers_without_big_orders": """
+            select c_custkey, c_name from customer
+            where not exists (select 1 from orders
+                              where o_custkey = c_custkey
+                                and o_totalprice > 250000)
+        """,
+        "q11_union_filters": """
+            select o_orderkey, o_totalprice from orders where o_totalprice > 200000
+            union all
+            select o_orderkey, o_totalprice from orders where o_totalprice < 10000
+        """,
+        "q12_event_type_stats": """
+            select event_type, count(*) as n,
+                   cast(round(sum(value) * 100) as bigint) as sum_value_c100,
+                   min(value) as min_value, max(value) as max_value
+            from events group by event_type
+        """,
+        "q13_lineitem_global": """
+            select count(*) as n_rows,
+                   cast(round(sum(l_quantity) * 100) as bigint) as sum_qty_c100,
+                   min(l_extendedprice) as min_price,
+                   max(l_extendedprice) as max_price
+            from lineitem
+        """,
+        "q14_wordcount": """
+            select word, count(*) as n
+            from (select unnest(string_split(text, ' ')) as word from documents)
+            group by word
+        """,
+        "q15_acctbal_band": """
+            select c_custkey,
+                   cast(floor(c_acctbal / 1000.0) as bigint) as band
+            from customer
+        """,
+        "q16_outer_join_summary": """
+            select count(*) as n_rows,
+                   cast(sum(case when o_orderkey is null then 1 else 0 end) as bigint)
+                     as n_no_order,
+                   cast(sum(case when c_name is null then 1 else 0 end) as bigint)
+                     as n_no_cust
+            from customer full outer join orders on c_custkey = o_custkey
+        """,
+        "d01_dedup_exact_text": """
+            select doc_id from (
+              select doc_id,
+                     row_number() over (partition by text order by doc_id) as rn
+              from documents) where rn = 1
+        """,
+        "d02_text_stats": """
+            select doc_id,
+                   len(string_split(text, ' ')) as n_words,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) as n_digit,
+                   length(text) - length(replace(text, ' ', '')) as n_space,
+                   cast(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                              * 1000000.0
+                              / greatest(length(text), 1)) as bigint) as quality_ppm
+            from documents
+        """,
+        "d03_language_id": f"""
+            select doc_id, {lang_expr} as lang_pred from documents
+        """,
+        "d04_token_counts": r"""
+            select doc_id,
+                   len(string_split(text, ' ')) as n_ws_tokens,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]')) as n_bpe_tokens
+            from documents
+        """,
+        "d05_ann_topk": """
+            with q as (select vec_id as query_idx, embedding as qe
+                       from embeddings where vec_id < 2)
+            select q.query_idx, e.vec_id,
+                   cast(round(list_cosine_similarity(e.embedding, q.qe) * 1000)
+                        as bigint) as score,
+                   row_number() over (
+                     partition by q.query_idx
+                     order by round(list_cosine_similarity(e.embedding, q.qe) * 1000)
+                              desc, e.vec_id) as "rank"
+            from embeddings e, q
+            qualify "rank" <= 10
+        """,
+    }

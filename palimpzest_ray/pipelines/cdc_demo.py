@@ -1,0 +1,150 @@
+"""Flagship demo: CDC upsert lake driven by the testdata documents table.
+
+Deterministically derives the north-rule input shape
+``(doc_id:string, tokens:list<int32>, n_tok:int32, source:string)``
+from ``documents.parquet`` (tokens = stable word hashes mod vocab),
+then exercises the full CDC engine: initial load → second change log
+with UPDATE / DELETE / INSERT mix → exactly-once apply → final state.
+
+Everything is a pure function of the input table, so the expected final
+state is computable row-by-row (used by the pytest oracle and by the
+driver's rows-check).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from palimpzest_ray.cdc.engine import apply_changes, final_state
+from palimpzest_ray.functions.tokens import stable_hash
+
+VOCAB = 50257
+
+
+def tokenize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """documents row → sequence-table row (vectorized): tokens are
+    stable 64-bit word hashes folded into [0, VOCAB)."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    flat = pc.list_flatten(words)
+    offsets_len = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    tok = (stable_hash(flat) % np.uint64(VOCAB)).astype(np.int32)
+    offsets = np.zeros(len(offsets_len) + 1, dtype=np.int32)
+    np.cumsum(offsets_len, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tok))
+    ids = batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    doc_ids = pa.array(np.char.add("doc-", np.char.zfill(ids.astype("U8"), 8)))
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "tokens": tokens,
+            "n_tok": pc.list_value_length(tokens).cast(pa.int32()),
+            "source": batch["source"],
+            "num": pa.array(ids),  # numeric id, drives the change mix below
+        }
+    )
+
+
+def _change_log_from_base(base: pa.Table) -> pa.Table:
+    """Deterministic second-epoch changes: num%5==0 → DELETE,
+    num%5==1 → UPDATE (tokens reversed), num>=max-9 → fresh INSERTs."""
+    num = base["num"].to_numpy(zero_copy_only=False)
+    lsn0 = int(num.max()) + 1
+
+    del_mask = (num % 5) == 0
+    upd_mask = (num % 5) == 1
+
+    del_tbl = base.filter(pa.array(del_mask))
+    upd_tbl = base.filter(pa.array(upd_mask))
+
+    rows = []
+    lsn = lsn0
+    for r in del_tbl.select(["doc_id"]).to_pylist():
+        rows.append(
+            {"lsn": lsn, "op": "DELETE", "doc_id": r["doc_id"], "tokens": None,
+             "n_tok": None, "source": None}
+        )
+        lsn += 1
+    for r in upd_tbl.select(["doc_id", "tokens", "source"]).to_pylist():
+        toks = list(reversed(r["tokens"]))
+        rows.append(
+            {"lsn": lsn, "op": "UPDATE", "doc_id": r["doc_id"], "tokens": toks,
+             "n_tok": len(toks), "source": r["source"]}
+        )
+        lsn += 1
+    for i in range(10):  # fresh inserts beyond the existing key space
+        toks = [int(x) for x in np.arange(8) + i]
+        rows.append(
+            {"lsn": lsn, "op": "INSERT", "doc_id": f"new-{i:08d}", "tokens": toks,
+             "n_tok": len(toks), "source": "synthetic"}
+        )
+        lsn += 1
+    schema = pa.schema(
+        [
+            pa.field("lsn", pa.int64()),
+            pa.field("op", pa.string()),
+            pa.field("doc_id", pa.string()),
+            pa.field("tokens", pa.list_(pa.int32())),
+            pa.field("n_tok", pa.int32()),
+            pa.field("source", pa.string()),
+        ]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def run_cdc_demo(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> rd.Dataset:
+    """documents.parquet → tokenized base lake → apply change log →
+    final state Dataset (streaming read of the committed lake)."""
+    work = work_dir or tempfile.mkdtemp(prefix="pz_cdc_demo_")
+    lake = os.path.join(work, "lake")
+    shutil.rmtree(lake, ignore_errors=True)
+
+    seqs = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text", "source"])
+        .map_batches(tokenize_batch, batch_format="pyarrow")
+    )
+    base = pa.concat_tables(
+        seqs.iter_batches(batch_format="pyarrow", batch_size=65536)
+    ).sort_by("num")
+
+    # epoch 1: initial load — every base row is an INSERT at lsn=num
+    load = pa.table(
+        {
+            "lsn": base["num"].cast(pa.int64()),
+            "op": pa.array(["INSERT"] * base.num_rows),
+            "doc_id": base["doc_id"],
+            "tokens": base["tokens"],
+            "n_tok": base["n_tok"],
+            "source": base["source"],
+        }
+    )
+    log_dir = os.path.join(work, "log1")
+    os.makedirs(log_dir, exist_ok=True)
+    pq.write_table(load, os.path.join(log_dir, "log-000.parquet"))
+    apply_changes(log_dir, lake, num_partitions=num_partitions)
+
+    # epoch 2: deterministic UPDATE/DELETE/INSERT mix
+    log2_dir = os.path.join(work, "log2")
+    os.makedirs(log2_dir, exist_ok=True)
+    pq.write_table(_change_log_from_base(base), os.path.join(log2_dir, "log-000.parquet"))
+    apply_changes(log2_dir, lake, num_partitions=num_partitions)
+
+    return final_state(lake)
+
+
+def expected_final_rowcount(sf_dir: str) -> int:
+    """Pure-function oracle for the demo's final row count."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    num = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    deleted = int(((num % 5) == 0).sum())
+    return len(num) - deleted + 10

@@ -59,28 +59,47 @@ def knn_search(
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    dtype=np.float32,
+    round_to: int = 6,
+    int_scores: bool = False,
 ) -> rd.Dataset:
-    """Exact cosine top-k: rows ``(query_idx, id, score, rank)``."""
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    """Exact cosine top-k: rows ``(query_idx, id, score, rank)``.
+
+    ``dtype=np.float64`` + ``int_scores=True`` makes scores
+    bit-comparable with a SQL ``list_cosine_similarity`` oracle: the
+    score column becomes ``round(cos * 10^round_to)`` as int64 — a
+    rounded FLOAT column is not bit-stable across engines (adjacent-ulp
+    results), an integer is. float32 matmul is the fast path."""
+    Q = _normalize(np.asarray(queries, dtype=dtype))
     qref = ray.put(Q)
 
     def _local(batch: pa.Table) -> pa.Table:
         Qm = ray.get(qref)
-        V = _normalize(_vectors(batch, emb_col))
-        S = Qm @ V.T  # (num_queries, batch_rows)
+        V = _normalize(_vectors(batch, emb_col).astype(dtype))
+        S = np.round((Qm @ V.T).astype(np.float64), round_to)
+        if int_scores:
+            S = np.round((Qm @ V.T).astype(np.float64) * 10.0**round_to)
         ids = batch[id_col].combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
         nq, n = S.shape
         kk = min(k, n)
-        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        # select on ROUNDED scores with the same (score desc, id asc)
+        # tie-break as the global reduce — otherwise a tie straddling the
+        # local-k cutoff makes the final top-k depend on block boundaries
+        sel = np.empty((nq, kk), dtype=np.int64)
+        for q in range(nq):
+            order = np.lexsort((ids_np, -S[q]))
+            sel[q] = order[:kk]
         qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        vi = part.reshape(-1)
+        vi = sel.reshape(-1)
+        scores = S[qi, vi]
         return pa.table(
             {
                 "query_idx": pa.array(qi),
                 id_col: ids.take(pa.array(vi)),
-                "score": pa.array(
-                    np.round(S[qi, vi].astype(np.float64), 6)
-                ),
+                "score": pa.array(scores.astype(np.int64))
+                if int_scores
+                else pa.array(scores),
             }
         )
 

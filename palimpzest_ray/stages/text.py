@@ -58,11 +58,14 @@ def bpe_token_count(col: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 def add_word_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append n_words / n_alpha / n_digit / n_space / quality_score.
+    """Append n_words / n_alpha / n_digit / n_space / quality_ppm.
 
-    quality_score = round(n_alpha / greatest(n_chars,1), 6) — a simple
-    printable-density heuristic; low scores flag boilerplate/garbage.
-    All counts defined so the duckdb oracle reproduces them exactly.
+    quality_ppm = floor(n_alpha * 1e6 / greatest(n_chars,1)) as int64 — a
+    printable-density heuristic in parts-per-million; low values flag
+    boilerplate/garbage. Integer floor (not round) on purpose: numpy
+    rounds half-to-even, duckdb half-away-from-zero, so a rounded float
+    column can differ at exact .5 boundaries while floor of the same
+    IEEE division is bit-identical in both engines.
     """
     col = batch[text_col]
     n_chars = pc.utf8_length(col).cast(pa.int64())
@@ -71,13 +74,15 @@ def add_word_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_digit = pc.count_substring_regex(col, r"[0-9]").cast(pa.int64())
     n_space = pc.count_substring_regex(col, r" ").cast(pa.int64())
     denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())).cast(pa.float64())
-    quality = pc.round(pc.divide(n_alpha.cast(pa.float64()), denom), 6)
+    quality = pc.floor(
+        pc.divide(pc.multiply(n_alpha.cast(pa.float64()), pa.scalar(1e6)), denom)
+    ).cast(pa.int64())
     for name, arr in [
         ("n_words", n_words),
         ("n_alpha", n_alpha),
         ("n_digit", n_digit),
         ("n_space", n_space),
-        ("quality_score", quality),
+        ("quality_ppm", quality),
     ]:
         batch = batch.append_column(name, arr)
     return batch

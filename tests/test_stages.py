@@ -52,7 +52,7 @@ def test_word_stats():
     assert row["n_alpha"] == 3
     assert row["n_digit"] == 3
     assert row["n_space"] == 1
-    assert row["quality_score"] == round(3 / 8, 6)
+    assert row["quality_ppm"] == int(3 * 1e6 / 8)
 
 
 def test_language_id():
