@@ -1,0 +1,192 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the CDC apply benchmark on a deterministic
+synthetic log, under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)``, and prints ONE JSON line::
+
+    {"metric": "total_bench_seconds", "value": N, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": 0.1, "num_cpus": 32,
+     "cdc": {"events": E, "seconds": S, "events_per_sec": R}}
+
+``--scaling``: runs the CDC headline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on identical input and reports both
+throughputs + scaling efficiency ``(tput_32/tput_8)/(32/8)`` (the
+sandbox evidence for BASELINE.json's N→4N criterion).
+
+``--cdc-only``: internal mode used by --scaling subprocesses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+DATA_ROOT = os.environ.get("GRAFT_BENCH_TMP", "/tmp/pz_bench_data")
+CDC_BASE_ROWS = int(os.environ.get("GRAFT_CDC_BASE", "100000"))
+CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "500000"))
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def ensure_cdc_inputs() -> tuple[str, str]:
+    """Deterministic synthetic base + log, generated once and reused
+    across runs/processes (both CPU levels see identical input)."""
+    from palimpzest_ray.cdc.synth import write_base_lake, write_change_log
+
+    base = os.path.join(DATA_ROOT, f"base_{CDC_BASE_ROWS}")
+    log = os.path.join(DATA_ROOT, f"log_{CDC_EVENTS}_{CDC_BASE_ROWS}")
+    if not os.path.exists(os.path.join(base, "base.parquet")):
+        write_base_lake(base, CDC_BASE_ROWS)
+    if not os.path.isdir(log) or not os.listdir(log):
+        write_change_log(log, CDC_EVENTS, CDC_BASE_ROWS, evolve_after=0.5)
+    return base, log
+
+
+def run_cdc(num_partitions: int = 64) -> dict:
+    """Headline: initial load + change-log apply; metric = change-events
+    applied per second (load events + log events)."""
+    from palimpzest_ray.cdc.engine import apply_changes
+
+    base, log = ensure_cdc_inputs()
+    lake = os.path.join(DATA_ROOT, f"lake_{os.getpid()}")
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.time()
+    # initial load: base table applied as INSERT-only epoch
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    load_dir = os.path.join(DATA_ROOT, f"load_{CDC_BASE_ROWS}")
+    if not os.path.isdir(load_dir) or not os.listdir(load_dir):
+        os.makedirs(load_dir, exist_ok=True)
+        t = pq.read_table(os.path.join(base, "base.parquet"))
+        t = t.add_column(0, "lsn", pa.array(range(-t.num_rows, 0), pa.int64()))
+        t = t.add_column(1, "op", pa.array(["INSERT"] * t.num_rows))
+        pq.write_table(t, os.path.join(load_dir, "load-000.parquet"))
+        t0 = time.time()  # don't bill one-time input prep
+    r1 = apply_changes(load_dir, lake, num_partitions=num_partitions)
+    r2 = apply_changes(log, lake, num_partitions=num_partitions)
+    dt = time.time() - t0
+    events = r1.events_seen + r2.events_seen
+    shutil.rmtree(lake, ignore_errors=True)
+    return {
+        "events": events,
+        "seconds": round(dt, 2),
+        "events_per_sec": round(events / dt, 1),
+        "rows_upserted": r1.rows_upserted + r2.rows_upserted,
+        "rows_deleted": r1.rows_deleted + r2.rows_deleted,
+        "num_partitions": num_partitions,
+    }
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import palimpzest_ray.dataset as pzd
+
+    if isinstance(res, pzd.Dataset):
+        res = res.ray
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q04_priority_lineitems",
+    "q05_nation_revenue",
+    "q08_customer_order_counts",
+    "q14_wordcount",
+    "d02_text_stats",
+    "d05_ann_topk",
+    "d06_minhash_dedup",
+]
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cdc-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        # fresh process per CPU level — the sandbox stand-in for N vs 4N nodes
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cdc-only"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8 = results[8]["cdc"]["events_per_sec"]
+        t32 = results[32]["cdc"]["events_per_sec"]
+        print(json.dumps({
+            "metric": "cdc_scaling_efficiency",
+            "value": round((t32 / t8) / 4.0, 3),
+            "unit": "ratio",
+            "events_per_sec_8cpu": t8,
+            "events_per_sec_32cpu": t32,
+            "events": results[32]["cdc"]["events"],
+            "sf": _sf_of(SF_DIR),
+        }))
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from palimpzest_ray import quiet
+
+    quiet()
+
+    t0 = time.time()
+    cdc = run_cdc()
+    queries = {} if args.cdc_only else run_queries()
+    total = round(time.time() - t0, 2)
+    print(json.dumps({
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {**queries, "cdc_apply": cdc["seconds"]},
+        "cdc": cdc,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

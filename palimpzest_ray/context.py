@@ -9,6 +9,74 @@ session for headless batch execution.
 from __future__ import annotations
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def hash_shuffle_scope():
+    """Temporarily switch keyed exchanges to HASH_SHUFFLE, restoring the
+    default on exit. Scoped, not global, on purpose: Ray 2.49's hash
+    shuffle (alpha) wedges a session when several shuffles contend at
+    low CPU headroom (observed: chained groupbys hanging at num_cpus=4
+    after unrelated pipelines ran), so only the CDC engine — whose
+    merge exchange measures 3-5x faster under hash partitioning — opts
+    in, around its own fully-consumed pipelines."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    saved = (
+        ctx.shuffle_strategy,
+        ctx.default_hash_shuffle_parallelism,
+        ctx.max_hash_shuffle_aggregators,
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+    )
+    use_hash_shuffle()
+    try:
+        yield
+    finally:
+        (
+            ctx.shuffle_strategy,
+            ctx.default_hash_shuffle_parallelism,
+            ctx.max_hash_shuffle_aggregators,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+        ) = saved
+
+
+def use_hash_shuffle() -> None:
+    """Switch groupby/repartition exchanges to HASH_SHUFFLE.
+
+    The default sort-based shuffle globally sorts by the key — measured
+    3-5x slower than hash partitioning for the CDC merge exchange on
+    payload-heavy (token list) rows, and sorting is semantically
+    unnecessary for every keyed exchange this engine performs (LWW
+    merge, distinct, cogroup join all need co-location, not order).
+    Prefer :func:`hash_shuffle_scope` (see its caveat).
+    """
+    import ray
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Size the aggregator-actor fleet to the cluster. The defaults
+    # (64-way parallelism, 0.25 CPU per partition => 16 CPUs of
+    # aggregators) STALL clusters smaller than ~16 CPUs: aggregators
+    # can't all start and the exchange never finalizes (observed hang at
+    # num_cpus=4). Scale partitions and aggregators with the cluster;
+    # fractional CPUs keep aggregators schedulable alongside the map
+    # stages and the merge actor pool.
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        ncpu = 4
+    ctx.default_hash_shuffle_parallelism = max(8, 2 * ncpu)
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
+
+
 def configure_ray_data(
     *,
     target_max_block_size: int | None = None,

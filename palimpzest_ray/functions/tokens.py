@@ -54,6 +54,12 @@ def first_per_key(
     """
     if table.num_rows <= 1:
         return table
+    keys_col = table.column(key)
+    if pc.count_distinct(keys_col).as_py() == table.num_rows:
+        # no duplicate keys — nothing to reduce; skip the sort AND the
+        # payload-rearranging take() (the common case for insert-heavy
+        # change batches, where tokens dominate the bytes moved)
+        return table
     sort_keys = [(key, "ascending")] + (order or [])
     idx = pc.sort_indices(table, sort_keys=sort_keys)
     t = table.take(idx)

@@ -1,0 +1,458 @@
+"""Semantic (generator-backed) operators: the reference's LLM surface
+re-expressed as actor-pool ``map_batches`` stages with a pluggable
+generator.
+
+Reference parity map (no LLM runs in this container, so the generator
+is an injected callable — the test strategy mirrors the reference's
+mocked ``Generator.__call__`` fixtures, ``tests/pytest/test_join.py:54-66``):
+
+- :func:`sem_map` / :func:`sem_flat_map`    ↔ ``LLMConvert`` (``convert.py:262-372``)
+- :func:`sem_filter`                        ↔ ``LLMFilter`` (``filter.py:165-258``)
+- :func:`sem_join`                          ↔ ``NestedLoopsJoin`` semantic join (``join.py:395-489``)
+- :func:`sem_agg`                           ↔ ``SemanticAggregate`` (``aggregate.py:531-667``) —
+  but two-level (map-side partial summaries → one final reduce call)
+  instead of the reference's single call over ALL records, which cannot
+  stream at scale
+- :class:`MixtureOfAgents`                  ↔ ``mixture_of_agents.py:16-248``
+- :class:`CritiqueAndRefine`                ↔ ``critique_and_refine.py:18-194``
+- :func:`split_convert`                     ↔ ``SplitConvert`` (``split.py:20-169``)
+- :func:`rag_convert`                       ↔ ``RAGConvert`` (``rag.py:18-228``)
+
+A *generator* is ``Callable[[list[str]], list[str]]`` — one call per
+BATCH of prompts (batched inference is the whole point of running this
+under ``map_batches``). Generator construction happens once per actor
+in ``__init__`` (the reference's process-wide Singleton+lock at
+``topk.py:21-37`` done the Ray way). Output parsing follows the
+reference's relax-schema discipline (``schemas.py:90-96``): a malformed
+generation yields nulls for the declared fields, never a crash.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+GeneratorFn = Callable[[list[str]], list[str]]
+
+
+def mock_generator(fn: Callable[[str], str]) -> Callable[[], GeneratorFn]:
+    """Deterministic test generator factory from a per-prompt function."""
+
+    def factory() -> GeneratorFn:
+        return lambda prompts: [fn(p) for p in prompts]
+
+    return factory
+
+
+def _render(template: str, row: dict) -> str:
+    return template.format(row=json.dumps(row, default=str, sort_keys=True), **row)
+
+
+def _parse_fields(raw: str, fields: list[str]) -> dict:
+    """JSON-parse a generation; missing/broken → nulls (relax-schema)."""
+    try:
+        d = json.loads(raw)
+        if not isinstance(d, dict):
+            raise ValueError
+    except (json.JSONDecodeError, ValueError):
+        return {f: None for f in fields}
+    return {f: d.get(f) for f in fields}
+
+
+class _SemStage:
+    """Base actor: generator built once per actor."""
+
+    def __init__(self, generator_factory: Callable[[], GeneratorFn]):
+        self.gen = generator_factory()
+
+
+class SemanticMap(_SemStage):
+    def __init__(self, generator_factory, fields: list[str], template: str):
+        super().__init__(generator_factory)
+        self.fields = fields
+        self.template = template
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        outs = self.gen([_render(self.template, r) for r in rows])
+        for f in self.fields:
+            vals = [_parse_fields(o, self.fields)[f] for o in outs]
+            batch = batch.append_column(f, pa.array(vals))
+        return batch
+
+
+class SemanticFilter(_SemStage):
+    TRUE = {"true", "yes", "1", "passed"}
+
+    def __init__(self, generator_factory, template: str):
+        super().__init__(generator_factory)
+        self.template = template
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        outs = self.gen([_render(self.template, r) for r in rows])
+        mask = pa.array([str(o).strip().lower() in self.TRUE for o in outs])
+        return batch.filter(mask)
+
+
+def sem_map(
+    ds: rd.Dataset,
+    fields: list[str],
+    template: str,
+    generator_factory: Callable[[], GeneratorFn],
+    *,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Generate ``fields`` per row (reference ``sem_add_columns``)."""
+    return ds.map_batches(
+        SemanticMap,
+        fn_constructor_kwargs={
+            "generator_factory": generator_factory,
+            "fields": fields,
+            "template": template,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sem_filter(
+    ds: rd.Dataset,
+    template: str,
+    generator_factory: Callable[[], GeneratorFn],
+    *,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """NL predicate (reference ``sem_filter``)."""
+    return ds.map_batches(
+        SemanticFilter,
+        fn_constructor_kwargs={
+            "generator_factory": generator_factory,
+            "template": template,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sem_join(
+    left: rd.Dataset,
+    right_table: pa.Table,
+    template: str,
+    generator_factory: Callable[[], GeneratorFn],
+    *,
+    right_prefix: str = "right_",
+    concurrency=(1, 4),
+    batch_size: int = 16,
+) -> rd.Dataset:
+    """Semantic nested-loop join: every (left row × right row) pair is
+    judged by the generator (reference ``NestedLoopsJoin``). The right
+    side must be SMALL (it is broadcast via ``ray.put`` and crossed per
+    batch) — the reference holds both sides in driver memory
+    (``join.py:274-276``); here only the small side is materialized and
+    the left side streams. Template sees ``{row}`` and ``{right}``."""
+    rref = ray.put(right_table)
+
+    class _Join(_SemStage):
+        def __init__(self, generator_factory):
+            super().__init__(generator_factory)
+            self.right_rows = ray.get(rref).to_pylist()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lrows = batch.to_pylist()
+            prompts, pairs = [], []
+            for li, lr in enumerate(lrows):
+                for rr in self.right_rows:
+                    prompts.append(
+                        template.format(
+                            row=json.dumps(lr, default=str, sort_keys=True),
+                            right=json.dumps(rr, default=str, sort_keys=True),
+                        )
+                    )
+                    pairs.append((li, rr))
+            outs = self.gen(prompts)
+            out_rows = []
+            for (li, rr), o in zip(pairs, outs):
+                if str(o).strip().lower() in SemanticFilter.TRUE:
+                    merged = dict(lrows[li])
+                    for k, v in rr.items():
+                        merged[right_prefix + k if k in merged else k] = v
+                    out_rows.append(merged)
+            if not out_rows:
+                return pa.table({})  # empty block, schema unified downstream
+            return pa.Table.from_pylist(out_rows)
+
+    return left.map_batches(
+        _Join,
+        fn_constructor_kwargs={"generator_factory": generator_factory},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sem_agg(
+    ds: rd.Dataset,
+    agg_template: str,
+    reduce_template: str,
+    generator_factory: Callable[[], GeneratorFn],
+    *,
+    batch_size: int = 256,
+    concurrency=(1, 4),
+) -> str:
+    """Semantic aggregate over all rows → one string.
+
+    Two-level: each batch is summarized by one generator call
+    (map-side, streams), then the partial summaries are reduced with a
+    single final call. The reference instead feeds EVERY record into
+    one call (``aggregate.py:531-667``) — unboundable at scale.
+    Templates see ``{rows}`` / ``{parts}`` as JSON arrays."""
+
+    class _Partial(_SemStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = json.dumps(batch.to_pylist(), default=str)
+            out = self.gen([agg_template.format(rows=rows)])[0]
+            return pa.table({"partial": pa.array([out])})
+
+    partials_ds = ds.map_batches(
+        _Partial,
+        fn_constructor_kwargs={"generator_factory": generator_factory},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    partials = [r["partial"] for r in partials_ds.take_all()]
+    gen = generator_factory()
+    return gen([reduce_template.format(parts=json.dumps(partials))])[0]
+
+
+# --------------------------------------------------------------------------
+# ensemble strategies (each wraps generators, reusable in any stage above)
+# --------------------------------------------------------------------------
+
+
+def mixture_of_agents(
+    proposer_factories: list[Callable[[], GeneratorFn]],
+    aggregator_factory: Callable[[], GeneratorFn],
+    agg_template: str = "proposals: {proposals}",
+) -> Callable[[], GeneratorFn]:
+    """N proposers + 1 aggregator (reference ``MixtureOfAgentsConvert``):
+    fan-out happens INSIDE one actor call, so the stage composes with
+    sem_map/sem_filter unchanged."""
+
+    def factory() -> GeneratorFn:
+        proposers = [f() for f in proposer_factories]
+        aggregator = aggregator_factory()
+
+        def gen(prompts: list[str]) -> list[str]:
+            proposals = [p(prompts) for p in proposers]  # [n_prop][n_prompts]
+            agg_prompts = [
+                agg_template.format(proposals=json.dumps([pr[i] for pr in proposals]))
+                for i in range(len(prompts))
+            ]
+            return aggregator(agg_prompts)
+
+        return gen
+
+    return factory
+
+
+def critique_and_refine(
+    base_factory: Callable[[], GeneratorFn],
+    critique_template: str = "critique this answer: {answer} for: {prompt}",
+    refine_template: str = "refine {answer} given critique {critique} for: {prompt}",
+) -> Callable[[], GeneratorFn]:
+    """generate → critique → refine, three chained calls per prompt
+    (reference ``CritiqueAndRefineConvert``)."""
+
+    def factory() -> GeneratorFn:
+        base = base_factory()
+
+        def gen(prompts: list[str]) -> list[str]:
+            answers = base(prompts)
+            critiques = base(
+                [critique_template.format(answer=a, prompt=p)
+                 for a, p in zip(answers, prompts)]
+            )
+            return base(
+                [refine_template.format(answer=a, critique=c, prompt=p)
+                 for a, c, p in zip(answers, critiques, prompts)]
+            )
+
+        return gen
+
+    return factory
+
+
+def split_convert(
+    ds: rd.Dataset,
+    text_col: str,
+    fields: list[str],
+    template: str,
+    merge_template: str,
+    generator_factory: Callable[[], GeneratorFn],
+    *,
+    num_chunks: int = 4,
+    min_size_to_chunk: int = 1024,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Split long text into chunks, generate per chunk, merge with one
+    more call (reference ``SplitConvert``, ``split.py:20-169``).
+    Chunking/merging happens within the actor call — no extra shuffle."""
+
+    class _Split(_SemStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            prompts, owners = [], []
+            for i, r in enumerate(rows):
+                txt = r.get(text_col) or ""
+                if len(txt) <= min_size_to_chunk:
+                    chunks = [txt]
+                else:
+                    step = -(-len(txt) // num_chunks)
+                    chunks = [txt[j : j + step] for j in range(0, len(txt), step)]
+                for c in chunks:
+                    sub = dict(r)
+                    sub[text_col] = c
+                    prompts.append(_render(template, sub))
+                    owners.append(i)
+            outs = self.gen(prompts)
+            merged_out: list[dict] = []
+            for i, r in enumerate(rows):
+                mine = [o for o, w in zip(outs, owners) if w == i]
+                if len(mine) == 1:
+                    final = mine[0]
+                else:
+                    final = self.gen(
+                        [merge_template.format(parts=json.dumps(mine))]
+                    )[0]
+                merged_out.append(_parse_fields(final, fields))
+            for f in fields:
+                batch = batch.append_column(
+                    f, pa.array([m[f] for m in merged_out])
+                )
+            return batch
+
+    return ds.map_batches(
+        _Split,
+        fn_constructor_kwargs={"generator_factory": generator_factory},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
+def rag_convert(
+    ds: rd.Dataset,
+    text_col: str,
+    fields: list[str],
+    template: str,
+    generator_factory: Callable[[], GeneratorFn],
+    embed_fn: Callable[[list[str]], np.ndarray] | None = None,
+    *,
+    chunk_size: int = 512,
+    top_k: int = 2,
+    query: str = "",
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """RAG-reduced generation (reference ``RAGConvert``, ``rag.py:18-228``):
+    chunk the text, embed chunks, keep the cosine-top-k chunks as the
+    generator's context instead of the whole document. ``embed_fn``
+    defaults to a deterministic hashing embedder (no model in this
+    container); a real sentence-transformer plugs in unchanged because
+    construction happens once per actor."""
+
+    class _RAG(_SemStage):
+        def __init__(self, generator_factory):
+            super().__init__(generator_factory)
+            # embedder loaded once per actor (model-load slot)
+            self.embed = embed_fn or _hash_embedder(64)
+            self.qv = self.embed([query])[0] if query else None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            prompts = []
+            for r in rows:
+                txt = r.get(text_col) or ""
+                chunks = [txt[j : j + chunk_size] for j in range(0, len(txt), chunk_size)] or [""]
+                if self.qv is not None and len(chunks) > top_k:
+                    E = self.embed(chunks)
+                    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-9)
+                    sims = E @ (self.qv / max(np.linalg.norm(self.qv), 1e-9))
+                    keep = np.sort(np.argsort(-sims)[:top_k])  # keep doc order
+                    chunks = [chunks[i] for i in keep]
+                sub = dict(r)
+                sub[text_col] = "\n...\n".join(chunks)
+                prompts.append(_render(template, sub))
+            outs = self.gen(prompts)
+            for f in fields:
+                batch = batch.append_column(
+                    f, pa.array([_parse_fields(o, fields)[f] for o in outs])
+                )
+            return batch
+
+    return ds.map_batches(
+        _RAG,
+        fn_constructor_kwargs={"generator_factory": generator_factory},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
+def _hash_embedder(dim: int) -> Callable[[list[str]], np.ndarray]:
+    """Deterministic stand-in embedder: seeded-gaussian from text hash."""
+
+    def embed(texts: list[str]) -> np.ndarray:
+        from palimpzest_ray.functions.tokens import stable_hash
+
+        seeds = stable_hash(pa.array([t or "" for t in texts]))
+        out = np.empty((len(texts), dim), dtype=np.float32)
+        for i, s in enumerate(seeds):
+            out[i] = np.random.default_rng(int(s)).standard_normal(dim)
+        return out
+
+    return embed
+
+
+def sem_topk(
+    ds: rd.Dataset,
+    search_fn_factory: Callable[[], Callable[[dict, int], list[Any]]],
+    *,
+    k: int = 5,
+    out_col: str = "matches",
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Per-record top-k retrieval (reference ``TopKOp``,
+    ``topk.py:39-313``): a search function (vector-index handle, custom
+    retriever, ...) is constructed once per actor and queried per row;
+    results land in a list column. For relational global top-k use
+    ``Dataset.topk`` (sort+limit); for distributed ANN over an embedding
+    column use ``stages.similarity.knn_search``."""
+
+    class _TopK:
+        def __init__(self):
+            self.search = search_fn_factory()  # index handle, once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            results = [self.search(r, k) for r in rows]
+            return batch.append_column(out_col, pa.array(results))
+
+    return ds.map_batches(
+        _TopK,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,199 @@
+"""Semantic-operator framework (mocked generators, mirroring the
+reference's mocked ``Generator.__call__`` tests) and file sources."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from palimpzest_ray.sources import files as F
+from palimpzest_ray.stages import semantic as S
+
+
+def _docs():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta", "gamma delta epsilon", "zeta"]
+                ),
+            }
+        )
+    )
+
+
+def test_sem_map_mock():
+    gen = S.mock_generator(
+        lambda p: json.dumps({"n_words": len(json.loads(
+            p.split("ROW:")[1])["text"].split())})
+    )
+    out = S.sem_map(_docs(), ["n_words"], "ROW:{row}", gen, concurrency=1)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    assert [r["n_words"] for r in rows] == [2, 3, 1]
+
+
+def test_sem_map_malformed_generation_yields_null():
+    gen = S.mock_generator(lambda p: "NOT JSON")
+    out = S.sem_map(_docs(), ["x"], "{row}", gen, concurrency=1)
+    assert all(r["x"] is None for r in out.take_all())
+
+
+def test_sem_filter_mock():
+    gen = S.mock_generator(
+        lambda p: "true" if "zeta" in p else "false"
+    )
+    out = S.sem_filter(_docs(), "{row}", gen, concurrency=1)
+    rows = out.take_all()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 3
+
+
+def test_sem_join_mock():
+    right = pa.table({"tag": pa.array(["greek-a", "greek-g"])})
+    gen = S.mock_generator(
+        lambda p: "yes"
+        if ("alpha" in p and "greek-a" in p) or ("gamma" in p and "greek-g" in p)
+        else "no"
+    )
+    out = S.sem_join(_docs(), right, "L:{row} R:{right}", gen, concurrency=1)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["tag"]) for r in rows] == [(1, "greek-a"), (2, "greek-g")]
+
+
+def test_sem_agg_two_level():
+    def fn(p):
+        if "ROWS" in p:
+            rows = json.loads(p.split("ROWS:")[1])
+            return str(sum(len(r["text"].split()) for r in rows))
+        parts = json.loads(p.split("PARTS:")[1])
+        return str(sum(int(x) for x in parts))
+
+    total = S.sem_agg(
+        _docs(), "ROWS:{rows}", "PARTS:{parts}", S.mock_generator(fn), batch_size=2
+    )
+    assert total == "6"
+
+
+def test_mixture_of_agents():
+    prop1 = S.mock_generator(lambda p: "10")
+    prop2 = S.mock_generator(lambda p: "20")
+    agg = S.mock_generator(
+        lambda p: str(sum(int(x) for x in json.loads(p.split("proposals: ")[1])))
+    )
+    gen = S.mixture_of_agents([prop1, prop2], agg)()
+    assert gen(["q1", "q2"]) == ["30", "30"]
+
+
+def test_critique_and_refine_chains_three_calls():
+    calls = []
+
+    def factory():
+        def g(prompts):
+            calls.append(list(prompts))
+            return [f"<{p[:8]}>" for p in prompts]
+
+        return g
+
+    gen = S.critique_and_refine(factory)()
+    out = gen(["hello"])
+    assert len(calls) == 3 and len(out) == 1
+
+
+def test_split_convert_chunks_and_merges():
+    long_text = "x" * 3000
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array([long_text])})
+    )
+
+    def fn(p):
+        if "MERGE:" in p:
+            parts = json.loads(p.split("MERGE:")[1])
+            tot = sum(json.loads(x)["n"] for x in parts)
+            return json.dumps({"n": tot})
+        body = json.loads(p.split("TXT:")[1])["text"]
+        return json.dumps({"n": len(body)})
+
+    out = S.split_convert(
+        ds, "text", ["n"], "TXT:{row}", "MERGE:{parts}",
+        S.mock_generator(fn), num_chunks=3, min_size_to_chunk=100, concurrency=1,
+    )
+    assert out.take_all()[0]["n"] == 3000
+
+
+def test_rag_convert_reduces_context():
+    long_text = ("needle " + "hay " * 200) * 3
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array([long_text])})
+    )
+    gen = S.mock_generator(
+        lambda p: json.dumps({"ctx_len": len(json.loads(p.split("CTX:")[1])["text"])})
+    )
+    out = S.rag_convert(
+        ds, "text", ["ctx_len"], "CTX:{row}", gen,
+        chunk_size=128, top_k=2, query="needle", concurrency=1,
+    )
+    row = out.take_all()[0]
+    assert row["ctx_len"] <= 2 * 128 + len("\n...\n")
+
+
+def test_sem_topk_per_record():
+    ds = _docs()
+
+    def search_factory():
+        corpus = {"alpha": ["a1", "a2"], "gamma": ["g1"], "zeta": []}
+
+        def search(row, k):
+            first = row["text"].split()[0]
+            return corpus.get(first, [])[:k]
+
+        return search
+
+    out = S.sem_topk(ds, search_factory, k=2, concurrency=1)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    assert [r["matches"] for r in rows] == [["a1", "a2"], ["g1"], []]
+
+
+# ---------------------------------------------------------------- sources
+
+
+def test_read_text_files(tmp_path):
+    for i in range(3):
+        (tmp_path / f"f{i}.txt").write_text(f"content {i}")
+    rows = sorted(
+        F.read_text_files(str(tmp_path)).take_all(), key=lambda r: r["filename"]
+    )
+    assert [r["contents"] for r in rows] == ["content 0", "content 1", "content 2"]
+
+
+def test_read_html_files(tmp_path):
+    (tmp_path / "page.html").write_text(
+        "<html><head><script>var x=1;</script></head>"
+        "<body><h1>Title</h1><p>Hello <b>world</b></p></body></html>"
+    )
+    rows = F.read_html_files(str(tmp_path)).take_all()
+    assert rows[0]["text"] == "Title\nHello\nworld"
+    assert "script" not in rows[0]["text"]
+
+
+def test_read_pdf_raises_not_implemented(tmp_path):
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        F.read_pdf_files(str(tmp_path))
+
+
+def test_infer_schema_from_csv(tmp_path):
+    p = tmp_path / "s.csv"
+    p.write_text("a,b,c\n1,x,2.5\n2,y,3.5\n")
+    schema = F.infer_schema_from_file(str(p))
+    assert schema.names == ["a", "b", "c"]
+    assert pa.types.is_integer(schema.field("a").type)
+    assert pa.types.is_floating(schema.field("c").type)
+
+
+def test_read_auto_dispatch(tmp_path):
+    (tmp_path / "x.txt").write_text("hello")
+    rows = F.read_auto(str(tmp_path)).take_all()
+    assert rows[0]["contents"] == "hello"
