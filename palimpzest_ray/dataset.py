@@ -500,7 +500,9 @@ def _shuffle_join(
         merged = _merge_frames(lf, rf, on, how_pd)
         # the null-padded union turned ints into float64(NaN) — cast back
         # to the true schema (NaN -> null) so output dtypes are stable
-        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
+        return pa.Table.from_pandas(
+            merged, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return both.groupby(_JOIN_BUCKET).map_groups(_cogroup, batch_format="pandas")
 
@@ -524,7 +526,10 @@ def _to_table(ds: rd.Dataset) -> pa.Table:
 
 
 def _from_pandas_safe(df: pd.DataFrame) -> pa.Table:
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # strip the pandas metadata blob: it contains dicts, which break
+    # Ray's schema hashing/dedup (log spam + lost schema-cache hits)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    return t.replace_schema_metadata(None)
 
 
 def _union_aligned(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:

@@ -201,6 +201,89 @@ def sem_join(
     )
 
 
+def embedding_join(
+    left: rd.Dataset,
+    right_table: pa.Table,
+    template: str,
+    generator_factory: Callable[[], GeneratorFn],
+    *,
+    left_text: str,
+    right_text: str,
+    embed_fn: Callable[[list[str]], np.ndarray] | None = None,
+    min_matching_sim: float = 0.95,
+    max_non_matching_sim: float = 0.2,
+    right_prefix: str = "right_",
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Embedding-accelerated semantic join (reference ``EmbeddingJoin``,
+    ``join.py:492-822``): embed both sides, auto-accept pairs with
+    cosine ≥ ``min_matching_sim``, auto-reject pairs ≤
+    ``max_non_matching_sim``, and only ask the generator about the
+    ambiguous band — the short-circuit that makes a semantic join
+    affordable. The reference LEARNS the two thresholds from sampled
+    labeled pairs; here they are parameters (a sampling calibration pass
+    is a thin wrapper over this).
+
+    Right side is small/broadcast; embeddings computed once per actor
+    for the right side, per batch for the left. ``embed_fn`` defaults to
+    the deterministic hashing embedder (no model in this container)."""
+    rref = ray.put(right_table)
+
+    class _EJoin(_SemStage):
+        def __init__(self, generator_factory):
+            super().__init__(generator_factory)
+            self.embed = embed_fn or _hash_embedder(64)
+            rt = ray.get(rref)
+            self.right_rows = rt.to_pylist()
+            E = self.embed([r[right_text] or "" for r in self.right_rows])
+            self.re = E / np.maximum(
+                np.linalg.norm(E, axis=1, keepdims=True), 1e-9
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lrows = batch.to_pylist()
+            E = self.embed([r.get(left_text) or "" for r in lrows])
+            le = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-9)
+            S = le @ self.re.T  # (n_left, n_right)
+            out_rows, prompts, pending = [], [], []
+            for li, lr in enumerate(lrows):
+                for ri, rr in enumerate(self.right_rows):
+                    sim = S[li, ri]
+                    if sim >= min_matching_sim:
+                        out_rows.append(self._merge(lr, rr))
+                    elif sim > max_non_matching_sim:  # ambiguous band
+                        prompts.append(
+                            template.format(
+                                row=json.dumps(lr, default=str, sort_keys=True),
+                                right=json.dumps(rr, default=str, sort_keys=True),
+                            )
+                        )
+                        pending.append((li, rr))
+            if prompts:
+                for (li, rr), o in zip(pending, self.gen(prompts)):
+                    if str(o).strip().lower() in SemanticFilter.TRUE:
+                        out_rows.append(self._merge(lrows[li], rr))
+            if not out_rows:
+                return pa.table({})
+            return pa.Table.from_pylist(out_rows)
+
+        @staticmethod
+        def _merge(lr: dict, rr: dict) -> dict:
+            merged = dict(lr)
+            for k, v in rr.items():
+                merged[right_prefix + k if k in merged else k] = v
+            return merged
+
+    return left.map_batches(
+        _EJoin,
+        fn_constructor_kwargs={"generator_factory": generator_factory},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def sem_agg(
     ds: rd.Dataset,
     agg_template: str,

@@ -64,6 +64,38 @@ def test_sem_join_mock():
     assert [(r["doc_id"], r["tag"]) for r in rows] == [(1, "greek-a"), (2, "greek-g")]
 
 
+def test_embedding_join_short_circuits():
+    import numpy as np
+
+    left = rd.from_arrow(
+        pa.table({"lid": pa.array([0, 1], pa.int64()),
+                  "ltext": pa.array(["apple pie", "quantum computing"])})
+    )
+    right = pa.table({"rtext": pa.array(["apple pie", "gardening tips"])})
+    def embed(texts):
+        # identical strings embed identically; others orthogonal-ish
+        from palimpzest_ray.stages.semantic import _hash_embedder
+
+        return _hash_embedder(32)(texts)
+
+    kw = dict(
+        left_text="ltext", right_text="rtext", embed_fn=embed,
+        min_matching_sim=0.99, max_non_matching_sim=-2.0, concurrency=1,
+    )
+    # generator rejects everything: only the identical pair survives,
+    # auto-accepted by the similarity short-circuit
+    rows = S.embedding_join(
+        left, right, "L:{row} R:{right}", S.mock_generator(lambda p: "no"), **kw
+    ).take_all()
+    assert len(rows) == 1
+    assert rows[0]["lid"] == 0 and rows[0]["rtext"] == "apple pie"
+    # generator accepts everything: the 3 ambiguous-band pairs join too
+    rows = S.embedding_join(
+        left, right, "L:{row} R:{right}", S.mock_generator(lambda p: "yes"), **kw
+    ).take_all()
+    assert len(rows) == 4
+
+
 def test_sem_agg_two_level():
     def fn(p):
         if "ROWS" in p:
