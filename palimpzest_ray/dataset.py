@@ -474,9 +474,12 @@ def _shuffle_join(
             )
             b = stable_bucket(key, num_buckets)
             batch = batch.append_column(_JOIN_BUCKET, pa.array(b))
-            return batch.append_column(
+            batch = batch.append_column(
                 _JOIN_SIDE, pa.array(np.full(batch.num_rows, side, dtype=np.int8))
             )
+            # parquet footers written by pandas carry a metadata blob
+            # with dicts, which breaks Ray's schema hashing/dedup
+            return batch.replace_schema_metadata(None)
 
         return _t
 
