@@ -282,6 +282,72 @@ def q16_outer_join_summary(sf_dir: str):
                      ("n_rows", "n_no_order", "n_no_cust")})
 
 
+
+def q17_tumbling_window(sf_dir: str):
+    """60s tumbling-window aggregate over the event stream."""
+    from ray.data.aggregate import Count, Sum
+
+    from palimpzest_ray.stages.windows import add_tumbling_window
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _win(batch: pa.Table) -> pa.Table:
+        b = add_tumbling_window(batch, "ts", 60)
+        ws = b["window_start"].cast(pa.int64())  # epoch micros (tz-proof)
+        return pa.table(
+            {"ws_us": ws, "event_type": b["event_type"], "value": b["value"]}
+        )
+
+    out = ev.map_batches(_win).groupby(["ws_us", "event_type"]).aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value_c100"),
+    )
+    return _cents(out, ["sum_value_c100"])
+
+
+def q18_session_windows(sf_dir: str):
+    """Gap-based sessionization per user (gap = 120s)."""
+    from palimpzest_ray.stages.windows import session_windows
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    out = pzd.Dataset(session_windows(ev.ray, "ts", "user_id", gap_s=120.0))
+
+    def _int_ts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_id": batch["session_id"],
+                "n_events": batch["n_events"],
+                "start_us": batch["session_start"].cast(pa.int64()),
+                "end_us": batch["session_end"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(_int_ts)
+
+
+def q19_asof_join(sf_dir: str):
+    """As-of join: each non-error event matched to the latest prior
+    error event of the same user."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    left = ev.filter(
+        batch_fn=lambda b: b.filter(
+            pc.not_equal(b["event_type"], pa.scalar("error"))
+        )
+    )
+    right = (
+        ev.filter(
+            batch_fn=lambda b: b.filter(
+                pc.equal(b["event_type"], pa.scalar("error"))
+            )
+        )
+        .project(["ts", "user_id", "event_id"])
+        .rename_columns({"event_id": "err_id"})
+    )
+    j = left.asof_join(right, on="ts", by="user_id", how="inner")
+    return j.project(["event_id", "err_id"])
+
+
 # --------------------------------------------------------------------------
 # training-data stages (oracled where SQL-expressible)
 # --------------------------------------------------------------------------
@@ -401,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_wordcount": q14_wordcount,
         "q15_acctbal_band": q15_acctbal_band,
         "q16_outer_join_summary": q16_outer_join_summary,
+        "q17_tumbling_window": q17_tumbling_window,
+        "q18_session_windows": q18_session_windows,
+        "q19_asof_join": q19_asof_join,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -508,6 +577,39 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when c_name is null then 1 else 0 end) as bigint)
                      as n_no_cust
             from customer full outer join orders on c_custkey = o_custkey
+        """,
+        "q17_tumbling_window": """
+            select cast(floor(epoch_us(ts) / 60000000) * 60000000 as bigint) as ws_us,
+                   event_type, count(*) as n,
+                   cast(round(sum(value) * 100) as bigint) as sum_value_c100
+            from events group by 1, 2
+        """,
+        "q18_session_windows": """
+            with d as (
+              select user_id, ts,
+                     case when lag(ts) over w is null
+                            or epoch_us(ts) - epoch_us(lag(ts) over w) > 120000000
+                          then 1 else 0 end as ns
+              from events
+              window w as (partition by user_id order by ts)
+            ), s as (
+              select user_id, ts,
+                     sum(ns) over (partition by user_id order by ts
+                                   rows unbounded preceding) as session_id
+              from d
+            )
+            select user_id, cast(session_id as bigint) as session_id,
+                   count(*) as n_events,
+                   cast(epoch_us(min(ts)) as bigint) as start_us,
+                   cast(epoch_us(max(ts)) as bigint) as end_us
+            from s group by user_id, session_id
+        """,
+        "q19_asof_join": """
+            with l as (select * from events where event_type <> 'error'),
+                 r as (select ts, user_id, event_id as err_id
+                       from events where event_type = 'error')
+            select l.event_id, r.err_id
+            from l asof join r on l.user_id = r.user_id and l.ts >= r.ts
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

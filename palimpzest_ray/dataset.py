@@ -337,6 +337,85 @@ class Dataset:
             _shuffle_join(left_ds, right_ds, on, how, num_buckets)
         )
 
+    def asof_join(
+        self,
+        other: "Dataset",
+        *,
+        on: str,
+        by: str | list[str],
+        how: str = "left",
+        suffix: str = RIGHT_SUFFIX,
+    ) -> "Dataset":
+        """As-of join: for each left row, the right row with the greatest
+        ``on`` (timestamp) ≤ the left row's ``on``, within equal ``by``
+        keys. Absent from the reference (its only joins are equi/semantic,
+        ``join.py``); Ray Data lacks it too — composed here per SURVEY.md
+        guidance as tag → union → ``groupby(by)`` cogroup with a
+        vectorized ``searchsorted`` per group. Partitioning assumption:
+        one ``by`` group fits in a task (same contract as ``map_groups``).
+
+        ``how``: "left" keeps unmatched left rows (right cols null),
+        "inner" drops them. Right-side column collisions get ``suffix``.
+        """
+        assert how in ("left", "inner"), how
+        by = [by] if isinstance(by, str) else list(by)
+        left_ds, right_ds = self._ds, other._ds
+        left_names = left_ds.schema().names
+        right_names = right_ds.schema().names
+        collisions = [c for c in right_names if c in left_names and c not in by]
+        if collisions:
+            right_ds = _rename(right_ds, {c: c + suffix for c in collisions})
+            right_names = [c + suffix if c in collisions else c for c in right_names]
+        r_on = on + suffix if on in collisions else on
+        l_only = [c for c in left_names if c not in by]
+        r_only = [c for c in right_names if c not in by]
+
+        lt = left_ds.map_batches(
+            lambda b: _pad_columns(b, r_only, right_ds).append_column(
+                _JOIN_SIDE, pa.array(np.zeros(b.num_rows, dtype=np.int8))
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        rt = right_ds.map_batches(
+            lambda b: _pad_columns(b, l_only, left_ds).append_column(
+                _JOIN_SIDE, pa.array(np.ones(b.num_rows, dtype=np.int8))
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        both = lt.union(rt)
+        out_names = list(dict.fromkeys(by + l_only + r_only))
+
+        def _asof(group: pa.Table) -> pa.Table:
+            g = group.combine_chunks()
+            side = g[_JOIN_SIDE].to_numpy(zero_copy_only=False)
+            lrows = g.filter(pa.array(side == 0)).select(by + l_only)
+            rrows = g.filter(pa.array(side == 1)).select(by + r_only)
+            empty = pa.table(
+                {c: pa.nulls(0, g[c].type) for c in out_names}
+            )
+            if lrows.num_rows == 0:
+                return empty
+            if rrows.num_rows == 0:
+                matched = lrows
+                for c in r_only:
+                    matched = matched.append_column(c, pa.nulls(lrows.num_rows, g[c].type))
+                return matched.select(out_names) if how == "left" else empty
+            rs = rrows.sort_by(r_on)
+            r_ts = rs[r_on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            l_ts = lrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+            has = idx >= 0
+            take_idx = pa.array(np.where(has, idx, 0), mask=~has)
+            picked = rs.select(r_only).take(take_idx)
+            out = lrows
+            for c in r_only:
+                out = out.append_column(c, picked[c])
+            if how == "inner":
+                out = out.filter(pa.array(has))
+            return out.select(out_names)
+
+        return Dataset(both.groupby(by).map_groups(_asof, batch_format="pyarrow"))
+
     def semi_join(self, other: "Dataset", on: str | list[str]) -> "Dataset":
         """Keep rows whose key appears in ``other`` — broadcast key set +
         vectorized ``is_in`` filter (no shuffle)."""

@@ -1,0 +1,91 @@
+"""Windowed aggregates over event streams (batch-replay semantics).
+
+The reference is batch-only — no windows, watermarks, or late-data
+handling (SURVEY.md §2.3 "Streaming-only concepts"). These operators
+give the batch-replay equivalents, built from the engine's own
+primitives (one keyed shuffle each):
+
+- :func:`tumbling_window` — fixed-size time buckets: assign
+  ``window_start = floor(ts / w) * w`` vectorized in ``map_batches``,
+  then an ordinary ``groupby`` aggregate. Streaming analogue: the
+  window id is the partition key, late data lands in its (still
+  reconstructible) bucket — replay converges because assignment is a
+  pure function of the timestamp.
+- :func:`session_windows` — gap-based sessions per key:
+  ``groupby(key).map_groups`` sorts one key's events and splits where
+  the gap exceeds ``gap``; a cumulative sum over the gap mask numbers
+  the sessions. State never leaves one group invocation.
+
+Both are duckdb-oracle-checkable (``__ray_entry__`` q17/q18).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def add_tumbling_window(
+    batch: pa.Table, ts_col: str, window_s: int, out_col: str = "window_start"
+) -> pa.Table:
+    """Vectorized window assignment: epoch-truncated timestamp."""
+    ts = batch[ts_col]
+    epoch_us = ts.cast(pa.int64())  # timestamp[us] → microseconds
+    w_us = window_s * 1_000_000
+    start = pc.multiply(pc.floor(pc.divide(epoch_us, w_us)).cast(pa.int64()), w_us)
+    return batch.append_column(out_col, start.cast(pa.timestamp("us")))
+
+
+def tumbling_window(
+    ds: rd.Dataset,
+    ts_col: str,
+    window_s: int,
+    keys: list[str],
+    aggs,
+) -> rd.Dataset:
+    """Tumbling-window aggregate: one shuffle keyed on (window, keys)."""
+    win = ds.map_batches(
+        lambda b: add_tumbling_window(b, ts_col, window_s), batch_format="pyarrow"
+    )
+    return win.groupby(["window_start", *keys]).aggregate(*aggs)
+
+
+def session_windows(
+    ds: rd.Dataset,
+    ts_col: str,
+    key: str,
+    gap_s: float,
+) -> rd.Dataset:
+    """Sessionization: per ``key``, events sorted by time split into
+    sessions wherever the inter-event gap exceeds ``gap_s``. Output one
+    row per session: key, session_id (1-based per key, in time order),
+    session_start, session_end, n_events.
+
+    All state lives inside one group invocation (SURVEY.md §4's rule for
+    stateful steps); skewed keys cost one big group, not a hot actor.
+    """
+    gap_us = int(gap_s * 1_000_000)
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        g = group.sort_by(ts_col).combine_chunks()
+        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_session = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_session)
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                key: pa.array([g[key][0].as_py()] * len(starts), g[key].type),
+                "session_id": pa.array(np.arange(1, len(starts) + 1)),
+                "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+                "session_end": pa.array(ts[ends]).cast(pa.timestamp("us")),
+                "n_events": pa.array(ends - starts + 1),
+            }
+        )
+
+    return ds.groupby(key).map_groups(_sessions, batch_format="pyarrow")

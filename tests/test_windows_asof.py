@@ -1,0 +1,121 @@
+"""Windowed aggregates and as-of join vs hand-computed oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data as rd
+
+import palimpzest_ray.dataset as pzd
+from palimpzest_ray.stages import windows as W
+
+
+def _ts(*secs):
+    base = dt.datetime(2024, 1, 1)
+    return pa.array([base + dt.timedelta(seconds=s) for s in secs], pa.timestamp("us"))
+
+
+def test_tumbling_window_agg():
+    from ray.data.aggregate import Count, Sum
+
+    t = pa.table(
+        {
+            "ts": _ts(0, 5, 59, 60, 61, 130),
+            "k": pa.array(["a", "a", "b", "a", "b", "a"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    out = W.tumbling_window(
+        rd.from_arrow(t), "ts", 60, ["k"],
+        [Count(alias_name="n"), Sum("v", alias_name="sv")],
+    ).take_all()
+    got = {(str(r["window_start"]), r["k"]): (r["n"], r["sv"]) for r in out}
+    assert got[("2024-01-01 00:00:00", "a")] == (2, 3.0)
+    assert got[("2024-01-01 00:00:00", "b")] == (1, 3.0)
+    assert got[("2024-01-01 00:01:00", "a")] == (1, 4.0)
+    assert got[("2024-01-01 00:01:00", "b")] == (1, 5.0)
+    assert got[("2024-01-01 00:02:00", "a")] == (1, 6.0)
+
+
+def test_session_windows():
+    t = pa.table(
+        {
+            "ts": _ts(0, 10, 400, 410, 1000, 5),
+            "u": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        }
+    )
+    out = W.session_windows(rd.from_arrow(t), "ts", "u", gap_s=60).take_all()
+    u1 = sorted((r for r in out if r["u"] == 1), key=lambda r: r["session_id"])
+    assert [r["n_events"] for r in u1] == [2, 2, 1]
+    assert len([r for r in out if r["u"] == 2]) == 1
+
+
+def test_asof_join_left():
+    left = pzd.from_arrow(
+        pa.table(
+            {
+                "ts": _ts(10, 50, 100),
+                "u": pa.array([1, 1, 1], pa.int64()),
+                "ev": pa.array(["a", "b", "c"]),
+            }
+        )
+    )
+    right = pzd.from_arrow(
+        pa.table(
+            {
+                "ts": _ts(0, 40, 99),
+                "u": pa.array([1, 1, 1], pa.int64()),
+                "mark": pa.array(["m0", "m40", "m99"]),
+            }
+        )
+    )
+    out = left.asof_join(right, on="ts", by="u").take_all()
+    by_ev = {r["ev"]: r["mark"] for r in out}
+    assert by_ev == {"a": "m0", "b": "m40", "c": "m99"}
+
+
+def test_asof_join_unmatched_and_inner():
+    left = pzd.from_arrow(
+        pa.table(
+            {"ts": _ts(5, 50), "u": pa.array([1, 2], pa.int64()),
+             "ev": pa.array(["x", "y"])}
+        )
+    )
+    right = pzd.from_arrow(
+        pa.table(
+            {"ts": _ts(10), "u": pa.array([1], pa.int64()),
+             "mark": pa.array(["m"])}
+        )
+    )
+    lout = left.asof_join(right, on="ts", by="u", how="left").take_all()
+    assert len(lout) == 2 and all(r["mark"] is None for r in lout)
+    iout = left.asof_join(right, on="ts", by="u", how="inner").take_all()
+    assert iout == []
+
+
+def test_asof_join_vs_duckdb():
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    ev = pzd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    left = ev.filter(batch_fn=lambda b: b.filter(
+        pa.compute.not_equal(b["event_type"], pa.scalar("error"))))
+    right = ev.filter(batch_fn=lambda b: b.filter(
+        pa.compute.equal(b["event_type"], pa.scalar("error")))).project(
+        ["ts", "user_id", "event_id"]
+    ).rename_columns({"event_id": "err_id"})
+    got = left.asof_join(right, on="ts", by="user_id", how="inner").to_pandas()
+    got = got[["event_id", "err_id"]].sort_values("event_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        with e as (select * from read_parquet('{sf}/events.parquet')),
+        l as (select * from e where event_type <> 'error'),
+        r as (select ts, user_id, event_id as err_id from e where event_type = 'error')
+        select l.event_id, r.err_id
+        from l asof join r on l.user_id = r.user_id and l.ts >= r.ts
+        order by l.event_id
+    """).df().reset_index(drop=True)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["err_id"].tolist() == exp["err_id"].tolist()
