@@ -137,28 +137,35 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
 
     if args.scaling:
-        # fresh process per CPU level — the sandbox stand-in for N vs 4N nodes
-        results = {}
-        for cpus in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cdc-only"],
-                env=env, capture_output=True, text=True, timeout=3600,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
-        t8 = results[8]["cdc"]["events_per_sec"]
-        t32 = results[32]["cdc"]["events_per_sec"]
+        # Fresh process per CPU level — the sandbox stand-in for N vs 4N
+        # nodes. Interleaved trials, best per level: this host's CPU
+        # speed swings 3-5x between minutes-long phases, so a single
+        # pairing measures the host lottery, not the engine.
+        best: dict[int, float] = {8: 0.0, 32: 0.0}
+        events = 0
+        for _ in range(args.trials):
+            for cpus in (8, 32):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--cdc-only"],
+                    env=env, capture_output=True, text=True, timeout=3600,
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                best[cpus] = max(best[cpus], r["cdc"]["events_per_sec"])
+                events = r["cdc"]["events"]
         print(json.dumps({
             "metric": "cdc_scaling_efficiency",
-            "value": round((t32 / t8) / 4.0, 3),
+            "value": round((best[32] / best[8]) / 4.0, 3),
             "unit": "ratio",
-            "events_per_sec_8cpu": t8,
-            "events_per_sec_32cpu": t32,
-            "events": results[32]["cdc"]["events"],
+            "events_per_sec_8cpu": best[8],
+            "events_per_sec_32cpu": best[32],
+            "events": events,
+            "trials": args.trials,
             "sf": _sf_of(SF_DIR),
         }))
         return

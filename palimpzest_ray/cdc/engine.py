@@ -98,6 +98,7 @@ class ApplyResult:
     partitions_rewritten: int
     partitions_resumed: int
     stats: str = ""  # ray Dataset.stats() of the merge pipeline
+    lineage: list = dataclasses.field(default_factory=list)  # per-partition rows
 
 
 def _expand_paths(changes: str | list[str]) -> list[str]:
@@ -196,39 +197,56 @@ class MergeApplier:
             pa.field("rows", pa.int64()),
             pa.field("rows_upserted", pa.int64()),
             pa.field("rows_deleted", pa.int64()),
+            pa.field("merge_ms", pa.int64()),
             pa.field("error", pa.string()),
         ]
     )
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        # groups arrive as many tiny slices of sorted blocks; flatten to
-        # contiguous buffers once — every kernel below is ~10x faster on
-        # single-chunk columns
-        group = group.combine_chunks()
-        part = group[PART_COL][0].as_py()
-        # Per-partition errors are CONTAINED: returned as an error
-        # lineage row instead of raised. Raising would abort the whole
-        # streaming execution, discarding every other partition's
-        # checkpointed work — and an aborted execution leaves the
-        # session's shuffle fleet in a bad state (observed: leaked
-        # aggregator CPU wedging every later pipeline in the session).
-        # The driver inspects lineage and raises AFTER healthy
-        # partitions have their sidecars; a rerun with the same run_id
-        # redoes only the failed partitions.
-        try:
-            return self._apply_one(group, part)
-        except Exception as e:  # noqa: BLE001 — containment is the point
-            return pa.Table.from_pylist(
-                [{"part": int(part), "error": f"{type(e).__name__}: {e}"}],
-                schema=self.LINEAGE_SCHEMA,
-            )
+    def __call__(self, block: pa.Table) -> pa.Table:
+        """One hash-repartitioned block = the complete rows of one or
+        more logical partitions (``repartition(keys=[__part])``
+        guarantees a key never spans blocks). Splitting the block by
+        partition here with one vectorized pass costs ~nothing — Ray's
+        ``map_groups`` machinery for the same job measured ~20x the
+        actual merge work (sorting/slicing every payload block).
+
+        Per-partition errors are CONTAINED: returned as error lineage
+        rows instead of raised. Raising would abort the whole streaming
+        execution, discarding every other partition's checkpointed work
+        — and an aborted execution leaves the session's shuffle fleet
+        in a bad state (leaked aggregator CPU wedging later pipelines).
+        The driver inspects lineage and raises AFTER healthy partitions
+        have their sidecars; a rerun with the same run_id redoes only
+        the failed partitions.
+        """
+        if block.num_rows == 0:
+            return self.LINEAGE_SCHEMA.empty_table()
+        block = block.combine_chunks()  # contiguous buffers: kernels ~10x faster
+        parts = block[PART_COL].to_numpy(zero_copy_only=False)
+        out: list[pa.Table] = []
+        for part in np.unique(parts):
+            group = block.filter(pa.array(parts == part))
+            try:
+                out.append(self._apply_one(group, int(part)))
+            except Exception as e:  # noqa: BLE001 — containment is the point
+                out.append(
+                    pa.Table.from_pylist(
+                        [{"part": int(part), "error": f"{type(e).__name__}: {e}"}],
+                        schema=self.LINEAGE_SCHEMA,
+                    )
+                )
+        return pa.concat_tables(out)
 
     def _apply_one(self, group: pa.Table, part: int) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.monotonic()
         if part in self.fail_parts:
             raise RuntimeError(f"injected failure for partition {part}")
 
-        # memtable: final LWW reduce across this partition's blocks
-        changes = lww_latest(group.drop_columns([PART_COL]), self.key)
+        # cross-block LWW happens inside the fused _merge sort — no
+        # separate pre-reduce pass (each take copies the token payload)
+        changes = group.drop_columns([PART_COL])
 
         base_path = self.base_files.get(part)
         base = (
@@ -244,7 +262,10 @@ class MergeApplier:
         fname = f"part-{part:05d}.parquet"
         out = os.path.join(self.staging_dir, fname)
         tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(merged, tmp, compression="zstd", row_group_size=64 * 1024)
+        # snappy, not zstd: the merge runs single-threaded inside an
+        # actor (Ray pins worker OMP/Arrow threads); zstd encode was a
+        # measurable chunk of the 7s/partition profile
+        pq.write_table(merged, tmp, compression="snappy", row_group_size=64 * 1024)
         os.replace(tmp, out)
 
         lineage = {
@@ -254,6 +275,7 @@ class MergeApplier:
             "rows": merged.num_rows,
             "rows_upserted": int(upserted),
             "rows_deleted": int(deleted),
+            "merge_ms": int((_time.monotonic() - _t0) * 1000),
         }
         side = os.path.join(self.staging_dir, f"part-{part:05d}.done.json")
         tmp = side + ".tmp"
@@ -293,25 +315,50 @@ class MergeApplier:
         else:
             both = ch
 
-        winners = lww_latest(both, self.key)
-        alive = winners.filter(pc.not_equal(winners["op"], pa.scalar("DELETE")))
+        # Fused LWW + tombstone-drop + canonical key sort: ONE payload
+        # take. Sorting by (key asc, lsn desc, change-side desc) makes
+        # the first row per key the LWW winner AND leaves winners in key
+        # order, so the old three passes (lww take, tombstone filter,
+        # final sort take) collapse into index arithmetic on narrow
+        # columns plus a single take of the token payload.
+        idx = pc.sort_indices(
+            both,
+            sort_keys=[
+                (self.key, "ascending"),
+                ("lsn", "descending"),
+                (SRC_COL, "descending"),
+            ],
+        )
+        keys_sorted = both[self.key].combine_chunks().take(idx)
+        n = len(keys_sorted)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = pc.not_equal(keys_sorted.slice(1), keys_sorted.slice(0, n - 1))
+            first[1:] = neq.to_numpy(zero_copy_only=False)
+        winner_idx = idx.filter(pa.array(first))
 
-        # lineage stats
-        change_winners = winners.filter(winners[SRC_COL])
-        del_mask = pc.equal(change_winners["op"], pa.scalar("DELETE"))
-        n_del_winners = pc.sum(del_mask.cast(pa.int64())).as_py() or 0
-        upserted = change_winners.num_rows - n_del_winners
+        ops_w = both["op"].combine_chunks().take(winner_idx)
+        src_w = both[SRC_COL].combine_chunks().take(winner_idx)
+        is_del = pc.equal(ops_w, pa.scalar("DELETE"))
+
+        # lineage stats from the narrow columns only
+        n_change_w = pc.sum(src_w.cast(pa.int64())).as_py() or 0
+        del_and_change = pc.and_(is_del, src_w)
+        n_del_winners = pc.sum(del_and_change.cast(pa.int64())).as_py() or 0
+        upserted = n_change_w - n_del_winners
         if base is not None and base.num_rows and n_del_winners:
-            deleted_keys = change_winners.filter(del_mask)[self.key]
+            deleted_keys = keys_sorted.filter(pa.array(first)).filter(del_and_change)
             in_base = pc.is_in(deleted_keys, value_set=base[self.key].combine_chunks())
             deleted = pc.sum(in_base.cast(pa.int64())).as_py() or 0
         else:
             deleted = 0
 
-        out = alive.rename_columns(
-            [LSN_COL if c == "lsn" else c for c in alive.column_names]
+        alive_idx = winner_idx.filter(pc.invert(is_del))
+        out = both.take(alive_idx)  # the one payload copy, key-sorted
+        out = out.rename_columns(
+            [LSN_COL if c == "lsn" else c for c in out.column_names]
         ).drop_columns(["op", SRC_COL])
-        out = conform(out, self.target_schema).sort_by(self.key)
+        out = conform(out, self.target_schema)
         return out, upserted, deleted
 
 
@@ -437,11 +484,15 @@ def _apply_changes_impl(
 
         ncpu = int(_ray.cluster_resources().get("CPU", 4))
         merge_concurrency = max(1, min(num_partitions, max(1, ncpu - 2)))
-    map_groups_kwargs: dict = {
-        "batch_format": "pyarrow",
-        "concurrency": (1, merge_concurrency) if merge_concurrency > 1 else 1,
-    }
-    lineage_ds = pipeline.groupby(PART_COL).map_groups(
+    # The exchange: hash repartition on the partition id — each logical
+    # partition lands wholly in one output block. The merge stage is
+    # then a plain map_batches over whole blocks (batch_size=None);
+    # MergeApplier splits multi-partition blocks itself. This replaces
+    # groupby().map_groups, whose group-splitting machinery measured
+    # ~20x the actual merge work at bench scale.
+    exchange_blocks = min(num_partitions, max(merge_concurrency * 4, 8))
+    parted = pipeline.repartition(exchange_blocks, keys=[PART_COL])
+    lineage_ds = parted.map_batches(
         MergeApplier,
         fn_constructor_kwargs={
             "lake_root": lake_root,
@@ -451,7 +502,9 @@ def _apply_changes_impl(
             "key": key,
             "fail_parts": fail_parts,
         },
-        **map_groups_kwargs,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, merge_concurrency) if merge_concurrency > 1 else 1,
     )
     # Lineage is tiny (<= num_partitions rows) — safe to materialize.
     lineage_rows = lineage_ds.take_all()
@@ -494,6 +547,7 @@ def _apply_changes_impl(
         partitions_rewritten=len(lineage_rows),
         partitions_resumed=len(done),
         stats=stats,
+        lineage=lineage_rows,
     )
 
 

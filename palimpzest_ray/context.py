@@ -72,7 +72,7 @@ def use_hash_shuffle() -> None:
     except Exception:
         ncpu = 4
     ctx.default_hash_shuffle_parallelism = max(8, 2 * ncpu)
-    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
 
