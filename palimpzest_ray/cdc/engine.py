@@ -5,15 +5,18 @@ Pipeline (all Ray Data, streaming, zero-copy Arrow batches)::
     ray.data.read_parquet(change_log)                     # prune at the read
       -> map_batches(normalize)        # validate ops, derive n_tok,
                                        #   conform to unified schema,
-                                       #   assign part = hash(doc_id) % P
-      -> map_batches(lww_combine)      # per-batch last-writer-wins
-                                       #   combiner (bounds shuffle volume;
-                                       #   hot keys collapse to 1 row/block)
-      -> groupby("__part")             # the one all-to-all shuffle,
-                                       #   keyed on the partition id
-      -> map_groups(MergeApplier)      # stateful merge: memtable LWW vs
-                                       #   base partition, tombstones,
-                                       #   staged Parquet write + sidecar
+                                       #   assign part = hash(doc_id) % P,
+                                       #   fused per-block LWW combiner
+                                       #   (bounds shuffle volume; hot keys
+                                       #   collapse to 1 row per block)
+      -> repartition(keys=["__part"])  # the one all-to-all exchange
+                                       #   (scoped HASH_SHUFFLE — key
+                                       #   co-location without a sort)
+      -> map_batches(MergeApplier)     # stateful merge actor pool: each
+                                       #   block holds whole partitions;
+                                       #   fused single-take LWW vs base,
+                                       #   tombstones, staged Parquet
+                                       #   write + .done sidecar
       -> (driver) commit manifest      # exactly-once version flip
 
 Design notes for 10^10 events / 100 TB:
@@ -69,7 +72,12 @@ from palimpzest_ray.cdc.manifest import (
     commit_version,
     load_latest_manifest,
 )
-from palimpzest_ray.functions.tokens import first_per_key, stable_bucket, token_length
+from palimpzest_ray.functions.tokens import (
+    first_per_key,
+    limit_kernel_threads,
+    stable_bucket,
+    token_length,
+)
 from palimpzest_ray.schemas import CHANGE_OPS, LSN_COL, conform, drop_internal, unify
 
 PART_COL = "__part"
@@ -131,6 +139,7 @@ def _normalize_factory(target_schema: pa.Schema, num_partitions: int, key: str):
     """
 
     def normalize(batch: pa.Table) -> pa.Table:
+        limit_kernel_threads()
         ok = pc.is_in(batch["op"], value_set=pa.array(CHANGE_OPS))
         bad = batch.num_rows - (pc.sum(ok.cast(pa.int64())).as_py() or 0)
         if bad:
@@ -157,6 +166,34 @@ def _normalize_factory(target_schema: pa.Schema, num_partitions: int, key: str):
     return normalize
 
 
+def _spill_factory(spill_dir: str):
+    """fs-exchange spill stage: write each batch's rows into per-part
+    hive dirs (``__part=N/blk-*.parquet``). Idempotent under task
+    retries: a duplicated spill file duplicates (doc_id, lsn) rows,
+    which the merge's LWW collapses."""
+
+    def spill(batch: pa.Table) -> pa.Table:
+        limit_kernel_threads()
+        if batch.num_rows == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        idx = pc.sort_indices(batch, sort_keys=[(PART_COL, "ascending")])
+        t = batch.take(idx).combine_chunks()
+        parts = t[PART_COL].to_numpy(zero_copy_only=False)
+        boundaries = np.flatnonzero(np.diff(parts, prepend=parts[0] - 1))
+        blk = uuid.uuid4().hex[:12]
+        for i, b0 in enumerate(boundaries):
+            b1 = boundaries[i + 1] if i + 1 < len(boundaries) else len(parts)
+            sub = t.slice(b0, b1 - b0).drop_columns([PART_COL])
+            d = os.path.join(spill_dir, f"{PART_COL}={parts[b0]}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                sub, os.path.join(d, f"blk-{blk}.parquet"), compression="snappy"
+            )
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    return spill
+
+
 class MergeApplier:
     """Stateful per-partition merge: memtable + LWW index + tombstones.
 
@@ -177,6 +214,7 @@ class MergeApplier:
         base_files: dict[int, str],
         key: str = "doc_id",
         fail_parts: tuple[int, ...] = (),
+        spill_dir: str | None = None,
     ):
         from palimpzest_ray.schemas import schema_from_json
 
@@ -187,6 +225,7 @@ class MergeApplier:
         self.base_files = base_files
         self.key = key
         self.fail_parts = set(fail_parts)
+        self.spill_dir = spill_dir  # fs-exchange mode: batches carry part IDS
 
     #: lineage row schema (explicit — ``error`` is usually all-null)
     LINEAGE_SCHEMA = pa.schema(
@@ -219,11 +258,29 @@ class MergeApplier:
         have their sidecars; a rerun with the same run_id redoes only
         the failed partitions.
         """
+        limit_kernel_threads()
         if block.num_rows == 0:
             return self.LINEAGE_SCHEMA.empty_table()
+        out: list[pa.Table] = []
+        if self.spill_dir is not None:
+            # fs-exchange mode: the block is a list of partition ids;
+            # each partition's combined changes live in its spill dir
+            for part in block[PART_COL].to_pylist():
+                try:
+                    group = pq.read_table(
+                        os.path.join(self.spill_dir, f"{PART_COL}={part}")
+                    ).combine_chunks()
+                    out.append(self._apply_one(group, int(part)))
+                except Exception as e:  # noqa: BLE001 — containment is the point
+                    out.append(
+                        pa.Table.from_pylist(
+                            [{"part": int(part), "error": f"{type(e).__name__}: {e}"}],
+                            schema=self.LINEAGE_SCHEMA,
+                        )
+                    )
+            return pa.concat_tables(out)
         block = block.combine_chunks()  # contiguous buffers: kernels ~10x faster
         parts = block[PART_COL].to_numpy(zero_copy_only=False)
-        out: list[pa.Table] = []
         for part in np.unique(parts):
             group = block.filter(pa.array(parts == part))
             try:
@@ -246,7 +303,11 @@ class MergeApplier:
 
         # cross-block LWW happens inside the fused _merge sort — no
         # separate pre-reduce pass (each take copies the token payload)
-        changes = group.drop_columns([PART_COL])
+        changes = (
+            group.drop_columns([PART_COL])
+            if PART_COL in group.column_names  # absent in fs-exchange reads
+            else group
+        )
 
         base_path = self.base_files.get(part)
         base = (
@@ -372,6 +433,7 @@ def apply_changes(
     resume: bool = True,
     merge_concurrency: int | None = None,
     fail_parts: tuple[int, ...] = (),
+    exchange: str = "ray",
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
 
@@ -391,6 +453,7 @@ def apply_changes(
             resume=resume,
             merge_concurrency=merge_concurrency,
             fail_parts=fail_parts,
+            exchange=exchange,
         )
 
 
@@ -404,6 +467,7 @@ def _apply_changes_impl(
     resume: bool = True,
     merge_concurrency: int | None = None,
     fail_parts: tuple[int, ...] = (),
+    exchange: str = "ray",
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
@@ -422,7 +486,14 @@ def _apply_changes_impl(
         files = _expand_paths(changes)
         change_schema = _unified_change_schema(files)
         events_seen = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        ds = rd.read_parquet(files)
+        # few large blocks, not many small ones: every block is an
+        # object-store mmap/munmap round trip, which costs TLB
+        # shootdowns across ALL cores (brutal inside microVMs); bigger
+        # blocks also make the per-block LWW combiner more effective
+        import ray as _ray
+
+        _ncpu = int(_ray.cluster_resources().get("CPU", 4))
+        ds = rd.read_parquet(files, override_num_blocks=max(len(files), 2 * _ncpu))
     else:
         ds = changes
         change_schema = ds.schema().base_schema
@@ -484,17 +555,8 @@ def _apply_changes_impl(
 
         ncpu = int(_ray.cluster_resources().get("CPU", 4))
         merge_concurrency = max(1, min(num_partitions, max(1, ncpu - 2)))
-    # The exchange: hash repartition on the partition id — each logical
-    # partition lands wholly in one output block. The merge stage is
-    # then a plain map_batches over whole blocks (batch_size=None);
-    # MergeApplier splits multi-partition blocks itself. This replaces
-    # groupby().map_groups, whose group-splitting machinery measured
-    # ~20x the actual merge work at bench scale.
-    exchange_blocks = min(num_partitions, max(merge_concurrency * 4, 8))
-    parted = pipeline.repartition(exchange_blocks, keys=[PART_COL])
-    lineage_ds = parted.map_batches(
-        MergeApplier,
-        fn_constructor_kwargs={
+    merge_kwargs = {
+        "fn_constructor_kwargs": {
             "lake_root": lake_root,
             "staging_dir": staging_dir,
             "target_schema_json": schema_to_json(lake_schema),
@@ -502,10 +564,65 @@ def _apply_changes_impl(
             "key": key,
             "fail_parts": fail_parts,
         },
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=(1, merge_concurrency) if merge_concurrency > 1 else 1,
-    )
+        "batch_format": "pyarrow",
+        "batch_size": None,
+        "concurrency": (1, merge_concurrency) if merge_concurrency > 1 else 1,
+    }
+    if exchange == "fs":
+        # Exchange through lake storage instead of the object store:
+        # spill the normalized+combined changes hive-partitioned by
+        # __part (sequential parquet writes, embarrassingly parallel),
+        # then run one merge task per partition reading its spill dir.
+        # ~10x less exchange CPU than the object-store shuffle on
+        # token-payload rows, and the spill doubles as a shuffle
+        # checkpoint. Cluster assumption: lake_root is shared storage —
+        # already true (base files and staging live there too).
+        # Idempotent under task retries: a duplicated spill file
+        # duplicates (doc_id, lsn) rows, which LWW collapses.
+        spill_dir = os.path.join(staging_dir, "exchange")
+        os.makedirs(spill_dir, exist_ok=True)
+        # Hand-rolled partitioned spill: ONE sort+take per batch, then
+        # contiguous per-partition slices written sequentially. Ray's
+        # write_parquet(partition_cols=...) splits with per-value
+        # filters (64 full-column scans per block) and measured ~8x the
+        # CPU of this at high task concurrency.
+        marker = (
+            pipeline.map_batches(
+                _spill_factory(spill_dir),
+                batch_format="pyarrow",
+                batch_size=131_072,
+            ).sum("rows")
+        )
+        del marker  # value unused; the sum drives the execution
+        part_dirs = sorted(
+            d for d in os.listdir(spill_dir) if d.startswith(f"{PART_COL}=")
+        )
+        parts_present = [int(d.split("=")[1]) for d in part_dirs]
+        ids = rd.from_arrow(
+            pa.table({PART_COL: pa.array(parts_present, pa.int32())})
+        ).repartition(max(1, len(parts_present)))
+        ctor = dict(merge_kwargs["fn_constructor_kwargs"], spill_dir=spill_dir)
+
+        def _merge_task(batch: pa.Table) -> pa.Table:
+            # task pool, not actors: fs-mode merge state is just paths +
+            # schema (rebuilt per task from the broadcast ctor dict), and
+            # skipping the actor-pool spin-up removes the largest fixed
+            # cost of small applies at high CPU counts
+            return MergeApplier(**ctor)(batch)
+
+        lineage_ds = ids.map_batches(
+            _merge_task, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        # Object-store exchange: hash repartition on the partition id —
+        # each logical partition lands wholly in one output block; the
+        # merge is a plain map_batches over whole blocks (MergeApplier
+        # splits multi-partition blocks itself). This replaces
+        # groupby().map_groups, whose group-splitting machinery measured
+        # ~20x the actual merge work at bench scale.
+        exchange_blocks = min(num_partitions, max(merge_concurrency * 4, 8))
+        parted = pipeline.repartition(exchange_blocks, keys=[PART_COL])
+        lineage_ds = parted.map_batches(MergeApplier, **merge_kwargs)
     # Lineage is tiny (<= num_partitions rows) — safe to materialize.
     lineage_rows = lineage_ds.take_all()
     stats = lineage_ds.stats()

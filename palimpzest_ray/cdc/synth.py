@@ -146,7 +146,7 @@ def write_base_lake(path: str, n_rows: int, seed: int = 42, chunk_rows: int = 20
         ).cast(SEQUENCE_SCHEMA)
         if writer is None:
             writer = pq.ParquetWriter(os.path.join(path, "base.parquet"), t.schema)
-        writer.write_table(t)
+        writer.write_table(t, row_group_size=32768)
     if writer is not None:
         writer.close()
 
@@ -175,4 +175,4 @@ def write_change_log(
         t = make_change_table(
             n, n_base, seed=(seed * 1_000_003 + i) % (2**31), start_lsn=lo + 1, evolved=evolved, **kw
         )
-        pq.write_table(t, os.path.join(path, f"changes-{i:05d}.parquet"))
+        pq.write_table(t, os.path.join(path, f"changes-{i:05d}.parquet"), row_group_size=32768)

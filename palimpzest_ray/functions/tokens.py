@@ -8,10 +8,31 @@ replacements.
 
 from __future__ import annotations
 
+import os
+
+# MUST precede the polars import: polars sizes its global thread pool at
+# import time. Every Ray worker process would otherwise start an
+# all-cores pool (observed: 30 workers x 32 threads on a 32-CPU node ->
+# 40%+ kernel time, CPUs half idle, 32-CPU runs SLOWER than 8-CPU).
+os.environ.setdefault("POLARS_MAX_THREADS", "2")
+
 import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_kernel_threads_tuned = False
+
+
+def limit_kernel_threads(n: int = 2) -> None:
+    """Cap Arrow's per-process thread pools (idempotent; call at the top
+    of every hot map stage). Arrow defaults each worker to an
+    all-hardware-cores pool — same oversubscription storm as polars."""
+    global _kernel_threads_tuned
+    if not _kernel_threads_tuned:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
+        _kernel_threads_tuned = True
 
 _HASH_SEED = 0x51_7C_C1_B7  # fixed => stable across processes / runs
 
