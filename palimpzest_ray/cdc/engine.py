@@ -528,20 +528,21 @@ def _apply_changes_impl(
     # blocks from different schema epochs before normalize unifies them
     # (its internal concat cannot unify struct columns missing on one
     # side). After normalize every block has the unified schema. The
-    # per-block LWW combiner is fused into normalize; the groupby sort
-    # below is the ONLY other pass over the data before the merge.
-    pipeline = ds.map_batches(
-        _normalize_factory(norm_schema, num_partitions, key),
-        batch_format="pyarrow",
-        batch_size=None,
+    # per-block LWW combiner is fused into normalize.
+    normalize_fn = _normalize_factory(norm_schema, num_partitions, key)
+    done_set = (
+        pa.array(np.array(sorted(done), dtype=np.int32)) if done else None
     )
-    if done:
-        done_set = pa.array(np.array(sorted(done), dtype=np.int32))
 
-        def _skip_done(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.invert(pc.is_in(batch[PART_COL], value_set=done_set)))
+    def _norm_skip(batch: pa.Table) -> pa.Table:
+        batch = normalize_fn(batch)
+        if done_set is not None:
+            batch = batch.filter(
+                pc.invert(pc.is_in(batch[PART_COL], value_set=done_set))
+            )
+        return batch
 
-        pipeline = pipeline.map_batches(_skip_done, batch_format="pyarrow")
+    pipeline = ds.map_batches(_norm_skip, batch_format="pyarrow", batch_size=None)
 
     from palimpzest_ray.schemas import schema_to_json
 
@@ -581,18 +582,22 @@ def _apply_changes_impl(
         # duplicates (doc_id, lsn) rows, which LWW collapses.
         spill_dir = os.path.join(staging_dir, "exchange")
         os.makedirs(spill_dir, exist_ok=True)
-        # Hand-rolled partitioned spill: ONE sort+take per batch, then
-        # contiguous per-partition slices written sequentially. Ray's
-        # write_parquet(partition_cols=...) splits with per-value
-        # filters (64 full-column scans per block) and measured ~8x the
-        # CPU of this at high task concurrency.
-        marker = (
-            pipeline.map_batches(
-                _spill_factory(spill_dir),
-                batch_format="pyarrow",
-                batch_size=131_072,
-            ).sum("rows")
-        )
+        # Hand-rolled partitioned spill, FUSED with normalize into a
+        # single map stage over the read: the token payload never
+        # crosses the object store (read -> normalize -> spill happen in
+        # one task; output is a one-row marker). One sort+take per
+        # batch, then contiguous per-partition slices written
+        # sequentially. Ray's write_parquet(partition_cols=...) splits
+        # with per-value filters (64 full-column scans per block) and
+        # measured ~8x this CPU at high task concurrency.
+        spill_fn = _spill_factory(spill_dir)
+
+        def _norm_spill(batch: pa.Table) -> pa.Table:
+            return spill_fn(_norm_skip(batch))
+
+        marker = ds.map_batches(
+            _norm_spill, batch_format="pyarrow", batch_size=None
+        ).sum("rows")
         del marker  # value unused; the sum drives the execution
         part_dirs = sorted(
             d for d in os.listdir(spill_dir) if d.startswith(f"{PART_COL}=")

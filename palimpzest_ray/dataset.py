@@ -43,6 +43,26 @@ _JOIN_BUCKET = "__jbucket"
 _JOIN_SIDE = "__jside"
 
 
+def _capped(fn):
+    """Wrap a batch fn so the worker's Arrow thread pool is capped
+    before the first kernel runs (see ``functions.tokens.
+    limit_kernel_threads`` — uncapped per-worker pools oversubscribe
+    the node and, in microVM sandboxes, trigger kernel-time storms).
+    Callable classes (actor stages) are left as-is."""
+    if isinstance(fn, type):
+        return fn
+    import functools
+
+    from palimpzest_ray.functions.tokens import limit_kernel_threads
+
+    @functools.wraps(fn)
+    def wrapped(batch):
+        limit_kernel_threads()
+        return fn(batch)
+
+    return wrapped
+
+
 # --------------------------------------------------------------------------
 # sources
 # --------------------------------------------------------------------------
@@ -120,7 +140,7 @@ class Dataset:
     def map_batches(self, fn, **kw) -> "Dataset":
         """Vectorized batch transform — the preferred hot path."""
         kw.setdefault("batch_format", "pyarrow")
-        return Dataset(self._ds.map_batches(fn, **kw))
+        return Dataset(self._ds.map_batches(_capped(fn), **kw))
 
     def map(self, udf: Callable[[dict], dict], **kw) -> "Dataset":
         """Row-dict UDF map, 1:1 (reference ``NonLLMConvert``,
