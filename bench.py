@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "d02_text_stats",
     "d05_ann_topk",
     "d06_minhash_dedup",
+    "q17_tumbling_window",
+    "q19_asof_join",
+    "cdc_replay",
 ]
 
 

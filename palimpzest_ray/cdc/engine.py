@@ -155,6 +155,17 @@ def _normalize_factory(target_schema: pa.Schema, num_partitions: int, key: str):
                 )
             else:
                 batch = batch.append_column("n_tok", derived)
+        extra = [c for c in batch.column_names if c not in target_schema.names]
+        if extra:
+            # Silently dropping undeclared columns would lose data on the
+            # evolved side of a schema change; fail loudly instead.
+            raise ValueError(
+                f"change batch carries columns {extra} absent from the declared "
+                f"change schema {target_schema.names}. When passing a prepared "
+                "ray.data.Dataset whose blocks mix schema epochs, supply "
+                "change_schema=pa.unify_schemas([...]) to apply_changes — "
+                "ds.schema() only reflects the first block."
+            )
         batch = conform(batch, target_schema)
         part = stable_bucket(batch[key], num_partitions)
         batch = batch.append_column(PART_COL, pa.array(part))
@@ -434,6 +445,7 @@ def apply_changes(
     merge_concurrency: int | None = None,
     fail_parts: tuple[int, ...] = (),
     exchange: str = "ray",
+    change_schema: pa.Schema | None = None,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
 
@@ -441,9 +453,16 @@ def apply_changes(
     key co-location, not sort order — measured 3-5x faster than the
     default sort shuffle on token-payload rows. The scope restores the
     session default on exit (``context.hash_shuffle_scope`` caveat)."""
+    import contextlib
+
     from palimpzest_ray.context import hash_shuffle_scope
 
-    with hash_shuffle_scope():
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(hash_shuffle_scope())
+        if isinstance(changes, rd.Dataset):
+            # A caller-prepared Dataset captured its DataContext at
+            # creation — before this scope; retarget that copy too.
+            stack.enter_context(hash_shuffle_scope(changes.context))
         return _apply_changes_impl(
             changes,
             lake_root,
@@ -454,6 +473,7 @@ def apply_changes(
             merge_concurrency=merge_concurrency,
             fail_parts=fail_parts,
             exchange=exchange,
+            change_schema=change_schema,
         )
 
 
@@ -468,10 +488,14 @@ def _apply_changes_impl(
     merge_concurrency: int | None = None,
     fail_parts: tuple[int, ...] = (),
     exchange: str = "ray",
+    change_schema: pa.Schema | None = None,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
     ``changes`` may be parquet path(s) or a prepared ``ray.data.Dataset``.
+    For a Dataset whose blocks mix schema epochs, pass ``change_schema``
+    (the unified schema) — ``ds.schema()`` only reflects the first block,
+    and normalize refuses batches with undeclared columns.
     ``run_id`` names the staging/checkpoint directory: re-running with
     the same ``run_id`` after a failure skips partitions whose
     ``.done.json`` sidecar exists (checkpoint/resume). ``fail_parts``
@@ -496,7 +520,8 @@ def _apply_changes_impl(
         ds = rd.read_parquet(files, override_num_blocks=max(len(files), 2 * _ncpu))
     else:
         ds = changes
-        change_schema = ds.schema().base_schema
+        if change_schema is None:
+            change_schema = ds.schema().base_schema
 
     # unified target schema: previous lake schema ∪ incoming change schema
     user_change = pa.schema([f for f in change_schema if f.name not in ("lsn", "op")])

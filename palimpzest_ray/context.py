@@ -12,39 +12,42 @@ from __future__ import annotations
 import contextlib
 
 
+_HASH_SHUFFLE_FIELDS = (
+    "shuffle_strategy",
+    "default_hash_shuffle_parallelism",
+    "max_hash_shuffle_aggregators",
+    "hash_shuffle_operator_actor_num_cpus_per_partition_override",
+    "hash_aggregate_operator_actor_num_cpus_per_partition_override",
+)
+
+
 @contextlib.contextmanager
-def hash_shuffle_scope():
+def hash_shuffle_scope(ctx=None):
     """Temporarily switch keyed exchanges to HASH_SHUFFLE, restoring the
     default on exit. Scoped, not global, on purpose: Ray 2.49's hash
     shuffle (alpha) wedges a session when several shuffles contend at
     low CPU headroom (observed: chained groupbys hanging at num_cpus=4
     after unrelated pipelines ran), so only the CDC engine — whose
     merge exchange measures 3-5x faster under hash partitioning — opts
-    in, around its own fully-consumed pipelines."""
+    in, around its own fully-consumed pipelines.
+
+    ``ctx`` defaults to the session's current ``DataContext``; pass a
+    specific one (e.g. ``dataset.context`` — every ``ray.data.Dataset``
+    captures a context copy at creation) to retarget an already-built
+    pipeline."""
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    saved = (
-        ctx.shuffle_strategy,
-        ctx.default_hash_shuffle_parallelism,
-        ctx.max_hash_shuffle_aggregators,
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
-    )
-    use_hash_shuffle()
+    ctx = ctx or DataContext.get_current()
+    saved = tuple(getattr(ctx, f) for f in _HASH_SHUFFLE_FIELDS)
+    use_hash_shuffle(ctx)
     try:
         yield
     finally:
-        (
-            ctx.shuffle_strategy,
-            ctx.default_hash_shuffle_parallelism,
-            ctx.max_hash_shuffle_aggregators,
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-            ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
-        ) = saved
+        for f, v in zip(_HASH_SHUFFLE_FIELDS, saved):
+            setattr(ctx, f, v)
 
 
-def use_hash_shuffle() -> None:
+def use_hash_shuffle(ctx=None) -> None:
     """Switch groupby/repartition exchanges to HASH_SHUFFLE.
 
     The default sort-based shuffle globally sorts by the key — measured
@@ -58,7 +61,7 @@ def use_hash_shuffle() -> None:
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
-    ctx = DataContext.get_current()
+    ctx = ctx or DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # Size the aggregator-actor fleet to the cluster. The defaults
     # (64-way parallelism, 0.25 CPU per partition => 16 CPUs of

@@ -201,6 +201,32 @@ def sem_join(
     )
 
 
+def calibrate_similarity_thresholds(
+    labeled_pairs: list[tuple[str, str, bool]],
+    embed_fn: Callable[[list[str]], np.ndarray] | None = None,
+    *,
+    margin: float = 0.0,
+) -> tuple[float, float]:
+    """Learn ``(min_matching_sim, max_non_matching_sim)`` from labeled
+    (left_text, right_text, is_match) samples — the reference's
+    EmbeddingJoin threshold-learning step (``join.py:492-822``, which
+    fits the same two cutoffs from ``num_samples`` labeled pairs).
+    Returns thresholds such that every sampled match scores above
+    ``min_matching_sim`` and every non-match below
+    ``max_non_matching_sim`` (optionally widened by ``margin``); feed
+    them to :func:`embedding_join`."""
+    embed = embed_fn or _hash_embedder(64)
+    lt = embed([a for a, _, _ in labeled_pairs])
+    rt = embed([b for _, b, _ in labeled_pairs])
+    lt = lt / np.maximum(np.linalg.norm(lt, axis=1, keepdims=True), 1e-9)
+    rt = rt / np.maximum(np.linalg.norm(rt, axis=1, keepdims=True), 1e-9)
+    sims = (lt * rt).sum(axis=1)
+    labels = np.array([m for _, _, m in labeled_pairs], dtype=bool)
+    match_min = float(sims[labels].min()) if labels.any() else 1.0
+    non_max = float(sims[~labels].max()) if (~labels).any() else -1.0
+    return match_min - margin, non_max + margin
+
+
 def embedding_join(
     left: rd.Dataset,
     right_table: pa.Table,

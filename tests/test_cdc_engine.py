@@ -153,3 +153,57 @@ def test_tombstone_then_reinsert(tmp_path, tmp_lake):
     got = final_state_table(tmp_lake)
     assert got["doc_id"].to_pylist() == ["a"]
     assert got["tokens"].to_pylist() == [[3]]
+
+
+def test_apply_changes_accepts_ray_dataset(tmp_lake):
+    """The change source can be a prepared ``ray.data.Dataset`` (e.g. a
+    Kafka-fed or transformed stream), not just parquet paths."""
+    import ray.data as rd
+
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    rows = [
+        {"lsn": 1, "op": "INSERT", "doc_id": "x", "tokens": [1], "n_tok": 1, "source": "web"},
+        {"lsn": 2, "op": "UPDATE", "doc_id": "x", "tokens": [2, 3], "n_tok": 2, "source": "web"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, CHANGELOG_SCHEMA))
+    res = apply_changes(ds, tmp_lake, num_partitions=2)
+    got = final_state_table(tmp_lake)
+    assert got["tokens"].to_pylist() == [[2, 3]]
+    assert res.partitions_rewritten >= 1
+    # lineage rows carry per-partition watermarks + merge timing
+    assert all("max_lsn" in d and "merge_ms" in d for d in res.lineage)
+
+
+def test_dataset_input_mixed_schema_epochs(tmp_path, tmp_lake):
+    """A prepared Dataset whose blocks span a schema-evolution cutover:
+    ``ds.schema()`` under-reports (first block only), so the caller must
+    pass the unified ``change_schema`` — and forgetting it fails loudly
+    instead of silently dropping the evolved columns."""
+    import glob
+
+    import ray.data as rd
+
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    write_change_log(log, 4_000, 600, seed=7, evolve_after=0.5, chunk_rows=1_000)
+    files = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    unified = pa.unify_schemas(
+        [pq.read_schema(f) for f in files], promote_options="permissive"
+    )
+    ds = rd.read_parquet(files)
+    res = apply_changes(ds, tmp_lake, num_partitions=4, change_schema=unified)
+    assert res.events_seen == 0  # streaming input: count unknown up front
+    changes = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+    _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, changes))
+
+    # without change_schema the undeclared evolved columns are an error
+    with pytest.raises(Exception, match="change_schema"):
+        apply_changes(
+            rd.read_parquet(files),
+            os.path.join(str(tmp_path), "lake2"),
+            num_partitions=4,
+        )

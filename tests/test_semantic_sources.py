@@ -96,6 +96,20 @@ def test_embedding_join_short_circuits():
     assert len(rows) == 4
 
 
+def test_calibrate_similarity_thresholds():
+    import numpy as np
+
+    def embed(texts):
+        m = {"a": [1.0, 0.0], "a2": [0.9, 0.1], "b": [0.0, 1.0]}
+        return np.array([m[t] for t in texts], dtype=np.float32)
+
+    lo, hi = S.calibrate_similarity_thresholds(
+        [("a", "a2", True), ("a", "b", False)], embed_fn=embed
+    )
+    assert hi < lo  # separable: non-match ceiling below match floor
+    assert lo <= 1.0 and hi >= -1.0
+
+
 def test_sem_agg_two_level():
     def fn(p):
         if "ROWS" in p:
