@@ -348,6 +348,80 @@ def q19_asof_join(sf_dir: str):
     return j.project(["event_id", "err_id"])
 
 
+PRICE_BANDS = [
+    (0.0, 75_000.0, "low"),
+    (75_000.0, 200_000.0, "mid"),
+    (200_000.0, 1e9, "high"),
+]
+
+
+def q20_price_band_join(sf_dir: str):
+    """Range (interval) join: orders binned into a broadcast band table
+    on ``lo <= o_totalprice < hi``, counted per band."""
+    from ray.data.aggregate import Count
+
+    bands = pa.table(
+        {
+            "lo": pa.array([b[0] for b in PRICE_BANDS], pa.float64()),
+            "hi": pa.array([b[1] for b in PRICE_BANDS], pa.float64()),
+            "band": pa.array([b[2] for b in PRICE_BANDS]),
+        }
+    )
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    j = orders.range_join(bands, "o_totalprice", "lo", "hi")
+    return j.groupby("band").aggregate(Count(alias_name="n"))
+
+
+def q21_sliding_window(sf_dir: str):
+    """90s-window / 30s-hop sliding-window aggregate (each event counted
+    in up to 3 overlapping windows)."""
+    from ray.data.aggregate import Count, Sum
+
+    from palimpzest_ray.stages.windows import add_sliding_windows
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _win(batch: pa.Table) -> pa.Table:
+        b = add_sliding_windows(batch, "ts", 90, 30)
+        ws = b["window_start"].cast(pa.int64())
+        return pa.table(
+            {"ws_us": ws, "event_type": b["event_type"], "value": b["value"]}
+        )
+
+    out = ev.map_batches(_win).groupby(["ws_us", "event_type"]).aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value_c100"),
+    )
+    return _cents(out, ["sum_value_c100"])
+
+
+def q22_intersect(sf_dir: str):
+    """INTERSECT: nation keys present in both customer and supplier."""
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).rename_columns(
+        {"c_nationkey": "nationkey"}
+    )
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).rename_columns(
+        {"s_nationkey": "nationkey"}
+    )
+    return cust.intersect(supp)
+
+
+def q23_except(sf_dir: str):
+    """EXCEPT: customers with no order above 250k (non-empty at every
+    sf, unlike the unfiltered variant — this testdata gives every
+    customer at least one order)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"]).rename_columns(
+        {"c_custkey": "custkey"}
+    )
+    big = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 250000")
+        .project(["o_custkey"])
+        .rename_columns({"o_custkey": "custkey"})
+    )
+    return cust.except_(big)
+
+
 # --------------------------------------------------------------------------
 # training-data stages (oracled where SQL-expressible)
 # --------------------------------------------------------------------------
@@ -470,6 +544,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_tumbling_window": q17_tumbling_window,
         "q18_session_windows": q18_session_windows,
         "q19_asof_join": q19_asof_join,
+        "q20_price_band_join": q20_price_band_join,
+        "q21_sliding_window": q21_sliding_window,
+        "q22_intersect": q22_intersect,
+        "q23_except": q23_except,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -610,6 +688,39 @@ def oracle_sql() -> dict[str, str]:
                        from events where event_type = 'error')
             select l.event_id, r.err_id
             from l asof join r on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "q20_price_band_join": """
+            select b.band, count(*) as n
+            from orders o
+            join (values (0.0, 75000.0, 'low'),
+                         (75000.0, 200000.0, 'mid'),
+                         (200000.0, 1e9, 'high')) as b(lo, hi, band)
+              on o.o_totalprice >= b.lo and o.o_totalprice < b.hi
+            group by b.band
+        """,
+        "q21_sliding_window": """
+            with e as (
+              select cast(epoch_us(ts) as bigint) as t, event_type, value
+              from events
+            ), w as (
+              select ((t // 30000000) - i.i) * 30000000 as ws_us,
+                     event_type, value
+              from e cross join (select unnest(range(3)) as i) i
+              where t - ((t // 30000000) - i.i) * 30000000 < 90000000
+            )
+            select ws_us, event_type, count(*) as n,
+                   cast(round(sum(value) * 100) as bigint) as sum_value_c100
+            from w group by 1, 2
+        """,
+        "q22_intersect": """
+            select c_nationkey as nationkey from customer
+            intersect
+            select s_nationkey from supplier
+        """,
+        "q23_except": """
+            select c_custkey as custkey from customer
+            except
+            select o_custkey from orders where o_totalprice > 250000
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

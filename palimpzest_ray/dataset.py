@@ -102,7 +102,22 @@ class Dataset:
         return self._ds
 
     def to_pandas(self, limit: int | None = None) -> pd.DataFrame:
-        return self._ds.to_pandas(limit=limit) if limit else self._ds.to_pandas()
+        if limit:
+            return self._ds.to_pandas(limit=limit)
+        # via Arrow so a 0-row result keeps its columns (ray's
+        # to_pandas returns a columnless frame for empty datasets)
+        t = self.to_arrow()
+        df = t.to_pandas()
+        for i, f in enumerate(t.schema):
+            # arrow→pandas turns list cells into numpy arrays; keep the
+            # python lists ray's own to_pandas produced
+            if (
+                pa.types.is_list(f.type)
+                or pa.types.is_large_list(f.type)
+                or pa.types.is_fixed_size_list(f.type)
+            ):
+                df[f.name] = t.column(i).to_pylist()
+        return df
 
     def to_arrow(self) -> pa.Table:
         tables = [
@@ -444,6 +459,77 @@ class Dataset:
     def anti_join(self, other: "Dataset", on: str | list[str]) -> "Dataset":
         """Keep rows whose key does NOT appear in ``other``."""
         return self._semi_anti(other, on, anti=True)
+
+    def intersect(self, other: "Dataset") -> "Dataset":
+        """SQL ``INTERSECT``: distinct rows of ``self`` present in
+        ``other`` (set semantics over all columns). Built from the
+        engine's own primitives — distinct (hash-partitioned keep-first)
+        + broadcast semi-join on the full column tuple. At scale the
+        broadcast side is ``other``'s distinct projection; if that
+        doesn't fit one node, use ``join(..., strategy="shuffle")`` on
+        the full key instead."""
+        cols = [f.name for f in _arrow_schema(self._ds)]
+        return self.distinct().semi_join(other, on=cols)
+
+    def except_(self, other: "Dataset") -> "Dataset":
+        """SQL ``EXCEPT``: distinct rows of ``self`` absent from
+        ``other``. Same construction (and broadcast caveat) as
+        :meth:`intersect`, with the anti-join."""
+        cols = [f.name for f in _arrow_schema(self._ds)]
+        return self.distinct().anti_join(other, on=cols)
+
+    def range_join(
+        self,
+        intervals: pa.Table,
+        value_col: str,
+        lo_col: str,
+        hi_col: str,
+        *,
+        how: str = "inner",
+    ) -> "Dataset":
+        """Interval (range) join: match each row where
+        ``lo <= value < hi``, for a SMALL broadcast ``intervals`` table
+        (absent from both the reference and Ray Data). Overlapping
+        intervals fan rows out (one output row per match); ``how="left"``
+        keeps unmatched rows with null interval columns.
+
+        Broadcast via ``ray.put`` once, vectorized candidate masking per
+        batch (n×m comparisons on numpy views — fine for the band-table
+        use case; a large interval side needs range-bucketing both
+        sides on a shared grid instead)."""
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be inner|left, got {how!r}")
+        ref = ray.put(intervals)
+
+        def _rj(batch: pa.Table) -> pa.Table:
+            iv = ray.get(ref)
+            v = batch[value_col].to_numpy(zero_copy_only=False)
+            lo = iv[lo_col].to_numpy(zero_copy_only=False)
+            hi = iv[hi_col].to_numpy(zero_copy_only=False)
+            m = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+            li, ri = np.nonzero(m)
+            out = batch.take(pa.array(li))
+            right = iv.take(pa.array(ri))
+            for name in right.column_names:
+                out = out.append_column(
+                    name if name not in batch.column_names else f"{name}_right",
+                    right[name],
+                )
+            if how == "left":
+                unmatched = np.flatnonzero(~m.any(axis=1))
+                if len(unmatched):
+                    pad = batch.take(pa.array(unmatched))
+                    for f in iv.schema:
+                        pad = pad.append_column(
+                            f.name
+                            if f.name not in batch.column_names
+                            else f"{f.name}_right",
+                            pa.nulls(len(unmatched), f.type),
+                        )
+                    out = pa.concat_tables([out, pad])
+            return out
+
+        return Dataset(self._ds.map_batches(_rj, batch_format="pyarrow"))
 
     def _semi_anti(self, other: "Dataset", on, anti: bool) -> "Dataset":
         on = [on] if isinstance(on, str) else list(on)

@@ -52,6 +52,57 @@ def tumbling_window(
     return win.groupby(["window_start", *keys]).aggregate(*aggs)
 
 
+def add_sliding_windows(
+    batch: pa.Table,
+    ts_col: str,
+    window_s: int,
+    hop_s: int,
+    out_col: str = "window_start",
+) -> pa.Table:
+    """Vectorized sliding (hopping) window assignment: each event lands
+    in up to ``ceil(window/hop)`` windows, emitted as replicated rows
+    with a ``window_start`` column: every window ``ws`` (a hop multiple)
+    with ``ws <= ts < ws + window``. Any (window, hop) pair works;
+    hop == window degenerates to tumbling.
+
+    Like :func:`add_tumbling_window`, assignment is a pure function of
+    the timestamp, so replay converges and late data lands in its
+    reconstructible buckets. The fan-out factor (≤ window/hop) is the
+    shuffle-volume cost of overlap — keep hop ≥ window/4 at 100 TB.
+    """
+    if window_s <= 0 or hop_s <= 0:
+        raise ValueError("window_s and hop_s must be positive")
+    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    w_us = window_s * 1_000_000
+    h_us = hop_s * 1_000_000
+    k = -(-w_us // h_us)  # max windows per event
+    # newest window containing ts: floor(ts/hop)*hop; walk back k-1 hops
+    newest = (ts // h_us) * h_us
+    ws = newest[:, None] - np.arange(k)[None, :] * h_us  # (n, k)
+    valid = (ts[:, None] - ws) < w_us  # ws <= ts always holds
+    rows = np.repeat(np.arange(len(ts)), valid.sum(axis=1))
+    starts = ws[valid]
+    out = batch.take(pa.array(rows))
+    return out.append_column(out_col, pa.array(starts).cast(pa.timestamp("us")))
+
+
+def sliding_window(
+    ds: rd.Dataset,
+    ts_col: str,
+    window_s: int,
+    hop_s: int,
+    keys: list[str],
+    aggs,
+) -> rd.Dataset:
+    """Sliding-window aggregate: replicate-assign in ``map_batches``,
+    then one shuffle keyed on (window, keys)."""
+    win = ds.map_batches(
+        lambda b: add_sliding_windows(b, ts_col, window_s, hop_s),
+        batch_format="pyarrow",
+    )
+    return win.groupby(["window_start", *keys]).aggregate(*aggs)
+
+
 def session_windows(
     ds: rd.Dataset,
     ts_col: str,

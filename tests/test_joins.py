@@ -76,3 +76,43 @@ def test_multi_key_join():
     b = pzr.from_pandas(pd.DataFrame({"k1": [1, 2, 2], "k2": ["a", "a", "z"], "w": [7, 8, 9]}))
     got = a.join(b, on=["k1", "k2"], how="inner").to_pandas().sort_values("v")
     assert got[["v", "w"]].values.tolist() == [[10, 7], [30, 8]]
+
+
+def test_intersect_except():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    a = pzd.from_arrow(pa.table({"k": pa.array([1, 1, 2, 3], pa.int64())}))
+    b = pzd.from_arrow(pa.table({"k": pa.array([2, 3, 3, 4], pa.int64())}))
+    assert sorted(r["k"] for r in a.intersect(b).take_all()) == [2, 3]
+    assert sorted(r["k"] for r in a.except_(b).take_all()) == [1]
+    # multi-column set semantics
+    c = pzd.from_arrow(pa.table({"k": pa.array([1, 1, 2]), "s": pa.array(["x", "x", "y"])}))
+    d = pzd.from_arrow(pa.table({"k": pa.array([1]), "s": pa.array(["x"])}))
+    assert c.intersect(d).take_all() == [{"k": 1, "s": "x"}]
+    assert c.except_(d).take_all() == [{"k": 2, "s": "y"}]
+
+
+def test_range_join_inner_left_and_overlap():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    rows = pzd.from_arrow(pa.table({"id": pa.array([1, 2, 3]), "v": pa.array([5.0, 15.0, 99.0])}))
+    iv = pa.table(
+        {
+            "lo": pa.array([0.0, 10.0, 12.0]),
+            "hi": pa.array([10.0, 20.0, 30.0]),
+            "band": pa.array(["a", "b", "c"]),
+        }
+    )
+    got = sorted(
+        (r["id"], r["band"]) for r in rows.range_join(iv, "v", "lo", "hi").take_all()
+    )
+    assert got == [(1, "a"), (2, "b"), (2, "c")]  # overlap fans out
+    left = sorted(
+        (r["id"], r["band"])
+        for r in rows.range_join(iv, "v", "lo", "hi", how="left").take_all()
+    )
+    assert left == [(1, "a"), (2, "b"), (2, "c"), (3, None)]

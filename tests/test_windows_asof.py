@@ -119,3 +119,33 @@ def test_asof_join_vs_duckdb():
     """).df().reset_index(drop=True)
     assert got["event_id"].tolist() == exp["event_id"].tolist()
     assert got["err_id"].tolist() == exp["err_id"].tolist()
+
+
+def test_sliding_window_assignment():
+    """Event at t lands in every hop-aligned window [ws, ws+window)."""
+    t = pa.table({"ts": _ts(0, 30, 65, 95), "v": pa.array([1, 2, 3, 4], pa.int64())})
+    out = W.add_sliding_windows(t, "ts", window_s=90, hop_s=30)
+    base = dt.datetime(2024, 1, 1)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["v"], set()).add(int((r["ts"] - r["window_start"]).total_seconds()))
+        assert 0 <= (r["ts"] - r["window_start"]).total_seconds() < 90
+        assert int((r["window_start"] - base).total_seconds()) % 30 == 0
+    # every event belongs to exactly ceil(window/hop)=3 hop-aligned
+    # windows — negative window starts (ws=-30,-60 for t=0) are valid
+    assert got[1] == {0, 30, 60}    # ws = 0, -30, -60
+    assert got[2] == {0, 30, 60}    # ws = 30, 0, -30
+    assert got[3] == {5, 35, 65}    # ws = 60, 30, 0
+    assert got[4] == {5, 35, 65}    # ws = 90, 60, 30
+
+
+def test_sliding_window_agg_counts():
+    from ray.data.aggregate import Count
+
+    t = pa.table({"ts": _ts(0, 30, 65, 95), "k": pa.array(["x"] * 4)})
+    out = W.sliding_window(
+        rd.from_arrow(t), "ts", 90, 30, ["k"], [Count(alias_name="n")]
+    ).take_all()
+    base = dt.datetime(2024, 1, 1)
+    got = {int((r["window_start"] - base).total_seconds()): r["n"] for r in out}
+    assert got == {-60: 1, -30: 2, 0: 3, 30: 3, 60: 2, 90: 1}
