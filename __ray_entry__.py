@@ -502,6 +502,32 @@ def d09_lsh_ann(sf_dir: str):
     )
 
 
+def d10_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct doc_ids (deterministic estimate; rows-only —
+    duckdb's approx_count_distinct uses a different HLL so values can't
+    hash-match; pytest holds the error-bound oracle)."""
+    from palimpzest_ray.stages.sketches import hll_distinct
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    est = hll_distinct(docs.ray, "doc_id", p=12)
+    return pa.table({"approx_distinct": pa.array([int(round(est))], pa.int64())})
+
+
+def d11_approx_quantiles(sf_dir: str):
+    """Fixed-grid histogram quantiles of l_extendedprice (rows-only)."""
+    from palimpzest_ray.stages.sketches import approx_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.5, 0.9, 0.99]
+    vals = approx_quantiles(li.ray, "l_extendedprice", qs, bins=8192)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value_c100": pa.array([int(round(v * 100)) for v in vals], pa.int64()),
+        }
+    )
+
+
 def cdc_replay(sf_dir: str):
     """The north-rule headline: tokenized-sequence lake, two change
     epochs, exactly-once apply, final state (rows-only driver check;
@@ -557,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d07_simhash": d07_simhash,
         "d08_embedding_neardup": d08_embedding_neardup,
         "d09_lsh_ann": d09_lsh_ann,
+        "d10_approx_distinct": d10_approx_distinct,
+        "d11_approx_quantiles": d11_approx_quantiles,
         "cdc_replay": cdc_replay,
     }
 

@@ -1,0 +1,133 @@
+"""Mergeable sketch aggregates — approximate distinct count and
+quantiles at 100 TB scale.
+
+The reference has no sketches or approximate aggregates (SURVEY.md §2.3
+"Aggregations": every agg materializes all records in one process).
+These operators follow the partial-aggregate discipline the engine uses
+everywhere: each ``map_batches`` task reduces its blocks to a tiny
+commutative summary (16 KB HLL registers / a histogram vector), and the
+driver merges per-block summaries — bulk data never converges anywhere.
+
+- :func:`hll_distinct` — HyperLogLog (Flajolet et al., 2007) with the
+  small-range linear-counting correction. Registers merge by elementwise
+  max, so block order, retries, and replays are all free (same algebra
+  argument as the CDC engine's LWW merge). Error ≈ 1.04/sqrt(2^p).
+- :func:`approx_quantiles` — two-pass fixed-grid histogram: pass 1 is a
+  ``min/max`` aggregate (shuffle-free), pass 2 bins every block onto the
+  shared grid; the driver sums histograms and interpolates. Error is
+  bounded by one bin width of the value range.
+
+Determinism: hashing is the engine's ``stable_hash`` (polars xxhash,
+fixed seed), so estimates are bit-identical across runs and cluster
+shapes — unlike e.g. duckdb's ``approx_count_distinct``, which is why
+the driver check is rows-only and pytest holds the error-bound oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from palimpzest_ray.functions.tokens import limit_kernel_threads, stable_hash
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 (no float rounding traps —
+    ``log2`` misplaces the top bit for values near 2^53+)."""
+    n = np.zeros(w.shape, np.int64)
+    w = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(shift))
+        n[big] += shift
+        w[big] >>= np.uint64(shift)
+    return n + (w > 0)
+
+
+def hll_registers_for_batch(
+    values: pa.Array | pa.ChunkedArray, p: int = 12
+) -> np.ndarray:
+    """One batch → its HLL register array (uint8[2^p])."""
+    h = stable_hash(values)  # uint64
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining bits in the top positions
+    # rho = leading zeros within 64 bits + 1; w==0 → 64-p+1 (max)
+    rho = np.where(w > 0, 64 - _bit_length_u64(w) + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Flajolet estimator + small-range linear counting."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_sketch(ds: rd.Dataset, col: str, p: int = 12) -> np.ndarray:
+    """Distributed sketch build: every block reduces to one register row
+    (2^p bytes as ``pa.binary``); the driver folds them with elementwise
+    max. Only ~num_blocks × 2^p bytes ever reach the driver."""
+
+    def _sk(batch: pa.Table) -> pa.Table:
+        limit_kernel_threads()
+        regs = hll_registers_for_batch(batch[col], p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    sk = ds.map_batches(_sk, batch_format="pyarrow")
+    for b in sk.iter_batches(batch_format="pyarrow", batch_size=None):
+        for buf in b["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(buf, dtype=np.uint8), out=merged)
+    return merged
+
+
+def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col); error ≈ 1.04/sqrt(2^p)."""
+    return hll_estimate(hll_sketch(ds, col, p))
+
+
+def approx_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    quantiles: list[float],
+    bins: int = 8192,
+) -> list[float]:
+    """Approximate quantiles via a shared fixed grid: the error bound is
+    one bin width of the (min, max) range. Two linear passes, no
+    shuffle; histogram vectors (``bins`` × int64) merge by addition."""
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if lo == hi:
+        return [lo] * len(quantiles)
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        limit_kernel_threads()
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        counts, _ = np.histogram(v[~np.isnan(v)], bins=edges)
+        return pa.table({"counts": pa.array([counts.astype(np.int64)])})
+
+    total = np.zeros(bins, dtype=np.int64)
+    for b in ds.map_batches(_hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for c in b["counts"].to_pylist():
+            total += np.asarray(c, dtype=np.int64)
+    cum = np.cumsum(total)
+    n = cum[-1]
+    out = []
+    for q in quantiles:
+        target = q * n
+        i = int(np.searchsorted(cum, target, side="left"))
+        out.append(float(edges[min(i + 1, bins)]))  # right edge of the bin
+    return out
