@@ -348,6 +348,18 @@ def q19_asof_join(sf_dir: str):
     return j.project(["event_id", "err_id"])
 
 
+def q24_top_orders_per_customer(sf_dir: str):
+    """Analytic top-n per group: each customer's 3 priciest orders with
+    their rank (row_number), map-side combined before the shuffle."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return orders.top_n_per_group(
+        "o_custkey",
+        3,
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        rank_col="rnk",
+    )
+
+
 PRICE_BANDS = [
     (0.0, 75_000.0, "low"),
     (75_000.0, 200_000.0, "mid"),
@@ -574,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sliding_window": q21_sliding_window,
         "q22_intersect": q22_intersect,
         "q23_except": q23_except,
+        "q24_top_orders_per_customer": q24_top_orders_per_customer,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -749,6 +762,15 @@ def oracle_sql() -> dict[str, str]:
             select c_custkey as custkey from customer
             except
             select o_custkey from orders where o_totalprice > 250000
+        """,
+        "q24_top_orders_per_customer": """
+            select o_custkey, o_orderkey, o_totalprice, rnk from (
+              select o_custkey, o_orderkey, o_totalprice,
+                     row_number() over (partition by o_custkey
+                                        order by o_totalprice desc,
+                                                 o_orderkey asc) as rnk
+              from orders)
+            where rnk <= 3
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

@@ -460,6 +460,35 @@ class Dataset:
         """Keep rows whose key does NOT appear in ``other``."""
         return self._semi_anti(other, on, anti=True)
 
+    def top_n_per_group(
+        self,
+        keys: str | list[str],
+        n: int,
+        order_by: list[tuple[str, str]],
+        rank_col: str | None = None,
+    ) -> "Dataset":
+        """Analytic top-n per group (``row_number() over (partition by
+        keys order by ...) <= n``), absent from both the reference and
+        Ray Data. Two stages: a map-side combiner keeps ≤n rows per key
+        per block BEFORE the shuffle (so a hot key ships n rows per
+        block, not its whole group), then ``groupby(keys).map_groups``
+        finishes and optionally emits the 1-based ``rank_col``.
+        ``order_by`` must be deterministic (include a tiebreaker) for
+        reproducible ranks."""
+        from palimpzest_ray.functions.tokens import top_n_per_key
+
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        order = list(order_by)
+
+        def _combine(batch: pa.Table) -> pa.Table:
+            return top_n_per_key(batch, keys, order, n)
+
+        def _finish(group: pa.Table) -> pa.Table:
+            return top_n_per_key(group, keys, order, n, rank_col=rank_col)
+
+        ds = self._ds.map_batches(_combine, batch_format="pyarrow")
+        return Dataset(ds.groupby(keys).map_groups(_finish, batch_format="pyarrow"))
+
     def intersect(self, other: "Dataset") -> "Dataset":
         """SQL ``INTERSECT``: distinct rows of ``self`` present in
         ``other`` (set semantics over all columns). Built from the

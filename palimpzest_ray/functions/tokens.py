@@ -92,6 +92,44 @@ def first_per_key(
     return t.filter(pa.array(mask))
 
 
+def top_n_per_key(
+    table: pa.Table,
+    keys: list[str],
+    order: list[tuple[str, str]],
+    n: int,
+    rank_col: str | None = None,
+) -> pa.Table:
+    """Keep the first ``n`` rows per key group after sorting by
+    ``keys + order`` — the generalization of :func:`first_per_key`
+    (n=1). Fully vectorized: one sort + one adjacent-inequality scan.
+    ``rank_col`` optionally emits the 1-based row number within the
+    group. Usable both as the map-side combiner (bounds shuffle volume
+    to ≤n rows per key per block) and as the per-group finisher."""
+    if table.num_rows == 0:
+        return table
+    sort_keys = [(k, "ascending") for k in keys] + list(order)
+    idx = pc.sort_indices(table, sort_keys=sort_keys)
+    t = table.take(idx)
+    m = t.num_rows
+    new_run = np.zeros(m, dtype=bool)
+    new_run[0] = True
+    for k in keys:
+        col = t.column(k).combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, m - 1))
+        # null vs null compares null — same run; null vs value differs
+        neq = pc.coalesce(
+            neq, pc.xor(pc.is_null(col.slice(1)), pc.is_null(col.slice(0, m - 1)))
+        )
+        new_run[1:] |= neq.to_numpy(zero_copy_only=False)
+    pos = np.arange(m)
+    rank = pos - np.maximum.accumulate(np.where(new_run, pos, 0))
+    mask = rank < n
+    out = t.filter(pa.array(mask))
+    if rank_col is not None:
+        out = out.append_column(rank_col, pa.array(rank[mask] + 1, pa.int64()))
+    return out
+
+
 def token_length(tokens: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """``n_tok`` derivation: ``pc.list_value_length`` (null-safe)."""
     return pc.list_value_length(tokens).cast(pa.int32())

@@ -123,3 +123,25 @@ def test_groupby_list_set_aggs(people):
     alice = out[out["name"] == "Alice"].iloc[0]
     assert alice["list(age)"] == [25, 25]
     assert alice["set(age)"] == [25]
+
+
+def test_top_n_per_group_with_ranks():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "a", "b", "b"]),
+            "v": pa.array([5, 9, 7, 9, 1, 2], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    out = (
+        pzd.from_arrow(t)
+        .top_n_per_group("k", 2, [("v", "descending"), ("id", "ascending")], rank_col="rnk")
+        .take_all()
+    )
+    got = sorted((r["k"], r["rnk"], r["id"]) for r in out)
+    # ties on v=9 broken by id ascending
+    assert got == [("a", 1, 2), ("a", 2, 4), ("b", 1, 6), ("b", 2, 5)]
