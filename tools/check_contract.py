@@ -27,7 +27,7 @@ def to_df(res) -> pd.DataFrame:
     import palimpzest_ray.dataset as pzd
 
     if isinstance(res, pzd.Dataset):
-        res = res.ray
+        return res.to_pandas()  # keeps columns on 0-row results
     if isinstance(res, rd.Dataset):
         return res.to_pandas()
     if isinstance(res, pa.Table):
