@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the pure vectorized kernels.
+
+The engine's correctness rests on algebraic properties — LWW reduction
+is order-insensitive, partitioning is stable, rank selection matches
+the obvious row-at-a-time oracle — so these are checked over random
+inputs, not just fixtures. No Ray involved: pure Arrow/numpy functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from palimpzest_ray.functions.tokens import (
+    first_per_key,
+    stable_bucket,
+    top_n_per_key,
+)
+
+_keys = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=40)
+
+
+def _table(keys: list[str], seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    n = len(keys)
+    return pa.table(
+        {
+            "k": pa.array(keys),
+            "lsn": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+        }
+    )
+
+
+@given(_keys, st.integers(0, 2**16))
+@settings(max_examples=60, deadline=None)
+def test_first_per_key_is_max_lsn_row(keys, seed):
+    t = _table(keys, seed)
+    got = first_per_key(t, "k", [("lsn", "descending")]).to_pandas()
+    want = (
+        t.to_pandas()
+        .sort_values(["k", "lsn"], ascending=[True, False])
+        .drop_duplicates("k", keep="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("k").reset_index(drop=True), want
+    )
+
+
+@given(_keys, st.integers(0, 2**16), st.integers(0, 2**16))
+@settings(max_examples=40, deadline=None)
+def test_first_per_key_permutation_invariant(keys, seed, perm_seed):
+    """The LWW reduction commutes with any row shuffle — the property
+    that makes block/arrival order free engine-wide."""
+    t = _table(keys, seed)
+    perm = np.random.default_rng(perm_seed).permutation(t.num_rows)
+    shuffled = t.take(pa.array(perm))
+    a = first_per_key(t, "k", [("lsn", "descending")]).sort_by("k")
+    b = first_per_key(shuffled, "k", [("lsn", "descending")]).sort_by("k")
+    assert a.equals(b)
+
+
+@given(_keys, st.integers(0, 2**16), st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_top_n_per_key_matches_pandas_oracle(keys, seed, n):
+    t = _table(keys, seed)
+    got = (
+        top_n_per_key(t, ["k"], [("lsn", "descending")], n, rank_col="rnk")
+        .to_pandas()
+        .sort_values(["k", "rnk"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "lsn"], ascending=[True, False])
+    want = df.groupby("k", sort=True).head(n).reset_index(drop=True)
+    want["rnk"] = want.groupby("k").cumcount() + 1
+    pd.testing.assert_frame_equal(got, want)
+
+
+@given(_keys, st.integers(0, 2**16), st.integers(1, 5))
+@settings(max_examples=40, deadline=None)
+def test_top_n_combiner_then_finish_equals_one_shot(keys, seed, n):
+    """Running the ≤n-per-key combiner on arbitrary splits, then
+    finishing on the concatenation, equals one global pass — the
+    algebra behind Dataset.top_n_per_group's two stages."""
+    t = _table(keys, seed)
+    cut = t.num_rows // 2
+    parts = [t.slice(0, cut), t.slice(cut)]
+    order = [("lsn", "descending")]
+    combined = pa.concat_tables(
+        [top_n_per_key(p, ["k"], order, n) for p in parts if p.num_rows]
+    )
+    two_stage = top_n_per_key(combined, ["k"], order, n).sort_by("k")
+    one_shot = top_n_per_key(t, ["k"], order, n).sort_by("k")
+    assert two_stage.equals(one_shot)
+
+
+@given(st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_stable_bucket_deterministic_and_in_range(ids):
+    arr = pa.array(ids)
+    b1 = stable_bucket(arr, 32)
+    b2 = stable_bucket(arr, 32)
+    assert np.array_equal(b1, b2)
+    assert ((b1 >= 0) & (b1 < 32)).all()
+    # equal keys always co-locate
+    df = pd.DataFrame({"k": ids, "b": b1})
+    assert (df.groupby("k")["b"].nunique() == 1).all()
