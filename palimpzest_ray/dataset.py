@@ -451,13 +451,44 @@ class Dataset:
 
         return Dataset(both.groupby(by).map_groups(_asof, batch_format="pyarrow"))
 
-    def semi_join(self, other: "Dataset", on: str | list[str]) -> "Dataset":
-        """Keep rows whose key appears in ``other`` — broadcast key set +
-        vectorized ``is_in`` filter (no shuffle)."""
+    def semi_join(
+        self, other: "Dataset", on: str | list[str], *, strategy: str = "broadcast"
+    ) -> "Dataset":
+        """Keep rows whose key appears in ``other``.
+
+        ``strategy="broadcast"`` (default): ship ``other``'s key set via
+        ``ray.put`` once, vectorized ``is_in`` per batch — no shuffle;
+        right for dimension-sized key sets. ``strategy="shuffle"``: when
+        the key set itself is too big for one node, inner-join against
+        ``other``'s distinct keys through the bucketed cogroup join —
+        two keyed shuffles, nothing materializes on the driver."""
+        on = [on] if isinstance(on, str) else list(on)
+        if strategy == "shuffle":
+            return self.join(
+                other.project(on).distinct(), on=on, how="inner", strategy="shuffle"
+            )
         return self._semi_anti(other, on, anti=False)
 
-    def anti_join(self, other: "Dataset", on: str | list[str]) -> "Dataset":
-        """Keep rows whose key does NOT appear in ``other``."""
+    def anti_join(
+        self, other: "Dataset", on: str | list[str], *, strategy: str = "broadcast"
+    ) -> "Dataset":
+        """Keep rows whose key does NOT appear in ``other``. Strategies
+        as in :meth:`semi_join`; the shuffle path left-joins a marker
+        column onto ``other``'s distinct keys and keeps null-marker rows."""
+        on = [on] if isinstance(on, str) else list(on)
+        if strategy == "shuffle":
+            marker = "__semi_m"
+            keys = other.project(on).distinct().with_column(
+                marker, lambda b: pa.array(np.ones(b.num_rows, dtype=np.int8))
+            )
+            joined = self.join(keys, on=on, how="left", strategy="shuffle")
+
+            def _keep_unmatched(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_null(batch[marker])).drop_columns([marker])
+
+            return Dataset(
+                joined._ds.map_batches(_keep_unmatched, batch_format="pyarrow")
+            )
         return self._semi_anti(other, on, anti=True)
 
     def top_n_per_group(
@@ -489,23 +520,22 @@ class Dataset:
         ds = self._ds.map_batches(_combine, batch_format="pyarrow")
         return Dataset(ds.groupby(keys).map_groups(_finish, batch_format="pyarrow"))
 
-    def intersect(self, other: "Dataset") -> "Dataset":
+    def intersect(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``INTERSECT``: distinct rows of ``self`` present in
         ``other`` (set semantics over all columns). Built from the
         engine's own primitives — distinct (hash-partitioned keep-first)
-        + broadcast semi-join on the full column tuple. At scale the
-        broadcast side is ``other``'s distinct projection; if that
-        doesn't fit one node, use ``join(..., strategy="shuffle")`` on
-        the full key instead."""
+        + semi-join on the full column tuple. ``strategy="broadcast"``
+        for an ``other`` whose distinct rows fit one node;
+        ``strategy="shuffle"`` keeps both sides distributed."""
         cols = [f.name for f in _arrow_schema(self._ds)]
-        return self.distinct().semi_join(other, on=cols)
+        return self.distinct().semi_join(other, on=cols, strategy=strategy)
 
-    def except_(self, other: "Dataset") -> "Dataset":
+    def except_(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``EXCEPT``: distinct rows of ``self`` absent from
-        ``other``. Same construction (and broadcast caveat) as
+        ``other``. Same construction (and strategy choice) as
         :meth:`intersect`, with the anti-join."""
         cols = [f.name for f in _arrow_schema(self._ds)]
-        return self.distinct().anti_join(other, on=cols)
+        return self.distinct().anti_join(other, on=cols, strategy=strategy)
 
     def range_join(
         self,

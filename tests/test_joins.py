@@ -116,3 +116,27 @@ def test_range_join_inner_left_and_overlap():
         for r in rows.range_join(iv, "v", "lo", "hi", how="left").take_all()
     )
     assert left == [(1, "a"), (2, "b"), (2, "c"), (3, None)]
+
+
+def test_semi_anti_shuffle_strategy_matches_broadcast():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    left = pzd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()), "v": pa.array(list("abcde"))})
+    )
+    right = pzd.from_arrow(pa.table({"k": pa.array([2, 2, 4, 9], pa.int64())}))
+    for op in ("semi_join", "anti_join"):
+        b = sorted(r["k"] for r in getattr(left, op)(right, on="k").take_all())
+        s = sorted(r["k"] for r in getattr(left, op)(right, on="k", strategy="shuffle").take_all())
+        assert b == s, (op, b, s)
+    assert sorted(r["k"] for r in left.semi_join(right, on="k", strategy="shuffle").take_all()) == [2, 4]
+    # shuffle path preserves left payload columns
+    rows = left.anti_join(right, on="k", strategy="shuffle").take_all()
+    assert sorted((r["k"], r["v"]) for r in rows) == [(1, "a"), (3, "c"), (5, "e")]
+    # set ops ride the same strategies
+    a = pzd.from_arrow(pa.table({"k": pa.array([1, 1, 2, 3], pa.int64())}))
+    c = pzd.from_arrow(pa.table({"k": pa.array([2, 3, 4], pa.int64())}))
+    assert sorted(r["k"] for r in a.intersect(c, strategy="shuffle").take_all()) == [2, 3]
+    assert sorted(r["k"] for r in a.except_(c, strategy="shuffle").take_all()) == [1]
