@@ -5,7 +5,12 @@ from palimpzest_ray.cdc.engine import (
     final_state_table,
     lww_latest,
 )
-from palimpzest_ray.cdc.manifest import LakeManifest, load_latest_manifest
+from palimpzest_ray.cdc.manifest import (
+    LakeManifest,
+    VacuumResult,
+    load_latest_manifest,
+    vacuum,
+)
 from palimpzest_ray.cdc.oracle import sequential_replay
 from palimpzest_ray.cdc.synth import (
     make_base_table,
@@ -22,6 +27,8 @@ __all__ = [
     "ApplyResult",
     "LakeManifest",
     "load_latest_manifest",
+    "vacuum",
+    "VacuumResult",
     "sequential_replay",
     "make_base_table",
     "make_change_table",

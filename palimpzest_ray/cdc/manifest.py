@@ -104,6 +104,79 @@ def load_latest_manifest(lake_root: str) -> LakeManifest | None:
         return LakeManifest.from_json(f.read())
 
 
+@dataclasses.dataclass
+class VacuumResult:
+    versions_dropped: list[int]
+    files_deleted: int
+    bytes_reclaimed: int
+    staging_runs_cleaned: int
+
+
+def vacuum(
+    lake_root: str, keep_versions: int = 2, clean_staging: bool = True
+) -> VacuumResult:
+    """Retention cleanup: drop manifests older than the last
+    ``keep_versions`` and delete data files no retained manifest
+    references. Because untouched partitions carry forward by reference,
+    a file under ``data/v{old}/`` may still back the LATEST version —
+    referenced-set subtraction, never directory age, decides deletion.
+
+    ``clean_staging`` removes staging run dirs that hold no parquet
+    (completed runs leave only ``.done.json`` sidecars after their files
+    were promoted); incomplete runs keep their staging for resume.
+
+    Driver-side metadata operation (file renames/unlinks only — no data
+    pass), safe to run concurrently with readers of retained versions;
+    never runs while an ``apply_changes`` is mid-commit on the same lake.
+    """
+    latest = load_latest_manifest(lake_root)
+    if latest is None:
+        return VacuumResult([], 0, 0, 0)
+    keep = max(1, keep_versions)
+    lo = latest.version - keep + 1  # retain versions [lo, latest]
+    referenced: set[str] = set()
+    for v in range(max(1, lo), latest.version + 1):
+        p = os.path.join(lake_root, f"MANIFEST-v{v}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                m = LakeManifest.from_json(f.read())
+            referenced.update(os.path.normpath(e.file) for e in m.parts.values())
+
+    files_deleted = bytes_reclaimed = 0
+    data_root = os.path.join(lake_root, "data")
+    if os.path.isdir(data_root):
+        for vdir in sorted(os.listdir(data_root)):
+            full_vdir = os.path.join(data_root, vdir)
+            for fn in os.listdir(full_vdir):
+                rel = os.path.normpath(os.path.join("data", vdir, fn))
+                if rel not in referenced:
+                    fp = os.path.join(lake_root, rel)
+                    bytes_reclaimed += os.path.getsize(fp)
+                    os.unlink(fp)
+                    files_deleted += 1
+            if not os.listdir(full_vdir):
+                os.rmdir(full_vdir)
+
+    dropped = []
+    for v in range(1, max(1, lo)):
+        p = os.path.join(lake_root, f"MANIFEST-v{v}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+            dropped.append(v)
+
+    cleaned = 0
+    staging_root = os.path.join(lake_root, ".staging")
+    if clean_staging and os.path.isdir(staging_root):
+        import shutil
+
+        for run in os.listdir(staging_root):
+            rd_dir = os.path.join(staging_root, run)
+            if not any(f.endswith(".parquet") for f in os.listdir(rd_dir)):
+                shutil.rmtree(rd_dir)
+                cleaned += 1
+    return VacuumResult(dropped, files_deleted, bytes_reclaimed, cleaned)
+
+
 def commit_version(
     lake_root: str,
     staging_dir: str,

@@ -124,3 +124,56 @@ def test_lineage_metrics(tmp_path, tmp_lake):
     total_rows = sum(e.rows for e in m.parts.values())
     assert total_rows == final_state_table(tmp_lake).num_rows
     assert res.rows_upserted > 0 and res.rows_deleted >= 0
+
+
+def test_vacuum_retention(tmp_path):
+    """Three applies -> three versions; vacuum(keep=1) drops old
+    manifests and unreferenced files but keeps carried-forward ones;
+    final state unchanged."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc.engine import apply_changes, final_state_table
+    from palimpzest_ray.cdc.manifest import load_latest_manifest, vacuum
+
+    lake = str(tmp_path / "lake")
+
+    def _log(i, rows):
+        p = str(tmp_path / f"log{i}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), p)
+        return p
+
+    apply_changes(_log(1, [
+        {"lsn": 1, "op": "INSERT", "doc_id": "a", "tokens": [1], "n_tok": 1, "source": "w"},
+        {"lsn": 2, "op": "INSERT", "doc_id": "b", "tokens": [2], "n_tok": 1, "source": "w"},
+    ]), lake, num_partitions=4)
+    apply_changes(_log(2, [
+        {"lsn": 3, "op": "UPDATE", "doc_id": "a", "tokens": [9], "n_tok": 1, "source": "w"},
+    ]), lake, num_partitions=4)
+    apply_changes(_log(3, [
+        {"lsn": 4, "op": "INSERT", "doc_id": "c", "tokens": [3], "n_tok": 1, "source": "w"},
+    ]), lake, num_partitions=4)
+
+    before = final_state_table(lake).sort_by("doc_id").to_pylist()
+    m = load_latest_manifest(lake)
+    assert m.version == 3
+    res = vacuum(lake, keep_versions=1)
+    assert res.versions_dropped == [1, 2]
+    assert res.files_deleted >= 1 and res.bytes_reclaimed > 0
+    # old manifests gone, latest intact, referenced old files survive
+    assert not os.path.exists(os.path.join(lake, "MANIFEST-v1.json"))
+    assert load_latest_manifest(lake).version == 3
+    for f in load_latest_manifest(lake).data_files(lake):
+        assert os.path.exists(f), f
+    after = final_state_table(lake).sort_by("doc_id").to_pylist()
+    assert after == before
+    # completed-run staging dirs were cleaned
+    assert res.staging_runs_cleaned >= 3 or not glob.glob(
+        os.path.join(lake, ".staging", "*", "*.parquet")
+    )
+    # idempotent
+    res2 = vacuum(lake, keep_versions=1)
+    assert res2.files_deleted == 0 and res2.versions_dropped == []
