@@ -504,6 +504,12 @@ def _apply_changes_impl(
     os.makedirs(lake_root, exist_ok=True)
     prev = load_latest_manifest(lake_root)
     prev_version = prev.version if prev else 0
+    if prev is not None and prev.num_partitions != num_partitions:
+        # The partition layout is a property of the LAKE, fixed at
+        # creation: bucketing changes with a different P would merge
+        # them against the wrong base partitions and duplicate every
+        # carried-forward key that moved buckets. Adopt the manifest's.
+        num_partitions = prev.num_partitions
 
     events_seen = 0
     if isinstance(changes, (str, list)):

@@ -158,6 +158,7 @@ def write_change_log(
     seed: int = 43,
     chunk_rows: int = 200_000,
     evolve_after: float | None = None,
+    start_lsn: int = 1,
     **kw,
 ) -> None:
     """Write the change log as multiple Parquet files (one per chunk) —
@@ -173,6 +174,6 @@ def write_change_log(
         n = min(chunk_rows, n_events - lo)
         evolved = evolve_after is not None and (i / n_chunks) >= evolve_after
         t = make_change_table(
-            n, n_base, seed=(seed * 1_000_003 + i) % (2**31), start_lsn=lo + 1, evolved=evolved, **kw
+            n, n_base, seed=(seed * 1_000_003 + i) % (2**31), start_lsn=lo + start_lsn, evolved=evolved, **kw
         )
         pq.write_table(t, os.path.join(path, f"changes-{i:05d}.parquet"), row_group_size=32768)

@@ -207,3 +207,25 @@ def test_dataset_input_mixed_schema_epochs(tmp_path, tmp_lake):
             os.path.join(str(tmp_path), "lake2"),
             num_partitions=4,
         )
+
+
+def test_num_partitions_is_a_lake_property(tmp_path, tmp_lake):
+    """A later apply passing a different num_partitions must not
+    re-bucket against the old layout (it would duplicate every updated
+    key that moved buckets) — the manifest's P wins."""
+    rows1 = [
+        {"lsn": i + 1, "op": "INSERT", "doc_id": f"d{i}", "tokens": [i], "n_tok": 1, "source": "w"}
+        for i in range(50)
+    ]
+    p1 = _write(tmp_path, "l1.parquet", pa.Table.from_pylist(rows1))
+    apply_changes(p1, tmp_lake, num_partitions=8)
+    rows2 = [
+        {"lsn": 100 + i, "op": "UPDATE", "doc_id": f"d{i}", "tokens": [99], "n_tok": 1, "source": "w"}
+        for i in range(50)
+    ]
+    p2 = _write(tmp_path, "l2.parquet", pa.Table.from_pylist(rows2))
+    res = apply_changes(p2, tmp_lake, num_partitions=4)  # conflicting P
+    assert res.manifest.num_partitions == 8
+    t = final_state_table(tmp_lake)
+    assert t.num_rows == 50
+    assert all(v == [99] for v in t["tokens"].to_pylist())
