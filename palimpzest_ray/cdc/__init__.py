@@ -4,6 +4,7 @@ from palimpzest_ray.cdc.engine import (
     final_state,
     final_state_table,
     lww_latest,
+    repartition_lake,
 )
 from palimpzest_ray.cdc.manifest import (
     LakeManifest,
@@ -24,6 +25,7 @@ __all__ = [
     "final_state",
     "final_state_table",
     "lww_latest",
+    "repartition_lake",
     "ApplyResult",
     "LakeManifest",
     "load_latest_manifest",

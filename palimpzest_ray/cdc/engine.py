@@ -446,6 +446,7 @@ def apply_changes(
     fail_parts: tuple[int, ...] = (),
     exchange: str = "ray",
     change_schema: pa.Schema | None = None,
+    _rebucket: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
 
@@ -474,6 +475,7 @@ def apply_changes(
             fail_parts=fail_parts,
             exchange=exchange,
             change_schema=change_schema,
+            _rebucket=_rebucket,
         )
 
 
@@ -489,6 +491,7 @@ def _apply_changes_impl(
     fail_parts: tuple[int, ...] = (),
     exchange: str = "ray",
     change_schema: pa.Schema | None = None,
+    _rebucket: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
@@ -504,11 +507,12 @@ def _apply_changes_impl(
     os.makedirs(lake_root, exist_ok=True)
     prev = load_latest_manifest(lake_root)
     prev_version = prev.version if prev else 0
-    if prev is not None and prev.num_partitions != num_partitions:
+    if prev is not None and prev.num_partitions != num_partitions and not _rebucket:
         # The partition layout is a property of the LAKE, fixed at
         # creation: bucketing changes with a different P would merge
         # them against the wrong base partitions and duplicate every
-        # carried-forward key that moved buckets. Adopt the manifest's.
+        # carried-forward key that moved buckets. Adopt the manifest's;
+        # repartition_lake() is the sanctioned way to change it.
         num_partitions = prev.num_partitions
 
     events_seen = 0
@@ -553,7 +557,11 @@ def _apply_changes_impl(
                     d = json.load(fh)
                 done[int(d["part"])] = d
 
-    base_files = {p: e.file for p, e in (prev.parts.items() if prev else {}.items())}
+    base_files = (
+        {}
+        if _rebucket  # the whole state flows through the log; no base merge
+        else {p: e.file for p, e in (prev.parts.items() if prev else {}.items())}
+    )
 
     # batch_size=None => one batch per input block: Ray must NOT coalesce
     # blocks from different schema epochs before normalize unifies them
@@ -684,9 +692,15 @@ def _apply_changes_impl(
             rows_deleted=int(d["rows_deleted"]),
         )
 
-    carried = {
-        p: e for p, e in (prev.parts.items() if prev else {}.items()) if p not in new_parts
-    }
+    carried = (
+        {}
+        if _rebucket  # old-layout partitions must not leak into the new manifest
+        else {
+            p: e
+            for p, e in (prev.parts.items() if prev else {}.items())
+            if p not in new_parts
+        }
+    )
     manifest = commit_version(
         lake_root, staging_dir, new_parts, carried, num_partitions, lake_schema, prev_version
     )
@@ -701,6 +715,53 @@ def _apply_changes_impl(
         partitions_resumed=len(done),
         stats=stats,
         lineage=lineage_rows,
+    )
+
+
+def repartition_lake(
+    lake_root: str,
+    new_num_partitions: int,
+    *,
+    run_id: str | None = None,
+    exchange: str = "ray",
+) -> ApplyResult:
+    """Re-bucket the lake to a new partition count — the sanctioned way
+    to change the layout as data grows (``apply_changes`` pins P to the
+    manifest's). Streams the current state back through the apply
+    machinery as an INSERT log carrying each row's persisted ``_lsn``
+    (so watermarks survive), bucketed under the new P with no base merge;
+    commits as the next version, exactly-once like any apply. Old-layout
+    files become unreferenced and are reclaimed by :func:`vacuum`."""
+    prev = load_latest_manifest(lake_root)
+    if prev is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    user_fields = [f for f in prev.schema if f.name != LSN_COL]
+    change_schema = pa.schema(
+        [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + user_fields
+    )
+
+    def _as_changes(batch: pa.Table) -> pa.Table:
+        lsn = batch[LSN_COL].cast(pa.int64())
+        out = pa.table(
+            {
+                "lsn": lsn,
+                "op": pa.array(["INSERT"] * batch.num_rows),
+                **{f.name: batch[f.name] for f in user_fields},
+            }
+        )
+        return out
+
+    state = final_state(lake_root, user_columns_only=False).map_batches(
+        _as_changes, batch_format="pyarrow"
+    )
+    return apply_changes(
+        state,
+        lake_root,
+        num_partitions=new_num_partitions,
+        run_id=run_id,
+        exchange=exchange,
+        change_schema=change_schema,
+        _rebucket=True,
     )
 
 

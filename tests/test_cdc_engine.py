@@ -229,3 +229,38 @@ def test_num_partitions_is_a_lake_property(tmp_path, tmp_lake):
     t = final_state_table(tmp_lake)
     assert t.num_rows == 50
     assert all(v == [99] for v in t["tokens"].to_pylist())
+
+
+def test_repartition_lake_preserves_state_and_layout(tmp_path, tmp_lake):
+    """Re-bucketing to a new P preserves the exact state (incl. evolved
+    columns and per-row _lsn watermarks), updates the manifest layout,
+    and later applies adopt it."""
+    from palimpzest_ray.cdc import repartition_lake
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    write_change_log(log, 4_000, 600, seed=11, evolve_after=0.5, chunk_rows=1_000)
+    apply_changes(log, tmp_lake, num_partitions=8)
+    before = final_state_table(tmp_lake, user_columns_only=False).sort_by("doc_id")
+
+    res = repartition_lake(tmp_lake, 3)
+    assert res.manifest.num_partitions == 3
+    assert len(res.manifest.parts) <= 3
+    after = final_state_table(tmp_lake, user_columns_only=False).sort_by("doc_id")
+    assert after.equals(before)
+
+    # a later apply adopts the new layout and stays correct
+    log2 = os.path.join(str(tmp_path), "log2")
+    write_change_log(log2, 2_000, 600, seed=12, start_lsn=4_001, chunk_rows=1_000)
+    res2 = apply_changes(log2, tmp_lake, num_partitions=99)
+    assert res2.manifest.num_partitions == 3
+
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    changes = pa.concat_tables(
+        [_pq.read_table(f) for f in sorted(glob.glob(log + "/*.parquet")) + sorted(glob.glob(log2 + "/*.parquet"))],
+        promote_options="permissive",
+    )
+    _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, changes))
