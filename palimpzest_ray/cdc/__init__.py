@@ -5,6 +5,7 @@ from palimpzest_ray.cdc.engine import (
     final_state_table,
     lww_latest,
     repartition_lake,
+    tail_once,
 )
 from palimpzest_ray.cdc.manifest import (
     LakeManifest,
@@ -26,6 +27,7 @@ __all__ = [
     "final_state_table",
     "lww_latest",
     "repartition_lake",
+    "tail_once",
     "ApplyResult",
     "LakeManifest",
     "load_latest_manifest",

@@ -446,6 +446,7 @@ def apply_changes(
     fail_parts: tuple[int, ...] = (),
     exchange: str = "ray",
     change_schema: pa.Schema | None = None,
+    since_lsn: int | None = None,
     _rebucket: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
@@ -475,6 +476,7 @@ def apply_changes(
             fail_parts=fail_parts,
             exchange=exchange,
             change_schema=change_schema,
+            since_lsn=since_lsn,
             _rebucket=_rebucket,
         )
 
@@ -491,9 +493,16 @@ def _apply_changes_impl(
     fail_parts: tuple[int, ...] = (),
     exchange: str = "ray",
     change_schema: pa.Schema | None = None,
+    since_lsn: int | None = None,
     _rebucket: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
+
+    ``since_lsn`` drops events with ``lsn <= since_lsn`` at normalize
+    time — the binlog-tail idiom: pass the manifest's ``max_lsn`` to
+    re-scan a log directory incrementally (see :func:`tail_once`).
+    Correct by the replay contract (LWW makes re-application idempotent
+    anyway; the filter just cuts the work).
 
     ``changes`` may be parquet path(s) or a prepared ``ray.data.Dataset``.
     For a Dataset whose blocks mix schema epochs, pass ``change_schema``
@@ -518,6 +527,24 @@ def _apply_changes_impl(
     events_seen = 0
     if isinstance(changes, (str, list)):
         files = _expand_paths(changes)
+        if since_lsn is not None:
+            # footer-stat file pruning: a tail re-scan skips log files
+            # wholly at-or-below the watermark without opening them
+            kept = []
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                lsn_idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                mx = max(
+                    md.row_group(g).column(lsn_idx).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                if mx > since_lsn:
+                    kept.append(f)
+            files = kept
+            if not files:
+                if prev is None:
+                    raise FileNotFoundError("empty log and no committed version")
+                return ApplyResult(prev, 0, 0, 0, 0, 0)
         change_schema = _unified_change_schema(files)
         events_seen = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         # few large blocks, not many small ones: every block is an
@@ -574,6 +601,8 @@ def _apply_changes_impl(
     )
 
     def _norm_skip(batch: pa.Table) -> pa.Table:
+        if since_lsn is not None:
+            batch = batch.filter(pc.greater(batch["lsn"], pa.scalar(since_lsn)))
         batch = normalize_fn(batch)
         if done_set is not None:
             batch = batch.filter(
@@ -716,6 +745,23 @@ def _apply_changes_impl(
         stats=stats,
         lineage=lineage_rows,
     )
+
+
+def tail_once(
+    log_dir: str | list[str],
+    lake_root: str,
+    **apply_kwargs,
+) -> ApplyResult:
+    """One binlog-tail iteration: apply every event past the lake's
+    committed watermark (``manifest.max_lsn``) from ``log_dir`` and
+    commit. Idempotent — a crashed/duplicated tail converges by LWW —
+    and cheap: log files wholly at-or-below the watermark are pruned by
+    parquet footer stats without being read. Call in a loop (or from a
+    scheduler) to follow a growing log directory; each iteration with
+    new events commits one version, iterations with none are no-ops."""
+    prev = load_latest_manifest(lake_root)
+    watermark = prev.max_lsn if prev is not None else None
+    return apply_changes(log_dir, lake_root, since_lsn=watermark, **apply_kwargs)
 
 
 def repartition_lake(

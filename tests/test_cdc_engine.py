@@ -264,3 +264,45 @@ def test_repartition_lake_preserves_state_and_layout(tmp_path, tmp_lake):
         promote_options="permissive",
     )
     _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, changes))
+
+
+def test_tail_once_incremental_ingest(tmp_path, tmp_lake):
+    """Binlog-tail loop: a growing log dir re-scanned with tail_once
+    applies only events past the watermark; already-applied files are
+    footer-pruned; an iteration with nothing new is a version no-op."""
+    from palimpzest_ray.cdc import load_latest_manifest, tail_once
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    write_change_log(log, 3_000, 500, seed=31, chunk_rows=1_500)
+    r1 = tail_once(log, tmp_lake, num_partitions=4)
+    assert r1.events_seen == 3_000
+    v1 = load_latest_manifest(tmp_lake).version
+
+    # log grows: two more chunks past the watermark (write_change_log
+    # names chunks from 0, so stage them aside and move in under new names)
+    side = os.path.join(str(tmp_path), "side")
+    write_change_log(side, 2_000, 500, seed=32, start_lsn=3_001, chunk_rows=1_000)
+    import glob as _g
+    import shutil as _sh
+
+    for f in sorted(_g.glob(os.path.join(side, "*.parquet"))):
+        _sh.move(f, os.path.join(log, "tail-" + os.path.basename(f)))
+    r2 = tail_once(log, tmp_lake, num_partitions=4)
+    assert 0 < r2.events_seen <= 2_000 + 3_000
+    v2 = load_latest_manifest(tmp_lake).version
+    assert v2 == v1 + 1
+
+    # nothing new: no-op, version unchanged
+    r3 = tail_once(log, tmp_lake, num_partitions=4)
+    assert r3.events_seen == 0 and r3.partitions_rewritten == 0
+    assert load_latest_manifest(tmp_lake).version == v2
+
+    # final state equals full sequential replay of the whole dir
+    import glob
+
+    files = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    changes = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="permissive"
+    )
+    _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, changes))
