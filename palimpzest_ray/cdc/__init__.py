@@ -8,6 +8,7 @@ from palimpzest_ray.cdc.engine import (
     tail_once,
 )
 from palimpzest_ray.cdc.manifest import (
+    ConcurrentCommitError,
     LakeManifest,
     VacuumResult,
     load_latest_manifest,
@@ -30,6 +31,7 @@ __all__ = [
     "tail_once",
     "ApplyResult",
     "LakeManifest",
+    "ConcurrentCommitError",
     "load_latest_manifest",
     "vacuum",
     "VacuumResult",

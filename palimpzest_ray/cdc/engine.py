@@ -41,10 +41,12 @@ Design notes for 10^10 events / 100 TB:
   scale. A larger-than-memory partition would flush sorted runs and
   k-way merge them (LSM-style); at sandbox scale one in-memory memtable
   per partition is exact and faster, and the flush path is not needed.
-- Replay contract: a replayed log segment must extend to the log head
-  (tombstones are not persisted after being applied; replay from any
-  checkpoint watermark forward — which includes every later DELETE —
-  converges to the identical final state).
+- Replay contract: applying whole log segments is COMMUTATIVE, not
+  just events within one — tombstones are persisted (payload-null rows
+  with ``_deleted=true``), so a late-arriving older segment can never
+  resurrect a deleted key. Tombstone retention is explicit:
+  ``repartition_lake(drop_tombstones_below=wm)`` compacts them away
+  once no out-of-order segment below ``wm`` can still arrive.
 
 Capability lineage vs the reference: replaces Palimpzest's in-memory
 operator state (``join.py:274-276`` retained inputs, ``distinct.py:12``
@@ -78,7 +80,14 @@ from palimpzest_ray.functions.tokens import (
     stable_bucket,
     token_length,
 )
-from palimpzest_ray.schemas import CHANGE_OPS, LSN_COL, conform, drop_internal, unify
+from palimpzest_ray.schemas import (
+    CHANGE_OPS,
+    LSN_COL,
+    TOMBSTONE_COL,
+    conform,
+    drop_internal,
+    unify,
+)
 
 PART_COL = "__part"
 SRC_COL = "__is_change"
@@ -231,8 +240,11 @@ class MergeApplier:
 
         self.lake_root = lake_root
         self.staging_dir = staging_dir
-        self.target_schema = schema_from_json(target_schema_json)  # user cols + _lsn
-        self.user_schema = pa.schema([f for f in self.target_schema if f.name != LSN_COL])
+        # user cols + _lsn + _deleted
+        self.target_schema = schema_from_json(target_schema_json)
+        self.user_schema = pa.schema(
+            [f for f in self.target_schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
+        )
         self.base_files = base_files
         self.key = key
         self.fail_parts = set(fail_parts)
@@ -245,6 +257,7 @@ class MergeApplier:
             pa.field("file", pa.string()),
             pa.field("max_lsn", pa.int64()),
             pa.field("rows", pa.int64()),
+            pa.field("tombstones", pa.int64()),
             pa.field("rows_upserted", pa.int64()),
             pa.field("rows_deleted", pa.int64()),
             pa.field("merge_ms", pa.int64()),
@@ -328,6 +341,12 @@ class MergeApplier:
         )
 
         merged, upserted, deleted = self._merge(base, changes)
+        tombstones = int(
+            pc.sum(
+                pc.coalesce(merged[TOMBSTONE_COL], pa.scalar(False)).cast(pa.int64())
+            ).as_py()
+            or 0
+        )
         max_lsn = pc.max(changes["lsn"]).as_py() or 0
 
         # staged atomic write: tmp + rename, then .done sidecar
@@ -344,7 +363,8 @@ class MergeApplier:
             "part": int(part),
             "file": fname,
             "max_lsn": int(max_lsn),
-            "rows": merged.num_rows,
+            "rows": merged.num_rows - tombstones,  # live rows
+            "tombstones": tombstones,
             "rows_upserted": int(upserted),
             "rows_deleted": int(deleted),
             "merge_ms": int((_time.monotonic() - _t0) * 1000),
@@ -379,9 +399,17 @@ class MergeApplier:
                 if LSN_COL in base.column_names
                 else pa.nulls(base.num_rows, pa.int64())
             )
+            was_dead = (
+                pc.coalesce(base[TOMBSTONE_COL], pa.scalar(False)).combine_chunks()
+                if TOMBSTONE_COL in base.column_names
+                else pa.array(np.zeros(base.num_rows, dtype=bool))
+            )
             b = conform(base, self.user_schema)
             b = b.append_column("lsn", pc.coalesce(lsn_col, pa.scalar(0, pa.int64())))
-            b = b.append_column("op", pa.array(np.full(base.num_rows, "INSERT")))
+            b = b.append_column(
+                "op",
+                pc.if_else(was_dead, pa.scalar("DELETE"), pa.scalar("INSERT")),
+            )
             b = b.append_column(SRC_COL, pa.array(np.zeros(base.num_rows, dtype=bool)))
             both = pa.concat_tables([ch, b], promote_options="permissive")
         else:
@@ -419,17 +447,26 @@ class MergeApplier:
         n_del_winners = pc.sum(del_and_change.cast(pa.int64())).as_py() or 0
         upserted = n_change_w - n_del_winners
         if base is not None and base.num_rows and n_del_winners:
+            live_base_keys = (
+                base[self.key].combine_chunks().filter(pc.invert(was_dead))
+                if TOMBSTONE_COL in base.column_names
+                else base[self.key].combine_chunks()
+            )
             deleted_keys = keys_sorted.filter(pa.array(first)).filter(del_and_change)
-            in_base = pc.is_in(deleted_keys, value_set=base[self.key].combine_chunks())
+            in_base = pc.is_in(deleted_keys, value_set=live_base_keys)
             deleted = pc.sum(in_base.cast(pa.int64())).as_py() or 0
         else:
             deleted = 0
 
-        alive_idx = winner_idx.filter(pc.invert(is_del))
-        out = both.take(alive_idx)  # the one payload copy, key-sorted
+        # Tombstone winners are PERSISTED (payload-null rows with
+        # _deleted=true), not dropped: a late-arriving older segment
+        # can then never resurrect a deleted key, which makes applying
+        # whole log segments commutative — not just events within one.
+        out = both.take(winner_idx)  # the one payload copy, key-sorted
         out = out.rename_columns(
             [LSN_COL if c == "lsn" else c for c in out.column_names]
         ).drop_columns(["op", SRC_COL])
+        out = out.append_column(TOMBSTONE_COL, is_del)
         out = conform(out, self.target_schema)
         return out, upserted, deleted
 
@@ -563,19 +600,39 @@ def _apply_changes_impl(
     # unified target schema: previous lake schema ∪ incoming change schema
     user_change = pa.schema([f for f in change_schema if f.name not in ("lsn", "op")])
     if prev is not None:
-        prev_user = pa.schema([f for f in prev.schema if f.name != LSN_COL])
+        prev_user = pa.schema(
+            [f for f in prev.schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
+        )
         user_schema = unify(prev_user, user_change)
     else:
         user_schema = user_change
     norm_schema = pa.schema(
         [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + list(user_schema)
     )
-    lake_schema = pa.schema(list(user_schema) + [pa.field(LSN_COL, pa.int64())])
+    lake_schema = pa.schema(
+        list(user_schema)
+        + [pa.field(LSN_COL, pa.int64()), pa.field(TOMBSTONE_COL, pa.bool_())]
+    )
 
     # ---- staging / checkpoint
     run_id = run_id or uuid.uuid4().hex[:12]
     staging_dir = os.path.join(lake_root, ".staging", run_id)
     os.makedirs(staging_dir, exist_ok=True)
+    base_marker = os.path.join(staging_dir, "base_version")
+    if os.path.exists(base_marker):
+        with open(base_marker) as fh:
+            staged_base = int(fh.read().strip())
+        if staged_base != prev_version:
+            # Sidecars were merged against an older base version (the
+            # lake advanced between crash and resume): committing them
+            # would drop the interleaved writer's rows. Discard and
+            # redo this run against the current base.
+            for f in os.listdir(staging_dir):
+                if f != "base_version":
+                    p = os.path.join(staging_dir, f)
+                    shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+    with open(base_marker, "w") as fh:
+        fh.write(str(prev_version))
     done: dict[int, dict] = {}
     if resume:
         for f in os.listdir(staging_dir):
@@ -719,6 +776,7 @@ def _apply_changes_impl(
             rows=int(d["rows"]),
             rows_upserted=int(d["rows_upserted"]),
             rows_deleted=int(d["rows_deleted"]),
+            tombstones=int(d.get("tombstones", 0)),
         )
 
     carried = (
@@ -770,36 +828,54 @@ def repartition_lake(
     *,
     run_id: str | None = None,
     exchange: str = "ray",
+    drop_tombstones_below: int | None = None,
 ) -> ApplyResult:
     """Re-bucket the lake to a new partition count — the sanctioned way
     to change the layout as data grows (``apply_changes`` pins P to the
     manifest's). Streams the current state back through the apply
-    machinery as an INSERT log carrying each row's persisted ``_lsn``
-    (so watermarks survive), bucketed under the new P with no base merge;
-    commits as the next version, exactly-once like any apply. Old-layout
-    files become unreferenced and are reclaimed by :func:`vacuum`."""
+    machinery as a change log carrying each row's persisted ``_lsn``
+    (so watermarks survive) — live rows as INSERTs, persisted tombstones
+    as DELETEs so deleted keys stay dead under the new layout — bucketed
+    under the new P with no base merge; commits as the next version,
+    exactly-once like any apply. Old-layout files become unreferenced
+    and are reclaimed by :func:`vacuum`.
+
+    ``drop_tombstones_below``: also compact away tombstones with
+    ``_lsn`` below the given watermark — safe once no out-of-order log
+    segment below it can still arrive (tombstone retention)."""
     prev = load_latest_manifest(lake_root)
     if prev is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
-    user_fields = [f for f in prev.schema if f.name != LSN_COL]
+    user_fields = [f for f in prev.schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
     change_schema = pa.schema(
         [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + user_fields
     )
 
     def _as_changes(batch: pa.Table) -> pa.Table:
         lsn = batch[LSN_COL].cast(pa.int64())
+        dead = (
+            pc.coalesce(batch[TOMBSTONE_COL], pa.scalar(False))
+            if TOMBSTONE_COL in batch.column_names
+            else pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
         out = pa.table(
             {
                 "lsn": lsn,
-                "op": pa.array(["INSERT"] * batch.num_rows),
+                "op": pc.if_else(dead, pa.scalar("DELETE"), pa.scalar("INSERT")),
                 **{f.name: batch[f.name] for f in user_fields},
             }
         )
+        if drop_tombstones_below is not None:
+            expired = pc.and_(
+                pa.array(dead) if not isinstance(dead, (pa.Array, pa.ChunkedArray)) else dead,
+                pc.less(lsn, pa.scalar(drop_tombstones_below, pa.int64())),
+            )
+            out = out.filter(pc.invert(expired))
         return out
 
-    state = final_state(lake_root, user_columns_only=False).map_batches(
-        _as_changes, batch_format="pyarrow"
-    )
+    state = final_state(
+        lake_root, user_columns_only=False, include_tombstones=True
+    ).map_batches(_as_changes, batch_format="pyarrow")
     return apply_changes(
         state,
         lake_root,
@@ -811,10 +887,17 @@ def repartition_lake(
     )
 
 
-def final_state(lake_root: str, *, user_columns_only: bool = True) -> rd.Dataset:
+def final_state(
+    lake_root: str,
+    *,
+    user_columns_only: bool = True,
+    include_tombstones: bool = False,
+) -> rd.Dataset:
     """Read the lake's current version as a streaming Dataset, unifying
     per-file schemas — carried-forward partitions may predate an
-    evolution epoch, so added columns are null-backfilled at read."""
+    evolution epoch, so added columns are null-backfilled at read.
+    Persisted tombstones are filtered out unless ``include_tombstones``
+    (raw physical rows, for rebucketing/compaction)."""
     manifest = load_latest_manifest(lake_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
@@ -823,6 +906,10 @@ def final_state(lake_root: str, *, user_columns_only: bool = True) -> rd.Dataset
 
     def _conform(batch: pa.Table) -> pa.Table:
         t = conform(batch, schema)
+        if not include_tombstones and TOMBSTONE_COL in t.column_names:
+            t = t.filter(
+                pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False)))
+            )
         return drop_internal(t) if user_columns_only else t
 
     return rd.read_parquet(files).map_batches(_conform, batch_format="pyarrow")
@@ -839,6 +926,8 @@ def final_state_table(lake_root: str, *, user_columns_only: bool = True) -> pa.T
         for f in manifest.data_files(lake_root)
     ]
     t = pa.concat_tables(tables) if tables else manifest.schema.empty_table()
+    if TOMBSTONE_COL in t.column_names:
+        t = t.filter(pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False))))
     if user_columns_only:
         t = drop_internal(t)
     return t.sort_by("doc_id")

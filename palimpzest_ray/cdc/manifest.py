@@ -45,6 +45,7 @@ class PartEntry:
     rows: int
     rows_upserted: int = 0
     rows_deleted: int = 0
+    tombstones: int = 0  # persisted delete markers (excluded from rows)
 
 
 @dataclasses.dataclass
@@ -177,6 +178,12 @@ def vacuum(
     return VacuumResult(dropped, files_deleted, bytes_reclaimed, cleaned)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a version between this run's read of
+    LATEST and its commit. Nothing was written; re-run the apply against
+    the new base (LWW makes re-application idempotent)."""
+
+
 def commit_version(
     lake_root: str,
     staging_dir: str,
@@ -188,19 +195,40 @@ def commit_version(
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
-    their staging filename; carried entries keep their old paths."""
-    version = prev_version + 1
-    data_dir = os.path.join(lake_root, "data", f"v{version}")
-    os.makedirs(data_dir, exist_ok=True)
-    parts: dict[int, PartEntry] = dict(carried)
-    for p, entry in new_parts.items():
-        src = os.path.join(staging_dir, entry.file)
-        rel = os.path.join("data", f"v{version}", f"part-{p:05d}.parquet")
-        os.replace(src, os.path.join(lake_root, rel))
-        parts[p] = dataclasses.replace(entry, file=rel)
-    manifest = LakeManifest(
-        version=version, num_partitions=num_partitions, schema=schema, parts=parts
-    )
-    _atomic_write(os.path.join(lake_root, f"MANIFEST-v{version}.json"), manifest.to_json())
-    _atomic_write(os.path.join(lake_root, "LATEST"), str(version))
+    their staging filename; carried entries keep their old paths.
+
+    The compare-and-swap: commit runs under an exclusive ``flock`` on
+    ``.commit.lock`` and re-reads LATEST inside it — if another writer
+    advanced the lake since this run planned against ``prev_version``,
+    raise :class:`ConcurrentCommitError` BEFORE touching anything (a
+    blind flip would silently drop the other writer's merge, since both
+    runs carried forward partitions from the same base)."""
+    import fcntl
+
+    lock_path = os.path.join(lake_root, ".commit.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+        current = load_latest_manifest(lake_root)
+        current_version = current.version if current else 0
+        if current_version != prev_version:
+            raise ConcurrentCommitError(
+                f"lake advanced to v{current_version} while this run planned "
+                f"against v{prev_version}; re-run the apply against the new base"
+            )
+        version = prev_version + 1
+        data_dir = os.path.join(lake_root, "data", f"v{version}")
+        os.makedirs(data_dir, exist_ok=True)
+        parts: dict[int, PartEntry] = dict(carried)
+        for p, entry in new_parts.items():
+            src = os.path.join(staging_dir, entry.file)
+            rel = os.path.join("data", f"v{version}", f"part-{p:05d}.parquet")
+            os.replace(src, os.path.join(lake_root, rel))
+            parts[p] = dataclasses.replace(entry, file=rel)
+        manifest = LakeManifest(
+            version=version, num_partitions=num_partitions, schema=schema, parts=parts
+        )
+        _atomic_write(
+            os.path.join(lake_root, f"MANIFEST-v{version}.json"), manifest.to_json()
+        )
+        _atomic_write(os.path.join(lake_root, "LATEST"), str(version))
     return manifest

@@ -53,7 +53,8 @@ CHANGE_OPS = ("INSERT", "UPDATE", "DELETE")
 #: row so replaying an old or duplicated log segment is idempotent
 #: (last-writer-wins compares against it).
 LSN_COL = "_lsn"
-INTERNAL_COLS = (LSN_COL,)
+TOMBSTONE_COL = "_deleted"
+INTERNAL_COLS = (LSN_COL, TOMBSTONE_COL)
 
 
 # --- schema evolution ---------------------------------------------------

@@ -306,3 +306,41 @@ def test_tail_once_incremental_ingest(tmp_path, tmp_lake):
         [pq.read_table(f) for f in files], promote_options="permissive"
     )
     _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, changes))
+
+
+def test_persisted_tombstones_make_segments_commutative(tmp_path, tmp_lake):
+    """A deleted key cannot be resurrected by a late-arriving OLDER
+    segment (tombstones persist in lake files); retention compaction
+    via repartition_lake(drop_tombstones_below=...) removes them once
+    out-of-order arrivals below the watermark are impossible."""
+    from palimpzest_ray.cdc import load_latest_manifest, repartition_lake
+    from palimpzest_ray.cdc.engine import final_state
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    new = [
+        {"lsn": 10, "op": "INSERT", "doc_id": "a", "tokens": [1], "n_tok": 1, "source": "w"},
+        {"lsn": 20, "op": "DELETE", "doc_id": "b", "tokens": None, "n_tok": None, "source": None},
+    ]
+    old = [  # lower LSNs, applied AFTER
+        {"lsn": 5, "op": "INSERT", "doc_id": "b", "tokens": [7], "n_tok": 1, "source": "w"},
+        {"lsn": 6, "op": "UPDATE", "doc_id": "a", "tokens": [8], "n_tok": 1, "source": "w"},
+    ]
+    p_new = _write(tmp_path, "new.parquet", pa.Table.from_pylist(new, CHANGELOG_SCHEMA))
+    p_old = _write(tmp_path, "old.parquet", pa.Table.from_pylist(old, CHANGELOG_SCHEMA))
+    apply_changes(p_new, tmp_lake, num_partitions=4)
+    apply_changes(p_old, tmp_lake, num_partitions=4)
+
+    got = final_state_table(tmp_lake)
+    assert got["doc_id"].to_pylist() == ["a"]  # b stays dead, a keeps lsn-10 row
+    assert got["tokens"].to_pylist() == [[1]]
+    m = load_latest_manifest(tmp_lake)
+    assert sum(e.tombstones for e in m.parts.values()) == 1
+
+    # raw read shows the tombstone; compaction below watermark drops it
+    import ray.data as rd  # noqa: F401
+
+    raw = final_state(tmp_lake, user_columns_only=False, include_tombstones=True)
+    assert raw.count() == 2
+    res = repartition_lake(tmp_lake, 4, drop_tombstones_below=21)
+    assert sum(e.tombstones for e in res.manifest.parts.values()) == 0
+    assert final_state_table(tmp_lake)["doc_id"].to_pylist() == ["a"]

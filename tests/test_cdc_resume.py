@@ -177,3 +177,69 @@ def test_vacuum_retention(tmp_path):
     # idempotent
     res2 = vacuum(lake, keep_versions=1)
     assert res2.files_deleted == 0 and res2.versions_dropped == []
+
+
+def test_commit_cas_detects_concurrent_writer(tmp_path):
+    """Two runs planning against the same base version: the second
+    commit raises instead of silently dropping the first's merge."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from palimpzest_ray.cdc.manifest import (
+        ConcurrentCommitError,
+        PartEntry,
+        commit_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    staging = str(tmp_path / "stg")
+    os.makedirs(lake), os.makedirs(staging)
+    schema = pa.schema([pa.field("doc_id", pa.string())])
+
+    import pyarrow.parquet as _pq
+
+    for name in ("a.parquet", "b.parquet"):
+        _pq.write_table(pa.table({"doc_id": pa.array(["x"])}), os.path.join(staging, name))
+    commit_version(lake, staging, {0: PartEntry("a.parquet", 1, 1)}, {}, 4, schema, 0)
+    with _pytest.raises(ConcurrentCommitError, match="advanced to v1"):
+        commit_version(lake, staging, {1: PartEntry("b.parquet", 2, 1)}, {}, 4, schema, 0)
+
+
+def test_stale_sidecars_discarded_when_base_advances(tmp_path):
+    """Crash run A -> apply log B (lake advances) -> resume A with the
+    same run_id: A's sidecars were merged against the old base, so they
+    are discarded and A redoes its work; final state == replay(A ∪ B)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        final_state_table,
+        sequential_replay,
+    )
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    lake = str(tmp_path / "lake")
+    la = str(tmp_path / "a")
+    lb = str(tmp_path / "b")
+    write_change_log(la, 3_000, 500, seed=61, chunk_rows=1_500)
+    write_change_log(lb, 3_000, 500, seed=62, start_lsn=3_001, chunk_rows=1_500)
+
+    with pytest.raises(RuntimeError):
+        apply_changes(la, lake, num_partitions=4, run_id="runA", fail_parts=(1,))
+    apply_changes(lb, lake, num_partitions=4)  # interleaved writer
+    res = apply_changes(la, lake, num_partitions=4, run_id="runA")  # resume A
+    assert res.partitions_resumed == 0  # stale sidecars were NOT reused
+
+    changes = pa.concat_tables(
+        [
+            pq.read_table(f)
+            for f in sorted(glob.glob(la + "/*.parquet")) + sorted(glob.glob(lb + "/*.parquet"))
+        ],
+        promote_options="permissive",
+    )
+    got = final_state_table(lake).sort_by("doc_id")
+    want = sequential_replay(None, changes).sort_by("doc_id")
+    assert got.equals(want.select(got.column_names).cast(got.schema))
