@@ -357,8 +357,8 @@ class Dataset:
         assert how in ("inner", "left", "right", "outer"), how
 
         left_ds, right_ds = self._ds, other._ds
-        left_names = left_ds.schema().names
-        right_names = right_ds.schema().names
+        left_names = _arrow_schema(left_ds).names
+        right_names = _arrow_schema(right_ds).names
         collisions = [c for c in right_names if c in left_names and c not in on]
         if collisions:
             right_ds = _rename(right_ds, {c: c + suffix for c in collisions})
@@ -395,24 +395,36 @@ class Dataset:
         assert how in ("left", "inner"), how
         by = [by] if isinstance(by, str) else list(by)
         left_ds, right_ds = self._ds, other._ds
-        left_names = left_ds.schema().names
-        right_names = right_ds.schema().names
+        # Resolve each side's schema ONCE on the driver. schema() on a
+        # lazy transformed dataset executes a limit-1 run (~0.5-1s);
+        # capturing a Dataset in the pad closures re-ran that inference
+        # inside workers per task — it dominated this join's wall time.
+        l_schema = _arrow_schema(left_ds)
+        r_schema = _arrow_schema(right_ds)
+        left_names = list(l_schema.names)
+        right_names = list(r_schema.names)
         collisions = [c for c in right_names if c in left_names and c not in by]
         if collisions:
             right_ds = _rename(right_ds, {c: c + suffix for c in collisions})
             right_names = [c + suffix if c in collisions else c for c in right_names]
+            r_schema = pa.schema(
+                [
+                    pa.field(c + suffix if c in collisions else c, f.type)
+                    for c, f in zip(r_schema.names, r_schema)
+                ]
+            )
         r_on = on + suffix if on in collisions else on
         l_only = [c for c in left_names if c not in by]
         r_only = [c for c in right_names if c not in by]
 
         lt = left_ds.map_batches(
-            lambda b: _pad_columns(b, r_only, right_ds).append_column(
+            lambda b: _pad_columns(b, r_only, r_schema).append_column(
                 _JOIN_SIDE, pa.array(np.zeros(b.num_rows, dtype=np.int8))
             ).replace_schema_metadata(None),
             batch_format="pyarrow",
         )
         rt = right_ds.map_batches(
-            lambda b: _pad_columns(b, l_only, left_ds).append_column(
+            lambda b: _pad_columns(b, l_only, l_schema).append_column(
                 _JOIN_SIDE, pa.array(np.ones(b.num_rows, dtype=np.int8))
             ).replace_schema_metadata(None),
             batch_format="pyarrow",
@@ -706,10 +718,11 @@ def _shuffle_join(
 ) -> rd.Dataset:
     """Bucketed cogroup hash join: hash-partition both sides on the key,
     pandas-merge each bucket inside ``map_groups`` (SURVEY.md §7.4)."""
-    lnames = [c for c in left.schema().names]
-    rnames = [c for c in right.schema().names]
-    l_only = [c for c in lnames if c not in on]
-    r_only = [c for c in rnames if c not in on]
+    # resolve schemas ONCE (each schema() on a lazy dataset costs a
+    # limit-1 execution; see _pad_columns docstring)
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    l_only = [c for c in lschema.names if c not in on]
+    r_only = [c for c in rschema.names if c not in on]
 
     def _tag(side: int):
         def _t(batch: pa.Table) -> pa.Table:
@@ -730,12 +743,11 @@ def _shuffle_join(
     lt = left.map_batches(_tag(0), batch_format="pyarrow")
     rt = right.map_batches(_tag(1), batch_format="pyarrow")
     # align schemas for union: add each side's missing columns as nulls
-    lt = lt.map_batches(lambda b: _pad_columns(b, r_only, right), batch_format="pyarrow")
-    rt = rt.map_batches(lambda b: _pad_columns(b, l_only, left), batch_format="pyarrow")
+    lt = lt.map_batches(lambda b: _pad_columns(b, r_only, rschema), batch_format="pyarrow")
+    rt = rt.map_batches(lambda b: _pad_columns(b, l_only, lschema), batch_format="pyarrow")
     both = lt.union(rt)
 
     how_pd = {"outer": "outer", "inner": "inner", "left": "left", "right": "right"}[how]
-    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
     out_schema = pa.schema(
         [lschema.field(c) for c in on + l_only] + [rschema.field(c) for c in r_only]
     )
@@ -754,11 +766,10 @@ def _shuffle_join(
     return both.groupby(_JOIN_BUCKET).map_groups(_cogroup, batch_format="pandas")
 
 
-_schema_cache: dict[int, pa.Schema] = {}
-
-
-def _pad_columns(batch: pa.Table, missing: list[str], src_ds: rd.Dataset) -> pa.Table:
-    schema = _arrow_schema(src_ds)
+def _pad_columns(batch: pa.Table, missing: list[str], schema: pa.Schema) -> pa.Table:
+    """Append ``missing`` columns as typed nulls. ``schema`` must be a
+    resolved ``pa.Schema`` — never pass a Dataset here: resolving its
+    schema inside a worker closure re-executes lineage per task."""
     for name in missing:
         field = schema.field(name)
         batch = batch.append_column(field.name, pa.nulls(batch.num_rows, field.type))
