@@ -360,6 +360,20 @@ def q24_top_orders_per_customer(sf_dir: str):
     )
 
 
+def q25_unpivot(sf_dir: str):
+    """Wide→long reshape (melt) of two lineitem measures."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+        var_name="variable",
+        value_name="value",
+    )
+
+
 PRICE_BANDS = [
     (0.0, 75_000.0, "low"),
     (75_000.0, 200_000.0, "mid"),
@@ -587,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_intersect": q22_intersect,
         "q23_except": q23_except,
         "q24_top_orders_per_customer": q24_top_orders_per_customer,
+        "q25_unpivot": q25_unpivot,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -771,6 +786,12 @@ def oracle_sql() -> dict[str, str]:
                                                  o_orderkey asc) as rnk
               from orders)
             where rnk <= 3
+        """,
+        "q25_unpivot": """
+            unpivot (select l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                     from lineitem)
+            on l_quantity, l_extendedprice
+            into name variable value value
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

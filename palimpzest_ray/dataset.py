@@ -503,6 +503,39 @@ class Dataset:
             )
         return self._semi_anti(other, on, anti=True)
 
+    def unpivot(
+        self,
+        id_cols: list[str],
+        value_cols: list[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "Dataset":
+        """Wide→long reshape (melt): one output row per (input row,
+        value column). Pure per-batch transform — replicate the id
+        columns ``len(value_cols)`` times and interleave; no shuffle.
+        Value columns are cast to a common type (unify order)."""
+        if not value_cols:
+            raise ValueError("value_cols must be non-empty")
+
+        def _melt(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            ids = batch.select(id_cols)
+            common = pa.unify_schemas(
+                [pa.schema([pa.field("v", batch[c].type)]) for c in value_cols],
+                promote_options="permissive",
+            ).field("v").type
+            strips = [
+                ids.append_column(
+                    var_name, pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(n, dtype=np.int32)), pa.array([c])
+                    ).cast(pa.string())
+                ).append_column(value_name, batch[c].cast(common))
+                for c in value_cols
+            ]
+            return pa.concat_tables(strips)
+
+        return Dataset(self._ds.map_batches(_melt, batch_format="pyarrow"))
+
     def top_n_per_group(
         self,
         keys: str | list[str],

@@ -145,3 +145,25 @@ def test_top_n_per_group_with_ranks():
     got = sorted((r["k"], r["rnk"], r["id"]) for r in out)
     # ties on v=9 broken by id ascending
     assert got == [("a", 1, 2), ("a", 2, 4), ("b", 1, 6), ("b", 2, 5)]
+
+
+def test_unpivot_melt():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "a": pa.array([10, 20], pa.int64()),
+            "b": pa.array([1.5, None], pa.float64()),
+        }
+    )
+    out = pzd.from_arrow(t).unpivot(["id"], ["a", "b"]).take_all()
+    got = sorted((r["id"], r["variable"], r["value"]) for r in out)
+    assert got == [
+        (1, "a", 10.0),
+        (1, "b", 1.5),
+        (2, "a", 20.0),
+        (2, "b", None),
+    ]

@@ -106,6 +106,9 @@ def test_stable_bucket_deterministic_and_in_range(ids):
     b2 = stable_bucket(arr, 32)
     assert np.array_equal(b1, b2)
     assert ((b1 >= 0) & (b1 < 32)).all()
-    # equal keys always co-locate
-    df = pd.DataFrame({"k": ids, "b": b1})
-    assert (df.groupby("k")["b"].nunique() == 1).all()
+    # equal keys always co-locate (python-dict grouping, not pandas —
+    # pandas folds '' and '\x00' into one groupby key)
+    groups: dict[str, set] = {}
+    for k, b in zip(ids, b1):
+        groups.setdefault(k, set()).add(int(b))
+    assert all(len(v) == 1 for v in groups.values())
