@@ -374,6 +374,17 @@ def q25_unpivot(sf_dir: str):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q26_pivot(sf_dir: str):
+    """Long→wide pivot: per-user event counts, one column per type."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    return ev.pivot(
+        "user_id", "event_type", "value", categories=EVENT_TYPES, agg="count"
+    )
+
+
 PRICE_BANDS = [
     (0.0, 75_000.0, "low"),
     (75_000.0, 200_000.0, "mid"),
@@ -602,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_except": q23_except,
         "q24_top_orders_per_customer": q24_top_orders_per_customer,
         "q25_unpivot": q25_unpivot,
+        "q26_pivot": q26_pivot,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -792,6 +804,15 @@ def oracle_sql() -> dict[str, str]:
                      from lineitem)
             on l_quantity, l_extendedprice
             into name variable value value
+        """,
+        "q26_pivot": """
+            select user_id,
+                   count(case when event_type = 'click' then value end) as value_click,
+                   count(case when event_type = 'error' then value end) as value_error,
+                   count(case when event_type = 'purchase' then value end) as value_purchase,
+                   count(case when event_type = 'signup' then value end) as value_signup,
+                   count(case when event_type = 'view' then value end) as value_view
+            from events group by user_id
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

@@ -536,6 +536,53 @@ class Dataset:
 
         return Dataset(self._ds.map_batches(_melt, batch_format="pyarrow"))
 
+    def pivot(
+        self,
+        index: str | list[str],
+        columns_from: str,
+        values_from: str,
+        categories: list[str],
+        agg: str = "sum",
+    ) -> "Dataset":
+        """Long→wide reshape: one output column per ``categories`` value,
+        aggregated with ``agg`` (sum/count/min/max) per ``index`` group.
+        ``categories`` must be EXPLICIT — discovering them would need a
+        full pass before the plan exists; at 100 TB the category set is
+        metadata the caller already has. Output columns are named
+        ``{values_from}_{category}``.
+
+        Implementation: vectorized masked projection per batch (value
+        where category matches, else null) then ONE ordinary groupby
+        aggregate — the pivot itself adds no shuffle."""
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        index = [index] if isinstance(index, str) else list(index)
+        aggs_cls = {"sum": Sum, "count": Count, "min": Min, "max": Max}
+        if agg not in aggs_cls:
+            raise ValueError(f"agg must be one of {sorted(aggs_cls)}")
+
+        out_cols = {c: f"{values_from}_{c}" for c in categories}
+
+        def _mask(batch: pa.Table) -> pa.Table:
+            cols = {c: batch[c] for c in index}
+            v = batch[values_from]
+            tags = batch[columns_from]
+            for cat, name in out_cols.items():
+                cols[name] = pc.if_else(
+                    pc.equal(tags, pa.scalar(cat)), v, pa.nulls(batch.num_rows, v.type)
+                )
+            return pa.table(cols)
+
+        masked = self._ds.map_batches(_mask, batch_format="pyarrow")
+        cls = aggs_cls[agg]
+        aggs = [
+            cls(name, alias_name=name, ignore_nulls=True)
+            if agg == "count"
+            else cls(name, alias_name=name)
+            for name in out_cols.values()
+        ]
+        return Dataset(masked.groupby(index).aggregate(*aggs))
+
     def top_n_per_group(
         self,
         keys: str | list[str],

@@ -167,3 +167,32 @@ def test_unpivot_melt():
         (2, "a", 20.0),
         (2, "b", None),
     ]
+
+
+def test_pivot_sum_and_count():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    t = pa.table(
+        {
+            "k": pa.array(["u1", "u1", "u1", "u2"]),
+            "tag": pa.array(["a", "b", "a", "b"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    out = {
+        r["k"]: r
+        for r in pzd.from_arrow(t)
+        .pivot("k", "tag", "v", categories=["a", "b"], agg="sum")
+        .take_all()
+    }
+    assert out["u1"]["v_a"] == 4.0 and out["u1"]["v_b"] == 2.0
+    assert out["u2"]["v_a"] is None and out["u2"]["v_b"] == 4.0
+    cnt = {
+        r["k"]: r
+        for r in pzd.from_arrow(t)
+        .pivot("k", "tag", "v", categories=["a", "b"], agg="count")
+        .take_all()
+    }
+    assert cnt["u1"]["v_a"] == 2 and cnt["u2"]["v_a"] == 0
