@@ -565,6 +565,19 @@ def d11_approx_quantiles(sf_dir: str):
     )
 
 
+def d12_stratified_sample(sf_dir: str):
+    """Hash-deterministic stratified sampling by source (rows-only:
+    membership is a pure function of (doc_id, seed) via polars xxhash,
+    which SQL can't reproduce; pytest holds determinism + rate oracles)."""
+    from palimpzest_ray.stages.sampling import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = stratified_sample(
+        docs.ray, "source", {"web": 0.25, "code": 1.0}, key="doc_id", default=0.5
+    )
+    return pzd.Dataset(out).project(["doc_id"])
+
+
 def cdc_replay(sf_dir: str):
     """The north-rule headline: tokenized-sequence lake, two change
     epochs, exactly-once apply, final state (rows-only driver check;
@@ -625,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d09_lsh_ann": d09_lsh_ann,
         "d10_approx_distinct": d10_approx_distinct,
         "d11_approx_quantiles": d11_approx_quantiles,
+        "d12_stratified_sample": d12_stratified_sample,
         "cdc_replay": cdc_replay,
     }
 
