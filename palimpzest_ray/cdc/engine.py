@@ -235,6 +235,7 @@ class MergeApplier:
         key: str = "doc_id",
         fail_parts: tuple[int, ...] = (),
         spill_dir: str | None = None,
+        streaming_threshold_rows: int = 4_000_000,
     ):
         from palimpzest_ray.schemas import schema_from_json
 
@@ -249,6 +250,9 @@ class MergeApplier:
         self.key = key
         self.fail_parts = set(fail_parts)
         self.spill_dir = spill_dir  # fs-exchange mode: batches carry part IDS
+        # base partitions above this row count merge via the streaming
+        # path (bounded memory) instead of one in-memory pass
+        self.streaming_threshold_rows = streaming_threshold_rows
 
     #: lineage row schema (explicit — ``error`` is usually all-null)
     LINEAGE_SCHEMA = pa.schema(
@@ -334,18 +338,8 @@ class MergeApplier:
         )
 
         base_path = self.base_files.get(part)
-        base = (
-            pq.read_table(os.path.join(self.lake_root, base_path))
-            if base_path is not None
-            else None
-        )
-
-        merged, upserted, deleted = self._merge(base, changes)
-        tombstones = int(
-            pc.sum(
-                pc.coalesce(merged[TOMBSTONE_COL], pa.scalar(False)).cast(pa.int64())
-            ).as_py()
-            or 0
+        full_base = (
+            os.path.join(self.lake_root, base_path) if base_path is not None else None
         )
         max_lsn = pc.max(changes["lsn"]).as_py() or 0
 
@@ -353,17 +347,42 @@ class MergeApplier:
         fname = f"part-{part:05d}.parquet"
         out = os.path.join(self.staging_dir, fname)
         tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        # snappy, not zstd: the merge runs single-threaded inside an
-        # actor (Ray pins worker OMP/Arrow threads); zstd encode was a
-        # measurable chunk of the 7s/partition profile
-        pq.write_table(merged, tmp, compression="snappy", row_group_size=64 * 1024)
+        base_rows = (
+            pq.ParquetFile(full_base).metadata.num_rows if full_base else 0
+        )
+        if base_rows > self.streaming_threshold_rows:
+            # larger-than-memory partition: streaming merge-join against
+            # the key-sorted base file (SURVEY.md §7.5 item 3's flush
+            # path) — memory bound = one base batch + this partition's
+            # reduced changes
+            total_rows, tombstones, upserted, deleted = self._merge_streaming(
+                full_base, changes, tmp
+            )
+        else:
+            base = pq.read_table(full_base) if full_base else None
+            merged, upserted, deleted = self._merge(base, changes)
+            tombstones = int(
+                pc.sum(
+                    pc.coalesce(merged[TOMBSTONE_COL], pa.scalar(False)).cast(
+                        pa.int64()
+                    )
+                ).as_py()
+                or 0
+            )
+            total_rows = merged.num_rows
+            # snappy, not zstd: the merge runs single-threaded inside an
+            # actor (Ray pins worker OMP/Arrow threads); zstd encode was
+            # a measurable chunk of the 7s/partition profile
+            pq.write_table(
+                merged, tmp, compression="snappy", row_group_size=64 * 1024
+            )
         os.replace(tmp, out)
 
         lineage = {
             "part": int(part),
             "file": fname,
             "max_lsn": int(max_lsn),
-            "rows": merged.num_rows - tombstones,  # live rows
+            "rows": total_rows - tombstones,  # live rows
             "tombstones": tombstones,
             "rows_upserted": int(upserted),
             "rows_deleted": int(deleted),
@@ -470,6 +489,77 @@ class MergeApplier:
         out = conform(out, self.target_schema)
         return out, upserted, deleted
 
+    def _merge_streaming(
+        self, base_path: str, changes: pa.Table, tmp_path: str
+    ) -> tuple[int, int, int, int]:
+        """Bounded-memory merge for a larger-than-memory base partition.
+
+        The base file is canonically key-sorted (every merge writes it
+        that way), so this is a streaming merge-join: reduce this
+        partition's changes to one LWW winner per key (small — bounded
+        by the log segment, not the lake), then walk the base file batch
+        by batch, merging each batch with the change keys that fall in
+        its key range and appending the result to a ParquetWriter.
+        Leftover change keys beyond the base's maximum flush at the end.
+        Peak memory = one base batch + the reduced changes; output is
+        globally key-sorted because chunk key ranges ascend.
+
+        Returns ``(total_rows, tombstones, upserted, deleted)``.
+        """
+        ch_schema = pa.schema(
+            list(self.user_schema)
+            + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        )
+        ch = conform(changes, ch_schema)
+        ch = first_per_key(ch, self.key, [("lsn", "descending")])
+        # first_per_key leaves rows sorted by key ascending
+        ch_keys = np.array(ch[self.key].to_pylist(), dtype=object)
+
+        total = tombs = ups = dels = 0
+        writer = pq.ParquetWriter(tmp_path, self.target_schema, compression="snappy")
+        try:
+            ci = 0
+            pf = pq.ParquetFile(base_path)
+            for rb in pf.iter_batches(batch_size=128 * 1024):
+                bt = pa.Table.from_batches([rb])
+                bmax = bt[self.key][-1].as_py()
+                j = int(np.searchsorted(ch_keys, bmax, side="right"))
+                chunk = ch.slice(ci, j - ci)
+                ci = j
+                merged, u, d = self._merge(bt, chunk) if chunk.num_rows else (
+                    conform(bt, self.target_schema), 0, 0
+                )
+                writer.write_table(merged)
+                total += merged.num_rows
+                tombs += int(
+                    pc.sum(
+                        pc.coalesce(
+                            merged[TOMBSTONE_COL], pa.scalar(False)
+                        ).cast(pa.int64())
+                    ).as_py()
+                    or 0
+                )
+                ups += u
+                dels += d
+            leftover = ch.slice(ci)
+            if leftover.num_rows:
+                merged, u, d = self._merge(None, leftover)
+                writer.write_table(merged)
+                total += merged.num_rows
+                tombs += int(
+                    pc.sum(
+                        pc.coalesce(
+                            merged[TOMBSTONE_COL], pa.scalar(False)
+                        ).cast(pa.int64())
+                    ).as_py()
+                    or 0
+                )
+                ups += u
+                dels += d
+        finally:
+            writer.close()
+        return total, tombs, ups, dels
+
 
 def apply_changes(
     changes: str | list[str] | rd.Dataset,
@@ -484,6 +574,7 @@ def apply_changes(
     exchange: str = "ray",
     change_schema: pa.Schema | None = None,
     since_lsn: int | None = None,
+    streaming_threshold_rows: int = 4_000_000,
     _rebucket: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
@@ -514,6 +605,7 @@ def apply_changes(
             exchange=exchange,
             change_schema=change_schema,
             since_lsn=since_lsn,
+            streaming_threshold_rows=streaming_threshold_rows,
             _rebucket=_rebucket,
         )
 
@@ -531,6 +623,7 @@ def _apply_changes_impl(
     exchange: str = "ray",
     change_schema: pa.Schema | None = None,
     since_lsn: int | None = None,
+    streaming_threshold_rows: int = 4_000_000,
     _rebucket: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
@@ -689,6 +782,7 @@ def _apply_changes_impl(
             "base_files": base_files,
             "key": key,
             "fail_parts": fail_parts,
+            "streaming_threshold_rows": streaming_threshold_rows,
         },
         "batch_format": "pyarrow",
         "batch_size": None,

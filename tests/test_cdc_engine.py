@@ -344,3 +344,36 @@ def test_persisted_tombstones_make_segments_commutative(tmp_path, tmp_lake):
     res = repartition_lake(tmp_lake, 4, drop_tombstones_below=21)
     assert sum(e.tombstones for e in res.manifest.parts.values()) == 0
     assert final_state_table(tmp_lake)["doc_id"].to_pylist() == ["a"]
+
+
+@pytest.mark.parametrize("exchange", ["ray", "fs"])
+def test_streaming_merge_equals_in_memory(tmp_path, exchange):
+    """Forcing the bounded-memory streaming merge-join (threshold=1 row)
+    yields the same final state as the in-memory merge, including
+    tombstones, schema evolution, and a follow-up apply."""
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log1 = os.path.join(str(tmp_path), "l1")
+    log2 = os.path.join(str(tmp_path), "l2")
+    write_change_log(log1, 4_000, 700, seed=81, evolve_after=0.5, chunk_rows=1_000)
+    write_change_log(log2, 2_000, 700, seed=82, start_lsn=4_001, chunk_rows=1_000)
+
+    lakes = {}
+    for mode, thresh in (("mem", 4_000_000), ("stream", 1)):
+        lake = os.path.join(str(tmp_path), f"lake_{mode}_{exchange}")
+        for log in (log1, log2):
+            apply_changes(
+                log, lake, num_partitions=4,
+                exchange=exchange, streaming_threshold_rows=thresh,
+            )
+        lakes[mode] = final_state_table(lake, user_columns_only=False).sort_by("doc_id")
+    assert lakes["stream"].equals(lakes["mem"])
+
+    import glob
+
+    changes = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(log1 + "/*.parquet")) + sorted(glob.glob(log2 + "/*.parquet"))],
+        promote_options="permissive",
+    )
+    lake = os.path.join(str(tmp_path), f"lake_stream_{exchange}")
+    _assert_tables_equal(final_state_table(lake), sequential_replay(None, changes))
