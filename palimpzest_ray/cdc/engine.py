@@ -36,11 +36,12 @@ Design notes for 10^10 events / 100 TB:
   against the persisted ``_lsn`` column means applying the same events
   twice converges to the same bytes.
 - Memory: a merge holds one partition's latest-change memtable plus its
-  base partition. ``num_partitions`` is the sizing knob — choose P so
-  (change keys + base rows)/P fits a worker heap; thousands at cluster
-  scale. A larger-than-memory partition would flush sorted runs and
-  k-way merge them (LSM-style); at sandbox scale one in-memory memtable
-  per partition is exact and faster, and the flush path is not needed.
+  base partition — until the base outgrows ``streaming_threshold_rows``,
+  when it switches to the bounded-memory streaming merge-join
+  (``MergeApplier._merge_streaming``): peak memory = one base batch +
+  the partition's LWW-reduced changes, regardless of partition size.
+  ``num_partitions`` then only tunes parallelism and file sizes, not a
+  memory ceiling.
 - Replay contract: applying whole log segments is COMMUTATIVE, not
   just events within one — tombstones are persisted (payload-null rows
   with ``_deleted=true``), so a late-arriving older segment can never
