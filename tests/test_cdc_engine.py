@@ -377,3 +377,50 @@ def test_streaming_merge_equals_in_memory(tmp_path, exchange):
     )
     lake = os.path.join(str(tmp_path), f"lake_stream_{exchange}")
     _assert_tables_equal(final_state_table(lake), sequential_replay(None, changes))
+
+
+def test_extreme_hot_key_skew(tmp_path, tmp_lake):
+    """80% of events hitting ONE doc_id (beyond any Zipf draw): the
+    per-block combiner collapses the hot key before the shuffle and the
+    final state still matches the oracle."""
+    import numpy as np
+
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.8, "hot", None)
+    keys = [k if k is not None else f"d{rng.integers(0, 500)}" for k in keys]
+    rows = [
+        {"lsn": i + 1, "op": "UPDATE", "doc_id": k,
+         "tokens": [int(i % 97)], "n_tok": 1, "source": "w"}
+        for i, k in enumerate(keys)
+    ]
+    t = pa.Table.from_pylist(rows, CHANGELOG_SCHEMA)
+    log = _write(tmp_path, "hot.parquet", t)
+    apply_changes(log, tmp_lake, num_partitions=8)
+    _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, t))
+
+
+def test_jsonl_change_source(tmp_path, tmp_lake):
+    """A JSONL binlog tail applies identically to the parquet path."""
+    import json as _json
+
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+    from palimpzest_ray.sources.changelog import read_jsonl_changes
+
+    rows = [
+        {"lsn": 1, "op": "INSERT", "doc_id": "a", "tokens": [1, 2], "n_tok": 2, "source": "web"},
+        {"lsn": 2, "op": "UPDATE", "doc_id": "a", "tokens": [3], "n_tok": 1, "source": "web"},
+        {"lsn": 3, "op": "INSERT", "doc_id": "b", "tokens": [4], "n_tok": 1, "source": "code"},
+        {"lsn": 4, "op": "DELETE", "doc_id": "b", "tokens": None, "n_tok": None, "source": None},
+    ]
+    p = os.path.join(str(tmp_path), "log.jsonl")
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    ds = read_jsonl_changes(p)
+    apply_changes(ds, tmp_lake, num_partitions=2, change_schema=CHANGELOG_SCHEMA)
+    got = final_state_table(tmp_lake)
+    assert got["doc_id"].to_pylist() == ["a"]
+    assert got["tokens"].to_pylist() == [[3]]
