@@ -207,8 +207,17 @@ def infer_schema_from_file(path: str) -> pa.Schema:
         import pyarrow.csv as pacsv
 
         return pacsv.read_csv(path).schema
-    if ext in (".json", ".jsonl"):
+    if ext in (".json", ".jsonl", ".jsonld"):
+        # jsonld is JSON with @context annotations — same inference
+        # (reference handles it likewise, schema_builder.py:22-60)
         import pyarrow.json as pajson
 
         return pajson.read_json(path).schema
+    if ext in (".yml", ".yaml"):
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        rows = data if isinstance(data, list) else [data]
+        return pa.Table.from_pylist(rows).schema
     raise ValueError(f"cannot infer schema from {ext!r} file")

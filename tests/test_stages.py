@@ -230,3 +230,20 @@ def test_audio_duration():
     ds = rd.from_arrow(multimodal.table_from_blobs(["a.wav"], blobs, "audio/wav"))
     rows = multimodal.audio_features(ds, concurrency=1).take_all()
     assert rows[0]["duration_s"] == pytest.approx(2.0)
+
+
+def test_infer_schema_yaml_and_jsonld(tmp_path):
+    import pyarrow as pa
+
+    from palimpzest_ray.sources.files import infer_schema_from_file
+
+    y = tmp_path / "s.yml"
+    y.write_text("- name: a\n  score: 1.5\n- name: b\n  score: 2.0\n")
+    sch = infer_schema_from_file(str(y))
+    assert sch.field("name").type == pa.string()
+    assert sch.field("score").type == pa.float64()
+
+    j = tmp_path / "s.jsonld"
+    j.write_text('{"@context": "http://schema.org", "name": "x", "n": 3}\n')
+    sch2 = infer_schema_from_file(str(j))
+    assert "name" in sch2.names and "n" in sch2.names
