@@ -1,0 +1,149 @@
+"""Command-line entry point for the CDC lake engine.
+
+The ergonomic analogue of the reference's demo/CLI path
+(``demos/simple-demo.py:1-80`` → argparse → dataset → run): one command
+per lake operation, each printing a single JSON line so shells and
+schedulers can consume results. Owns its Ray session (guarded init —
+the library itself never calls ``ray.init``).
+
+Usage::
+
+    python -m palimpzest_ray.cli apply  CHANGES LAKE [--num-partitions P]
+    python -m palimpzest_ray.cli tail   LOG_DIR LAKE
+    python -m palimpzest_ray.cli state  LAKE
+    python -m palimpzest_ray.cli vacuum LAKE [--keep N]
+    python -m palimpzest_ray.cli repartition LAKE NEW_P
+                                 [--drop-tombstones-below LSN]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    from palimpzest_ray import quiet
+
+    quiet()
+
+
+def _apply_summary(res) -> dict:
+    return {
+        "version": res.manifest.version,
+        "num_partitions": res.manifest.num_partitions,
+        "max_lsn": res.manifest.max_lsn,
+        "events_seen": res.events_seen,
+        "rows_upserted": res.rows_upserted,
+        "rows_deleted": res.rows_deleted,
+        "partitions_rewritten": res.partitions_rewritten,
+        "partitions_resumed": res.partitions_resumed,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="palimpzest_ray.cli", description=__doc__)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("apply", help="apply a change log to the lake")
+    p.add_argument("changes")
+    p.add_argument("lake")
+    p.add_argument("--num-partitions", type=int, default=32)
+    p.add_argument("--exchange", choices=["ray", "fs"], default="ray")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--since-lsn", type=int, default=None)
+
+    p = sub.add_parser("tail", help="apply everything past the lake watermark")
+    p.add_argument("log_dir")
+    p.add_argument("lake")
+    p.add_argument("--num-partitions", type=int, default=32)
+
+    p = sub.add_parser("state", help="print the committed manifest summary")
+    p.add_argument("lake")
+
+    p = sub.add_parser("vacuum", help="drop old versions and unreferenced files")
+    p.add_argument("lake")
+    p.add_argument("--keep", type=int, default=2)
+
+    p = sub.add_parser("repartition", help="re-bucket the lake to a new P")
+    p.add_argument("lake")
+    p.add_argument("new_num_partitions", type=int)
+    p.add_argument("--drop-tombstones-below", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "state":
+        from palimpzest_ray.cdc import load_latest_manifest
+
+        m = load_latest_manifest(args.lake)
+        if m is None:
+            print(json.dumps({"version": 0, "parts": 0}))
+            return 0
+        print(
+            json.dumps(
+                {
+                    "version": m.version,
+                    "num_partitions": m.num_partitions,
+                    "max_lsn": m.max_lsn,
+                    "parts": len(m.parts),
+                    "rows": sum(e.rows for e in m.parts.values()),
+                    "tombstones": sum(e.tombstones for e in m.parts.values()),
+                    "columns": list(m.schema.names),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "vacuum":
+        from palimpzest_ray.cdc import vacuum
+
+        print(json.dumps(dataclasses.asdict(vacuum(args.lake, keep_versions=args.keep))))
+        return 0
+
+    _ensure_ray(args.num_cpus)
+    if args.cmd == "apply":
+        from palimpzest_ray.cdc import apply_changes
+
+        res = apply_changes(
+            args.changes,
+            args.lake,
+            num_partitions=args.num_partitions,
+            exchange=args.exchange,
+            run_id=args.run_id,
+            since_lsn=args.since_lsn,
+        )
+    elif args.cmd == "tail":
+        from palimpzest_ray.cdc import tail_once
+
+        res = tail_once(args.log_dir, args.lake, num_partitions=args.num_partitions)
+    elif args.cmd == "repartition":
+        from palimpzest_ray.cdc import repartition_lake
+
+        res = repartition_lake(
+            args.lake,
+            args.new_num_partitions,
+            drop_tombstones_below=args.drop_tombstones_below,
+        )
+    else:  # pragma: no cover
+        raise SystemExit(2)
+    print(json.dumps(_apply_summary(res)))
+    return 0
+
+
+if __name__ == "__main__":
+    import ray
+
+    code = main()
+    if ray.is_initialized():
+        ray.shutdown()
+    sys.exit(code)
