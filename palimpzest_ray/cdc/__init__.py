@@ -4,6 +4,7 @@ from palimpzest_ray.cdc.engine import (
     final_state,
     final_state_table,
     lww_latest,
+    net_changes_since,
     repartition_lake,
     tail_once,
 )
@@ -12,6 +13,7 @@ from palimpzest_ray.cdc.manifest import (
     LakeManifest,
     VacuumResult,
     load_latest_manifest,
+    load_manifest,
     vacuum,
 )
 from palimpzest_ray.cdc.oracle import sequential_replay
@@ -28,6 +30,8 @@ __all__ = [
     "final_state_table",
     "lww_latest",
     "repartition_lake",
+    "net_changes_since",
+    "load_manifest",
     "tail_once",
     "ApplyResult",
     "LakeManifest",

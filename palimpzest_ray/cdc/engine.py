@@ -987,13 +987,21 @@ def final_state(
     *,
     user_columns_only: bool = True,
     include_tombstones: bool = False,
+    version: int | None = None,
 ) -> rd.Dataset:
-    """Read the lake's current version as a streaming Dataset, unifying
+    """Read a committed lake version as a streaming Dataset, unifying
     per-file schemas — carried-forward partitions may predate an
     evolution epoch, so added columns are null-backfilled at read.
     Persisted tombstones are filtered out unless ``include_tombstones``
-    (raw physical rows, for rebucketing/compaction)."""
-    manifest = load_latest_manifest(lake_root)
+    (raw physical rows, for rebucketing/compaction). ``version`` time
+    travels to any version :func:`vacuum` has not dropped (default:
+    latest)."""
+    if version is not None:
+        from palimpzest_ray.cdc.manifest import load_manifest
+
+        manifest = load_manifest(lake_root, version)
+    else:
+        manifest = load_latest_manifest(lake_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     files = manifest.data_files(lake_root)
@@ -1008,6 +1016,49 @@ def final_state(
         return drop_internal(t) if user_columns_only else t
 
     return rd.read_parquet(files).map_batches(_conform, batch_format="pyarrow")
+
+
+def net_changes_since(
+    lake_root: str, version: int, *, user_columns_only: bool = True
+) -> rd.Dataset:
+    """Change feed: the NET changes between committed ``version`` and
+    the latest version, as a change-log-shaped Dataset (``lsn``, ``op``
+    ∈ {UPDATE, DELETE} — UPDATE has upsert semantics engine-wide, so the
+    feed is directly re-appliable via ``apply_changes``) — what a
+    downstream consumer replays to catch up. Pure metadata + filter: every lake row
+    carries its writer's ``_lsn``, so "changed since v" is exactly the
+    latest rows with ``_lsn > v.max_lsn`` (tombstones become DELETEs).
+    Intermediate overwritten states are not reconstructed — this is the
+    net diff, the same contract as Delta/Iceberg CDF for compacted
+    history. Applying the feed to a replica of ``version`` converges it
+    to the latest state."""
+    from palimpzest_ray.cdc.manifest import load_manifest
+
+    watermark = load_manifest(lake_root, version).max_lsn
+    raw = final_state(
+        lake_root, user_columns_only=False, include_tombstones=True
+    )
+
+    def _feed(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch[LSN_COL], pa.scalar(watermark, pa.int64()))
+        )
+        dead = pc.coalesce(batch[TOMBSTONE_COL], pa.scalar(False))
+        op = pc.if_else(dead, pa.scalar("DELETE"), pa.scalar("UPDATE"))
+        out = pa.table(
+            {
+                "lsn": batch[LSN_COL].cast(pa.int64()),
+                "op": op,
+                **{
+                    c: batch[c]
+                    for c in batch.column_names
+                    if c not in (LSN_COL, TOMBSTONE_COL)
+                },
+            }
+        )
+        return out
+
+    return raw.map_batches(_feed, batch_format="pyarrow")
 
 
 def final_state_table(lake_root: str, *, user_columns_only: bool = True) -> pa.Table:

@@ -101,7 +101,18 @@ def load_latest_manifest(lake_root: str) -> LakeManifest | None:
         return None
     with open(ptr) as f:
         version = int(f.read().strip())
-    with open(os.path.join(lake_root, f"MANIFEST-v{version}.json")) as f:
+    return load_manifest(lake_root, version)
+
+
+def load_manifest(lake_root: str, version: int) -> LakeManifest:
+    """Load a specific committed version (time travel) — any version
+    :func:`vacuum` has not yet dropped."""
+    path = os.path.join(lake_root, f"MANIFEST-v{version}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"version {version} not found under {lake_root} (vacuumed or never committed)"
+        )
+    with open(path) as f:
         return LakeManifest.from_json(f.read())
 
 
