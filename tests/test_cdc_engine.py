@@ -464,3 +464,19 @@ def test_time_travel_and_net_change_feed(tmp_path, tmp_lake):
     got = final_state_table(replica).sort_by("doc_id")
     want = final_state_table(tmp_lake).sort_by("doc_id")
     assert got.equals(want)
+
+
+def test_fs_and_ray_exchange_equivalent(tmp_path):
+    """The two merge-exchange transports (object-store hash repartition
+    vs filesystem spill) produce identical lake contents, including
+    internal columns."""
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    write_change_log(log, 6_000, 900, seed=17, evolve_after=0.5, chunk_rows=2_000)
+    tables = {}
+    for ex in ("ray", "fs"):
+        lake = os.path.join(str(tmp_path), f"lake_{ex}")
+        apply_changes(log, lake, num_partitions=4, exchange=ex)
+        tables[ex] = final_state_table(lake, user_columns_only=False).sort_by("doc_id")
+    assert tables["ray"].equals(tables["fs"])
