@@ -48,6 +48,76 @@ EVOLVED_FIELDS = [
 
 CHANGE_OPS = ("INSERT", "UPDATE", "DELETE")
 
+# --- built-in schema catalog --------------------------------------------
+# Arrow analogues of the reference's built-in Pydantic schemas
+# (src/palimpzest/core/lib/schemas.py:181-267): the file/media/web
+# shapes its readers emit, declared once so sources and user pipelines
+# share column names and types. Binary payloads are opaque ``binary``
+# columns with typed metadata (the multimodal convention).
+
+FILE_SCHEMA = pa.schema(
+    [pa.field("filename", pa.string()), pa.field("contents", pa.binary())]
+)
+TEXT_FILE_SCHEMA = pa.schema(
+    [pa.field("filename", pa.string()), pa.field("contents", pa.string())]
+)
+URL_SCHEMA = pa.schema([pa.field("url", pa.string())])
+DOWNLOAD_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("content", pa.binary()),
+        pa.field("timestamp", pa.string()),
+    ]
+)
+WEBPAGE_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("html", pa.string()),
+        pa.field("timestamp", pa.string()),
+    ]
+)
+TABLE_SCHEMA = pa.schema(
+    [
+        pa.field("name", pa.string()),
+        pa.field("header", pa.list_(pa.string())),
+        pa.field("rows", pa.list_(pa.list_(pa.string()))),
+        pa.field("filename", pa.string()),
+    ]
+)
+IMAGE_FILE_SCHEMA = pa.schema(
+    [
+        pa.field("filename", pa.string()),
+        pa.field("contents", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+    ]
+)
+AUDIO_FILE_SCHEMA = pa.schema(
+    [
+        pa.field("filename", pa.string()),
+        pa.field("contents", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("duration_s", pa.float32()),
+    ]
+)
+PDF_FILE_SCHEMA = pa.schema(
+    [
+        pa.field("filename", pa.string()),
+        pa.field("contents", pa.binary()),
+        pa.field("text_contents", pa.string()),
+    ]
+)
+XLS_FILE_SCHEMA = pa.schema(
+    [
+        pa.field("filename", pa.string()),
+        pa.field("contents", pa.binary()),
+        pa.field("sheet_names", pa.list_(pa.string())),
+    ]
+)
+
 #: Internal (engine-managed) columns persisted in lake files; stripped
 #: from user-facing reads. ``_lsn`` records the last LSN applied to each
 #: row so replaying an old or duplicated log segment is idempotent

@@ -247,3 +247,19 @@ def test_infer_schema_yaml_and_jsonld(tmp_path):
     j.write_text('{"@context": "http://schema.org", "name": "x", "n": 3}\n')
     sch2 = infer_schema_from_file(str(j))
     assert "name" in sch2.names and "n" in sch2.names
+
+
+def test_builtin_schema_catalog():
+    import pyarrow as pa
+
+    from palimpzest_ray import schemas as S
+
+    for sch in (
+        S.FILE_SCHEMA, S.TEXT_FILE_SCHEMA, S.URL_SCHEMA, S.DOWNLOAD_SCHEMA,
+        S.WEBPAGE_SCHEMA, S.TABLE_SCHEMA, S.IMAGE_FILE_SCHEMA,
+        S.AUDIO_FILE_SCHEMA, S.PDF_FILE_SCHEMA, S.XLS_FILE_SCHEMA,
+    ):
+        assert isinstance(sch, pa.Schema) and len(sch) >= 1
+        assert sch.empty_table().num_rows == 0  # constructible
+    # file readers emit the declared text-file shape
+    assert set(S.TEXT_FILE_SCHEMA.names) == {"filename", "contents"}
