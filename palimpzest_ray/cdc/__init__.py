@@ -6,6 +6,7 @@ from palimpzest_ray.cdc.engine import (
     lww_latest,
     net_changes_since,
     repartition_lake,
+    suggest_num_partitions,
     tail_once,
 )
 from palimpzest_ray.cdc.manifest import (
@@ -33,6 +34,7 @@ __all__ = [
     "net_changes_since",
     "load_manifest",
     "tail_once",
+    "suggest_num_partitions",
     "ApplyResult",
     "LakeManifest",
     "ConcurrentCommitError",

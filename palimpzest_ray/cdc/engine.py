@@ -900,6 +900,21 @@ def _apply_changes_impl(
     )
 
 
+def suggest_num_partitions(
+    lake_root: str, target_mb: int = 512, *, min_partitions: int = 8
+) -> int:
+    """Partition-count advisor for :func:`repartition_lake`: current
+    lake bytes / target file size, from manifest-referenced file sizes
+    only (no data pass). At 100 TB with 512 MB targets this lands at
+    ~200k partitions — the granularity that keeps merges partition-local
+    and worker-heap-sized."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    total = sum(os.path.getsize(f) for f in m.data_files(lake_root))
+    return max(min_partitions, -(-total // (target_mb * 1024 * 1024)))
+
+
 def tail_once(
     log_dir: str | list[str],
     lake_root: str,

@@ -243,3 +243,24 @@ def test_stale_sidecars_discarded_when_base_advances(tmp_path):
     got = final_state_table(lake).sort_by("doc_id")
     want = sequential_replay(None, changes).sort_by("doc_id")
     assert got.equals(want.select(got.column_names).cast(got.schema))
+
+
+def test_suggest_num_partitions(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, suggest_num_partitions
+
+    lake = str(tmp_path / "lake")
+    rows = [
+        {"lsn": i + 1, "op": "INSERT", "doc_id": f"d{i}", "tokens": [i] * 50,
+         "n_tok": 50, "source": "w"}
+        for i in range(2_000)
+    ]
+    p = str(tmp_path / "log.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), p)
+    apply_changes(p, lake, num_partitions=4)
+    # tiny lake → floor wins; a 1-byte target forces the size-based path
+    assert suggest_num_partitions(lake, target_mb=512) == 8
+    big = suggest_num_partitions(lake, target_mb=512, min_partitions=1)
+    assert big == 1
