@@ -888,7 +888,7 @@ def _apply_changes_impl(
     )
     shutil.rmtree(staging_dir, ignore_errors=True)
 
-    return ApplyResult(
+    result = ApplyResult(
         manifest=manifest,
         events_seen=events_seen,
         rows_upserted=sum(e.rows_upserted for e in new_parts.values()),
@@ -898,6 +898,27 @@ def _apply_changes_impl(
         stats=stats,
         lineage=lineage_rows,
     )
+    # Persist the run report (north-rule lineage discipline): summary +
+    # per-partition watermarks/counters/timings, auditable after the
+    # driver is gone. Tiny (≤ num_partitions rows), one file per run.
+    runs_dir = os.path.join(lake_root, ".runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    report = {
+        "run_id": run_id,
+        "version": manifest.version,
+        "events_seen": events_seen,
+        "rows_upserted": result.rows_upserted,
+        "rows_deleted": result.rows_deleted,
+        "partitions_rewritten": result.partitions_rewritten,
+        "partitions_resumed": result.partitions_resumed,
+        "max_lsn": manifest.max_lsn,
+        "lineage": lineage_rows,
+    }
+    tmp_report = os.path.join(runs_dir, f"{run_id}.json.tmp")
+    with open(tmp_report, "w") as f:
+        json.dump(report, f, indent=1)
+    os.replace(tmp_report, os.path.join(runs_dir, f"{run_id}.json"))
+    return result
 
 
 def suggest_num_partitions(

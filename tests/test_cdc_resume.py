@@ -264,3 +264,25 @@ def test_suggest_num_partitions(tmp_path):
     assert suggest_num_partitions(lake, target_mb=512) == 8
     big = suggest_num_partitions(lake, target_mb=512, min_partitions=1)
     assert big == 1
+
+
+def test_run_report_persisted(tmp_path):
+    import glob
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes
+
+    lake = str(tmp_path / "lake")
+    rows = [
+        {"lsn": 1, "op": "INSERT", "doc_id": "a", "tokens": [1], "n_tok": 1, "source": "w"}
+    ]
+    p = str(tmp_path / "log.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), p)
+    apply_changes(p, lake, num_partitions=2, run_id="audit1")
+    with open(os.path.join(lake, ".runs", "audit1.json")) as f:
+        rep = _json.load(f)
+    assert rep["version"] == 1 and rep["events_seen"] == 1
+    assert rep["lineage"] and all("max_lsn" in d for d in rep["lineage"])
