@@ -1054,9 +1054,7 @@ def final_state(
     return rd.read_parquet(files).map_batches(_conform, batch_format="pyarrow")
 
 
-def net_changes_since(
-    lake_root: str, version: int, *, user_columns_only: bool = True
-) -> rd.Dataset:
+def net_changes_since(lake_root: str, version: int) -> rd.Dataset:
     """Change feed: the NET changes between committed ``version`` and
     the latest version, as a change-log-shaped Dataset (``lsn``, ``op``
     ∈ {UPDATE, DELETE} — UPDATE has upsert semantics engine-wide, so the
