@@ -94,6 +94,18 @@ PART_COL = "__part"
 SRC_COL = "__is_change"
 
 
+def _tombstone_count(table: pa.Table) -> int:
+    """Rows marked deleted (null-tolerant; old files lack the column)."""
+    if TOMBSTONE_COL not in table.column_names:
+        return 0
+    return int(
+        pc.sum(
+            pc.coalesce(table[TOMBSTONE_COL], pa.scalar(False)).cast(pa.int64())
+        ).as_py()
+        or 0
+    )
+
+
 def lww_latest(table: pa.Table, key: str = "doc_id", lsn: str = "lsn") -> pa.Table:
     """Last-writer-wins reduction: keep the max-``lsn`` row per key.
 
@@ -362,14 +374,7 @@ class MergeApplier:
         else:
             base = pq.read_table(full_base) if full_base else None
             merged, upserted, deleted = self._merge(base, changes)
-            tombstones = int(
-                pc.sum(
-                    pc.coalesce(merged[TOMBSTONE_COL], pa.scalar(False)).cast(
-                        pa.int64()
-                    )
-                ).as_py()
-                or 0
-            )
+            tombstones = _tombstone_count(merged)
             total_rows = merged.num_rows
             # snappy, not zstd: the merge runs single-threaded inside an
             # actor (Ray pins worker OMP/Arrow threads); zstd encode was
@@ -513,7 +518,10 @@ class MergeApplier:
         )
         ch = conform(changes, ch_schema)
         ch = first_per_key(ch, self.key, [("lsn", "descending")])
-        # first_per_key leaves rows sorted by key ascending
+        # Sort explicitly: first_per_key's all-distinct-keys fast path
+        # returns ARRIVAL order (tokens.py), and searchsorted on an
+        # unsorted key array would slice wrong change chunks.
+        ch = ch.take(pc.sort_indices(ch, sort_keys=[(self.key, "ascending")]))
         ch_keys = np.array(ch[self.key].to_pylist(), dtype=object)
 
         total = tombs = ups = dels = 0
@@ -532,14 +540,7 @@ class MergeApplier:
                 )
                 writer.write_table(merged)
                 total += merged.num_rows
-                tombs += int(
-                    pc.sum(
-                        pc.coalesce(
-                            merged[TOMBSTONE_COL], pa.scalar(False)
-                        ).cast(pa.int64())
-                    ).as_py()
-                    or 0
-                )
+                tombs += _tombstone_count(merged)
                 ups += u
                 dels += d
             leftover = ch.slice(ci)
@@ -547,14 +548,7 @@ class MergeApplier:
                 merged, u, d = self._merge(None, leftover)
                 writer.write_table(merged)
                 total += merged.num_rows
-                tombs += int(
-                    pc.sum(
-                        pc.coalesce(
-                            merged[TOMBSTONE_COL], pa.scalar(False)
-                        ).cast(pa.int64())
-                    ).as_py()
-                    or 0
-                )
+                tombs += _tombstone_count(merged)
                 ups += u
                 dels += d
         finally:
@@ -658,26 +652,35 @@ def _apply_changes_impl(
     events_seen = 0
     if isinstance(changes, (str, list)):
         files = _expand_paths(changes)
+        metas = {f: pq.ParquetFile(f).metadata for f in files}
         if since_lsn is not None:
             # footer-stat file pruning: a tail re-scan skips log files
-            # wholly at-or-below the watermark without opening them
-            kept = []
-            for f in files:
-                md = pq.ParquetFile(f).metadata
+            # wholly at-or-below the watermark without reading them.
+            # Files lacking lsn statistics (0-row rotations, stats
+            # disabled) are KEPT — the per-batch filter still applies,
+            # so conservatism costs a read, never correctness.
+            def _past_watermark(md) -> bool:
+                if md.num_rows == 0:
+                    return False
                 lsn_idx = md.schema.to_arrow_schema().get_field_index("lsn")
-                mx = max(
-                    md.row_group(g).column(lsn_idx).statistics.max
-                    for g in range(md.num_row_groups)
-                )
-                if mx > since_lsn:
-                    kept.append(f)
-            files = kept
+                mx = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(lsn_idx).statistics
+                    if st is None or st.max is None:
+                        return True  # unknown — keep
+                    mx = st.max if mx is None else max(mx, st.max)
+                return mx is not None and mx > since_lsn
+
+            files = [f for f in files if _past_watermark(metas[f])]
             if not files:
                 if prev is None:
                     raise FileNotFoundError("empty log and no committed version")
                 return ApplyResult(prev, 0, 0, 0, 0, 0)
         change_schema = _unified_change_schema(files)
-        events_seen = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        # NB: with since_lsn this counts SCANNED rows of kept files; rows
+        # at-or-below the watermark are filtered later in normalize, so
+        # events_seen is an upper bound on applied events.
+        events_seen = sum(metas[f].num_rows for f in files)
         # few large blocks, not many small ones: every block is an
         # object-store mmap/munmap round trip, which costs TLB
         # shootdowns across ALL cores (brutal inside microVMs); bigger
@@ -822,7 +825,13 @@ def _apply_changes_impl(
         part_dirs = sorted(
             d for d in os.listdir(spill_dir) if d.startswith(f"{PART_COL}=")
         )
-        parts_present = [int(d.split("=")[1]) for d in part_dirs]
+        parts_present = [
+            p
+            for d in part_dirs
+            if (p := int(d.split("=")[1])) not in done
+            # a crashed attempt's spill dirs persist for ALL partitions;
+            # re-merging done ones is idempotent but pure waste
+        ]
         ids = rd.from_arrow(
             pa.table({PART_COL: pa.array(parts_present, pa.int32())})
         ).repartition(max(1, len(parts_present)))
@@ -998,8 +1007,7 @@ def repartition_lake(
         )
         if drop_tombstones_below is not None:
             expired = pc.and_(
-                pa.array(dead) if not isinstance(dead, (pa.Array, pa.ChunkedArray)) else dead,
-                pc.less(lsn, pa.scalar(drop_tombstones_below, pa.int64())),
+                dead, pc.less(lsn, pa.scalar(drop_tombstones_below, pa.int64()))
             )
             out = out.filter(pc.invert(expired))
         return out

@@ -125,7 +125,10 @@ class VacuumResult:
 
 
 def vacuum(
-    lake_root: str, keep_versions: int = 2, clean_staging: bool = True
+    lake_root: str,
+    keep_versions: int = 2,
+    clean_staging: bool = True,
+    staging_grace_s: float = 3600.0,
 ) -> VacuumResult:
     """Retention cleanup: drop manifests older than the last
     ``keep_versions`` and delete data files no retained manifest
@@ -134,8 +137,11 @@ def vacuum(
     referenced-set subtraction, never directory age, decides deletion.
 
     ``clean_staging`` removes staging run dirs that hold no parquet
-    (completed runs leave only ``.done.json`` sidecars after their files
-    were promoted); incomplete runs keep their staging for resume.
+    anywhere (completed runs leave only sidecars after their files were
+    promoted — fs-exchange spill checkpoints under ``exchange/`` count
+    as parquet and are kept) and are older than ``staging_grace_s``
+    (don't delete a just-started live run's staging from under it);
+    incomplete runs keep their staging for resume.
 
     Driver-side metadata operation (file renames/unlinks only — no data
     pass), safe to run concurrently with readers of retained versions;
@@ -180,10 +186,21 @@ def vacuum(
     staging_root = os.path.join(lake_root, ".staging")
     if clean_staging and os.path.isdir(staging_root):
         import shutil
+        import time
 
         for run in os.listdir(staging_root):
             rd_dir = os.path.join(staging_root, run)
-            if not any(f.endswith(".parquet") for f in os.listdir(rd_dir)):
+            # A run dir is only garbage when it holds no parquet
+            # ANYWHERE (fs-exchange spills live under exchange/__part=*/
+            # and are a resume checkpoint) AND it is old enough that a
+            # live apply can't be mid-flight in it.
+            has_parquet = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(rd_dir)
+                for f in fs
+            )
+            age_s = time.time() - os.path.getmtime(rd_dir)
+            if not has_parquet and age_s > staging_grace_s:
                 shutil.rmtree(rd_dir)
                 cleaned += 1
     return VacuumResult(dropped, files_deleted, bytes_reclaimed, cleaned)

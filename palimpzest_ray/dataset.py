@@ -102,7 +102,14 @@ class Dataset:
         return self._ds
 
     def to_pandas(self, limit: int | None = None) -> pd.DataFrame:
-        if limit:
+        if limit is not None:
+            if limit == 0:  # falsy != unlimited: schema-only empty frame
+                base = self._ds.schema()
+                return (
+                    base.base_schema.empty_table().to_pandas()
+                    if base
+                    else pd.DataFrame()
+                )
             return self._ds.to_pandas(limit=limit)
         # via Arrow so a 0-row result keeps its columns (ray's
         # to_pandas returns a columnless frame for empty datasets)
@@ -473,7 +480,13 @@ class Dataset:
         right for dimension-sized key sets. ``strategy="shuffle"``: when
         the key set itself is too big for one node, inner-join against
         ``other``'s distinct keys through the bucketed cogroup join —
-        two keyed shuffles, nothing materializes on the driver."""
+        two keyed shuffles, nothing materializes on the driver.
+
+        Null keys DIFFER between strategies: broadcast follows set-op
+        semantics (null matches null, like SQL INTERSECT/EXCEPT, which
+        ``intersect``/``except_`` rely on); shuffle follows equi-join
+        semantics (null never matches, like SQL ``= ``). Filter null
+        keys first if the distinction matters on the shuffle path."""
         on = [on] if isinstance(on, str) else list(on)
         if strategy == "shuffle":
             return self.join(
@@ -509,11 +522,14 @@ class Dataset:
         value_cols: list[str],
         var_name: str = "variable",
         value_name: str = "value",
+        include_nulls: bool = False,
     ) -> "Dataset":
         """Wide→long reshape (melt): one output row per (input row,
-        value column). Pure per-batch transform — replicate the id
-        columns ``len(value_cols)`` times and interleave; no shuffle.
-        Value columns are cast to a common type (unify order)."""
+        value column). Pure per-batch transform — one strip per value
+        column, concatenated; no shuffle. Value columns are cast to a
+        common type (unify order). Null-valued cells are DROPPED unless
+        ``include_nulls`` — matching SQL ``UNPIVOT``'s default, so the
+        q25 oracle stays exact on nullable columns."""
         if not value_cols:
             raise ValueError("value_cols must be non-empty")
 
@@ -524,14 +540,17 @@ class Dataset:
                 [pa.schema([pa.field("v", batch[c].type)]) for c in value_cols],
                 promote_options="permissive",
             ).field("v").type
-            strips = [
-                ids.append_column(
-                    var_name, pa.DictionaryArray.from_arrays(
+            strips = []
+            for c in value_cols:
+                t = ids.append_column(
+                    var_name,
+                    pa.DictionaryArray.from_arrays(
                         pa.array(np.zeros(n, dtype=np.int32)), pa.array([c])
-                    ).cast(pa.string())
+                    ).cast(pa.string()),
                 ).append_column(value_name, batch[c].cast(common))
-                for c in value_cols
-            ]
+                if not include_nulls:
+                    t = t.filter(pc.is_valid(t[value_name]))
+                strips.append(t)
             return pa.concat_tables(strips)
 
         return Dataset(self._ds.map_batches(_melt, batch_format="pyarrow"))

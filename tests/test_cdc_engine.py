@@ -480,3 +480,46 @@ def test_fs_and_ray_exchange_equivalent(tmp_path):
         apply_changes(log, lake, num_partitions=4, exchange=ex)
         tables[ex] = final_state_table(lake, user_columns_only=False).sort_by("doc_id")
     assert tables["ray"].equals(tables["fs"])
+
+
+def test_streaming_merge_insert_only_distinct_keys(tmp_path):
+    """Regression: an insert-only change segment (every key touched once)
+    takes first_per_key's all-distinct fast path, which returns ARRIVAL
+    order — the streaming merge must sort explicitly before its
+    searchsorted chunking or it silently corrupts the lake."""
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    lake = str(tmp_path / "lake")
+    base_rows = [
+        {"lsn": i + 1, "op": "INSERT", "doc_id": f"base-{i:05d}", "tokens": [i],
+         "n_tok": 1, "source": "w"}
+        for i in range(1_000)
+    ]
+    p1 = _write(tmp_path, "l1.parquet", pa.Table.from_pylist(base_rows, CHANGELOG_SCHEMA))
+    apply_changes(p1, lake, num_partitions=2)
+
+    # new distinct keys, deliberately NOT in sorted order
+    import random
+
+    rng = random.Random(3)
+    new_keys = [f"new-{i:05d}" for i in range(500)]
+    rng.shuffle(new_keys)
+    seg = [
+        {"lsn": 10_000 + i, "op": "INSERT", "doc_id": k, "tokens": [i],
+         "n_tok": 1, "source": "w"}
+        for i, k in enumerate(new_keys)
+    ]
+    p2 = _write(tmp_path, "l2.parquet", pa.Table.from_pylist(seg, CHANGELOG_SCHEMA))
+    apply_changes(p2, lake, num_partitions=2, streaming_threshold_rows=1)
+
+    combined = pa.concat_tables(
+        [pq.read_table(p1), pq.read_table(p2)], promote_options="permissive"
+    )
+    _assert_tables_equal(final_state_table(lake), sequential_replay(None, combined))
+    # key-sorted invariant survives for the NEXT streaming merge
+    from palimpzest_ray.cdc.manifest import load_latest_manifest
+
+    m = load_latest_manifest(lake)
+    for f in m.data_files(lake):
+        keys = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert keys == sorted(keys), f

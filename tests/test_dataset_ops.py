@@ -161,12 +161,16 @@ def test_unpivot_melt():
     )
     out = pzd.from_arrow(t).unpivot(["id"], ["a", "b"]).take_all()
     got = sorted((r["id"], r["variable"], r["value"]) for r in out)
+    # null cells dropped by default (SQL UNPIVOT semantics)
     assert got == [
         (1, "a", 10.0),
         (1, "b", 1.5),
         (2, "a", 20.0),
-        (2, "b", None),
     ]
+    out2 = pzd.from_arrow(t).unpivot(["id"], ["a", "b"], include_nulls=True).take_all()
+    assert sorted(
+        (r["id"], r["variable"], r["value"]) for r in out2
+    ) == got + [(2, "b", None)]
 
 
 def test_pivot_sum_and_count():
