@@ -88,15 +88,36 @@ def _shingle_hashes(
     h: np.ndarray, parents: np.ndarray, shingle: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Rolling word-n-gram hashes (uint64, wraparound mixing) within doc
-    boundaries. Returns (shingle hashes, parent doc per shingle)."""
+    boundaries. Returns (shingle hashes, parent doc per shingle).
+
+    Docs with fewer than ``shingle`` words get ONE synthetic shingle — a
+    position-weighted mix of all their word hashes — so distinct short
+    docs stay distinct. (The previous all-sentinel signature made every
+    short doc band with every other short doc: unrelated 2-word docs
+    est_jaccard'd at 1.0 and were mass-deleted as duplicates.)"""
     n = len(h)
-    if n < shingle:
+    if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    acc = h[: n - shingle + 1] * _P1
-    for j in range(1, shingle):
-        acc = acc ^ (h[j : n - shingle + 1 + j] * (_P2 + np.uint64(j) * _P3))
-    valid = parents[: n - shingle + 1] == parents[shingle - 1 :]
-    return acc[valid], parents[: n - shingle + 1][valid]
+    boundaries = np.flatnonzero(np.diff(parents, prepend=parents[0] - 1))
+    seg_len = np.diff(np.append(boundaries, n))
+    outs_h, outs_p = [], []
+    if n >= shingle:
+        acc = h[: n - shingle + 1] * _P1
+        for j in range(1, shingle):
+            acc = acc ^ (h[j : n - shingle + 1 + j] * (_P2 + np.uint64(j) * _P3))
+        valid = parents[: n - shingle + 1] == parents[shingle - 1 :]
+        outs_h.append(acc[valid])
+        outs_p.append(parents[: n - shingle + 1][valid])
+    short = seg_len < shingle
+    if short.any():
+        pos = (np.arange(n) - np.repeat(boundaries, seg_len)).astype(np.uint64)
+        weighted = h * (_P2 + pos * _P3)
+        mix = np.bitwise_xor.reduceat(weighted, boundaries) * _P1
+        outs_h.append(mix[short])
+        outs_p.append(parents[boundaries][short])
+    # each parent lives wholly in one group, so per-parent contiguity
+    # (what _minhash_signatures' reduceat needs) survives the concat
+    return np.concatenate(outs_h), np.concatenate(outs_p)
 
 
 def _minhash_signatures(
@@ -480,6 +501,8 @@ def embedding_neardup(
 
     def _bucket(batch: pa.Table) -> pa.Table:
         emb = batch[emb_col].combine_chunks()
+        if batch.num_rows == 0:
+            return batch.append_column("__bucket", pa.array([], pa.uint64()))
         dim = len(emb[0])
         V = np.asarray(emb.flatten(), dtype=np.float32).reshape(batch.num_rows, dim)
         if dim not in planes_by_dim:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from palimpzest_ray.functions.tokens import stable_hash
@@ -58,7 +59,7 @@ def read_media_dir(path: str) -> rd.Dataset:
                 "media_id": pa.array([os.path.basename(p) for p in paths]),
                 "content": content,
                 "mime": pa.array(mimes),
-                "n_bytes": pa.array([len(b) for b in content.to_pylist()], pa.int64()),
+                "n_bytes": pc.binary_length(content).cast(pa.int64()),
             }
         )
 

@@ -51,7 +51,10 @@ def mock_generator(fn: Callable[[str], str]) -> Callable[[], GeneratorFn]:
 
 
 def _render(template: str, row: dict) -> str:
-    return template.format(row=json.dumps(row, default=str, sort_keys=True), **row)
+    # a column literally named "row" wins over the whole-row JSON (the
+    # duplicate kwarg used to TypeError every semantic stage)
+    kwargs = {"row": json.dumps(row, default=str, sort_keys=True), **row}
+    return template.format(**kwargs)
 
 
 def _parse_fields(raw: str, fields: list[str]) -> dict:
@@ -81,9 +84,9 @@ class SemanticMap(_SemStage):
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
         outs = self.gen([_render(self.template, r) for r in rows])
+        parsed = [_parse_fields(o, self.fields) for o in outs]  # once per row
         for f in self.fields:
-            vals = [_parse_fields(o, self.fields)[f] for o in outs]
-            batch = batch.append_column(f, pa.array(vals))
+            batch = batch.append_column(f, pa.array([d[f] for d in parsed]))
         return batch
 
 
@@ -213,8 +216,11 @@ def calibrate_similarity_thresholds(
     fits the same two cutoffs from ``num_samples`` labeled pairs).
     Returns thresholds such that every sampled match scores above
     ``min_matching_sim`` and every non-match below
-    ``max_non_matching_sim`` (optionally widened by ``margin``); feed
-    them to :func:`embedding_join`."""
+    ``max_non_matching_sim``; ``margin`` WIDENS the generator-checked
+    band (accept threshold up, reject threshold down — safety margin,
+    not confidence). If the labeled classes overlap so far that the
+    thresholds would cross, both collapse to the midpoint (everything
+    ambiguous goes to the generator). Feed to :func:`embedding_join`."""
     embed = embed_fn or _hash_embedder(64)
     lt = embed([a for a, _, _ in labeled_pairs])
     rt = embed([b for _, b, _ in labeled_pairs])
@@ -224,7 +230,11 @@ def calibrate_similarity_thresholds(
     labels = np.array([m for _, _, m in labeled_pairs], dtype=bool)
     match_min = float(sims[labels].min()) if labels.any() else 1.0
     non_max = float(sims[~labels].max()) if (~labels).any() else -1.0
-    return match_min - margin, non_max + margin
+    accept, reject = match_min + margin, non_max - margin
+    if accept < reject:  # overlapping labels: no free region at all
+        mid = (accept + reject) / 2
+        accept = reject = mid
+    return accept, reject
 
 
 def embedding_join(
@@ -436,15 +446,28 @@ def split_convert(
                     prompts.append(_render(template, sub))
                     owners.append(i)
             outs = self.gen(prompts)
+            by_owner: dict[int, list[str]] = {}
+            for o, w in zip(outs, owners):
+                by_owner.setdefault(w, []).append(o)
+            # ONE batched generator call for every row needing a merge
+            # (per-row calls were 1-prompt round trips, the exact
+            # pattern batching exists to avoid)
+            need_merge = [i for i in range(len(rows)) if len(by_owner.get(i, [])) > 1]
+            merge_outs = (
+                self.gen(
+                    [
+                        merge_template.format(parts=json.dumps(by_owner[i]))
+                        for i in need_merge
+                    ]
+                )
+                if need_merge
+                else []
+            )
+            merged_map = dict(zip(need_merge, merge_outs))
             merged_out: list[dict] = []
-            for i, r in enumerate(rows):
-                mine = [o for o, w in zip(outs, owners) if w == i]
-                if len(mine) == 1:
-                    final = mine[0]
-                else:
-                    final = self.gen(
-                        [merge_template.format(parts=json.dumps(mine))]
-                    )[0]
+            for i in range(len(rows)):
+                mine = by_owner.get(i, [""])
+                final = merged_map[i] if i in merged_map else mine[0]
                 merged_out.append(_parse_fields(final, fields))
             for f in fields:
                 batch = batch.append_column(

@@ -33,6 +33,10 @@ def _normalize(V: np.ndarray) -> np.ndarray:
 
 def _vectors(batch: pa.Table, emb_col: str) -> np.ndarray:
     emb = batch[emb_col].combine_chunks()
+    if batch.num_rows == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    if not emb[0].is_valid:
+        raise ValueError(f"null embedding in column {emb_col!r}")
     dim = len(emb[0])
     return (
         np.asarray(emb.flatten(), dtype=np.float32).reshape(batch.num_rows, dim)
@@ -74,11 +78,18 @@ def knn_search(
     qref = ray.put(Q)
 
     def _local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch[id_col].type),
+                    "score": pa.array([], pa.int64() if int_scores else pa.float64()),
+                }
+            )
         Qm = ray.get(qref)
         V = _normalize(_vectors(batch, emb_col).astype(dtype))
-        S = np.round((Qm @ V.T).astype(np.float64), round_to)
-        if int_scores:
-            S = np.round((Qm @ V.T).astype(np.float64) * 10.0**round_to)
+        M = (Qm @ V.T).astype(np.float64)  # the one O(nq*n*dim) matmul
+        S = np.round(M * 10.0**round_to) if int_scores else np.round(M, round_to)
         ids = batch[id_col].combine_chunks()
         ids_np = ids.to_numpy(zero_copy_only=False)
         nq, n = S.shape

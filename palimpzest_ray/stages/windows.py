@@ -23,19 +23,35 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
+
+
+def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Epoch microseconds as int64 numpy, unit-correct for any timestamp
+    resolution (a [ms]/[s] column cast straight to int64 would be
+    silently treated as microseconds — 1000x-off windows, no error)."""
+    t = col.type
+    if not pa.types.is_timestamp(t):
+        raise TypeError(
+            f"window timestamp column must be a timestamp type, got {t}"
+        )
+    return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
 
 
 def add_tumbling_window(
     batch: pa.Table, ts_col: str, window_s: int, out_col: str = "window_start"
 ) -> pa.Table:
-    """Vectorized window assignment: epoch-truncated timestamp."""
-    ts = batch[ts_col]
-    epoch_us = ts.cast(pa.int64())  # timestamp[us] → microseconds
+    """Vectorized window assignment: floor-of-epoch timestamp. Numpy
+    ``//`` floors (Arrow integer divide truncates toward zero, putting
+    pre-1970 events in the wrong window)."""
+    epoch_us = _epoch_us(batch[ts_col])
     w_us = window_s * 1_000_000
-    start = pc.multiply(pc.floor(pc.divide(epoch_us, w_us)).cast(pa.int64()), w_us)
-    return batch.append_column(out_col, start.cast(pa.timestamp("us")))
+    start = (epoch_us // w_us) * w_us
+    return batch.append_column(
+        out_col, pa.array(start).cast(pa.timestamp("us"))
+    )
 
 
 def tumbling_window(
@@ -72,7 +88,7 @@ def add_sliding_windows(
     """
     if window_s <= 0 or hop_s <= 0:
         raise ValueError("window_s and hop_s must be positive")
-    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ts = _epoch_us(batch[ts_col])
     w_us = window_s * 1_000_000
     h_us = hop_s * 1_000_000
     k = -(-w_us // h_us)  # max windows per event
@@ -121,7 +137,7 @@ def session_windows(
 
     def _sessions(group: pa.Table) -> pa.Table:
         g = group.sort_by(ts_col).combine_chunks()
-        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _epoch_us(g[ts_col])
         n = len(ts)
         new_session = np.ones(n, dtype=np.int64)
         if n > 1:

@@ -263,3 +263,92 @@ def test_builtin_schema_catalog():
         assert sch.empty_table().num_rows == 0  # constructible
     # file readers emit the declared text-file shape
     assert set(S.TEXT_FILE_SCHEMA.names) == {"filename", "contents"}
+
+
+def test_minhash_short_docs_not_mass_deduped():
+    """Regression: sub-shingle-length docs must NOT all collapse into
+    one duplicate cluster (the sentinel signature did exactly that)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from palimpzest_ray.stages.dedup import minhash_lsh_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(6)]),
+            "text": pa.array(
+                ["hi there", "bye now", "totally different", "hi there",
+                 "one", "two"]
+            ),
+        }
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_lsh_dedup(rd.from_arrow(t), threshold=0.8).take_all()
+    )
+    # only the exact short-dup pair (d0,d3) collapses; d1/d2/d4/d5 survive
+    assert len(kept) == 5 and ("d0" in kept) != ("d3" in kept)
+
+
+def test_tumbling_window_pre_epoch_floor():
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from palimpzest_ray.stages.windows import add_sliding_windows, add_tumbling_window
+
+    ts = pa.array([dt.datetime(1969, 12, 31, 23, 59, 59, 999999)], pa.timestamp("us"))
+    t = pa.table({"ts": ts})
+    out = add_tumbling_window(t, "ts", 1)
+    assert out["window_start"][0].as_py() == dt.datetime(1969, 12, 31, 23, 59, 59)
+    # hop==window degenerates to tumbling, including pre-epoch
+    out2 = add_sliding_windows(t, "ts", 1, 1)
+    assert out2["window_start"][0].as_py() == dt.datetime(1969, 12, 31, 23, 59, 59)
+
+
+def test_window_unit_normalization_and_type_error():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from palimpzest_ray.stages.windows import add_tumbling_window
+
+    ms = pa.table({"ts": pa.array([60_000], pa.timestamp("ms"))})  # 60s
+    out = add_tumbling_window(ms, "ts", 60)
+    assert out["window_start"][0].as_py().minute == 1  # unit-correct
+    with _pytest.raises(TypeError, match="timestamp type"):
+        add_tumbling_window(pa.table({"ts": pa.array([1])}), "ts", 60)
+
+
+def test_render_row_column_collision():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from palimpzest_ray.stages import semantic as S
+
+    ds = rd.from_arrow(pa.table({"row": pa.array(["A", "B"])}))
+    out = S.sem_map(
+        ds,
+        fields=["echo"],
+        template="val={row}",
+        generator_factory=S.mock_generator(lambda p: '{"echo": "%s"}' % p),
+    ).take_all()
+    # the column named "row" wins over the whole-row JSON
+    assert [r["echo"] for r in out] == ["val=A", "val=B"]
+
+
+def test_calibrate_margin_widens_band():
+    import numpy as np
+
+    from palimpzest_ray.stages import semantic as S
+
+    def embed(texts):
+        m = {"a": [1.0, 0.0], "a2": [0.9, 0.1], "b": [0.0, 1.0]}
+        return np.array([m[t] for t in texts], dtype=np.float32)
+
+    lo0, hi0 = S.calibrate_similarity_thresholds(
+        [("a", "a2", True), ("a", "b", False)], embed_fn=embed
+    )
+    lo, hi = S.calibrate_similarity_thresholds(
+        [("a", "a2", True), ("a", "b", False)], embed_fn=embed, margin=0.05
+    )
+    assert lo > lo0 and hi < hi0  # margin WIDENS the generator band
