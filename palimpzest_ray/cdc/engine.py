@@ -694,6 +694,15 @@ def _apply_changes_impl(
         if change_schema is None:
             change_schema = ds.schema().base_schema
 
+    missing = [c for c in ("lsn", "op") if change_schema.get_field_index(c) < 0]
+    if missing:
+        raise ValueError(
+            f"change log is missing required column(s) {missing}: inputs to "
+            "apply_changes must be change events with lsn:int64 and op:string "
+            "(INSERT/UPDATE/DELETE). For an initial load, tag the base table "
+            "as an INSERT-only epoch (op='INSERT', lsn below the log's range)."
+        )
+
     # unified target schema: previous lake schema ∪ incoming change schema
     user_change = pa.schema([f for f in change_schema if f.name not in ("lsn", "op")])
     if prev is not None:

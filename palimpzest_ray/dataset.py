@@ -69,8 +69,22 @@ def _capped(fn):
 
 
 def read_parquet(paths, columns: list[str] | None = None, **kw) -> "Dataset":
-    """Parquet source with column pruning at the read (pass ``columns``)."""
-    return Dataset(rd.read_parquet(paths, columns=columns, **kw))
+    """Parquet source with column pruning at the read (pass ``columns``).
+
+    Footer metadata is stripped in a read-fused map: pandas-written
+    parquet carries a dict-bearing schema blob that makes ``pa.Schema``
+    unhashable, which breaks Ray's schema dedup early-exit (log spam in
+    every worker + full unify work per block pair). ``batch_size=None``
+    keeps one zero-copy batch per block.
+    """
+    ds = rd.read_parquet(paths, columns=columns, **kw)
+    return Dataset(
+        ds.map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    return batch.replace_schema_metadata(None)
 
 
 def from_pandas(df: pd.DataFrame) -> "Dataset":

@@ -147,7 +147,9 @@ def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     r = num_perm // bands
     out = np.empty((n, bands), dtype=np.uint64)
     for b in range(bands):
-        acc = np.full(n, np.uint64(b) * _P3 + _P1, dtype=np.uint64)
+        # fold in Python ints masked to 64 bits: uint64 *scalar* ops warn
+        # on wraparound (array ops don't), and the wraparound is intended
+        acc = np.full(n, (b * int(_P3) + int(_P1)) & 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
         for j in range(r):
             acc = (acc ^ sig[:, b * r + j]) * _P2
         out[:, b] = acc

@@ -113,6 +113,15 @@ def test_empty_lake_bootstrap(tmp_path, tmp_lake, base_and_changes):
     _assert_tables_equal(got, want)
 
 
+def test_missing_lsn_op_columns_rejected_on_driver(tmp_path, tmp_lake):
+    """A plain table (no lsn/op) is rejected with a clear driver-side
+    error, not a worker-side KeyError mid-pipeline."""
+    t = pa.table({"doc_id": ["a", "b"], "n_tok": [1, 2]})
+    log = _write(tmp_path, "log/plain.parquet", t)
+    with pytest.raises(ValueError, match="lsn.*op|missing required column"):
+        apply_changes(log, tmp_lake, num_partitions=4)
+
+
 def test_schema_evolution_backfill(tmp_path, tmp_lake, base_and_changes):
     """Post-cutover events carry token_meta/shard; pre-cutover rows and
     never-updated base rows read back with nulls (FIXTURES.md §3)."""
