@@ -779,8 +779,29 @@ def _merge_frames(lf: pd.DataFrame, rf: pd.DataFrame, on: list[str], how: str) -
     return lf.merge(rf, on=on, how=how)
 
 
+_BCAST_PD_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _ref_pandas(ref) -> pd.DataFrame:
+    """Per-worker cache of a broadcast table's pandas conversion — the
+    merge kernel runs per batch, the conversion must not."""
+    key = ref.hex()
+    df = _BCAST_PD_CACHE.get(key)
+    if df is None:
+        if len(_BCAST_PD_CACHE) > 4:
+            _BCAST_PD_CACHE.clear()
+        df = _BCAST_PD_CACHE[key] = ray.get(ref).to_pandas()
+    return df
+
+
 def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str) -> rd.Dataset:
-    """Small right side: ship once via ``ray.put``, pandas-merge per batch.
+    """Small right side: ship once via ``ray.put``, hash-join per batch.
+
+    The per-batch kernel is Arrow acero (``pa.Table.join`` — zero
+    pandas conversion, typed-null output) when both schemas are flat;
+    acero rejects nested (list/struct/map) non-key columns, so token-
+    array payloads fall back to a pandas merge against a per-worker
+    cached frame.
 
     right/outer joins additionally require emitting right rows that
     matched nothing anywhere — tracked per-batch is impossible without
@@ -789,16 +810,22 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
     run the matched part per batch and compute the unmatched right rows
     with one distributed semi-join pass at the end.
     """
-    right_tbl = _to_table(right)
+    right_tbl = _to_table(right).combine_chunks()
     ref = ray.put(right_tbl)
 
     base_how = {"right": "inner", "outer": "left"}.get(how, how)
+    flat = all(not pa.types.is_nested(f.type) for f in right_tbl.schema) and all(
+        not pa.types.is_nested(f.type) for f in _arrow_schema(left)
+    )
+    acero_how = {"inner": "inner", "left": "left outer"}[base_how]
 
     def _merge(batch: pa.Table) -> pa.Table:
-        rt = ray.get(ref)
-        lf = batch.to_pandas()
-        rf = rt.to_pandas()
-        out = _merge_frames(lf, rf, on, base_how)
+        if flat:
+            out = batch.join(
+                ray.get(ref), keys=on, join_type=acero_how, use_threads=False
+            )
+            return out.replace_schema_metadata(None)
+        out = _merge_frames(batch.to_pandas(), _ref_pandas(ref), on, base_how)
         return _from_pandas_safe(out)
 
     out = left.map_batches(_merge, batch_format="pyarrow")
@@ -941,9 +968,103 @@ class GroupedDataset:
         self._keys = keys
 
     def aggregate(self, *aggs) -> Dataset:
-        """Pass-through to ``ray.data`` aggregate objects
-        (``Sum/Count/Mean/Min/Max(col, alias_name=...)``)."""
+        """Aggregate with ``ray.data`` aggregate objects
+        (``Sum/Count/Mean/Min/Max(col, alias_name=...)``).
+
+        Standard algebraic aggs run as map-side partials (pyarrow
+        ``group_by`` per batch) + a final groupby over ``blocks x
+        groups`` partial rows — Ray's sort-based aggregate shuffles
+        every input row, the combiner shuffles only the partials.
+        Unknown aggregate objects fall through to Ray's path."""
+        combined = self._combined_aggregate(aggs)
+        if combined is not None:
+            return combined
         return Dataset(self._ds.groupby(self._keys).aggregate(*aggs))
+
+    def _combined_aggregate(self, aggs) -> Dataset | None:
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        keys = self._keys
+        partial: dict[tuple, str] = {}  # (col, fn, skip_nulls) -> partial col
+        plan: list[tuple] = []  # ("col"|"mean", out_name, partial cols...)
+
+        def pcol(col, fn, skip) -> str:
+            return partial.setdefault((col, fn, skip), f"__pagg_{len(partial)}")
+
+        for o in aggs:
+            if type(o) not in (Sum, Count, Mean, Min, Max):
+                return None
+            col = o._target_col_name
+            skip = bool(getattr(o, "_ignore_nulls", True))
+            name = o.name
+            if type(o) is Count:
+                p = (
+                    pcol(None, "count_all", True)
+                    if col is None or not skip
+                    else pcol(col, "count", True)
+                )
+                plan.append(("sum", name, p))
+            elif type(o) is Sum:
+                plan.append(("sum", name, pcol(col, "sum", skip)))
+            elif type(o) is Min:
+                plan.append(("min", name, pcol(col, "min", skip)))
+            elif type(o) is Max:
+                plan.append(("max", name, pcol(col, "max", skip)))
+            else:  # Mean: partial (sum, valid count), finish sum/sum
+                plan.append(
+                    ("mean", name, pcol(col, "sum", skip), pcol(col, "count", True))
+                )
+
+        partial_keys = list(partial)  # plain tuples: FunctionOptions don't pickle
+        pnames = list(partial.values())
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            specs = []
+            for col, fn, skip in partial_keys:
+                if fn == "count_all":
+                    specs.append(([], "count_all"))
+                elif fn == "count":
+                    specs.append((col, "count"))  # only_valid: None-skip
+                else:
+                    specs.append(
+                        (col, fn, pc.ScalarAggregateOptions(skip_nulls=skip))
+                    )
+            out = batch.group_by(keys, use_threads=False).aggregate(specs)
+            # output is keys + one column per spec, positionally
+            return out.rename_columns(keys + pnames)
+
+        finals = []
+        for (col, fn, skip), pname in partial.items():
+            if fn == "min":
+                finals.append(Min(pname, alias_name=pname, ignore_nulls=skip))
+            elif fn == "max":
+                finals.append(Max(pname, alias_name=pname, ignore_nulls=skip))
+            else:  # counts and sums both re-sum; count partials are never null
+                finals.append(Sum(pname, alias_name=pname, ignore_nulls=skip))
+
+        out_names = list(keys) + [step[1] for step in plan]
+
+        def _finish(batch: pa.Table) -> pa.Table:
+            arrays = [batch[k] for k in keys]
+            for step in plan:
+                if step[0] == "mean":
+                    _, _, ps, pcnt = step
+                    arrays.append(
+                        pc.divide(
+                            pc.cast(batch[ps], pa.float64()),
+                            pc.cast(batch[pcnt], pa.float64()),
+                        )
+                    )
+                else:
+                    arrays.append(batch[step[2]])
+            return pa.table(arrays, names=out_names)
+
+        reduced = (
+            self._ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(keys)
+            .aggregate(*finals)
+        )
+        return Dataset(reduced.map_batches(_finish, batch_format="pyarrow"))
 
     def agg(self, funcs: list[tuple[str, str]]) -> Dataset:
         """Reference-parity aggregate: ``funcs`` is a list of
@@ -973,7 +1094,7 @@ class GroupedDataset:
                 raise ValueError(f"unsupported agg func {func!r}")
 
         if not post:
-            return Dataset(self._ds.groupby(self._keys).aggregate(*ray_aggs))
+            return self.aggregate(*ray_aggs)  # combiner path
 
         # list/set need map_groups; fold any scalar aggs into the same pass
         keys = self._keys
