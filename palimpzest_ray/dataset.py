@@ -891,8 +891,24 @@ def _shuffle_join(
     out_schema = pa.schema(
         [lschema.field(c) for c in on + l_only] + [rschema.field(c) for c in r_only]
     )
+    # per-bucket kernel: acero hash join on flat schemas (zero pandas,
+    # typed nulls); nested payloads (acero limitation) pandas-merge
+    flat = all(not pa.types.is_nested(f.type) for f in out_schema)
+    acero_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }[how]
 
-    def _cogroup(group: pd.DataFrame) -> pa.Table:
+    def _cogroup_arrow(group: pa.Table) -> pa.Table:
+        side = group[_JOIN_SIDE]
+        lf = group.filter(pc.equal(side, 0)).select(on + l_only)
+        rf = group.filter(pc.equal(side, 1)).select(on + r_only)
+        out = lf.join(rf, keys=on, join_type=acero_how, use_threads=False)
+        return out.select(out_schema.names).replace_schema_metadata(None)
+
+    def _cogroup_pd(group: pd.DataFrame) -> pa.Table:
         g = group.drop(columns=[_JOIN_BUCKET])
         lf = g[g[_JOIN_SIDE] == 0][on + l_only]
         rf = g[g[_JOIN_SIDE] == 1][on + r_only]
@@ -903,7 +919,10 @@ def _shuffle_join(
             merged, schema=out_schema, preserve_index=False
         ).replace_schema_metadata(None)
 
-    return both.groupby(_JOIN_BUCKET).map_groups(_cogroup, batch_format="pandas")
+    grouped = both.groupby(_JOIN_BUCKET)
+    if flat:
+        return grouped.map_groups(_cogroup_arrow, batch_format="pyarrow")
+    return grouped.map_groups(_cogroup_pd, batch_format="pandas")
 
 
 def _pad_columns(batch: pa.Table, missing: list[str], schema: pa.Schema) -> pa.Table:
