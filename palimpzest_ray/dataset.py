@@ -372,6 +372,11 @@ class Dataset:
         merged per bucket; scales to two large sides. Skewed keys salt
         naturally across buckets only if keys are diverse; for a single
         pathological hot key prefer broadcast of the side containing it.
+
+        Null keys follow ANSI SQL: a null never matches anything (not
+        even another null); inner drops null-key rows, left/right/outer
+        emit them unmatched on their preserved side — identical on the
+        acero and pandas kernels and both strategies.
         """
         on = [on] if isinstance(on, str) else list(on)
         how = {"outer": "outer", "full": "outer", "full_outer": "outer"}.get(how, how)
@@ -776,7 +781,22 @@ def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
 
 
 def _merge_frames(lf: pd.DataFrame, rf: pd.DataFrame, on: list[str], how: str) -> pd.DataFrame:
-    return lf.merge(rf, on=on, how=how)
+    """pandas ``merge`` with SQL equi-join null semantics: a null key
+    never matches anything (pandas natively matches NaN keys to each
+    other, which disagrees with acero and ANSI SQL). Null-key rows are
+    excluded from matching and re-emitted unmatched where ``how``
+    preserves their side."""
+    lnull = lf[on].isna().any(axis=1)
+    rnull = rf[on].isna().any(axis=1)
+    merged = lf[~lnull].merge(rf[~rnull], on=on, how=how)
+    parts = [merged]
+    if how in ("left", "outer") and lnull.any():
+        parts.append(lf[lnull].reindex(columns=merged.columns))
+    if how in ("right", "outer") and rnull.any():
+        parts.append(rf[rnull].reindex(columns=merged.columns))
+    if len(parts) == 1:
+        return merged
+    return pd.concat(parts, ignore_index=True)
 
 
 _BCAST_PD_CACHE: dict[str, pd.DataFrame] = {}
@@ -811,15 +831,42 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
     with one distributed semi-join pass at the end.
     """
     right_tbl = _to_table(right).combine_chunks()
+    lschema = _arrow_schema(left)
+    # Unify key dtypes across sides (int32-vs-int64 parquet drift is
+    # common): acero rejects mismatched key types outright and pandas
+    # would upcast silently — cast both sides to the promoted type once.
+    key_casts: dict[str, pa.DataType] = {}
+    for c in on:
+        lt, rt = lschema.field(c).type, right_tbl.schema.field(c).type
+        if lt != rt:
+            common = pa.unify_schemas(
+                [pa.schema([pa.field(c, lt)]), pa.schema([pa.field(c, rt)])],
+                promote_options="permissive",
+            ).field(c).type
+            key_casts[c] = common
+    if key_casts:
+        right_tbl = right_tbl.cast(
+            pa.schema(
+                [pa.field(f.name, key_casts.get(f.name, f.type)) for f in right_tbl.schema]
+            )
+        )
     ref = ray.put(right_tbl)
 
     base_how = {"right": "inner", "outer": "left"}.get(how, how)
     flat = all(not pa.types.is_nested(f.type) for f in right_tbl.schema) and all(
-        not pa.types.is_nested(f.type) for f in _arrow_schema(left)
+        not pa.types.is_nested(f.type) for f in lschema
     )
     acero_how = {"inner": "inner", "left": "left outer"}[base_how]
 
+    def _cast_keys(batch: pa.Table) -> pa.Table:
+        for c, t in key_casts.items():
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c, batch[c].cast(t)
+            )
+        return batch
+
     def _merge(batch: pa.Table) -> pa.Table:
+        batch = _cast_keys(batch)
         if flat:
             out = batch.join(
                 ray.get(ref), keys=on, join_type=acero_how, use_threads=False
@@ -833,17 +880,33 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
     if how in ("right", "outer"):
         # unmatched right rows: right anti-join left on key
         left_keys = _to_table(left.select_columns(on))
+        if key_casts:
+            left_keys = left_keys.cast(
+                pa.schema(
+                    [
+                        pa.field(f.name, key_casts.get(f.name, f.type))
+                        for f in left_keys.schema
+                    ]
+                )
+            )
         lref = ray.put(left_keys)
 
         def _unmatched(batch: pa.Table) -> pa.Table:
+            # SQL semantics: a null-key right row matches nothing, so it
+            # is always unmatched — drop nulls from the probe set (else
+            # is_in / tuple lookup would "match" null against null).
+            batch = _cast_keys(batch)
             lk = ray.get(lref)
             if len(on) == 1:
-                mask = pc.invert(
-                    pc.is_in(batch[on[0]], value_set=lk[on[0]].combine_chunks())
-                )
-                rem = batch.filter(mask)
+                value_set = lk[on[0]].combine_chunks().drop_null()
+                mask = pc.invert(pc.is_in(batch[on[0]], value_set=value_set))
+                rem = batch.filter(pc.fill_null(mask, True))
             else:
-                lset = {tuple(r.values()) for r in lk.to_pylist()}
+                lset = {
+                    t
+                    for t in (tuple(r.values()) for r in lk.to_pylist())
+                    if None not in t
+                }
                 cols = [batch[c].to_pylist() for c in on]
                 rem = batch.filter(pa.array([t not in lset for t in zip(*cols)]))
             return _from_pandas_safe(rem.to_pandas())

@@ -140,3 +140,87 @@ def test_semi_anti_shuffle_strategy_matches_broadcast():
     c = pzd.from_arrow(pa.table({"k": pa.array([2, 3, 4], pa.int64())}))
     assert sorted(r["k"] for r in a.intersect(c, strategy="shuffle").take_all()) == [2, 3]
     assert sorted(r["k"] for r in a.except_(c, strategy="shuffle").take_all()) == [1]
+
+
+NULLKEY_LEFT = pd.DataFrame({"k": [1, 2, None, None, 4], "lv": list("abcde")})
+NULLKEY_RIGHT = pd.DataFrame({"k": [2, None, 4, 5], "rv": list("XYZW")})
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+@pytest.mark.parametrize("strategy", ["shuffle", "broadcast"])
+@pytest.mark.parametrize("nested", [False, True])
+def test_join_null_keys_sql_semantics(how, strategy, nested):
+    """SQL equi-join semantics: a null key matches NOTHING — not even
+    another null. Inner drops null-key rows; left/right/outer emit them
+    unmatched on their preserved side. Covers the acero kernel (flat)
+    and the pandas fallback (nested list payload) on both strategies,
+    against a duckdb oracle."""
+    duckdb = pytest.importorskip("duckdb")
+    lf, rf = NULLKEY_LEFT.copy(), NULLKEY_RIGHT.copy()
+    if nested:
+        lf["ltok"] = [[i] for i in range(len(lf))]
+        rf["rtok"] = [[9 - i] for i in range(len(rf))]
+    con = duckdb.connect()
+    con.register("lf", lf)
+    con.register("rf", rf)
+    sqlhow = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "right": "RIGHT JOIN",
+        "outer": "FULL OUTER JOIN",
+    }[how]
+    extra = ", lf.ltok, rf.rtok" if nested else ""
+    keycol = (
+        "COALESCE(lf.k, rf.k)"
+        if how == "outer"
+        else ("rf.k" if how == "right" else "lf.k")
+    )
+    want = con.execute(
+        f"SELECT {keycol} AS k, lf.lv, rf.rv{extra} "
+        f"FROM lf {sqlhow} rf ON lf.k = rf.k"
+    ).df()
+    got = (
+        pzr.from_pandas(lf)
+        .join(pzr.from_pandas(rf), on="k", how=how, strategy=strategy)
+        .to_pandas()
+    )
+
+    def _rows(df: pd.DataFrame) -> list[tuple]:
+        def canon(v):
+            if v is None or (np.isscalar(v) and pd.isna(v)):
+                return "<na>"
+            if isinstance(v, (list, np.ndarray)):
+                return str([float(x) for x in v])
+            return str(float(v)) if isinstance(v, (int, float, np.number)) else str(v)
+
+        cols = sorted(df.columns)
+        return sorted(tuple(canon(v) for v in row) for row in df[cols].itertuples(index=False))
+
+    assert _rows(got) == _rows(want), (how, strategy, nested)
+
+
+@pytest.mark.parametrize("how", ["inner", "right", "outer"])
+@pytest.mark.parametrize("strategy", ["shuffle", "broadcast"])
+def test_join_key_dtype_drift(how, strategy):
+    """int32 vs int64 key columns (common parquet drift across files)
+    must join correctly on both strategies — acero rejects mismatched
+    key types unless unified first."""
+    import pyarrow as pa
+
+    lf = pa.table({"k": pa.array([1, 2, 3], pa.int32()), "lv": ["a", "b", "c"]})
+    rf = pa.table({"k": pa.array([2, 3, 4], pa.int64()), "rv": ["X", "Y", "Z"]})
+    got = (
+        pzr.from_arrow(lf)
+        .join(pzr.from_arrow(rf), on="k", how=how, strategy=strategy)
+        .to_pandas()
+    )
+    want_rows = {
+        "inner": {(2, "b", "X"), (3, "c", "Y")},
+        "right": {(2, "b", "X"), (3, "c", "Y"), (4, None, "Z")},
+        "outer": {(1, "a", None), (2, "b", "X"), (3, "c", "Y"), (4, None, "Z")},
+    }[how]
+    got_rows = {
+        (int(r.k), None if pd.isna(r.lv) else r.lv, None if pd.isna(r.rv) else r.rv)
+        for r in got.itertuples(index=False)
+    }
+    assert got_rows == want_rows, (how, strategy, got_rows)
