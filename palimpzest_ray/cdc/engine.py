@@ -712,6 +712,11 @@ def _apply_changes_impl(
         user_schema = unify(prev_user, user_change)
     else:
         user_schema = user_change
+    if "tokens" in user_schema.names and "n_tok" not in user_schema.names:
+        # normalize derives n_tok from tokens; declare it so the derived
+        # column passes the undeclared-column guard on logs that carry
+        # tokens but no precomputed n_tok
+        user_schema = user_schema.append(pa.field("n_tok", pa.int32()))
     norm_schema = pa.schema(
         [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + list(user_schema)
     )

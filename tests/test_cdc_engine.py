@@ -532,3 +532,39 @@ def test_streaming_merge_insert_only_distinct_keys(tmp_path):
     for f in m.data_files(lake):
         keys = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
         assert keys == sorted(keys), f
+
+
+def test_mid_stream_dtype_widening_and_derived_n_tok(tmp_path, tmp_lake):
+    """A later log segment may widen column dtypes (int32 -> int64
+    values too large for the old type, list<int32> -> list<int64>
+    tokens) and omit the precomputed ``n_tok``: the unified footer
+    schema promotes permissively, normalize derives ``n_tok`` from
+    ``tokens``, and LWW converges."""
+    seg1 = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "op": ["INSERT"] * 3,
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([10, 20, 30], pa.int32()),
+            "tokens": pa.array([[1], [2], [3]], pa.list_(pa.int32())),
+        }
+    )
+    seg2 = pa.table(
+        {
+            "lsn": pa.array([4, 5], pa.int64()),
+            "op": ["UPDATE", "INSERT"],
+            "doc_id": pa.array([2, 4], pa.int64()),
+            "v": pa.array([2_000_000_000_000, 40], pa.int64()),
+            "tokens": pa.array([[2, 2], [4]], pa.list_(pa.int64())),
+        }
+    )
+    _write(tmp_path, "wlog/a.parquet", seg1)
+    _write(tmp_path, "wlog/b.parquet", seg2)
+    apply_changes(os.path.join(str(tmp_path), "wlog"), tmp_lake, num_partitions=2)
+    got = final_state_table(tmp_lake).sort_by("doc_id")
+    assert got.schema.field("v").type == pa.int64()
+    assert got.num_rows == 4
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    assert rows[2]["v"] == 2_000_000_000_000 and rows[2]["tokens"] == [2, 2]
+    assert rows[2]["n_tok"] == 2 and rows[1]["n_tok"] == 1
+    assert rows[4]["v"] == 40
