@@ -578,6 +578,17 @@ def d12_stratified_sample(sf_dir: str):
     return pzd.Dataset(out).project(["doc_id"])
 
 
+def d13_heavy_hitters(sf_dir: str):
+    """Space-saving heavy hitters: top source values by frequency over
+    documents. Uncapped per-block summaries make the sketch exact here,
+    so the duckdb GROUP BY oracle matches value-for-value."""
+    from palimpzest_ray.stages.sketches import heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["source"])
+    out = heavy_hitters(docs.ray, "source", k=10)
+    return out.select(["value", "count"])
+
+
 def cdc_replay(sf_dir: str):
     """The north-rule headline: tokenized-sequence lake, two change
     epochs, exactly-once apply, final state (rows-only driver check;
@@ -639,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d10_approx_distinct": d10_approx_distinct,
         "d11_approx_quantiles": d11_approx_quantiles,
         "d12_stratified_sample": d12_stratified_sample,
+        "d13_heavy_hitters": d13_heavy_hitters,
         "cdc_replay": cdc_replay,
     }
 
@@ -866,5 +878,10 @@ def oracle_sql() -> dict[str, str]:
                               desc, e.vec_id) as "rank"
             from embeddings e, q
             qualify "rank" <= 10
+        """,
+        "d13_heavy_hitters": """
+            select source as value, count(*) as count
+            from documents group by source
+            order by count desc, value asc limit 10
         """,
     }

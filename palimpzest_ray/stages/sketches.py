@@ -131,3 +131,97 @@ def approx_quantiles(
         i = int(np.searchsorted(cum, target, side="left"))
         out.append(float(edges[min(i + 1, bins)]))  # right edge of the bin
     return out
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    k: int = 10,
+    *,
+    cap_per_block: int = 4096,
+    driver_cap: int = 65536,
+) -> pa.Table:
+    """Approximate top-``k`` most frequent values of ``col`` (heavy
+    hitters), space-saving style: every block reduces to its exact value
+    counts truncated to the top ``cap_per_block`` (recording the largest
+    dropped count as that block's undercount bound), and the driver
+    folds summaries into a capped accumulator. Nothing bulk converges:
+    driver traffic is ≤ ``cap_per_block`` entries per block, driver
+    memory ≤ ``driver_cap`` entries (compacted with the same
+    largest-dropped-count bookkeeping).
+
+    Returns ``(value, count, count_hi)`` sorted by count desc then value
+    asc, limited to ``k``: ``count`` is the observed sum (a lower bound
+    on the true frequency), ``count_hi`` adds the undercount bounds of
+    every summary/compaction that could have dropped the value. When
+    ``cap_per_block`` ≥ per-block distinct values (and no driver
+    compaction fires) both bounds are exact and equal the GROUP BY
+    counts. Any value with true frequency above the k-th ``count`` plus
+    the total dropped bound is guaranteed present (Metwally et al.,
+    space-saving; Misra–Gries merge).
+
+    The reference has no frequency estimation; this is the hot-key
+    detector companion to the CDC engine's skew handling (a salting /
+    ``suggest_num_partitions`` advisory can be driven from its output).
+    """
+    import pyarrow.compute as pc
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        limit_kernel_threads()
+        vc = pc.value_counts(batch[col].combine_chunks())
+        values, counts = vc.field("values"), vc.field("counts")
+        err = 0
+        if len(values) > cap_per_block:
+            order = pc.sort_indices(
+                pa.table({"c": counts}), sort_keys=[("c", "descending")]
+            )
+            keep = order.slice(0, cap_per_block)
+            err = counts.take(order.slice(cap_per_block, 1))[0].as_py()
+            values, counts = values.take(keep), counts.take(keep)
+        return pa.table(
+            {
+                "values": pa.array([values.to_pylist()]),
+                "counts": pa.array([counts.cast(pa.int64()).to_pylist()]),
+                "err": pa.array([err], pa.int64()),
+            }
+        )
+
+    acc: dict = {}          # value -> [count, err_present]
+    total_err = 0           # sum of all summary + compaction bounds
+
+    def _compact():
+        nonlocal total_err
+        if len(acc) <= driver_cap:
+            return
+        ranked = sorted(acc.items(), key=lambda kv: kv[1][0], reverse=True)
+        dropped_max = ranked[driver_cap][1][0]
+        for v, _ in ranked[driver_cap:]:
+            del acc[v]
+        total_err += dropped_max
+
+    for b in ds.map_batches(_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for values, counts, err in zip(
+            b["values"].to_pylist(), b["counts"].to_pylist(), b["err"].to_pylist()
+        ):
+            for v, c in zip(values, counts):
+                ent = acc.get(v)
+                if ent is None:
+                    acc[v] = [c, err]
+                else:
+                    ent[0] += c
+                    ent[1] += err
+            total_err += err
+            _compact()
+
+    top = sorted(acc.items(), key=lambda kv: (-kv[1][0], str(kv[0])))[:k]
+    return pa.table(
+        {
+            "value": pa.array([v for v, _ in top]),
+            "count": pa.array([e[0] for _, e in top], pa.int64()),
+            "count_hi": pa.array(
+                [e[0] + (total_err - e[1]) for _, e in top], pa.int64()
+            ),
+        }
+    )

@@ -55,3 +55,53 @@ def test_approx_quantiles_within_bin_width():
 def test_approx_quantiles_constant_column():
     ds = rd.from_arrow(pa.table({"v": pa.array([3.5] * 100)}))
     assert K.approx_quantiles(ds, "v", [0.0, 0.5, 1.0]) == [3.5, 3.5, 3.5]
+
+
+def _zipf_values(n: int = 20_000, seed: int = 5) -> list[str]:
+    rng = np.random.default_rng(seed)
+    z = np.minimum(rng.zipf(1.3, n), 500)
+    return [f"w{int(v):04d}" for v in z]
+
+
+def test_heavy_hitters_exact_when_uncapped():
+    import duckdb
+    import pandas as pd
+
+    vals = _zipf_values()
+    ds = rd.from_arrow(pa.table({"w": pa.array(vals)})).repartition(8)
+    got = K.heavy_hitters(ds, "w", k=10)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"w": vals}))
+    want = con.execute(
+        "SELECT w AS value, COUNT(*) AS count FROM t "
+        "GROUP BY w ORDER BY count DESC, value ASC LIMIT 10"
+    ).arrow()
+    assert got.column("value").to_pylist() == want.column("value").to_pylist()
+    assert got.column("count").to_pylist() == want.column("count").to_pylist()
+    # uncapped: bounds are tight
+    assert got.column("count_hi").to_pylist() == got.column("count").to_pylist()
+
+
+def test_heavy_hitters_capped_bounds_contain_truth():
+    from collections import Counter
+
+    vals = _zipf_values(seed=9)
+    true = Counter(vals)
+    ds = rd.from_arrow(pa.table({"w": pa.array(vals)})).repartition(8)
+    got = K.heavy_hitters(ds, "w", k=5, cap_per_block=16, driver_cap=64)
+    rows = got.to_pylist()
+    # the undisputed top value survives truncation and compaction,
+    # and every reported [count, count_hi] interval contains the truth
+    top_true = max(true.items(), key=lambda kv: kv[1])[0]
+    assert rows[0]["value"] == top_true
+    for r in rows:
+        assert r["count"] <= true[r["value"]] <= r["count_hi"], r
+
+
+def test_heavy_hitters_deterministic_across_layouts():
+    vals = _zipf_values(seed=13)
+    t = pa.table({"w": pa.array(vals)})
+    a = K.heavy_hitters(rd.from_arrow(t).repartition(4), "w", k=8)
+    b = K.heavy_hitters(rd.from_arrow(t).repartition(16), "w", k=8)
+    assert a.column("value").to_pylist() == b.column("value").to_pylist()
+    assert a.column("count").to_pylist() == b.column("count").to_pylist()
