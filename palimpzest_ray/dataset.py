@@ -358,6 +358,7 @@ class Dataset:
         *,
         strategy: str = "shuffle",
         num_buckets: int = 32,
+        salt: int = 1,
         suffix: str = RIGHT_SUFFIX,
     ) -> "Dataset":
         """Equi-join (reference ``RelationalJoin``, ``join.py:179-286``,
@@ -377,10 +378,23 @@ class Dataset:
         even another null); inner drops null-key rows, left/right/outer
         emit them unmatched on their preserved side — identical on the
         acero and pandas kernels and both strategies.
+
+        ``salt=N`` (shuffle, how in inner/left only): split each bucket
+        into N sub-buckets — left rows round-robin, right rows
+        replicated ×N — so one hot key fans across N tasks instead of
+        bounding the join on one. Costs N× the right side's shuffle
+        volume; use when both sides are too big to broadcast AND the
+        key is skewed (``stages.sketches.heavy_hitters`` finds such
+        keys).
         """
         on = [on] if isinstance(on, str) else list(on)
         how = {"outer": "outer", "full": "outer", "full_outer": "outer"}.get(how, how)
         assert how in ("inner", "left", "right", "outer"), how
+        if salt > 1 and (strategy != "shuffle" or how not in ("inner", "left")):
+            raise ValueError(
+                "salt requires strategy='shuffle' and how in ('inner', 'left'): "
+                "a replicated right row cannot prove itself globally unmatched"
+            )
 
         left_ds, right_ds = self._ds, other._ds
         left_names = _arrow_schema(left_ds).names
@@ -395,7 +409,7 @@ class Dataset:
                 _broadcast_join(left_ds, right_ds, on, how)
             )
         return Dataset(
-            _shuffle_join(left_ds, right_ds, on, how, num_buckets)
+            _shuffle_join(left_ds, right_ds, on, how, num_buckets, salt)
         )
 
     def asof_join(
@@ -917,25 +931,72 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
 
 
 def _shuffle_join(
-    left: rd.Dataset, right: rd.Dataset, on: list[str], how: str, num_buckets: int
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    how: str,
+    num_buckets: int,
+    salt: int = 1,
 ) -> rd.Dataset:
     """Bucketed cogroup hash join: hash-partition both sides on the key,
-    pandas-merge each bucket inside ``map_groups`` (SURVEY.md §7.4)."""
+    join each bucket inside ``map_groups`` (SURVEY.md §7.4).
+
+    ``salt > 1`` splits every bucket into ``salt`` sub-buckets: left
+    rows round-robin across them, right rows are REPLICATED into all of
+    them — the remedy for a hot key whose single bucket would otherwise
+    bound the join on one task. Right-side cost multiplies by ``salt``,
+    so salt only when the right side is the smaller one. Only valid for
+    how in (inner, left): each left row still lands in exactly one
+    sub-bucket, but a right row can no longer prove itself globally
+    unmatched.
+    """
     # resolve schemas ONCE (each schema() on a lazy dataset costs a
     # limit-1 execution; see _pad_columns docstring)
     lschema, rschema = _arrow_schema(left), _arrow_schema(right)
     l_only = [c for c in lschema.names if c not in on]
     r_only = [c for c in rschema.names if c not in on]
 
+    # Unify key dtypes across sides before hashing: polars' xxhash
+    # canonicalizes integer widths but NOT int-vs-float (an int64/
+    # float64 drift would hash matching values to different buckets and
+    # silently drop every match).
+    key_casts: dict[str, pa.DataType] = {}
+    for c in on:
+        lt_, rt_ = lschema.field(c).type, rschema.field(c).type
+        if lt_ != rt_:
+            key_casts[c] = pa.unify_schemas(
+                [pa.schema([pa.field(c, lt_)]), pa.schema([pa.field(c, rt_)])],
+                promote_options="permissive",
+            ).field(c).type
+    if key_casts:
+        lschema = pa.schema(
+            [pa.field(f.name, key_casts.get(f.name, f.type)) for f in lschema]
+        )
+        rschema = pa.schema(
+            [pa.field(f.name, key_casts.get(f.name, f.type)) for f in rschema]
+        )
+
     def _tag(side: int):
         def _t(batch: pa.Table) -> pa.Table:
+            for c, t in key_casts.items():
+                batch = batch.set_column(
+                    batch.schema.get_field_index(c), c, batch[c].cast(t)
+                )
             key = batch[on[0]] if len(on) == 1 else pa.StructArray.from_arrays(
                 [batch[c].combine_chunks() for c in on], names=on
             )
-            b = stable_bucket(key, num_buckets)
+            b = stable_bucket(key, num_buckets).astype(np.int64)
+            n = batch.num_rows
+            if salt > 1 and side == 0:
+                b = b * salt + (np.arange(n, dtype=np.int64) % salt)
+            elif salt > 1:
+                # replicate the right side into every sub-bucket
+                batch = pa.concat_tables([batch] * salt)
+                b = np.concatenate([b * salt + i for i in range(salt)])
+                n = batch.num_rows
             batch = batch.append_column(_JOIN_BUCKET, pa.array(b))
             batch = batch.append_column(
-                _JOIN_SIDE, pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+                _JOIN_SIDE, pa.array(np.full(n, side, dtype=np.int8))
             )
             # parquet footers written by pandas carry a metadata blob
             # with dicts, which breaks Ray's schema hashing/dedup

@@ -224,3 +224,59 @@ def test_join_key_dtype_drift(how, strategy):
         for r in got.itertuples(index=False)
     }
     assert got_rows == want_rows, (how, strategy, got_rows)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_shuffle_join_equals_unsalted(how):
+    """salt=N fans a hot key across N sub-buckets (left round-robin,
+    right replicated) without changing the result."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    n = 5_000
+    # 80% of left rows share one hot key
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 50, n))
+    lf = pa.table({"k": pa.array(keys, pa.int64()), "lv": pa.array(np.arange(n))})
+    rf = pa.table(
+        {"k": pa.array(np.arange(60), pa.int64()), "rv": pa.array(np.arange(60) * 10)}
+    )
+    base = (
+        pzr.from_arrow(lf)
+        .join(pzr.from_arrow(rf), on="k", how=how, strategy="shuffle")
+        .to_pandas()
+    )
+    salted = (
+        pzr.from_arrow(lf)
+        .join(pzr.from_arrow(rf), on="k", how=how, strategy="shuffle", salt=8)
+        .to_pandas()
+    )
+    key = ["k", "lv", "rv"]
+    b = base[key].sort_values(key).reset_index(drop=True)
+    s = salted[key].sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) == (n if how == "left" else (keys < 60).sum())
+    assert b.equals(s)
+
+
+def test_salt_rejected_for_unprovable_hows():
+    a = pzr.from_pandas(NULLKEY_LEFT)
+    b = pzr.from_pandas(NULLKEY_RIGHT)
+    for bad in (dict(how="right"), dict(how="outer"), dict(strategy="broadcast")):
+        with pytest.raises(ValueError, match="salt"):
+            a.join(b, on="k", salt=4, **{"how": "inner", **bad})
+
+
+def test_shuffle_join_int_float_key_drift():
+    """int64 vs float64 key drift must still match: xxhash hashes
+    2 and 2.0 differently, so without unification every match would be
+    silently dropped."""
+    import pyarrow as pa
+
+    lf = pa.table({"k": pa.array([1.0, 2.0, 3.0], pa.float64()), "lv": ["a", "b", "c"]})
+    rf = pa.table({"k": pa.array([2, 3, 4], pa.int64()), "rv": ["X", "Y", "Z"]})
+    for strat in ("shuffle", "broadcast"):
+        got = (
+            pzr.from_arrow(lf)
+            .join(pzr.from_arrow(rf), on="k", how="inner", strategy=strat)
+            .to_pandas()
+        )
+        assert sorted(zip(got["lv"], got["rv"])) == [("b", "X"), ("c", "Y")], strat
