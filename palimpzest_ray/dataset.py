@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from palimpzest_ray.functions.tokens import first_per_key, stable_bucket
+from palimpzest_ray.functions.tokens import first_per_key, stable_hash
 
 RIGHT_SUFFIX = "_right"
 _JOIN_BUCKET = "__jbucket"
@@ -666,20 +666,57 @@ class Dataset:
 
     def intersect(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``INTERSECT``: distinct rows of ``self`` present in
-        ``other`` (set semantics over all columns). Built from the
-        engine's own primitives — distinct (hash-partitioned keep-first)
-        + semi-join on the full column tuple. ``strategy="broadcast"``
-        for an ``other`` whose distinct rows fit one node;
-        ``strategy="shuffle"`` keeps both sides distributed."""
+        ``other`` (set semantics over all columns — NULLs compare
+        EQUAL, unlike ``=``). Built from the engine's own primitives —
+        distinct (hash-partitioned keep-first) + semi-join on the full
+        column tuple. ``strategy="broadcast"`` for an ``other`` whose
+        distinct rows fit one node; ``strategy="shuffle"`` keeps both
+        sides distributed (nullable flat columns are expanded into
+        (filled, is_null) pairs so null==null survives the equi-join
+        shuffle, which follows SQL ``=`` semantics; nested columns
+        can't be expanded — their nulls won't match on this path)."""
+        if strategy == "shuffle":
+            return self._null_safe_set_op(other, anti=False)
         cols = [f.name for f in _arrow_schema(self._ds)]
         return self.distinct().semi_join(other, on=cols, strategy=strategy)
 
     def except_(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``EXCEPT``: distinct rows of ``self`` absent from
-        ``other``. Same construction (and strategy choice) as
+        ``other``. Same construction (and strategy/NULL notes) as
         :meth:`intersect`, with the anti-join."""
+        if strategy == "shuffle":
+            return self._null_safe_set_op(other, anti=True)
         cols = [f.name for f in _arrow_schema(self._ds)]
         return self.distinct().anti_join(other, on=cols, strategy=strategy)
+
+    def _null_safe_set_op(self, other: "Dataset", anti: bool) -> "Dataset":
+        """Shuffle-path INTERSECT/EXCEPT with SQL set-op NULL equality:
+        every nullable flat column ``c`` becomes (``c`` null-filled with
+        a type sentinel, ``c__nn`` is-null flag) on BOTH sides, the
+        semi/anti equi-join runs on the expanded key list (where
+        (sentinel, 1) == (sentinel, 1) makes null match null while
+        (sentinel, 0) keeps a real sentinel-valued row distinct), and
+        the flags then restore the nulls and drop."""
+        schema = _arrow_schema(self._ds)
+        cols = list(schema.names)
+        plan = [(c, schema.field(c).type, _null_sentinel(schema.field(c).type)) for c in cols]
+        on2 = [c for c in cols] + [c + "__nn" for c, _, s in plan if s is not None]
+
+        a = Dataset(
+            self.distinct()._ds.map_batches(
+                _expand_null_flags(plan), batch_format="pyarrow"
+            )
+        )
+        b = Dataset(
+            other._ds.map_batches(_expand_null_flags(plan), batch_format="pyarrow")
+        )
+        joined = a.anti_join(b, on=on2, strategy="shuffle") if anti else a.semi_join(
+            b, on=on2, strategy="shuffle"
+        )
+        restored = joined._ds.map_batches(
+            _restore_null_flags(plan), batch_format="pyarrow"
+        )
+        return Dataset(restored).project(cols)
 
     def range_join(
         self,
@@ -828,6 +865,91 @@ def _ref_pandas(ref) -> pd.DataFrame:
     return df
 
 
+def _null_sentinel(t: pa.DataType):
+    """A fill value for null-expansion of set-op keys (any constant of
+    the type works — the companion is-null flag keeps a real
+    sentinel-valued row distinct from a null). None = inexpandable
+    (nested types)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return b""
+    if pa.types.is_boolean(t):
+        return False
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return 0
+    if pa.types.is_temporal(t):
+        return 0
+    return None
+
+
+def _expand_null_flags(plan: list[tuple]):
+    """Batch fn: for each (col, type, sentinel) with a sentinel, replace
+    nulls by the sentinel and append an int8 ``col__nn`` is-null flag."""
+
+    def _e(batch: pa.Table) -> pa.Table:
+        for c, _, sent in plan:
+            if sent is None:
+                continue
+            col = batch[c]
+            flag = pc.cast(pc.is_null(col), pa.int8())
+            filled = pc.fill_null(col, pa.scalar(sent, batch.schema.field(c).type))
+            batch = batch.set_column(batch.schema.get_field_index(c), c, filled)
+            batch = batch.append_column(c + "__nn", flag)
+        return batch
+
+    return _e
+
+
+def _restore_null_flags(plan: list[tuple]):
+    """Inverse of :func:`_expand_null_flags`: re-null flagged values and
+    drop the flag columns."""
+
+    def _r(batch: pa.Table) -> pa.Table:
+        for c, _, sent in plan:
+            if sent is None:
+                continue
+            mask = pc.equal(batch[c + "__nn"], pa.scalar(1, pa.int8()))
+            t = batch.schema.field(c).type
+            col = pc.if_else(mask, pa.scalar(None, t), batch[c])
+            batch = batch.set_column(batch.schema.get_field_index(c), c, col)
+        return batch.drop_columns([c + "__nn" for c, _, s in plan if s is not None])
+
+    return _r
+
+
+def _unify_key_casts(
+    on: list[str], lschema: pa.Schema, rschema: pa.Schema
+) -> dict[str, pa.DataType]:
+    """Promoted type per key column whose dtype drifted across sides
+    (int32-vs-int64 parquet drift, pandas int-vs-float contamination):
+    acero rejects mismatched key types outright, pandas would upcast
+    silently, and polars' xxhash buckets int-vs-float values of equal
+    magnitude differently — every join path must cast both sides to the
+    promoted type BEFORE hashing or probing."""
+    casts: dict[str, pa.DataType] = {}
+    for c in on:
+        lt, rt = lschema.field(c).type, rschema.field(c).type
+        if lt != rt:
+            casts[c] = pa.unify_schemas(
+                [pa.schema([pa.field(c, lt)]), pa.schema([pa.field(c, rt)])],
+                promote_options="permissive",
+            ).field(c).type
+    return casts
+
+
+def _cast_key_columns(batch: pa.Table, key_casts: dict[str, pa.DataType]) -> pa.Table:
+    for c, t in key_casts.items():
+        batch = batch.set_column(batch.schema.get_field_index(c), c, batch[c].cast(t))
+    return batch
+
+
+def _apply_key_casts_schema(schema: pa.Schema, key_casts: dict[str, pa.DataType]) -> pa.Schema:
+    return pa.schema(
+        [pa.field(f.name, key_casts.get(f.name, f.type)) for f in schema]
+    )
+
+
 def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str) -> rd.Dataset:
     """Small right side: ship once via ``ray.put``, hash-join per batch.
 
@@ -846,23 +968,10 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
     """
     right_tbl = _to_table(right).combine_chunks()
     lschema = _arrow_schema(left)
-    # Unify key dtypes across sides (int32-vs-int64 parquet drift is
-    # common): acero rejects mismatched key types outright and pandas
-    # would upcast silently — cast both sides to the promoted type once.
-    key_casts: dict[str, pa.DataType] = {}
-    for c in on:
-        lt, rt = lschema.field(c).type, right_tbl.schema.field(c).type
-        if lt != rt:
-            common = pa.unify_schemas(
-                [pa.schema([pa.field(c, lt)]), pa.schema([pa.field(c, rt)])],
-                promote_options="permissive",
-            ).field(c).type
-            key_casts[c] = common
+    key_casts = _unify_key_casts(on, lschema, right_tbl.schema)
     if key_casts:
         right_tbl = right_tbl.cast(
-            pa.schema(
-                [pa.field(f.name, key_casts.get(f.name, f.type)) for f in right_tbl.schema]
-            )
+            _apply_key_casts_schema(right_tbl.schema, key_casts)
         )
     ref = ray.put(right_tbl)
 
@@ -872,15 +981,8 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
     )
     acero_how = {"inner": "inner", "left": "left outer"}[base_how]
 
-    def _cast_keys(batch: pa.Table) -> pa.Table:
-        for c, t in key_casts.items():
-            batch = batch.set_column(
-                batch.schema.get_field_index(c), c, batch[c].cast(t)
-            )
-        return batch
-
     def _merge(batch: pa.Table) -> pa.Table:
-        batch = _cast_keys(batch)
+        batch = _cast_key_columns(batch, key_casts)
         if flat:
             out = batch.join(
                 ray.get(ref), keys=on, join_type=acero_how, use_threads=False
@@ -892,37 +994,39 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
     out = left.map_batches(_merge, batch_format="pyarrow")
 
     if how in ("right", "outer"):
-        # unmatched right rows: right anti-join left on key
+        # unmatched right rows: right anti-join left on key. The probe
+        # set is built ONCE on the driver — SQL semantics drop null keys
+        # from it (a null-key right row matches nothing, so it is always
+        # unmatched; keeping nulls would let is_in / tuple lookup
+        # "match" null against null) — then shipped via ray.put so the
+        # per-batch kernel does zero set construction.
         left_keys = _to_table(left.select_columns(on))
         if key_casts:
             left_keys = left_keys.cast(
-                pa.schema(
-                    [
-                        pa.field(f.name, key_casts.get(f.name, f.type))
-                        for f in left_keys.schema
-                    ]
+                _apply_key_casts_schema(left_keys.schema, key_casts)
+            )
+        if len(on) == 1:
+            lref = ray.put(left_keys[on[0]].combine_chunks().drop_null())
+        else:
+            lref = ray.put(
+                frozenset(
+                    t
+                    for t in (
+                        tuple(r.values()) for r in left_keys.to_pylist()
+                    )
+                    if None not in t
                 )
             )
-        lref = ray.put(left_keys)
 
         def _unmatched(batch: pa.Table) -> pa.Table:
-            # SQL semantics: a null-key right row matches nothing, so it
-            # is always unmatched — drop nulls from the probe set (else
-            # is_in / tuple lookup would "match" null against null).
-            batch = _cast_keys(batch)
-            lk = ray.get(lref)
+            batch = _cast_key_columns(batch, key_casts)
+            probe = ray.get(lref)
             if len(on) == 1:
-                value_set = lk[on[0]].combine_chunks().drop_null()
-                mask = pc.invert(pc.is_in(batch[on[0]], value_set=value_set))
+                mask = pc.invert(pc.is_in(batch[on[0]], value_set=probe))
                 rem = batch.filter(pc.fill_null(mask, True))
             else:
-                lset = {
-                    t
-                    for t in (tuple(r.values()) for r in lk.to_pylist())
-                    if None not in t
-                }
                 cols = [batch[c].to_pylist() for c in on]
-                rem = batch.filter(pa.array([t not in lset for t in zip(*cols)]))
+                rem = batch.filter(pa.array([t not in probe for t in zip(*cols)]))
             return _from_pandas_safe(rem.to_pandas())
 
         unmatched = right.map_batches(_unmatched, batch_format="pyarrow")
@@ -956,39 +1060,27 @@ def _shuffle_join(
     l_only = [c for c in lschema.names if c not in on]
     r_only = [c for c in rschema.names if c not in on]
 
-    # Unify key dtypes across sides before hashing: polars' xxhash
-    # canonicalizes integer widths but NOT int-vs-float (an int64/
-    # float64 drift would hash matching values to different buckets and
-    # silently drop every match).
-    key_casts: dict[str, pa.DataType] = {}
-    for c in on:
-        lt_, rt_ = lschema.field(c).type, rschema.field(c).type
-        if lt_ != rt_:
-            key_casts[c] = pa.unify_schemas(
-                [pa.schema([pa.field(c, lt_)]), pa.schema([pa.field(c, rt_)])],
-                promote_options="permissive",
-            ).field(c).type
+    key_casts = _unify_key_casts(on, lschema, rschema)
     if key_casts:
-        lschema = pa.schema(
-            [pa.field(f.name, key_casts.get(f.name, f.type)) for f in lschema]
-        )
-        rschema = pa.schema(
-            [pa.field(f.name, key_casts.get(f.name, f.type)) for f in rschema]
-        )
+        lschema = _apply_key_casts_schema(lschema, key_casts)
+        rschema = _apply_key_casts_schema(rschema, key_casts)
 
     def _tag(side: int):
         def _t(batch: pa.Table) -> pa.Table:
-            for c, t in key_casts.items():
-                batch = batch.set_column(
-                    batch.schema.get_field_index(c), c, batch[c].cast(t)
-                )
+            batch = _cast_key_columns(batch, key_casts)
             key = batch[on[0]] if len(on) == 1 else pa.StructArray.from_arrays(
                 [batch[c].combine_chunks() for c in on], names=on
             )
-            b = stable_bucket(key, num_buckets).astype(np.int64)
+            h = stable_hash(key)
+            b = (h % np.uint64(num_buckets)).astype(np.int64)
             n = batch.num_rows
             if salt > 1 and side == 0:
-                b = b * salt + (np.arange(n, dtype=np.int64) % salt)
+                # per-batch deterministic offset: without it the
+                # round-robin restarts at sub-bucket 0 every batch, so
+                # small batches would pile a hot key onto the low
+                # sub-buckets while still paying full right replication
+                off = int(h.sum() % np.uint64(salt))
+                b = b * salt + ((off + np.arange(n, dtype=np.int64)) % salt)
             elif salt > 1:
                 # replicate the right side into every sub-bucket
                 batch = pa.concat_tables([batch] * salt)

@@ -147,8 +147,9 @@ def heavy_hitters(
     dropped count as that block's undercount bound), and the driver
     folds summaries into a capped accumulator. Nothing bulk converges:
     driver traffic is ≤ ``cap_per_block`` entries per block, driver
-    memory ≤ ``driver_cap`` entries (compacted with the same
-    largest-dropped-count bookkeeping).
+    memory ≤ 2×``driver_cap`` entries (trimmed back to ``driver_cap``
+    with the same largest-dropped-count bookkeeping; the 2× slack
+    amortizes the sort to once per ``driver_cap`` insertions).
 
     Returns ``(value, count, count_hi)`` sorted by count desc then value
     asc, limited to ``k``: ``count`` is the observed sum (a lower bound
@@ -190,8 +191,11 @@ def heavy_hitters(
     total_err = 0           # sum of all summary + compaction bounds
 
     def _compact():
+        # amortized: let the accumulator grow to 2x before trimming back
+        # to driver_cap, so the O(n log n) sort runs once per driver_cap
+        # insertions instead of once per block summary
         nonlocal total_err
-        if len(acc) <= driver_cap:
+        if len(acc) <= 2 * driver_cap:
             return
         ranked = sorted(acc.items(), key=lambda kv: kv[1][0], reverse=True)
         dropped_max = ranked[driver_cap][1][0]
@@ -215,7 +219,15 @@ def heavy_hitters(
             total_err += err
             _compact()
 
-    top = sorted(acc.items(), key=lambda kv: (-kv[1][0], str(kv[0])))[:k]
+    # count desc, value asc (nulls last) — native comparison so numeric
+    # columns match an ORDER BY count DESC, value ASC oracle; str()
+    # fallback only if the column somehow mixes incomparable types
+    try:
+        top = sorted(
+            acc.items(), key=lambda kv: (-kv[1][0], kv[0] is None, kv[0])
+        )[:k]
+    except TypeError:
+        top = sorted(acc.items(), key=lambda kv: (-kv[1][0], str(kv[0])))[:k]
     return pa.table(
         {
             "value": pa.array([v for v, _ in top]),

@@ -280,3 +280,28 @@ def test_shuffle_join_int_float_key_drift():
             .to_pandas()
         )
         assert sorted(zip(got["lv"], got["rv"])) == [("b", "X"), ("c", "Y")], strat
+
+
+def test_set_ops_null_rows_both_strategies():
+    """SQL INTERSECT/EXCEPT treat NULLs as EQUAL (set semantics, unlike
+    ``=``): the shuffle path expands nullable columns into
+    (filled, is_null) pairs so null==null survives its equi-join."""
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    a = pa.table({"k": [1, None, 2, None], "s": ["x", "y", None, None]})
+    b = pa.table({"k": [None, 2, 3, None], "s": ["y", None, "z", None]})
+    want_intersect = {(2, None), (None, "y"), (None, None)}
+    want_except = {(1, "x")}
+    for strat in ("broadcast", "shuffle"):
+        gi = {
+            (r["k"], r["s"])
+            for r in pzd.from_arrow(a).intersect(pzd.from_arrow(b), strategy=strat).take_all()
+        }
+        ge = {
+            (r["k"], r["s"])
+            for r in pzd.from_arrow(a).except_(pzd.from_arrow(b), strategy=strat).take_all()
+        }
+        assert gi == want_intersect, (strat, gi)
+        assert ge == want_except, (strat, ge)

@@ -88,7 +88,7 @@ def test_heavy_hitters_capped_bounds_contain_truth():
     vals = _zipf_values(seed=9)
     true = Counter(vals)
     ds = rd.from_arrow(pa.table({"w": pa.array(vals)})).repartition(8)
-    got = K.heavy_hitters(ds, "w", k=5, cap_per_block=16, driver_cap=64)
+    got = K.heavy_hitters(ds, "w", k=5, cap_per_block=16, driver_cap=24)
     rows = got.to_pylist()
     # the undisputed top value survives truncation and compaction,
     # and every reported [count, count_hi] interval contains the truth
@@ -105,3 +105,13 @@ def test_heavy_hitters_deterministic_across_layouts():
     b = K.heavy_hitters(rd.from_arrow(t).repartition(16), "w", k=8)
     assert a.column("value").to_pylist() == b.column("value").to_pylist()
     assert a.column("count").to_pylist() == b.column("count").to_pylist()
+
+
+def test_heavy_hitters_numeric_tiebreak_matches_sql():
+    """count DESC, value ASC with NATIVE comparison: 9 beats 10 on a
+    tie (str ordering would say '10' < '9')."""
+    vals = [9] * 3 + [10] * 3 + [7] * 5
+    ds = rd.from_arrow(pa.table({"n": pa.array(vals, pa.int64())}))
+    got = K.heavy_hitters(ds, "n", k=2)
+    assert got.column("value").to_pylist() == [7, 9]
+    assert got.column("count").to_pylist() == [5, 3]
