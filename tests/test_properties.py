@@ -112,3 +112,55 @@ def test_stable_bucket_deterministic_and_in_range(ids):
     for k, b in zip(ids, b1):
         groups.setdefault(k, set()).add(int(b))
     assert all(len(v) == 1 for v in groups.values())
+
+
+_nullable_keys = st.lists(
+    st.one_of(st.none(), st.integers(0, 5)), min_size=0, max_size=12
+)
+
+
+@given(_nullable_keys, _nullable_keys, st.sampled_from(["inner", "left", "right", "outer"]))
+@settings(max_examples=60, deadline=None)
+def test_merge_frames_sql_null_semantics(lkeys, rkeys, how):
+    """The pandas-fallback join kernel follows ANSI SQL on random
+    null-bearing keys: null matches nothing, preserved sides emit
+    null-key rows unmatched. Oracle: duckdb's own join."""
+    import duckdb
+
+    from palimpzest_ray.dataset import _merge_frames
+
+    lf = pd.DataFrame({"k": pd.array(lkeys, dtype="Float64").to_numpy(dtype="float64", na_value=np.nan), "lv": range(len(lkeys))})
+    rf = pd.DataFrame({"k": pd.array(rkeys, dtype="Float64").to_numpy(dtype="float64", na_value=np.nan), "rv": range(len(rkeys))})
+    got = _merge_frames(lf, rf, ["k"], how)
+    con = duckdb.connect()
+    con.register("lf", lf)
+    con.register("rf", rf)
+    sqlhow = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "right": "RIGHT JOIN",
+        "outer": "FULL OUTER JOIN",
+    }[how]
+    keycol = {
+        "inner": "lf.k",
+        "left": "lf.k",
+        "right": "rf.k",
+        "outer": "COALESCE(lf.k, rf.k)",
+    }[how]
+    want = con.execute(
+        f"SELECT {keycol} AS k, lf.lv, rf.rv FROM lf {sqlhow} rf ON lf.k = rf.k"
+    ).df()
+    con.close()
+
+    def canon(df):
+        rows = [
+            (
+                None if pd.isna(r.k) else float(r.k),
+                None if pd.isna(r.lv) else int(r.lv),
+                None if pd.isna(r.rv) else int(r.rv),
+            )
+            for r in df[["k", "lv", "rv"]].itertuples(index=False)
+        ]
+        return sorted(rows, key=repr)
+
+    assert canon(got) == canon(want), (how, canon(got), canon(want))
