@@ -374,6 +374,17 @@ def q25_unpivot(sf_dir: str):
     )
 
 
+def q27_quantity_lag(sf_dir: str):
+    """Windowed LAG within each order (l_linenumber sequence): previous
+    line's quantity, null on the first line."""
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return li.window_shift(
+        "l_quantity", 1, by="l_orderkey", order="l_linenumber", out="qty_lag"
+    ).project(["l_orderkey", "l_linenumber", "l_quantity", "qty_lag"])
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -638,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_top_orders_per_customer": q24_top_orders_per_customer,
         "q25_unpivot": q25_unpivot,
         "q26_pivot": q26_pivot,
+        "q27_quantity_lag": q27_quantity_lag,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -830,6 +842,13 @@ def oracle_sql() -> dict[str, str]:
                      from lineitem)
             on l_quantity, l_extendedprice
             into name variable value value
+        """,
+        "q27_quantity_lag": """
+            select l_orderkey, l_linenumber, l_quantity,
+                   lag(l_quantity) over (
+                     partition by l_orderkey order by l_linenumber
+                   ) as qty_lag
+            from lineitem
         """,
         "q26_pivot": """
             select user_id,

@@ -664,6 +664,40 @@ class Dataset:
         ds = self._ds.map_batches(_combine, batch_format="pyarrow")
         return Dataset(ds.groupby(keys).map_groups(_finish, batch_format="pyarrow"))
 
+    def window_shift(
+        self,
+        col: str,
+        periods: int = 1,
+        *,
+        by: str | list[str],
+        order: str | list[str],
+        out: str | None = None,
+    ) -> "Dataset":
+        """SQL ``LAG`` (``periods`` > 0) / ``LEAD`` (``periods`` < 0)
+        within ``by``-groups ordered by ``order``: adds column ``out``
+        (default ``{col}_lag{p}`` / ``{col}_lead{p}``) holding the value
+        ``periods`` rows back/ahead, null at group edges. Absent from
+        both the reference and Ray Data; one keyed shuffle, vectorized
+        sort+take per group (null-masked indices — no pandas NaN
+        promotion, int columns stay int). ``order`` must be unique
+        within a group for deterministic output. Partitioning
+        assumption: one ``by`` group fits in a task."""
+        assert periods != 0, "periods must be nonzero (positive=lag, negative=lead)"
+        by = [by] if isinstance(by, str) else list(by)
+        order = [order] if isinstance(order, str) else list(order)
+        name = out or f"{col}_{'lag' if periods > 0 else 'lead'}{abs(periods)}"
+
+        def _shift(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(group, sort_keys=[(o, "ascending") for o in order])
+            g = group.take(idx)
+            n = g.num_rows
+            src = np.arange(n, dtype=np.int64) - periods
+            mask = (src < 0) | (src >= n)
+            take_idx = pa.array(np.clip(src, 0, max(n - 1, 0)), mask=mask)
+            return g.append_column(name, g[col].take(take_idx))
+
+        return Dataset(self._ds.groupby(by).map_groups(_shift, batch_format="pyarrow"))
+
     def intersect(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``INTERSECT``: distinct rows of ``self`` present in
         ``other`` (set semantics over all columns — NULLs compare

@@ -149,3 +149,32 @@ def test_sliding_window_agg_counts():
     base = dt.datetime(2024, 1, 1)
     got = {int((r["window_start"] - base).total_seconds()): r["n"] for r in out}
     assert got == {-60: 1, -30: 2, 0: 3, 30: 3, 60: 2, 90: 1}
+
+
+def test_window_shift_lag_and_lead():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "seq": [2, 1, 3, 1, 2],
+            "v": pa.array([20, 10, 30, 100, 200], pa.int64()),
+        }
+    )
+    lag = (
+        pzd.from_arrow(t)
+        .window_shift("v", 1, by="g", order="seq", out="prev")
+        .to_arrow()
+        .sort_by([("g", "ascending"), ("seq", "ascending")])
+    )
+    assert lag["prev"].to_pylist() == [None, 10, 20, None, 100]
+    assert lag["prev"].type == pa.int64()  # no pandas NaN float promotion
+    lead = (
+        pzd.from_arrow(t)
+        .window_shift("v", -1, by="g", order="seq")
+        .to_arrow()
+        .sort_by([("g", "ascending"), ("seq", "ascending")])
+    )
+    assert lead["v_lead1"].to_pylist() == [20, 30, None, 200, None]
