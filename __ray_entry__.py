@@ -385,6 +385,28 @@ def q27_quantity_lag(sf_dir: str):
     ).project(["l_orderkey", "l_linenumber", "l_quantity", "qty_lag"])
 
 
+def q28_running_quantity(sf_dir: str):
+    """Running per-order quantity total + row_number (integer cents so
+    the cumulative sum is bit-stable vs the duckdb window oracle)."""
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def _to_cents(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("l_quantity")
+        return batch.set_column(
+            i, "qty_c100",
+            pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))).cast(pa.int64()),
+        )
+
+    return (
+        li.map_batches(_to_cents)
+        .window_cum("qty_c100", "sum", by="l_orderkey", order="l_linenumber", out="run_qty_c100")
+        .window_cum("qty_c100", "row_number", by="l_orderkey", order="l_linenumber", out="line_no")
+        .project(["l_orderkey", "l_linenumber", "run_qty_c100", "line_no"])
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -650,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_unpivot": q25_unpivot,
         "q26_pivot": q26_pivot,
         "q27_quantity_lag": q27_quantity_lag,
+        "q28_running_quantity": q28_running_quantity,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -842,6 +865,17 @@ def oracle_sql() -> dict[str, str]:
                      from lineitem)
             on l_quantity, l_extendedprice
             into name variable value value
+        """,
+        "q28_running_quantity": """
+            select l_orderkey, l_linenumber,
+                   sum(cast(round(l_quantity * 100) as bigint)) over (
+                     partition by l_orderkey order by l_linenumber
+                     rows between unbounded preceding and current row
+                   ) as run_qty_c100,
+                   row_number() over (
+                     partition by l_orderkey order by l_linenumber
+                   ) as line_no
+            from lineitem
         """,
         "q27_quantity_lag": """
             select l_orderkey, l_linenumber, l_quantity,

@@ -698,6 +698,46 @@ class Dataset:
 
         return Dataset(self._ds.groupby(by).map_groups(_shift, batch_format="pyarrow"))
 
+    def window_cum(
+        self,
+        col: str,
+        kind: str = "sum",
+        *,
+        by: str | list[str],
+        order: str | list[str],
+        out: str | None = None,
+    ) -> "Dataset":
+        """Running window aggregate per group, SQL ``<agg>(col) OVER
+        (PARTITION BY by ORDER BY order ROWS UNBOUNDED PRECEDING)``:
+        ``kind`` ∈ sum / max / min / row_number (the last ignores
+        ``col``'s values). Vectorized numpy accumulate per group; null
+        values propagate into the running result (pass a null-free
+        measure, as SQL's null-skipping running agg isn't replicated).
+        Same determinism and partitioning contract as
+        :meth:`window_shift`."""
+        assert kind in ("sum", "max", "min", "row_number"), kind
+        by = [by] if isinstance(by, str) else list(by)
+        order = [order] if isinstance(order, str) else list(order)
+        name = out or (f"{col}_cum{kind}" if kind != "row_number" else "row_number")
+        acc = {
+            "sum": np.cumsum,
+            "max": np.maximum.accumulate,
+            "min": np.minimum.accumulate,
+        }
+
+        def _cum(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(group, sort_keys=[(o, "ascending") for o in order])
+            g = group.take(idx)
+            n = g.num_rows
+            if kind == "row_number":
+                res = pa.array(np.arange(1, n + 1, dtype=np.int64))
+            else:
+                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+                res = pa.array(acc[kind](vals))
+            return g.append_column(name, res)
+
+        return Dataset(self._ds.groupby(by).map_groups(_cum, batch_format="pyarrow"))
+
     def intersect(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``INTERSECT``: distinct rows of ``self`` present in
         ``other`` (set semantics over all columns — NULLs compare

@@ -178,3 +178,30 @@ def test_window_shift_lag_and_lead():
         .sort_by([("g", "ascending"), ("seq", "ascending")])
     )
     assert lead["v_lead1"].to_pylist() == [20, 30, None, 200, None]
+
+
+def test_window_cum_kinds():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "seq": [2, 1, 3, 1, 2],
+            "v": pa.array([20, 10, 5, 100, 50], pa.int64()),
+        }
+    )
+    d = pzd.from_arrow(t)
+    cs = d.window_cum("v", "sum", by="g", order="seq").to_arrow().sort_by(
+        [("g", "ascending"), ("seq", "ascending")]
+    )
+    assert cs["v_cumsum"].to_pylist() == [10, 30, 35, 100, 150]
+    cm = d.window_cum("v", "min", by="g", order="seq").to_arrow().sort_by(
+        [("g", "ascending"), ("seq", "ascending")]
+    )
+    assert cm["v_cummin"].to_pylist() == [10, 10, 5, 100, 50]
+    rn = d.window_cum("v", "row_number", by="g", order="seq").to_arrow().sort_by(
+        [("g", "ascending"), ("seq", "ascending")]
+    )
+    assert rn["row_number"].to_pylist() == [1, 2, 3, 1, 2]
