@@ -237,3 +237,97 @@ def heavy_hitters(
             ),
         }
     )
+
+
+def bloom_bitmap(
+    ds: rd.Dataset, col: str, *, num_bits: int = 1 << 23, hashes: int = 5
+) -> np.ndarray:
+    """Distributed Bloom filter build over ``col``: each block reduces
+    to its OR'd bitmap (``num_bits``/8 bytes), the driver ORs summaries
+    — same mergeable-summary discipline as :func:`hll_sketch`. Double
+    hashing (h1 + i·h2 mod m) from the engine's stable xxhash, so the
+    filter is deterministic across runs and layouts.
+
+    Size ``num_bits`` ≈ 10 bits/key for ~1% false positives (m/n=10,
+    k=5 optimal-ish); the bitmap must fit a worker comfortably — 2^23
+    bits = 1 MiB covers ~800k keys, 2^30 = 128 MiB covers ~100M keys.
+    """
+    assert num_bits % 64 == 0
+
+    def _positions(values) -> np.ndarray:
+        h1 = stable_hash(values)
+        h2 = stable_hash(values, seed=0xB10F)
+        # odd step so h2 cycles the full ring regardless of m
+        step = (h2 | np.uint64(1))
+        idx = np.empty((hashes, len(h1)), dtype=np.uint64)
+        for i in range(hashes):
+            idx[i] = (h1 + np.uint64(i) * step) % np.uint64(num_bits)
+        return idx.reshape(-1)
+
+    def _bm(batch: pa.Table) -> pa.Table:
+        limit_kernel_threads()
+        bits = np.zeros(num_bits // 64, dtype=np.uint64)
+        pos = _positions(batch[col].combine_chunks())
+        np.bitwise_or.at(
+            bits, (pos // np.uint64(64)).astype(np.int64),
+            np.uint64(1) << (pos % np.uint64(64)),
+        )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(num_bits // 64, dtype=np.uint64)
+    for b in ds.map_batches(_bm, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for buf in b["bits"].to_pylist():
+            np.bitwise_or(merged, np.frombuffer(buf, dtype=np.uint64), out=merged)
+    return merged
+
+
+def bloom_contains(
+    bitmap: np.ndarray, values, *, num_bits: int = 1 << 23, hashes: int = 5
+) -> np.ndarray:
+    """Vectorized membership probe: True = probably present (false
+    positives at the filter's rate), False = DEFINITELY absent."""
+    h1 = stable_hash(values)
+    h2 = stable_hash(values, seed=0xB10F)
+    step = (h2 | np.uint64(1))
+    ok = np.ones(len(h1), dtype=bool)
+    for i in range(hashes):
+        pos = (h1 + np.uint64(i) * step) % np.uint64(num_bits)
+        word = bitmap[(pos // np.uint64(64)).astype(np.int64)]
+        ok &= (word >> (pos % np.uint64(64))) & np.uint64(1) != 0
+    return ok
+
+
+def bloom_prefilter(
+    ds: rd.Dataset,
+    keys: rd.Dataset,
+    col: str,
+    *,
+    key_col: str | None = None,
+    num_bits: int = 1 << 23,
+    hashes: int = 5,
+) -> rd.Dataset:
+    """Keep rows of ``ds`` whose ``col`` is PROBABLY in
+    ``keys[key_col]``: a superset of the exact semi-join (never a false
+    negative). The scale path when the key side is too big for an exact
+    broadcast key set but its Bloom bitmap fits (10 bits/key): ``keys``
+    never materializes anywhere — only OR'd bitmaps move. Compose with
+    an exact semi/anti join on the (much smaller) survivor set when
+    exactness matters; for anti-join, filter on the INVERTED probe
+    locally instead (false positives there would drop real rows — use
+    this only as the matching-side reducer)."""
+    import ray
+
+    bm = bloom_bitmap(keys, key_col or col, num_bits=num_bits, hashes=hashes)
+    ref = ray.put(bm)
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        limit_kernel_threads()
+        mask = bloom_contains(
+            ray.get(ref), batch[col].combine_chunks(),
+            num_bits=num_bits, hashes=hashes,
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

@@ -115,3 +115,22 @@ def test_heavy_hitters_numeric_tiebreak_matches_sql():
     got = K.heavy_hitters(ds, "n", k=2)
     assert got.column("value").to_pylist() == [7, 9]
     assert got.column("count").to_pylist() == [5, 3]
+
+
+def test_bloom_prefilter_no_false_negatives_and_low_fp():
+    keys = rd.from_arrow(
+        pa.table({"k": pa.array([f"key-{i}" for i in range(1000)])})
+    ).repartition(4)
+    probe = rd.from_arrow(
+        pa.table({"k": pa.array([f"key-{i}" for i in range(5000)])})
+    ).repartition(4)
+    out = K.bloom_prefilter(probe, keys, "k", num_bits=1 << 16)
+    kept = {r["k"] for r in out.take_all()}
+    # every true member survives
+    assert all(f"key-{i}" in kept for i in range(1000))
+    # false-positive rate near theory (~1% at 65k bits / 1k keys / 5 hashes)
+    fp = len(kept) - 1000
+    assert fp / 4000 < 0.05, fp
+    # deterministic across layouts
+    out2 = K.bloom_prefilter(probe.repartition(9), keys.repartition(2), "k", num_bits=1 << 16)
+    assert {r["k"] for r in out2.take_all()} == kept
