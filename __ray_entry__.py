@@ -622,6 +622,22 @@ def d13_heavy_hitters(sf_dir: str):
     return out.select(["value", "count"])
 
 
+def d14_bloom_semi(sf_dir: str):
+    """Scale-path semi-join: Bloom prefilter (per-block OR'd bitmaps, no
+    false negatives) reduces the probe side, exact semi-join on the
+    survivors — composition is exactly the SQL semi-join."""
+    from palimpzest_ray.stages.sketches import bloom_prefilter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    keys = docs.filter(expr="n_chars > 400").project(["doc_id"])
+    pre = bloom_prefilter(docs.ray, keys.ray, "doc_id", num_bits=1 << 20)
+    return (
+        pzd.Dataset(pre)
+        .semi_join(keys, on="doc_id")
+        .project(["doc_id", "source"])
+    )
+
+
 def cdc_replay(sf_dir: str):
     """The north-rule headline: tokenized-sequence lake, two change
     epochs, exactly-once apply, final state (rows-only driver check;
@@ -686,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d11_approx_quantiles": d11_approx_quantiles,
         "d12_stratified_sample": d12_stratified_sample,
         "d13_heavy_hitters": d13_heavy_hitters,
+        "d14_bloom_semi": d14_bloom_semi,
         "cdc_replay": cdc_replay,
     }
 
@@ -931,6 +948,10 @@ def oracle_sql() -> dict[str, str]:
                               desc, e.vec_id) as "rank"
             from embeddings e, q
             qualify "rank" <= 10
+        """,
+        "d14_bloom_semi": """
+            select doc_id, source from documents
+            where n_chars > 400
         """,
         "d13_heavy_hitters": """
             select source as value, count(*) as count

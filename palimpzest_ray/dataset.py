@@ -848,6 +848,16 @@ class Dataset:
     def _semi_anti(self, other: "Dataset", on, anti: bool) -> "Dataset":
         on = [on] if isinstance(on, str) else list(on)
         keys = other._ds.select_columns(on).unique(on[0]) if len(on) == 1 else None
+        if len(on) == 1 and not keys:
+            # empty key set (unique() yields None/[]): semi keeps
+            # nothing, anti keeps everything
+            if anti:
+                return Dataset(self._ds)
+            return Dataset(
+                self._ds.map_batches(
+                    lambda b: b.slice(0, 0), batch_format="pyarrow"
+                )
+            )
         if len(on) == 1:
             key_set = pa.array(sorted(keys, key=lambda x: (x is None, x)))
             ref = ray.put(key_set)

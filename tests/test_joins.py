@@ -305,3 +305,15 @@ def test_set_ops_null_rows_both_strategies():
         }
         assert gi == want_intersect, (strat, gi)
         assert ge == want_except, (strat, ge)
+
+
+def test_semi_anti_empty_key_set():
+    """semi-join vs an empty other keeps nothing; anti keeps all."""
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    left = pzd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()), "v": ["a", "b"]}))
+    empty = pzd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert left.semi_join(empty, on="k").take_all() == []
+    assert sorted(r["k"] for r in left.anti_join(empty, on="k").take_all()) == [1, 2]
