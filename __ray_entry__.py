@@ -407,6 +407,145 @@ def q28_running_quantity(sf_dir: str):
     )
 
 
+def q29_quantity_quantiles(sf_dir: str):
+    """Exact per-group quantiles (holistic — shuffles only the narrow
+    keys+value projection). l_quantity is whole-valued, so linear
+    interpolation is bit-exact on both engines."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return li.groupby(["l_returnflag"]).quantile(
+        "l_quantity", {"q25": 0.25, "med": 0.5, "q75": 0.75}
+    )
+
+
+def q30_rollup_order_totals(sf_dir: str):
+    """SQL ROLLUP: one full-input shuffle at the finest level, coarser
+    levels re-aggregate the already-reduced table."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = orders.rollup(
+        ["o_orderstatus", "o_orderpriority"],
+        [("count", "o_totalprice"), ("sum", "o_totalprice")],
+    ).rename_columns(
+        {"count(o_totalprice)": "n_orders", "sum(o_totalprice)": "revenue_c100"}
+    )
+    return _cents(out, ["revenue_c100"])
+
+
+def q31_cross_join(sf_dir: str):
+    """Cartesian product, small broadcast right side."""
+    region = _read(sf_dir, "region", ["r_name"])
+    nation = _read(sf_dir, "nation", ["n_name"])
+    return region.cross_join(nation)
+
+
+def q32_scalar_string_funcs(sf_dir: str):
+    """Scalar-function catalog over orders: split_part / lower /
+    year / month — vectorized pyarrow.compute kernels (the reference
+    has no scalar layer at all, SURVEY.md §2.3)."""
+    from palimpzest_ray.functions import datetime as D
+    from palimpzest_ray.functions import strings as S
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+    return (
+        orders.with_column("prio_name", lambda t: S.split_part(t["o_orderpriority"], "-", 2))
+        .with_column("status_lc", lambda t: S.lower(t["o_orderstatus"]))
+        .with_column("od_year", lambda t: D.year(t["o_orderdate"]))
+        .with_column("od_month", lambda t: D.month(t["o_orderdate"]))
+        .project(["o_orderkey", "prio_name", "status_lc", "od_year", "od_month"])
+    )
+
+
+def q33_monthly_revenue(sf_dir: str):
+    """date_trunc-month groupby — the lake-partitioning idiom."""
+    from ray.data.aggregate import Count, Sum
+
+    from palimpzest_ray.functions import datetime as D
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    out = (
+        orders.with_column("month_start", lambda t: D.date_trunc(t["o_orderdate"], "month"))
+        .groupby("month_start")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue_c100"),
+        )
+    )
+    return _cents(out, ["revenue_c100"])
+
+
+def _e6(ds, cols):
+    """Scale floats to integer millionths — same cross-engine-stable
+    compare trick as _cents, at variance precision."""
+    def _r(batch):
+        for col in cols:
+            i = batch.column_names.index(col)
+            batch = batch.set_column(
+                i,
+                col,
+                pc.round(pc.multiply(batch[col], pa.scalar(1e6))).cast(pa.int64()),
+            )
+        return batch
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def q34_quantity_dispersion(sf_dir: str):
+    """Sample stddev/variance per group — algebraic (Welford combiner,
+    no holistic group materialization). Scaled to integer millionths
+    for a bit-stable cross-engine compare."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = li.groupby(["l_returnflag"]).agg(
+        [("stddev", "l_quantity"), ("var", "l_quantity")]
+    ).rename_columns(
+        {"stddev(l_quantity)": "std_qty_e6", "var(l_quantity)": "var_qty_e6"}
+    )
+    return _e6(out, ["std_qty_e6", "var_qty_e6"])
+
+
+def q35_distinct_suppliers(sf_dir: str):
+    """COUNT(DISTINCT) per group on the scale path: distinct pairs
+    shuffle once, then count the reduced pairs — no group ever has to
+    fit in a single task."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    return li.groupby(["l_returnflag"]).nunique("l_suppkey", out="n_supp")
+
+
+def q36_region_nations(sf_dir: str):
+    """Ordered string_agg per group (holistic map_groups path; groups
+    are dimension-table sized)."""
+    nation = _read(sf_dir, "nation", ["n_regionkey", "n_name"])
+    return nation.groupby(["n_regionkey"]).agg(
+        [("string_agg", "n_name")]
+    ).rename_columns({"string_agg(n_name)": "nations"})
+
+
+def q37_rolling_quantity(sf_dir: str):
+    """Moving-frame window: 3-row rolling sum of quantity within each
+    order (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — prefix-sum
+    differences per group, no row loop. (l_orderkey, l_linenumber) is
+    NOT unique in this synthetic data, so the measure itself is the
+    final tiebreaker — rows tied on the whole order tuple are
+    interchangeable, making the frame sums deterministic."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return li.window_rolling(
+        "l_quantity", "sum", window=3,
+        by="l_orderkey", order=["l_linenumber", "l_quantity"], out="qty_roll3",
+    )
+
+
+def q38_order_rank(sf_dir: str):
+    """SQL rank()/dense_rank() per partition with tie semantics, over
+    the order-date tuple."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    ranked = orders.window_cum(
+        "o_orderdate", "rank", by="o_custkey", order="o_orderdate", out="rnk"
+    ).window_cum(
+        "o_orderdate", "dense_rank", by="o_custkey", order="o_orderdate", out="drnk"
+    )
+    return ranked.project(["o_custkey", "o_orderkey", "rnk", "drnk"])
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -689,6 +828,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_pivot": q26_pivot,
         "q27_quantity_lag": q27_quantity_lag,
         "q28_running_quantity": q28_running_quantity,
+        "q29_quantity_quantiles": q29_quantity_quantiles,
+        "q30_rollup_order_totals": q30_rollup_order_totals,
+        "q31_cross_join": q31_cross_join,
+        "q32_scalar_string_funcs": q32_scalar_string_funcs,
+        "q33_monthly_revenue": q33_monthly_revenue,
+        "q34_quantity_dispersion": q34_quantity_dispersion,
+        "q35_distinct_suppliers": q35_distinct_suppliers,
+        "q36_region_nations": q36_region_nations,
+        "q37_rolling_quantity": q37_rolling_quantity,
+        "q38_order_rank": q38_order_rank,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -909,6 +1058,66 @@ def oracle_sql() -> dict[str, str]:
                    count(case when event_type = 'signup' then value end) as value_signup,
                    count(case when event_type = 'view' then value end) as value_view
             from events group by user_id
+        """,
+        "q29_quantity_quantiles": """
+            select l_returnflag,
+                   quantile_cont(l_quantity, 0.25) as q25,
+                   median(l_quantity) as med,
+                   quantile_cont(l_quantity, 0.75) as q75
+            from lineitem group by l_returnflag
+        """,
+        "q30_rollup_order_totals": """
+            select o_orderstatus, o_orderpriority,
+                   count(o_totalprice) as n_orders,
+                   cast(round(sum(o_totalprice) * 100) as bigint) as revenue_c100
+            from orders group by rollup(o_orderstatus, o_orderpriority)
+        """,
+        "q31_cross_join": """
+            select r_name, n_name from region cross join nation
+        """,
+        "q32_scalar_string_funcs": """
+            select o_orderkey,
+                   split_part(o_orderpriority, '-', 2) as prio_name,
+                   lower(o_orderstatus) as status_lc,
+                   year(o_orderdate) as od_year,
+                   month(o_orderdate) as od_month
+            from orders
+        """,
+        "q33_monthly_revenue": """
+            select date_trunc('month', o_orderdate)::TIMESTAMP as month_start,
+                   count(*) as n_orders,
+                   cast(round(sum(o_totalprice) * 100) as bigint) as revenue_c100
+            from orders group by 1
+        """,
+        "q34_quantity_dispersion": """
+            select l_returnflag,
+                   cast(round(stddev_samp(l_quantity) * 1000000) as bigint)
+                       as std_qty_e6,
+                   cast(round(var_samp(l_quantity) * 1000000) as bigint)
+                       as var_qty_e6
+            from lineitem group by l_returnflag
+        """,
+        "q35_distinct_suppliers": """
+            select l_returnflag, count(distinct l_suppkey) as n_supp
+            from lineitem group by l_returnflag
+        """,
+        "q36_region_nations": """
+            select n_regionkey, string_agg(n_name, ',' order by n_name) as nations
+            from nation group by n_regionkey
+        """,
+        "q37_rolling_quantity": """
+            select l_orderkey, l_linenumber, l_quantity,
+                   sum(l_quantity) over (
+                       partition by l_orderkey order by l_linenumber, l_quantity
+                       rows between 2 preceding and current row) as qty_roll3
+            from lineitem
+        """,
+        "q38_order_rank": """
+            select o_custkey, o_orderkey,
+                   rank() over (partition by o_custkey order by o_orderdate) as rnk,
+                   dense_rank() over (partition by o_custkey order by o_orderdate)
+                       as drnk
+            from orders
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

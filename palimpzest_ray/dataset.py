@@ -709,16 +709,19 @@ class Dataset:
     ) -> "Dataset":
         """Running window aggregate per group, SQL ``<agg>(col) OVER
         (PARTITION BY by ORDER BY order ROWS UNBOUNDED PRECEDING)``:
-        ``kind`` ∈ sum / max / min / row_number (the last ignores
-        ``col``'s values). Vectorized numpy accumulate per group; null
-        values propagate into the running result (pass a null-free
-        measure, as SQL's null-skipping running agg isn't replicated).
-        Same determinism and partitioning contract as
-        :meth:`window_shift`."""
-        assert kind in ("sum", "max", "min", "row_number"), kind
+        ``kind`` ∈ sum / max / min / avg / count / row_number / rank /
+        dense_rank (the ranking kinds ignore ``col``'s values and rank
+        on the ``order`` tuple itself, with SQL tie semantics).
+        Vectorized numpy accumulate per group; null values propagate
+        into the running result (pass a null-free measure, as SQL's
+        null-skipping running agg isn't replicated). Same determinism
+        and partitioning contract as :meth:`window_shift`."""
+        kinds = ("sum", "max", "min", "avg", "count", "row_number", "rank", "dense_rank")
+        assert kind in kinds, kind
         by = [by] if isinstance(by, str) else list(by)
         order = [order] if isinstance(order, str) else list(order)
-        name = out or (f"{col}_cum{kind}" if kind != "row_number" else "row_number")
+        ranking = kind in ("row_number", "rank", "dense_rank")
+        name = out or (kind if ranking else f"{col}_cum{kind}")
         acc = {
             "sum": np.cumsum,
             "max": np.maximum.accumulate,
@@ -731,12 +734,86 @@ class Dataset:
             n = g.num_rows
             if kind == "row_number":
                 res = pa.array(np.arange(1, n + 1, dtype=np.int64))
+            elif kind in ("rank", "dense_rank"):
+                # new-group flags over the sorted order tuple
+                flag = np.zeros(n, dtype=bool)
+                if n:
+                    flag[0] = True
+                for o in order:
+                    a = g[o].combine_chunks().to_numpy(zero_copy_only=False)
+                    flag[1:] |= a[1:] != a[:-1]
+                if kind == "dense_rank":
+                    res = pa.array(np.cumsum(flag).astype(np.int64))
+                else:
+                    pos = np.where(flag, np.arange(n, dtype=np.int64), 0)
+                    res = pa.array(np.maximum.accumulate(pos) + 1)
+            elif kind == "count":
+                res = pa.array(np.arange(1, n + 1, dtype=np.int64))
+            elif kind == "avg":
+                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+                res = pa.array(
+                    np.cumsum(vals.astype(np.float64))
+                    / np.arange(1, n + 1, dtype=np.float64)
+                )
             else:
                 vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
                 res = pa.array(acc[kind](vals))
             return g.append_column(name, res)
 
         return Dataset(self._ds.groupby(by).map_groups(_cum, batch_format="pyarrow"))
+
+    def window_rolling(
+        self,
+        col: str,
+        kind: str = "sum",
+        *,
+        window: int,
+        by: str | list[str],
+        order: str | list[str],
+        out: str | None = None,
+    ) -> "Dataset":
+        """Moving-frame window aggregate, SQL ``<agg>(col) OVER
+        (PARTITION BY by ORDER BY order ROWS BETWEEN window-1 PRECEDING
+        AND CURRENT ROW)``: ``kind`` ∈ sum / avg / min / max / count.
+        Head rows see a shrinking frame, exactly as SQL. Vectorized per
+        group: sum/avg via prefix-sum differences, min/max via a
+        ``sliding_window_view`` reduction — no Python row loop. Null
+        handling and partitioning contract as :meth:`window_cum` (pass a
+        null-free measure; one ``by`` group fits in a task)."""
+        assert kind in ("sum", "avg", "min", "max", "count"), kind
+        assert window >= 1, "window must be >= 1 rows"
+        by = [by] if isinstance(by, str) else list(by)
+        order = [order] if isinstance(order, str) else list(order)
+        name = out or f"{col}_roll{kind}{window}"
+        w = int(window)
+
+        def _roll(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(group, sort_keys=[(o, "ascending") for o in order])
+            g = group.take(idx)
+            n = g.num_rows
+            pos = np.arange(n, dtype=np.int64)
+            cnt = np.minimum(pos + 1, w)
+            if kind == "count":
+                res = pa.array(cnt)
+            elif kind in ("sum", "avg"):
+                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+                cs = np.concatenate([[0.0], np.cumsum(vals.astype(np.float64))])
+                s = cs[pos + 1] - cs[np.maximum(pos + 1 - w, 0)]
+                res = pa.array(s / cnt if kind == "avg" else s)
+            else:
+                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+                red = np.minimum if kind == "min" else np.maximum
+                head = red.accumulate(vals[: min(w - 1, n)]) if w > 1 else vals[:0]
+                if n >= w:
+                    tail = red.reduce(
+                        np.lib.stride_tricks.sliding_window_view(vals, w), axis=1
+                    )
+                    res = pa.array(np.concatenate([head, tail]))
+                else:
+                    res = pa.array(head)
+            return g.append_column(name, res)
+
+        return Dataset(self._ds.groupby(by).map_groups(_roll, batch_format="pyarrow"))
 
     def intersect(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``INTERSECT``: distinct rows of ``self`` present in
@@ -844,6 +921,188 @@ class Dataset:
             return out
 
         return Dataset(self._ds.map_batches(_rj, batch_format="pyarrow"))
+
+    def cross_join(self, other: "Dataset", *, suffix: str = RIGHT_SUFFIX) -> "Dataset":
+        """Cartesian product with a SMALL broadcast right side (absent
+        from the reference — its ``NestedLoopsJoin`` cross product exists
+        only to feed an LLM pair filter, ``join.py:395-489``).
+
+        The right side is materialized once, shipped via ``ray.put``,
+        and the product is built per left batch with two vectorized
+        ``take`` calls — no shuffle. Output size is |L|x|R| rows: keep
+        the right side to dimension-table scale (a large-x-large cross
+        product is wrong at any scale, not a missing feature). Duplicate
+        right column names take the ``_right`` suffix (join parity)."""
+        left_names = _arrow_schema(self._ds).names
+        right_tbl = _to_table(other._ds).combine_chunks()
+        right_tbl = right_tbl.rename_columns(
+            [c + suffix if c in left_names else c for c in right_tbl.column_names]
+        )
+        ref = ray.put(right_tbl)
+
+        def _cj(batch: pa.Table) -> pa.Table:
+            right = ray.get(ref)
+            n, m = len(batch), len(right)
+            if m == 0 or n == 0:
+                empty = [pa.chunked_array([], f.type) for f in batch.schema] + [
+                    pa.chunked_array([], f.type) for f in right.schema
+                ]
+                return pa.table(empty, names=batch.column_names + right.column_names)
+            li = np.repeat(np.arange(n, dtype=np.int64), m)
+            ri = np.tile(np.arange(m, dtype=np.int64), n)
+            out = batch.take(pa.array(li))
+            rt = right.take(pa.array(ri))
+            for name in rt.column_names:
+                out = out.append_column(name, rt[name])
+            return out
+
+        return Dataset(self._ds.map_batches(_cj, batch_format="pyarrow"))
+
+    def grouping_sets(
+        self,
+        keys: list[str],
+        sets: list[list[str]],
+        funcs: list[tuple[str, str]],
+    ) -> "Dataset":
+        """SQL ``GROUP BY GROUPING SETS``: one aggregate pass at the
+        finest level (all ``keys``, map-side partial combine — see
+        ``GroupedDataset.aggregate``), then each requested set
+        re-aggregates the *already-reduced* fine table, so the full
+        input is shuffled exactly once no matter how many sets.
+
+        ``funcs`` follows the reference agg signature ``(func, field)``
+        with func in count/sum/min/max/average (``average`` is
+        decomposed into re-aggregable sum+count partials); output
+        columns are named ``"func(field)"`` (reference
+        ``groupbysig.py:55-59``). Rolled-up key columns are NULL, as in
+        SQL — groups whose key value is itself NULL are merged with the
+        rollup row at coarser levels (same caveat as SQL without
+        ``GROUPING()``)."""
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        keys = list(keys)
+        sets = [list(s) for s in sets]
+        for s in sets:
+            if not set(s) <= set(keys):
+                raise ValueError(f"grouping set {s} not a subset of keys {keys}")
+
+        schema = _arrow_schema(self._ds)
+        key_types = {k: schema.field(k).type for k in keys}
+
+        # decompose funcs into re-aggregable partials over the fine level
+        partial: dict[tuple[str, str], str] = {}  # (kind, field) -> partial col
+
+        def pcol(kind: str, field: str) -> str:
+            return partial.setdefault((kind, field), f"__gs{len(partial)}")
+
+        plan: list[tuple] = []  # (func, out_name, partial cols...)
+        for func, field in funcs:
+            name = f"{func}({field})"
+            if func == "count":
+                plan.append(("count", name, pcol("count", field)))
+            elif func == "sum":
+                plan.append(("sum", name, pcol("sum", field)))
+            elif func == "min":
+                plan.append(("min", name, pcol("min", field)))
+            elif func == "max":
+                plan.append(("max", name, pcol("max", field)))
+            elif func == "average":
+                plan.append(
+                    ("average", name, pcol("sum", field), pcol("count", field))
+                )
+            else:
+                raise ValueError(f"unsupported grouping-sets func {func!r}")
+
+        def _agg_obj(kind: str, col: str, alias: str):
+            if kind == "count":
+                return Count(col, alias_name=alias, ignore_nulls=True)
+            if kind == "sum":
+                return Sum(col, alias_name=alias)
+            if kind == "min":
+                return Min(col, alias_name=alias)
+            return Max(col, alias_name=alias)
+
+        fine = self.groupby(keys).aggregate(
+            *(_agg_obj(kind, field, p) for (kind, field), p in partial.items())
+        )
+
+        # per-level re-aggregation: counts and sums re-sum, min/max nest
+        reagg_kind = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+        out_names = keys + [step[1] for step in plan]
+
+        def _finish(level_keys: list[str]):
+            def _f(batch: pa.Table) -> pa.Table:
+                n = len(batch)
+                arrays = []
+                for k in keys:
+                    if k in level_keys:
+                        arrays.append(pc.cast(batch[k], key_types[k]))
+                    else:
+                        arrays.append(pa.nulls(n, key_types[k]))
+                for step in plan:
+                    if step[0] == "average":
+                        _, _, ps, pcnt = step
+                        arrays.append(
+                            pc.divide(
+                                pc.cast(batch[ps], pa.float64()),
+                                pc.cast(batch[pcnt], pa.float64()),
+                            )
+                        )
+                    elif step[0] == "count":
+                        arrays.append(pc.cast(batch[step[2]], pa.int64()))
+                    else:
+                        arrays.append(batch[step[2]])
+                return pa.table(arrays, names=out_names)
+
+            return _f
+
+        levels: list[Dataset] = []
+        for s in sets:
+            if s == keys:
+                level = fine
+            elif s:
+                level = fine.groupby(s).aggregate(
+                    *(
+                        _agg_obj(reagg_kind[kind], p, p)
+                        for (kind, _), p in partial.items()
+                    )
+                )
+            else:  # grand total: constant-key groupby over the fine table
+                const = fine.map_batches(
+                    lambda b: b.append_column(
+                        "__all", pa.array(np.zeros(len(b), dtype=np.int8))
+                    )
+                )
+                level = const.groupby("__all").aggregate(
+                    *(
+                        _agg_obj(reagg_kind[kind], p, p)
+                        for (kind, _), p in partial.items()
+                    )
+                )
+            levels.append(level.map_batches(_finish(s)))
+
+        out = levels[0]
+        if len(levels) > 1:
+            out = out.union(*levels[1:])
+        return out
+
+    def rollup(self, keys: list[str], funcs: list[tuple[str, str]]) -> "Dataset":
+        """SQL ``GROUP BY ROLLUP``: hierarchy prefixes of ``keys`` —
+        ``(k1..kn), (k1..kn-1), ..., (k1), ()`` — via
+        :meth:`grouping_sets` (one input shuffle total)."""
+        sets = [list(keys)[:i] for i in range(len(keys), -1, -1)]
+        return self.grouping_sets(list(keys), sets, funcs)
+
+    def cube(self, keys: list[str], funcs: list[tuple[str, str]]) -> "Dataset":
+        """SQL ``GROUP BY CUBE``: all 2^n subsets of ``keys`` via
+        :meth:`grouping_sets` (one input shuffle total)."""
+        from itertools import combinations
+
+        keys = list(keys)
+        sets = [
+            list(c) for r in range(len(keys), -1, -1) for c in combinations(keys, r)
+        ]
+        return self.grouping_sets(keys, sets, funcs)
 
     def _semi_anti(self, other: "Dataset", on, anti: bool) -> "Dataset":
         on = [on] if isinstance(on, str) else list(on)
@@ -1391,31 +1650,56 @@ class GroupedDataset:
         output columns are named ``"func(field)"``
         (reference ``groupbysig.py:55-59``). None values are skipped
         (``aggregate.py:65-122``)."""
-        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+        from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
-        ray_aggs = []
-        post: list[tuple[str, str, str]] = []  # (func, field, name)
-        for func, field in funcs:
-            name = f"{func}({field})"
-            if func == "count":
-                ray_aggs.append(Count(field, alias_name=name, ignore_nulls=True))
-            elif func == "sum":
-                ray_aggs.append(Sum(field, alias_name=name))
-            elif func == "average":
-                ray_aggs.append(Mean(field, alias_name=name))
-            elif func == "min":
-                ray_aggs.append(Min(field, alias_name=name))
-            elif func == "max":
-                ray_aggs.append(Max(field, alias_name=name))
-            elif func in ("list", "set"):
-                post.append((func, field, name))
-            else:
+        known = {
+            "count", "sum", "average", "min", "max", "stddev", "var",
+            "median", "count_distinct", "string_agg", "list", "set",
+        }
+        for func, _ in funcs:
+            if func not in known:
                 raise ValueError(f"unsupported agg func {func!r}")
+        # list/set/median/count_distinct/string_agg are non-algebraic:
+        # they need the full group (for a distributed count-distinct
+        # that avoids the holistic path, see :meth:`nunique`)
+        post = [
+            (f, fld, f"{f}({fld})") for (f, fld) in funcs if f in ("list", "set")
+        ]
+        holistic = {"median", "count_distinct", "string_agg"}
+        needs_groups = bool(post) or any(f in holistic for f, _ in funcs)
 
-        if not post:
-            return self.aggregate(*ray_aggs)  # combiner path
+        if not needs_groups:
+            ray_aggs = []
+            var_cols: list[str] = []
+            for func, field in funcs:
+                name = f"{func}({field})"
+                if func == "count":
+                    ray_aggs.append(Count(field, alias_name=name, ignore_nulls=True))
+                elif func == "sum":
+                    ray_aggs.append(Sum(field, alias_name=name))
+                elif func == "average":
+                    ray_aggs.append(Mean(field, alias_name=name))
+                elif func == "min":
+                    ray_aggs.append(Min(field, alias_name=name))
+                elif func == "max":
+                    ray_aggs.append(Max(field, alias_name=name))
+                else:  # stddev / var: Welford combiner, var finishes as std^2
+                    ray_aggs.append(Std(field, ddof=1, alias_name=name))
+                    if func == "var":
+                        var_cols.append(name)
+            out = self.aggregate(*ray_aggs)  # combiner path
+            if var_cols:
+                def _square(t: pa.Table) -> pa.Table:
+                    for c in var_cols:
+                        t = t.set_column(
+                            t.column_names.index(c), c, pc.multiply(t[c], t[c])
+                        )
+                    return t
 
-        # list/set need map_groups; fold any scalar aggs into the same pass
+                out = out.map_batches(_square, batch_format="pyarrow")
+            return out
+
+        # fold any scalar aggs into the same map_groups pass
         keys = self._keys
         scalar = [(f, fld) for (f, fld) in funcs if f not in ("list", "set")]
 
@@ -1434,6 +1718,19 @@ class GroupedDataset:
                     out[name] = [col.min()]
                 elif func == "max":
                     out[name] = [col.max()]
+                elif func == "median":
+                    # linear interpolation — duckdb median()/quantile_cont
+                    # parity for numeric columns
+                    out[name] = [col.median()] if len(col) else [None]
+                elif func == "stddev":
+                    out[name] = [col.std(ddof=1)] if len(col) > 1 else [None]
+                elif func == "var":
+                    out[name] = [col.var(ddof=1)] if len(col) > 1 else [None]
+                elif func == "count_distinct":
+                    out[name] = [col.nunique()]
+                elif func == "string_agg":
+                    # duckdb string_agg(x, ',' ORDER BY x) parity
+                    out[name] = [",".join(sorted(str(v) for v in col))]
             for func, field, name in post:
                 vals = [v for v in g[field].tolist() if v is not None]
                 out[name] = [sorted(set(vals))] if func == "set" else [vals]
@@ -1442,6 +1739,58 @@ class GroupedDataset:
         return Dataset(
             self._ds.groupby(keys).map_groups(_group, batch_format="pandas")
         )
+
+    def nunique(self, field: str, out: str | None = None) -> Dataset:
+        """Distributed SQL ``COUNT(DISTINCT field)`` per group — the
+        scale path for ``agg([("count_distinct", field)])``: project
+        down to ``keys + [field]``, drop SQL-ignored null values, exact
+        distinct on the pair (one hash-partitioned shuffle whose reduce
+        output is at most one row per distinct pair), then a cheap
+        count over the already-reduced pairs. No group ever needs to
+        fit in one task, unlike the holistic agg path."""
+        from ray.data.aggregate import Count
+
+        name = out or f"count_distinct({field})"
+        keys = self._keys
+        narrow = Dataset(self._ds.select_columns(keys + [field])).filter(
+            batch_fn=lambda t: t.filter(pc.is_valid(t[field]))
+        )
+        pairs = narrow.distinct()  # keys+field all key columns: one row per pair
+        return Dataset(
+            pairs._ds.groupby(keys).aggregate(Count(alias_name=name))
+        )
+
+    def quantile(self, col: str, qs: float | dict[str, float] = 0.5) -> Dataset:
+        """Exact per-group quantiles with linear interpolation (duckdb
+        ``quantile_cont`` / ``median`` parity). ``qs`` is a quantile or
+        a ``{output_name: q}`` mapping (one shuffle for all of them).
+
+        Exact quantiles are holistic — they need every group value in
+        one place — so this shuffles, but only the narrow
+        ``keys + [col]`` projection (pruned here, before the exchange).
+        Nulls/NaNs are skipped; an all-null group yields null. For a
+        sketch that avoids shuffling the column at all, see
+        ``stages.sketches.approx_quantiles``."""
+        if isinstance(qs, float):
+            qs = {f"quantile({col})": qs}
+        keys = self._keys
+        items = list(qs.items())
+        narrow = self._ds.select_columns(keys + [col])
+
+        def _g(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            arrays = [t[k].slice(0, 1) for k in keys]
+            for _, q in items:
+                arrays.append(
+                    pa.array(
+                        [float(np.quantile(v, q)) if len(v) else None],
+                        pa.float64(),
+                    )
+                )
+            return pa.table(arrays, names=keys + [name for name, _ in items])
+
+        return Dataset(narrow.groupby(keys).map_groups(_g, batch_format="pyarrow"))
 
     def map_groups(self, fn, **kw) -> Dataset:
         kw.setdefault("batch_format", "pyarrow")

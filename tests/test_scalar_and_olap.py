@@ -1,0 +1,355 @@
+"""Scalar function library (strings/datetime) and OLAP extensions
+(rollup / cube / grouping sets, exact group quantiles, cross join) —
+duckdb is the oracle throughout.
+
+The reference has no scalar-function layer (SURVEY.md §2.3 "Scalar
+functions": all row-level computation there is a UDF or an LLM call);
+these are the vectorized pyarrow.compute replacements.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import palimpzest_ray.dataset as pzd
+from palimpzest_ray.functions import datetime as D
+from palimpzest_ray.functions import strings as S
+
+
+def canon(d: pd.DataFrame) -> pd.DataFrame:
+    d = d[sorted(d.columns)]
+    return d.sort_values(by=list(d.columns), ignore_index=True, na_position="last")
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+STRS = pa.array(["Hello-World", "a-b-c", None, "", "  pad  ", "1-URGENT x9"])
+
+
+def test_string_kernels_match_duckdb(con):
+    df = pd.DataFrame({"s": STRS.to_pylist()})
+    cases = [
+        (S.upper(STRS), "upper(s)"),
+        (S.lower(STRS), "lower(s)"),
+        (S.length(STRS), "length(s)"),
+        (S.reverse(STRS), "reverse(s)"),
+        (S.trim(STRS), "trim(s)"),
+        (S.substr(STRS, 2, 3), "substr(s, 2, 3)"),
+        (S.substr(STRS, -3), "substr(s, -3)"),
+        (S.replace(STRS, "-", "_"), "replace(s, '-', '_')"),
+        # NB: duckdb's split_part returns '' even for NULL input (its one
+        # non-null-propagating string fn); ours propagates null like every
+        # other kernel — the CASE makes the oracle null-propagating too.
+        (
+            S.split_part(STRS, "-", 2),
+            "case when s is null then null else split_part(s, '-', 2) end",
+        ),
+        (
+            S.split_part(STRS, "-", 5),
+            "case when s is null then null else split_part(s, '-', 5) end",
+        ),
+        (S.regexp_extract(STRS, r"(\d+)"), "regexp_extract(s, '(\\d+)', 1)"),
+        (S.contains(STRS, "-"), "contains(s, '-')"),
+        (S.starts_with(STRS, "a"), "starts_with(s, 'a')"),
+        (S.lpad(STRS, 12, "*"), "lpad(s, 12, '*')"),
+    ]
+    for got, sql in cases:
+        want = [r[0] for r in con.execute(f"select {sql} from df").fetchall()]
+        assert got.to_pylist() == want, sql
+
+
+def test_concat_ws_skips_nulls_like_duckdb(con):
+    a = pa.array(["a", None, None])
+    b = pa.array([None, None, None])
+    c = pa.array(["b", "c", None])
+    got = S.concat_ws("|", a, b, c).to_pylist()
+    assert got == ["a|b", "c", ""]
+    # concat (||-style): null propagates
+    assert S.concat(a, c).to_pylist() == ["ab", None, None]
+
+
+TS = pa.array(
+    pd.to_datetime(
+        ["2024-03-15 13:45:59", "2023-12-31 23:59:59", None, "2024-01-01 00:00:00"]
+    )
+)
+
+
+def test_datetime_kernels_match_duckdb(con):
+    df = pd.DataFrame({"t": pd.Series(TS.to_pandas())})
+    cases = [
+        (D.year(TS), "year(t)"),
+        (D.month(TS), "month(t)"),
+        (D.day(TS), "day(t)"),
+        (D.hour(TS), "hour(t)"),
+        (D.day_of_week(TS), "dayofweek(t)"),
+        (D.iso_day_of_week(TS), "isodow(t)"),
+        (D.day_of_year(TS), "dayofyear(t)"),
+        (D.quarter(TS), "quarter(t)"),
+        (D.epoch_seconds(TS), "epoch(t)::BIGINT"),
+        (D.date_trunc(TS, "month"), "date_trunc('month', t)::TIMESTAMP"),
+        (D.date_trunc(TS, "week"), "date_trunc('week', t)::TIMESTAMP"),
+        (D.date_trunc(TS, "hour"), "date_trunc('hour', t)::TIMESTAMP"),
+        (D.to_date(TS), "t::DATE"),
+        (D.date_diff_days(TS, TS), "datediff('day', t, t)"),
+    ]
+    for got, sql in cases:
+        want = [r[0] for r in con.execute(f"select {sql} from df").fetchall()]
+        got_py = got.to_pylist()
+        if "TIMESTAMP" in sql:
+            got_py = [
+                None if pd.isna(v) else v.to_pydatetime() for v in pd.Series(got_py)
+            ]
+        assert got_py == want, sql
+
+
+def test_try_strptime_nulls_bad_rows():
+    out = D.try_strptime(pa.array(["2024-01-02", "nope", None]))
+    assert out.to_pylist()[1] is None and out.to_pylist()[2] is None
+    assert out.to_pylist()[0] == pd.Timestamp("2024-01-02")
+
+
+def test_date_add_days_roundtrip():
+    shifted = D.date_add_days(TS, 40)
+    assert D.date_diff_days(TS, shifted).to_pylist() == [40, 40, None, 40]
+
+
+# --------------------------------------------------------------------------
+# OLAP: rollup / cube / grouping sets, quantiles, cross join
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def olap_df():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 300),
+            "b": rng.choice(["p", "q"], 300),
+            "v": rng.integers(0, 100, 300).astype(float),
+        }
+    )
+    df.loc[5, "v"] = np.nan
+    return df
+
+
+def test_rollup_matches_duckdb(con, olap_df):
+    df = olap_df
+    got = (
+        pzd.from_pandas(df)
+        .rollup(["a", "b"], [("count", "v"), ("sum", "v"), ("min", "v"), ("max", "v")])
+        .to_pandas()
+    )
+    want = con.execute(
+        'select a, b, count(v) as "count(v)", sum(v) as "sum(v)", '
+        'min(v) as "min(v)", max(v) as "max(v)" from df group by rollup(a, b)'
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_cube_with_average_matches_duckdb(con, olap_df):
+    df = olap_df
+    got = pzd.from_pandas(df).cube(["a", "b"], [("count", "v"), ("average", "v")]).to_pandas()
+    want = con.execute(
+        'select a, b, count(v) as "count(v)", avg(v) as "average(v)" '
+        "from df group by cube(a, b)"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_grouping_sets_subset_validation(olap_df):
+    with pytest.raises(ValueError, match="not a subset"):
+        pzd.from_pandas(olap_df).grouping_sets(["a"], [["b"]], [("count", "v")])
+
+
+def test_group_quantile_and_median_match_duckdb(con, olap_df):
+    df = olap_df
+    ds = pzd.from_pandas(df)
+    got = ds.groupby(["a"]).quantile("v", {"q25": 0.25, "med": 0.5, "q75": 0.75}).to_pandas()
+    want = con.execute(
+        "select a, quantile_cont(v, 0.25) as q25, median(v) as med, "
+        "quantile_cont(v, 0.75) as q75 from df group by a"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+    got2 = ds.groupby(["a"]).agg([("median", "v"), ("count", "v")]).to_pandas()
+    want2 = con.execute(
+        'select a, median(v) as "median(v)", count(v) as "count(v)" from df group by a'
+    ).df()
+    pd.testing.assert_frame_equal(canon(got2), canon(want2), check_dtype=False)
+
+
+def test_all_null_group_quantile_is_null():
+    df = pd.DataFrame({"a": ["x", "x", "y"], "v": [np.nan, np.nan, 1.0]})
+    got = pzd.from_pandas(df).groupby(["a"]).quantile("v", {"med": 0.5}).to_pandas()
+    got = got.set_index("a")["med"]
+    assert np.isnan(got["x"]) and got["y"] == 1.0
+
+
+def test_cross_join_product_and_suffix():
+    left = pzd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": ["l1", "l2", "l3"]}))
+    right = pzd.from_pandas(pd.DataFrame({"r": ["u", "w"], "a": ["r1", "r2"]}))
+    out = left.cross_join(right).to_pandas()
+    assert len(out) == 6
+    assert sorted(out.columns) == ["a", "a_right", "k", "r"]
+    assert set(zip(out["k"], out["r"])) == {(i, j) for i in (1, 2, 3) for j in ("u", "w")}
+
+
+# --------------------------------------------------------------------------
+# Window frames, ranking, dispersion aggregates, count-distinct, string_agg
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def win_df():
+    rng = np.random.default_rng(11)
+    n = 400
+    return pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "o": rng.permutation(n),  # unique order key
+            "v": rng.integers(0, 50, n).astype(float),
+        }
+    )
+
+
+@pytest.mark.parametrize("kind,sqlagg", [
+    ("sum", "sum(v)"), ("avg", "avg(v)"), ("min", "min(v)"),
+    ("max", "max(v)"), ("count", "count(v)"),
+])
+def test_window_rolling_matches_duckdb(con, win_df, kind, sqlagg):
+    df = win_df
+    got = (
+        pzd.from_pandas(df)
+        .window_rolling("v", kind, window=3, by="g", order="o", out="w")
+        .to_pandas()
+    )
+    want = con.execute(
+        f"select g, o, v, {sqlagg} over (partition by g order by o "
+        "rows between 2 preceding and current row) as w from df"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_window_rolling_window_one_and_short_group(con):
+    df = pd.DataFrame({"g": ["a", "a", "b"], "o": [1, 2, 1], "v": [5.0, 7.0, 9.0]})
+    got = (
+        pzd.from_pandas(df)
+        .window_rolling("v", "max", window=5, by="g", order="o", out="w")
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, o, v, max(v) over (partition by g order by o "
+        "rows between 4 preceding and current row) as w from df"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    one = (
+        pzd.from_pandas(df)
+        .window_rolling("v", "sum", window=1, by="g", order="o", out="w")
+        .to_pandas()
+    )
+    assert list(one.sort_values(["g", "o"])["w"]) == [5.0, 7.0, 9.0]
+
+
+def test_window_cum_rank_kinds_match_duckdb(con):
+    # ties in the order column exercise rank vs dense_rank vs row_number
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 6 + ["b"] * 3,
+            "o": [10, 10, 20, 20, 20, 30, 5, 5, 5],
+            "u": range(9),  # unique tiebreak for row_number determinism
+        }
+    )
+    ds = pzd.from_pandas(df)
+    got = (
+        ds.window_cum("o", "rank", by="g", order="o", out="rnk")
+        .window_cum("o", "dense_rank", by="g", order="o", out="drnk")
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, o, u, rank() over (partition by g order by o) as rnk, "
+        "dense_rank() over (partition by g order by o) as drnk from df"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_window_cum_avg_count_match_duckdb(con, win_df):
+    df = win_df
+    got = (
+        pzd.from_pandas(df)
+        .window_cum("v", "avg", by="g", order="o", out="ravg")
+        .window_cum("v", "count", by="g", order="o", out="rcnt")
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, o, v, avg(v) over (partition by g order by o "
+        "rows unbounded preceding) as ravg, "
+        "count(v) over (partition by g order by o rows unbounded preceding) as rcnt "
+        "from df"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_stddev_var_algebraic_matches_duckdb(con, olap_df):
+    df = olap_df
+    got = (
+        pzd.from_pandas(df)
+        .groupby(["a"])
+        .agg([("stddev", "v"), ("var", "v"), ("count", "v")])
+        .to_pandas()
+    )
+    want = con.execute(
+        'select a, stddev_samp(v) as "stddev(v)", var_samp(v) as "var(v)", '
+        'count(v) as "count(v)" from df group by a'
+    ).df()
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, atol=1e-9, check_exact=False
+    )
+
+
+def test_stddev_holistic_path_with_median(con, olap_df):
+    df = olap_df
+    got = (
+        pzd.from_pandas(df)
+        .groupby(["a"])
+        .agg([("stddev", "v"), ("median", "v")])
+        .to_pandas()
+    )
+    want = con.execute(
+        'select a, stddev_samp(v) as "stddev(v)", median(v) as "median(v)" '
+        "from df group by a"
+    ).df()
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, atol=1e-9, check_exact=False
+    )
+
+
+def test_nunique_scale_path_and_holistic_agree(con, olap_df):
+    df = olap_df.copy()
+    df.loc[10:20, "b"] = None  # count(distinct) ignores nulls
+    ds = pzd.from_pandas(df)
+    got = ds.groupby(["a"]).nunique("b", out="n").to_pandas()
+    want = con.execute("select a, count(distinct b) as n from df group by a").df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    hol = (
+        ds.groupby(["a"]).agg([("count_distinct", "b")]).to_pandas()
+        .rename(columns={"count_distinct(b)": "n"})
+    )
+    pd.testing.assert_frame_equal(canon(hol), canon(want), check_dtype=False)
+
+
+def test_string_agg_matches_duckdb(con):
+    df = pd.DataFrame({"g": ["x", "x", "y", "x"], "s": ["b", "a", "c", None]})
+    got = pzd.from_pandas(df).groupby(["g"]).agg([("string_agg", "s")]).to_pandas()
+    want = con.execute(
+        "select g, string_agg(s, ',' order by s) as \"string_agg(s)\" "
+        "from df group by g"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
