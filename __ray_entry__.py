@@ -546,6 +546,66 @@ def q38_order_rank(sf_dir: str):
     return ranked.project(["o_custkey", "o_orderkey", "rnk", "drnk"])
 
 
+def q39_scalar_math_funcs(sf_dir: str):
+    """Scalar math catalog over lineitem — round/ceil/floor/sqrt/ln/
+    sign/mod/power, all pyarrow.compute kernels with SQL semantics
+    (functions.math; floats pinned to integer e6 for the compare)."""
+    from palimpzest_ray.functions import math as M
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    out = (
+        li.with_column("ep_round", lambda t: pc.cast(M.round_(t["l_extendedprice"]), pa.int64()))
+        .with_column("qty_ceil", lambda t: pc.cast(M.ceil(t["l_quantity"]), pa.int64()))
+        .with_column("qty_floor", lambda t: pc.cast(M.floor(t["l_quantity"]), pa.int64()))
+        .with_column("sqrt_qty_e6", lambda t: M.sqrt(t["l_quantity"]))
+        .with_column("ln_ep_e6", lambda t: M.ln(t["l_extendedprice"]))
+        .with_column("disc_sign", lambda t: pc.cast(M.sign(pc.subtract(t["l_discount"], pa.scalar(0.04))), pa.int64()))
+        .with_column("ln_mod3", lambda t: M.mod(pc.cast(t["l_linenumber"], pa.int64()), pa.scalar(3, pa.int64())))
+        .with_column("tax_pow_e6", lambda t: M.power(pc.add(t["l_tax"], pa.scalar(1.0)), pa.scalar(2.0)))
+        .project(
+            ["l_orderkey", "l_linenumber", "ep_round", "qty_ceil", "qty_floor",
+             "sqrt_qty_e6", "ln_ep_e6", "disc_sign", "ln_mod3", "tax_pow_e6"]
+        )
+    )
+    return _e6(out, ["sqrt_qty_e6", "ln_ep_e6", "tax_pow_e6"])
+
+
+def q40_list_funcs(sf_dir: str):
+    """List/array functions over the embedding column — segmented numpy
+    reduces (reduceat over list offsets), no per-row loop. Sum
+    accumulates float64 sequentially = duckdb list_sum over FLOAT[]."""
+    from palimpzest_ray.functions import lists as L
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        emb.with_column("emb_len", lambda t: pc.cast(L.list_len(t["embedding"]), pa.int64()))
+        .with_column("first_e6", lambda t: pc.cast(L.list_get(t["embedding"], 1, one_based=True), pa.float64()))
+        .with_column("sum_e6", lambda t: L.list_sum(t["embedding"]))
+        .with_column("min_e6", lambda t: pc.cast(L.list_min(t["embedding"]), pa.float64()))
+        .with_column("max_e6", lambda t: pc.cast(L.list_max(t["embedding"]), pa.float64()))
+        .project(["vec_id", "emb_len", "first_e6", "sum_e6", "min_e6", "max_e6"])
+    )
+    return _e6(out, ["first_e6", "sum_e6", "min_e6", "max_e6"])
+
+
+def q41_json_extract(sf_dir: str):
+    """JSON field extraction from events.props (string column). The
+    per-query path parses per row (C json parser in map_batches
+    workers); json_to_columns is the parse-once ingest path."""
+    from palimpzest_ray.functions import json as J
+
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+    return (
+        ev.with_column("k_str", lambda t: J.json_extract_string(t["props"], "$.k"))
+        .with_column("k_int", lambda t: J.json_extract_int(t["props"], "$.k"))
+        .project(["event_id", "k_str", "k_int"])
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -838,6 +898,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_region_nations": q36_region_nations,
         "q37_rolling_quantity": q37_rolling_quantity,
         "q38_order_rank": q38_order_rank,
+        "q39_scalar_math_funcs": q39_scalar_math_funcs,
+        "q40_list_funcs": q40_list_funcs,
+        "q41_json_extract": q41_json_extract,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -1118,6 +1181,36 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() over (partition by o_custkey order by o_orderdate)
                        as drnk
             from orders
+        """,
+        "q39_scalar_math_funcs": """
+            select l_orderkey, l_linenumber,
+                   cast(round(l_extendedprice, 0) as bigint) as ep_round,
+                   cast(ceil(l_quantity) as bigint) as qty_ceil,
+                   cast(floor(l_quantity) as bigint) as qty_floor,
+                   cast(round(sqrt(l_quantity) * 1000000) as bigint) as sqrt_qty_e6,
+                   cast(round(ln(l_extendedprice) * 1000000) as bigint) as ln_ep_e6,
+                   cast(sign(l_discount - 0.04) as bigint) as disc_sign,
+                   l_linenumber % 3 as ln_mod3,
+                   cast(round(power(1.0 + l_tax, 2) * 1000000) as bigint) as tax_pow_e6
+            from lineitem
+        """,
+        "q40_list_funcs": """
+            select vec_id,
+                   cast(len(embedding) as bigint) as emb_len,
+                   cast(round(cast(embedding[1] as double) * 1000000) as bigint)
+                       as first_e6,
+                   cast(round(list_sum(embedding) * 1000000) as bigint) as sum_e6,
+                   cast(round(cast(list_min(embedding) as double) * 1000000) as bigint)
+                       as min_e6,
+                   cast(round(cast(list_max(embedding) as double) * 1000000) as bigint)
+                       as max_e6
+            from embeddings
+        """,
+        "q41_json_extract": """
+            select event_id,
+                   json_extract_string(props, '$.k') as k_str,
+                   cast(json_extract_string(props, '$.k') as bigint) as k_int
+            from events
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

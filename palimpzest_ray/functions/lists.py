@@ -1,0 +1,106 @@
+"""Vectorized list/array functions over Arrow ``list<T>`` columns.
+
+The reference's only list-typed computation is elementwise sum/min/max
+of list fields inside its groupby (``aggregate.py:65-122``) — done with
+Python ``zip`` loops over materialized records. Here every per-row list
+reduction is a segmented numpy reduce over the flattened child values
+(``np.<op>.reduceat`` on the list offsets) — no Python loop, zero-copy
+from the Arrow buffers.
+
+Accumulation dtype: sums/means over float children accumulate in
+float64 sequentially left-to-right, which is bit-identical to duckdb's
+``list_sum`` over ``FLOAT[]`` (it also upcasts then accumulates in
+order). Empty lists return the SQL aggregate identity (NULL); null
+lists return NULL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def list_len(a):
+    """Elements per row (SQL ``len(arr)``); null list -> null."""
+    return pc.list_value_length(a)
+
+
+def list_get(a, index: int, *, one_based: bool = False):
+    """Element at ``index``; null when the row's list is too short or
+    null (SQL ``arr[n]`` semantics — ``pc.list_element`` instead raises
+    on any short row). Python 0-based by default; ``one_based=True``
+    for the SQL convention."""
+    i = index - 1 if one_based else index
+    if i < 0:
+        raise ValueError("negative indices unsupported")
+    sl = pc.list_slice(a, i, i + 1)
+    flat = pc.list_flatten(sl)  # exactly one value per row that has one
+    has = pc.fill_null(pc.equal(pc.list_value_length(sl), 1), False)
+    has = np.asarray(has.to_numpy(zero_copy_only=False), dtype=bool)
+    idx = np.cumsum(has) - 1
+    indices = pa.array(idx, pa.int64(), mask=~has)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat.take(indices)
+
+
+def list_slice(a, start: int, stop: int | None = None):
+    return pc.list_slice(a, start, stop)
+
+
+def flatten(a):
+    return pc.list_flatten(a)
+
+
+def _segments(a):
+    """(values_f64_or_raw, offsets, null_mask) for one combined ListArray."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    offs = a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = a.values.to_numpy(zero_copy_only=False)
+    nulls = a.is_null().to_numpy(zero_copy_only=False)
+    return vals, offs, nulls
+
+
+def _segmented(a, ufunc, out_dtype=None, cast_f64: bool = False):
+    vals, offs, nulls = _segments(a)
+    starts, ends = offs[:-1], offs[1:]
+    empty = starts == ends
+    if cast_f64 and vals.dtype != np.float64:
+        vals = vals.astype(np.float64)
+    # reduceat misbehaves on empty segments (returns vals[start]) and on a
+    # trailing start == len(vals); clamp then mask those rows to null.
+    safe = np.minimum(starts, max(len(vals) - 1, 0))
+    out = ufunc.reduceat(vals, safe) if len(vals) else np.zeros(len(starts), vals.dtype)
+    mask = nulls | empty
+    arr = pa.array(out.astype(out_dtype) if out_dtype else out)
+    return pc.if_else(pa.array(~mask), arr, pa.scalar(None, arr.type))
+
+
+def list_sum(a):
+    return _segmented(a, np.add, cast_f64=True)
+
+
+def list_min(a):
+    return _segmented(a, np.minimum)
+
+
+def list_max(a):
+    return _segmented(a, np.maximum)
+
+
+def list_mean(a):
+    s = list_sum(a)
+    n = pc.cast(pc.list_value_length(a), pa.float64())
+    return pc.divide(s, pc.if_else(pc.equal(n, 0), pa.scalar(None, pa.float64()), n))
+
+
+def list_contains(a, value):
+    """SQL ``list_contains`` — True/False per row, null list -> null."""
+    vals, offs, nulls = _segments(a)
+    starts, ends = offs[:-1], offs[1:]
+    hit = vals == value
+    cum = np.concatenate([[0], np.cumsum(hit)])
+    out = cum[ends] > cum[starts]
+    return pc.if_else(pa.array(~nulls), pa.array(out), pa.scalar(None, pa.bool_()))

@@ -1,0 +1,164 @@
+"""Math / list / JSON scalar families vs duckdb — edge cases the
+contract queries (q39-q41) don't reach: nulls, empty lists, negative
+mod, missing JSON keys, invalid JSON documents.
+
+No Ray needed: these kernels are plain Arrow-in/Arrow-out (they run
+inside map_batches in the engine, but parity holds at the array level).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from palimpzest_ray.functions import json as J
+from palimpzest_ray.functions import lists as L
+from palimpzest_ray.functions import math as M
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+NUMS = pa.array([2.5, -2.5, 0.05, -0.05, 1.15, None, 0.0, 123.456])
+
+
+def test_math_kernels_match_duckdb(con):
+    df = pd.DataFrame({"x": NUMS.to_pylist()})
+    cases = [
+        (M.abs_(NUMS), "abs(x)"),
+        (M.round_(NUMS), "round(x, 0)"),
+        (M.round_(NUMS, 1), "round(x, 1)"),
+        (M.ceil(NUMS), "ceil(x)"),
+        (M.floor(NUMS), "floor(x)"),
+        (M.trunc(NUMS), "trunc(x)"),
+        (M.exp(NUMS), "exp(x)"),
+        (M.power(NUMS, pa.scalar(2.0)), "power(x, 2)"),
+        (M.sign(NUMS), "cast(sign(x) as double)"),
+    ]
+    for got, sql in cases:
+        want = [r[0] for r in con.execute(f"select {sql} from df").fetchall()]
+        assert got.to_pylist() == want, sql
+
+
+def test_mod_matches_sql_trunc_remainder(con):
+    a = pa.array([7, -7, 7, -7, 0, None], pa.int64())
+    b = pa.array([3, 3, -3, -3, 5, 2], pa.int64())
+    df = pd.DataFrame({"a": a.to_pylist(), "b": b.to_pylist()})
+    want = [r[0] for r in con.execute("select a % b from df").fetchall()]
+    assert M.mod(a, b).to_pylist() == want
+    # float mod too
+    fa = pa.array([7.5, -7.5, 7.5], pa.float64())
+    fb = pa.array([2.0, 2.0, -2.0], pa.float64())
+    dff = pd.DataFrame({"a": fa.to_pylist(), "b": fb.to_pylist()})
+    wantf = [r[0] for r in con.execute("select a % b from dff").fetchall()]
+    assert M.mod(fa, fb).to_pylist() == wantf
+
+
+def test_greatest_least_clamp(con):
+    a = pa.array([1.0, 9.0, None])
+    b = pa.array([5.0, 2.0, 3.0])
+    df = pd.DataFrame({"a": a.to_pylist(), "b": b.to_pylist()})
+    assert (
+        M.greatest(a, b).to_pylist()
+        == [r[0] for r in con.execute("select greatest(a, b) from df").fetchall()]
+    )
+    assert (
+        M.least(a, b).to_pylist()
+        == [r[0] for r in con.execute("select least(a, b) from df").fetchall()]
+    )
+    assert M.clamp(pa.array([1, 5, 99]), 2, 10).to_pylist() == [2, 5, 10]
+
+
+LISTS = pa.array(
+    [[1.5, 2.5, -3.0], [], None, [42.0], [0.1, 0.2, 0.3]],
+    pa.list_(pa.float32()),
+)
+
+
+def test_list_reductions_match_duckdb(con):
+    df = pd.DataFrame({"v": LISTS.to_pylist()})
+    con.register("lists_df", pa.table({"v": LISTS}))
+    cases = [
+        (L.list_len(LISTS), "len(v)"),
+        (pa.array(L.list_sum(LISTS)), "cast(list_sum(v) as double)"),
+        (pa.array(L.list_min(LISTS)), "list_min(v)"),
+        (pa.array(L.list_max(LISTS)), "list_max(v)"),
+    ]
+    for got, sql in cases:
+        want = [r[0] for r in con.execute(f"select {sql} from lists_df").fetchall()]
+        g = got.to_pylist()
+        assert len(g) == len(want)
+        for gv, wv in zip(g, want):
+            if gv is None or wv is None:
+                # duckdb list_sum([]) is NULL; ours too
+                assert gv == wv, sql
+            else:
+                assert gv == pytest.approx(wv, rel=1e-6), sql
+
+
+def test_list_get_and_contains():
+    one = L.list_get(LISTS, 1, one_based=True).to_pylist()
+    assert one[0] == 1.5 and one[3] == 42.0 and one[4] == pytest.approx(0.1, rel=1e-6)
+    got = L.list_get(LISTS, 0).to_pylist()
+    assert got[0] == 1.5 and got[3] == 42.0 and got[2] is None
+    c = L.list_contains(LISTS, np.float32(42.0)).to_pylist()
+    assert c == [False, False, None, True, False]
+
+
+def test_list_mean_empty_is_null():
+    m = L.list_mean(LISTS).to_pylist()
+    assert m[1] is None and m[2] is None
+    assert m[3] == 42.0
+    assert m[0] == pytest.approx((1.5 + 2.5 - 3.0) / 3)
+
+
+JDOCS = pa.array(
+    [
+        '{"k": 87, "s": "hi", "b": true, "o": {"n": 1}}',
+        '{"k": 0}',
+        '{"other": 1}',
+        "not json",
+        None,
+        '{"k": -3.5}',
+    ]
+)
+
+
+def test_json_extract_string_matches_duckdb(con):
+    df = pd.DataFrame({"j": JDOCS.to_pylist()})
+    got = J.json_extract_string(JDOCS, "$.k").to_pylist()
+    want = [
+        r[0]
+        for r in con.execute(
+            "select case when json_valid(j) then json_extract_string(j, '$.k') end from df"
+        ).fetchall()
+    ]
+    assert got == want
+    # nested path + object stringification
+    assert J.json_extract_string(JDOCS, "$.o.n").to_pylist()[0] == "1"
+    assert J.json_extract_string(JDOCS, "$.o").to_pylist()[0] == '{"n":1}'
+    assert J.json_extract_string(JDOCS, "$.b").to_pylist()[0] == "true"
+
+
+def test_json_extract_typed_and_valid():
+    assert J.json_extract_int(JDOCS, "$.k").to_pylist() == [87, 0, None, None, None, -3]
+    assert J.json_extract_double(JDOCS, "$.k").to_pylist() == [87.0, 0.0, None, None, None, -3.5]
+    assert J.json_valid(JDOCS).to_pylist() == [True, True, True, False, None, True]
+
+
+def test_json_to_columns_parse_once():
+    cols = J.json_to_columns(JDOCS, {"k": pa.float64(), "s": pa.string()})
+    assert cols["k"].to_pylist() == [87.0, 0.0, None, None, None, -3.5]
+    assert cols["s"].to_pylist() == ["hi", None, None, None, None, None]
+
+
+def test_segmented_reduce_layout_invariance():
+    """Chunked vs combined list columns give identical reductions."""
+    chunked = pa.chunked_array([LISTS.slice(0, 2), LISTS.slice(2)])
+    for fn in (L.list_sum, L.list_min, L.list_max, L.list_len):
+        assert pa.array(fn(chunked)).to_pylist() == pa.array(fn(LISTS)).to_pylist()
