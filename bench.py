@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "d06_minhash_dedup",
     "q17_tumbling_window",
     "q19_asof_join",
+    "q30_rollup_order_totals",
+    "q37_rolling_quantity",
+    "q39_scalar_math_funcs",
     "cdc_replay",
 ]
 

@@ -1,3 +1,4 @@
+from palimpzest_ray.functions import datetime, json, lists, math, strings
 from palimpzest_ray.functions.tokens import (
     first_per_key,
     stable_bucket,
@@ -7,6 +8,11 @@ from palimpzest_ray.functions.tokens import (
 )
 
 __all__ = [
+    "datetime",
+    "json",
+    "lists",
+    "math",
+    "strings",
     "stable_hash",
     "stable_bucket",
     "first_per_key",
