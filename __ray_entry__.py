@@ -39,7 +39,7 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> pzd.Data
     return pzd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _cents(ds: pzd.Dataset, cols: list[str]) -> pzd.Dataset:
+def _cents(ds: pzd.Dataset, cols: list[str], scale: float = 100.0) -> pzd.Dataset:
     """Scale float sums to integer hundredths (int64). Rounding a double
     to 2 decimals is NOT bit-stable across engines (arrow and duckdb can
     land on adjacent ulps); scale-then-round-to-int is, as long as the
@@ -48,13 +48,18 @@ def _cents(ds: pzd.Dataset, cols: list[str]) -> pzd.Dataset:
     def _r(batch: pa.Table) -> pa.Table:
         for col in cols:
             i = batch.column_names.index(col)
-            scaled = pc.round(pc.multiply(batch[col], pa.scalar(100.0))).cast(
+            scaled = pc.round(pc.multiply(batch[col], pa.scalar(scale))).cast(
                 pa.int64()
             )
             batch = batch.set_column(i, col, scaled)
         return batch
 
     return ds.map_batches(_r)
+
+
+def _e6(ds: pzd.Dataset, cols: list[str]) -> pzd.Dataset:
+    """_cents at integer-millionths precision (variance/sqrt scale)."""
+    return _cents(ds, cols, scale=1e6)
 
 
 # --------------------------------------------------------------------------
@@ -376,12 +381,17 @@ def q25_unpivot(sf_dir: str):
 
 def q27_quantity_lag(sf_dir: str):
     """Windowed LAG within each order (l_linenumber sequence): previous
-    line's quantity, null on the first line."""
+    line's quantity, null on the first line. (l_orderkey, l_linenumber)
+    is NOT unique in this synthetic data, so the measure itself is the
+    final order tiebreaker — rows tied on the whole tuple are
+    interchangeable, making the output multiset deterministic (same
+    remedy as q37)."""
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
     )
     return li.window_shift(
-        "l_quantity", 1, by="l_orderkey", order="l_linenumber", out="qty_lag"
+        "l_quantity", 1,
+        by="l_orderkey", order=["l_linenumber", "l_quantity"], out="qty_lag",
     ).project(["l_orderkey", "l_linenumber", "l_quantity", "qty_lag"])
 
 
@@ -401,8 +411,10 @@ def q28_running_quantity(sf_dir: str):
 
     return (
         li.map_batches(_to_cents)
-        .window_cum("qty_c100", "sum", by="l_orderkey", order="l_linenumber", out="run_qty_c100")
-        .window_cum("qty_c100", "row_number", by="l_orderkey", order="l_linenumber", out="line_no")
+        .window_cum("qty_c100", "sum", by="l_orderkey",
+                    order=["l_linenumber", "qty_c100"], out="run_qty_c100")
+        .window_cum("qty_c100", "row_number", by="l_orderkey",
+                    order=["l_linenumber", "qty_c100"], out="line_no")
         .project(["l_orderkey", "l_linenumber", "run_qty_c100", "line_no"])
     )
 
@@ -473,21 +485,6 @@ def q33_monthly_revenue(sf_dir: str):
     )
     return _cents(out, ["revenue_c100"])
 
-
-def _e6(ds, cols):
-    """Scale floats to integer millionths — same cross-engine-stable
-    compare trick as _cents, at variance precision."""
-    def _r(batch):
-        for col in cols:
-            i = batch.column_names.index(col)
-            batch = batch.set_column(
-                i,
-                col,
-                pc.round(pc.multiply(batch[col], pa.scalar(1e6))).cast(pa.int64()),
-            )
-        return batch
-
-    return ds.map_batches(_r, batch_format="pyarrow")
 
 
 def q34_quantity_dispersion(sf_dir: str):
@@ -1098,18 +1095,18 @@ def oracle_sql() -> dict[str, str]:
         "q28_running_quantity": """
             select l_orderkey, l_linenumber,
                    sum(cast(round(l_quantity * 100) as bigint)) over (
-                     partition by l_orderkey order by l_linenumber
+                     partition by l_orderkey order by l_linenumber, l_quantity
                      rows between unbounded preceding and current row
                    ) as run_qty_c100,
                    row_number() over (
-                     partition by l_orderkey order by l_linenumber
+                     partition by l_orderkey order by l_linenumber, l_quantity
                    ) as line_no
             from lineitem
         """,
         "q27_quantity_lag": """
             select l_orderkey, l_linenumber, l_quantity,
                    lag(l_quantity) over (
-                     partition by l_orderkey order by l_linenumber
+                     partition by l_orderkey order by l_linenumber, l_quantity
                    ) as qty_lag
             from lineitem
         """,

@@ -741,7 +741,14 @@ class Dataset:
                     flag[0] = True
                 for o in order:
                     a = g[o].combine_chunks().to_numpy(zero_copy_only=False)
-                    flag[1:] |= a[1:] != a[:-1]
+                    neq = a[1:] != a[:-1]
+                    # nulls surface as NaN/NaT, and NaN != NaN is True —
+                    # but SQL ranks null order keys as ties.
+                    if a.dtype.kind == "f":
+                        neq &= ~(np.isnan(a[1:]) & np.isnan(a[:-1]))
+                    elif a.dtype.kind in "Mm":
+                        neq &= ~(np.isnat(a[1:]) & np.isnat(a[:-1]))
+                    flag[1:] |= neq
                 if kind == "dense_rank":
                     res = pa.array(np.cumsum(flag).astype(np.int64))
                 else:
@@ -1670,7 +1677,7 @@ class GroupedDataset:
 
         if not needs_groups:
             ray_aggs = []
-            var_cols: list[str] = []
+            var_cols: list[tuple[str, bool]] = []
             for func, field in funcs:
                 name = f"{func}({field})"
                 if func == "count":
@@ -1685,18 +1692,24 @@ class GroupedDataset:
                     ray_aggs.append(Max(field, alias_name=name))
                 else:  # stddev / var: Welford combiner, var finishes as std^2
                     ray_aggs.append(Std(field, ddof=1, alias_name=name))
-                    if func == "var":
-                        var_cols.append(name)
+                    var_cols.append((name, func == "var"))
             out = self.aggregate(*ray_aggs)  # combiner path
             if var_cols:
-                def _square(t: pa.Table) -> pa.Table:
-                    for c in var_cols:
-                        t = t.set_column(
-                            t.column_names.index(c), c, pc.multiply(t[c], t[c])
+                def _finish_std(t: pa.Table) -> pa.Table:
+                    for c, square in var_cols:
+                        col = t[c]
+                        if square:
+                            col = pc.multiply(col, col)
+                        # Ray's Std yields NaN for size-1 groups; SQL
+                        # stddev_samp is NULL there (and the holistic
+                        # path below already returns None) — normalize.
+                        col = pc.if_else(
+                            pc.is_nan(col), pa.scalar(None, pa.float64()), col
                         )
+                        t = t.set_column(t.column_names.index(c), c, col)
                     return t
 
-                out = out.map_batches(_square, batch_format="pyarrow")
+                out = out.map_batches(_finish_std, batch_format="pyarrow")
             return out
 
         # fold any scalar aggs into the same map_groups pass
@@ -1729,8 +1742,10 @@ class GroupedDataset:
                 elif func == "count_distinct":
                     out[name] = [col.nunique()]
                 elif func == "string_agg":
-                    # duckdb string_agg(x, ',' ORDER BY x) parity
-                    out[name] = [",".join(sorted(str(v) for v in col))]
+                    # duckdb string_agg(x, ',' ORDER BY x) parity: order
+                    # by the NATIVE value (numeric cols sort numerically,
+                    # not lexicographically), then stringify
+                    out[name] = [",".join(str(v) for v in col.sort_values())]
             for func, field, name in post:
                 vals = [v for v in g[field].tolist() if v is not None]
                 out[name] = [sorted(set(vals))] if func == "set" else [vals]
@@ -1748,16 +1763,21 @@ class GroupedDataset:
         output is at most one row per distinct pair), then a cheap
         count over the already-reduced pairs. No group ever needs to
         fit in one task, unlike the holistic agg path."""
-        from ray.data.aggregate import Count
+        from ray.data.aggregate import Sum
 
         name = out or f"count_distinct({field})"
         keys = self._keys
-        narrow = Dataset(self._ds.select_columns(keys + [field])).filter(
-            batch_fn=lambda t: t.filter(pc.is_valid(t[field]))
-        )
+        narrow = Dataset(self._ds.select_columns(keys + [field]))
         pairs = narrow.distinct()  # keys+field all key columns: one row per pair
+        # Count only the non-null distinct values, but keep the null pair
+        # so a group whose values are ALL null still yields a 0-count row
+        # (SQL COUNT(DISTINCT x) semantics; also matches the holistic
+        # agg([("count_distinct", ...)]) path).
+        flagged = pairs.with_column(
+            "__nn", lambda t: pc.cast(pc.is_valid(t[field]), pa.int64())
+        )
         return Dataset(
-            pairs._ds.groupby(keys).aggregate(Count(alias_name=name))
+            flagged._ds.groupby(keys).aggregate(Sum("__nn", alias_name=name))
         )
 
     def quantile(self, col: str, qs: float | dict[str, float] = 0.5) -> Dataset:

@@ -10,8 +10,9 @@ from the Arrow buffers.
 Accumulation dtype: sums/means over float children accumulate in
 float64 sequentially left-to-right, which is bit-identical to duckdb's
 ``list_sum`` over ``FLOAT[]`` (it also upcasts then accumulates in
-order). Empty lists return the SQL aggregate identity (NULL); null
-lists return NULL.
+order). Null semantics are duckdb's throughout: null ELEMENTS are
+skipped (``list_sum([1, NULL, 2]) = 3``); empty, all-null, and null
+lists reduce to NULL.
 """
 
 from __future__ import annotations
@@ -54,53 +55,81 @@ def flatten(a):
 
 
 def _segments(a):
-    """(values_f64_or_raw, offsets, null_mask) for one combined ListArray."""
+    """(values, offsets, row_null_mask, element_valid_mask) for one
+    combined ListArray. Null child elements surface as NaN after
+    ``to_numpy`` (ints upcast to float64 when nulls are present)."""
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
     offs = a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = a.values.to_numpy(zero_copy_only=False)
     nulls = a.is_null().to_numpy(zero_copy_only=False)
-    return vals, offs, nulls
+    if a.values.null_count:
+        valid = a.values.is_valid().to_numpy(zero_copy_only=False)
+    else:
+        valid = None  # fast path: no per-element masking needed
+    return vals, offs, nulls, valid
 
 
-def _segmented(a, ufunc, out_dtype=None, cast_f64: bool = False):
-    vals, offs, nulls = _segments(a)
+def _segmented(a, ufunc, identity, cast_f64: bool = False):
+    """Per-row reduce, skipping null elements (duckdb ``list_<agg>``
+    semantics: ``list_sum([1, NULL, 2]) = 3``; an all-null or empty or
+    null list yields NULL)."""
+    vals, offs, nulls, valid = _segments(a)
     starts, ends = offs[:-1], offs[1:]
-    empty = starts == ends
     if cast_f64 and vals.dtype != np.float64:
         vals = vals.astype(np.float64)
     # reduceat misbehaves on empty segments (returns vals[start]) and on a
     # trailing start == len(vals); clamp then mask those rows to null.
     safe = np.minimum(starts, max(len(vals) - 1, 0))
+    if valid is None:
+        n_valid = ends - starts
+    else:
+        vals = np.where(valid, vals, identity)
+        vcum = np.concatenate([[0], np.cumsum(valid)])
+        n_valid = vcum[ends] - vcum[starts]
     out = ufunc.reduceat(vals, safe) if len(vals) else np.zeros(len(starts), vals.dtype)
-    mask = nulls | empty
-    arr = pa.array(out.astype(out_dtype) if out_dtype else out)
+    mask = nulls | (n_valid == 0)
+    arr = pa.array(out)
     return pc.if_else(pa.array(~mask), arr, pa.scalar(None, arr.type))
 
 
 def list_sum(a):
-    return _segmented(a, np.add, cast_f64=True)
+    return _segmented(a, np.add, 0.0, cast_f64=True)
 
 
 def list_min(a):
-    return _segmented(a, np.minimum)
+    return _segmented(a, np.minimum, np.inf)
 
 
 def list_max(a):
-    return _segmented(a, np.maximum)
+    return _segmented(a, np.maximum, -np.inf)
+
+
+def _valid_count(a):
+    vals, offs, nulls, valid = _segments(a)
+    starts, ends = offs[:-1], offs[1:]
+    if valid is None:
+        n = ends - starts
+    else:
+        vcum = np.concatenate([[0], np.cumsum(valid)])
+        n = vcum[ends] - vcum[starts]
+    return n, nulls
 
 
 def list_mean(a):
+    """duckdb ``list_avg``: mean over the NON-NULL elements."""
     s = list_sum(a)
-    n = pc.cast(pc.list_value_length(a), pa.float64())
-    return pc.divide(s, pc.if_else(pc.equal(n, 0), pa.scalar(None, pa.float64()), n))
+    n, _ = _valid_count(a)
+    nn = pa.array(n.astype(np.float64))
+    return pc.divide(s, pc.if_else(pc.equal(nn, 0), pa.scalar(None, pa.float64()), nn))
 
 
 def list_contains(a, value):
-    """SQL ``list_contains`` — True/False per row, null list -> null."""
-    vals, offs, nulls = _segments(a)
+    """SQL ``list_contains`` — True/False per row, null list -> null;
+    null elements never match (duckdb parity)."""
+    vals, offs, nulls, _valid = _segments(a)
     starts, ends = offs[:-1], offs[1:]
-    hit = vals == value
+    hit = vals == value  # NaN (null element) compares False
     cum = np.concatenate([[0], np.cumsum(hit)])
     out = cum[ends] > cum[starts]
     return pc.if_else(pa.array(~nulls), pa.array(out), pa.scalar(None, pa.bool_()))

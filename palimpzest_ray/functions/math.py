@@ -82,6 +82,13 @@ def mod(a, b):
     Floats go through ``trunc(a / b)``.
     """
     a = pa.array(a) if not isinstance(a, (pa.Array, pa.ChunkedArray)) else a
+    # SQL: x % 0 is NULL (duckdb), never a divide-by-zero error
+    if isinstance(b, (pa.Array, pa.ChunkedArray)):
+        b = pc.if_else(pc.equal(b, 0), pa.scalar(None, b.type), b)
+    else:
+        bv = b.as_py() if isinstance(b, pa.Scalar) else b
+        if bv == 0:
+            return pa.nulls(len(a), a.type)
     if pa.types.is_floating(a.type):
         q = pc.trunc(pc.divide(a, b))
     else:

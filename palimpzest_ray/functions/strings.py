@@ -62,13 +62,30 @@ def rpad(a, width: int, fill: str = " "):
 
 def substr(a, start: int, length: int | None = None):
     """SQL ``substr``: 1-based ``start`` (negative counts from the end,
-    duckdb-style), optional length."""
+    duckdb-style), optional length.
+
+    duckdb edge semantics, all matched (probed against duckdb 1.x):
+    a negative ``length`` swaps the window (``substr('abcdef',2,-1)`` =
+    'a'); ``start=0`` consumes one unit of length before position 1;
+    a from-the-end window that crosses the string end is truncated
+    ('def' for ``substr('abcdef',-3,5)``), and one that stays wholly
+    before position 1 is '' (``substr('abcdef',-10,3)``)."""
+    if length is None:
+        off = start - 1 if start > 0 else start
+        return pc.utf8_slice_codeunits(a, off)
+    if length < 0:  # duckdb: negative length walks backwards from start
+        start, length = start + length, -length
     if start > 0:
         off = start - 1
-    else:
-        off = start
-    stop = None if length is None else off + length
-    return pc.utf8_slice_codeunits(a, off, stop)
+        return pc.utf8_slice_codeunits(a, off, off + length)
+    if start == 0:  # position 0 doesn't exist; it still consumes length
+        return pc.utf8_slice_codeunits(a, 0, max(length - 1, 0))
+    # start < 0: python-style from-the-end slice reproduces duckdb's
+    # clamping ([start:start+length) when the stop is still from-the-end,
+    # [start:] when the window runs past the end of the string)
+    if start + length < 0:
+        return pc.utf8_slice_codeunits(a, start, start + length)
+    return pc.utf8_slice_codeunits(a, start)
 
 
 def replace(a, pattern: str, replacement: str):
@@ -101,9 +118,9 @@ def _name_groups(pattern: str) -> str:
 
 def regexp_extract(a, pattern: str, group: int = 1):
     """First match of capture ``group`` (0 = whole match); null rows stay
-    null, non-matching rows become null (duckdb ``regexp_extract``
-    returns '' — use ``fill_null`` if you need that). Character classes
-    containing ``(`` are not supported by the group-naming rewrite."""
+    null, non-matching rows yield ``''`` (duckdb ``regexp_extract``
+    parity). Character classes containing ``(`` are not supported by
+    the group-naming rewrite."""
     if group == 0:
         pattern = f"({pattern})"
         group = 1
@@ -163,7 +180,13 @@ def concat_ws(sep: str, *arrays):
     *removes* rows whose every input is null (observed on pyarrow 17–21:
     output shorter than input), which silently misaligns columns.
     Instead a vectorized fold: two kernels per argument."""
-    n = next(len(a) for a in arrays if not isinstance(a, str))
+    lens = [len(a) for a in arrays if not isinstance(a, str)]
+    if not lens:
+        raise ValueError(
+            "concat_ws needs at least one array argument (all-literal "
+            "concatenation has no row count to broadcast to)"
+        )
+    n = lens[0]
     result = None
     started = None
     for a in arrays:

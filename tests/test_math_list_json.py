@@ -162,3 +162,46 @@ def test_segmented_reduce_layout_invariance():
     chunked = pa.chunked_array([LISTS.slice(0, 2), LISTS.slice(2)])
     for fn in (L.list_sum, L.list_min, L.list_max, L.list_len):
         assert pa.array(fn(chunked)).to_pylist() == pa.array(fn(LISTS)).to_pylist()
+
+
+def test_substr_edge_windows_match_duckdb(con):
+    s = pa.array(["abcdef"])
+    from palimpzest_ray.functions import strings as S
+
+    cases = [(-3, 5), (-1, 3), (0, 2), (-10, 3), (-10, 12), (2, 0), (2, -1), (3, 2)]
+    for start, length in cases:
+        got = S.substr(s, start, length).to_pylist()[0]
+        want = con.execute(f"select substr('abcdef', {start}, {length})").fetchone()[0]
+        assert got == want, (start, length, got, want)
+
+
+def test_mod_zero_divisor_is_null(con):
+    a = pa.array([7, -7, 0], pa.int64())
+    b = pa.array([0, 2, 0], pa.int64())
+    assert M.mod(a, b).to_pylist() == [None, -1, None]
+    assert M.mod(a, 0).to_pylist() == [None, None, None]
+    fa = pa.array([7.5]); 
+    assert M.mod(fa, pa.array([0.0])).to_pylist() == [None]
+    assert con.execute("select 7 % 0").fetchone()[0] is None
+
+
+def test_list_aggs_skip_null_elements(con):
+    lv = pa.array([[1.0, None, 2.0], [None], [3.0]], pa.list_(pa.float64()))
+    con.register("lv_df", pa.table({"v": lv}))
+    assert pa.array(L.list_sum(lv)).to_pylist() == [3.0, None, 3.0]
+    assert pa.array(L.list_min(lv)).to_pylist() == [1.0, None, 3.0]
+    assert pa.array(L.list_max(lv)).to_pylist() == [2.0, None, 3.0]
+    assert pa.array(L.list_mean(lv)).to_pylist() == [1.5, None, 3.0]
+    want = con.execute(
+        "select list_sum(v), list_min(v), list_max(v), list_avg(v) from lv_df"
+    ).fetchall()
+    assert [w[0] for w in want] == [3.0, None, 3.0]
+    # null elements never match list_contains (duckdb parity)
+    assert L.list_contains(lv, 2.0).to_pylist() == [True, False, False]
+
+
+def test_concat_ws_all_literals_raises_clearly():
+    from palimpzest_ray.functions import strings as S
+
+    with pytest.raises(ValueError, match="array argument"):
+        S.concat_ws("|", "a", "b")

@@ -353,3 +353,59 @@ def test_string_agg_matches_duckdb(con):
         "from df group by g"
     ).df()
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_nunique_keeps_all_null_groups(con):
+    # a group whose field is entirely null must yield a 0-count row,
+    # not vanish (SQL COUNT(DISTINCT) semantics; also what the holistic
+    # path returns)
+    df = pd.DataFrame({"g": ["x", "x", "y"], "b": [None, None, "s"]})
+    ds = pzd.from_pandas(df)
+    got = ds.groupby(["g"]).nunique("b", out="n").to_pandas()
+    want = con.execute("select g, count(distinct b) as n from df group by g").df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_rank_ties_null_order_keys(con):
+    # numeric order column with nulls: SQL ranks nulls as ONE tie group
+    df = pd.DataFrame(
+        {"g": ["a"] * 4 + ["b"] * 3, "o": [1.0, None, None, 2.0, None, None, 1.0],
+         "u": range(7)}
+    )
+    got = (
+        pzd.from_pandas(df)
+        .window_cum("o", "rank", by="g", order="o", out="rnk")
+        .window_cum("o", "dense_rank", by="g", order="o", out="drnk")
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, o, u, rank() over (partition by g order by o) as rnk, "
+        "dense_rank() over (partition by g order by o) as drnk from df"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_stddev_size_one_group_is_null_both_paths(con):
+    df = pd.DataFrame({"g": ["x", "y", "y"], "v": [3.0, 1.0, 2.0]})
+    ds = pzd.from_pandas(df)
+    alg = ds.groupby(["g"]).agg([("stddev", "v"), ("var", "v")]).to_pandas()
+    hol = ds.groupby(["g"]).agg([("stddev", "v"), ("median", "v")]).to_pandas()
+    x_alg = alg.set_index("g").loc["x"]
+    x_hol = hol.set_index("g").loc["x"]
+    # SQL stddev_samp of one row is NULL — never NaN, on either path
+    assert pd.isna(x_alg["stddev(v)"]) and pd.isna(x_alg["var(v)"])
+    assert pd.isna(x_hol["stddev(v)"])
+    want = con.execute(
+        'select g, stddev_samp(v) as "stddev(v)" from df group by g'
+    ).df()
+    assert pd.isna(want.set_index("g").loc["x", "stddev(v)"])
+
+
+def test_string_agg_numeric_orders_numerically(con):
+    df = pd.DataFrame({"g": ["x"] * 3, "v": [1, 10, 2]})
+    got = pzd.from_pandas(df).groupby(["g"]).agg([("string_agg", "v")]).to_pandas()
+    assert got["string_agg(v)"][0] == "1,2,10"
+    want = con.execute(
+        "select g, string_agg(v, ',' order by v) as s from df group by g"
+    ).df()
+    assert got["string_agg(v)"][0] == want["s"][0]
