@@ -568,3 +568,22 @@ def test_mid_stream_dtype_widening_and_derived_n_tok(tmp_path, tmp_lake):
     assert rows[2]["v"] == 2_000_000_000_000 and rows[2]["tokens"] == [2, 2]
     assert rows[2]["n_tok"] == 2 and rows[1]["n_tok"] == 1
     assert rows[4]["v"] == 40
+
+
+def test_combined_list_apply_equals_sequential(tmp_path, tmp_lake, base_and_changes):
+    """ONE apply over [bootstrap, log] (the bench cold-start path) ==
+    seeding then applying — the initial load is just another LWW epoch."""
+    base, changes = base_and_changes
+    bootstrap = pa.table(
+        {
+            "lsn": pa.array(range(-base.num_rows, 0), pa.int64()),
+            "op": pa.array(["INSERT"] * base.num_rows),
+            **{c: base[c] for c in base.column_names},
+        }
+    )
+    p_boot = _write(tmp_path, "log/boot.parquet", bootstrap)
+    p_log = _write(tmp_path, "log/tail.parquet", changes)
+    apply_changes([p_boot, p_log], tmp_lake, num_partitions=8)
+    got = final_state_table(tmp_lake)
+    want = sequential_replay(base, changes)
+    _assert_tables_equal(got, want)
