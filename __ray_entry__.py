@@ -603,6 +603,33 @@ def q41_json_extract(sf_dir: str):
     )
 
 
+def q42_window_distribution(sf_dir: str):
+    """Distribution window functions per customer: percent_rank /
+    cume_dist / ntile(4) / first_value / last_value over the order
+    history — FIVE window functions in ONE keyed shuffle
+    (Dataset.window multi-spec; chained window_cum would shuffle five
+    times). (o_orderdate, o_orderkey) is unique, so ntile's
+    position-dependent buckets are deterministic."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    uniq = ["o_orderdate", "o_orderkey"]
+    out = (
+        orders.window(
+            [
+                ("percent_rank", None, "pr", None, "o_orderdate"),
+                ("cume_dist", None, "cd", None, "o_orderdate"),
+                ("ntile", None, "nt", 4),
+                ("first_value", "o_totalprice", "first_price_c100"),
+                ("last_value", "o_totalprice", "last_price_c100"),
+            ],
+            by="o_custkey",
+            order=uniq,
+        )
+        .project(["o_custkey", "o_orderkey", "pr", "cd", "nt",
+                  "first_price_c100", "last_price_c100"])
+    )
+    return _cents(out, ["first_price_c100", "last_price_c100"])
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -898,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_scalar_math_funcs": q39_scalar_math_funcs,
         "q40_list_funcs": q40_list_funcs,
         "q41_json_extract": q41_json_extract,
+        "q42_window_distribution": q42_window_distribution,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -1208,6 +1236,23 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(props, '$.k') as k_str,
                    cast(json_extract_string(props, '$.k') as bigint) as k_int
             from events
+        """,
+        "q42_window_distribution": """
+            select o_custkey, o_orderkey,
+                   percent_rank() over (
+                     partition by o_custkey order by o_orderdate) as pr,
+                   cume_dist() over (
+                     partition by o_custkey order by o_orderdate) as cd,
+                   ntile(4) over (
+                     partition by o_custkey order by o_orderdate, o_orderkey) as nt,
+                   cast(round(first_value(o_totalprice) over (
+                     partition by o_custkey order by o_orderdate, o_orderkey
+                   ) * 100) as bigint) as first_price_c100,
+                   cast(round(last_value(o_totalprice) over (
+                     partition by o_custkey order by o_orderdate, o_orderkey
+                     rows between unbounded preceding and unbounded following
+                   ) * 100) as bigint) as last_price_c100
+            from orders
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

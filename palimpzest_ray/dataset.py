@@ -104,6 +104,78 @@ def from_items(items: list[dict]) -> "Dataset":
 # --------------------------------------------------------------------------
 
 
+_WINDOW_KINDS = (
+    "sum", "max", "min", "avg", "count", "row_number", "rank",
+    "dense_rank", "percent_rank", "cume_dist", "ntile",
+    "first_value", "last_value",
+)
+
+_WINDOW_ACC = {
+    "sum": np.cumsum,
+    "max": np.maximum.accumulate,
+    "min": np.minimum.accumulate,
+}
+
+
+def _window_kind_values(g: pa.Table, kind: str, col: str | None, order: list[str], k):
+    """One window function over an already-ORDER-sorted group ``g``;
+    returns the result column aligned to ``g``'s row order. Vectorized
+    numpy throughout (see :meth:`Dataset.window_cum` for semantics)."""
+    n = g.num_rows
+    if kind in ("row_number", "count"):
+        return pa.array(np.arange(1, n + 1, dtype=np.int64))
+    if kind == "ntile":
+        # SQL ntile: the first (rows % k) buckets get one extra row
+        q_, r_ = divmod(n, k)
+        i = np.arange(n, dtype=np.int64)
+        if q_ == 0:  # more buckets than rows: one row per bucket
+            return pa.array(i + 1)
+        big = r_ * (q_ + 1)
+        return pa.array(
+            np.where(i < big, i // (q_ + 1) + 1, r_ + (i - big) // q_ + 1).astype(
+                np.int64
+            )
+        )
+    if kind == "first_value":
+        return g[col].take(pa.array(np.zeros(n, dtype=np.int64)))
+    if kind == "last_value":
+        return g[col].take(pa.array(np.full(n, n - 1, dtype=np.int64)))
+    if kind in ("rank", "dense_rank", "percent_rank", "cume_dist"):
+        # new-group flags over the sorted order tuple
+        flag = np.zeros(n, dtype=bool)
+        if n:
+            flag[0] = True
+        for o in order:
+            a = g[o].combine_chunks().to_numpy(zero_copy_only=False)
+            neq = a[1:] != a[:-1]
+            # nulls surface as NaN/NaT, and NaN != NaN is True — but SQL
+            # ranks null order keys as ties.
+            if a.dtype.kind == "f":
+                neq &= ~(np.isnan(a[1:]) & np.isnan(a[:-1]))
+            elif a.dtype.kind in "Mm":
+                neq &= ~(np.isnat(a[1:]) & np.isnat(a[:-1]))
+            flag[1:] |= neq
+        if kind == "dense_rank":
+            return pa.array(np.cumsum(flag).astype(np.int64))
+        if kind == "cume_dist":
+            # rows ≤ current under the order (ties share the value): the
+            # END position of each tie group, over n
+            gid = np.cumsum(flag) - 1
+            ends = np.cumsum(np.bincount(gid, minlength=gid[-1] + 1 if n else 0))
+            return pa.array(ends[gid].astype(np.float64) / n)
+        pos = np.where(flag, np.arange(n, dtype=np.int64), 0)
+        rnk = np.maximum.accumulate(pos) + 1
+        if kind == "percent_rank":
+            return pa.array((rnk - 1) / (n - 1) if n > 1 else np.zeros(n))
+        return pa.array(rnk)
+    vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+    if kind == "avg":
+        return pa.array(
+            np.cumsum(vals.astype(np.float64)) / np.arange(1, n + 1, dtype=np.float64)
+        )
+    return pa.array(_WINDOW_ACC[kind](vals))
+
+
 class Dataset:
     """Thin immutable wrapper; every method returns a new ``Dataset``."""
 
@@ -706,68 +778,86 @@ class Dataset:
         by: str | list[str],
         order: str | list[str],
         out: str | None = None,
+        n: int | None = None,
     ) -> "Dataset":
         """Running window aggregate per group, SQL ``<agg>(col) OVER
         (PARTITION BY by ORDER BY order ROWS UNBOUNDED PRECEDING)``:
         ``kind`` ∈ sum / max / min / avg / count / row_number / rank /
-        dense_rank (the ranking kinds ignore ``col``'s values and rank
-        on the ``order`` tuple itself, with SQL tie semantics).
+        dense_rank / percent_rank / cume_dist / ntile / first_value /
+        last_value (the ranking/distribution kinds ignore ``col``'s
+        values and rank on the ``order`` tuple itself, with SQL tie
+        semantics; ``ntile`` needs ``n``; ``first_value`` is the
+        partition's first value under the default SQL frame, and
+        ``last_value`` uses the full-partition frame — ROWS UNBOUNDED
+        PRECEDING AND UNBOUNDED FOLLOWING — since the default frame
+        makes it degenerately equal to the current row).
         Vectorized numpy accumulate per group; null values propagate
         into the running result (pass a null-free measure, as SQL's
         null-skipping running agg isn't replicated). Same determinism
         and partitioning contract as :meth:`window_shift`."""
-        kinds = ("sum", "max", "min", "avg", "count", "row_number", "rank", "dense_rank")
-        assert kind in kinds, kind
+        return self.window([(kind, col, out, n)], by=by, order=order)
+
+    def window(
+        self,
+        specs: list[tuple],
+        *,
+        by: str | list[str],
+        order: str | list[str],
+    ) -> "Dataset":
+        """N window functions over the SAME partition key in ONE keyed
+        shuffle (vs N shuffles for N chained :meth:`window_cum` calls —
+        the scale rule "pick one partitioning key and reuse it").
+
+        ``specs``: list of ``(kind, col, out[, n[, order_override]])``
+        tuples; ``order_override`` lets a spec sort differently within
+        the shared partition (results are inverse-permuted back, so all
+        output columns stay row-aligned). Kinds and semantics as in
+        :meth:`window_cum`."""
         by = [by] if isinstance(by, str) else list(by)
         order = [order] if isinstance(order, str) else list(order)
-        ranking = kind in ("row_number", "rank", "dense_rank")
-        name = out or (kind if ranking else f"{col}_cum{kind}")
-        acc = {
-            "sum": np.cumsum,
-            "max": np.maximum.accumulate,
-            "min": np.minimum.accumulate,
-        }
-
-        def _cum(group: pa.Table) -> pa.Table:
-            idx = pc.sort_indices(group, sort_keys=[(o, "ascending") for o in order])
-            g = group.take(idx)
-            n = g.num_rows
-            if kind == "row_number":
-                res = pa.array(np.arange(1, n + 1, dtype=np.int64))
-            elif kind in ("rank", "dense_rank"):
-                # new-group flags over the sorted order tuple
-                flag = np.zeros(n, dtype=bool)
-                if n:
-                    flag[0] = True
-                for o in order:
-                    a = g[o].combine_chunks().to_numpy(zero_copy_only=False)
-                    neq = a[1:] != a[:-1]
-                    # nulls surface as NaN/NaT, and NaN != NaN is True —
-                    # but SQL ranks null order keys as ties.
-                    if a.dtype.kind == "f":
-                        neq &= ~(np.isnan(a[1:]) & np.isnan(a[:-1]))
-                    elif a.dtype.kind in "Mm":
-                        neq &= ~(np.isnat(a[1:]) & np.isnat(a[:-1]))
-                    flag[1:] |= neq
-                if kind == "dense_rank":
-                    res = pa.array(np.cumsum(flag).astype(np.int64))
+        norm: list[tuple] = []
+        for spec in specs:
+            kind, col, out = spec[0], spec[1], spec[2] if len(spec) > 2 else None
+            k = spec[3] if len(spec) > 3 else None
+            sp_order = spec[4] if len(spec) > 4 else None
+            assert kind in _WINDOW_KINDS, kind
+            if kind == "ntile":
+                assert k is not None and k >= 1, "ntile needs n >= 1"
+            ranking = kind in (
+                "row_number", "rank", "dense_rank", "percent_rank",
+                "cume_dist", "ntile",
+            )
+            if not out:
+                if ranking:
+                    out = kind
+                elif kind in ("first_value", "last_value"):
+                    out = f"{col}_{kind}"
                 else:
-                    pos = np.where(flag, np.arange(n, dtype=np.int64), 0)
-                    res = pa.array(np.maximum.accumulate(pos) + 1)
-            elif kind == "count":
-                res = pa.array(np.arange(1, n + 1, dtype=np.int64))
-            elif kind == "avg":
-                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
-                res = pa.array(
-                    np.cumsum(vals.astype(np.float64))
-                    / np.arange(1, n + 1, dtype=np.float64)
-                )
-            else:
-                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
-                res = pa.array(acc[kind](vals))
-            return g.append_column(name, res)
+                    out = f"{col}_cum{kind}"
+            if sp_order is None:
+                sp_order = order
+            elif isinstance(sp_order, str):
+                sp_order = [sp_order]
+            norm.append((kind, col, out, k, list(sp_order)))
 
-        return Dataset(self._ds.groupby(by).map_groups(_cum, batch_format="pyarrow"))
+        def _win(group: pa.Table) -> pa.Table:
+            cache: dict[tuple, tuple] = {}
+            for kind, col, out, k, sp_order, in norm:
+                key = tuple(sp_order)
+                if key not in cache:
+                    idx = pc.sort_indices(
+                        group, sort_keys=[(o, "ascending") for o in sp_order]
+                    )
+                    idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+                    inv = np.empty(len(idx_np), dtype=np.int64)
+                    inv[idx_np] = np.arange(len(idx_np), dtype=np.int64)
+                    cache[key] = (group.take(idx), pa.array(inv))
+                g, inv = cache[key]
+                res = _window_kind_values(g, kind, col, sp_order, k)
+                group = group.append_column(out, res.take(inv))
+            return group
+
+        return Dataset(self._ds.groupby(by).map_groups(_win, batch_format="pyarrow"))
 
     def window_rolling(
         self,

@@ -409,3 +409,56 @@ def test_string_agg_numeric_orders_numerically(con):
         "select g, string_agg(v, ',' order by v) as s from df group by g"
     ).df()
     assert got["string_agg(v)"][0] == want["s"][0]
+
+
+def test_window_distribution_kinds_match_duckdb(con):
+    # ties included: percent_rank/cume_dist must share values across ties
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 6 + ["b"] * 3 + ["c"],
+            "o": [10, 10, 20, 20, 20, 30, 5, 6, 7, 1],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0],
+            "u": range(10),
+        }
+    )
+    ds = pzd.from_pandas(df)
+    got = (
+        ds.window_cum("v", "percent_rank", by="g", order="o", out="pr")
+        .window_cum("v", "cume_dist", by="g", order="o", out="cd")
+        .window_cum("v", "ntile", by="g", order=["o", "u"], out="nt", n=4)
+        .window_cum("v", "first_value", by="g", order=["o", "u"], out="fv")
+        .window_cum("v", "last_value", by="g", order=["o", "u"], out="lv")
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, o, v, u,"
+        " percent_rank() over (partition by g order by o) as pr,"
+        " cume_dist() over (partition by g order by o) as cd,"
+        " ntile(4) over (partition by g order by o, u) as nt,"
+        " first_value(v) over (partition by g order by o, u) as fv,"
+        " last_value(v) over (partition by g order by o, u"
+        "   rows between unbounded preceding and unbounded following) as lv"
+        " from df"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_window_multispec_equals_chained():
+    # one-shuffle window([...]) == N chained window_cum calls, including
+    # a per-spec order override
+    df = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "o": [3, 1, 2, 2, 1],
+         "o2": [1, 2, 3, 1, 2], "v": [10.0, 20.0, 30.0, 40.0, 50.0]}
+    )
+    ds = pzd.from_pandas(df)
+    multi = ds.window(
+        [("sum", "v", "rs"), ("rank", None, "rnk"), ("first_value", "v", "fv", None, "o2")],
+        by="g", order="o",
+    ).to_pandas()
+    chained = (
+        ds.window_cum("v", "sum", by="g", order="o", out="rs")
+        .window_cum("v", "rank", by="g", order="o", out="rnk")
+        .window_cum("v", "first_value", by="g", order="o2", out="fv")
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(canon(multi), canon(chained), check_dtype=False)
