@@ -118,7 +118,7 @@ def try_strptime(a, fmt: str = "%Y-%m-%d", unit: str = "us"):
 
 def date_add_days(a, days: int):
     """Shift a timestamp/date by whole days (negative = past)."""
-    unit_type = a.type if isinstance(a, pa.Array) else a.type
+    unit_type = a.type
     if pa.types.is_date(unit_type):
         return pc.cast(
             pc.add(pc.cast(a, pa.int32()), pa.scalar(days, pa.int32())),

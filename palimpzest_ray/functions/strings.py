@@ -16,7 +16,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-Arr = "pa.Array | pa.ChunkedArray"
 
 
 def upper(a):
@@ -206,3 +205,19 @@ def concat_ws(sep: str, *arrays):
         result = pc.if_else(present, pc.if_else(started, joined, filled), result)
         started = pc.or_(started, present)
     return result
+
+
+def like(a, pattern: str):
+    """SQL ``LIKE`` (case-sensitive; ``%``/``_`` wildcards)."""
+    return pc.match_like(a, pattern)
+
+
+def ilike(a, pattern: str):
+    """SQL ``ILIKE`` — case-insensitive LIKE."""
+    return pc.match_like(a, pattern, ignore_case=True)
+
+
+def regexp_matches(a, pattern: str):
+    """duckdb ``regexp_matches``: True where the pattern matches
+    anywhere in the string (RE2-style search, not full-match)."""
+    return pc.match_substring_regex(a, pattern)

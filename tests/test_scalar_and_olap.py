@@ -462,3 +462,21 @@ def test_window_multispec_equals_chained():
         .to_pandas()
     )
     pd.testing.assert_frame_equal(canon(multi), canon(chained), check_dtype=False)
+
+
+def test_like_ilike_regexp_matches(con):
+    vals = ["Hello", "hello world", None, "h_llo", "xyz"]
+    df = pd.DataFrame({"s": vals})
+    a = pa.array(vals)
+    assert (
+        S.like(a, "h%o").to_pylist()
+        == [r[0] for r in con.execute("select s like 'h%o' from df").fetchall()]
+    )
+    assert (
+        S.ilike(a, "h%o").to_pylist()
+        == [r[0] for r in con.execute("select s ilike 'h%o' from df").fetchall()]
+    )
+    assert (
+        S.regexp_matches(a, "h.l").to_pylist()
+        == [r[0] for r in con.execute("select regexp_matches(s, 'h.l') from df").fetchall()]
+    )
