@@ -205,3 +205,23 @@ def test_concat_ws_all_literals_raises_clearly():
 
     with pytest.raises(ValueError, match="array argument"):
         S.concat_ws("|", "a", "b")
+
+
+def test_sample_udf_library_plumbing(tmp_path):
+    """Reference utils/udfs.py analogue: url_to_file over local paths;
+    xls functions gated behind openpyxl (absent here)."""
+    from palimpzest_ray.functions import udfs
+
+    p = tmp_path / "doc.bin"
+    p.write_bytes(b"hello")
+    batch = pa.table({"url": [f"file://{p}", str(p), None]})
+    out = udfs.url_to_file(batch)
+    assert out["filename"].to_pylist() == ["doc.bin", "doc.bin", None]
+    assert out["contents"].to_pylist() == [b"hello", b"hello", None]
+    with pytest.raises(NotImplementedError, match="network"):
+        udfs.url_to_file(pa.table({"url": ["https://x.invalid/a"]}))
+    if not udfs._HAS_OPENPYXL:
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            udfs.file_to_xls(pa.table({"contents": [b""]}))
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            udfs.xls_to_tables(pa.table({"contents": [b""], "filename": ["a"]}))
