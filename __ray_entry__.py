@@ -795,6 +795,18 @@ def d09_lsh_ann(sf_dir: str):
     )
 
 
+def d15_ivf_ann(sf_dir: str):
+    """IVF-flat ANN (spherical k-means coarse quantizer, nprobe lists)
+    — rows-only like d09: approximate by design, pytest holds the
+    exact oracle (nprobe=nlist == brute force)."""
+    from palimpzest_ray.stages.similarity import ivf_knn_search
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pzd.Dataset(
+        ivf_knn_search(emb.ray, _load_queries(sf_dir), k=10, nlist=32, nprobe=8)
+    )
+
+
 def d10_approx_distinct(sf_dir: str):
     """HyperLogLog distinct doc_ids (deterministic estimate; rows-only —
     duckdb's approx_count_distinct uses a different HLL so values can't
@@ -926,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_list_funcs": q40_list_funcs,
         "q41_json_extract": q41_json_extract,
         "q42_window_distribution": q42_window_distribution,
+        "d15_ivf_ann": d15_ivf_ann,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,

@@ -196,6 +196,53 @@ def test_lsh_knn_finds_self():
     assert top["vec_id"] == 17 and top["score"] == 1.0
 
 
+def test_ivf_knn_full_probe_equals_exact():
+    """nprobe = nlist probes every list -> identical ids to brute force."""
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((200, 16)).astype(np.float32)
+    Q = rng.standard_normal((3, 16)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.reshape(-1)), 16
+                ),
+            }
+        )
+    )
+    exact = similarity.knn_search(ds, Q, k=5).take_all()
+    ivf = similarity.ivf_knn_search(
+        ds, Q, k=5, nlist=8, nprobe=8, train_size=200, iters=5
+    ).take_all()
+    for qi in range(3):
+        e = {r["vec_id"] for r in exact if r["query_idx"] == qi}
+        g = {r["vec_id"] for r in ivf if r["query_idx"] == qi}
+        assert e == g, qi
+
+
+def test_ivf_knn_finds_self_with_partial_probe():
+    rng = np.random.default_rng(4)
+    V = rng.standard_normal((300, 8)).astype(np.float32)
+    Q = V[42:43].copy()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.reshape(-1)), 8
+                ),
+            }
+        )
+    )
+    got = similarity.ivf_knn_search(
+        ds, Q, k=3, nlist=16, nprobe=4, train_size=300, iters=5
+    ).take_all()
+    top = next(r for r in got if r["rank"] == 1)
+    # the query's own vector is always in its probed list
+    assert top["vec_id"] == 42 and top["score"] == 1.0
+
+
 # ---------------------------------------------------------------- multimodal
 
 
