@@ -807,6 +807,17 @@ def d15_ivf_ann(sf_dir: str):
     )
 
 
+def d16_grouped_approx_distinct(sf_dir: str):
+    """Per-group HLL COUNT(DISTINCT) (the sketch analogue of q35's
+    exact path: registers through the shuffle instead of distinct
+    pairs). Rows-only — duckdb's approx_count_distinct uses a
+    different HLL; pytest holds the ≤5% error-bound oracle."""
+    from palimpzest_ray.stages.sketches import hll_distinct_by
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    return pzd.Dataset(hll_distinct_by(li.ray, "l_returnflag", "l_suppkey"))
+
+
 def d10_approx_distinct(sf_dir: str):
     """HyperLogLog distinct doc_ids (deterministic estimate; rows-only —
     duckdb's approx_count_distinct uses a different HLL so values can't
@@ -939,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_json_extract": q41_json_extract,
         "q42_window_distribution": q42_window_distribution,
         "d15_ivf_ann": d15_ivf_ann,
+        "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,

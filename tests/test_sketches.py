@@ -134,3 +134,36 @@ def test_bloom_prefilter_no_false_negatives_and_low_fp():
     # deterministic across layouts
     out2 = K.bloom_prefilter(probe.repartition(9), keys.repartition(2), "k", num_bits=1 << 16)
     assert {r["k"] for r in out2.take_all()} == kept
+
+
+def test_hll_distinct_by_groups_within_bound():
+    """Per-group HLL vs exact nunique; all-null group reports 0."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=n),
+            "v": rng.integers(0, 5000, size=n).astype(str),
+        }
+    )
+    df.loc[df["g"] == "c", "v"] = None  # an all-null group
+    ds = rd.from_pandas(df)
+    got = {
+        r["g"]: r["approx_nunique(v)"]
+        for r in K.hll_distinct_by(ds, "g", "v", p=12).take_all()
+    }
+    exact = df.groupby("g")["v"].nunique().to_dict()
+    assert got["c"] == 0
+    for g in ("a", "b"):
+        err = abs(got[g] - exact[g]) / exact[g]
+        assert err < 0.05, (g, got[g], exact[g])
+    # deterministic across layouts
+    got2 = {
+        r["g"]: r["approx_nunique(v)"]
+        for r in K.hll_distinct_by(
+            rd.from_pandas(df).repartition(7), "g", "v", p=12
+        ).take_all()
+    }
+    assert got == got2
