@@ -630,6 +630,17 @@ def q42_window_distribution(sf_dir: str):
     return _cents(out, ["first_price_c100", "last_price_c100"])
 
 
+def q43_mode_priority(sf_dir: str):
+    """mode() per group (holistic): most frequent priority per order
+    status, smallest-value tie-break (deterministic — duckdb's native
+    mode() picks by arrival order, so the oracle encodes our tie rule
+    with a windowed count instead)."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return orders.groupby(["o_orderstatus"]).agg(
+        [("mode", "o_orderpriority")]
+    ).rename_columns({"mode(o_orderpriority)": "mode_prio"})
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -949,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_list_funcs": q40_list_funcs,
         "q41_json_extract": q41_json_extract,
         "q42_window_distribution": q42_window_distribution,
+        "q43_mode_priority": q43_mode_priority,
         "d15_ivf_ann": d15_ivf_ann,
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
         "d01_dedup_exact_text": d01_dedup_exact_text,
@@ -1278,6 +1290,15 @@ def oracle_sql() -> dict[str, str]:
                      rows between unbounded preceding and unbounded following
                    ) * 100) as bigint) as last_price_c100
             from orders
+        """,
+        "q43_mode_priority": """
+            select o_orderstatus, o_orderpriority as mode_prio from (
+              select o_orderstatus, o_orderpriority,
+                     row_number() over (
+                       partition by o_orderstatus
+                       order by count(*) desc, o_orderpriority asc) as rn
+              from orders group by o_orderstatus, o_orderpriority
+            ) where rn = 1
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

@@ -234,6 +234,13 @@ class Dataset:
     def stats(self) -> str:
         return self._ds.stats()
 
+    def explain(self) -> str:
+        """The lazy logical plan as text — the plan-as-data discipline
+        the reference keeps via content-hashed ``logical_op_id``s
+        (SURVEY §2.4); per-operator execution metrics come from
+        :meth:`stats` after the pipeline has been consumed."""
+        return str(self._ds)
+
     # ---- projections / maps ----
 
     def project(self, cols: list[str]) -> "Dataset":
@@ -1751,7 +1758,7 @@ class GroupedDataset:
 
         known = {
             "count", "sum", "average", "min", "max", "stddev", "var",
-            "median", "count_distinct", "string_agg", "list", "set",
+            "median", "count_distinct", "string_agg", "mode", "list", "set",
         }
         for func, _ in funcs:
             if func not in known:
@@ -1762,7 +1769,7 @@ class GroupedDataset:
         post = [
             (f, fld, f"{f}({fld})") for (f, fld) in funcs if f in ("list", "set")
         ]
-        holistic = {"median", "count_distinct", "string_agg"}
+        holistic = {"median", "count_distinct", "string_agg", "mode"}
         needs_groups = bool(post) or any(f in holistic for f, _ in funcs)
 
         if not needs_groups:
@@ -1831,6 +1838,14 @@ class GroupedDataset:
                     out[name] = [col.var(ddof=1)] if len(col) > 1 else [None]
                 elif func == "count_distinct":
                     out[name] = [col.nunique()]
+                elif func == "mode":
+                    # most frequent value; tie-break = smallest value
+                    # (deterministic — duckdb's tie pick is arrival-order)
+                    if len(col):
+                        vc = col.value_counts()
+                        out[name] = [vc[vc == vc.max()].index.min()]
+                    else:
+                        out[name] = [None]
                 elif func == "string_agg":
                     # duckdb string_agg(x, ',' ORDER BY x) parity: order
                     # by the NATIVE value (numeric cols sort numerically,

@@ -480,3 +480,24 @@ def test_like_ilike_regexp_matches(con):
         S.regexp_matches(a, "h.l").to_pylist()
         == [r[0] for r in con.execute("select regexp_matches(s, 'h.l') from df").fetchall()]
     )
+
+
+def test_mode_agg_and_tie_break(con):
+    df = pd.DataFrame(
+        {"g": ["x"] * 5 + ["y"] * 2, "v": ["b", "b", "a", "a", "c", "z", None]}
+    )
+    got = pzd.from_pandas(df).groupby(["g"]).agg([("mode", "v")]).to_pandas()
+    got = got.set_index("g")["mode(v)"]
+    assert got["x"] == "a"  # b/a tie at 2 -> smallest value wins
+    assert got["y"] == "z"  # nulls ignored
+    # unique-mode case matches duckdb's mode() exactly
+    df2 = pd.DataFrame({"g": ["x"] * 4, "v": [1, 1, 1, 2]})
+    got2 = pzd.from_pandas(df2).groupby(["g"]).agg([("mode", "v")]).to_pandas()
+    want2 = con.execute('select g, mode(v) as "mode(v)" from df2 group by g').df()
+    pd.testing.assert_frame_equal(canon(got2), canon(want2), check_dtype=False)
+
+
+def test_explain_shows_plan():
+    ds = pzd.from_pandas(pd.DataFrame({"a": [1, 2]})).filter(expr="a > 1")
+    plan = ds.explain()
+    assert "Filter" in plan or "filter" in plan
