@@ -164,3 +164,77 @@ def test_merge_frames_sql_null_semantics(lkeys, rkeys, how):
         return sorted(rows, key=repr)
 
     assert canon(got) == canon(want), (how, canon(got), canon(want))
+
+
+# ---------------------------------------------------------------- windows
+
+_orders = st.lists(
+    st.one_of(st.integers(-3, 3), st.none()), min_size=1, max_size=25
+)
+
+
+@given(_orders, st.integers(0, 2**16), st.integers(1, 5))
+@settings(max_examples=50, deadline=None)
+def test_window_kind_values_match_duckdb(orders, seed, k):
+    """Every window kind vs a duckdb single-partition oracle on random
+    tie/null-bearing order keys. Sorted by (o, u) — a valid layout for
+    ORDER BY o (ranking kinds look only at o; position kinds use the
+    full unique tuple on both sides)."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    from palimpzest_ray.dataset import _window_kind_values
+
+    rng = np.random.default_rng(seed)
+    n = len(orders)
+    t = pa.table(
+        {
+            "o": pa.array(orders, pa.int64()),
+            "u": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(rng.integers(-5, 6, n).astype(np.float64)),
+        }
+    )
+    idx = pc.sort_indices(t, sort_keys=[("o", "ascending"), ("u", "ascending")])
+    g = t.take(idx)
+
+    con = duckdb.connect()
+    df = t.to_pandas()
+    want = con.execute(
+        "select u,"
+        " rank() over (order by o) as rnk,"
+        " dense_rank() over (order by o) as drnk,"
+        " percent_rank() over (order by o) as pr,"
+        " cume_dist() over (order by o) as cd,"
+        " row_number() over (order by o, u) as rn,"
+        f" ntile({k}) over (order by o, u) as nt,"
+        " sum(v) over (order by o, u rows unbounded preceding) as rs,"
+        " avg(v) over (order by o, u rows unbounded preceding) as ra,"
+        " first_value(v) over (order by o, u) as fv,"
+        " last_value(v) over (order by o, u"
+        "   rows between unbounded preceding and unbounded following) as lv"
+        " from df"
+    ).df().sort_values("u").reset_index(drop=True)
+
+    u_sorted = g["u"].to_numpy(zero_copy_only=False)
+    kinds = [
+        ("rank", None, ["o"], None, "rnk"),
+        ("dense_rank", None, ["o"], None, "drnk"),
+        ("percent_rank", None, ["o"], None, "pr"),
+        ("cume_dist", None, ["o"], None, "cd"),
+        ("row_number", None, ["o", "u"], None, "rn"),
+        ("ntile", None, ["o", "u"], k, "nt"),
+        ("sum", "v", ["o", "u"], None, "rs"),
+        ("avg", "v", ["o", "u"], None, "ra"),
+        ("first_value", "v", ["o", "u"], None, "fv"),
+        ("last_value", "v", ["o", "u"], None, "lv"),
+    ]
+    for kind, col, order, kk, want_col in kinds:
+        res = pa.array(_window_kind_values(g, kind, col, order, kk))
+        got = pd.Series(res.to_pylist(), index=u_sorted).sort_index()
+        expect = want.set_index("u")[want_col].sort_index()
+        np.testing.assert_allclose(
+            got.to_numpy(dtype=np.float64),
+            expect.to_numpy(dtype=np.float64),
+            rtol=1e-12, atol=1e-12,
+            err_msg=f"{kind} (k={kk})",
+        )
