@@ -104,6 +104,26 @@ def from_items(items: list[dict]) -> "Dataset":
 # --------------------------------------------------------------------------
 
 
+def _nullsafe_gk(batch: pa.Table, keys: list[str]) -> "pa.Array":
+    """Null-safe composite group key: per key a null flag + a
+    length-prefixed string encoding (collision-free). Ray's sort-based
+    shuffle cannot order blocks whose key columns mix nulls and values
+    (`'<' not supported between NoneType and str` in
+    ``sort_and_partition``) — grouping on this surrogate sidesteps the
+    sort; the typed key columns ride along and are recovered with Min
+    (constant within a group)."""
+    parts = []
+    for k in keys:
+        sv = pc.cast(batch[k], pa.string())
+        enc = pc.binary_join_element_wise(
+            "V", pc.cast(pc.utf8_length(sv), pa.string()), ":", sv, ""
+        )
+        parts.append(pc.if_else(pc.is_valid(sv), enc, pa.scalar("N")))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "")
+
+
 _WINDOW_KINDS = (
     "sum", "max", "min", "avg", "count", "row_number", "rank",
     "dense_rank", "percent_rank", "cume_dist", "ntile",
@@ -391,8 +411,19 @@ class Dataset:
 
     # ---- group-by & aggregates ----
 
-    def groupby(self, cols: str | list[str]) -> "GroupedDataset":
-        return GroupedDataset(self._ds, [cols] if isinstance(cols, str) else list(cols))
+    def groupby(
+        self, cols: str | list[str], *, null_safe: bool = False
+    ) -> "GroupedDataset":
+        """Grouped view. ``null_safe=True`` groups via an encoded
+        surrogate key so key columns may contain nulls (SQL GROUP BY
+        semantics; Ray's sort shuffle otherwise crashes on mixed
+        null/value key blocks) at the cost of a string key exchange —
+        leave off for null-free keys."""
+        return GroupedDataset(
+            self._ds,
+            [cols] if isinstance(cols, str) else list(cols),
+            null_safe=null_safe,
+        )
 
     def count(self) -> int:
         """Global count (reference ``CountAggregateOp``)."""
@@ -1126,69 +1157,66 @@ class Dataset:
                 return Min(col, alias_name=alias)
             return Max(col, alias_name=alias)
 
-        fine = self.groupby(keys).aggregate(
+        fine = self.groupby(keys, null_safe=True).aggregate(
             *(_agg_obj(kind, field, p) for (kind, field), p in partial.items())
         )
 
-        # per-level re-aggregation: counts and sums re-sum, min/max nest
+        # ONE re-aggregation shuffle for every level: replicate each
+        # (already-reduced) fine row once per level — rolled-up keys
+        # nulled — then a single groupby on a null-safe composite key
+        # (Ray's sort shuffle cannot order mixed null/value key blocks),
+        # recovering the typed key columns via Min (constant per group).
+        # N levels cost 2 shuffles total instead of N; replicating the
+        # reduced table is cheap, replicating the INPUT would not be.
         reagg_kind = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+        pcols = list(partial.values())
+        level_sets = list(enumerate(sets))
+
+        def _replicate(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            parts = []
+            for li, s in level_sets:
+                arrays = [
+                    pc.cast(batch[k], key_types[k])
+                    if k in s
+                    else pa.nulls(n, key_types[k])
+                    for k in keys
+                ]
+                arrays += [batch[p] for p in pcols]
+                arrays.append(pa.array(np.full(n, li, dtype=np.int32)))
+                parts.append(pa.table(arrays, names=keys + pcols + ["__lvl"]))
+            return pa.concat_tables(parts)
+
+        reagg = (
+            fine.map_batches(_replicate)
+            .groupby(keys + ["__lvl"], null_safe=True)
+            .aggregate(
+                *(
+                    _agg_obj(reagg_kind[kind], p, p)
+                    for (kind, _), p in partial.items()
+                ),
+            )
+        )
         out_names = keys + [step[1] for step in plan]
 
-        def _finish(level_keys: list[str]):
-            def _f(batch: pa.Table) -> pa.Table:
-                n = len(batch)
-                arrays = []
-                for k in keys:
-                    if k in level_keys:
-                        arrays.append(pc.cast(batch[k], key_types[k]))
-                    else:
-                        arrays.append(pa.nulls(n, key_types[k]))
-                for step in plan:
-                    if step[0] == "average":
-                        _, _, ps, pcnt = step
-                        arrays.append(
-                            pc.divide(
-                                pc.cast(batch[ps], pa.float64()),
-                                pc.cast(batch[pcnt], pa.float64()),
-                            )
+        def _finish(batch: pa.Table) -> pa.Table:
+            arrays = [pc.cast(batch[k], key_types[k]) for k in keys]
+            for step in plan:
+                if step[0] == "average":
+                    _, _, ps, pcnt = step
+                    arrays.append(
+                        pc.divide(
+                            pc.cast(batch[ps], pa.float64()),
+                            pc.cast(batch[pcnt], pa.float64()),
                         )
-                    elif step[0] == "count":
-                        arrays.append(pc.cast(batch[step[2]], pa.int64()))
-                    else:
-                        arrays.append(batch[step[2]])
-                return pa.table(arrays, names=out_names)
-
-            return _f
-
-        levels: list[Dataset] = []
-        for s in sets:
-            if s == keys:
-                level = fine
-            elif s:
-                level = fine.groupby(s).aggregate(
-                    *(
-                        _agg_obj(reagg_kind[kind], p, p)
-                        for (kind, _), p in partial.items()
                     )
-                )
-            else:  # grand total: constant-key groupby over the fine table
-                const = fine.map_batches(
-                    lambda b: b.append_column(
-                        "__all", pa.array(np.zeros(len(b), dtype=np.int8))
-                    )
-                )
-                level = const.groupby("__all").aggregate(
-                    *(
-                        _agg_obj(reagg_kind[kind], p, p)
-                        for (kind, _), p in partial.items()
-                    )
-                )
-            levels.append(level.map_batches(_finish(s)))
+                elif step[0] == "count":
+                    arrays.append(pc.cast(batch[step[2]], pa.int64()))
+                else:
+                    arrays.append(batch[step[2]])
+            return pa.table(arrays, names=out_names)
 
-        out = levels[0]
-        if len(levels) > 1:
-            out = out.union(*levels[1:])
-        return out
+        return reagg.map_batches(_finish)
 
     def rollup(self, keys: list[str], funcs: list[tuple[str, str]]) -> "Dataset":
         """SQL ``GROUP BY ROLLUP``: hierarchy prefixes of ``keys`` —
@@ -1645,9 +1673,10 @@ class GroupedDataset:
     """Grouped view: reference ``GroupByAggregate`` semantics
     (``aggregate.py:33-189``) on Ray Data's shuffle groupby."""
 
-    def __init__(self, ds: rd.Dataset, keys: list[str]):
+    def __init__(self, ds: rd.Dataset, keys: list[str], null_safe: bool = False):
         self._ds = ds
         self._keys = keys
+        self._null_safe = null_safe
 
     def aggregate(self, *aggs) -> Dataset:
         """Aggregate with ``ray.data`` aggregate objects
@@ -1658,10 +1687,30 @@ class GroupedDataset:
         groups`` partial rows — Ray's sort-based aggregate shuffles
         every input row, the combiner shuffles only the partials.
         Unknown aggregate objects fall through to Ray's path."""
+        if self._null_safe:
+            return self._null_safe_aggregate(aggs)
         combined = self._combined_aggregate(aggs)
         if combined is not None:
             return combined
         return Dataset(self._ds.groupby(self._keys).aggregate(*aggs))
+
+    def _null_safe_aggregate(self, aggs) -> Dataset:
+        """Group on the encoded surrogate (see :func:`_nullsafe_gk`),
+        recover the typed key columns via Min (constant per group)."""
+        from ray.data.aggregate import Min
+
+        keys = self._keys
+
+        def _add(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__gk", _nullsafe_gk(batch, keys))
+
+        enc = self._ds.map_batches(_add, batch_format="pyarrow")
+        inner = GroupedDataset(enc, ["__gk"]).aggregate(
+            *(Min(k, alias_name=k) for k in keys), *aggs
+        )
+        return inner.map_batches(
+            lambda b: b.drop_columns(["__gk"]), batch_format="pyarrow"
+        )
 
     def _combined_aggregate(self, aggs) -> Dataset | None:
         from ray.data.aggregate import Count, Max, Mean, Min, Sum
@@ -1918,5 +1967,20 @@ class GroupedDataset:
         return Dataset(narrow.groupby(keys).map_groups(_g, batch_format="pyarrow"))
 
     def map_groups(self, fn, **kw) -> Dataset:
+        if self._null_safe:
+            keys = self._keys
+
+            def _add(batch: pa.Table) -> pa.Table:
+                return batch.append_column("__gk", _nullsafe_gk(batch, keys))
+
+            fmt = kw.get("batch_format", "pyarrow")
+
+            def _fn(group):
+                if fmt == "pandas":
+                    return fn(group.drop(columns=["__gk"]))
+                return fn(group.drop_columns(["__gk"]))
+
+            enc = self._ds.map_batches(_add, batch_format="pyarrow")
+            return Dataset(enc.groupby(["__gk"]).map_groups(_fn, **kw))
         kw.setdefault("batch_format", "pyarrow")
         return Dataset(self._ds.groupby(self._keys).map_groups(fn, **kw))

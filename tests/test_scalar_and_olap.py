@@ -501,3 +501,67 @@ def test_explain_shows_plan():
     ds = pzd.from_pandas(pd.DataFrame({"a": [1, 2]})).filter(expr="a > 1")
     plan = ds.explain()
     assert "Filter" in plan or "filter" in plan
+
+
+def test_rollup_multiblock_with_null_data_keys(con):
+    """The single-shuffle re-aggregation must survive multi-block
+    layouts (Ray's sort shuffle can't order mixed null/value keys —
+    hence the composite-key encoding) and keep data-null key groups
+    distinct from rollup-null rows per level."""
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", None], size=500).tolist(),
+            "b": rng.choice(["p", "q"], size=500).tolist(),
+            "v": rng.integers(0, 100, size=500).astype(float),
+        }
+    )
+    ds = pzd.Dataset(pzd.from_pandas(df).ray.repartition(7))
+    got = (
+        ds.cube(["a", "b"], [("count", "v"), ("sum", "v"), ("average", "v")])
+        .to_pandas()
+    )
+    want = con.execute(
+        'select a, b, count(v) as "count(v)", sum(v) as "sum(v)", '
+        'avg(v) as "average(v)" from df group by cube(a, b)'
+    ).df()
+    # NB: SQL CUBE emits BOTH the data-null group row and the rollup row
+    # with the same null-key tuple; compare as sorted multisets.
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, atol=1e-9, check_exact=False
+    )
+
+
+def test_null_safe_groupby_aggregate_and_map_groups(con):
+    """SQL GROUP BY with null keys across many blocks — the sort-shuffle
+    crash case; null_safe groups them correctly on both paths."""
+    from ray.data.aggregate import Count, Sum
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", None], size=400).tolist(),
+            "v": rng.integers(0, 50, size=400).astype(np.int64),
+        }
+    )
+    ds = pzd.Dataset(pzd.from_pandas(df).ray.repartition(9))
+    got = (
+        ds.groupby("k", null_safe=True)
+        .aggregate(Count("v", alias_name="n"), Sum("v", alias_name="s"))
+        .to_pandas()
+    )
+    want = con.execute(
+        "select k, count(v) as n, sum(v) as s from df group by k"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+    def _g(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "s": [g["v"].sum()]})
+
+    got2 = (
+        ds.groupby("k", null_safe=True)
+        .map_groups(_g, batch_format="pandas")
+        .to_pandas()
+    )
+    want2 = want.rename(columns={"n": "drop"}).drop(columns=["drop"])
+    pd.testing.assert_frame_equal(canon(got2), canon(want2), check_dtype=False)
