@@ -361,7 +361,11 @@ class Dataset:
     # ---- distinct / limit / sort / union ----
 
     def distinct(
-        self, cols: list[str] | None = None, order_by: list[str] | None = None
+        self,
+        cols: list[str] | None = None,
+        order_by: list[str] | None = None,
+        *,
+        null_safe: bool = False,
     ) -> "Dataset":
         """Exact dedup on ``cols`` (default: all columns), keep-first
         semantics (reference ``distinct.py:43-45``). The reference keeps
@@ -369,6 +373,8 @@ class Dataset:
         meaningless, so determinism comes from ``order_by`` (default: the
         remaining columns, ascending) — hash-partition on the key then
         per-group first, no global mutable seen-set (SURVEY.md §2.3).
+        ``null_safe=True`` allows null key values (SQL DISTINCT keeps one
+        null row) — see :meth:`groupby`.
         """
         ds = self._ds
         schema = ds.schema()
@@ -383,7 +389,9 @@ class Dataset:
                 group = group.sort_by([(c, "ascending") for c in tie])
             return group.slice(0, 1)
 
-        return Dataset(ds.groupby(key_cols).map_groups(_first, batch_format="pyarrow"))
+        return GroupedDataset(ds, key_cols, null_safe=null_safe).map_groups(
+            _first, batch_format="pyarrow"
+        )
 
     def limit(self, n: int) -> "Dataset":
         """Streaming limit — the executor early-stops upstream work
@@ -391,10 +399,44 @@ class Dataset:
         ``parallel_execution_strategy.py:179-191``)."""
         return Dataset(self._ds.limit(n))
 
-    def sort(self, key, descending: bool = False) -> "Dataset":
+    def sort(self, key, descending: bool = False, *, null_safe: bool = False) -> "Dataset":
         """Global sort (range shuffle). Absent in the reference
-        (SURVEY.md §2.3 'global sort: absent')."""
-        return Dataset(self._ds.sort(key, descending=descending))
+        (SURVEY.md §2.3 'global sort: absent'). ``null_safe=True``
+        implements duckdb's default NULLS LAST for null-bearing sort
+        keys (Ray's range shuffle otherwise crashes comparing null
+        against a value): each key is split into an is-null flag plus a
+        null-filled copy, sorted (flag, value), then projected away."""
+        if not null_safe:
+            return Dataset(self._ds.sort(key, descending=descending))
+        keys = [key] if isinstance(key, str) else list(key)
+        desc = (
+            [descending] * len(keys) if isinstance(descending, bool) else list(descending)
+        )
+        schema = _arrow_schema(self._ds)
+        zero = {
+            k: pa.scalar("", pa.string())
+            if pa.types.is_string(schema.field(k).type)
+            else pa.scalar(0, pa.int8()).cast(schema.field(k).type)
+            for k in keys
+        }
+
+        def _derive(batch: pa.Table) -> pa.Table:
+            for i, k in enumerate(keys):
+                batch = batch.append_column(
+                    f"__sn{i}", pc.cast(pc.is_null(batch[k]), pa.int8())
+                )
+                batch = batch.append_column(f"__sv{i}", pc.fill_null(batch[k], zero[k]))
+            return batch
+
+        sort_cols, sort_desc = [], []
+        for i in range(len(keys)):
+            sort_cols += [f"__sn{i}", f"__sv{i}"]
+            sort_desc += [False, desc[i]]  # NULLS LAST regardless of direction
+        derived = [c for i in range(len(keys)) for c in (f"__sn{i}", f"__sv{i}")]
+        out = self._ds.map_batches(_derive, batch_format="pyarrow").sort(
+            sort_cols, descending=sort_desc
+        )
+        return Dataset(out).map_batches(lambda b: b.drop_columns(derived))
 
     def topk(self, k: int, key, descending: bool = True) -> "Dataset":
         """Relational top-k = sort + streaming limit."""

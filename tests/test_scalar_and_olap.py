@@ -565,3 +565,30 @@ def test_null_safe_groupby_aggregate_and_map_groups(con):
     )
     want2 = want.rename(columns={"n": "drop"}).drop(columns=["drop"])
     pd.testing.assert_frame_equal(canon(got2), canon(want2), check_dtype=False)
+
+
+def test_distinct_and_sort_null_safe(con):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", None], 300).tolist(),
+            "b": rng.integers(0, 3, 300).astype(np.int64),
+        }
+    )
+    ds = pzd.Dataset(pzd.from_pandas(df).ray.repartition(7))
+    got = ds.distinct(null_safe=True).to_pandas()
+    want = con.execute("select distinct a, b from df").df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+    srt = ds.sort(["a", "b"], null_safe=True).to_pandas().reset_index(drop=True)
+    want_srt = con.execute(
+        "select * from df order by a nulls last, b nulls last"
+    ).df()
+    pd.testing.assert_frame_equal(srt, want_srt, check_dtype=False)
+    # descending direction with NULLS LAST, duckdb default
+    srt_d = (
+        ds.sort(["a"], descending=True, null_safe=True)
+        .to_pandas()["a"].reset_index(drop=True)
+    )
+    want_d = con.execute("select a from df order by a desc nulls last").df()["a"]
+    pd.testing.assert_series_equal(srt_d, want_d, check_dtype=False)
