@@ -824,6 +824,7 @@ class Dataset:
         by: str | list[str],
         order: str | list[str],
         out: str | None = None,
+        null_safe: bool = False,
     ) -> "Dataset":
         """SQL ``LAG`` (``periods`` > 0) / ``LEAD`` (``periods`` < 0)
         within ``by``-groups ordered by ``order``: adds column ``out``
@@ -848,7 +849,9 @@ class Dataset:
             take_idx = pa.array(np.clip(src, 0, max(n - 1, 0)), mask=mask)
             return g.append_column(name, g[col].take(take_idx))
 
-        return Dataset(self._ds.groupby(by).map_groups(_shift, batch_format="pyarrow"))
+        return GroupedDataset(self._ds, by, null_safe=null_safe).map_groups(
+            _shift, batch_format="pyarrow"
+        )
 
     def window_cum(
         self,
@@ -859,6 +862,7 @@ class Dataset:
         order: str | list[str],
         out: str | None = None,
         n: int | None = None,
+        null_safe: bool = False,
     ) -> "Dataset":
         """Running window aggregate per group, SQL ``<agg>(col) OVER
         (PARTITION BY by ORDER BY order ROWS UNBOUNDED PRECEDING)``:
@@ -875,7 +879,7 @@ class Dataset:
         into the running result (pass a null-free measure, as SQL's
         null-skipping running agg isn't replicated). Same determinism
         and partitioning contract as :meth:`window_shift`."""
-        return self.window([(kind, col, out, n)], by=by, order=order)
+        return self.window([(kind, col, out, n)], by=by, order=order, null_safe=null_safe)
 
     def window(
         self,
@@ -883,6 +887,7 @@ class Dataset:
         *,
         by: str | list[str],
         order: str | list[str],
+        null_safe: bool = False,
     ) -> "Dataset":
         """N window functions over the SAME partition key in ONE keyed
         shuffle (vs N shuffles for N chained :meth:`window_cum` calls —
@@ -937,7 +942,9 @@ class Dataset:
                 group = group.append_column(out, res.take(inv))
             return group
 
-        return Dataset(self._ds.groupby(by).map_groups(_win, batch_format="pyarrow"))
+        return GroupedDataset(self._ds, by, null_safe=null_safe).map_groups(
+            _win, batch_format="pyarrow"
+        )
 
     def window_rolling(
         self,
@@ -948,6 +955,7 @@ class Dataset:
         by: str | list[str],
         order: str | list[str],
         out: str | None = None,
+        null_safe: bool = False,
     ) -> "Dataset":
         """Moving-frame window aggregate, SQL ``<agg>(col) OVER
         (PARTITION BY by ORDER BY order ROWS BETWEEN window-1 PRECEDING
@@ -990,7 +998,9 @@ class Dataset:
                     res = pa.array(head)
             return g.append_column(name, res)
 
-        return Dataset(self._ds.groupby(by).map_groups(_roll, batch_format="pyarrow"))
+        return GroupedDataset(self._ds, by, null_safe=null_safe).map_groups(
+            _roll, batch_format="pyarrow"
+        )
 
     def intersect(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``INTERSECT``: distinct rows of ``self`` present in

@@ -592,3 +592,22 @@ def test_distinct_and_sort_null_safe(con):
     )
     want_d = con.execute("select a from df order by a desc nulls last").df()["a"]
     pd.testing.assert_series_equal(srt_d, want_d, check_dtype=False)
+
+
+def test_window_null_safe_partition_keys(con):
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", None, None, "b"],
+            "o": [1, 2, 1, 2, 1],
+            "v": [10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    ds = pzd.Dataset(pzd.from_pandas(df).ray.repartition(3))
+    got = ds.window_cum(
+        "v", "sum", by="g", order="o", out="rs", null_safe=True
+    ).to_pandas()
+    want = con.execute(
+        "select g, o, v, sum(v) over (partition by g order by o"
+        "  rows unbounded preceding) as rs from df"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
