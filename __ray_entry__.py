@@ -630,6 +630,27 @@ def q42_window_distribution(sf_dir: str):
     return _cents(out, ["first_price_c100", "last_price_c100"])
 
 
+def q44_quantity_quantile_disc(sf_dir: str):
+    """quantile_disc (actual-element quantiles) per group — exact on
+    both engines (picks a real value, no interpolation)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return li.groupby(["l_returnflag"]).quantile(
+        "l_quantity", {"q10d": 0.1, "medd": 0.5, "q90d": 0.9}, discrete=True
+    )
+
+
+def q45_quantity_discount_corr(sf_dir: str):
+    """Per-group correlation + covariance — algebraic (moment sums
+    through the combiner, closed-form finish; no holistic path). Small
+    magnitudes keep the one-pass formula well inside e6 precision."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+    out = li.groupby(["l_returnflag"]).corr(
+        "l_quantity", "l_discount",
+        kinds={"corr_e6": "corr", "covs_e6": "covar_samp", "covp_e6": "covar_pop"},
+    )
+    return _e6(out, ["corr_e6", "covs_e6", "covp_e6"])
+
+
 def q43_mode_priority(sf_dir: str):
     """mode() per group (holistic): most frequent priority per order
     status, smallest-value tie-break (deterministic — duckdb's native
@@ -961,6 +982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_json_extract": q41_json_extract,
         "q42_window_distribution": q42_window_distribution,
         "q43_mode_priority": q43_mode_priority,
+        "q44_quantity_quantile_disc": q44_quantity_quantile_disc,
+        "q45_quantity_discount_corr": q45_quantity_discount_corr,
         "d15_ivf_ann": d15_ivf_ann,
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
         "d01_dedup_exact_text": d01_dedup_exact_text,
@@ -1299,6 +1322,23 @@ def oracle_sql() -> dict[str, str]:
                        order by count(*) desc, o_orderpriority asc) as rn
               from orders group by o_orderstatus, o_orderpriority
             ) where rn = 1
+        """,
+        "q44_quantity_quantile_disc": """
+            select l_returnflag,
+                   quantile_disc(l_quantity, 0.1) as q10d,
+                   quantile_disc(l_quantity, 0.5) as medd,
+                   quantile_disc(l_quantity, 0.9) as q90d
+            from lineitem group by l_returnflag
+        """,
+        "q45_quantity_discount_corr": """
+            select l_returnflag,
+                   cast(round(corr(l_quantity, l_discount) * 1000000) as bigint)
+                       as corr_e6,
+                   cast(round(covar_samp(l_quantity, l_discount) * 1000000) as bigint)
+                       as covs_e6,
+                   cast(round(covar_pop(l_quantity, l_discount) * 1000000) as bigint)
+                       as covp_e6
+            from lineitem group by l_returnflag
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

@@ -1986,10 +1986,18 @@ class GroupedDataset:
             flagged._ds.groupby(keys).aggregate(Sum("__nn", alias_name=name))
         )
 
-    def quantile(self, col: str, qs: float | dict[str, float] = 0.5) -> Dataset:
-        """Exact per-group quantiles with linear interpolation (duckdb
-        ``quantile_cont`` / ``median`` parity). ``qs`` is a quantile or
-        a ``{output_name: q}`` mapping (one shuffle for all of them).
+    def quantile(
+        self,
+        col: str,
+        qs: float | dict[str, float] = 0.5,
+        *,
+        discrete: bool = False,
+    ) -> Dataset:
+        """Exact per-group quantiles (duckdb parity): linear
+        interpolation = ``quantile_cont`` / ``median``; pass
+        ``discrete=True`` for ``quantile_disc`` (an actual element,
+        numpy ``inverted_cdf``). ``qs`` is a quantile or a
+        ``{output_name: q}`` mapping (one shuffle for all of them).
 
         Exact quantiles are holistic — they need every group value in
         one place — so this shuffles, but only the narrow
@@ -2001,6 +2009,7 @@ class GroupedDataset:
             qs = {f"quantile({col})": qs}
         keys = self._keys
         items = list(qs.items())
+        method = "inverted_cdf" if discrete else "linear"
         narrow = self._ds.select_columns(keys + [col])
 
         def _g(t: pa.Table) -> pa.Table:
@@ -2010,13 +2019,97 @@ class GroupedDataset:
             for _, q in items:
                 arrays.append(
                     pa.array(
-                        [float(np.quantile(v, q)) if len(v) else None],
+                        [float(np.quantile(v, q, method=method)) if len(v) else None],
                         pa.float64(),
                     )
                 )
             return pa.table(arrays, names=keys + [name for name, _ in items])
 
-        return Dataset(narrow.groupby(keys).map_groups(_g, batch_format="pyarrow"))
+        return GroupedDataset(narrow, keys, null_safe=self._null_safe).map_groups(
+            _g, batch_format="pyarrow"
+        )
+
+    def corr(
+        self,
+        x: str,
+        y: str,
+        *,
+        kinds: dict[str, str] | None = None,
+    ) -> Dataset:
+        """Per-group correlation/covariance — fully ALGEBRAIC: one
+        map_batches derives the pair moments (xy, x², y², null-pair
+        masked), the existing combiner groupby sums them, and a closed
+        form finishes — no holistic group materialization at any size.
+
+        ``kinds`` maps output name -> one of ``corr`` / ``covar_samp``
+        / ``covar_pop`` (default ``{"corr(x,y)": "corr"}``). SQL
+        semantics: rows where either side is null are skipped; groups
+        with < 2 pairs yield null for the sample statistics.
+
+        Numerics: the closed form is the textbook one-pass formula —
+        fine at double precision for data whose mean is within ~1e6 of
+        its spread; re-center upstream for pathological scales."""
+        from ray.data.aggregate import Sum
+
+        kinds = kinds or {f"corr({x},{y})": "corr"}
+        for k in kinds.values():
+            if k not in ("corr", "covar_samp", "covar_pop"):
+                raise ValueError(f"unsupported corr kind {k!r}")
+        keys = self._keys
+
+        def _derive(t: pa.Table) -> pa.Table:
+            ok = pc.and_(pc.is_valid(t[x]), pc.is_valid(t[y]))
+            vx = pc.if_else(ok, pc.cast(t[x], pa.float64()), pa.scalar(None, pa.float64()))
+            vy = pc.if_else(ok, pc.cast(t[y], pa.float64()), pa.scalar(None, pa.float64()))
+            return pa.table(
+                {
+                    **{k: t[k] for k in keys},
+                    "__sx": vx,
+                    "__sy": vy,
+                    "__sxy": pc.multiply(vx, vy),
+                    "__sxx": pc.multiply(vx, vx),
+                    "__syy": pc.multiply(vy, vy),
+                    "__np": pc.cast(ok, pa.int64()),
+                }
+            )
+
+        moments = GroupedDataset(
+            self._ds.map_batches(_derive, batch_format="pyarrow"),
+            keys,
+            null_safe=self._null_safe,
+        ).aggregate(
+            Sum("__sx", alias_name="__sx"),
+            Sum("__sy", alias_name="__sy"),
+            Sum("__sxy", alias_name="__sxy"),
+            Sum("__sxx", alias_name="__sxx"),
+            Sum("__syy", alias_name="__syy"),
+            Sum("__np", alias_name="__np"),
+        )
+        names = list(kinds.items())
+
+        def _finish(t: pa.Table) -> pa.Table:
+            n = t["__np"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sx = t["__sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sy = t["__sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sxy = t["__sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sxx = t["__sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+            syy = t["__syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+            arrays = [t[k] for k in keys]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                for _, kind in names:
+                    if kind == "covar_pop":
+                        v = np.where(n >= 1, (sxy - sx * sy / n) / n, np.nan)
+                    elif kind == "covar_samp":
+                        v = np.where(n >= 2, (sxy - sx * sy / n) / (n - 1), np.nan)
+                    else:  # corr
+                        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                        v = np.where(
+                            (n >= 2) & (den > 0), (n * sxy - sx * sy) / den, np.nan
+                        )
+                    arrays.append(pa.array(v, pa.float64(), mask=np.isnan(v)))
+            return pa.table(arrays, names=keys + [nm for nm, _ in names])
+
+        return moments.map_batches(_finish)
 
     def map_groups(self, fn, **kw) -> Dataset:
         if self._null_safe:

@@ -611,3 +611,44 @@ def test_window_null_safe_partition_keys(con):
         "  rows unbounded preceding) as rs from df"
     ).df()
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_quantile_disc_matches_duckdb(con, olap_df):
+    df = olap_df
+    got = (
+        pzd.from_pandas(df)
+        .groupby(["a"])
+        .quantile("v", {"q5d": 0.5, "q25d": 0.25}, discrete=True)
+        .to_pandas()
+    )
+    want = con.execute(
+        "select a, quantile_disc(v, 0.5) as q5d, quantile_disc(v, 0.25) as q25d "
+        "from df group by a"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_corr_covar_match_duckdb(con):
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 400).tolist(),
+            "a": rng.standard_normal(400),
+            "b": rng.standard_normal(400),
+        }
+    )
+    df.loc[5:40, "a"] = None  # null pairs skipped
+    df.loc[df["g"] == "z", "b"] = None  # group with zero pairs -> nulls
+    ds = pzd.Dataset(pzd.from_pandas(df).ray.repartition(7))
+    got = (
+        ds.groupby(["g"])
+        .corr("a", "b", kinds={"c": "corr", "cs": "covar_samp", "cp": "covar_pop"})
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, corr(a,b) as c, covar_samp(a,b) as cs, covar_pop(a,b) as cp "
+        "from df group by g"
+    ).df()
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, atol=1e-10, check_exact=False
+    )
