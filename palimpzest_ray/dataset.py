@@ -2042,7 +2042,11 @@ class GroupedDataset:
         form finishes — no holistic group materialization at any size.
 
         ``kinds`` maps output name -> one of ``corr`` / ``covar_samp``
-        / ``covar_pop`` (default ``{"corr(x,y)": "corr"}``). SQL
+        / ``covar_pop`` / ``regr_slope`` / ``regr_intercept`` /
+        ``regr_r2`` / ``regr_count`` / ``regr_avgx`` / ``regr_avgy``
+        (default ``{"corr(x,y)": "corr"}``; for the regr_* family ``y``
+        is the dependent variable, SQL argument order
+        ``regr_*(y, x)`` maps to ``corr(x=<indep>, y=<dep>)``). SQL
         semantics: rows where either side is null are skipped; groups
         with < 2 pairs yield null for the sample statistics.
 
@@ -2052,8 +2056,12 @@ class GroupedDataset:
         from ray.data.aggregate import Sum
 
         kinds = kinds or {f"corr({x},{y})": "corr"}
+        _CORR_KINDS = (
+            "corr", "covar_samp", "covar_pop", "regr_slope",
+            "regr_intercept", "regr_r2", "regr_count", "regr_avgx", "regr_avgy",
+        )
         for k in kinds.values():
-            if k not in ("corr", "covar_samp", "covar_pop"):
+            if k not in _CORR_KINDS:
                 raise ValueError(f"unsupported corr kind {k!r}")
         keys = self._keys
 
@@ -2096,11 +2104,28 @@ class GroupedDataset:
             syy = t["__syy"].to_numpy(zero_copy_only=False).astype(np.float64)
             arrays = [t[k] for k in keys]
             with np.errstate(invalid="ignore", divide="ignore"):
+                vxx = n * sxx - sx * sx  # n² · var_pop(x)
                 for _, kind in names:
                     if kind == "covar_pop":
                         v = np.where(n >= 1, (sxy - sx * sy / n) / n, np.nan)
                     elif kind == "covar_samp":
                         v = np.where(n >= 2, (sxy - sx * sy / n) / (n - 1), np.nan)
+                    elif kind == "regr_slope":
+                        v = np.where(vxx > 0, (n * sxy - sx * sy) / vxx, np.nan)
+                    elif kind == "regr_intercept":
+                        slope = np.where(vxx > 0, (n * sxy - sx * sy) / vxx, np.nan)
+                        v = np.where(n >= 1, (sy - slope * sx) / n, np.nan)
+                    elif kind == "regr_r2":
+                        den = vxx * (n * syy - sy * sy)
+                        v = np.where(
+                            den > 0, np.square(n * sxy - sx * sy) / den, np.nan
+                        )
+                    elif kind == "regr_count":
+                        v = n
+                    elif kind == "regr_avgx":
+                        v = np.where(n >= 1, sx / n, np.nan)
+                    elif kind == "regr_avgy":
+                        v = np.where(n >= 1, sy / n, np.nan)
                     else:  # corr
                         den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                         v = np.where(

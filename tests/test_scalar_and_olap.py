@@ -652,3 +652,32 @@ def test_corr_covar_match_duckdb(con):
     pd.testing.assert_frame_equal(
         canon(got), canon(want), check_dtype=False, atol=1e-10, check_exact=False
     )
+
+
+def test_regr_family_matches_duckdb(con):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], 300).tolist(),
+            "a": rng.standard_normal(300),          # independent (x)
+        }
+    )
+    df["b"] = 2.5 * df["a"] + rng.standard_normal(300) * 0.3  # dependent (y)
+    df.loc[3:30, "a"] = None
+    ds = pzd.Dataset(pzd.from_pandas(df).ray.repartition(5))
+    got = (
+        ds.groupby(["g"])
+        .corr("a", "b", kinds={
+            "sl": "regr_slope", "ic": "regr_intercept", "r2": "regr_r2",
+            "n": "regr_count", "ax": "regr_avgx", "ay": "regr_avgy",
+        })
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, regr_slope(b, a) as sl, regr_intercept(b, a) as ic, "
+        "regr_r2(b, a) as r2, cast(regr_count(b, a) as double) as n, "
+        "regr_avgx(b, a) as ax, regr_avgy(b, a) as ay from df group by g"
+    ).df()
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, atol=1e-10, check_exact=False
+    )
