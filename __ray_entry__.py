@@ -651,6 +651,24 @@ def q45_quantity_discount_corr(sf_dir: str):
     return _e6(out, ["corr_e6", "covs_e6", "covp_e6"])
 
 
+def q46_except_all(sf_dir: str):
+    """Bag EXCEPT ALL over a heavily-duplicated projection — each
+    distinct tuple survives max(count_l - count_r, 0) times (counts
+    shuffle, rows replicate vectorized)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_linestatus"])
+    left = li.project(["l_returnflag", "l_quantity"])
+    right = li.filter(expr="l_linestatus == 'F'").project(["l_returnflag", "l_quantity"])
+    return left.except_all(right)
+
+
+def q47_intersect_all(sf_dir: str):
+    """Bag INTERSECT ALL — min(count_l, count_r) copies per tuple."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_linestatus"])
+    left = li.project(["l_returnflag", "l_quantity"])
+    right = li.filter(expr="l_linestatus == 'F'").project(["l_returnflag", "l_quantity"])
+    return left.intersect_all(right)
+
+
 def q43_mode_priority(sf_dir: str):
     """mode() per group (holistic): most frequent priority per order
     status, smallest-value tie-break (deterministic — duckdb's native
@@ -983,6 +1001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_window_distribution": q42_window_distribution,
         "q43_mode_priority": q43_mode_priority,
         "q44_quantity_quantile_disc": q44_quantity_quantile_disc,
+        "q46_except_all": q46_except_all,
+        "q47_intersect_all": q47_intersect_all,
         "q45_quantity_discount_corr": q45_quantity_discount_corr,
         "d15_ivf_ann": d15_ivf_ann,
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
@@ -1339,6 +1359,18 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(covar_pop(l_quantity, l_discount) * 1000000) as bigint)
                        as covp_e6
             from lineitem group by l_returnflag
+        """,
+        "q46_except_all": """
+            select l_returnflag, l_quantity from lineitem
+            except all
+            select l_returnflag, l_quantity from lineitem
+            where l_linestatus = 'F'
+        """,
+        "q47_intersect_all": """
+            select l_returnflag, l_quantity from lineitem
+            intersect all
+            select l_returnflag, l_quantity from lineitem
+            where l_linestatus = 'F'
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

@@ -1056,6 +1056,68 @@ class Dataset:
         )
         return Dataset(restored).project(cols)
 
+    def intersect_all(self, other: "Dataset", *, strategy: str = "shuffle") -> "Dataset":
+        """SQL ``INTERSECT ALL`` (bag semantics): each distinct row
+        appears ``min(count_left, count_right)`` times. See
+        :meth:`_bag_set_op` for the distributed construction."""
+        return self._bag_set_op(other, intersect=True, strategy=strategy)
+
+    def except_all(self, other: "Dataset", *, strategy: str = "shuffle") -> "Dataset":
+        """SQL ``EXCEPT ALL`` (bag semantics): each distinct row appears
+        ``max(count_left - count_right, 0)`` times."""
+        return self._bag_set_op(other, intersect=False, strategy=strategy)
+
+    def _bag_set_op(self, other: "Dataset", *, intersect: bool, strategy: str) -> "Dataset":
+        """Bag INTERSECT/EXCEPT ALL: reduce each side to one row per
+        distinct tuple + its multiplicity (null-safe surrogate key, so
+        nulls compare EQUAL as in SQL set ops), equi-join the two count
+        tables on the surrogate (a STRING key — no null/order issues),
+        and vectorized-repeat each surviving row to its output
+        multiplicity. Shuffles only the reduced count tables."""
+        from ray.data.aggregate import Count, Min
+
+        schema = _arrow_schema(self._ds)
+        cols = list(schema.names)
+        target = pa.schema([schema.field(c) for c in cols])
+
+        def _enc(batch: pa.Table) -> pa.Table:
+            # blocks whose column is entirely null infer Arrow type
+            # `null` (pandas provenance); conform to the dataset schema
+            # so the downstream join kernel sees one type per column
+            batch = batch.select(cols).cast(target)
+            return batch.append_column("__gk", _nullsafe_gk(batch, cols))
+
+        def _conform(batch: pa.Table) -> pa.Table:
+            # aggregate output blocks whose Min(c) came out all-null can
+            # re-degrade c to Arrow type `null`; pin the dataset types
+            for c in cols:
+                i = batch.column_names.index(c)
+                if batch.schema.field(i).type != schema.field(c).type:
+                    batch = batch.set_column(
+                        i, c, batch[c].cast(schema.field(c).type)
+                    )
+            return batch
+
+        lc = GroupedDataset(
+            self._ds.map_batches(_enc, batch_format="pyarrow"), ["__gk"]
+        ).aggregate(
+            *(Min(c, alias_name=c) for c in cols), Count(alias_name="__cl")
+        ).map_batches(_conform)
+        rc = GroupedDataset(
+            other._ds.map_batches(_enc, batch_format="pyarrow"), ["__gk"]
+        ).aggregate(Count(alias_name="__cr"))
+        joined = lc.join(rc, on="__gk", how="left", strategy=strategy)
+
+        def _replicate(batch: pa.Table) -> pa.Table:
+            cl = batch["__cl"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cr_raw = batch["__cr"].to_numpy(zero_copy_only=False)
+            cr = np.nan_to_num(cr_raw.astype(np.float64), nan=0.0).astype(np.int64)
+            reps = np.minimum(cl, cr) if intersect else np.maximum(cl - cr, 0)
+            idx = np.repeat(np.arange(len(cl), dtype=np.int64), reps)
+            return batch.select(cols).take(pa.array(idx))
+
+        return joined.map_batches(_replicate)
+
     def range_join(
         self,
         intervals: pa.Table,

@@ -681,3 +681,23 @@ def test_regr_family_matches_duckdb(con):
     pd.testing.assert_frame_equal(
         canon(got), canon(want), check_dtype=False, atol=1e-10, check_exact=False
     )
+
+
+def test_bag_set_ops_match_duckdb(con):
+    rng = np.random.default_rng(10)
+    l = pd.DataFrame(
+        {"a": rng.choice(["x", "y", None], 200).tolist(),
+         "b": rng.integers(0, 3, 200).astype(np.int64)}
+    )
+    r = pd.DataFrame(
+        {"a": rng.choice(["x", "y", None], 150).tolist(),
+         "b": rng.integers(0, 3, 150).astype(np.int64)}
+    )
+    dl = pzd.Dataset(pzd.from_pandas(l).ray.repartition(5))
+    dr = pzd.Dataset(pzd.from_pandas(r).ray.repartition(4))
+    got_i = dl.intersect_all(dr).to_pandas()
+    want_i = con.execute("select * from l intersect all select * from r").df()
+    pd.testing.assert_frame_equal(canon(got_i), canon(want_i), check_dtype=False)
+    got_e = dl.except_all(dr).to_pandas()
+    want_e = con.execute("select * from l except all select * from r").df()
+    pd.testing.assert_frame_equal(canon(got_e), canon(want_e), check_dtype=False)
