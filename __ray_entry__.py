@@ -669,6 +669,16 @@ def q47_intersect_all(sf_dir: str):
     return left.intersect_all(right)
 
 
+def q48_signup_funnel(sf_dir: str):
+    """Ordered funnel signup -> click -> purchase per user (strictly
+    increasing timestamps): one narrow keyed shuffle, numpy min-scan
+    chain per user, 3-row output."""
+    from palimpzest_ray.stages.windows import funnel
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel(ev.ray, ["signup", "click", "purchase"])
+
+
 def q43_mode_priority(sf_dir: str):
     """mode() per group (holistic): most frequent priority per order
     status, smallest-value tie-break (deterministic — duckdb's native
@@ -1003,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_quantity_quantile_disc": q44_quantity_quantile_disc,
         "q46_except_all": q46_except_all,
         "q47_intersect_all": q47_intersect_all,
+        "q48_signup_funnel": q48_signup_funnel,
         "q45_quantity_discount_corr": q45_quantity_discount_corr,
         "d15_ivf_ann": d15_ivf_ann,
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
@@ -1371,6 +1382,24 @@ def oracle_sql() -> dict[str, str]:
             intersect all
             select l_returnflag, l_quantity from lineitem
             where l_linestatus = 'F'
+        """,
+        "q48_signup_funnel": """
+            with s1 as (
+              select user_id, min(ts) as t1 from events
+              where event_type = 'signup' group by user_id),
+            s2 as (
+              select e.user_id, min(e.ts) as t2 from events e
+              join s1 using (user_id)
+              where e.event_type = 'click' and e.ts > s1.t1 group by e.user_id),
+            s3 as (
+              select e.user_id, min(e.ts) as t3 from events e
+              join s2 using (user_id)
+              where e.event_type = 'purchase' and e.ts > s2.t2 group by e.user_id)
+            select * from (values
+              ('signup',   1, (select count(*) from s1)),
+              ('click',    2, (select count(*) from s2)),
+              ('purchase', 3, (select count(*) from s3))
+            ) t(step, step_idx, n_entities)
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

@@ -156,3 +156,56 @@ def session_windows(
         )
 
     return ds.groupby(key).map_groups(_sessions, batch_format="pyarrow")
+
+
+def funnel(
+    ds: rd.Dataset,
+    steps: list[str],
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> pa.Table:
+    """Ordered funnel: how many ``key`` entities completed step 1, then
+    step 2 strictly after it, then step 3 after that, ... (the classic
+    product-analytics sequence query; absent from the reference and
+    Ray Data).
+
+    Per-entity matching is one ``groupby(key)`` shuffle of the narrow
+    (key, ts, type) projection; inside each group the chain is resolved
+    with numpy min-scans, no row loop. Returns a driver-side table of
+    ``(step, n_entities)`` — output is one row per step, so collecting
+    it is not a materialization concern."""
+    narrow = ds.select_columns([key, ts_col, type_col])
+    n_steps = len(steps)
+
+    def _chain(group: pa.Table) -> pa.Table:
+        ts = _epoch_us(group[ts_col])
+        et = group[type_col].to_numpy(zero_copy_only=False)
+        reached = np.zeros(n_steps, dtype=np.int64)
+        t_prev = -np.inf
+        for i, step in enumerate(steps):
+            m = (et == step) & (ts > t_prev)
+            if not m.any():
+                break
+            t_prev = ts[m].min()
+            reached[i] = 1
+        return pa.table({"__step": pa.array(np.arange(n_steps, dtype=np.int64)),
+                         "__hit": pa.array(reached)})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        narrow.groupby(key)
+        .map_groups(_chain, batch_format="pyarrow")
+        .groupby("__step")
+        .aggregate(Sum("__hit", alias_name="n_entities"))
+    )
+    out = pa.Table.from_pylist(sorted(counts.take_all(), key=lambda r: r["__step"]))
+    return pa.table(
+        {
+            "step": pa.array([steps[i] for i in out["__step"].to_pylist()]),
+            "step_idx": pa.array([i + 1 for i in out["__step"].to_pylist()], pa.int64()),
+            "n_entities": out["n_entities"],
+        }
+    )

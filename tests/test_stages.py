@@ -399,3 +399,28 @@ def test_calibrate_margin_widens_band():
         [("a", "a2", True), ("a", "b", False)], embed_fn=embed, margin=0.05
     )
     assert lo > lo0 and hi < hi0  # margin WIDENS the generator band
+
+
+def test_funnel_strict_ordering():
+    import pandas as pd
+
+    from palimpzest_ray.stages import windows as W
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 2, 3, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",   # 1: full funnel
+                 "2024-01-03", "2024-01-02", "2024-01-01",   # 2: purchase BEFORE click
+                 "2024-01-01", "2024-01-02"]                 # 3: signup+click only
+            ),
+            "event_type": ["signup", "click", "purchase",
+                           "signup", "click", "purchase",
+                           "signup", "click"],
+        }
+    )
+    out = W.funnel(rd.from_pandas(df), ["signup", "click", "purchase"]).to_pylist()
+    got = {r["step"]: r["n_entities"] for r in out}
+    # user 2 has no click after its signup -> stops at step 1
+    assert got == {"signup": 3, "click": 2, "purchase": 1}
+    assert [r["step_idx"] for r in out] == [1, 2, 3]
