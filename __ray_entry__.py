@@ -679,6 +679,34 @@ def q48_signup_funnel(sf_dir: str):
     return funnel(ev.ray, ["signup", "click", "purchase"])
 
 
+def q49_weekly_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their FIRST-event week
+    (cohort), counted distinct per activity week — the classic
+    training-corpus freshness/engagement pipeline, composed entirely
+    from existing operators (groupby-min, shuffle join, date_trunc,
+    distributed nunique)."""
+    from ray.data.aggregate import Min
+
+    from palimpzest_ray.functions import datetime as D
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    first = (
+        ev.groupby("user_id")
+        .aggregate(Min("ts", alias_name="first_ts"))
+        .with_column("cohort_week", lambda t: D.date_trunc(t["first_ts"], "week"))
+        .project(["user_id", "cohort_week"])
+    )
+    activity = (
+        ev.with_column("activity_week", lambda t: D.date_trunc(t["ts"], "week"))
+        .project(["user_id", "activity_week"])
+        .distinct()
+    )
+    joined = activity.join(first, on="user_id", how="inner", strategy="shuffle")
+    return joined.groupby(["cohort_week", "activity_week"]).nunique(
+        "user_id", out="n_users"
+    )
+
+
 def q43_mode_priority(sf_dir: str):
     """mode() per group (holistic): most frequent priority per order
     status, smallest-value tie-break (deterministic — duckdb's native
@@ -1014,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q46_except_all": q46_except_all,
         "q47_intersect_all": q47_intersect_all,
         "q48_signup_funnel": q48_signup_funnel,
+        "q49_weekly_retention": q49_weekly_retention,
         "q45_quantity_discount_corr": q45_quantity_discount_corr,
         "d15_ivf_ann": d15_ivf_ann,
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
@@ -1400,6 +1429,17 @@ def oracle_sql() -> dict[str, str]:
               ('click',    2, (select count(*) from s2)),
               ('purchase', 3, (select count(*) from s3))
             ) t(step, step_idx, n_entities)
+        """,
+        "q49_weekly_retention": """
+            with first as (
+              select user_id,
+                     date_trunc('week', min(ts))::TIMESTAMP as cohort_week
+              from events group by user_id)
+            select f.cohort_week,
+                   date_trunc('week', e.ts)::TIMESTAMP as activity_week,
+                   count(distinct e.user_id) as n_users
+            from events e join first f using (user_id)
+            group by 1, 2
         """,
         "d01_dedup_exact_text": """
             select doc_id from (
