@@ -413,12 +413,13 @@ class Dataset:
             [descending] * len(keys) if isinstance(descending, bool) else list(descending)
         )
         schema = _arrow_schema(self._ds)
-        zero = {
-            k: pa.scalar("", pa.string())
-            if pa.types.is_string(schema.field(k).type)
-            else pa.scalar(0, pa.int8()).cast(schema.field(k).type)
-            for k in keys
-        }
+        zero = {}
+        for k in keys:
+            t = schema.field(k).type
+            s = _null_sentinel(t)
+            if s is None:
+                raise ValueError(f"null_safe sort unsupported for nested key {k!r}")
+            zero[k] = pa.scalar(s, t)
 
         def _derive(batch: pa.Table) -> pa.Table:
             for i, k in enumerate(keys):
@@ -2019,9 +2020,7 @@ class GroupedDataset:
                 out[name] = [sorted(set(vals))] if func == "set" else [vals]
             return pd.DataFrame(out)
 
-        return Dataset(
-            self._ds.groupby(keys).map_groups(_group, batch_format="pandas")
-        )
+        return self.map_groups(_group, batch_format="pandas")
 
     def nunique(self, field: str, out: str | None = None) -> Dataset:
         """Distributed SQL ``COUNT(DISTINCT field)`` per group — the
@@ -2036,7 +2035,10 @@ class GroupedDataset:
         name = out or f"count_distinct({field})"
         keys = self._keys
         narrow = Dataset(self._ds.select_columns(keys + [field]))
-        pairs = narrow.distinct()  # keys+field all key columns: one row per pair
+        # the pair-distinct always runs null-safe: the FIELD leg of the
+        # tuple legitimately holds nulls, and null group keys follow the
+        # caller's null_safe flag transparently this way
+        pairs = narrow.distinct(null_safe=True)
         # Count only the non-null distinct values, but keep the null pair
         # so a group whose values are ALL null still yields a 0-count row
         # (SQL COUNT(DISTINCT x) semantics; also matches the holistic
@@ -2044,8 +2046,8 @@ class GroupedDataset:
         flagged = pairs.with_column(
             "__nn", lambda t: pc.cast(pc.is_valid(t[field]), pa.int64())
         )
-        return Dataset(
-            flagged._ds.groupby(keys).aggregate(Sum("__nn", alias_name=name))
+        return GroupedDataset(flagged._ds, keys, null_safe=self._null_safe).aggregate(
+            Sum("__nn", alias_name=name)
         )
 
     def quantile(
@@ -2178,9 +2180,20 @@ class GroupedDataset:
                         slope = np.where(vxx > 0, (n * sxy - sx * sy) / vxx, np.nan)
                         v = np.where(n >= 1, (sy - slope * sx) / n, np.nan)
                     elif kind == "regr_r2":
-                        den = vxx * (n * syy - sy * sy)
+                        # duckdb/postgres: constant y (vyy == 0) with a
+                        # varying x is a perfect fit -> 1.0; constant x
+                        # (vxx == 0) is undefined -> null
+                        vyy = n * syy - sy * sy
+                        den = vxx * vyy
                         v = np.where(
-                            den > 0, np.square(n * sxy - sx * sy) / den, np.nan
+                            vxx > 0,
+                            np.where(
+                                vyy > 0,
+                                np.square(n * sxy - sx * sy)
+                                / np.where(den > 0, den, 1.0),
+                                1.0,
+                            ),
+                            np.nan,
                         )
                     elif kind == "regr_count":
                         v = n
@@ -2205,7 +2218,12 @@ class GroupedDataset:
             def _add(batch: pa.Table) -> pa.Table:
                 return batch.append_column("__gk", _nullsafe_gk(batch, keys))
 
-            fmt = kw.get("batch_format", "pyarrow")
+            kw.setdefault("batch_format", "pyarrow")
+            fmt = kw["batch_format"]
+            if fmt not in ("pandas", "pyarrow"):
+                raise ValueError(
+                    f"null_safe map_groups supports pandas/pyarrow, not {fmt!r}"
+                )
 
             def _fn(group):
                 if fmt == "pandas":

@@ -334,7 +334,12 @@ def bloom_prefilter(
 
 
 def hll_distinct_by(
-    ds: rd.Dataset, keys: str | list[str], col: str, p: int = 12
+    ds: rd.Dataset,
+    keys: str | list[str],
+    col: str,
+    p: int = 12,
+    *,
+    null_safe: bool = False,
 ) -> rd.Dataset:
     """Per-group approximate COUNT(DISTINCT col) — the sketch analogue
     of ``GroupedDataset.nunique``. Each block reduces every group it
@@ -385,4 +390,10 @@ def hll_distinct_by(
             out_col, pa.array([int(round(hll_estimate(merged)))], pa.int64())
         )
 
+    if null_safe:  # null group keys crash Ray's sort shuffle otherwise
+        from palimpzest_ray.dataset import GroupedDataset
+
+        return GroupedDataset(partial, keys, null_safe=True).map_groups(
+            _merge, batch_format="pyarrow"
+        ).ray
     return partial.groupby(keys).map_groups(_merge, batch_format="pyarrow")

@@ -201,11 +201,15 @@ def funnel(
         .groupby("__step")
         .aggregate(Sum("__hit", alias_name="n_entities"))
     )
-    out = pa.Table.from_pylist(sorted(counts.take_all(), key=lambda r: r["__step"]))
+    by_step = {r["__step"]: r["n_entities"] for r in counts.take_all()}
+    # an empty input (or steps nobody reached) still yields one row per
+    # step with a 0 count — matching the SQL oracle's shape
     return pa.table(
         {
-            "step": pa.array([steps[i] for i in out["__step"].to_pylist()]),
-            "step_idx": pa.array([i + 1 for i in out["__step"].to_pylist()], pa.int64()),
-            "n_entities": out["n_entities"],
+            "step": pa.array(list(steps)),
+            "step_idx": pa.array(range(1, n_steps + 1), pa.int64()),
+            "n_entities": pa.array(
+                [int(by_step.get(i, 0)) for i in range(n_steps)], pa.int64()
+            ),
         }
     )

@@ -701,3 +701,65 @@ def test_bag_set_ops_match_duckdb(con):
     got_e = dl.except_all(dr).to_pandas()
     want_e = con.execute("select * from l except all select * from r").df()
     pd.testing.assert_frame_equal(canon(got_e), canon(want_e), check_dtype=False)
+
+
+def test_review_fixes_null_safe_surfaces(con):
+    """Round-2 review regressions: timestamp null-safe sort, null-safe
+    holistic agg + nunique, regr_r2 constant-y, empty funnel."""
+    import ray.data as rd
+
+    from palimpzest_ray.stages import windows as W
+    from palimpzest_ray.stages.sketches import hll_distinct_by
+
+    # timestamp sort key with nulls, NULLS LAST
+    df = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-02", None, "2024-01-01", None]),
+         "v": [1, 2, 3, 4]}
+    )
+    srt = (
+        pzd.Dataset(pzd.from_pandas(df).ray.repartition(3))
+        .sort(["ts"], null_safe=True).to_pandas()
+    )
+    assert srt["v"].tolist()[:2] == [3, 1] and srt["ts"].isna().tolist()[2:] == [True, True]
+
+    # holistic agg + nunique honor null_safe on null group keys
+    gdf = pd.DataFrame(
+        {"g": ["a", None, "a", None, "b"] * 20,
+         "v": np.arange(100, dtype=np.float64)}
+    )
+    ds = pzd.Dataset(pzd.from_pandas(gdf).ray.repartition(7))
+    med = ds.groupby("g", null_safe=True).agg([("median", "v")]).to_pandas()
+    want_med = con.execute(
+        'select g, median(v) as "median(v)" from gdf group by g'
+    ).df()
+    pd.testing.assert_frame_equal(canon(med), canon(want_med), check_dtype=False)
+    nun = ds.groupby("g", null_safe=True).nunique("v", out="n").to_pandas()
+    want_n = con.execute("select g, count(distinct v) as n from gdf group by g").df()
+    pd.testing.assert_frame_equal(canon(nun), canon(want_n), check_dtype=False)
+
+    # regr_r2: constant y + varying x -> 1.0 (duckdb parity)
+    rdf = pd.DataFrame({"g": ["x"] * 4, "a": [1.0, 2.0, 3.0, 4.0], "b": [7.0] * 4})
+    r2 = (
+        pzd.from_pandas(rdf).groupby(["g"]).corr("a", "b", kinds={"r2": "regr_r2"})
+        .to_pandas()["r2"][0]
+    )
+    want_r2 = con.execute("select regr_r2(b, a) from rdf").fetchone()[0]
+    assert r2 == want_r2 == 1.0
+
+    # grouped HLL with null keys
+    hh = {
+        r["g"]: r["approx_nunique(v)"]
+        for r in hll_distinct_by(
+            pzd.from_pandas(gdf).ray.repartition(5), "g", "v", null_safe=True
+        ).take_all()
+    }
+    assert set(map(str, hh)) == {"a", "b", "None"} and all(v > 0 for v in hh.values())
+
+    # empty funnel -> zero rows per step
+    empty = rd.from_pandas(
+        pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                      "ts": pd.Series([], dtype="datetime64[us]"),
+                      "event_type": pd.Series([], dtype="object")})
+    )
+    out = W.funnel(empty, ["signup", "click"]).to_pylist()
+    assert [(r["step"], r["n_entities"]) for r in out] == [("signup", 0), ("click", 0)]
