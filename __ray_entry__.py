@@ -834,6 +834,16 @@ def d04_token_counts(sf_dir: str):
     )
 
 
+def d17_pii_redaction(sf_dir: str):
+    """Training-corpus PII scrub: chained RE2 redaction kernels over the
+    documents table; patterns are duckdb-compatible so the oracle runs
+    the SAME expressions (exact value match)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(lambda b: T.redact_pii(b)).project(
+        ["doc_id", "text_redacted"]
+    )
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1046,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_quantity_discount_corr": q45_quantity_discount_corr,
         "d15_ivf_ann": d15_ivf_ann,
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
+        "d17_pii_redaction": d17_pii_redaction,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -1440,6 +1451,10 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct e.user_id) as n_users
             from events e join first f using (user_id)
             group by 1, 2
+        """,
+        "d17_pii_redaction": f"""
+            select doc_id, {T.redact_pii_sql("text")} as text_redacted
+            from documents
         """,
         "d01_dedup_exact_text": """
             select doc_id from (

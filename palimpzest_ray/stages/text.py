@@ -134,3 +134,50 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = batch.append_column("n_ws_tokens", token_count(batch[text_col]))
     return batch.append_column("n_bpe_tokens", bpe_token_count(batch[text_col]))
+
+
+# Each pattern is RE2-compatible (pyarrow) AND duckdb-compatible, so the
+# oracle runs the SAME expressions — no lookarounds/backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?\d{1,3}[-. (]*\d{3}[-. )]*\d{3}[-. ]*\d{4}", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "credit_card": (r"\b(?:\d[ -]?){13,16}\b", "<CC>"),
+}
+
+
+def redact_pii(
+    batch: pa.Table,
+    text_col: str = "text",
+    *,
+    kinds: list[str] | None = None,
+    out: str | None = None,
+) -> pa.Table:
+    """Regex PII redaction for training corpora (emails, phones, SSNs,
+    IPs, card numbers) — chained RE2 ``replace_substring_regex``
+    kernels, one pass per pattern, zero row loops. Patterns are
+    deliberately duckdb-compatible so ``redact_pii_sql`` is a
+    bit-exact oracle. Heuristic by design (recall over precision — a
+    corpus scrubber, not a compliance tool)."""
+    kinds = kinds or list(PII_PATTERNS)
+    col = batch[text_col]
+    for k in kinds:
+        pat, repl = PII_PATTERNS[k]
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+    name = out or f"{text_col}_redacted"
+    return batch.append_column(name, col)
+
+
+def redact_pii_sql(text_col: str = "text", kinds: list[str] | None = None) -> str:
+    """The duckdb expression equivalent to :func:`redact_pii` (same
+    patterns, same order)."""
+    kinds = kinds or list(PII_PATTERNS)
+    expr = text_col
+    for k in kinds:
+        pat, repl = PII_PATTERNS[k]
+        # duckdb string literals are SQL-standard: backslashes pass
+        # through verbatim, only quotes need doubling
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return expr

@@ -424,3 +424,24 @@ def test_funnel_strict_ordering():
     # user 2 has no click after its signup -> stops at step 1
     assert got == {"signup": 3, "click": 2, "purchase": 1}
     assert [r["step_idx"] for r in out] == [1, 2, 3]
+
+
+def test_redact_pii_matches_duckdb_and_kinds():
+    import duckdb
+
+    from palimpzest_ray.stages import text as T2
+
+    docs = pa.table({"text": pa.array([
+        "mail a.b+c@ex-ample.co.uk or call +1 (555) 123-4567",
+        "ssn 123-45-6789 ip 10.0.0.255 card 4111 1111 1111 1111",
+        "clean text", None,
+    ])})
+    got = T2.redact_pii(docs)["text_redacted"].to_pylist()
+    con = duckdb.connect(); con.register("docs", docs)
+    want = [r[0] for r in con.execute(
+        f"select {T2.redact_pii_sql()} from docs").fetchall()]
+    assert got == want
+    assert got[0] == "mail <EMAIL> or call <PHONE>"
+    # kind subset leaves other PII untouched
+    only_email = T2.redact_pii(docs, kinds=["email"])["text_redacted"].to_pylist()
+    assert "<EMAIL>" in only_email[0] and "123-4567" in only_email[0]
