@@ -254,6 +254,50 @@ class Dataset:
     def stats(self) -> str:
         return self._ds.stats()
 
+    def describe(self, cols: list[str] | None = None, *, bins: int = 8192) -> pa.Table:
+        """Per-numeric-column summary (pandas/Spark ``describe`` parity
+        shape): count / mean / std / min / q25 / median / q75 / max —
+        one combiner aggregate pass for the moments plus the
+        histogram-sketch quantiles (``stages.sketches.approx_quantiles``,
+        error ≤ one bin of the value range; exact min/max). Returns a
+        small driver-side table (one row per column)."""
+        from ray.data.aggregate import Count, Max, Mean, Min, Std
+
+        from palimpzest_ray.stages.sketches import approx_quantiles
+
+        schema = _arrow_schema(self._ds)
+        if cols is None:
+            cols = [
+                f.name
+                for f in schema
+                if pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+            ]
+        aggs = []
+        for c in cols:
+            aggs += [
+                Count(c, alias_name=f"n_{c}", ignore_nulls=True),
+                Mean(c, alias_name=f"mean_{c}"),
+                Std(c, ddof=1, alias_name=f"std_{c}"),
+                Min(c, alias_name=f"min_{c}"),
+                Max(c, alias_name=f"max_{c}"),
+            ]
+        row = self._ds.aggregate(*aggs)
+        out = {k: [] for k in
+               ("column", "count", "mean", "std", "min", "q25", "median", "q75", "max")}
+        for c in cols:
+            qs = approx_quantiles(self._ds, c, [0.25, 0.5, 0.75], bins=bins)
+            out["column"].append(c)
+            out["count"].append(int(row[f"n_{c}"]))
+            out["mean"].append(float(row[f"mean_{c}"]))
+            s = row[f"std_{c}"]
+            out["std"].append(None if s is None or np.isnan(s) else float(s))
+            out["min"].append(float(row[f"min_{c}"]))
+            out["q25"].append(qs[0])
+            out["median"].append(qs[1])
+            out["q75"].append(qs[2])
+            out["max"].append(float(row[f"max_{c}"]))
+        return pa.table(out)
+
     def explain(self) -> str:
         """The lazy logical plan as text — the plan-as-data discipline
         the reference keeps via content-hashed ``logical_op_id``s

@@ -763,3 +763,18 @@ def test_review_fixes_null_safe_surfaces(con):
     )
     out = W.funnel(empty, ["signup", "click"]).to_pylist()
     assert [(r["step"], r["n_entities"]) for r in out] == [("signup", 0), ("click", 0)]
+
+
+def test_describe_summary(con):
+    df = pd.DataFrame(
+        {"a": np.arange(1000, dtype=np.float64), "b": np.ones(1000), "s": ["x"] * 1000}
+    )
+    t = pzd.from_pandas(df).describe()
+    rows = {r["column"]: r for r in t.to_pylist()}
+    assert set(rows) == {"a", "b"}  # string column excluded
+    ra = rows["a"]
+    assert ra["count"] == 1000 and ra["min"] == 0.0 and ra["max"] == 999.0
+    assert ra["mean"] == pytest.approx(499.5)
+    assert ra["std"] == pytest.approx(df["a"].std(), rel=1e-9)
+    assert ra["median"] == pytest.approx(499.5, abs=1.0)  # sketch: 1-bin error
+    assert rows["b"]["std"] == pytest.approx(0.0, abs=1e-12)
