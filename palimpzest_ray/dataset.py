@@ -263,8 +263,7 @@ class Dataset:
         small driver-side table (one row per column)."""
         from ray.data.aggregate import Count, Max, Mean, Min, Std
 
-        from palimpzest_ray.stages.sketches import approx_quantiles
-
+        FIELDS = ("column", "count", "mean", "std", "min", "q25", "median", "q75", "max")
         schema = _arrow_schema(self._ds)
         if cols is None:
             cols = [
@@ -272,6 +271,11 @@ class Dataset:
                 for f in schema
                 if pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
             ]
+        if not cols:
+            return pa.table(
+                {"column": pa.array([], pa.string())}
+                | {k: pa.array([], pa.float64()) for k in FIELDS[1:]}
+            )
         aggs = []
         for c in cols:
             aggs += [
@@ -282,20 +286,58 @@ class Dataset:
                 Max(c, alias_name=f"max_{c}"),
             ]
         row = self._ds.aggregate(*aggs)
-        out = {k: [] for k in
-               ("column", "count", "mean", "std", "min", "q25", "median", "q75", "max")}
+
+        def _f(v):  # all-null columns / empty datasets: aggregates are None
+            return None if v is None or (isinstance(v, float) and np.isnan(v)) else float(v)
+
+        # ONE histogram pass for every column whose range is non-degenerate
+        # (reusing the min/max the aggregate pass just computed)
+        edges = {}
         for c in cols:
-            qs = approx_quantiles(self._ds, c, [0.25, 0.5, 0.75], bins=bins)
+            lo, hi = _f(row[f"min_{c}"]), _f(row[f"max_{c}"])
+            if lo is not None and hi is not None and lo < hi:
+                edges[c] = np.linspace(lo, hi, bins + 1)
+
+        totals = {c: np.zeros(bins, dtype=np.int64) for c in edges}
+        if edges:
+            hist_cols = list(edges)
+
+            def _hist(batch: pa.Table) -> pa.Table:
+                arrays = []
+                for c in hist_cols:
+                    v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                    counts, _ = np.histogram(v[~np.isnan(v)], bins=edges[c])
+                    arrays.append(pa.array([counts.astype(np.int64)]))
+                return pa.table(arrays, names=hist_cols)
+
+            for b in self._ds.map_batches(_hist, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ):
+                for c in hist_cols:
+                    for counts in b[c].to_pylist():
+                        totals[c] += np.asarray(counts, dtype=np.int64)
+
+        def _q(c, q):
+            lo, hi = _f(row[f"min_{c}"]), _f(row[f"max_{c}"])
+            if lo is None:
+                return None
+            if c not in edges:  # constant column (or single value)
+                return lo
+            cum = np.cumsum(totals[c])
+            i = int(np.searchsorted(cum, q * cum[-1], side="left"))
+            return float(edges[c][min(i + 1, bins)])
+
+        out = {k: [] for k in FIELDS}
+        for c in cols:
             out["column"].append(c)
-            out["count"].append(int(row[f"n_{c}"]))
-            out["mean"].append(float(row[f"mean_{c}"]))
-            s = row[f"std_{c}"]
-            out["std"].append(None if s is None or np.isnan(s) else float(s))
-            out["min"].append(float(row[f"min_{c}"]))
-            out["q25"].append(qs[0])
-            out["median"].append(qs[1])
-            out["q75"].append(qs[2])
-            out["max"].append(float(row[f"max_{c}"]))
+            out["count"].append(int(row[f"n_{c}"] or 0))
+            out["mean"].append(_f(row[f"mean_{c}"]))
+            out["std"].append(_f(row[f"std_{c}"]))
+            out["min"].append(_f(row[f"min_{c}"]))
+            out["q25"].append(_q(c, 0.25))
+            out["median"].append(_q(c, 0.5))
+            out["q75"].append(_q(c, 0.75))
+            out["max"].append(_f(row[f"max_{c}"]))
         return pa.table(out)
 
     def explain(self) -> str:

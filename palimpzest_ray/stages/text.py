@@ -139,11 +139,16 @@ def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
 # Each pattern is RE2-compatible (pyarrow) AND duckdb-compatible, so the
 # oracle runs the SAME expressions — no lookarounds/backrefs.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # ORDER MATTERS: longest/most-specific digit runs first, so a
+    # contiguous 16-digit card is <CC> before the phone pattern can
+    # consume its first digits; ssn/ip before phone for the same reason.
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "phone": (r"\+?\d{1,3}[-. (]*\d{3}[-. )]*\d{3}[-. ]*\d{4}", "<PHONE>"),
+    "credit_card": (r"\b\d(?:[ -]?\d){12,15}\b", "<CC>"),
     "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    "credit_card": (r"\b(?:\d[ -]?){13,16}\b", "<CC>"),
+    # country code optional as a UNIT — plain US '555-123-4567' and
+    # '(555) 123-4567' must redact too
+    "phone": (r"(?:\+?\d{1,3}[-. (]*)?\d{3}[-. )]*\d{3}[-. ]*\d{4}", "<PHONE>"),
 }
 
 
@@ -159,8 +164,9 @@ def redact_pii(
     kernels, one pass per pattern, zero row loops. Patterns are
     deliberately duckdb-compatible so ``redact_pii_sql`` is a
     bit-exact oracle. Heuristic by design (recall over precision — a
-    corpus scrubber, not a compliance tool)."""
-    kinds = kinds or list(PII_PATTERNS)
+    corpus scrubber, not a compliance tool). ``kinds=[]`` redacts
+    nothing (None = all)."""
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
     col = batch[text_col]
     for k in kinds:
         pat, repl = PII_PATTERNS[k]
@@ -172,7 +178,7 @@ def redact_pii(
 def redact_pii_sql(text_col: str = "text", kinds: list[str] | None = None) -> str:
     """The duckdb expression equivalent to :func:`redact_pii` (same
     patterns, same order)."""
-    kinds = kinds or list(PII_PATTERNS)
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
     expr = text_col
     for k in kinds:
         pat, repl = PII_PATTERNS[k]

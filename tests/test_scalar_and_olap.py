@@ -778,3 +778,14 @@ def test_describe_summary(con):
     assert ra["std"] == pytest.approx(df["a"].std(), rel=1e-9)
     assert ra["median"] == pytest.approx(499.5, abs=1.0)  # sketch: 1-bin error
     assert rows["b"]["std"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_describe_edge_cases():
+    # all-null column, constant column, no-numeric-columns, empty frame
+    df = pd.DataFrame(
+        {"a": pd.Series([None, None], dtype="float64"), "b": [5.0, 5.0], "s": ["x", "y"]}
+    )
+    rows = {r["column"]: r for r in pzd.from_pandas(df).describe().to_pylist()}
+    assert rows["a"]["count"] == 0 and rows["a"]["mean"] is None and rows["a"]["median"] is None
+    assert rows["b"]["median"] == 5.0 and rows["b"]["q25"] == 5.0
+    assert pzd.from_pandas(pd.DataFrame({"s": ["x"]})).describe().num_rows == 0
