@@ -707,6 +707,18 @@ def q49_weekly_retention(sf_dir: str):
     )
 
 
+def q50_rolling_weekly_revenue(sf_dir: str):
+    """TIME-based moving frame: 7-day rolling order revenue per
+    customer (RANGE BETWEEN 6 days PRECEDING AND CURRENT ROW, peer
+    rows included — searchsorted frame edges + prefix sums)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out = orders.window_rolling_time(
+        "o_totalprice", "sum", interval="6 days",
+        by="o_custkey", ts="o_orderdate", out="rev7d_c100",
+    ).project(["o_custkey", "o_orderkey", "rev7d_c100"])
+    return _cents(out, ["rev7d_c100"])
+
+
 def q43_mode_priority(sf_dir: str):
     """mode() per group (holistic): most frequent priority per order
     status, smallest-value tie-break (deterministic — duckdb's native
@@ -1053,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_intersect_all": q47_intersect_all,
         "q48_signup_funnel": q48_signup_funnel,
         "q49_weekly_retention": q49_weekly_retention,
+        "q50_rolling_weekly_revenue": q50_rolling_weekly_revenue,
         "q45_quantity_discount_corr": q45_quantity_discount_corr,
         "d15_ivf_ann": d15_ivf_ann,
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
@@ -1451,6 +1464,14 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct e.user_id) as n_users
             from events e join first f using (user_id)
             group by 1, 2
+        """,
+        "q50_rolling_weekly_revenue": """
+            select o_custkey, o_orderkey,
+                   cast(round(sum(o_totalprice) over (
+                     partition by o_custkey order by o_orderdate
+                     range between interval 6 days preceding and current row
+                   ) * 100) as bigint) as rev7d_c100
+            from orders
         """,
         "d17_pii_redaction": f"""
             select doc_id, {T.redact_pii_sql("text")} as text_redacted

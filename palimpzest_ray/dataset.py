@@ -1089,6 +1089,56 @@ class Dataset:
             _roll, batch_format="pyarrow"
         )
 
+    def window_rolling_time(
+        self,
+        col: str,
+        kind: str = "sum",
+        *,
+        interval: str,
+        by: str | list[str],
+        ts: str,
+        out: str | None = None,
+        null_safe: bool = False,
+    ) -> "Dataset":
+        """TIME-based moving frame, SQL ``<agg>(col) OVER (PARTITION BY
+        by ORDER BY ts RANGE BETWEEN <interval> PRECEDING AND CURRENT
+        ROW)``: ``kind`` ∈ sum / avg / count. SQL RANGE semantics
+        exactly — the frame covers every row whose timestamp lies in
+        ``[ts - interval, ts]``, INCLUDING later peer rows that share
+        the current timestamp. Vectorized per group: both frame edges
+        come from ``searchsorted`` over the sorted epoch array, the
+        aggregate from prefix-sum differences — variable-width frames
+        with no row loop. (min/max need an order-statistics structure
+        over variable windows — use :meth:`window_rolling` row frames
+        or a coarser bucketing for those.)"""
+        assert kind in ("sum", "avg", "count"), kind
+        by = [by] if isinstance(by, str) else list(by)
+        delta_us = int(pd.Timedelta(interval).value // 1000)
+        assert delta_us >= 0, "interval must be non-negative"
+        name = out or f"{col}_roll_{kind}_{interval.replace(' ', '')}"
+
+        def _roll_t(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(group, sort_keys=[(ts, "ascending")])
+            g = group.take(idx)
+            t = pc.cast(pc.cast(g[ts], pa.timestamp("us")), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            start = np.searchsorted(t, t - delta_us, side="left")
+            end = np.searchsorted(t, t, side="right")  # last peer inclusive
+            cnt = (end - start).astype(np.int64)
+            if kind == "count":
+                res = pa.array(cnt)
+            else:
+                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+                cs = np.concatenate([[0.0], np.cumsum(vals.astype(np.float64))])
+                s = cs[end] - cs[start]
+                res = pa.array(s / cnt if kind == "avg" else s)
+            return g.append_column(name, res)
+
+        return GroupedDataset(self._ds, by, null_safe=null_safe).map_groups(
+            _roll_t, batch_format="pyarrow"
+        )
+
     def intersect(self, other: "Dataset", *, strategy: str = "broadcast") -> "Dataset":
         """SQL ``INTERSECT``: distinct rows of ``self`` present in
         ``other`` (set semantics over all columns — NULLs compare

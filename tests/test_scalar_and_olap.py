@@ -789,3 +789,34 @@ def test_describe_edge_cases():
     assert rows["a"]["count"] == 0 and rows["a"]["mean"] is None and rows["a"]["median"] is None
     assert rows["b"]["median"] == 5.0 and rows["b"]["q25"] == 5.0
     assert pzd.from_pandas(pd.DataFrame({"s": ["x"]})).describe().num_rows == 0
+
+
+def test_window_rolling_time_matches_duckdb(con):
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], n).tolist(),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 30 * 24, n), unit="h"),
+            "v": rng.integers(0, 100, n).astype(np.float64),
+        }
+    )
+    # duplicate timestamps exercise RANGE peer inclusion
+    df.loc[1, "ts"] = df.loc[0, "ts"]; df.loc[1, "g"] = df.loc[0, "g"]
+    ds = pzd.Dataset(pzd.from_pandas(df).ray.repartition(5))
+    got = (
+        ds.window_rolling_time("v", "sum", interval="6 days", by="g", ts="ts", out="rs")
+        .window_rolling_time("v", "avg", interval="6 days", by="g", ts="ts", out="ra")
+        .window_rolling_time("v", "count", interval="6 days", by="g", ts="ts", out="rc")
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, ts, v,"
+        " sum(v) over w as rs, avg(v) over w as ra, count(v) over w as rc"
+        " from df window w as (partition by g order by ts"
+        "   range between interval 6 days preceding and current row)"
+    ).df()
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, atol=1e-9, check_exact=False
+    )
