@@ -124,6 +124,30 @@ def _nullsafe_gk(batch: pa.Table, keys: list[str]) -> "pa.Array":
     return pc.binary_join_element_wise(*parts, "")
 
 
+def _range_reduce(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray, red):
+    """Per-row reduce of ``vals[starts[i]:ends[i]]`` (non-empty windows)
+    via a sparse table (range-min-query): O(n log n) build, O(1) per
+    query as two overlapping power-of-two spans; the only Python loop
+    is over the ≤ log2(n) distinct span widths."""
+    n = len(vals)
+    w = ends - starts
+    assert (w > 0).all()
+    kmax = int(np.floor(np.log2(w.max()))) if n else 0
+    st = [vals]
+    for k in range(1, kmax + 1):
+        prev = st[-1]
+        span = 1 << (k - 1)
+        st.append(red(prev[: len(prev) - span], prev[span:]))
+    out = np.empty(n, dtype=np.float64)
+    ks = np.floor(np.log2(w)).astype(np.int64)
+    for k in np.unique(ks):
+        m = ks == k
+        span = 1 << k
+        tab = st[k]
+        out[m] = red(tab[starts[m]], tab[ends[m] - span])
+    return out
+
+
 _WINDOW_KINDS = (
     "sum", "max", "min", "avg", "count", "row_number", "rank",
     "dense_rank", "percent_rank", "cume_dist", "ntile",
@@ -1106,12 +1130,11 @@ class Dataset:
         exactly — the frame covers every row whose timestamp lies in
         ``[ts - interval, ts]``, INCLUDING later peer rows that share
         the current timestamp. Vectorized per group: both frame edges
-        come from ``searchsorted`` over the sorted epoch array, the
-        aggregate from prefix-sum differences — variable-width frames
-        with no row loop. (min/max need an order-statistics structure
-        over variable windows — use :meth:`window_rolling` row frames
-        or a coarser bucketing for those.)"""
-        assert kind in ("sum", "avg", "count"), kind
+        come from ``searchsorted`` over the sorted epoch array; sum /
+        avg / count from prefix-sum differences, min / max from a
+        sparse-table range query (``_range_reduce``) — variable-width
+        frames with no row loop."""
+        assert kind in ("sum", "avg", "count", "min", "max"), kind
         by = [by] if isinstance(by, str) else list(by)
         delta_us = int(pd.Timedelta(interval).value // 1000)
         assert delta_us >= 0, "interval must be non-negative"
@@ -1128,6 +1151,12 @@ class Dataset:
             cnt = (end - start).astype(np.int64)
             if kind == "count":
                 res = pa.array(cnt)
+            elif kind in ("min", "max"):
+                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+                red = np.minimum if kind == "min" else np.maximum
+                res = pa.array(
+                    _range_reduce(vals.astype(np.float64), start, end, red)
+                )
             else:
                 vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
                 cs = np.concatenate([[0.0], np.cumsum(vals.astype(np.float64))])

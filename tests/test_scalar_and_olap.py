@@ -820,3 +820,47 @@ def test_window_rolling_time_matches_duckdb(con):
     pd.testing.assert_frame_equal(
         canon(got), canon(want), check_dtype=False, atol=1e-9, check_exact=False
     )
+
+
+def test_window_rolling_time_minmax_matches_duckdb(con):
+    rng = np.random.default_rng(12)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], n).tolist(),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 24, n), unit="h"),
+            "v": rng.standard_normal(n) * 50,
+        }
+    )
+    ds = pzd.Dataset(pzd.from_pandas(df).ray.repartition(4))
+    got = (
+        ds.window_rolling_time("v", "min", interval="3 days", by="g", ts="ts", out="rmin")
+        .window_rolling_time("v", "max", interval="3 days", by="g", ts="ts", out="rmax")
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, ts, v, min(v) over w as rmin, max(v) over w as rmax"
+        " from df window w as (partition by g order by ts"
+        "   range between interval 3 days preceding and current row)"
+    ).df()
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, atol=1e-12, check_exact=False
+    )
+
+
+def test_range_reduce_oracle():
+    # brute-force oracle over random variable windows
+    rng = np.random.default_rng(13)
+    from palimpzest_ray.dataset import _range_reduce
+
+    for trial in range(20):
+        n = int(rng.integers(1, 200))
+        vals = rng.standard_normal(n)
+        starts = rng.integers(0, n, size=n)
+        widths = rng.integers(1, n + 1, size=n)
+        ends = np.minimum(starts + widths, n)
+        starts = np.minimum(starts, ends - 1)
+        got = _range_reduce(vals, starts, ends, np.minimum)
+        want = np.array([vals[s:e].min() for s, e in zip(starts, ends)])
+        np.testing.assert_array_equal(got, want)
