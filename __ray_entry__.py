@@ -856,6 +856,35 @@ def d17_pii_redaction(sf_dir: str):
     )
 
 
+def d18_corpus_pipeline(sf_dir: str):
+    """The composed corpus-cleanup flagship: language-ID -> quality
+    scoring -> threshold filter -> exact text dedup (keep-first) ->
+    PII redaction -> token counts, end to end through one streaming
+    Dataset plan — every stage is an operator proven individually by
+    d02/d03/d01/d17/d04, and the oracle replays the SAME expressions
+    in SQL."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cleaned = (
+        docs.map_batches(T.add_language_id)
+        .map_batches(T.add_word_stats)
+        .filter(
+            batch_fn=lambda t: t.filter(
+                pc.and_(
+                    pc.and_(
+                        pc.equal(t["lang_pred"], "en"),
+                        pc.greater_equal(t["quality_ppm"], 780000),
+                    ),
+                    pc.greater_equal(t["n_words"], 10),
+                )
+            )
+        )
+        .distinct(["text"], order_by=["doc_id"])
+        .map_batches(lambda b: T.redact_pii(b))
+        .map_batches(lambda b: T.add_token_counts(b, text_col="text_redacted"))
+    )
+    return cleaned.project(["doc_id", "quality_ppm", "n_ws_tokens", "text_redacted"])
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1070,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d15_ivf_ann": d15_ivf_ann,
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
         "d17_pii_redaction": d17_pii_redaction,
+        "d18_corpus_pipeline": d18_corpus_pipeline,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -1476,6 +1506,26 @@ def oracle_sql() -> dict[str, str]:
         "d17_pii_redaction": f"""
             select doc_id, {T.redact_pii_sql("text")} as text_redacted
             from documents
+        """,
+        "d18_corpus_pipeline": f"""
+            with scored as (
+              select doc_id, text, {lang_expr} as lang_pred,
+                     cast(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                * 1000000.0
+                                / greatest(length(text), 1)) as bigint) as quality_ppm,
+                     len(string_split(text, ' ')) as n_words
+              from documents),
+            filtered as (
+              select * from scored
+              where lang_pred = 'en' and quality_ppm >= 780000 and n_words >= 10),
+            dedup as (
+              select * from (
+                select *, row_number() over (partition by text order by doc_id) as rn
+                from filtered) where rn = 1)
+            select doc_id, quality_ppm,
+                   len(string_split({T.redact_pii_sql("text")}, ' ')) as n_ws_tokens,
+                   {T.redact_pii_sql("text")} as text_redacted
+            from dedup
         """,
         "d01_dedup_exact_text": """
             select doc_id from (
