@@ -851,7 +851,7 @@ def d17_pii_redaction(sf_dir: str):
     documents table; patterns are duckdb-compatible so the oracle runs
     the SAME expressions (exact value match)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return docs.map_batches(lambda b: T.redact_pii(b)).project(
+    return docs.map_batches(T.redact_pii).project(
         ["doc_id", "text_redacted"]
     )
 
@@ -879,7 +879,7 @@ def d18_corpus_pipeline(sf_dir: str):
             )
         )
         .distinct(["text"], order_by=["doc_id"])
-        .map_batches(lambda b: T.redact_pii(b))
+        .map_batches(T.redact_pii)
         .map_batches(lambda b: T.add_token_counts(b, text_col="text_redacted"))
     )
     return cleaned.project(["doc_id", "quality_ppm", "n_ws_tokens", "text_redacted"])

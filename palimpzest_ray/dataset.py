@@ -138,7 +138,7 @@ def _range_reduce(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray, red):
         prev = st[-1]
         span = 1 << (k - 1)
         st.append(red(prev[: len(prev) - span], prev[span:]))
-    out = np.empty(n, dtype=np.float64)
+    out = np.empty(n, dtype=vals.dtype)
     ks = np.floor(np.log2(w)).astype(np.int64)
     for k in np.unique(ks):
         m = ks == k
@@ -1126,42 +1126,68 @@ class Dataset:
     ) -> "Dataset":
         """TIME-based moving frame, SQL ``<agg>(col) OVER (PARTITION BY
         by ORDER BY ts RANGE BETWEEN <interval> PRECEDING AND CURRENT
-        ROW)``: ``kind`` ∈ sum / avg / count. SQL RANGE semantics
-        exactly — the frame covers every row whose timestamp lies in
-        ``[ts - interval, ts]``, INCLUDING later peer rows that share
-        the current timestamp. Vectorized per group: both frame edges
-        come from ``searchsorted`` over the sorted epoch array; sum /
-        avg / count from prefix-sum differences, min / max from a
-        sparse-table range query (``_range_reduce``) — variable-width
-        frames with no row loop."""
+        ROW)``: ``kind`` ∈ sum / avg / count / min / max. SQL RANGE
+        semantics exactly — the frame covers every row whose timestamp
+        lies in ``[ts - interval, ts]``, INCLUDING later peer rows that
+        share the current timestamp, and null measure values are
+        SKIPPED (an all-null frame yields null; ``count`` counts
+        non-null values). Vectorized per group: both frame edges come
+        from ``searchsorted`` over the sorted epoch array; sum / avg /
+        count from prefix-sum differences over null-masked values,
+        min / max from a sparse-table range query (``_range_reduce``,
+        integer dtypes preserved) — variable-width frames with no row
+        loop. ``ts`` values are truncated to microseconds; the interval
+        must be an exact microsecond multiple."""
         assert kind in ("sum", "avg", "count", "min", "max"), kind
         by = [by] if isinstance(by, str) else list(by)
-        delta_us = int(pd.Timedelta(interval).value // 1000)
+        td = pd.Timedelta(interval)
+        assert td.value % 1000 == 0, (
+            f"interval {interval!r} has sub-microsecond precision; "
+            "timestamps are compared at microsecond resolution"
+        )
+        delta_us = int(td.value // 1000)
         assert delta_us >= 0, "interval must be non-negative"
         name = out or f"{col}_roll_{kind}_{interval.replace(' ', '')}"
 
         def _roll_t(group: pa.Table) -> pa.Table:
             idx = pc.sort_indices(group, sort_keys=[(ts, "ascending")])
             g = group.take(idx)
-            t = pc.cast(pc.cast(g[ts], pa.timestamp("us")), pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
+            # safe=False: ns-precision inputs truncate to µs (documented)
+            t = pc.cast(
+                pc.cast(g[ts], pa.timestamp("us"), safe=False), pa.int64()
+            ).to_numpy(zero_copy_only=False)
             start = np.searchsorted(t, t - delta_us, side="left")
             end = np.searchsorted(t, t, side="right")  # last peer inclusive
-            cnt = (end - start).astype(np.int64)
+            vcol = g[col].combine_chunks()
+            valid = np.asarray(
+                pc.is_valid(vcol).to_numpy(zero_copy_only=False), dtype=bool
+            )
+            vcum = np.concatenate([[0], np.cumsum(valid)])
+            nvalid = (vcum[end] - vcum[start]).astype(np.int64)
+            empty = nvalid == 0
             if kind == "count":
-                res = pa.array(cnt)
+                res = pa.array(nvalid)
             elif kind in ("min", "max"):
-                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+                vals = vcol.to_numpy(zero_copy_only=False)
                 red = np.minimum if kind == "min" else np.maximum
-                res = pa.array(
-                    _range_reduce(vals.astype(np.float64), start, end, red)
-                )
+                if valid.all() and np.issubdtype(vals.dtype, np.integer):
+                    r = _range_reduce(vals, start, end, red)  # exact ints
+                else:
+                    f = vals.astype(np.float64)  # nulls already NaN
+                    fill = np.inf if kind == "min" else -np.inf
+                    f = np.where(valid, f, fill)
+                    r = _range_reduce(f, start, end, red)
+                res = pa.array(r, mask=empty) if empty.any() else pa.array(r)
             else:
-                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
-                cs = np.concatenate([[0.0], np.cumsum(vals.astype(np.float64))])
+                vals = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+                vals = np.where(valid, vals, 0.0)  # SQL skips null measures
+                cs = np.concatenate([[0.0], np.cumsum(vals)])
                 s = cs[end] - cs[start]
-                res = pa.array(s / cnt if kind == "avg" else s)
+                if kind == "avg":
+                    r = s / np.where(empty, 1, nvalid)
+                else:
+                    r = s
+                res = pa.array(r, mask=empty) if empty.any() else pa.array(r)
             return g.append_column(name, res)
 
         return GroupedDataset(self._ds, by, null_safe=null_safe).map_groups(

@@ -864,3 +864,40 @@ def test_range_reduce_oracle():
         got = _range_reduce(vals, starts, ends, np.minimum)
         want = np.array([vals[s:e].min() for s, e in zip(starts, ends)])
         np.testing.assert_array_equal(got, want)
+
+
+def test_window_rolling_time_null_measures_match_duckdb(con):
+    # null measures are SKIPPED; all-null frames yield NULL; count
+    # counts non-null values (SQL parity)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 6,
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-10", "2024-01-11", "2024-01-12"]
+            ),
+            "v": [1.0, None, 3.0, None, None, 6.0],
+        }
+    )
+    ds = pzd.from_pandas(df)
+    got = (
+        ds.window_rolling_time("v", "sum", interval="2 days", by="g", ts="ts", out="rs")
+        .window_rolling_time("v", "avg", interval="2 days", by="g", ts="ts", out="ra")
+        .window_rolling_time("v", "count", interval="2 days", by="g", ts="ts", out="rc")
+        .window_rolling_time("v", "min", interval="2 days", by="g", ts="ts", out="rmin")
+        .to_pandas()
+    )
+    want = con.execute(
+        "select g, ts, v, sum(v) over w as rs, avg(v) over w as ra,"
+        " count(v) over w as rc, min(v) over w as rmin"
+        " from df window w as (partition by g order by ts"
+        "   range between interval 2 days preceding and current row)"
+    ).df()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    # integer dtype preserved on the exact path
+    di = pd.DataFrame({"g": ["a"] * 3, "ts": pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-03"]), "v": [2**53 + 1, 2**53, 5]})
+    gi = pzd.from_pandas(di).window_rolling_time(
+        "v", "max", interval="5 days", by="g", ts="ts", out="m"
+    ).to_pandas().sort_values("ts")
+    assert gi["m"].tolist() == [2**53 + 1, 2**53 + 1, 2**53 + 1]
