@@ -82,3 +82,92 @@ def read_versioned(root: str, **read_kwargs) -> rd.Dataset:
     return rd.read_parquet(
         [os.path.join(base, f) for f in manifest["files"]], **read_kwargs
     )
+
+
+def _partition_key(value) -> str:
+    """Path-safe directory name for a partition value."""
+    import re
+
+    s = "NULL" if value is None else str(value)
+    safe = re.sub(r"[^A-Za-z0-9_.=-]", "_", s)[:80]
+    import hashlib
+
+    return f"{safe}-{hashlib.sha1(s.encode()).hexdigest()[:8]}"
+
+
+def write_partitioned_resumable(
+    ds: rd.Dataset,
+    root: str,
+    partition_col: str,
+    *,
+    run_id: str,
+    fail_keys: tuple = (),
+    **write_kwargs,
+) -> dict:
+    """Per-partition RESUMABLE write: one directory per distinct
+    ``partition_col`` value, each committed with its own ``.done``
+    sidecar the moment it finishes — a rerun with the same ``run_id``
+    skips finished partitions BEFORE the shuffle (their rows never
+    leave the scan) and only re-writes the stragglers. The version
+    flip at the end is the single atomic commit, exactly as
+    :func:`write_versioned`. This is the relational-layer twin of the
+    CDC lake's sidecar resume (``cdc/engine.py``).
+
+    ``fail_keys`` is a test hook: raise while writing those partitions.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    staging = os.path.join(root, "_staging", run_id)
+    os.makedirs(staging, exist_ok=True)
+    done = {
+        d
+        for d in os.listdir(staging)
+        if os.path.exists(os.path.join(staging, d, ".done"))
+    }
+
+    if done:  # prune finished partitions at the read — no wasted shuffle
+        def _prune(batch: pa.Table) -> pa.Table:
+            keys = pa.array(
+                [_partition_key(v) for v in batch[partition_col].to_pylist()]
+            )
+            return batch.filter(pc.invert(pc.is_in(keys, value_set=pa.array(sorted(done)))))
+
+        ds = ds.map_batches(_prune, batch_format="pyarrow")
+
+    def _write(group: pa.Table) -> pa.Table:
+        val = group[partition_col][0].as_py()
+        key = _partition_key(val)
+        if key in fail_keys:
+            raise RuntimeError(f"injected failure for partition {key}")
+        pdir = os.path.join(staging, key)
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(group, os.path.join(pdir, "part-0.parquet"), **write_kwargs)
+        with open(os.path.join(pdir, ".done"), "w") as f:
+            f.write("ok")
+        return pa.table({"partition": [key], "rows": [group.num_rows]})
+
+    stats = ds.groupby(partition_col).map_groups(_write, batch_format="pyarrow").take_all()
+
+    prev = read_manifest(root)
+    version = (prev["version"] + 1) if prev else 1
+    final_dir = os.path.join(root, f"v{version}")
+    os.replace(staging, final_dir)
+    parts = sorted(
+        d for d in os.listdir(final_dir)
+        if os.path.exists(os.path.join(final_dir, d, ".done"))
+    )
+    manifest = {
+        "version": version,
+        "dir": f"v{version}",
+        "partitions": parts,
+        "files": [os.path.join(d, "part-0.parquet") for d in parts],
+        "rows_written_this_run": sum(r["rows"] for r in stats),
+    }
+    tmp = os.path.join(root, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(root, "_manifest.json"))
+    return manifest

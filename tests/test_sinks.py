@@ -4,7 +4,9 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from palimpzest_ray import sinks
@@ -36,3 +38,48 @@ def test_partitioned_layout(tmp_path):
     assert subdirs == {"k=0", "k=1", "k=2"}
     got = sinks.read_versioned(root).take_all()
     assert len(got) == 30
+
+
+def test_write_partitioned_resumable_crash_then_resume(tmp_path):
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.sinks import (
+        _partition_key,
+        read_manifest,
+        write_partitioned_resumable,
+    )
+
+    df = pd.DataFrame(
+        {"region": ["eu", "us", "ap"] * 40, "v": range(120)}
+    )
+    root = str(tmp_path / "out")
+    bad = _partition_key("us")
+
+    with pytest.raises(Exception):
+        write_partitioned_resumable(
+            rd.from_pandas(df), root, "region", run_id="r1", fail_keys=(bad,)
+        )
+    assert read_manifest(root) is None  # nothing committed
+
+    # finished partitions survive in staging with .done sidecars
+    staging = tmp_path / "out" / "_staging" / "r1"
+    done_before = {
+        d.name: (d / "part-0.parquet").stat().st_mtime_ns
+        for d in staging.iterdir()
+        if (d / ".done").exists()
+    }
+    assert len(done_before) >= 1 and bad not in done_before
+
+    m = write_partitioned_resumable(rd.from_pandas(df), root, "region", run_id="r1")
+    assert m["version"] == 1 and len(m["partitions"]) == 3
+    # previously-done partitions were NOT rewritten (mtime unchanged)
+    final = tmp_path / "out" / "v1"
+    for name, mtime in done_before.items():
+        assert (final / name / "part-0.parquet").stat().st_mtime_ns == mtime
+    # and only the straggler's rows were written this run
+    assert m["rows_written_this_run"] == 40
+    total = sum(
+        pq.read_table(str(final / p / "part-0.parquet")).num_rows
+        for p in m["partitions"]
+    )
+    assert total == 120
