@@ -885,6 +885,35 @@ def d18_corpus_pipeline(sf_dir: str):
     return cleaned.project(["doc_id", "quality_ppm", "n_ws_tokens", "text_redacted"])
 
 
+def _rule_filter_gen(p: str) -> str:
+    return "true" if "the" in p else "false"
+
+
+def _rule_map_gen(p: str) -> str:
+    import json as _json
+
+    return _json.dumps({"first_word": p.split(" ", 1)[0]})
+
+
+def d19_semantic_pipeline(sf_dir: str):
+    """The reference's CORE surface — semantic filter + semantic map —
+    through the real actor-pool plumbing (generator built once per
+    actor, templated prompts, relax-schema JSON parsing), driven by a
+    DETERMINISTIC rule generator so the driver can hash-compare an
+    exact SQL oracle. Swapping `mock_generator(rule)` for an LLM client
+    factory is the only change a real deployment makes."""
+    from palimpzest_ray.stages.semantic import mock_generator, sem_filter, sem_map
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = sem_filter(
+        docs.ray, "{text}", mock_generator(_rule_filter_gen), batch_size=256
+    )
+    mapped = sem_map(
+        kept, ["first_word"], "{text}", mock_generator(_rule_map_gen), batch_size=256
+    )
+    return pzd.Dataset(mapped).project(["doc_id", "first_word"])
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1100,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d16_grouped_approx_distinct": d16_grouped_approx_distinct,
         "d17_pii_redaction": d17_pii_redaction,
         "d18_corpus_pipeline": d18_corpus_pipeline,
+        "d19_semantic_pipeline": d19_semantic_pipeline,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -1526,6 +1556,10 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split({T.redact_pii_sql("text")}, ' ')) as n_ws_tokens,
                    {T.redact_pii_sql("text")} as text_redacted
             from dedup
+        """,
+        "d19_semantic_pipeline": """
+            select doc_id, split_part(text, ' ', 1) as first_word
+            from documents where contains(text, 'the')
         """,
         "d01_dedup_exact_text": """
             select doc_id from (
