@@ -914,6 +914,30 @@ def d19_semantic_pipeline(sf_dir: str):
     return pzd.Dataset(mapped).project(["doc_id", "first_word"])
 
 
+def _rule_join_gen(p: str) -> str:
+    import json as _json
+
+    left_j, right_j = p.split("\n###\n")
+    l, r = _json.loads(left_j), _json.loads(right_j)
+    return "true" if r["kw"] in l["text"] else "false"
+
+
+def d20_semantic_join(sf_dir: str):
+    """Semantic nested-loop join (reference ``NestedLoopsJoin``,
+    ``join.py:395-489``): every (doc × keyword) pair judged by the
+    generator; broadcast small side, streaming left side. Deterministic
+    rule generator -> exact SQL oracle (contains-join)."""
+    from palimpzest_ray.stages.semantic import mock_generator, sem_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kws = pa.table({"kw": pa.array(["the", "data", "model"])})
+    joined = sem_join(
+        docs.ray, kws, "{row}\n###\n{right}", mock_generator(_rule_join_gen),
+        batch_size=128,
+    )
+    return pzd.Dataset(joined).project(["doc_id", "kw"])
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1130,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d17_pii_redaction": d17_pii_redaction,
         "d18_corpus_pipeline": d18_corpus_pipeline,
         "d19_semantic_pipeline": d19_semantic_pipeline,
+        "d20_semantic_join": d20_semantic_join,
         "d01_dedup_exact_text": d01_dedup_exact_text,
         "d02_text_stats": d02_text_stats,
         "d03_language_id": d03_language_id,
@@ -1560,6 +1585,12 @@ def oracle_sql() -> dict[str, str]:
         "d19_semantic_pipeline": """
             select doc_id, split_part(text, ' ', 1) as first_word
             from documents where contains(text, 'the')
+        """,
+        "d20_semantic_join": """
+            select d.doc_id, k.kw
+            from documents d
+            join (values ('the'), ('data'), ('model')) k(kw)
+              on contains(d.text, k.kw)
         """,
         "d01_dedup_exact_text": """
             select doc_id from (
