@@ -72,9 +72,17 @@ def json_extract_string(a, path: str):
 
 
 def json_extract_int(a, path: str):
+    """duckdb ``json_extract(...)::BIGINT``: integral values pass through;
+    non-integral doubles round half-to-even (duckdb DOUBLE->BIGINT cast),
+    not truncate-toward-zero."""
     vals = _extract_py(a, _parse_path(path))
     return pa.array(
-        [int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None for v in vals],
+        [
+            (v if isinstance(v, int) else int(round(v)))
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else None
+            for v in vals
+        ],
         pa.int64(),
     )
 

@@ -61,10 +61,20 @@ def _segments(a):
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
     offs = a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    vals = a.values.to_numpy(zero_copy_only=False)
+    # A sliced (zero-copy offset) ListArray keeps the FULL child values
+    # buffer while its offsets window into it: normalize to a compacted
+    # view so segment reductions (reduceat uses only starts) can't run
+    # past the logical end of the last row or start before the first.
+    base = int(offs[0]) if len(offs) else 0
+    end = int(offs[-1]) if len(offs) else 0
+    values = a.values
+    if base != 0 or end != len(values):
+        values = values.slice(base, end - base)
+        offs = offs - base
+    vals = values.to_numpy(zero_copy_only=False)
     nulls = a.is_null().to_numpy(zero_copy_only=False)
-    if a.values.null_count:
-        valid = a.values.is_valid().to_numpy(zero_copy_only=False)
+    if values.null_count:
+        valid = values.is_valid().to_numpy(zero_copy_only=False)
     else:
         valid = None  # fast path: no per-element masking needed
     return vals, offs, nulls, valid

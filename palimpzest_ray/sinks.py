@@ -27,6 +27,25 @@ import uuid
 import ray.data as rd
 
 
+def _next_version(root: str) -> int:
+    """Next version number, trusting BOTH the manifest and the
+    filesystem: a crash between the ``os.replace(staging, vN)`` flip and
+    the manifest write leaves a committed-looking ``vN`` directory with
+    no manifest row — a rerun that trusted the manifest alone would pick
+    version N again and ``os.replace`` onto the non-empty dir (ENOTEMPTY,
+    unrecoverable without manual cleanup). Scanning ``v*`` dirs makes the
+    rerun land on N+1; the stale un-manifested dir is harmless garbage."""
+    import re
+
+    prev = read_manifest(root)
+    base = prev["version"] if prev else 0
+    for d in os.listdir(root):
+        m = re.fullmatch(r"v(\d+)", d)
+        if m:
+            base = max(base, int(m.group(1)))
+    return base + 1
+
+
 def write_versioned(
     ds: rd.Dataset,
     root: str,
@@ -37,8 +56,7 @@ def write_versioned(
 ) -> dict:
     """Write ``ds`` as the next version of ``root``; returns the manifest."""
     os.makedirs(root, exist_ok=True)
-    prev = read_manifest(root)
-    version = (prev["version"] + 1) if prev else 1
+    version = _next_version(root)
     run_id = run_id or uuid.uuid4().hex[:12]
     staging = os.path.join(root, "_staging", run_id)
     os.makedirs(staging, exist_ok=True)
@@ -151,8 +169,7 @@ def write_partitioned_resumable(
 
     stats = ds.groupby(partition_col).map_groups(_write, batch_format="pyarrow").take_all()
 
-    prev = read_manifest(root)
-    version = (prev["version"] + 1) if prev else 1
+    version = _next_version(root)
     final_dir = os.path.join(root, f"v{version}")
     os.replace(staging, final_dir)
     parts = sorted(

@@ -146,7 +146,8 @@ def test_json_extract_string_matches_duckdb(con):
 
 
 def test_json_extract_typed_and_valid():
-    assert J.json_extract_int(JDOCS, "$.k").to_pylist() == [87, 0, None, None, None, -3]
+    # -3.5 -> -4: duckdb DOUBLE->BIGINT rounds half-to-even, not toward zero
+    assert J.json_extract_int(JDOCS, "$.k").to_pylist() == [87, 0, None, None, None, -4]
     assert J.json_extract_double(JDOCS, "$.k").to_pylist() == [87.0, 0.0, None, None, None, -3.5]
     assert J.json_valid(JDOCS).to_pylist() == [True, True, True, False, None, True]
 
@@ -225,3 +226,38 @@ def test_sample_udf_library_plumbing(tmp_path):
             udfs.file_to_xls(pa.table({"contents": [b""]}))
         with pytest.raises(NotImplementedError, match="openpyxl"):
             udfs.xls_to_tables(pa.table({"contents": [b""], "filename": ["a"]}))
+
+
+def test_list_reductions_on_sliced_arrays():
+    """A zero-copy sliced ListArray keeps the full child buffer; the
+    trailing segment must still end at the list's logical end (and the
+    leading one start at its logical start), not the buffer's."""
+    arr = pa.array([[3.0, 4.0], [1.0, 2.0, 4.0], [100.0, 200.0]])
+    s = arr.slice(0, 2)
+    assert L.list_sum(s).to_pylist() == [7.0, 7.0]
+    assert L.list_min(s).to_pylist() == [3.0, 1.0]
+    assert L.list_max(s).to_pylist() == [4.0, 4.0]
+    assert L.list_mean(s).to_pylist() == [3.5, 7.0 / 3]
+    mid = arr.slice(1, 1)  # non-zero leading offset
+    assert L.list_sum(mid).to_pylist() == [7.0]
+    assert L.list_max(mid).to_pylist() == [4.0]
+    # nulls and empties inside the slice keep duckdb semantics
+    arr2 = pa.array([[1.0, None], [], None, [5.0]])
+    assert L.list_sum(arr2.slice(0, 3)).to_pylist() == [1.0, None, None]
+    assert L.list_sum(arr2.slice(2, 2)).to_pylist() == [None, 5.0]
+
+
+def test_json_extract_int_rounds_half_to_even(con):
+    """duckdb json_extract(...)::BIGINT goes through DOUBLE->BIGINT,
+    which rounds half-to-even — not truncation toward zero."""
+    docs = ['{"a": 8.9}', '{"a": -8.9}', '{"a": 8.5}', '{"a": 9.5}',
+            '{"a": -8.5}', '{"a": 7}', '{"a": "x"}', None]
+    got = J.json_extract_int(pa.array(docs), "$.a").to_pylist()
+    exp = [
+        r[0]
+        for r in con.execute(
+            "SELECT TRY_CAST(json_extract(d, '$.a') AS BIGINT) FROM (SELECT UNNEST(?) d)",
+            [docs],
+        ).fetchall()
+    ]
+    assert got == exp

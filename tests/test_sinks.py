@@ -83,3 +83,26 @@ def test_write_partitioned_resumable_crash_then_resume(tmp_path):
         for p in m["partitions"]
     )
     assert total == 120
+
+
+def test_version_recovers_from_unmanifested_dir(tmp_path):
+    """Crash window: the vN directory flip succeeded but the manifest
+    write did not. A rerun must pick N+1 from the filesystem instead of
+    trusting the (stale/absent) manifest and ENOTEMPTY-ing on vN."""
+    root = str(tmp_path / "out")
+    os.makedirs(os.path.join(root, "v1"))
+    with open(os.path.join(root, "v1", "part-0.parquet"), "wb") as f:
+        f.write(b"orphan")  # committed-looking dir, no manifest
+    assert sinks.read_manifest(root) is None
+
+    m = sinks.write_versioned(_ds(list(range(30))), root)
+    assert m["version"] == 2  # skipped the orphaned v1
+    assert sinks.read_versioned(root).count() == 30
+
+    # and the same discipline holds for the resumable partitioned sink
+    import ray.data as rd
+    df = pd.DataFrame({"region": ["a"] * 5 + ["b"] * 5, "v": range(10)})
+    m2 = sinks.write_partitioned_resumable(
+        rd.from_pandas(df), root, "region", run_id="rX"
+    )
+    assert m2["version"] == 3
