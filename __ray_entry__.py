@@ -19,6 +19,7 @@ Ray is initialised by the driver BEFORE this module is imported: no
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from typing import Any
@@ -409,12 +410,19 @@ def q28_running_quantity(sf_dir: str):
             pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))).cast(pa.int64()),
         )
 
+    # BOTH window specs in ONE call: one keyed shuffle, one sort, and —
+    # critically — one shared permutation, so fully-tied
+    # (l_orderkey, l_linenumber, qty) rows get run_qty/line_no pairings
+    # consistent with each other (two chained window_cum calls sorted
+    # independently and could pair tied rows differently than any
+    # single-order engine would).
     return (
         li.map_batches(_to_cents)
-        .window_cum("qty_c100", "sum", by="l_orderkey",
-                    order=["l_linenumber", "qty_c100"], out="run_qty_c100")
-        .window_cum("qty_c100", "row_number", by="l_orderkey",
-                    order=["l_linenumber", "qty_c100"], out="line_no")
+        .window(
+            [("sum", "qty_c100", "run_qty_c100"),
+             ("row_number", None, "line_no")],
+            by="l_orderkey", order=["l_linenumber", "qty_c100"],
+        )
         .project(["l_orderkey", "l_linenumber", "run_qty_c100", "line_no"])
     )
 
@@ -988,37 +996,65 @@ def d09_lsh_ann(sf_dir: str):
 
 
 def d15_ivf_ann(sf_dir: str):
-    """IVF-flat ANN (spherical k-means coarse quantizer, nprobe lists)
-    — rows-only like d09: approximate by design, pytest holds the
-    exact oracle (nprobe=nlist == brute force)."""
-    from palimpzest_ray.stages.similarity import ivf_knn_search
+    """PERSISTENT IVF index: build-once Parquet artifact (centroids +
+    table clustered by list id — reference ``ChromaIndex`` parity,
+    ``index_dataset.py:8-60``), then query WITHOUT retraining. Probed
+    at nprobe=nlist, so the driver oracle is the EXACT cosine top-k SQL
+    (same as d05); the pruning path (nprobe<nlist, file-level pruning,
+    no-retrain byte-equality across queries) holds its oracle in
+    pytest."""
+    import hashlib
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    from palimpzest_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/pz_ivf_index_{tag}"
+    if not os.path.exists(os.path.join(idx, "_manifest.json")):
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(emb.ray, idx, nlist=32)
     return pzd.Dataset(
-        ivf_knn_search(emb.ray, _load_queries(sf_dir), k=10, nlist=32, nprobe=8)
+        ivf_index_search(idx, _load_queries(sf_dir), k=10, nprobe=32,
+                         dtype=np.float64, round_to=3, int_scores=True)
     )
 
 
 def d16_grouped_approx_distinct(sf_dir: str):
-    """Per-group HLL COUNT(DISTINCT) (the sketch analogue of q35's
-    exact path: registers through the shuffle instead of distinct
-    pairs). Rows-only — duckdb's approx_count_distinct uses a
-    different HLL; pytest holds the ≤5% error-bound oracle."""
+    """Per-group HLL COUNT(DISTINCT l_orderkey) by l_returnflag — the
+    sketch analogue of q35's exact path: registers through the shuffle
+    instead of distinct pairs. EXACT driver oracle: ``hash_fn="duckdb"``
+    makes the registers rebuildable from SQL ``hash(l_orderkey)``, and
+    the integer-exact estimator (``sketches.hll_estimate``) is the same
+    IEEE expression on both engines. p=6 keeps every group's estimate
+    far above the 2.5m linear-counting gate at all test sfs (the ln()
+    branch is libm-dependent, hence not cross-engine reproducible)."""
     from palimpzest_ray.stages.sketches import hll_distinct_by
 
-    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
-    return pzd.Dataset(hll_distinct_by(li.ray, "l_returnflag", "l_suppkey"))
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
+    return pzd.Dataset(
+        hll_distinct_by(li.ray, "l_returnflag", "l_orderkey", p=6, hash_fn="duckdb")
+    )
 
 
 def d10_approx_distinct(sf_dir: str):
-    """HyperLogLog distinct doc_ids (deterministic estimate; rows-only —
-    duckdb's approx_count_distinct uses a different HLL so values can't
-    hash-match; pytest holds the error-bound oracle)."""
-    from palimpzest_ray.stages.sketches import hll_distinct
+    """HyperLogLog distinct l_orderkey (p=8, duckdb-reproducible hash).
+    EXACT driver oracle: the SQL side rebuilds the identical registers
+    from ``hash(l_orderkey)`` and evaluates the same integer-scaled
+    estimator expression — an exact check on an approximate sketch."""
+    from palimpzest_ray.stages.sketches import (
+        hll_estimate,
+        hll_estimate_int,
+        hll_sketch,
+    )
 
-    docs = _read(sf_dir, "documents", ["doc_id"])
-    est = hll_distinct(docs.ray, "doc_id", p=12)
-    return pa.table({"approx_distinct": pa.array([int(round(est))], pa.int64())})
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    regs = hll_sketch(li.ray, "l_orderkey", p=8, hash_fn="duckdb")
+    assert hll_estimate(regs) > 2.5 * 256, "linear-counting branch fired"
+    return pa.table(
+        {"approx_distinct": pa.array([hll_estimate_int(regs)], pa.int64())}
+    )
 
 
 def d11_approx_quantiles(sf_dir: str):
@@ -1037,16 +1073,23 @@ def d11_approx_quantiles(sf_dir: str):
 
 
 def d12_stratified_sample(sf_dir: str):
-    """Hash-deterministic stratified sampling by source (rows-only:
-    membership is a pure function of (doc_id, seed) via polars xxhash,
-    which SQL can't reproduce; pytest holds determinism + rate oracles)."""
+    """Hash-deterministic stratified sampling by order priority. EXACT
+    driver oracle: ``hash_fn="duckdb"`` quantizes membership to
+    ``hash(o_orderkey) % 1e6 < round(rate * 1e6)``, the literal WHERE
+    clause of the SQL side. (The polars-xxhash default mode keeps its
+    determinism + rate oracles in pytest.)"""
     from palimpzest_ray.stages.sampling import stratified_sample
 
-    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     out = stratified_sample(
-        docs.ray, "source", {"web": 0.25, "code": 1.0}, key="doc_id", default=0.5
+        orders.ray,
+        "o_orderpriority",
+        {"1-URGENT": 0.25, "5-LOW": 1.0},
+        key="o_orderkey",
+        default=0.5,
+        hash_fn="duckdb",
     )
-    return pzd.Dataset(out).project(["doc_id"])
+    return pzd.Dataset(out).project(["o_orderkey"])
 
 
 def d13_heavy_hitters(sf_dir: str):
@@ -1171,6 +1214,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d14_bloom_semi": d14_bloom_semi,
         "cdc_replay": cdc_replay,
     }
+
+
+def _hll_oracle_sql(
+    table: str, col: str, *, p: int, out: str, group: str | None = None
+) -> str:
+    """DuckDB SQL that reproduces ``sketches.hll_*(hash_fn="duckdb")``
+    bit-for-bit: rebuild registers from ``hash(col)``, harmonic sum as
+    an exact HUGEINT scaled by 2^B, then ONE float expression with the
+    same literal casts and left-to-right operation order as
+    ``hll_estimate`` (both engines: alpha * m * m * 2^B / double(S),
+    then floor(x + 0.5))."""
+    m = 1 << p
+    B = 64 - p + 1
+    g_sel, g_by, g_out = "", "", ""
+    if group:
+        g_sel, g_by, g_out = f"{group}, ", f"group by {group}", f"{group}, "
+    return f"""
+        with h as (
+          select {g_sel}hash({col}) as hv
+          from {table} where {col} is not null
+        ),
+        r as (
+          select {g_sel}hv >> (64 - {p}) as idx,
+                 hv % (1::UBIGINT << (64 - {p})) as rem
+          from h
+        ),
+        regs as (
+          select {g_sel}idx,
+                 max(case when rem = 0 then {B}
+                     else (64 - {p}) - length(bin(rem)) + 1 end) as reg
+          from r group by {g_sel}idx
+        ),
+        s as (
+          select {g_sel}count(*) as nz,
+                 sum(cast((1::UBIGINT << ({B} - reg)) as HUGEINT)) as s_nz
+          from regs {g_by}
+        )
+        select {g_out}cast(floor(
+            (0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / {m}::DOUBLE))
+            * {m} * {m} * 2.0^{B}
+            / cast(s_nz + cast(({m} - nz) as HUGEINT)
+                   * cast((1::UBIGINT << {B}) as HUGEINT) as DOUBLE)
+            + 0.5) as BIGINT) as "{out}"
+        from s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1639,5 +1727,42 @@ def oracle_sql() -> dict[str, str]:
             select source as value, count(*) as count
             from documents group by source
             order by count desc, value asc limit 10
+        """,
+        # d10/d16: the oracle REBUILDS the HLL registers from duckdb's
+        # own hash() (bit-identical to functions.tokens.duckdb_hash_i64)
+        # and evaluates the same integer-scaled Flajolet estimator the
+        # engine uses (sketches.hll_estimate): sum(2^-reg) carried as an
+        # exact HUGEINT scaled by 2^B, one float expression at the end
+        # with matching literal casts and operation order.
+        "d10_approx_distinct": _hll_oracle_sql(
+            "lineitem", "l_orderkey", p=8, out="approx_distinct"
+        ),
+        "d16_grouped_approx_distinct": _hll_oracle_sql(
+            "lineitem", "l_orderkey", p=6,
+            out="approx_nunique(l_orderkey)", group="l_returnflag",
+        ),
+        "d12_stratified_sample": """
+            select o_orderkey from orders
+            where hash(o_orderkey) % 1000000 <
+              case o_orderpriority
+                when '1-URGENT' then 250000
+                when '5-LOW'    then 1000000
+                else 500000
+              end
+        """,
+        # d15 probes nprobe=nlist against the persistent index, so the
+        # result is the exact cosine top-k — the same oracle as d05.
+        "d15_ivf_ann": """
+            with q as (select vec_id as query_idx, embedding as qe
+                       from embeddings where vec_id < 2)
+            select q.query_idx, e.vec_id,
+                   cast(round(list_cosine_similarity(e.embedding, q.qe) * 1000)
+                        as bigint) as score,
+                   row_number() over (
+                     partition by q.query_idx
+                     order by round(list_cosine_similarity(e.embedding, q.qe) * 1000)
+                              desc, e.vec_id) as "rank"
+            from embeddings e, q
+            qualify "rank" <= 10
         """,
     }
