@@ -51,6 +51,31 @@ def stable_hash(values: pa.Array | pa.ChunkedArray, seed: int = _HASH_SEED) -> n
     return s.hash(seed=seed).to_numpy().astype(np.uint64)
 
 
+def duckdb_hash_i64(values: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
+    """DuckDB's ``hash()`` for integer columns, vectorized in numpy —
+    the 64-bit murmur finalizer from duckdb's public source
+    (``src/include/duckdb/common/types/hash.hpp``, ``murmurhash64``).
+
+    Purpose: a hash BOTH engines can compute, so hash-derived operators
+    (HLL registers, deterministic sampling membership) can carry an
+    EXACT DuckDB SQL oracle — ``hash(col)`` in SQL reproduces this
+    bit-for-bit (asserted in tests). Integer inputs only; duckdb's
+    string hash is a different algorithm. ``stable_hash`` (polars
+    xxhash) remains the engine-internal default."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.to_numpy(zero_copy_only=False)
+    x = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64).copy()
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(32)
+        x *= np.uint64(0xD6E8FEB86659FD93)
+        x ^= x >> np.uint64(32)
+        x *= np.uint64(0xD6E8FEB86659FD93)
+        x ^= x >> np.uint64(32)
+    return x
+
+
 def stable_bucket(
     values: pa.Array | pa.ChunkedArray, num_buckets: int, seed: int = _HASH_SEED
 ) -> np.ndarray:

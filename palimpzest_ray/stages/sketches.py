@@ -29,7 +29,13 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from palimpzest_ray.functions.tokens import limit_kernel_threads, stable_hash
+from palimpzest_ray.functions.tokens import (
+    duckdb_hash_i64,
+    limit_kernel_threads,
+    stable_hash,
+)
+
+_HLL_HASHES = {"stable": stable_hash, "duckdb": duckdb_hash_i64}
 
 
 def _bit_length_u64(w: np.ndarray) -> np.ndarray:
@@ -45,10 +51,19 @@ def _bit_length_u64(w: np.ndarray) -> np.ndarray:
 
 
 def hll_registers_for_batch(
-    values: pa.Array | pa.ChunkedArray, p: int = 12
+    values: pa.Array | pa.ChunkedArray, p: int = 12, hash_fn: str = "stable"
 ) -> np.ndarray:
-    """One batch → its HLL register array (uint8[2^p])."""
-    h = stable_hash(values)  # uint64
+    """One batch → its HLL register array (uint8[2^p]).
+
+    ``hash_fn="duckdb"`` (integer columns only) uses the
+    duckdb-reproducible murmur so a DuckDB SQL oracle can rebuild the
+    identical registers from ``hash(col)``."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    values = values.drop_null()  # COUNT(DISTINCT) ignores nulls
+    if len(values) == 0:
+        return np.zeros(1 << p, dtype=np.uint8)
+    h = _HLL_HASHES[hash_fn](values)  # uint64
     m = 1 << p
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h << np.uint64(p)  # remaining bits in the top positions
@@ -60,25 +75,45 @@ def hll_registers_for_batch(
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    """Flajolet estimator + small-range linear counting."""
-    m = float(len(regs))
+    """Flajolet estimator + small-range linear counting.
+
+    The harmonic sum runs in EXACT integer arithmetic (``sum 2^-reg``
+    rescaled by ``2^B``, B = max rho): the float ``exp2`` sum is
+    order-dependent once register exponents span > 52 bits, which would
+    make the estimate depend on merge order. The integer path is
+    deterministic AND bit-reproducible by a SQL oracle computing the
+    same ``alpha*m^2*2^B / S`` expression (see ``d10``/``d16``)."""
+    m = len(regs)
+    p = int(m).bit_length() - 1
+    B = 64 - p + 1  # max possible rho
+    counts = np.bincount(regs.astype(np.int64), minlength=B + 1)
+    S = sum(int(c) << (B - r) for r, c in enumerate(counts) if c)  # exact
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    est = alpha * m * m * 2.0**B / float(S)
     if est <= 2.5 * m:
-        zeros = int(np.count_nonzero(regs == 0))
+        zeros = int(counts[0])
         if zeros:
-            return m * np.log(m / zeros)
+            return float(m) * np.log(float(m) / zeros)
     return float(est)
 
 
-def hll_sketch(ds: rd.Dataset, col: str, p: int = 12) -> np.ndarray:
+def hll_estimate_int(regs: np.ndarray) -> int:
+    """``floor(est + 0.5)`` — the rounding a SQL oracle can reproduce
+    exactly (duckdb ``round()`` is half-away, Python ``round()`` is
+    half-even; ``floor(x + 0.5)`` is the same IEEE op chain in both)."""
+    return int(np.floor(hll_estimate(regs) + 0.5))
+
+
+def hll_sketch(
+    ds: rd.Dataset, col: str, p: int = 12, hash_fn: str = "stable"
+) -> np.ndarray:
     """Distributed sketch build: every block reduces to one register row
     (2^p bytes as ``pa.binary``); the driver folds them with elementwise
     max. Only ~num_blocks × 2^p bytes ever reach the driver."""
 
     def _sk(batch: pa.Table) -> pa.Table:
         limit_kernel_threads()
-        regs = hll_registers_for_batch(batch[col], p)
+        regs = hll_registers_for_batch(batch[col], p, hash_fn)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     merged = np.zeros(1 << p, dtype=np.uint8)
@@ -89,9 +124,11 @@ def hll_sketch(ds: rd.Dataset, col: str, p: int = 12) -> np.ndarray:
     return merged
 
 
-def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+def hll_distinct(
+    ds: rd.Dataset, col: str, p: int = 12, hash_fn: str = "stable"
+) -> float:
     """Approximate COUNT(DISTINCT col); error ≈ 1.04/sqrt(2^p)."""
-    return hll_estimate(hll_sketch(ds, col, p))
+    return hll_estimate(hll_sketch(ds, col, p, hash_fn))
 
 
 def approx_quantiles(
@@ -340,6 +377,7 @@ def hll_distinct_by(
     p: int = 12,
     *,
     null_safe: bool = False,
+    hash_fn: str = "stable",
 ) -> rd.Dataset:
     """Per-group approximate COUNT(DISTINCT col) — the sketch analogue
     of ``GroupedDataset.nunique``. Each block reduces every group it
@@ -351,7 +389,7 @@ def hll_distinct_by(
 
     def _sk(batch: pa.Table) -> pa.Table:
         limit_kernel_threads()
-        h = stable_hash(batch[col])
+        h = _HLL_HASHES[hash_fn](batch[col])
         m = 1 << p
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         w = h << np.uint64(p)
@@ -387,7 +425,7 @@ def hll_distinct_by(
             np.maximum(merged, np.frombuffer(buf, dtype=np.uint8), out=merged)
         head = group.select(keys).slice(0, 1)
         return head.append_column(
-            out_col, pa.array([int(round(hll_estimate(merged)))], pa.int64())
+            out_col, pa.array([hll_estimate_int(merged)], pa.int64())
         )
 
     if null_safe:  # null group keys crash Ray's sort shuffle otherwise

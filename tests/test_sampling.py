@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -54,3 +55,54 @@ def test_hash_split_partitions_keys_exactly():
     tr2, va2 = S.hash_split(rd.from_arrow(dup), "doc_id", 0.2, seed=3)
     assert {r["doc_id"] for r in tr2.take_all()} == ktrain
     assert {r["doc_id"] for r in va2.take_all()} == kval
+
+
+def test_duckdb_mode_membership_matches_sql():
+    """hash_fn="duckdb" sampling == the literal SQL WHERE clause the
+    d12 oracle states (hash(key) % 1e6 < round(rate*1e6))."""
+    import duckdb
+    import ray.data as rd
+
+    from palimpzest_ray.stages.sampling import (
+        deterministic_sample,
+        hash_split,
+        stratified_sample,
+    )
+
+    keys = np.arange(1, 5001, dtype=np.int64)
+    strata = np.where(keys % 3 == 0, "a", np.where(keys % 3 == 1, "b", "c"))
+    t = pa.table({"k": keys, "s": strata})
+    ds = rd.from_arrow(t)
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = sorted(
+        r["k"]
+        for r in deterministic_sample(ds, "k", 0.3, hash_fn="duckdb").take_all()
+    )
+    exp = [r[0] for r in con.sql(
+        "select k from t where hash(k) % 1000000 < 300000 order by k"
+    ).fetchall()]
+    assert got == exp and 0 < len(got) < 5000
+
+    got = sorted(
+        r["k"]
+        for r in stratified_sample(
+            ds, "s", {"a": 0.1, "b": 1.0}, key="k", default=0.5, hash_fn="duckdb"
+        ).take_all()
+    )
+    exp = [r[0] for r in con.sql(
+        """select k from t where hash(k) % 1000000 <
+           case s when 'a' then 100000 when 'b' then 1000000 else 500000 end
+           order by k"""
+    ).fetchall()]
+    assert got == exp
+
+    tr, va = hash_split(ds, "k", 0.2, hash_fn="duckdb")
+    tr_k = {r["k"] for r in tr.take_all()}
+    va_k = {r["k"] for r in va.take_all()}
+    assert tr_k | va_k == set(keys.tolist()) and not (tr_k & va_k)
+    exp_va = {r[0] for r in con.sql(
+        "select k from t where hash(k) % 1000000 < 200000"
+    ).fetchall()}
+    assert va_k == exp_va

@@ -167,3 +167,47 @@ def test_hll_distinct_by_groups_within_bound():
         ).take_all()
     }
     assert got == got2
+
+
+def test_duckdb_hash_matches_duckdb():
+    """functions.tokens.duckdb_hash_i64 == duckdb's hash() bit-for-bit
+    (the contract that makes d10/d12/d16's EXACT SQL oracles possible)."""
+    import duckdb
+
+    from palimpzest_ray.functions.tokens import duckdb_hash_i64
+
+    vals = [0, 1, 42, -1, -42, 123456789, 2**62, -(2**62), 2**63 - 1]
+    got = duckdb_hash_i64(np.array(vals, dtype=np.int64))
+    exp = [
+        r[0]
+        for r in duckdb.connect()
+        .execute("select hash(x) from (select unnest(?) x)", [vals])
+        .fetchall()
+    ]
+    assert [int(v) for v in got] == [int(v) for v in exp]
+
+
+def test_hll_duckdb_mode_matches_sql_oracle():
+    """End-to-end: the distributed HLL estimate equals the DuckDB SQL
+    register-rebuild oracle exactly (integer-scaled estimator, floor+0.5
+    rounding, identical literal casts)."""
+    import duckdb
+    import ray.data as rd
+
+    from palimpzest_ray.stages.sketches import hll_estimate_int, hll_sketch
+
+    n, p = 20_000, 8
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys}))
+    est = hll_estimate_int(hll_sketch(ds, "k", p=p, hash_fn="duckdb"))
+
+    import __ray_entry__ as E
+
+    sql = E._hll_oracle_sql("t", "k", p=p, out="e").replace(
+        "from t", "from (select unnest(range(1, 20001))::BIGINT as k) t", 1
+    )
+    con = duckdb.connect()
+    exp = con.sql(sql).fetchall()[0][0]
+    assert est == exp
+    # sanity: the estimate is within HLL error of truth
+    assert abs(est - n) / n < 5 * 1.04 / np.sqrt(2**p)
