@@ -56,6 +56,61 @@ def _topk_reduce(partials: rd.Dataset, k: int, id_col: str) -> rd.Dataset:
     return partials.groupby("query_idx").map_groups(_final, batch_format="pyarrow")
 
 
+def _batch_topk(
+    batch: pa.Table,
+    Qm: np.ndarray,
+    *,
+    k: int,
+    emb_col: str,
+    id_col: str,
+    dtype,
+    round_to: int,
+    int_scores: bool,
+    V: np.ndarray | None = None,
+) -> pa.Table:
+    """One batch's local top-k vs the query matrix — the shared kernel
+    of every search path (exact / LSH / IVF / persistent-index scan).
+
+    Selects on ROUNDED scores with the same (score desc, id asc)
+    tie-break as the global reduce — otherwise a tie straddling the
+    local-k cutoff makes the final top-k depend on block boundaries.
+    ``int_scores=True`` emits ``round(cos * 10^round_to)`` as int64,
+    bit-comparable with a SQL ``list_cosine_similarity`` oracle (a
+    rounded FLOAT column is adjacent-ulp unstable across engines)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int64()),
+                id_col: pa.array([], batch[id_col].type),
+                "score": pa.array([], pa.int64() if int_scores else pa.float64()),
+            }
+        )
+    if V is None:
+        V = _normalize(_vectors(batch, emb_col).astype(dtype))
+    M = (Qm.astype(dtype) @ V.T).astype(np.float64)  # the one O(nq*n*dim) matmul
+    S = np.round(M * 10.0**round_to) if int_scores else np.round(M, round_to)
+    ids = batch[id_col].combine_chunks()
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    nq, n = S.shape
+    kk = min(k, n)
+    sel = np.empty((nq, kk), dtype=np.int64)
+    for q in range(nq):
+        order = np.lexsort((ids_np, -S[q]))
+        sel[q] = order[:kk]
+    qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
+    vi = sel.reshape(-1)
+    scores = S[qi, vi]
+    return pa.table(
+        {
+            "query_idx": pa.array(qi),
+            id_col: ids.take(pa.array(vi)),
+            "score": pa.array(scores.astype(np.int64))
+            if int_scores
+            else pa.array(scores),
+        }
+    )
+
+
 def knn_search(
     ds: rd.Dataset,
     queries: np.ndarray,
@@ -70,48 +125,15 @@ def knn_search(
     """Exact cosine top-k: rows ``(query_idx, id, score, rank)``.
 
     ``dtype=np.float64`` + ``int_scores=True`` makes scores
-    bit-comparable with a SQL ``list_cosine_similarity`` oracle: the
-    score column becomes ``round(cos * 10^round_to)`` as int64 — a
-    rounded FLOAT column is not bit-stable across engines (adjacent-ulp
-    results), an integer is. float32 matmul is the fast path."""
+    bit-comparable with a SQL ``list_cosine_similarity`` oracle;
+    float32 matmul is the fast path."""
     Q = _normalize(np.asarray(queries, dtype=dtype))
     qref = ray.put(Q)
 
     def _local(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], batch[id_col].type),
-                    "score": pa.array([], pa.int64() if int_scores else pa.float64()),
-                }
-            )
-        Qm = ray.get(qref)
-        V = _normalize(_vectors(batch, emb_col).astype(dtype))
-        M = (Qm @ V.T).astype(np.float64)  # the one O(nq*n*dim) matmul
-        S = np.round(M * 10.0**round_to) if int_scores else np.round(M, round_to)
-        ids = batch[id_col].combine_chunks()
-        ids_np = ids.to_numpy(zero_copy_only=False)
-        nq, n = S.shape
-        kk = min(k, n)
-        # select on ROUNDED scores with the same (score desc, id asc)
-        # tie-break as the global reduce — otherwise a tie straddling the
-        # local-k cutoff makes the final top-k depend on block boundaries
-        sel = np.empty((nq, kk), dtype=np.int64)
-        for q in range(nq):
-            order = np.lexsort((ids_np, -S[q]))
-            sel[q] = order[:kk]
-        qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        vi = sel.reshape(-1)
-        scores = S[qi, vi]
-        return pa.table(
-            {
-                "query_idx": pa.array(qi),
-                id_col: ids.take(pa.array(vi)),
-                "score": pa.array(scores.astype(np.int64))
-                if int_scores
-                else pa.array(scores),
-            }
+        return _batch_topk(
+            batch, ray.get(qref), k=k, emb_col=emb_col, id_col=id_col,
+            dtype=dtype, round_to=round_to, int_scores=int_scores,
         )
 
     partials = ds.map_batches(_local, batch_format="pyarrow")
@@ -164,33 +186,19 @@ def lsh_knn_search(
     def _local(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if batch.num_rows == 0:
+            return _batch_topk(
+                batch, Q, k=k, emb_col=emb_col, id_col=id_col,
+                dtype=np.float32, round_to=6, int_scores=False,
+            )
         V = _normalize(_vectors(batch, emb_col))
         b = bucket_of(V)
         mask = pc.is_in(pa.array(b), value_set=ray.get(cref))
         batch = batch.filter(mask)
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_idx": pa.array([], pa.int64()),
-                    id_col: pa.array([], batch[id_col].type),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
         Vf = V[mask.to_numpy(zero_copy_only=False)]
-        Qm = ray.get(qref)
-        S = Qm @ Vf.T
-        ids = batch[id_col].combine_chunks()
-        nq, n = S.shape
-        kk = min(k, n)
-        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        vi = part.reshape(-1)
-        return pa.table(
-            {
-                "query_idx": pa.array(qi),
-                id_col: ids.take(pa.array(vi)),
-                "score": pa.array(np.round(S[qi, vi].astype(np.float64), 6)),
-            }
+        return _batch_topk(
+            batch, ray.get(qref), k=k, emb_col=emb_col, id_col=id_col,
+            dtype=np.float32, round_to=6, int_scores=False, V=Vf,
         )
 
     partials = ds.map_batches(_local, batch_format="pyarrow")
@@ -202,6 +210,12 @@ def _spherical_kmeans(
 ) -> np.ndarray:
     """Cosine k-means on unit vectors (numpy, deterministic). Empty
     clusters re-seed from the worst-assigned points."""
+    if len(X) == 0:
+        raise ValueError(
+            "cannot train an IVF quantizer on an empty sample: the input "
+            "dataset (or its first train_size rows) has no embedding rows "
+            "— use knn_search for exact search or supply a non-empty train"
+        )
     rng = np.random.default_rng(seed)
     X = _normalize(X.astype(np.float32))
     n = len(X)
@@ -232,6 +246,9 @@ def ivf_knn_search(
     train_size: int = 10_000,
     iters: int = 10,
     seed: int = 13,
+    dtype=np.float32,
+    round_to: int = 6,
+    int_scores: bool = False,
 ) -> rd.Dataset:
     """IVF-flat approximate cosine top-k — the third search path next to
     exact :func:`knn_search` and :func:`lsh_knn_search`.
@@ -247,9 +264,10 @@ def ivf_knn_search(
 
     At 100 TB you'd persist the centroids + assignments as a partition
     column and cluster the lake layout by list id so a probe touches
-    only matching files; here assignment is recomputed per batch (one
-    extra matmul) to stay index-free."""
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    only matching files — that is :func:`build_ivf_index` /
+    :func:`ivf_index_search`; here assignment is recomputed per batch
+    (one extra matmul) to stay index-free."""
+    Q = _normalize(np.asarray(queries, dtype=dtype))
     train = _vectors(
         _strip_to_batch(ds, emb_col, train_size), emb_col
     )
@@ -264,32 +282,19 @@ def ivf_knn_search(
     def _local(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        V = _normalize(_vectors(batch, emb_col))
+        if batch.num_rows == 0:
+            return _batch_topk(
+                batch, Q, k=k, emb_col=emb_col, id_col=id_col,
+                dtype=dtype, round_to=round_to, int_scores=int_scores,
+            )
+        V = _normalize(_vectors(batch, emb_col).astype(dtype))
         assign = (V @ ray.get(cref).T).argmax(axis=1).astype(np.int64)
         mask = pc.is_in(pa.array(assign), value_set=ray.get(pref))
         batch = batch.filter(mask)
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_idx": pa.array([], pa.int64()),
-                    id_col: pa.array([], batch[id_col].type),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
         Vf = V[mask.to_numpy(zero_copy_only=False)]
-        S = ray.get(qref) @ Vf.T
-        ids = batch[id_col].combine_chunks()
-        nq, n = S.shape
-        kk = min(k, n)
-        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        vi = part.reshape(-1)
-        return pa.table(
-            {
-                "query_idx": pa.array(qi),
-                id_col: ids.take(pa.array(vi)),
-                "score": pa.array(np.round(S[qi, vi].astype(np.float64), 6)),
-            }
+        return _batch_topk(
+            batch, ray.get(qref), k=k, emb_col=emb_col, id_col=id_col,
+            dtype=dtype, round_to=round_to, int_scores=int_scores, V=Vf,
         )
 
     partials = ds.map_batches(_local, batch_format="pyarrow")
@@ -303,3 +308,182 @@ def _strip_to_batch(ds: rd.Dataset, emb_col: str, n: int) -> pa.Table:
     tables = [ray.get(r) for r in tbs]
     tables = [t for t in tables if t.num_rows]
     return pa.concat_tables(tables) if tables else pa.table({emb_col: []})
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index — build once, query many.
+#
+# Reference parity: ``IndexDataset`` / ``ChromaIndex``
+# (``src/palimpzest/core/data/index_dataset.py:8-60``, ``topk.py:73``) is
+# a PERSISTENT index root the reference queries repeatedly without
+# rebuilding. Here the artifact is pure Parquet + a JSON manifest:
+#
+#     <index_path>/
+#       _manifest.json          {"version", "nlist", "dim", "emb_col",
+#                                "id_col", "num_rows", "list_rows"}
+#       v{N}/centroids.parquet  (list_id, centroid list<float>)
+#       v{N}/lists/_ivf_list=K/*.parquet   vectors clustered by list id
+#
+# The lake layout IS the index: a probe reads ONLY the probed lists'
+# directories (file-level pruning — at 100 TB a 64-of-4096-list probe
+# touches ~1.6% of the bytes), and no quantizer retrains per query.
+# Atomicity follows the sink discipline (sinks.py): write to _staging,
+# os.replace the version dir, manifest flip last.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    index_path: str,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 64,
+    train_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 13,
+) -> dict:
+    """Train the coarse quantizer once, cluster the table by list id,
+    and commit the layout under ``index_path``. Returns the manifest."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    train = _vectors(_strip_to_batch(ds, emb_col, train_size), emb_col)
+    C = _spherical_kmeans(train, nlist, iters, seed)  # raises on empty
+    cref = ray.put(C)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_ivf_list", pa.array([], pa.int32()))
+        V = _normalize(_vectors(batch, emb_col))
+        lists = (V @ ray.get(cref).T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("_ivf_list", pa.array(lists))
+
+    os.makedirs(index_path, exist_ok=True)
+    staging = os.path.join(index_path, "_staging", uuid.uuid4().hex[:12])
+    os.makedirs(os.path.join(staging, "lists"), exist_ok=True)
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+    assigned.write_parquet(
+        os.path.join(staging, "lists"), partition_cols=["_ivf_list"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(np.arange(len(C), dtype=np.int32)),
+                "centroid": pa.array([c.tolist() for c in C]),
+            }
+        ),
+        os.path.join(staging, "centroids.parquet"),
+    )
+
+    from palimpzest_ray.sinks import _next_version
+
+    version = _next_version(index_path)
+    final_dir = os.path.join(index_path, f"v{version}")
+    os.replace(staging, final_dir)
+    list_rows = {
+        d.split("=", 1)[1]: sum(
+            pq.read_metadata(os.path.join(final_dir, "lists", d, f)).num_rows
+            for f in os.listdir(os.path.join(final_dir, "lists", d))
+            if f.endswith(".parquet")
+        )
+        for d in os.listdir(os.path.join(final_dir, "lists"))
+        if d.startswith("_ivf_list=")
+    }
+    manifest = {
+        "version": version,
+        "dir": f"v{version}",
+        "nlist": int(len(C)),
+        "dim": int(C.shape[1]),
+        "emb_col": emb_col,
+        "id_col": id_col,
+        "num_rows": int(sum(list_rows.values())),
+        "list_rows": list_rows,
+    }
+    tmp = os.path.join(index_path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_path, "_manifest.json"))  # commit
+    return manifest
+
+
+def load_ivf_index(index_path: str) -> tuple[dict, np.ndarray]:
+    """(manifest, centroids) of the committed index version."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    ct = pq.read_table(
+        os.path.join(index_path, manifest["dir"], "centroids.parquet")
+    ).sort_by("list_id")
+    C = np.array(ct["centroid"].to_pylist(), dtype=np.float32)
+    return manifest, C
+
+
+def ivf_index_search(
+    index_path: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 8,
+    dtype=np.float32,
+    round_to: int = 6,
+    int_scores: bool = False,
+) -> rd.Dataset:
+    """Query a :func:`build_ivf_index` artifact WITHOUT retraining: rank
+    centroids per query, ``read_parquet`` ONLY the probed lists'
+    directories (file-level pruning), then the same local-top-k →
+    O(blocks × k) reduce as every other search path. Deterministic:
+    identical queries against the same index version return identical
+    rows."""
+    import os
+
+    manifest, C = load_ivf_index(index_path)
+    Q = _normalize(np.asarray(queries, dtype=dtype))
+    probed = np.unique(
+        np.argsort(-(Q.astype(np.float32) @ C.T), axis=1)[
+            :, : min(nprobe, len(C))
+        ].reshape(-1)
+    )
+    base = os.path.join(index_path, manifest["dir"], "lists")
+    dirs = [
+        os.path.join(base, f"_ivf_list={int(p)}")
+        for p in probed
+        if os.path.isdir(os.path.join(base, f"_ivf_list={int(p)}"))
+    ]
+    # expand to files: ray read_parquet treats a list of paths as files
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    emb_col, id_col = manifest["emb_col"], manifest["id_col"]
+    if not files:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64() if int_scores else pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ds = rd.read_parquet(files, columns=[id_col, emb_col])
+    qref = ray.put(Q)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return _batch_topk(
+            batch, ray.get(qref), k=k, emb_col=emb_col, id_col=id_col,
+            dtype=dtype, round_to=round_to, int_scores=int_scores,
+        )
+
+    partials = ds.map_batches(_local, batch_format="pyarrow")
+    return _topk_reduce(partials, k, id_col)

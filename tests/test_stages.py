@@ -445,3 +445,56 @@ def test_redact_pii_matches_duckdb_and_kinds():
     # kind subset leaves other PII untouched
     only_email = T2.redact_pii(docs, kinds=["email"])["text_redacted"].to_pylist()
     assert "<EMAIL>" in only_email[0] and "123-4567" in only_email[0]
+
+
+def test_ivf_persistent_index_build_once_query_many(tmp_path, monkeypatch):
+    """Reference ChromaIndex parity (index_dataset.py:8-60): build ONCE,
+    query repeatedly with byte-identical results and NO quantizer
+    retrain; probes read only the probed lists' files."""
+    rng = np.random.default_rng(9)
+    V = rng.standard_normal((500, 12)).astype(np.float32)
+    Q = V[:2].copy()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(500), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.reshape(-1)), 12
+                ),
+            }
+        )
+    )
+    root = str(tmp_path / "ivf")
+    m = similarity.build_ivf_index(ds, root, nlist=8, train_size=500, iters=5)
+    assert m["num_rows"] == 500 and m["nlist"] == 8 and m["dim"] == 12
+
+    # no retrain on query: poison the trainer after build
+    def _boom(*a, **k):
+        raise AssertionError("quantizer retrained on query path")
+
+    monkeypatch.setattr(similarity, "_spherical_kmeans", _boom)
+
+    key = lambda rows: sorted(
+        (r["query_idx"], r["vec_id"], r["rank"], r["score"]) for r in rows
+    )
+    r1 = similarity.ivf_index_search(root, Q, k=5, nprobe=3).take_all()
+    r2 = similarity.ivf_index_search(root, Q, k=5, nprobe=3).take_all()
+    assert key(r1) == key(r2) and len(r1) == 10
+
+    # full probe == exact brute force
+    full = similarity.ivf_index_search(root, Q, k=5, nprobe=8).take_all()
+    exact = similarity.knn_search(ds, Q, k=5).take_all()
+    assert key(full) == key(exact)
+
+
+def test_ivf_empty_train_raises_clearly():
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivf_knn_search(empty, np.ones((1, 4), np.float32), k=1)
