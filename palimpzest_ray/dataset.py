@@ -1568,14 +1568,29 @@ class Dataset:
                 return batch.filter(mask)
 
             return Dataset(self._ds.map_batches(_flt, batch_format="pyarrow"))
-        # multi-key: broadcast a python set of tuples
-        key_rows = {tuple(r[c] for c in on) for r in other._ds.select_columns(on).take_all()}
-        ref = ray.put(key_rows)
+        # multi-key: encode the key tuple as ONE string per row (each
+        # field length-prefixed — an unambiguous prefix code, so no
+        # concatenation collisions) and run vectorized is_in on it.
+        # Nulls encode to a dedicated token, preserving this path's
+        # set-op semantics (null matches null). The key-side encoding
+        # runs distributed; only the distinct encoded strings broadcast.
+        def _enc_batch(batch: pa.Table) -> pa.Table:
+            return pa.table({"__k": _encode_composite_key(batch, on)})
+
+        keyset = sorted(
+            set(
+                other._ds.select_columns(on)
+                .map_batches(_enc_batch, batch_format="pyarrow")
+                .unique("__k")
+            )
+        )
+        ref = ray.put(pa.array(keyset, pa.string()))
 
         def _flt2(batch: pa.Table) -> pa.Table:
             ks = ray.get(ref)
-            cols = [batch[c].to_pylist() for c in on]
-            mask = pa.array([(t in ks) != anti for t in zip(*cols)])
+            mask = pc.is_in(_encode_composite_key(batch, on), value_set=ks)
+            if anti:
+                mask = pc.invert(mask)
             return batch.filter(mask)
 
         return Dataset(self._ds.map_batches(_flt2, batch_format="pyarrow"))
@@ -1585,6 +1600,26 @@ class Dataset:
 # join internals
 # --------------------------------------------------------------------------
 
+
+def _encode_composite_key(batch: pa.Table, cols: list[str]) -> pa.Array:
+    """One collision-free string per row for a multi-column key: every
+    field is length-prefixed (``V<len>:<text>``; null → ``N``), making
+    the concatenation an unambiguous prefix code — vectorized Arrow
+    kernels end-to-end, no per-row Python. Used by the broadcast
+    semi/anti path so multi-key membership is a single ``is_in``."""
+    parts: list = []
+    for c in cols:
+        arr = batch[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        s = pc.cast(arr, pa.string())
+        enc = pc.binary_join_element_wise(
+            "V", pc.cast(pc.utf8_length(s), pa.string()), ":", s, ""
+        )
+        parts.append(pc.fill_null(enc, "N"))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "")
 
 
 def _arrow_schema(ds: rd.Dataset) -> pa.Schema:

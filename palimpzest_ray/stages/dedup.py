@@ -21,11 +21,13 @@ closest machinery; these are engine additions):
 
 Scale notes (100 TB framing): signatures are fixed-width (64×u64 =
 512 B/doc) so the LSH shuffle moves signatures + ids, never text.
-Duplicate PAIRS are assumed sparse relative to the corpus (the universal
-case for near-dedup); pairs are collected to the driver for union-find.
-At a pair volume where that breaks, the cluster step would become an
-iterated label-propagation join (distributed connected components) —
-the bucket → pair machinery below is unchanged by that swap.
+Cluster resolution is two-path (:func:`_drop_by_pair_table`): small
+candidate-pair sets take the driver union-find fast path; above the
+pair limit (a dup-heavy corpus can emit billions of pairs) clustering
+runs as distributed connected components
+(:func:`duplicate_ids_distributed` — min-label edge contraction with
+pointer doubling, all groupby/cogroup, driver holds only round
+counters) and the drop set applies via a shuffle anti-join.
 Oversized LSH buckets (degenerate content, e.g. empty strings) are
 capped at ``max_bucket`` candidates per bucket and reported, not
 silently exploded into O(g²) pairs.
@@ -269,12 +271,198 @@ def minhash_candidate_pairs(
     return exact_dedup(pairs, ["id_a", "id_b"], "est_jaccard")
 
 
+# --------------------------------------------------------------------------
+# duplicate-cluster resolution: driver union-find (small pair sets) or
+# distributed connected components (pair sets too big for one process)
+# --------------------------------------------------------------------------
+
+
+_CC_BUCKETS = 32  # cogroup width for the CC kernels (few LARGE groups)
+
+
+def _relabel_column(
+    data: rd.Dataset, col: str, keep: list[str], mapping: rd.Dataset,
+    *, flag: bool = False,
+) -> rd.Dataset:
+    """Replace ``data[col]`` with ``mapping[parent]`` wherever the value
+    appears as ``mapping[child]`` — one bucketed cogroup hash join
+    (the engine's ``_shuffle_join``: vectorized per-bucket merge, NOT
+    per-key Python), so nothing broadcasts and no driver
+    materialization happens. ``keep`` columns ride along. ``flag=True``
+    appends ``__chg`` (1 where remapped) for fixpoint detection.
+    ``mapping`` children must be unique (they are: built by a min
+    aggregate)."""
+    from palimpzest_ray.dataset import _shuffle_join
+
+    def _prep_map(b: pa.Table) -> pa.Table:
+        return pa.table({col: b["child"], "__new": b["parent"]})
+
+    m = mapping.map_batches(_prep_map, batch_format="pyarrow")
+    joined = _shuffle_join(
+        data.select_columns([col] + keep), m, [col], "left", _CC_BUCKETS, 1
+    )
+
+    def _fin(b: pa.Table) -> pa.Table:
+        hit = pc.is_valid(b["__new"])
+        out = pa.table({col: pc.if_else(hit, b["__new"], b[col])})
+        for k in keep:
+            out = out.append_column(k, b[k])
+        if flag:
+            out = out.append_column("__chg", pc.cast(hit, pa.int64()))
+        return out
+
+    return joined.map_batches(_fin, batch_format="pyarrow")
+
+
+def _bucketed_group_agg(
+    ds: rd.Dataset, keys: list[str], agg_fn, bucket_key: str | None = None
+) -> rd.Dataset:
+    """Hash-bucket on ``keys`` (``_CC_BUCKETS`` coarse buckets), then run
+    a VECTORIZED arrow aggregation per bucket inside ``map_groups`` —
+    the scale-correct shape when the key cardinality is huge (millions
+    of per-key ``map_groups`` calls would be per-row Python)."""
+    bucket_key = bucket_key or keys[0]
+
+    def _bk(b: pa.Table) -> pa.Table:
+        h = stable_hash(b[bucket_key])
+        if len(keys) > 1:
+            for k in keys[1:]:
+                h = (h * _P1) ^ stable_hash(b[k])
+        return b.append_column(
+            "__bk", pa.array((h % np.uint64(_CC_BUCKETS)).astype(np.int32))
+        )
+
+    def _agg(g: pa.Table) -> pa.Table:
+        return agg_fn(g.drop_columns(["__bk"]))
+
+    return (
+        ds.map_batches(_bk, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(_agg, batch_format="pyarrow")
+    )
+
+
+def duplicate_ids_distributed(
+    pairs: rd.Dataset,
+    *,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    max_rounds: int = 32,
+) -> rd.Dataset:
+    """Distributed connected components over duplicate pairs: every id
+    that is NOT its component's minimum, with the driver holding only
+    round counters — the scale path when the candidate-pair volume
+    would sink a driver-side union-find (billions of pairs on a
+    dup-heavy corpus).
+
+    Min-label edge contraction with pointer doubling:
+      1. parent(hi) = min(lo) over hi's edges  (one groupby) — every
+         ``hi`` so parented is a duplicate (it lost to a smaller id).
+      2. path-compress the parent map against itself (pointer doubling,
+         O(log chain) cogroups) so a chain contracts in one round.
+      3. rewrite both edge endpoints through the compressed map, drop
+         self-edges, dedup, repeat.
+    Each round at least halves the remaining graph; duplicate ids are
+    emitted incrementally (a node relabeled away never reappears).
+    Pair/edge datasets are materialized per round — they are the sparse
+    candidate set, never the corpus."""
+    edges = pairs.select_columns([col_a, col_b]).materialize()
+    drop_parts: list[rd.Dataset] = []
+
+    def _min_parent(t: pa.Table) -> pa.Table:
+        g = t.group_by(col_b).aggregate([(col_a, "min")])
+        return pa.table({"child": g[col_b], "parent": g[f"{col_a}_min"]})
+
+    def _distinct_edges(t: pa.Table) -> pa.Table:
+        return t.group_by([col_a, col_b]).aggregate([])
+
+    for _ in range(max_rounds):
+        if edges.count() == 0:
+            break
+
+        P = _bucketed_group_agg(edges, [col_b], _min_parent).materialize()
+        drop_parts.append(P.select_columns(["child"]))
+
+        # pointer doubling: parent <- P[parent] until fixpoint
+        for _ in range(max_rounds):
+            P2 = _relabel_column(P, "parent", ["child"], P, flag=True).materialize()
+            changed = P2.sum("__chg")
+            P = P2.drop_columns(["__chg"]).materialize()
+            if not changed:
+                break
+
+        # rewrite endpoints through the compressed map
+        e = _relabel_column(edges, col_a, [col_b], P)
+        e = _relabel_column(e, col_b, [col_a], P)
+
+        def _norm(b: pa.Table) -> pa.Table:
+            a, c = b[col_a].combine_chunks(), b[col_b].combine_chunks()
+            swap = pc.greater(a, c)
+            lo = pc.if_else(swap, c, a)
+            hi = pc.if_else(swap, a, c)
+            t = pa.table({col_a: lo, col_b: hi})
+            return t.filter(pc.not_equal(t[col_a], t[col_b]))
+
+        edges = _bucketed_group_agg(
+            e.map_batches(_norm, batch_format="pyarrow"),
+            [col_a, col_b],
+            _distinct_edges,
+        ).materialize()
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+
+    if not drop_parts:
+        first = pairs.select_columns([col_a])
+        return first.map_batches(
+            lambda b: pa.table({"child": b[col_a].slice(0, 0)}),
+            batch_format="pyarrow",
+        )
+    out = drop_parts[0]
+    for part in drop_parts[1:]:
+        out = out.union(part)
+    return out
+
+
+def _drop_by_pair_table(
+    ds: rd.Dataset,
+    pair_tbl: rd.Dataset,
+    id_col: str,
+    *,
+    distributed: bool | None = None,
+    driver_pair_limit: int = 200_000,
+) -> rd.Dataset:
+    """Resolve duplicate clusters and drop non-representatives.
+    ``distributed=None`` auto-selects: pair sets below
+    ``driver_pair_limit`` use the driver union-find fast path; above it
+    (or when forced) clustering runs as distributed connected
+    components and the drop set is applied via a SHUFFLE anti-join —
+    nothing pair- or drop-sized ever converges on the driver."""
+    if distributed is None:
+        distributed = pair_tbl.count() > driver_pair_limit
+    if not distributed:
+        pairs = [(r["id_a"], r["id_b"]) for r in pair_tbl.take_all()]
+        return _drop_duplicates_by_pairs(ds, pairs, id_col)
+    drops = duplicate_ids_distributed(pair_tbl)
+
+    from palimpzest_ray.dataset import Dataset as _Pz
+
+    drops_ds = _Pz(
+        drops.map_batches(
+            lambda b: pa.table({id_col: b["child"]}), batch_format="pyarrow"
+        )
+    )
+    return _Pz(ds).anti_join(drops_ds, id_col, strategy="shuffle").ray
+
+
 def _drop_duplicates_by_pairs(
     ds: rd.Dataset, pairs: list[tuple], id_col: str
 ) -> rd.Dataset:
     """Union-find over duplicate pairs → drop everything but the min-id
-    representative of each cluster. Pairs are sparse (module docstring);
-    the drop set broadcasts via ``ray.put``."""
+    representative of each cluster. The small-pair-set fast path of
+    :func:`_drop_by_pair_table`; the drop set broadcasts via
+    ``ray.put``."""
     parent: dict = {}
 
     def find(x):
@@ -311,15 +499,17 @@ def minhash_lsh_dedup(
     shingle: int = 3,
     threshold: float = 0.8,
     seed: int = 7,
+    distributed: bool | None = None,
 ) -> rd.Dataset:
     """Full near-dedup: LSH candidates → cluster → keep min-id per
-    cluster. Returns the surviving subset of ``ds``."""
+    cluster. Returns the surviving subset of ``ds``. Clustering runs
+    driver-side for small pair sets, as distributed connected
+    components above the pair limit (``distributed`` forces either)."""
     pair_tbl = minhash_candidate_pairs(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, shingle=shingle, threshold=threshold, seed=seed,
     )
-    pairs = [(r["id_a"], r["id_b"]) for r in pair_tbl.take_all()]
-    return _drop_duplicates_by_pairs(ds, pairs, id_col)
+    return _drop_by_pair_table(ds, pair_tbl, id_col, distributed=distributed)
 
 
 # --------------------------------------------------------------------------
@@ -358,6 +548,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 256,
+    distributed: bool | None = None,
 ) -> rd.Dataset:
     """Near-dedup by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -427,8 +618,7 @@ def simhash_dedup(
         ["id_a", "id_b"],
         "hamming",
     )
-    pairs = [(r["id_a"], r["id_b"]) for r in pair_tbl.take_all()]
-    return _drop_duplicates_by_pairs(ds, pairs, id_col)
+    return _drop_by_pair_table(ds, pair_tbl, id_col, distributed=distributed)
 
 
 # --------------------------------------------------------------------------
@@ -491,6 +681,7 @@ def embedding_neardup(
     num_planes: int = 12,
     seed: int = 11,
     max_bucket: int = 4096,
+    distributed: bool | None = None,
 ) -> rd.Dataset:
     """Near-dedup on cosine similarity ≥ ``threshold``.
 
@@ -562,5 +753,4 @@ def embedding_neardup(
         )
 
     pair_tbl = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-    pairs = [(r["id_a"], r["id_b"]) for r in pair_tbl.take_all()]
-    return _drop_duplicates_by_pairs(ds, pairs, id_col)
+    return _drop_by_pair_table(ds, pair_tbl, id_col, distributed=distributed)

@@ -317,3 +317,58 @@ def test_semi_anti_empty_key_set():
     empty = pzd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     assert left.semi_join(empty, on="k").take_all() == []
     assert sorted(r["k"] for r in left.anti_join(empty, on="k").take_all()) == [1, 2]
+
+
+def test_multikey_semi_anti_null_semantics_and_vectorized_encoding():
+    """Broadcast path: set-op semantics (a null KEY TUPLE matches an
+    identical null tuple — what intersect/except build on). Shuffle
+    path: ANSI equi-join semantics (null never matches). Also covers
+    the length-prefix encoding against concatenation collisions."""
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    left = pzd.from_arrow(
+        pa.table(
+            {
+                "a": ["x", "x", None, "ab", "a"],
+                "b": ["y", "q", None, "c", "bc"],
+                "v": [1, 2, 3, 4, 5],
+            }
+        )
+    )
+    right = pzd.from_arrow(
+        pa.table({"a": ["x", None, "ab"], "b": ["y", None, "c"]})
+    )
+    # broadcast: ("x","y") and ("ab","c") match; (None,None) matches
+    # (None,None); ("a","bc") must NOT match "ab","c" (no concat
+    # collision: V1:aV2:bc != V2:abV1:c)
+    semi = sorted(r["v"] for r in left.semi_join(right, ["a", "b"]).ray.take_all())
+    assert semi == [1, 3, 4]
+    anti = sorted(r["v"] for r in left.anti_join(right, ["a", "b"]).ray.take_all())
+    assert anti == [2, 5]
+
+    # shuffle path: ANSI — the null tuple never matches
+    semi_sh = sorted(
+        r["v"]
+        for r in left.semi_join(right, ["a", "b"], strategy="shuffle").ray.take_all()
+    )
+    assert semi_sh == [1, 4]
+    anti_sh = sorted(
+        r["v"]
+        for r in left.anti_join(right, ["a", "b"], strategy="shuffle").ray.take_all()
+    )
+    assert anti_sh == [2, 3, 5]
+
+
+def test_multikey_semi_join_mixed_types():
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    left = pzd.from_arrow(
+        pa.table({"k1": [1, 2, None, 4], "k2": [1.5, 2.5, 3.5, None], "v": [1, 2, 3, 4]})
+    )
+    right = pzd.from_arrow(pa.table({"k1": [2, None], "k2": [2.5, 3.5]}))
+    semi = sorted(r["v"] for r in left.semi_join(right, ["k1", "k2"]).ray.take_all())
+    assert semi == [2, 3]  # (None, 3.5) matches (None, 3.5): set-op semantics

@@ -498,3 +498,67 @@ def test_ivf_empty_train_raises_clearly():
     )
     with pytest.raises(ValueError, match="empty"):
         similarity.ivf_knn_search(empty, np.ones((1, 4), np.float32), k=1)
+
+
+def _cc_pairs_table(pairs):
+    a = pa.array([p[0] for p in pairs], pa.int64())
+    b = pa.array([p[1] for p in pairs], pa.int64())
+    return rd.from_arrow(pa.table({"id_a": a, "id_b": b}))
+
+
+def test_distributed_connected_components_matches_union_find():
+    """duplicate_ids_distributed == the driver union-find drop set on
+    chains, stars, and singleton edges — including a long path (the
+    worst case for naive min propagation; pointer doubling contracts
+    it in O(log n) rounds)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pairs = []
+    # long path (worst case for naive min propagation)
+    pairs += [(i, i + 1) for i in range(12)]
+    # stars with random centers
+    for c in range(1000, 1004):
+        pairs += [(c * 7, c * 7 + k) for k in range(1, 6)]
+    # random sparse edges
+    extra = rng.integers(10_000, 10_400, size=(24, 2))
+    pairs += [(int(min(a, b)), int(max(a, b))) for a, b in extra if a != b]
+
+    # driver union-find ground truth
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    expected = sorted(x for x in parent if find(x) != x)
+
+    got = sorted(
+        r["child"] for r in dedup.duplicate_ids_distributed(_cc_pairs_table(pairs)).take_all()
+    )
+    assert got == expected
+
+
+def test_minhash_dedup_distributed_equals_driver_path():
+    """Forcing the distributed clustering path yields the same surviving
+    set as the driver union-find on an exact-duplicate corpus."""
+    texts = [f"unique document number {i} with words" for i in range(12)]
+    texts += ["the same duplicated text appears here many times"] * 6
+    ids = [f"doc_{i:04d}" for i in range(len(texts))]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    a = {
+        r["doc_id"]
+        for r in dedup.minhash_lsh_dedup(ds, distributed=False).take_all()
+    }
+    b = {
+        r["doc_id"]
+        for r in dedup.minhash_lsh_dedup(ds, distributed=True).take_all()
+    }
+    assert a == b and len(b) == 13  # 12 uniques + one duplicate representative
