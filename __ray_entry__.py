@@ -137,8 +137,11 @@ def q05_nation_revenue(sf_dir: str):
     cn = cust.rename_columns({"c_nationkey": "n_nationkey"}).join(
         nr, on="n_nationkey", how="inner", strategy="broadcast"
     )
+    # orders ⋈ (customer×nation×region): the right side is fact-sized
+    # (scales with customers), so SHUFFLE this hop — broadcast is only
+    # for the true dimension hops above (nation/region).
     oc = orders.rename_columns({"o_custkey": "c_custkey"}).join(
-        cn, on="c_custkey", how="inner", strategy="broadcast"
+        cn, on="c_custkey", how="inner", strategy="shuffle"
     )
     out = oc.groupby(["r_name", "n_name"]).aggregate(
         Sum("o_totalprice", alias_name="revenue_c100")

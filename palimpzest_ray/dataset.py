@@ -620,7 +620,7 @@ class Dataset:
         how: str = "inner",
         *,
         strategy: str = "shuffle",
-        num_buckets: int = 32,
+        num_buckets: int | None = None,
         salt: int = 1,
         suffix: str = RIGHT_SUFFIX,
     ) -> "Dataset":
@@ -649,6 +649,12 @@ class Dataset:
         volume; use when both sides are too big to broadcast AND the
         key is skewed (``stages.sketches.heavy_hitters`` finds such
         keys).
+
+        ``num_buckets=None`` (default) sizes the shuffle from plan
+        metadata: ~256 MB of estimated in-memory input per cogroup
+        task (floor 32, cap 65536) — so the same call works at sf0.01
+        and at 100 TB, where a fixed 32 would put terabytes in one
+        ``map_groups`` task. Pass an int to pin it.
         """
         on = [on] if isinstance(on, str) else list(on)
         how = {"outer": "outer", "full": "outer", "full_outer": "outer"}.get(how, how)
@@ -1850,12 +1856,61 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
     return out
 
 
+_TARGET_BUCKET_BYTES = 256 << 20  # ~256 MB estimated in-memory input per cogroup task
+_MAX_AUTO_BUCKETS = 1 << 16
+
+
+def _estimate_bytes(ds: rd.Dataset) -> int | None:
+    """Upper-bound byte estimate from logical-plan metadata ONLY — never
+    triggers execution. Parquet reads carry an in-memory size estimate;
+    transforms report unknown, so walk to their inputs and sum (maps/
+    filters/projections only shrink or keep data, making the source
+    size a safe upper bound for shuffle sizing). None when no source
+    reports a size (e.g. from_items)."""
+
+    def visit(node) -> int | None:
+        try:
+            m = node.infer_metadata()
+            if m.size_bytes is not None:
+                return m.size_bytes
+            deps = node.input_dependencies
+        except Exception:
+            return None
+        if not deps:
+            return None
+        total = 0
+        for d in deps:
+            s = visit(d)
+            if s is None:
+                return None
+            total += s
+        return total
+
+    try:
+        return visit(ds._plan._logical_plan.dag)
+    except Exception:
+        return None
+
+
+def _auto_buckets(left: rd.Dataset, right: rd.Dataset) -> int:
+    """Shuffle width for the cogroup join: enough buckets that each
+    ``map_groups`` task sees ~``_TARGET_BUCKET_BYTES`` of input, floor
+    32 (parallelism at toy scale), cap ``_MAX_AUTO_BUCKETS``. Unknown
+    sizes fall back to the floor — callers joining two opaque huge
+    inputs should pass ``num_buckets`` explicitly."""
+    lb, rb = _estimate_bytes(left), _estimate_bytes(right)
+    if lb is None and rb is None:
+        return 32
+    total = (lb or 0) + (rb or 0)
+    return int(min(_MAX_AUTO_BUCKETS, max(32, -(-total // _TARGET_BUCKET_BYTES))))
+
+
 def _shuffle_join(
     left: rd.Dataset,
     right: rd.Dataset,
     on: list[str],
     how: str,
-    num_buckets: int,
+    num_buckets: int | None,
     salt: int = 1,
 ) -> rd.Dataset:
     """Bucketed cogroup hash join: hash-partition both sides on the key,
@@ -1870,6 +1925,8 @@ def _shuffle_join(
     sub-bucket, but a right row can no longer prove itself globally
     unmatched.
     """
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left, right)
     # resolve schemas ONCE (each schema() on a lazy dataset costs a
     # limit-1 execution; see _pad_columns docstring)
     lschema, rschema = _arrow_schema(left), _arrow_schema(right)

@@ -372,3 +372,36 @@ def test_multikey_semi_join_mixed_types():
     right = pzd.from_arrow(pa.table({"k1": [2, None], "k2": [2.5, 3.5]}))
     semi = sorted(r["v"] for r in left.semi_join(right, ["k1", "k2"]).ray.take_all())
     assert semi == [2, 3]  # (None, 3.5) matches (None, 3.5): set-op semantics
+
+
+def test_auto_bucket_sizing_from_plan_metadata():
+    """num_buckets=None derives the shuffle width from plan-metadata
+    size estimates without triggering execution; unknown sizes fall
+    back to the floor."""
+    import ray.data as rd
+
+    import palimpzest_ray.dataset as pzd
+    from palimpzest_ray.dataset import _auto_buckets, _estimate_bytes
+
+    li = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    est = _estimate_bytes(li)
+    assert est is not None and est > 0
+    # projections/maps lose node metadata but the walk reaches the read
+    pruned = li.select_columns(["l_orderkey"]).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    assert _estimate_bytes(pruned) == est
+    # tiny inputs floor at 32; the cap and target drive big inputs
+    assert _auto_buckets(li, li) == 32
+    tiny = rd.from_items([{"k": 1}])
+    assert _estimate_bytes(tiny) == 8  # in-memory sources report too
+    assert _auto_buckets(tiny, tiny) == 32
+    # joins with the default still produce correct results
+    a = pzd.Dataset(li.select_columns(["l_orderkey", "l_quantity"]))
+    b = pzd.Dataset(
+        rd.read_parquet(
+            "/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey"]
+        )
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    n = a.join(b, on="l_orderkey", how="inner", strategy="shuffle").ray.count()
+    assert n == li.count()
