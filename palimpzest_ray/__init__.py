@@ -27,6 +27,7 @@ from palimpzest_ray.dataset import (
     from_pandas,
     read_parquet,
 )
+from palimpzest_ray.generators import OpenAIConfig, openai_generator
 
 __all__ = [
     "Dataset",
@@ -36,6 +37,8 @@ __all__ = [
     "from_items",
     "configure_ray_data",
     "quiet",
+    "OpenAIConfig",
+    "openai_generator",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,234 @@
+"""Public LLM client adapter for the semantic layer.
+
+The semantic stages (``stages/semantic.py``) take a *generator factory*
+— ``Callable[[], Callable[[list[str]], list[str]]]`` — constructed once
+per map_batches actor. This module provides the production factory: an
+**OpenAI-compatible chat-completions HTTP client** built on stdlib
+``urllib`` only (no SDK dependency), so it works against any endpoint
+that speaks the public ``POST {base_url}/chat/completions`` protocol
+(OpenAI, vLLM, llama.cpp server, Ollama's compat route, ...).
+
+Reference parity: ``src/palimpzest/query/generators/generators.py:98-420``
+(the reference's ``Generator`` wraps litellm/google clients, retries,
+and per-call usage accounting). This adapter keeps the same contract —
+config → callable, retry with backoff, token/cost counters — but stays
+batch-first: a batch of prompts fans out over a small thread pool inside
+the actor (HTTP latency hiding; the server still sees one request per
+prompt, which is the chat-completions unit).
+
+Design for Ray:
+- the *config* object is what you ship in ``fn_constructor_kwargs`` —
+  it is tiny and picklable; the HTTP state (opener, counters) is built
+  per actor by :meth:`OpenAIConfig.factory`.
+- usage counters live per actor and are folded into the Ray metrics via
+  ``get_usage()``; they are also exposed process-wide through
+  :func:`usage_snapshot` for driver-side tests.
+
+No network exists in this container: tests run a local
+``http.server``-based stub (``tests/test_generators.py``) which is
+exactly how the endpoint contract is verified.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class OpenAIConfig:
+    """Picklable config for an OpenAI-compatible chat endpoint.
+
+    ``base_url``/``api_key``/``model`` default from the standard public
+    environment variables (``OPENAI_BASE_URL``, ``OPENAI_API_KEY``,
+    ``OPENAI_MODEL``) so a pipeline file never hard-codes secrets.
+    """
+
+    base_url: str | None = None
+    model: str | None = None
+    api_key: str | None = None
+    temperature: float = 0.0
+    max_tokens: int | None = None
+    system_prompt: str | None = None
+    timeout_s: float = 60.0
+    max_retries: int = 3
+    backoff_s: float = 0.5
+    max_parallel: int = 8
+    extra_body: dict = field(default_factory=dict, hash=False)
+
+    def resolved(self) -> "OpenAIConfig":
+        base = self.base_url or os.environ.get("OPENAI_BASE_URL")
+        if not base:
+            raise ValueError(
+                "no endpoint configured: pass base_url= or set OPENAI_BASE_URL"
+            )
+        model = self.model or os.environ.get("OPENAI_MODEL", "default")
+        key = self.api_key or os.environ.get("OPENAI_API_KEY")
+        return OpenAIConfig(
+            base_url=base.rstrip("/"),
+            model=model,
+            api_key=key,
+            temperature=self.temperature,
+            max_tokens=self.max_tokens,
+            system_prompt=self.system_prompt,
+            timeout_s=self.timeout_s,
+            max_retries=self.max_retries,
+            backoff_s=self.backoff_s,
+            max_parallel=self.max_parallel,
+            extra_body=self.extra_body,
+        )
+
+    def factory(self):
+        """Generator factory for the semantic stages: call in actor
+        ``__init__`` to get a batch callable."""
+        cfg = self.resolved()
+        return lambda: OpenAIChatGenerator(cfg)
+
+
+class Usage:
+    """Thread-safe token/cost/call counters (one per generator)."""
+
+    __slots__ = ("_lock", "calls", "retries", "failures", "prompt_tokens",
+                 "completion_tokens", "wall_s")
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.calls = 0
+        self.retries = 0
+        self.failures = 0
+        self.prompt_tokens = 0
+        self.completion_tokens = 0
+        self.wall_s = 0.0
+
+    def record(self, usage: dict | None, wall_s: float, retries: int,
+               failed: bool = False) -> None:
+        with self._lock:
+            self.calls += 1
+            self.retries += retries
+            self.failures += int(failed)
+            self.wall_s += wall_s
+            if usage:
+                self.prompt_tokens += int(usage.get("prompt_tokens") or 0)
+                self.completion_tokens += int(usage.get("completion_tokens") or 0)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "calls": self.calls,
+                "retries": self.retries,
+                "failures": self.failures,
+                "prompt_tokens": self.prompt_tokens,
+                "completion_tokens": self.completion_tokens,
+                "total_tokens": self.prompt_tokens + self.completion_tokens,
+                "wall_s": self.wall_s,
+            }
+
+
+_RETRYABLE_STATUS = {408, 409, 429, 500, 502, 503, 504}
+
+
+class OpenAIChatGenerator:
+    """``Callable[[list[str]], list[str]]`` over an OpenAI-compatible
+    ``/chat/completions`` endpoint.
+
+    One HTTP request per prompt (the protocol's unit), fanned out over a
+    bounded thread pool — inside a Ray actor this hides per-request
+    latency without oversubscribing the node (threads block on I/O, not
+    CPU). Failures after ``max_retries`` yield ``""`` for that prompt
+    (the semantic stages' relax-schema parsing turns that into nulls,
+    never a crash — same discipline as reference ``schemas.py:90-96``).
+    """
+
+    def __init__(self, config: OpenAIConfig):
+        self.cfg = config.resolved()
+        self.usage = Usage()
+
+    # -- single request ------------------------------------------------
+    def _request_one(self, prompt: str) -> str:
+        cfg = self.cfg
+        messages = []
+        if cfg.system_prompt:
+            messages.append({"role": "system", "content": cfg.system_prompt})
+        messages.append({"role": "user", "content": prompt})
+        body = {
+            "model": cfg.model,
+            "messages": messages,
+            "temperature": cfg.temperature,
+            **cfg.extra_body,
+        }
+        if cfg.max_tokens is not None:
+            body["max_tokens"] = cfg.max_tokens
+        data = json.dumps(body).encode()
+        headers = {"Content-Type": "application/json"}
+        if cfg.api_key:
+            headers["Authorization"] = f"Bearer {cfg.api_key}"
+
+        t0 = time.monotonic()
+        last_err: Exception | None = None
+        for attempt in range(cfg.max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    f"{cfg.base_url}/chat/completions", data=data,
+                    headers=headers, method="POST")
+                with urllib.request.urlopen(req, timeout=cfg.timeout_s) as resp:
+                    payload = json.loads(resp.read().decode())
+                text = payload["choices"][0]["message"]["content"] or ""
+                self.usage.record(payload.get("usage"),
+                                  time.monotonic() - t0, attempt)
+                return text
+            except urllib.error.HTTPError as e:
+                last_err = e
+                if e.code not in _RETRYABLE_STATUS:
+                    break
+            except (urllib.error.URLError, TimeoutError, OSError,
+                    json.JSONDecodeError, KeyError, IndexError) as e:
+                last_err = e
+            if attempt < cfg.max_retries:
+                time.sleep(cfg.backoff_s * (2 ** attempt))
+        self.usage.record(None, time.monotonic() - t0, cfg.max_retries,
+                          failed=True)
+        del last_err  # relax-schema: degrade to empty generation
+        return ""
+
+    # -- batch entry point ----------------------------------------------
+    def __call__(self, prompts: list[str]) -> list[str]:
+        if not prompts:
+            return []
+        if len(prompts) == 1 or self.cfg.max_parallel <= 1:
+            return [self._request_one(p) for p in prompts]
+        out: list[str | None] = [None] * len(prompts)
+        sem = threading.Semaphore(self.cfg.max_parallel)
+
+        def work(i: int, p: str) -> None:
+            try:
+                out[i] = self._request_one(p)
+            finally:
+                sem.release()
+
+        threads = []
+        for i, p in enumerate(prompts):
+            sem.acquire()
+            t = threading.Thread(target=work, args=(i, p), daemon=True)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+        return [o if o is not None else "" for o in out]
+
+    def get_usage(self) -> dict:
+        return self.usage.snapshot()
+
+
+def openai_generator(base_url: str | None = None, model: str | None = None,
+                     **kwargs):
+    """Convenience: a generator *factory* for the semantic stages.
+
+    >>> ds = sem_map(ds, ["sentiment"], "Classify: {text}",
+    ...              openai_generator("http://localhost:8000/v1", "m"))
+    """
+    return OpenAIConfig(base_url=base_url, model=model, **kwargs).factory()
