@@ -1061,7 +1061,10 @@ def d10_approx_distinct(sf_dir: str):
 
 
 def d11_approx_quantiles(sf_dir: str):
-    """Fixed-grid histogram quantiles of l_extendedprice (rows-only)."""
+    """Fixed-grid histogram quantiles of l_extendedprice. EXACT driver
+    oracle: the sketch's bin rule and right-edge estimate are single
+    IEEE-double closed forms, so the DuckDB SQL replays the identical
+    histogram + searchsorted pick bit-for-bit."""
     from palimpzest_ray.stages.sketches import approx_quantiles
 
     li = _read(sf_dir, "lineitem", ["l_extendedprice"])
@@ -1124,8 +1127,12 @@ def d14_bloom_semi(sf_dir: str):
 
 def cdc_replay(sf_dir: str):
     """The north-rule headline: tokenized-sequence lake, two change
-    epochs, exactly-once apply, final state (rows-only driver check;
-    the full token-array-equality oracle runs in pytest)."""
+    epochs, exactly-once apply, final state. EXACT driver oracle: the
+    demo's change mix is a pure function of ``documents.parquet``
+    (num%5==0 → DELETE, num%5==1 → UPDATE reversing tokens but keeping
+    n_tok/source, +10 fresh INSERTs), so the projected final state is
+    SQL-expressible row-for-row; the token-array-equality oracle vs
+    sequential replay additionally runs in pytest."""
     from palimpzest_ray.pipelines.cdc_demo import run_cdc_demo
 
     return pzd.Dataset(run_cdc_demo(sf_dir)).project(["doc_id", "n_tok", "source"])
@@ -1752,6 +1759,49 @@ def oracle_sql() -> dict[str, str]:
                 when '5-LOW'    then 1000000
                 else 500000
               end
+        """,
+        # replays the sketch's closed-form bin rule: dense cum over
+        # non-empty bins + min(b) where cum >= q*n equals numpy's
+        # searchsorted(cum, q*n, 'left') because cum is flat across
+        # empty bins (first index reaching the target is never empty).
+        "d11_approx_quantiles": """
+            with s as (select cast(l_extendedprice as double) v
+                       from lineitem where l_extendedprice is not null),
+            mm as (select min(v) lo, max(v) hi, count(*) n from s),
+            h as (
+              select least(greatest(cast(floor((v - lo) / (hi - lo) * 8192)
+                                         as bigint), 0), 8191) b, count(*) c
+              from s, mm group by 1
+            ),
+            cum as (select b, sum(c) over (order by b) cum from h),
+            qs as (select * from (values (0.5), (0.9), (0.99)) t(q)),
+            pick as (
+              select q, min(b) as i
+              from qs join cum on cum >= q * (select n from mm)
+              group by q
+            )
+            select q, cast(round((lo + (hi - lo) * least(i + 1, 8192)
+                                  / 8192.0) * 100) as bigint) as value_c100
+            from pick, mm
+        """,
+        # LWW final state is a pure function of documents.parquet: the
+        # demo's epoch-2 mix deletes num%5==0, updates num%5==1 with
+        # reversed tokens (n_tok and source unchanged in the projected
+        # columns), and inserts 10 fresh keys.
+        "cdc_replay": r"""
+            with base as (
+              select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                     cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                       as n_tok,
+                     source,
+                     doc_id as num
+              from documents
+            )
+            select doc_id, n_tok, source from base where num % 5 <> 0
+            union all
+            select 'new-' || lpad(cast(i as varchar), 8, '0') as doc_id,
+                   8 as n_tok, 'synthetic' as source
+            from range(10) t(i)
         """,
         # d15 probes nprobe=nlist against the persistent index, so the
         # result is the exact cosine top-k — the same oracle as d05.

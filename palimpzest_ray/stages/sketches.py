@@ -139,19 +139,28 @@ def approx_quantiles(
 ) -> list[float]:
     """Approximate quantiles via a shared fixed grid: the error bound is
     one bin width of the (min, max) range. Two linear passes, no
-    shuffle; histogram vectors (``bins`` × int64) merge by addition."""
+    shuffle; histogram vectors (``bins`` × int64) merge by addition.
+
+    The bin rule is the closed form ``floor((v - lo) / (hi - lo) * bins)``
+    (clipped to [0, bins-1]) and the estimate is the bin's right edge
+    ``lo + (hi - lo) * (i + 1) / bins`` — both single IEEE-double
+    expressions, so any engine evaluating the same formula (e.g. a
+    DuckDB SQL oracle, see ``__ray_entry__.d11``) reproduces the sketch
+    bit-for-bit."""
     from ray.data.aggregate import Max, Min
 
     row = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
     lo, hi = float(row["lo"]), float(row["hi"])
     if lo == hi:
         return [lo] * len(quantiles)
-    edges = np.linspace(lo, hi, bins + 1)
 
     def _hist(batch: pa.Table) -> pa.Table:
         limit_kernel_threads()
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        counts, _ = np.histogram(v[~np.isnan(v)], bins=edges)
+        v = v[~np.isnan(v)]
+        idx = np.floor((v - lo) / (hi - lo) * bins).astype(np.int64)
+        np.clip(idx, 0, bins - 1, out=idx)
+        counts = np.bincount(idx, minlength=bins)
         return pa.table({"counts": pa.array([counts.astype(np.int64)])})
 
     total = np.zeros(bins, dtype=np.int64)
@@ -166,7 +175,7 @@ def approx_quantiles(
     for q in quantiles:
         target = q * n
         i = int(np.searchsorted(cum, target, side="left"))
-        out.append(float(edges[min(i + 1, bins)]))  # right edge of the bin
+        out.append(lo + (hi - lo) * (min(i + 1, bins) * 1.0) / bins)
     return out
 
 
