@@ -106,11 +106,13 @@ class _MediaStage:
 
 
 class ImageDecodeStage(_MediaStage):
-    """content:binary → image feature vector + inferred width/height.
+    """content:binary → image feature vector + real width/height.
 
-    Real path (PIL present): decode, resize to ``target_size``, emit
-    normalized pixel features. Stub path: deterministic fake features +
-    dimensions derived from the payload hash.
+    Codec priority per actor: PIL if importable, else the in-repo
+    pure-python PNG/BMP codec (`functions/imagecodec.py`) — a REAL
+    decode either way. Payloads in formats neither path can read fall
+    back per row to deterministic fake features + hash-derived dims
+    (schema never changes shape under codec availability).
     """
 
     def __init__(self, target_size: int = 16, feature_dim: int = 64):
@@ -122,30 +124,49 @@ class ImageDecodeStage(_MediaStage):
         try:
             from PIL import Image  # noqa: F401  (absent in this container)
 
-            return Image
+            return ("pil", Image)
         except ImportError:
-            return None
+            from palimpzest_ray.functions import imagecodec
+
+            return ("pure", imagecodec)
+
+    def _decode_one(self, blob: bytes) -> tuple[np.ndarray, int, int]:
+        """blob → (target×target grayscale float32 in [0,1], w, h)."""
+        kind, codec = self._codec
+        if kind == "pil":
+            import io
+
+            img = codec.open(io.BytesIO(blob)).convert("L")
+            w, h = img.size
+            img = img.resize((self.target_size, self.target_size))
+            px = np.asarray(img, dtype=np.float32) / 255.0
+            return px.reshape(-1), w, h
+        arr = codec.decode_image(blob)
+        h, w = arr.shape[:2]
+        gray = codec.to_gray(arr)
+        small = codec.resize_nearest(gray, self.target_size, self.target_size)
+        return small.astype(np.float32).reshape(-1) / 255.0, w, h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         content = batch["content"].combine_chunks()
-        if self._codec is not None:
-            import io
-
-            feats = np.empty((batch.num_rows, self.feature_dim), dtype=np.float32)
-            dims = np.empty((batch.num_rows, 2), dtype=np.int32)
-            for i, blob in enumerate(content.to_pylist()):
-                img = self._codec.open(io.BytesIO(blob)).convert("L")
-                dims[i] = img.size
-                img = img.resize((self.target_size, self.target_size))
-                px = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+        feats = np.empty((batch.num_rows, self.feature_dim), dtype=np.float32)
+        dims = np.empty((batch.num_rows, 2), dtype=np.int32)
+        undecodable: list[int] = []
+        for i, blob in enumerate(content.to_pylist()):
+            try:
+                px, w, h = self._decode_one(blob)
+                if px.size < self.feature_dim:
+                    px = np.pad(px, (0, self.feature_dim - px.size))
                 feats[i] = px[: self.feature_dim]
-        else:
-            feats = self._fake_features(content, self.feature_dim)
-            seeds = stable_hash(content)
-            dims = np.stack(
-                [(seeds % 1920 + 1).astype(np.int32), (seeds % 1080 + 1).astype(np.int32)],
-                axis=1,
-            )
+                dims[i] = (w, h)
+            except (ValueError, OSError):
+                undecodable.append(i)
+        if undecodable:
+            sub = content.take(pa.array(undecodable, pa.int64()))
+            feats[undecodable] = self._fake_features(sub, self.feature_dim)
+            seeds = stable_hash(sub)
+            dims[undecodable, 0] = (seeds % 1920 + 1).astype(np.int32)
+            dims[undecodable, 1] = (seeds % 1080 + 1).astype(np.int32)
         batch = batch.append_column(
             "image_feat",
             pa.FixedSizeListArray.from_arrays(
