@@ -7,7 +7,10 @@ num_cpus=$RAY_GRAFT_CPUS or 32)``, and prints ONE JSON line::
 
     {"metric": "total_bench_seconds", "value": N, "unit": "sec",
      "queries": {...per-pipeline seconds...}, "sf": 0.1, "num_cpus": 32,
-     "cdc": {"events": E, "seconds": S, "events_per_sec": R}}
+     "cdc": {"events": E, "seconds": S, "events_per_sec": R},
+     "cdc_scaleup": {...same apply at 10x events (GRAFT_CDC_SCALEUP_EVENTS;
+                     0 disables) — witnesses the rising-throughput scale
+                     trend each round; excluded from "value"...}}
 
 ``--scaling``: runs the CDC headline in FRESH processes at two CPU
 levels (``GRAFT_SCALE_CPUS``, default "2,8" = N and 4N) on identical
@@ -39,6 +42,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DATA_ROOT = os.environ.get("GRAFT_BENCH_TMP", "/tmp/pz_bench_data")
 CDC_BASE_ROWS = int(os.environ.get("GRAFT_CDC_BASE", "100000"))
 CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "500000"))
+# scale-trend witness: the default bench also applies a 10x log so the
+# "throughput rises with data" claim is measured per-round, not
+# self-reported once. 0 disables.
+CDC_SCALEUP_EVENTS = int(
+    os.environ.get("GRAFT_CDC_SCALEUP_EVENTS", str(10 * CDC_EVENTS))
+)
 CDC_EXCHANGE = os.environ.get("GRAFT_CDC_EXCHANGE", "fs")
 SCALE_CPUS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(",")
@@ -52,26 +61,26 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def ensure_cdc_inputs() -> tuple[str, str]:
+def ensure_cdc_inputs(events: int = CDC_EVENTS) -> tuple[str, str]:
     """Deterministic synthetic base + log, generated once and reused
     across runs/processes (both CPU levels see identical input)."""
     from palimpzest_ray.cdc.synth import write_base_lake, write_change_log
 
     base = os.path.join(DATA_ROOT, f"base_{CDC_BASE_ROWS}")
-    log = os.path.join(DATA_ROOT, f"log_{CDC_EVENTS}_{CDC_BASE_ROWS}")
+    log = os.path.join(DATA_ROOT, f"log_{events}_{CDC_BASE_ROWS}")
     if not os.path.exists(os.path.join(base, "base.parquet")):
         write_base_lake(base, CDC_BASE_ROWS)
     if not os.path.isdir(log) or not os.listdir(log):
-        write_change_log(log, CDC_EVENTS, CDC_BASE_ROWS, evolve_after=0.5)
+        write_change_log(log, events, CDC_BASE_ROWS, evolve_after=0.5)
     return base, log
 
 
-def run_cdc(num_partitions: int = 64) -> dict:
+def run_cdc(num_partitions: int = 64, events: int = CDC_EVENTS) -> dict:
     """Headline: initial load + change-log apply; metric = change-events
     applied per second (load events + log events)."""
     from palimpzest_ray.cdc.engine import apply_changes
 
-    base, log = ensure_cdc_inputs()
+    base, log = ensure_cdc_inputs(events)
     lake = os.path.join(DATA_ROOT, f"lake_{os.getpid()}")
     shutil.rmtree(lake, ignore_errors=True)
     t0 = time.time()
@@ -206,7 +215,7 @@ def main() -> None:
     cdc = run_cdc()
     queries = {} if args.cdc_only else run_queries()
     total = round(time.time() - t0, 2)
-    print(json.dumps({
+    out = {
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
@@ -214,7 +223,19 @@ def main() -> None:
         "cdc": cdc,
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
-    }))
+    }
+    if not args.cdc_only and CDC_SCALEUP_EVENTS > CDC_EVENTS:
+        # 10x-log apply on the same session — witnesses the scale trend
+        # (fixed costs amortize; ev/s should NOT degrade with data).
+        # Not billed into total: BASELINE.md tracks it separately.
+        up = run_cdc(events=CDC_SCALEUP_EVENTS)
+        out["cdc_scaleup"] = {
+            **up,
+            "tput_ratio_vs_base": round(
+                up["events_per_sec"] / cdc["events_per_sec"], 3
+            ),
+        }
+    print(json.dumps(out))
     ray.shutdown()
 
 
