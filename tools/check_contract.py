@@ -61,10 +61,13 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    aliases = getattr(e, "_ALIASES", {})
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if not only and name in aliases:
+            continue  # same callable as its legacy key — skip the rerun
         t0 = time.time()
         try:
             mine = canon(to_df(fn(sf_dir)))
