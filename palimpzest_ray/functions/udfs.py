@@ -3,11 +3,12 @@ in ``utils/udfs.py:14-60`` (url→file, file→xls, xls→tables), done as
 BATCH transforms for ``Dataset.map_batches`` instead of per-record
 dict→dict calls.
 
-Environment gating: this container has no network and no openpyxl, so
-``url_to_file`` resolves only ``file://`` / local paths (the http path
-raises ``NotImplementedError`` with a clear message) and the xls
-functions raise unless openpyxl is importable — the batch plumbing
-(schemas, 1:N explode layout) is real and tested either way.
+Environment gating: this container has no network, so ``url_to_file``
+resolves only ``file://`` / local paths (the http path raises
+``NotImplementedError`` with a clear message). The xls functions prefer
+openpyxl/pandas when importable and otherwise parse .xlsx with the
+in-repo stdlib reader (``sources/officeparse.py``) — a real parse
+either way; only legacy binary .xls stays gated.
 
 These are 1:1 and 1:N ConvertScan examples (reference semantics:
 ``convert.py:198-259`` merges declared new columns with the parent;
@@ -55,17 +56,34 @@ def url_to_file(batch: pa.Table, url_col: str = "url") -> pa.Table:
     )
 
 
+def _sheets(blob: bytes) -> dict[str, list[list]]:
+    """Workbook bytes → {sheet: rows}; openpyxl when present, else the
+    stdlib .xlsx parser (legacy BIFF .xls then raises clearly)."""
+    if _HAS_OPENPYXL:
+        from openpyxl import load_workbook
+
+        wb = load_workbook(io.BytesIO(blob), read_only=True)
+        return {
+            s: [list(r) for r in wb[s].iter_rows(values_only=True)]
+            for s in wb.sheetnames
+        }
+    if blob[:4] != b"PK\x03\x04":
+        raise NotImplementedError(
+            "legacy binary .xls (BIFF) needs openpyxl; the stdlib fallback "
+            "reads .xlsx (OOXML zip) only"
+        )
+    from palimpzest_ray.sources.officeparse import read_xlsx
+
+    return read_xlsx(blob)
+
+
 def file_to_xls(batch: pa.Table, contents_col: str = "contents") -> pa.Table:
     """1:1 convert: xls bytes → (number_sheets, sheet_names)."""
-    if not _HAS_OPENPYXL:
-        raise NotImplementedError("openpyxl not available in this environment")
-    import pandas as pd
-
     n_sheets, sheet_names = [], []
     for blob in batch[contents_col].to_pylist():
-        xls = pd.ExcelFile(io.BytesIO(blob), engine="openpyxl")
-        n_sheets.append(len(xls.sheet_names))
-        sheet_names.append(list(xls.sheet_names))
+        names = list(_sheets(blob).keys())
+        n_sheets.append(len(names))
+        sheet_names.append(names)
     return batch.append_column(
         "number_sheets", pa.array(n_sheets, pa.int64())
     ).append_column("sheet_names", pa.array(sheet_names, pa.list_(pa.string())))
@@ -78,22 +96,17 @@ def xls_to_tables(
 ) -> pa.Table:
     """1:N convert (one output row per sheet): xls bytes → stringified
     rows + header + table name, reference layout (``utils/udfs.py:34-56``,
-    rows capped at MAX_ROWS)."""
-    if not _HAS_OPENPYXL:
-        raise NotImplementedError("openpyxl not available in this environment")
-    import pandas as pd
-
+    rows capped at MAX_ROWS; first sheet row is the header)."""
     names, headers, rows_col, fnames = [], [], [], []
     for blob, fname in zip(
         batch[contents_col].to_pylist(), batch[filename_col].to_pylist()
     ):
-        xls = pd.ExcelFile(io.BytesIO(blob), engine="openpyxl")
-        for sheet in xls.sheet_names:
-            df = pd.read_excel(io.BytesIO(blob), sheet_name=sheet, engine="openpyxl")
+        for sheet, sheet_rows in _sheets(blob).items():
+            header = [str(c) for c in sheet_rows[0]] if sheet_rows else []
             rows_col.append(
-                [[str(x) for x in row] for row in df.values[:MAX_ROWS]]
+                [[str(x) for x in row] for row in sheet_rows[1 : 1 + MAX_ROWS]]
             )
-            headers.append([str(c) for c in df.columns])
+            headers.append(header)
             names.append(f"{os.path.basename(fname)}_{sheet}")
             fnames.append(fname)
     return pa.table(

@@ -6,10 +6,10 @@ reads + parse ``map_batches`` stages.
 Format sniffing parity: :func:`read_auto` mirrors ``get_local_source``
 (``iter_dataset.py:514-539``) — extension-based dispatch.
 
-PDF / XLS parsing requires pypdf / openpyxl, which are not in this
-container: those readers are gated behind an import-try and raise a
-clearly-marked ``NotImplementedError`` listing the missing dependency;
-the Ray plumbing (binary read → actor-pool parse stage) is real.
+PDF / XLSX parsing prefers pypdf / openpyxl when importable and falls
+back to the in-repo stdlib parsers (``sources/officeparse.py``) — real
+text/cell extraction either way. Only legacy binary .xls (BIFF) remains
+dependency-gated.
 """
 
 from __future__ import annotations
@@ -108,33 +108,32 @@ def read_json_files(paths, **kw) -> rd.Dataset:
 
 def read_pdf_files(paths) -> rd.Dataset:
     """PDF → per-page text (reference ``PDFFileDataset``,
-    ``iter_dataset.py:326-382``). Requires pypdf."""
-    try:
-        import pypdf  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "read_pdf_files requires pypdf, which is not installed in this "
-            "environment; the binary-read → parse-stage plumbing is in "
-            "place — install pypdf to enable it."
-        ) from e
+    ``iter_dataset.py:326-382``). Prefers pypdf when importable; falls
+    back to the in-repo stdlib extractor
+    (:mod:`palimpzest_ray.sources.officeparse`) — a real text-layer
+    parse either way."""
     ds = rd.read_binary_files(paths, include_paths=True)
 
     def _parse(batch: pa.Table) -> pa.Table:
         import io
 
-        from pypdf import PdfReader
+        try:
+            from pypdf import PdfReader
+
+            def pages_of(blob):
+                return [
+                    p.extract_text() or "" for p in PdfReader(io.BytesIO(blob)).pages
+                ]
+        except ImportError:
+            from palimpzest_ray.sources.officeparse import extract_pdf_pages as pages_of
 
         t = _with_names(batch, "raw")
         rows = []
         for name, path, blob in zip(
             t["filename"].to_pylist(), t["path"].to_pylist(), t["raw"].to_pylist()
         ):
-            reader = PdfReader(io.BytesIO(blob))
-            for i, page in enumerate(reader.pages):
-                rows.append(
-                    {"filename": name, "path": path, "page": i,
-                     "text": page.extract_text() or ""}
-                )
+            for i, text in enumerate(pages_of(blob)):
+                rows.append({"filename": name, "path": path, "page": i, "text": text})
         return pa.Table.from_pylist(rows)
 
     return ds.map_batches(_parse, batch_format="pyarrow")
@@ -142,27 +141,40 @@ def read_pdf_files(paths) -> rd.Dataset:
 
 def read_xls_files(paths) -> rd.Dataset:
     """XLS(X) → per-sheet rows (reference ``XLSFileDataset``,
-    ``iter_dataset.py:425-469``). Requires openpyxl."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "read_xls_files requires openpyxl, which is not installed in "
-            "this environment; install openpyxl to enable it."
-        ) from e
+    ``iter_dataset.py:425-469``). Prefers openpyxl when importable;
+    falls back to the in-repo stdlib XLSX parser
+    (:mod:`palimpzest_ray.sources.officeparse`). Legacy binary .xls
+    (BIFF) still needs openpyxl/xlrd and raises a clear error."""
     ds = rd.read_binary_files(paths, include_paths=True)
 
     def _parse(batch: pa.Table) -> pa.Table:
         import io
 
-        from openpyxl import load_workbook
+        try:
+            from openpyxl import load_workbook
+
+            def sheets_of(blob):
+                wb = load_workbook(io.BytesIO(blob), read_only=True)
+                return {
+                    s: [list(r) for r in wb[s].iter_rows(values_only=True)]
+                    for s in wb.sheetnames
+                }
+        except ImportError:
+            from palimpzest_ray.sources import officeparse
+
+            def sheets_of(blob):
+                if blob[:4] != b"PK\x03\x04":
+                    raise NotImplementedError(
+                        "legacy binary .xls (BIFF) needs openpyxl/xlrd; the "
+                        "stdlib fallback reads .xlsx (OOXML zip) only"
+                    )
+                return officeparse.read_xlsx(blob)
 
         t = _with_names(batch, "raw")
         rows = []
         for name, blob in zip(t["filename"].to_pylist(), t["raw"].to_pylist()):
-            wb = load_workbook(io.BytesIO(blob), read_only=True)
-            for sheet in wb.sheetnames:
-                for r in wb[sheet].iter_rows(values_only=True):
+            for sheet, sheet_rows in sheets_of(blob).items():
+                for r in sheet_rows:
                     rows.append({"filename": name, "sheet": sheet,
                                  "cells": [str(c) for c in r]})
         return pa.Table.from_pylist(rows)

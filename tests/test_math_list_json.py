@@ -222,10 +222,29 @@ def test_sample_udf_library_plumbing(tmp_path):
     with pytest.raises(NotImplementedError, match="network"):
         udfs.url_to_file(pa.table({"url": ["https://x.invalid/a"]}))
     if not udfs._HAS_OPENPYXL:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            udfs.file_to_xls(pa.table({"contents": [b""]}))
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            udfs.xls_to_tables(pa.table({"contents": [b""], "filename": ["a"]}))
+        # only legacy binary .xls (non-zip bytes) stays dependency-gated
+        with pytest.raises(NotImplementedError, match="BIFF"):
+            udfs.file_to_xls(pa.table({"contents": [b"\xd0\xcf\x11\xe0 not a zip"]}))
+
+
+def test_xls_udfs_stdlib_fallback():
+    from palimpzest_ray.functions import udfs
+    from palimpzest_ray.sources.officeparse import write_xlsx
+
+    blob = write_xlsx(
+        {
+            "people": [["name", "age"], ["ada", 36], ["grace", 45]],
+            "empty": [],
+        }
+    )
+    out = udfs.file_to_xls(pa.table({"contents": [blob]}))
+    assert out["number_sheets"].to_pylist() == [2]
+    assert out["sheet_names"].to_pylist() == [["people", "empty"]]
+    tabs = udfs.xls_to_tables(pa.table({"contents": [blob], "filename": ["f.xlsx"]}))
+    byname = {n: i for i, n in enumerate(tabs["name"].to_pylist())}
+    i = byname["f.xlsx_people"]
+    assert tabs["header"].to_pylist()[i] == ["name", "age"]
+    assert tabs["rows"].to_pylist()[i] == [["ada", "36"], ["grace", "45"]]
 
 
 def test_list_reductions_on_sliced_arrays():

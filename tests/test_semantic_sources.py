@@ -225,9 +225,30 @@ def test_read_html_files(tmp_path):
     assert "script" not in rows[0]["text"]
 
 
-def test_read_pdf_raises_not_implemented(tmp_path):
-    with pytest.raises(NotImplementedError, match="pypdf"):
-        F.read_pdf_files(str(tmp_path))
+def test_read_pdf_files_stdlib_fallback(tmp_path):
+    from palimpzest_ray.sources.officeparse import write_pdf
+
+    (tmp_path / "doc.pdf").write_bytes(
+        write_pdf(["first page", "second\npage"], compress=True)
+    )
+    rows = sorted(F.read_pdf_files(str(tmp_path)).take_all(), key=lambda r: r["page"])
+    assert [r["page"] for r in rows] == [0, 1]
+    assert rows[0]["text"] == "first page"
+    assert rows[1]["text"] == "second\npage"
+
+
+def test_read_xls_files_stdlib_fallback(tmp_path):
+    from palimpzest_ray.sources.officeparse import write_xlsx
+
+    (tmp_path / "wb.xlsx").write_bytes(
+        write_xlsx({"s1": [["a", 1], ["b", 2]], "s2": [[True, None, 3.5]]})
+    )
+    rows = F.read_xls_files(str(tmp_path)).take_all()
+    by_sheet = {}
+    for r in rows:
+        by_sheet.setdefault(r["sheet"], []).append(r["cells"])
+    assert by_sheet["s1"] == [["a", "1"], ["b", "2"]]
+    assert by_sheet["s2"] == [["True", "None", "3.5"]]
 
 
 def test_infer_schema_from_csv(tmp_path):
