@@ -949,6 +949,30 @@ def d20_semantic_join(sf_dir: str):
     return pzd.Dataset(joined).project(["doc_id", "kw"])
 
 
+def q72_sequence_packing(sf_dir: str):
+    """GPT-style concat-and-chunk sequence packing over the documents
+    corpus: char-codepoint tokenize (SQL-expressible: ``unicode(substr)``)
+    → pack in doc_id order with EOS=0 into 512-token training sequences
+    via the distributed range-bucket prefix sum (stages/packing.py).
+    Exact oracle: the SAME stream replayed with window cumsum + unnest."""
+    from palimpzest_ray.stages import packing
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.ray.map_batches(packing.add_char_tokens, batch_format="pyarrow")
+    packed = packing.pack_sequences(toks, 512, order_col="doc_id", eos_id=0)
+
+    def _stringify(batch: pa.Table) -> pa.Table:
+        # list<int32> → exact csv string: the driver compare sorts/hashes
+        # row values, which needs hashable cells (lists aren't)
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        joined = pc.binary_join(pc.cast(col, pa.list_(pa.string())), ",")
+        return pa.table({"seq_id": batch["seq_id"], "tokens_csv": joined})
+
+    return pzd.Dataset(packed.map_batches(_stringify, batch_format="pyarrow"))
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1191,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _base_queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "q72_sequence_packing": q72_sequence_packing,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1321,6 +1346,32 @@ def oracle_sql() -> dict[str, str]:
 def _base_oracle_sql() -> dict[str, str]:
     lang_expr = T.language_id_sql("text")
     return {
+        # replays the packed stream: per-doc global offsets via a window
+        # cumsum in doc_id order, char-codepoint tokens + EOS=0 unnested
+        # with zipped ordinals, chunked at 512 (partial tail dropped).
+        "q72_sequence_packing": """
+            with ordered as (
+              select text, length(text) as n,
+                     coalesce(sum(length(text) + 1) over (
+                       order by doc_id
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) as start_off
+              from documents
+            ),
+            tok as (
+              select start_off + unnest(generate_series(0, n)) as pos,
+                     unnest(list_append(
+                       list_transform(generate_series(1, n),
+                                      i -> unicode(substr(text, cast(i as int), 1))),
+                       0)) as tok
+              from ordered
+            )
+            select cast(pos // 512 as bigint) as seq_id,
+                   string_agg(cast(tok as varchar), ',' order by pos) as tokens_csv
+            from tok
+            group by 1
+            having count(*) = 512
+        """,
         "q01_pricing_summary": """
             select l_returnflag, l_linestatus,
                    cast(round(sum(l_quantity) * 100) as bigint) as sum_qty_c100,

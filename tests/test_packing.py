@@ -1,0 +1,98 @@
+"""Sequence packing (stages/packing.py): exact equivalence with the
+sequential concat-and-chunk reference, layout invariance, boundary
+crossing, drop_last semantics, char tokenizer."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from palimpzest_ray.stages import packing
+
+
+def _tok_table(n_docs: int, seed: int = 0) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        ln = int(rng.integers(0, 40))
+        docs.append(rng.integers(1, 1000, size=ln).astype(np.int32).tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "tokens": pa.array(docs, pa.list_(pa.int32())),
+        }
+    )
+
+
+def _run(table, seq_len, **kw):
+    got = packing.pack_sequences(rd.from_arrow(table), seq_len, **kw).take_all()
+    return sorted((r["seq_id"], list(r["tokens"])) for r in got)
+
+
+def test_pack_matches_sequential_reference():
+    t = _tok_table(200, seed=1)
+    exp = packing.pack_sequences_reference(t, 64)
+    assert _run(t, 64) == sorted(exp)
+    # every full sequence has exactly seq_len tokens and ids are dense
+    got = _run(t, 64)
+    assert all(len(toks) == 64 for _, toks in got)
+    assert [s for s, _ in got] == list(range(len(got)))
+
+
+def test_pack_layout_invariant():
+    """Same rows, shuffled input order + different block structure →
+    identical packed output (the order column defines the layout)."""
+    t = _tok_table(150, seed=2)
+    perm = np.random.default_rng(9).permutation(t.num_rows)
+    shuffled = t.take(pa.array(perm))
+    ds = rd.from_arrow(shuffled).repartition(7)
+    got = sorted(
+        (r["seq_id"], list(r["tokens"]))
+        for r in packing.pack_sequences(ds, 50, num_buckets=5).take_all()
+    )
+    assert got == sorted(packing.pack_sequences_reference(t, 50))
+
+
+def test_pack_doc_crossing_boundaries():
+    """One doc longer than seq_len must span multiple sequences."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "tokens": pa.array(
+                [list(range(1, 26)), [90, 91]], pa.list_(pa.int32())
+            ),
+        }
+    )
+    got = _run(t, 10, eos_id=0, drop_last=False)
+    exp = packing.pack_sequences_reference(t, 10, drop_last=False)
+    assert got == sorted(exp)
+    # doc 0 (25 toks + EOS) fills seqs 0,1 and spills into 2
+    assert got[0][1] == list(range(1, 11))
+    assert got[2][1][:6] == [21, 22, 23, 24, 25, 0]
+
+
+def test_pack_drop_last_and_empty_docs():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "tokens": pa.array([[], [5, 6, 7], None], pa.list_(pa.int32())),
+        }
+    )
+    # stream: [EOS] [5 6 7 EOS] [EOS] = 6 tokens
+    full = _run(t, 4, drop_last=False)
+    assert full == [(0, [0, 5, 6, 7]), (1, [0, 0])]
+    assert _run(t, 4, drop_last=True) == [(0, [0, 5, 6, 7])]
+
+
+def test_pack_custom_eos_and_bucket_count():
+    t = _tok_table(80, seed=3)
+    exp = packing.pack_sequences_reference(t, 32, eos_id=-1)
+    assert _run(t, 32, eos_id=-1, num_buckets=200) == sorted(exp)
+
+
+def test_add_char_tokens():
+    batch = pa.table({"text": ["ab", "", None, "héllo"]})
+    out = packing.add_char_tokens(batch)
+    toks = out["tokens"].to_pylist()
+    assert toks[0] == [97, 98]
+    assert toks[1] == [] and toks[2] == []
+    assert toks[3] == [ord(c) for c in "héllo"]
