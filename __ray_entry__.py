@@ -973,6 +973,39 @@ def q72_sequence_packing(sf_dir: str):
     return pzd.Dataset(packed.map_batches(_stringify, batch_format="pyarrow"))
 
 
+def q73_epoch_shuffle(sf_dir: str):
+    """Reproducible epoch shuffle: explicit global permutation of the
+    corpus as a position column — rank over (hash(xor(doc_id, seed)),
+    doc_id) via the distributed range-bucket row-number
+    (stages/mixing.py). Layout-invariant; duckdb hash mode makes the
+    permutation the SQL row_number() verbatim."""
+    from palimpzest_ray.stages.mixing import deterministic_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return pzd.Dataset(
+        deterministic_shuffle(docs.ray, "doc_id", seed=2026, hash_fn="duckdb")
+    )
+
+
+def q74_mixture_upsample(sf_dir: str):
+    """Training-mixture repetition: per-source fractional weights
+    (wiki-ish sources upsampled, web downsampled) as deterministic
+    per-key copy counts — floor(w) copies plus a hash-gated extra
+    (stages/mixing.py). No shuffle; exact generate_series oracle."""
+    from palimpzest_ray.stages.mixing import upsample_by_weight
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = upsample_by_weight(
+        docs.ray,
+        "source",
+        {"src0": 2.25, "src1": 0.5, "src2": 0.0, "src3": 3.0},
+        key="doc_id",
+        default=1.0,
+        hash_fn="duckdb",
+    )
+    return pzd.Dataset(out)
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1216,6 +1249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _base_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q72_sequence_packing": q72_sequence_packing,
+        "q73_epoch_shuffle": q73_epoch_shuffle,
+        "q74_mixture_upsample": q74_mixture_upsample,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1371,6 +1406,27 @@ def _base_oracle_sql() -> dict[str, str]:
             from tok
             group by 1
             having count(*) = 512
+        """,
+        "q73_epoch_shuffle": """
+            select doc_id,
+                   row_number() over (order by hash(xor(doc_id, 2026)), doc_id)
+                     - 1 as pos
+            from documents
+        """,
+        "q74_mixture_upsample": """
+            select doc_id, source,
+                   unnest(generate_series(0, copies - 1)) as copy_idx
+            from (
+              select doc_id, source,
+                     cast(floor(w) as bigint) + case when hash(doc_id) % 1000000
+                       < round((w - floor(w)) * 1000000) then 1 else 0 end as copies
+              from (
+                select doc_id, source,
+                       case source when 'src0' then 2.25 when 'src1' then 0.5
+                            when 'src2' then 0.0 when 'src3' then 3.0
+                            else 1.0 end as w
+                from documents) s
+            ) c
         """,
         "q01_pricing_summary": """
             select l_returnflag, l_linestatus,
