@@ -178,10 +178,14 @@ class ImageDecodeStage(_MediaStage):
 
 
 class AudioFeatureStage(_MediaStage):
-    """content:binary → fixed-width audio features + duration estimate.
+    """content:binary → fixed-width audio features + duration.
 
-    Stub path derives duration from byte length at an assumed bitrate —
-    deterministic and schema-correct; real path would use soundfile."""
+    Real path: soundfile if importable, else the in-repo stdlib WAV
+    codec (``functions/audiocodec.py``) — exact duration from the data
+    chunk and per-segment RMS energy features. Payloads neither can
+    read (non-WAV containers without soundfile) fall back per row to
+    the deterministic stub: duration from byte length at an assumed
+    bitrate, hash-seeded features (schema identical either way)."""
 
     BYTES_PER_SEC = 32_000  # 16 kHz × 16-bit mono assumption for the stub
 
@@ -189,18 +193,55 @@ class AudioFeatureStage(_MediaStage):
         self.feature_dim = feature_dim
         super().__init__()
 
+    def _load_codec(self):
+        try:
+            import soundfile  # noqa: F401  (absent in this container)
+
+            return ("soundfile", soundfile)
+        except ImportError:
+            from palimpzest_ray.functions import audiocodec
+
+            return ("wav", audiocodec)
+
+    def _decode_one(self, blob: bytes) -> tuple[np.ndarray, float]:
+        """blob → (feature_dim RMS vector, exact duration seconds)."""
+        kind, codec = self._codec
+        if kind == "soundfile":
+            import io
+
+            from palimpzest_ray.functions import audiocodec
+
+            samples, rate = codec.read(io.BytesIO(blob), dtype="float32")
+            return audiocodec.segment_rms(samples, self.feature_dim), len(
+                samples
+            ) / float(rate)
+        samples, rate = codec.decode_wav(blob)
+        return codec.segment_rms(samples, self.feature_dim), samples.shape[0] / float(
+            rate
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         content = batch["content"].combine_chunks()
-        feats = self._fake_features(content, self.feature_dim)
-        n_bytes = batch["n_bytes"].to_numpy(zero_copy_only=False)
-        dur = np.round(n_bytes / self.BYTES_PER_SEC, 3)
+        feats = np.empty((batch.num_rows, self.feature_dim), dtype=np.float32)
+        dur = np.empty(batch.num_rows, dtype=np.float64)
+        undecodable: list[int] = []
+        for i, blob in enumerate(content.to_pylist()):
+            try:
+                feats[i], dur[i] = self._decode_one(blob)
+            except (ValueError, OSError, RuntimeError):
+                undecodable.append(i)
+        if undecodable:
+            sub = content.take(pa.array(undecodable, pa.int64()))
+            feats[undecodable] = self._fake_features(sub, self.feature_dim)
+            n_bytes = np.array([len(b) for b in sub.to_pylist()], dtype=np.float64)
+            dur[undecodable] = n_bytes / self.BYTES_PER_SEC
         batch = batch.append_column(
             "audio_feat",
             pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.reshape(-1)), self.feature_dim
             ),
         )
-        return batch.append_column("duration_s", pa.array(dur))
+        return batch.append_column("duration_s", pa.array(np.round(dur, 3)))
 
 
 class FrameSampleStage(_MediaStage):
