@@ -1006,6 +1006,16 @@ def q74_mixture_upsample(sf_dir: str):
     return pzd.Dataset(out)
 
 
+def q75_incremental_view(sf_dir: str):
+    """Incremental view maintenance over the CDC lake: per-source
+    (count, sum n_tok) view created at epoch 1, epoch-2 changes applied,
+    view REFRESHED from the change feed (delta of changed keys only —
+    cdc/views.py). Exact oracle: the cdc_replay closed form grouped."""
+    from palimpzest_ray.pipelines.cdc_demo import run_cdc_view_demo
+
+    return pzd.Dataset(run_cdc_view_demo(sf_dir))
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1251,6 +1261,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q72_sequence_packing": q72_sequence_packing,
         "q73_epoch_shuffle": q73_epoch_shuffle,
         "q74_mixture_upsample": q74_mixture_upsample,
+        "q75_incremental_view": q75_incremental_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1412,6 +1423,25 @@ def _base_oracle_sql() -> dict[str, str]:
                    row_number() over (order by hash(xor(doc_id, 2026)), doc_id)
                      - 1 as pos
             from documents
+        """,
+        # the cdc_replay closed form (final state as a pure function of
+        # documents) grouped by source — what the refreshed view holds
+        "q75_incremental_view": r"""
+            with base as (
+              select cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                       as n_tok,
+                     source,
+                     doc_id as num
+              from documents
+            ),
+            final as (
+              select n_tok, source from base where num % 5 <> 0
+              union all
+              select 8 as n_tok, 'synthetic' as source from range(10) t(i)
+            )
+            select source, count(*) as n_docs,
+                   cast(sum(n_tok) as bigint) as total_tok
+            from final group by source
         """,
         "q74_mixture_upsample": """
             select doc_id, source,

@@ -18,6 +18,7 @@ from palimpzest_ray.cdc.manifest import (
     vacuum,
 )
 from palimpzest_ray.cdc.oracle import sequential_replay
+from palimpzest_ray.cdc.views import create_view, read_view, refresh_view
 from palimpzest_ray.cdc.synth import (
     make_base_table,
     make_change_table,
@@ -42,6 +43,9 @@ __all__ = [
     "vacuum",
     "VacuumResult",
     "sequential_replay",
+    "create_view",
+    "refresh_view",
+    "read_view",
     "make_base_table",
     "make_change_table",
     "write_base_lake",

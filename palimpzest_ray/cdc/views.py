@@ -1,0 +1,237 @@
+"""Incremental view maintenance over the CDC lake: group-by aggregate
+tables kept current from the change feed WITHOUT full recompute.
+
+A CDC ingest engine that can only replay the fact table forces every
+downstream aggregate to rescan the lake; real lakehouse deployments
+maintain aggregates from the change feed. This module does classic IVM
+for distributive aggregates (count / sum, avg derived at read):
+
+    delta(group) = + contribution of each changed key's NEW live row
+                   - contribution of that key's OLD row (time-traveled
+                     to the view's base version)
+
+so a refresh touches only changed keys, never the full lake: the feed
+is metadata-pruned (``net_changes_since`` reads only rows above the
+base watermark) and the old-row lookup is a semi-join of the base
+version against the changed-key set. Keys moving BETWEEN groups are
+handled by construction (subtract from the old group, add to the new);
+groups whose live row count reaches zero are dropped.
+
+min/max are NOT delta-maintainable under deletes (a retracted maximum
+needs the group rescanned) — rejected with a clear error instead of a
+silently-wrong fast path.
+
+Storage: each view version is an atomic ``sinks.write_versioned``
+parquet artifact plus a ``_view.json`` recording the aggregate spec and
+the lake version the view reflects; refresh commits the data THEN the
+pointer, so a crash between the two leaves the old view consistent.
+
+Reference note: the reference has no incremental machinery (its
+optimizer re-plans full pipelines per run); this is engine-mandated
+scale work in the spirit of BASELINE.json's resumable-ingest rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from palimpzest_ray import sinks
+from palimpzest_ray.cdc.engine import final_state, load_latest_manifest, net_changes_since
+
+_NROWS = "_nrows"
+_VIEW_META = "_view.json"
+_DELTA_FNS = {"count", "sum", "avg"}
+
+
+def _load_meta(view_root: str) -> dict:
+    with open(os.path.join(view_root, _VIEW_META)) as f:
+        return json.load(f)
+
+
+def _store_meta(view_root: str, meta: dict) -> None:
+    tmp = os.path.join(view_root, _VIEW_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(view_root, _VIEW_META))
+
+
+def _sum_col(out: str) -> str:
+    return f"_sum_{out}"
+
+
+def _partial(meta: dict, sign: int):
+    """Per-batch combiner: rows → one partial-sums row per group seen
+    in the batch (the pre-aggregation that keeps the shuffle tiny)."""
+    group_col = meta["group_col"]
+    aggs = meta["aggs"]
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {group_col: batch[group_col]}
+            cols[_NROWS] = pa.array([], pa.int64())
+            for out, (fn, _c) in aggs.items():
+                if fn != "count":
+                    cols[_sum_col(out)] = pa.array([], pa.float64())
+            return pa.table(cols)
+        keys = batch[group_col]
+        if keys.null_count:
+            raise ValueError(
+                f"null {group_col!r} in view input — aggregate views "
+                "require a non-null group column"
+            )
+        enc = pc.dictionary_encode(keys.combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary
+        import numpy as np
+
+        n = len(uniq)
+        cols: dict[str, pa.Array] = {group_col: uniq}
+        cols[_NROWS] = pa.array(
+            sign * np.bincount(idx, minlength=n).astype(np.int64), pa.int64()
+        )
+        for out, (fn, col) in aggs.items():
+            if fn == "count":
+                continue  # served by _NROWS
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = np.where(np.isnan(v), 0.0, v)
+            cols[_sum_col(out)] = pa.array(
+                sign * np.bincount(idx, weights=v, minlength=n), pa.float64()
+            )
+        return pa.table(cols)
+
+    return _fn
+
+
+def _reduce(parts: rd.Dataset, meta: dict) -> rd.Dataset:
+    """Merge partial-sums rows: one groupby-sum, then drop dead groups
+    (live row count 0 — every member deleted since)."""
+    group_col = meta["group_col"]
+    sum_cols = [_NROWS] + [
+        _sum_col(o) for o, (fn, _c) in meta["aggs"].items() if fn != "count"
+    ]
+    merged = parts.groupby(group_col).sum(sum_cols)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        cols = {group_col: batch[group_col]}
+        for c in sum_cols:
+            cols[c] = batch[f"sum({c})"]
+        t = pa.table(cols)
+        return t.filter(pc.greater(t[_NROWS], 0))
+
+    return merged.map_batches(_finish, batch_format="pyarrow")
+
+
+def create_view(
+    lake_root: str,
+    view_root: str,
+    *,
+    group_col: str,
+    aggs: dict[str, tuple[str, str | None]],
+    key: str = "doc_id",
+) -> dict:
+    """Materialize a group-by aggregate view of the lake's latest
+    version. ``aggs``: ``{out_col: (fn, value_col)}`` with fn ∈
+    {"count", "sum", "avg"} (count's value_col is ignored)."""
+    for out, (fn, _col) in aggs.items():
+        if fn not in _DELTA_FNS:
+            raise ValueError(
+                f"aggregate {fn!r} ({out}) is not delta-maintainable "
+                "under updates/deletes — supported: count, sum, avg"
+            )
+    manifest = load_latest_manifest(lake_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake under {lake_root}")
+    meta = {
+        "group_col": group_col,
+        "aggs": {k: list(v) for k, v in aggs.items()},
+        "key": key,
+        "lake_version": manifest.version,
+    }
+    meta_n = {"group_col": group_col, "aggs": aggs, "key": key}
+    parts = final_state(lake_root).map_batches(
+        _partial(meta_n, +1), batch_format="pyarrow"
+    )
+    os.makedirs(view_root, exist_ok=True)
+    sinks.write_versioned(_reduce(parts, meta_n), view_root)
+    _store_meta(view_root, meta)
+    return meta
+
+
+def refresh_view(lake_root: str, view_root: str) -> dict:
+    """Incrementally catch the view up to the lake's latest version.
+    Returns refresh stats. Raises if the view's base version has been
+    vacuumed (the old-row lookup needs it) — recreate the view then."""
+    meta = _load_meta(view_root)
+    meta_n = {
+        "group_col": meta["group_col"],
+        "aggs": {k: tuple(v) for k, v in meta["aggs"].items()},
+        "key": meta["key"],
+    }
+    base_v = meta["lake_version"]
+    latest = load_latest_manifest(lake_root)
+    if latest.version == base_v:
+        return {"refreshed": False, "lake_version": base_v}
+    try:
+        old_state = final_state(lake_root, version=base_v)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"view base version v{base_v} is no longer readable "
+            "(vacuumed?) — recreate the view with create_view"
+        ) from e
+
+    key = meta["key"]
+    feed = net_changes_since(lake_root, base_v)
+
+    def _new_live(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["op"], "UPDATE"))
+
+    new_rows = feed.map_batches(_new_live, batch_format="pyarrow")
+
+    # the OLD contribution of every changed key, from the base version
+    from palimpzest_ray.dataset import Dataset as PzDataset
+
+    changed_keys = PzDataset(feed).project([key]).distinct([key])
+    old_rows = PzDataset(old_state).semi_join(changed_keys, key).ray
+
+    plus = new_rows.map_batches(_partial(meta_n, +1), batch_format="pyarrow")
+    minus = old_rows.map_batches(_partial(meta_n, -1), batch_format="pyarrow")
+    current = sinks.read_versioned(view_root)
+    merged = _reduce(current.union(plus).union(minus), meta_n)
+    sinks.write_versioned(merged, view_root)
+    meta["lake_version"] = latest.version
+    _store_meta(view_root, meta)
+    return {
+        "refreshed": True,
+        "from_version": base_v,
+        "lake_version": latest.version,
+    }
+
+
+def read_view(view_root: str) -> rd.Dataset:
+    """The committed view with user-facing columns: count → live rows,
+    sum → raw sum, avg → sum/count, ints preserved where exact."""
+    meta = _load_meta(view_root)
+    aggs = {k: tuple(v) for k, v in meta["aggs"].items()}
+    group_col = meta["group_col"]
+
+    def _present(batch: pa.Table) -> pa.Table:
+        cols = {group_col: batch[group_col]}
+        for out, (fn, _c) in aggs.items():
+            if fn == "count":
+                cols[out] = batch[_NROWS]
+            elif fn == "sum":
+                cols[out] = batch[_sum_col(out)]
+            else:  # avg
+                cols[out] = pc.divide(
+                    batch[_sum_col(out)], pc.cast(batch[_NROWS], pa.float64())
+                )
+        return pa.table(cols)
+
+    return sinks.read_versioned(view_root).map_batches(
+        _present, batch_format="pyarrow"
+    )

@@ -99,12 +99,9 @@ def _change_log_from_base(base: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
-def run_cdc_demo(
-    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
-) -> rd.Dataset:
-    """documents.parquet → tokenized base lake → apply change log →
-    final state Dataset (streaming read of the committed lake)."""
-    work = work_dir or tempfile.mkdtemp(prefix="pz_cdc_demo_")
+def prepare_demo_inputs(sf_dir: str, work: str) -> tuple[str, str, str]:
+    """Tokenize documents.parquet and stage the two demo change epochs;
+    returns (lake_root, log1_dir, log2_dir)."""
     lake = os.path.join(work, "lake")
     shutil.rmtree(lake, ignore_errors=True)
 
@@ -131,15 +128,62 @@ def run_cdc_demo(
     log_dir = os.path.join(work, "log1")
     os.makedirs(log_dir, exist_ok=True)
     pq.write_table(load, os.path.join(log_dir, "log-000.parquet"))
-    apply_changes(log_dir, lake, num_partitions=num_partitions)
 
     # epoch 2: deterministic UPDATE/DELETE/INSERT mix
     log2_dir = os.path.join(work, "log2")
     os.makedirs(log2_dir, exist_ok=True)
-    pq.write_table(_change_log_from_base(base), os.path.join(log2_dir, "log-000.parquet"))
-    apply_changes(log2_dir, lake, num_partitions=num_partitions)
+    pq.write_table(
+        _change_log_from_base(base), os.path.join(log2_dir, "log-000.parquet")
+    )
+    return lake, log_dir, log2_dir
 
+
+def run_cdc_demo(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> rd.Dataset:
+    """documents.parquet → tokenized base lake → apply change log →
+    final state Dataset (streaming read of the committed lake)."""
+    work = work_dir or tempfile.mkdtemp(prefix="pz_cdc_demo_")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=num_partitions)
+    apply_changes(log2, lake, num_partitions=num_partitions)
     return final_state(lake)
+
+
+def run_cdc_view_demo(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> rd.Dataset:
+    """Incremental-view-maintenance demo: materialize a per-source
+    aggregate view at epoch 1, apply the epoch-2 change mix, then
+    REFRESH the view from the change feed (cdc/views.py — deltas of
+    changed keys only, never a lake rescan). Returns the refreshed
+    view; its exact oracle is the cdc_replay closed form grouped by
+    source."""
+    from palimpzest_ray.cdc import views
+
+    work = work_dir or tempfile.mkdtemp(prefix="pz_cdc_view_demo_")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    view = os.path.join(work, "view")
+    apply_changes(log1, lake, num_partitions=num_partitions)
+    views.create_view(
+        lake, view, group_col="source",
+        aggs={"n_docs": ("count", None), "total_tok": ("sum", "n_tok")},
+    )
+    apply_changes(log2, lake, num_partitions=num_partitions)
+    views.refresh_view(lake, view)
+
+    def _int_sum(batch: pa.Table) -> pa.Table:
+        # stored sums are float64; n_tok sums are integral — emit int64
+        # to match the SQL oracle's sum(int) type
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": batch["n_docs"],
+                "total_tok": pc.cast(pc.round(batch["total_tok"]), pa.int64()),
+            }
+        )
+
+    return views.read_view(view).map_batches(_int_sum, batch_format="pyarrow")
 
 
 def expected_final_rowcount(sf_dir: str) -> int:

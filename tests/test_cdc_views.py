@@ -1,0 +1,150 @@
+"""Incremental view maintenance (cdc/views.py): refresh == full
+recompute after arbitrary update/delete/insert epochs, group
+drop/appear, no-op fast path, vacuum guard, unsupported-agg guard."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import apply_changes, final_state_table, make_base_table, make_change_table
+from palimpzest_ray.cdc import views
+
+
+def _write(tmp_path, name, table):
+    p = os.path.join(str(tmp_path), name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(table, p)
+    return p
+
+
+def _seed(tmp_path, lake, n_base=400):
+    base = make_base_table(n_base, seed=42)
+    boot = pa.table(
+        {
+            "lsn": pa.array([0] * base.num_rows, pa.int64()),
+            "op": pa.array(["INSERT"] * base.num_rows),
+            **{c: base[c] for c in base.column_names},
+        }
+    )
+    apply_changes(_write(tmp_path, "boot/log.parquet", boot), lake, num_partitions=8)
+
+
+def _recompute(lake) -> dict:
+    """Oracle: per-source (count, sum n_tok) from the live final state."""
+    t = final_state_table(lake)
+    out: dict = {}
+    for src, n in zip(t["source"].to_pylist(), t["n_tok"].to_pylist()):
+        c, s = out.get(src, (0, 0))
+        out[src] = (c + 1, s + n)
+    return out
+
+
+def _view_dict(view_root) -> dict:
+    rows = views.read_view(view_root).take_all()
+    return {
+        r["source"]: (r["n_docs"], r["total_tok"], r["avg_tok"]) for r in rows
+    }
+
+
+AGGS = {"n_docs": ("count", None), "total_tok": ("sum", "n_tok"),
+        "avg_tok": ("avg", "n_tok")}
+
+
+def test_refresh_equals_recompute(tmp_path):
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    _seed(tmp_path, lake)
+    views.create_view(lake, view, group_col="source", aggs=AGGS)
+    assert {k: v[:2] for k, v in _view_dict(view).items()} == _recompute(lake)
+
+    # epoch 2: zipf-hot updates, deletes, brand-new keys
+    log2 = make_change_table(2000, 400, seed=7, start_lsn=1, new_key_space=100)
+    apply_changes(_write(tmp_path, "e2/log.parquet", log2), lake, num_partitions=8)
+    r = views.refresh_view(lake, view)
+    assert r["refreshed"] and r["from_version"] < r["lake_version"]
+    got = _view_dict(view)
+    exp = _recompute(lake)
+    assert {k: v[:2] for k, v in got.items()} == exp
+    for src, (c, s, avg) in got.items():
+        assert avg == pytest.approx(s / c)
+
+    # epoch 3 on top — refresh composes across multiple epochs
+    log3 = make_change_table(1500, 500, seed=8, start_lsn=3000, evolved=True)
+    apply_changes(_write(tmp_path, "e3/log.parquet", log3), lake, num_partitions=8)
+    views.refresh_view(lake, view)
+    assert {k: v[:2] for k, v in _view_dict(view).items()} == _recompute(lake)
+
+    # no-op refresh: already caught up
+    assert views.refresh_view(lake, view) == {
+        "refreshed": False,
+        "lake_version": views._load_meta(view)["lake_version"],
+    }
+
+
+def test_group_dropped_when_all_rows_deleted(tmp_path):
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    base = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "tokens": pa.array([[1], [2, 3], [4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 2, 1], pa.int32()),
+            "source": pa.array(["s1", "s1", "s2"]),
+        }
+    )
+    boot = pa.table(
+        {
+            "lsn": pa.array([0, 0, 0], pa.int64()),
+            "op": pa.array(["INSERT"] * 3),
+            **{c: base[c] for c in base.column_names},
+        }
+    )
+    apply_changes(_write(tmp_path, "b/log.parquet", boot), lake, num_partitions=2)
+    views.create_view(lake, view, group_col="source", aggs=AGGS)
+    # delete every s2 row; move doc b from s1 to s1 (update in place)
+    log = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["DELETE", "UPDATE"]),
+            "doc_id": pa.array(["c", "b"]),
+            "tokens": pa.array([None, [9, 9, 9]], pa.list_(pa.int32())),
+            "n_tok": pa.array([None, 3], pa.int32()),
+            "source": pa.array([None, "s3"]),
+        }
+    )
+    apply_changes(_write(tmp_path, "d/log.parquet", log), lake, num_partitions=2)
+    views.refresh_view(lake, view)
+    got = _view_dict(view)
+    assert set(got) == {"s1", "s3"}  # s2 dropped, s3 appeared (group move)
+    assert got["s1"] == (1, 1, 1.0)
+    assert got["s3"] == (1, 3, 3.0)
+
+
+def test_vacuumed_base_raises(tmp_path):
+    from palimpzest_ray.cdc.manifest import vacuum
+
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    _seed(tmp_path, lake, n_base=100)
+    views.create_view(lake, view, group_col="source", aggs=AGGS)
+    for i in range(3):  # advance the lake 3 versions past the view base
+        log = make_change_table(200, 100, seed=10 + i, start_lsn=1 + 200 * i)
+        apply_changes(_write(tmp_path, f"v{i}/log.parquet", log), lake,
+                      num_partitions=4)
+    vacuum(lake, keep_versions=1)
+    with pytest.raises(ValueError, match="recreate the view"):
+        views.refresh_view(lake, view)
+
+
+def test_unsupported_agg_rejected(tmp_path):
+    lake = str(tmp_path / "lake")
+    _seed(tmp_path, lake, n_base=50)
+    with pytest.raises(ValueError, match="not delta-maintainable"):
+        views.create_view(
+            lake, str(tmp_path / "v"), group_col="source",
+            aggs={"m": ("max", "n_tok")},
+        )
