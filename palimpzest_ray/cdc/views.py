@@ -21,10 +21,14 @@ min/max are NOT delta-maintainable under deletes (a retracted maximum
 needs the group rescanned) — rejected with a clear error instead of a
 silently-wrong fast path.
 
-Storage: each view version is an atomic ``sinks.write_versioned``
-parquet artifact plus a ``_view.json`` recording the aggregate spec and
-the lake version the view reflects; refresh commits the data THEN the
-pointer, so a crash between the two leaves the old view consistent.
+Storage: each refresh writes a NEW ``sinks.write_versioned`` parquet
+version, then atomically updates ``_view.json`` — which records the
+aggregate spec, the lake version the view reflects, AND the view data
+version it lives in. Readers and refreshes resolve the PINNED data
+version from ``_view.json`` (never "latest on disk"), so a crash
+between the data write and the pointer flip leaves an orphan data
+directory but a fully consistent (old) view — the retried refresh
+recomputes the same delta against the old data, no double apply.
 
 Reference note: the reference has no incremental machinery (its
 optimizer re-plans full pipelines per run); this is engine-mandated
@@ -62,6 +66,13 @@ def _store_meta(view_root: str, meta: dict) -> None:
 
 def _sum_col(out: str) -> str:
     return f"_sum_{out}"
+
+
+def _read_pinned(view_root: str, meta: dict) -> rd.Dataset:
+    """Read the data version ``_view.json`` points at — NOT the newest
+    directory on disk, which may be an orphan from a crashed refresh."""
+    base = os.path.join(view_root, f"v{meta['view_version']}")
+    return rd.read_parquet(base)
 
 
 def _partial(meta: dict, sign: int):
@@ -157,7 +168,8 @@ def create_view(
         _partial(meta_n, +1), batch_format="pyarrow"
     )
     os.makedirs(view_root, exist_ok=True)
-    sinks.write_versioned(_reduce(parts, meta_n), view_root)
+    m = sinks.write_versioned(_reduce(parts, meta_n), view_root)
+    meta["view_version"] = m["version"]
     _store_meta(view_root, meta)
     return meta
 
@@ -200,11 +212,12 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
 
     plus = new_rows.map_batches(_partial(meta_n, +1), batch_format="pyarrow")
     minus = old_rows.map_batches(_partial(meta_n, -1), batch_format="pyarrow")
-    current = sinks.read_versioned(view_root)
+    current = _read_pinned(view_root, meta)
     merged = _reduce(current.union(plus).union(minus), meta_n)
-    sinks.write_versioned(merged, view_root)
+    m = sinks.write_versioned(merged, view_root)
     meta["lake_version"] = latest.version
-    _store_meta(view_root, meta)
+    meta["view_version"] = m["version"]
+    _store_meta(view_root, meta)  # the commit: data first, pointer second
     return {
         "refreshed": True,
         "from_version": base_v,
@@ -232,6 +245,6 @@ def read_view(view_root: str) -> rd.Dataset:
                 )
         return pa.table(cols)
 
-    return sinks.read_versioned(view_root).map_batches(
+    return _read_pinned(view_root, meta).map_batches(
         _present, batch_format="pyarrow"
     )

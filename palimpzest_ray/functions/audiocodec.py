@@ -45,6 +45,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("corrupt WAV: missing fmt or data chunk")
     audio_fmt, ch, rate, bits = fmt
+    if ch <= 0 or rate <= 0:
+        raise ValueError(f"corrupt WAV: channels={ch}, rate={rate}")
     if audio_fmt == 1:  # integer PCM
         if bits == 8:  # unsigned, offset-binary
             x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)

@@ -275,4 +275,4 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w = img.shape[:2]
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-    return img[np.ix_(ys, xs)] if img.ndim == 2 else img[np.ix_(ys, xs)]
+    return img[np.ix_(ys, xs)]  # np.ix_ leaves a trailing channel dim intact

@@ -170,6 +170,7 @@ class OpenAIChatGenerator:
 
         t0 = time.monotonic()
         last_err: Exception | None = None
+        attempt = 0
         for attempt in range(cfg.max_retries + 1):
             try:
                 req = urllib.request.Request(
@@ -190,8 +191,7 @@ class OpenAIChatGenerator:
                 last_err = e
             if attempt < cfg.max_retries:
                 time.sleep(cfg.backoff_s * (2 ** attempt))
-        self.usage.record(None, time.monotonic() - t0, cfg.max_retries,
-                          failed=True)
+        self.usage.record(None, time.monotonic() - t0, attempt, failed=True)
         del last_err  # relax-schema: degrade to empty generation
         return ""
 

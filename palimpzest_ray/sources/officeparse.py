@@ -329,12 +329,20 @@ def _extract_strings(content: bytes) -> str:
                 j += 1
             pending = _decode_pdf_string(content[start : j - 1])
             i = j
-        elif c == b"<" and content[i : i + 2] != b"<<":
+        elif c == b"<":
+            if content[i : i + 2] == b"<<":  # inline dict, not a string
+                i += 2
+                continue
             j = content.find(b">", i)
+            if j < 0:
+                break
             hexs = re.sub(rb"\s", b"", content[i + 1 : j])
             if len(hexs) % 2:
                 hexs += b"0"
-            pending = bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+            try:
+                pending = bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+            except (ValueError, UnicodeDecodeError):
+                pending = None  # not a hex string (e.g. stray operand)
             i = j + 1
         elif c == b"[":  # TJ array: strings interleaved with kerns
             j, depth = i + 1, 1

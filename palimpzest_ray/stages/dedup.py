@@ -440,6 +440,10 @@ def _drop_by_pair_table(
     components and the drop set is applied via a SHUFFLE anti-join —
     nothing pair- or drop-sized ever converges on the driver."""
     if distributed is None:
+        # count() would otherwise execute the whole LSH pipeline once for
+        # the path choice and AGAIN for the chosen path — pin the pair
+        # table first (pairs are narrow: two id columns)
+        pair_tbl = pair_tbl.materialize()
         distributed = pair_tbl.count() > driver_pair_limit
     if not distributed:
         pairs = [(r["id_a"], r["id_b"]) for r in pair_tbl.take_all()]

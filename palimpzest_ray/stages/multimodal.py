@@ -31,6 +31,19 @@ import ray.data as rd
 
 from palimpzest_ray.functions.tokens import stable_hash
 
+# everything a malformed payload can raise out of a codec (in-repo or
+# third-party): truncated headers (struct.error), corrupt deflate
+# (zlib.error), bad geometry (ValueError/ZeroDivisionError/IndexError),
+# library I/O errors (OSError/RuntimeError). The per-row stub fallback
+# must catch ALL of these — one bad blob must never fail the batch.
+import struct as _struct
+import zlib as _zlib
+
+_DECODE_ERRORS = (
+    ValueError, OSError, RuntimeError, KeyError, IndexError,
+    ZeroDivisionError, _struct.error, _zlib.error,
+)
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.string()),
@@ -159,7 +172,7 @@ class ImageDecodeStage(_MediaStage):
                     px = np.pad(px, (0, self.feature_dim - px.size))
                 feats[i] = px[: self.feature_dim]
                 dims[i] = (w, h)
-            except (ValueError, OSError):
+            except _DECODE_ERRORS:
                 undecodable.append(i)
         if undecodable:
             sub = content.take(pa.array(undecodable, pa.int64()))
@@ -228,7 +241,7 @@ class AudioFeatureStage(_MediaStage):
         for i, blob in enumerate(content.to_pylist()):
             try:
                 feats[i], dur[i] = self._decode_one(blob)
-            except (ValueError, OSError, RuntimeError):
+            except _DECODE_ERRORS:
                 undecodable.append(i)
         if undecodable:
             sub = content.take(pa.array(undecodable, pa.int64()))

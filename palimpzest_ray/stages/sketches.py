@@ -398,7 +398,12 @@ def hll_distinct_by(
 
     def _sk(batch: pa.Table) -> pa.Table:
         limit_kernel_threads()
-        h = _HLL_HASHES[hash_fn](batch[col])
+        # null rows are excluded from registers below (sel[valid[sel]]);
+        # fill first so hashing never casts NaN to int64
+        col_filled = pa.compute.fill_null(
+            batch[col], pa.scalar(0).cast(batch[col].type)
+        )
+        h = _HLL_HASHES[hash_fn](col_filled)
         m = 1 << p
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         w = h << np.uint64(p)

@@ -81,3 +81,17 @@ def test_audio_stage_real_wav(ray_session):
     # non-WAV payload keeps the stub contract (64 kB @ 32 kB/s = 2 s)
     assert junk["duration_s"] == pytest.approx(2.0)
     assert len(junk["audio_feat"]) == 32
+
+
+def test_stage_survives_zero_channel_wav(ray_session):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 16000, 0, 0, 16)  # channels=0
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="channels"):
+        ac.decode_wav(blob)
+    ds = rd.from_arrow(multimodal.table_from_blobs(["z.wav"], [blob], "audio/wav"))
+    rows = multimodal.audio_features(ds, concurrency=1).take_all()
+    assert len(rows) == 1 and len(rows[0]["audio_feat"]) == 32  # stub fallback

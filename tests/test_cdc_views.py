@@ -148,3 +148,28 @@ def test_unsupported_agg_rejected(tmp_path):
             lake, str(tmp_path / "v"), group_col="source",
             aggs={"m": ("max", "n_tok")},
         )
+
+
+def test_crashed_refresh_is_not_double_applied(tmp_path, monkeypatch):
+    """Crash between the data write and the _view.json flip must leave
+    the view consistent: the pointer still pins the OLD data version, so
+    the retried refresh recomputes the same delta once, not twice."""
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    _seed(tmp_path, lake, n_base=200)
+    views.create_view(lake, view, group_col="source", aggs=AGGS)
+    log2 = make_change_table(800, 200, seed=21, start_lsn=1)
+    apply_changes(_write(tmp_path, "e2/log.parquet", log2), lake, num_partitions=4)
+
+    real_store = views._store_meta
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    monkeypatch.setattr(views, "_store_meta", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        views.refresh_view(lake, view)  # data v2 written, pointer NOT
+    monkeypatch.setattr(views, "_store_meta", real_store)
+
+    views.refresh_view(lake, view)  # retry succeeds against pinned v1
+    assert {k: v[:2] for k, v in _view_dict(view).items()} == _recompute(lake)

@@ -195,3 +195,19 @@ def test_image_decode_stage_real_png(ray_session):
         np.testing.assert_allclose(rows[i]["image_feat"], small[:16], rtol=1e-6)
     # undecodable row kept the deterministic stub contract
     assert rows[4]["width"] >= 1 and len(rows[4]["image_feat"]) == 16
+
+
+def test_stage_survives_corrupt_codec_level_payloads(ray_session):
+    """Blobs that pass sniffing but die inside the codec (zlib.error,
+    struct.error) must fall back per row, never fail the batch."""
+    good = ic.encode_png(_rng(0).integers(0, 256, (5, 5), dtype=np.uint8))
+    corrupt_deflate = good[:40] + b"\xff\x00garbage" + good[50:]
+    truncated = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR\x01"
+    ds = rd.from_arrow(
+        multimodal.table_from_blobs(
+            ["g.png", "c.png", "t.png"], [good, corrupt_deflate, truncated],
+            "image/png",
+        )
+    )
+    rows = multimodal.decode_images(ds, concurrency=1, feature_dim=8).take_all()
+    assert len(rows) == 3 and all(len(r["image_feat"]) == 8 for r in rows)

@@ -154,3 +154,10 @@ def test_pdf_multi_content_streams_and_page_tree():
 def test_pdf_rejects_non_pdf():
     with pytest.raises(ValueError, match="not a PDF"):
         op.extract_pdf_pages(b"plain text")
+
+
+def test_pdf_inline_dict_in_content_stream():
+    """Marked-content operators carry inline <<...>> dicts; they must be
+    skipped, not parsed as hex strings."""
+    content = b"/OC <</MCID 0>> BDC BT (visible) Tj ET EMC"
+    assert op._extract_strings(content) == "visible"
