@@ -1016,6 +1016,24 @@ def q75_incremental_view(sf_dir: str):
     return pzd.Dataset(run_cdc_view_demo(sf_dir))
 
 
+def q76_text_normalize(sf_dir: str):
+    """Corpus canonicalization: NFC → lower → whitespace collapse →
+    trim (stages/text.normalize_text); oracle replays the same duckdb
+    expression chain."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(T.normalize_text).project(["doc_id", "text_norm"])
+
+
+def q77_rag_chunking(sf_dir: str):
+    """RAG chunker: 256-char windows with 32-char overlap, 1:N explode
+    with chunk index/offset (stages/text.chunk_text); exact
+    generate_series + substr oracle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: T.chunk_text(b, chunk_size=256, overlap=32)
+    ).project(["doc_id", "chunk_idx", "chunk_start", "chunk"])
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1267,6 +1285,8 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q73_epoch_shuffle": q73_epoch_shuffle,
         "q74_mixture_upsample": q74_mixture_upsample,
         "q75_incremental_view": q75_incremental_view,
+        "q76_text_normalize": q76_text_normalize,
+        "q77_rag_chunking": q77_rag_chunking,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1447,6 +1467,23 @@ def _base_oracle_sql() -> dict[str, str]:
             select source, count(*) as n_docs,
                    cast(sum(n_tok) as bigint) as total_tok
             from final group by source
+        """,
+        "q76_text_normalize": f"""
+            select doc_id, {T.normalize_text_sql("text")} as text_norm
+            from documents
+        """,
+        # n_chunks = ceil(max(len - overlap, 1) / step), step = 224;
+        # substr is 1-based and character-counted on both engines
+        "q77_rag_chunking": r"""
+            select doc_id, i as chunk_idx, i * 224 as chunk_start,
+                   substr(text, cast(i * 224 + 1 as int), 256) as chunk
+            from (
+              select doc_id, text,
+                     unnest(generate_series(
+                       0,
+                       (greatest(length(text) - 32, 1) + 223) // 224 - 1
+                     )) as i
+              from documents) s
         """,
         "q74_mixture_upsample": """
             select doc_id, source,

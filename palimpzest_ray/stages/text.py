@@ -187,3 +187,80 @@ def redact_pii_sql(text_col: str = "text", kinds: list[str] | None = None) -> st
         pat_sql = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
     return expr
+
+
+def normalize_text(
+    batch: pa.Table, text_col: str = "text", out_col: str = "text_norm"
+) -> pa.Table:
+    """Training-corpus text canonicalization: Unicode NFC → lowercase →
+    collapse whitespace runs → trim. Chosen to be exactly duckdb's
+    ``trim(regexp_replace(lower(nfc_normalize(x)), '\\s+', ' ', 'g'))``
+    (see :func:`normalize_text_sql`) so dedup/fingerprint stages built
+    on it compare canonical forms across engines."""
+    import unicodedata
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # NFC has no Arrow kernel; unicodedata.normalize is a C call per row
+    arr = pa.array(
+        [None if t is None else unicodedata.normalize("NFC", t) for t in col.to_pylist()],
+        pa.string(),
+    )
+    arr = pc.utf8_lower(arr)
+    arr = pc.replace_substring_regex(arr, r"\s+", " ")
+    arr = pc.utf8_trim(arr, " ")  # duckdb trim strips spaces only
+    return batch.append_column(out_col, arr)
+
+
+def normalize_text_sql(text_col: str = "text") -> str:
+    """The exact SQL replay of :func:`normalize_text`."""
+    return rf"trim(regexp_replace(lower(nfc_normalize({text_col})), '\s+', ' ', 'g'))"
+
+
+def chunk_text(
+    batch: pa.Table,
+    *,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+) -> pa.Table:
+    """RAG-style 1:N chunking: fixed-size character windows with
+    ``overlap`` carried between neighbors. Emits one row per chunk with
+    ``chunk_idx`` / ``chunk_start`` / ``chunk``; every document yields
+    at least one chunk (empty text → one empty chunk). Character-based
+    (``substr`` semantics), so the duckdb oracle is exact:
+
+        n_chunks = ceil(max(len - overlap, 1) / (chunk_size - overlap))
+        chunk_i  = substr(text, i*step + 1, chunk_size)
+
+    Vectorized explode: ``np.repeat`` of the parent batch + per-chunk
+    slicing (parents replicated once, payload column dropped first if
+    huge is the caller's choice)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    texts = col.to_pylist()
+    lens = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
+    n_chunks = (np.maximum(lens - overlap, 1) + step - 1) // step
+    idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_chunks)
+    starts_of = np.zeros(batch.num_rows + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=starts_of[1:])
+    chunk_idx = np.arange(len(idx), dtype=np.int64) - starts_of[idx]
+    chunk_start = chunk_idx * step
+    chunks = pa.array(
+        [
+            None if texts[r] is None else texts[r][s : s + chunk_size]
+            for r, s in zip(idx, chunk_start)
+        ],
+        pa.string(),
+    )
+    out = batch.take(pa.array(idx, pa.int64()))
+    return (
+        out.append_column("chunk_idx", pa.array(chunk_idx, pa.int64()))
+        .append_column("chunk_start", pa.array(chunk_start, pa.int64()))
+        .append_column("chunk", chunks)
+    )

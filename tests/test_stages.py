@@ -562,3 +562,26 @@ def test_minhash_dedup_distributed_equals_driver_path():
         for r in dedup.minhash_lsh_dedup(ds, distributed=True).take_all()
     }
     assert a == b and len(b) == 13  # 12 uniques + one duplicate representative
+
+
+def test_chunk_text_overlap_reconstruction():
+    """Neighboring chunks share exactly `overlap` chars; concatenating
+    de-overlapped chunks rebuilds the document."""
+    t = pa.table({"doc_id": [1], "text": ["x" * 5 + "abcdefghijKLMNOPQRST"]})
+    out = text.chunk_text(t, chunk_size=8, overlap=3)
+    chunks = out["chunk"].to_pylist()
+    full = t["text"][0].as_py()
+    rebuilt = chunks[0] + "".join(c[3:] for c in chunks[1:])
+    assert rebuilt == full
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-3:] == b[:3] or len(b) < 3
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_text(t, chunk_size=4, overlap=4)
+
+
+def test_normalize_text_canonical_forms():
+    import unicodedata
+
+    decomposed = unicodedata.normalize("NFD", "Café")
+    out = text.normalize_text(pa.table({"text": [decomposed, "A  \t B ", None]}))
+    assert out["text_norm"].to_pylist() == ["café", "a b", None]
