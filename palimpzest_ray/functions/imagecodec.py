@@ -258,7 +258,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if kind == "bmp":
         return decode_bmp(data)
-    raise ValueError("unknown image format (supported: PNG, BMP)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):  # still image = first frame
+        from palimpzest_ray.functions import gifcodec
+
+        return gifcodec.decode_gif(data)[0]
+    raise ValueError("unknown image format (supported: PNG, BMP, GIF)")
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:

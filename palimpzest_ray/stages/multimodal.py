@@ -262,25 +262,61 @@ class FrameSampleStage(_MediaStage):
 
     Emits one output row per sampled frame with ``frame_idx`` — the
     multimodal analogue of the reference's ``Cardinality.ONE_TO_MANY``
-    converts (``convert.py:198-259``)."""
+    converts (``convert.py:198-259``).
+
+    Real path: animated GIF via the in-repo stdlib codec
+    (``functions/gifcodec.py``) — ``num_frames`` frames sampled evenly
+    across the timeline, features = resized grayscale pixels. Other
+    containers (mp4/webm — no ffmpeg here) fall back per row to the
+    deterministic stub. Schema is identical either way."""
 
     def __init__(self, num_frames: int = 4, feature_dim: int = 64):
         self.num_frames = num_frames
         self.feature_dim = feature_dim
+        self._side = int(np.ceil(np.sqrt(feature_dim)))
         super().__init__()
+
+    def _load_codec(self):
+        from palimpzest_ray.functions import gifcodec, imagecodec
+
+        return (gifcodec, imagecodec)
+
+    def _decode_one(self, blob: bytes) -> np.ndarray:
+        """blob → (num_frames, feature_dim) float32 from real pixels."""
+        gifcodec, imagecodec = self._codec
+        frames = gifcodec.decode_gif(blob)
+        picks = np.linspace(0, len(frames) - 1, self.num_frames).astype(int)
+        out = np.empty((self.num_frames, self.feature_dim), dtype=np.float32)
+        for j, fi in enumerate(picks):
+            gray = imagecodec.to_gray(frames[fi])
+            px = imagecodec.resize_nearest(gray, self._side, self._side)
+            flat = px.astype(np.float32).reshape(-1) / 255.0
+            out[j] = flat[: self.feature_dim]
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         content = batch["content"].combine_chunks()
-        seeds = stable_hash(content)
         rows = np.repeat(np.arange(n), self.num_frames)
         frame_idx = np.tile(np.arange(self.num_frames), n)
         feats = np.empty((n * self.num_frames, self.feature_dim), dtype=np.float32)
-        for i in range(n):  # stub decode; per-frame fill vectorized
-            rng = np.random.default_rng(int(seeds[i]))
-            feats[i * self.num_frames : (i + 1) * self.num_frames] = (
-                rng.standard_normal((self.num_frames, self.feature_dim))
-            )
+        undecodable: list[int] = []
+        blobs = content.to_pylist()
+        for i, blob in enumerate(blobs):
+            try:
+                feats[i * self.num_frames : (i + 1) * self.num_frames] = (
+                    self._decode_one(blob)
+                )
+            except _DECODE_ERRORS:
+                undecodable.append(i)
+        if undecodable:
+            sub = content.take(pa.array(undecodable, pa.int64()))
+            seeds = stable_hash(sub)
+            for j, i in enumerate(undecodable):  # stub: hash-seeded fake
+                rng = np.random.default_rng(int(seeds[j]))
+                feats[i * self.num_frames : (i + 1) * self.num_frames] = (
+                    rng.standard_normal((self.num_frames, self.feature_dim))
+                )
         out = batch.drop_columns(["content"]).take(pa.array(rows))
         out = out.append_column("frame_idx", pa.array(frame_idx.astype(np.int32)))
         return out.append_column(

@@ -167,7 +167,7 @@ def test_decode_image_sniff():
     img = _rng(5).integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
     np.testing.assert_array_equal(ic.decode_image(ic.encode_png(img)), img)
     with pytest.raises(ValueError, match="unknown image format"):
-        ic.decode_image(b"GIF89a-not-supported")
+        ic.decode_image(b"WEBP-not-supported")
 
 
 # ------------------------------------------------- stage real-decode path
