@@ -238,3 +238,102 @@ def test_window_kind_values_match_duckdb(orders, seed, k):
             rtol=1e-12, atol=1e-12,
             err_msg=f"{kind} (k={kk})",
         )
+
+
+# ----------------------------------------------------- round-2 additions
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=0, max_size=30),
+    st.integers(2, 20),
+    st.integers(0, 2**16),
+)
+@settings(max_examples=60, deadline=None)
+def test_packing_reference_covers_every_token_once(doc_lens, seq_len, seed):
+    """The sequential packing oracle itself: with drop_last=False the
+    chunks partition the stream exactly; every chunk except possibly
+    the last has seq_len tokens; doc boundaries carry EOS."""
+    from palimpzest_ray.stages.packing import pack_sequences_reference
+
+    rng = np.random.default_rng(seed)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(doc_lens)), pa.int64()),
+            "tokens": pa.array(
+                [rng.integers(1, 100, n).astype(np.int32).tolist() for n in doc_lens],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    out = pack_sequences_reference(t, seq_len, drop_last=False)
+    total = sum(doc_lens) + len(doc_lens)  # + one EOS per doc
+    assert sum(len(c) for _, c in out) == total
+    assert all(len(c) == seq_len for _, c in out[:-1])
+    stream = [tok for _, c in out for tok in c]
+    assert stream.count(0) >= len(doc_lens)  # every EOS present
+
+
+@given(
+    st.lists(st.text(alphabet="ab \t\nCé", max_size=12), min_size=1, max_size=20),
+    st.integers(2, 10),
+    st.integers(0, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_chunk_text_partitions_with_overlap(texts, chunk_size, overlap):
+    """Chunks tile the document: chunk i starts at i*step, all chunks
+    except the last are full-size when the text is long enough, and
+    de-overlapped concatenation rebuilds the text."""
+    from palimpzest_ray.stages.text import chunk_text
+
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    step = chunk_size - overlap
+    t = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    out = chunk_text(t, chunk_size=chunk_size, overlap=overlap)
+    df = out.to_pandas()
+    for doc_id, grp in df.groupby("doc_id"):
+        text = texts[doc_id]
+        grp = grp.sort_values("chunk_idx")
+        chunks = list(grp["chunk"])
+        assert list(grp["chunk_start"]) == [i * step for i in range(len(chunks))]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == text or (text == "" and chunks == [""])
+        n_exp = max(1, -(-max(len(text) - overlap, 1) // step))
+        assert len(chunks) == n_exp
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 1000)),
+        min_size=1, max_size=40, unique_by=lambda t: t[1],
+    ),
+    st.floats(0.0, 4.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_upsample_copy_counts_match_closed_form(rows, w):
+    """copies(key) == floor(w) + [hash_unit(key) < frac(w)] exactly."""
+    import ray
+    if not ray.is_initialized():
+        return  # session fixture owns Ray; skip under collection oddities
+    import ray.data as rd
+
+    from palimpzest_ray.stages.mixing import upsample_by_weight
+    from palimpzest_ray.stages.sampling import _unit_hash
+
+    t = pa.table(
+        {
+            "source": pa.array([r[0] for r in rows]),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    out = upsample_by_weight(
+        rd.from_arrow(t), "source", {"x": w}, key="doc_id", default=1.0, seed=3
+    ).take_all()
+    counts: dict[int, int] = {}
+    for r in out:
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    hu = _unit_hash(t["doc_id"], 3)
+    for i, (src, did) in enumerate(rows):
+        ww = w if src == "x" else 1.0
+        exp = int(np.floor(ww)) + (1 if hu[i] < (ww - np.floor(ww)) else 0)
+        assert counts.get(did, 0) == exp
