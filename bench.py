@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "q30_rollup_order_totals",
     "q37_rolling_quantity",
     "q39_scalar_math_funcs",
+    "q72_sequence_packing",
+    "q75_incremental_view",
     "cdc_replay",
 ]
 

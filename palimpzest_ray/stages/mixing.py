@@ -44,6 +44,8 @@ def global_row_number(
     Buckets must each fit one ``map_groups`` task; size ``num_buckets``
     to the data (same contract as the shuffle-join width)."""
     first = order_cols[0]
+    # pinned: count, key sample, bucket counts, and ranking all read it
+    ds = ds.materialize()
     n = ds.count()
     if n == 0:
         def _empty(batch: pa.Table) -> pa.Table:

@@ -99,6 +99,11 @@ def pack_sequences(
     ``order_col`` must be unique per row (it defines the packing
     order); duplicates would make the layout nondeterministic.
     """
+    # Pin the input: the plan below reads it four times (count, key
+    # sample, bucket totals, piece emission) and Ray re-executes a lazy
+    # plan per action — pinning trades object-store residency (which
+    # can spill) for 4x recompute of everything upstream.
+    ds = ds.materialize()
     sample = _order_key_sample(ds, order_col)
     if sample.size == 0:
         return rd.from_arrow(
