@@ -1046,6 +1046,7 @@ def final_state(
     user_columns_only: bool = True,
     include_tombstones: bool = False,
     version: int | None = None,
+    columns: list[str] | None = None,
 ) -> rd.Dataset:
     """Read a committed lake version as a streaming Dataset, unifying
     per-file schemas — carried-forward partitions may predate an
@@ -1053,7 +1054,10 @@ def final_state(
     Persisted tombstones are filtered out unless ``include_tombstones``
     (raw physical rows, for rebucketing/compaction). ``version`` time
     travels to any version :func:`vacuum` has not dropped (default:
-    latest)."""
+    latest). ``columns`` prunes the parquet read to the named USER
+    columns (+ the internal columns the filter needs) — pass it when a
+    consumer doesn't touch the token payload (e.g. aggregate views:
+    group/value columns are bytes, tokens are megabytes)."""
     if version is not None:
         from palimpzest_ray.cdc.manifest import load_manifest
 
@@ -1064,6 +1068,14 @@ def final_state(
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     files = manifest.data_files(lake_root)
     schema = manifest.schema
+    read_cols = None
+    if columns is not None:
+        internal = [TOMBSTONE_COL] if not include_tombstones else []
+        if not user_columns_only:
+            internal = [LSN_COL, TOMBSTONE_COL]
+        read_cols = list(dict.fromkeys(list(columns) + internal))
+        keep = [f for f in schema if f.name in read_cols]
+        schema = pa.schema(keep)
 
     def _conform(batch: pa.Table) -> pa.Table:
         t = conform(batch, schema)
@@ -1071,9 +1083,33 @@ def final_state(
             t = t.filter(
                 pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False)))
             )
+            if columns is not None and TOMBSTONE_COL not in columns:
+                t = t.drop_columns([TOMBSTONE_COL])
         return drop_internal(t) if user_columns_only else t
 
-    return rd.read_parquet(files).map_batches(_conform, batch_format="pyarrow")
+    if read_cols is None:
+        return rd.read_parquet(files).map_batches(_conform, batch_format="pyarrow")
+
+    # Parquet-level pruning: only the named columns leave storage. A
+    # carried-forward file may predate an evolved column, and
+    # read_parquet errors on a missing column — so group files by which
+    # requested columns their footer actually has (footer reads are
+    # metadata-only) and read each group with its own pruned list;
+    # conform() null-backfills the gaps, then the groups union.
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        names = set(pq.read_schema(f).names)
+        present = tuple(c for c in read_cols if c in names)
+        groups.setdefault(present, []).append(f)
+    parts = [
+        rd.read_parquet(fl, columns=list(cols) if cols else None).map_batches(
+            _conform, batch_format="pyarrow"
+        )
+        for cols, fl in groups.items()
+    ]
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
 def net_changes_since(lake_root: str, version: int) -> rd.Dataset:

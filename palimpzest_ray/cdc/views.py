@@ -68,6 +68,17 @@ def _sum_col(out: str) -> str:
     return f"_sum_{out}"
 
 
+def _needed_cols(meta: dict) -> list[str]:
+    """The only lake columns an aggregate view touches — passed to
+    ``final_state(columns=...)`` so the token payload never leaves
+    parquet (group/value columns are bytes per row, tokens are KBs)."""
+    cols = [meta["key"], meta["group_col"]]
+    for _out, (fn, col) in dict(meta["aggs"]).items():
+        if fn != "count" and col:
+            cols.append(col)
+    return list(dict.fromkeys(cols))
+
+
 def _read_pinned(view_root: str, meta: dict) -> rd.Dataset:
     """Read the data version ``_view.json`` points at — NOT the newest
     directory on disk, which may be an orphan from a crashed refresh."""
@@ -164,7 +175,7 @@ def create_view(
         "lake_version": manifest.version,
     }
     meta_n = {"group_col": group_col, "aggs": aggs, "key": key}
-    parts = final_state(lake_root).map_batches(
+    parts = final_state(lake_root, columns=_needed_cols(meta_n)).map_batches(
         _partial(meta_n, +1), batch_format="pyarrow"
     )
     os.makedirs(view_root, exist_ok=True)
@@ -189,7 +200,9 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
     if latest.version == base_v:
         return {"refreshed": False, "lake_version": base_v}
     try:
-        old_state = final_state(lake_root, version=base_v)
+        old_state = final_state(
+            lake_root, version=base_v, columns=_needed_cols(meta)
+        )
     except FileNotFoundError as e:
         raise ValueError(
             f"view base version v{base_v} is no longer readable "
