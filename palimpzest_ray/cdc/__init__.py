@@ -3,6 +3,7 @@ from palimpzest_ray.cdc.engine import (
     apply_changes,
     final_state,
     final_state_table,
+    lookup,
     lww_latest,
     net_changes_since,
     repartition_lake,
@@ -31,6 +32,7 @@ __all__ = [
     "final_state",
     "final_state_table",
     "lww_latest",
+    "lookup",
     "repartition_lake",
     "net_changes_since",
     "load_manifest",

@@ -1169,3 +1169,64 @@ def final_state_table(lake_root: str, *, user_columns_only: bool = True) -> pa.T
     if user_columns_only:
         t = drop_internal(t)
     return t.sort_by("doc_id")
+
+
+def lookup(
+    lake_root: str,
+    keys: list,
+    *,
+    key: str = "doc_id",
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Point/key-set read from the lake WITHOUT scanning it: the lake is
+    hash-partitioned on ``key`` (``stable_bucket(key) % P``), so a
+    lookup reads at most ``len(keys)`` partition files out of P —
+    O(total/P) bytes per key — then filters exactly. The serving-side
+    complement to :func:`apply_changes` (a consumer fetching specific
+    documents from a 100-TB lake must not pay a table scan).
+
+    Tombstoned keys return no row (they are deleted). ``columns`` prunes
+    each file's read to the named user columns; evolved columns missing
+    from carried-forward files are null-backfilled. Deterministic: same
+    keys, same version → same table (sorted by ``key``)."""
+    import pyarrow.parquet as pq_
+
+    from palimpzest_ray.cdc.manifest import load_manifest
+    from palimpzest_ray.functions.tokens import stable_bucket
+
+    if version is not None:
+        manifest = load_manifest(lake_root, version)
+    else:
+        manifest = load_latest_manifest(lake_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    karr = pa.array(keys)
+    schema = manifest.schema
+    if columns is not None:
+        want = list(dict.fromkeys([key] + list(columns)))
+        schema = pa.schema([f for f in schema if f.name in want])
+    need = (
+        None
+        if columns is None
+        else list(dict.fromkeys([key] + list(columns) + [TOMBSTONE_COL]))
+    )
+    out: list[pa.Table] = []
+    for p in np.unique(stable_bucket(karr, manifest.num_partitions)):
+        entry = manifest.parts.get(int(p))
+        if entry is None:
+            continue
+        path = os.path.join(lake_root, entry.file)
+        rc = None
+        if need is not None:
+            present = set(pq_.read_schema(path).names)
+            rc = [c for c in need if c in present]
+        t = pq_.read_table(path, columns=rc)
+        t = t.filter(pc.is_in(t[key], value_set=karr))
+        if TOMBSTONE_COL in t.column_names:
+            t = t.filter(pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False))))
+        t = drop_internal(conform(t, schema))
+        out.append(t)
+    if not out:
+        return schema.empty_table()
+    return pa.concat_tables(out, promote_options="default").sort_by(key)

@@ -587,3 +587,47 @@ def test_combined_list_apply_equals_sequential(tmp_path, tmp_lake, base_and_chan
     got = final_state_table(tmp_lake)
     want = sequential_replay(base, changes)
     _assert_tables_equal(got, want)
+
+
+def test_lookup_reads_only_needed_partitions(tmp_path, base_and_changes, monkeypatch):
+    """Point reads: exact rows for live keys, nothing for deleted or
+    unknown keys, evolved columns backfilled — touching at most one
+    partition file per key, never the whole lake."""
+    import pyarrow.parquet as real_pq
+
+    from palimpzest_ray.cdc import lookup
+    from palimpzest_ray.cdc.engine import final_state_table
+
+    base, changes = base_and_changes
+    lake = str(tmp_path / "lake")
+    _seed_lake(tmp_path, lake, base)
+    p = _write(tmp_path, "log/changes.parquet", changes)
+    apply_changes(p, lake, num_partitions=16)
+
+    state = final_state_table(lake)
+    live = {r["doc_id"]: r for r in state.to_pylist()}
+    live_keys = sorted(live)[:3]
+    all_ids = set(base["doc_id"].to_pylist())
+    deleted = sorted(all_ids - set(live))[:1]
+    ask = live_keys + deleted + ["doc-does-not-exist"]
+
+    calls = {"n": 0}
+    orig = real_pq.read_table
+
+    def counting(path, *a, **k):
+        calls["n"] += 1
+        return orig(path, *a, **k)
+
+    monkeypatch.setattr(real_pq, "read_table", counting)
+    got = lookup(lake, ask)
+    assert calls["n"] <= len(ask)  # partition pruning, not a scan
+    assert got["doc_id"].to_pylist() == sorted(live_keys)
+    for r in got.to_pylist():
+        assert r["tokens"] == live[r["doc_id"]]["tokens"]
+
+    # pruned columns + evolved backfill + missing keys -> empty table
+    cols = [c for c in state.column_names if c not in ("doc_id", "tokens")]
+    pruned = lookup(lake, live_keys, columns=cols[:2])
+    assert set(pruned.column_names) == {"doc_id"} | set(cols[:2])
+    empty = lookup(lake, ["nope-1", "nope-2"])
+    assert empty.num_rows == 0 and "doc_id" in empty.column_names
