@@ -20,6 +20,7 @@ from palimpzest_ray.cdc.manifest import (
 )
 from palimpzest_ray.cdc.oracle import sequential_replay
 from palimpzest_ray.cdc.views import create_view, read_view, refresh_view
+from palimpzest_ray.cdc.index import build_token_index, refresh_token_index, search_tokens
 from palimpzest_ray.cdc.synth import (
     make_base_table,
     make_change_table,
@@ -48,6 +49,9 @@ __all__ = [
     "create_view",
     "refresh_view",
     "read_view",
+    "build_token_index",
+    "refresh_token_index",
+    "search_tokens",
     "make_base_table",
     "make_change_table",
     "write_base_lake",

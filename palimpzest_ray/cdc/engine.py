@@ -152,7 +152,12 @@ def _unified_change_schema(files: list[str]) -> pa.Schema:
     return unify(*[pq.read_schema(f) for f in files])
 
 
-def _normalize_factory(target_schema: pa.Schema, num_partitions: int, key: str):
+def _normalize_factory(
+    target_schema: pa.Schema,
+    num_partitions: int,
+    key: str,
+    partition_key: str | None = None,
+):
     """Stateless normalize stage: validate + conform + partition-assign.
 
     Columnar analogue of the reference's scan-time field validation
@@ -189,7 +194,7 @@ def _normalize_factory(target_schema: pa.Schema, num_partitions: int, key: str):
                 "ds.schema() only reflects the first block."
             )
         batch = conform(batch, target_schema)
-        part = stable_bucket(batch[key], num_partitions)
+        part = stable_bucket(batch[partition_key or key], num_partitions)
         batch = batch.append_column(PART_COL, pa.array(part))
         # fused per-batch LWW combiner (module docstring: the skew
         # treatment) — same pass as normalize so the shuffle input is
@@ -570,6 +575,7 @@ def apply_changes(
     change_schema: pa.Schema | None = None,
     since_lsn: int | None = None,
     streaming_threshold_rows: int = 4_000_000,
+    partition_key: str | None = None,
     _rebucket: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
@@ -601,6 +607,7 @@ def apply_changes(
             change_schema=change_schema,
             since_lsn=since_lsn,
             streaming_threshold_rows=streaming_threshold_rows,
+            partition_key=partition_key,
             _rebucket=_rebucket,
         )
 
@@ -619,9 +626,17 @@ def _apply_changes_impl(
     change_schema: pa.Schema | None = None,
     since_lsn: int | None = None,
     streaming_threshold_rows: int = 4_000_000,
+    partition_key: str | None = None,
     _rebucket: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
+
+    ``partition_key`` routes rows to partitions by a DIFFERENT column
+    than the LWW identity ``key`` (default: the key itself). Legal only
+    when the partition column is a pure function of the key (e.g. a
+    derived postings lake keyed on ``"token:doc"`` but partitioned by
+    ``token`` so searches prune) — every row of a key must land in one
+    partition. Use the same value on every apply to a given lake.
 
     ``since_lsn`` drops events with ``lsn <= since_lsn`` at normalize
     time — the binlog-tail idiom: pass the manifest's ``max_lsn`` to
@@ -763,7 +778,7 @@ def _apply_changes_impl(
     # (its internal concat cannot unify struct columns missing on one
     # side). After normalize every block has the unified schema. The
     # per-block LWW combiner is fused into normalize.
-    normalize_fn = _normalize_factory(norm_schema, num_partitions, key)
+    normalize_fn = _normalize_factory(norm_schema, num_partitions, key, partition_key)
     done_set = (
         pa.array(np.array(sorted(done), dtype=np.int32)) if done else None
     )

@@ -1,0 +1,260 @@
+"""Incremental inverted token index as a DERIVED LAKE: posting rows
+``(posting_id="token:doc", token, doc_id)`` maintained by the same CDC
+engine that maintains the document lake — which means the index gets
+exactly-once commits, checkpoint/resume, tombstones, time travel and
+vacuum for free instead of a bespoke index format.
+
+Layout is the trick: the posting lake is keyed on ``posting_id`` (the
+LWW identity) but PARTITIONED by ``token`` (``apply_changes
+partition_key="token"``), so a search for a token reads exactly one
+partition file out of P — the same pruning :func:`engine.lookup` does
+for documents, applied to the token dimension. (Legal because the
+partition column is a pure function of the key.)
+
+Maintenance mirrors view refresh (cdc/views.py): the doc-lake change
+feed names the changed doc_ids; their OLD postings come from the
+time-traveled doc lake at the index's base version, their NEW postings
+from the feed's live rows. The posting change log is then
+``DELETE(old posting not in new)`` + ``UPSERT(new posting)``, applied
+with each event carrying the doc's feed LSN — multi-epoch refreshes
+stay correct because the feed is the NET diff.
+
+Scale: posting volume ≈ Σ distinct tokens per doc. Everything is
+``flat_map``-shaped (one pass over changed docs), the exchange is the
+engine's keyed shuffle, and only partitions whose tokens changed are
+rewritten (untouched partitions carry forward by manifest reference).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from palimpzest_ray.cdc.engine import (
+    apply_changes,
+    final_state,
+    load_latest_manifest,
+    lookup as _lake_lookup,
+    net_changes_since,
+)
+
+_META = "_token_index.json"
+
+_POSTING_SCHEMA = pa.schema(
+    [
+        pa.field("lsn", pa.int64()),
+        pa.field("op", pa.string()),
+        pa.field("posting_id", pa.string()),
+        pa.field("token", pa.int64()),
+        pa.field("doc_id", pa.string()),
+    ]
+)
+
+
+def _meta_path(index_root: str) -> str:
+    return os.path.join(index_root, _META)
+
+
+def _load_meta(index_root: str) -> dict:
+    with open(_meta_path(index_root)) as f:
+        return json.load(f)
+
+
+def _store_meta(index_root: str, meta: dict) -> None:
+    tmp = _meta_path(index_root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(index_root))
+
+
+def _postings_batch(
+    doc_ids, tokens_col, lsns, op: str, key: str
+) -> pa.Table:
+    """(doc, tokens[], lsn) rows → exploded distinct posting events."""
+    toks = tokens_col
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    ids = doc_ids.to_pylist()
+    out_tok: list[int] = []
+    out_doc: list[str] = []
+    out_lsn: list[int] = []
+    for i, d in enumerate(ids):
+        uniq = np.unique(vals[offs[i] : offs[i + 1]])
+        out_tok.extend(int(t) for t in uniq)
+        out_doc.extend([d] * len(uniq))
+        out_lsn.extend([int(lsns[i])] * len(uniq))
+    pid = pa.array([f"{t}:{d}" for t, d in zip(out_tok, out_doc)], pa.string())
+    return pa.table(
+        {
+            "lsn": pa.array(out_lsn, pa.int64()),
+            "op": pa.array([op] * len(out_tok), pa.string()),
+            "posting_id": pid,
+            "token": pa.array(out_tok, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.string()),
+        },
+        schema=_POSTING_SCHEMA,
+    )
+
+
+def build_token_index(
+    lake_root: str,
+    index_root: str,
+    *,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_partitions: int = 32,
+) -> dict:
+    """Full build: explode the doc lake's current live rows into
+    distinct (token, doc) postings and bootstrap the posting lake."""
+    manifest = load_latest_manifest(lake_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake under {lake_root}")
+    docs = final_state(lake_root, columns=[key, tokens_col])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _postings_batch(
+            batch[key].combine_chunks() if isinstance(batch[key], pa.ChunkedArray)
+            else batch[key],
+            batch[tokens_col],
+            np.zeros(n, dtype=np.int64),
+            "INSERT",
+            key,
+        )
+
+    events = docs.map_batches(_explode, batch_format="pyarrow")
+    apply_changes(
+        events,
+        index_root,
+        key="posting_id",
+        partition_key="token",
+        num_partitions=num_partitions,
+        change_schema=_POSTING_SCHEMA,
+    )
+    meta = {
+        "lake_version": manifest.version,
+        "key": key,
+        "tokens_col": tokens_col,
+        "num_partitions": num_partitions,
+    }
+    _store_meta(index_root, meta)
+    return meta
+
+
+def refresh_token_index(lake_root: str, index_root: str) -> dict:
+    """Incremental catch-up from the doc-lake change feed: posting
+    deletes for tokens a changed doc lost, upserts for its current
+    tokens. Only token partitions that changed are rewritten."""
+    meta = _load_meta(index_root)
+    base_v = meta["lake_version"]
+    key, tokens_col = meta["key"], meta["tokens_col"]
+    latest = load_latest_manifest(lake_root)
+    if latest.version == base_v:
+        return {"refreshed": False, "lake_version": base_v}
+    # the net feed names the changed docs; it is bounded by churn since
+    # base_v, not by lake size — safe to pull for event generation
+    feed = net_changes_since(lake_root, base_v).map_batches(
+        lambda b: b.select(["lsn", "op", key, tokens_col]),
+        batch_format="pyarrow",
+    )
+    feed_tbl = pa.concat_tables(
+        feed.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    changed_keys = feed_tbl[key].to_pylist()
+    # OLD tokens of every changed doc, from the index's base version —
+    # a partition-pruned point lookup, not a scan
+    old = _lake_lookup(
+        lake_root, changed_keys, key=key, version=base_v, columns=[tokens_col]
+    )
+    old_tokens = {
+        d: set(t or []) for d, t in zip(old[key].to_pylist(), old[tokens_col].to_pylist())
+    }
+    new_tokens: dict[str, set] = {}
+    lsn_of: dict[str, int] = {}
+    for r in feed_tbl.to_pylist():
+        d = r[key]
+        lsn_of[d] = max(lsn_of.get(d, 0), r["lsn"])
+        new_tokens[d] = set(r[tokens_col] or []) if r["op"] == "UPDATE" else set()
+
+    rows_lsn, rows_op, rows_tok, rows_doc = [], [], [], []
+    for d, new in new_tokens.items():
+        old_t = old_tokens.get(d, set())
+        for t in sorted(old_t - new):
+            rows_lsn.append(lsn_of[d]); rows_op.append("DELETE")
+            rows_tok.append(int(t)); rows_doc.append(d)
+        for t in sorted(new):
+            rows_lsn.append(lsn_of[d]); rows_op.append("UPDATE")
+            rows_tok.append(int(t)); rows_doc.append(d)
+    events = pa.table(
+        {
+            "lsn": pa.array(rows_lsn, pa.int64()),
+            "op": pa.array(rows_op, pa.string()),
+            "posting_id": pa.array(
+                [f"{t}:{d}" for t, d in zip(rows_tok, rows_doc)], pa.string()
+            ),
+            "token": pa.array(rows_tok, pa.int64()),
+            "doc_id": pa.array(rows_doc, pa.string()),
+        },
+        schema=_POSTING_SCHEMA,
+    )
+    if events.num_rows:
+        apply_changes(
+            rd.from_arrow(events),
+            index_root,
+            key="posting_id",
+            partition_key="token",
+            num_partitions=meta["num_partitions"],
+            change_schema=_POSTING_SCHEMA,
+        )
+    meta["lake_version"] = latest.version
+    _store_meta(index_root, meta)
+    return {"refreshed": True, "from_version": base_v,
+            "lake_version": latest.version, "posting_events": events.num_rows}
+
+
+def search_tokens(
+    index_root: str, tokens: list[int], *, mode: str = "any"
+) -> list[str]:
+    """doc_ids containing ANY / ALL of ``tokens`` — a partition-pruned
+    read of ≤ len(tokens) posting partitions (engine.lookup pruning on
+    the token dimension), never an index scan."""
+    if mode not in ("any", "all"):
+        raise ValueError("mode must be 'any' or 'all'")
+    # postings are keyed on posting_id but PARTITIONED by token: prune
+    # by token, then filter exactly
+    import pyarrow.parquet as pq_
+
+    from palimpzest_ray.cdc.engine import TOMBSTONE_COL
+    from palimpzest_ray.functions.tokens import stable_bucket
+
+    manifest = load_latest_manifest(index_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed index under {index_root}")
+    tok_arr = pa.array([int(t) for t in tokens], pa.int64())
+    hits: dict[str, set] = {}
+    for p in np.unique(stable_bucket(tok_arr, manifest.num_partitions)):
+        entry = manifest.parts.get(int(p))
+        if entry is None:
+            continue
+        path = os.path.join(index_root, entry.file)
+        present = set(pq_.read_schema(path).names)
+        t = pq_.read_table(
+            path,
+            columns=[c for c in ("token", "doc_id", TOMBSTONE_COL) if c in present],
+        )
+        t = t.filter(pc.is_in(t["token"], value_set=tok_arr))
+        if TOMBSTONE_COL in t.column_names:
+            t = t.filter(pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False))))
+        for tok, doc in zip(t["token"].to_pylist(), t["doc_id"].to_pylist()):
+            hits.setdefault(doc, set()).add(tok)
+    want = set(int(t) for t in tokens)
+    if mode == "any":
+        return sorted(hits)
+    return sorted(d for d, s in hits.items() if want <= s)
