@@ -158,55 +158,59 @@ def refresh_token_index(lake_root: str, index_root: str) -> dict:
     latest = load_latest_manifest(lake_root)
     if latest.version == base_v:
         return {"refreshed": False, "lake_version": base_v}
-    # the net feed names the changed docs; it is bounded by churn since
-    # base_v, not by lake size — safe to pull for event generation
-    feed = net_changes_since(lake_root, base_v).map_batches(
-        lambda b: b.select(["lsn", "op", key, tokens_col]),
-        batch_format="pyarrow",
-    )
-    feed_tbl = pa.concat_tables(
-        feed.iter_batches(batch_format="pyarrow", batch_size=65536)
-    )
-    changed_keys = feed_tbl[key].to_pylist()
-    # OLD tokens of every changed doc, from the index's base version —
-    # a partition-pruned point lookup, not a scan
-    old = _lake_lookup(
-        lake_root, changed_keys, key=key, version=base_v, columns=[tokens_col]
-    )
-    old_tokens = {
-        d: set(t or []) for d, t in zip(old[key].to_pylist(), old[tokens_col].to_pylist())
-    }
-    new_tokens: dict[str, set] = {}
-    lsn_of: dict[str, int] = {}
-    for r in feed_tbl.to_pylist():
-        d = r[key]
-        lsn_of[d] = max(lsn_of.get(d, 0), r["lsn"])
-        new_tokens[d] = set(r[tokens_col] or []) if r["op"] == "UPDATE" else set()
+    # Event generation is DISTRIBUTED — the churn since base_v can be
+    # lake-sized, so nothing feed-shaped converges on the driver:
+    #   feed (net changes: new token sets, keyed by doc)
+    #   ⟕ old rows (time-traveled base semi-joined to changed keys)
+    #   → per-doc set diff inside map_batches → posting change events.
+    from palimpzest_ray.dataset import Dataset as PzDataset
 
-    rows_lsn, rows_op, rows_tok, rows_doc = [], [], [], []
-    for d, new in new_tokens.items():
-        old_t = old_tokens.get(d, set())
-        for t in sorted(old_t - new):
-            rows_lsn.append(lsn_of[d]); rows_op.append("DELETE")
-            rows_tok.append(int(t)); rows_doc.append(d)
-        for t in sorted(new):
-            rows_lsn.append(lsn_of[d]); rows_op.append("UPDATE")
-            rows_tok.append(int(t)); rows_doc.append(d)
-    events = pa.table(
-        {
-            "lsn": pa.array(rows_lsn, pa.int64()),
-            "op": pa.array(rows_op, pa.string()),
-            "posting_id": pa.array(
-                [f"{t}:{d}" for t, d in zip(rows_tok, rows_doc)], pa.string()
-            ),
-            "token": pa.array(rows_tok, pa.int64()),
-            "doc_id": pa.array(rows_doc, pa.string()),
-        },
-        schema=_POSTING_SCHEMA,
+    feed = PzDataset(
+        net_changes_since(lake_root, base_v).map_batches(
+            lambda b: b.select(["lsn", "op", key, tokens_col]),
+            batch_format="pyarrow",
+        )
     )
-    if events.num_rows:
+    old_state = PzDataset(
+        final_state(lake_root, version=base_v, columns=[key, tokens_col])
+    ).rename_columns({tokens_col: "_old_tokens"})
+    changed_keys = feed.project([key]).distinct([key])
+    old_changed = old_state.semi_join(changed_keys, key)
+    joined = feed.join(old_changed, on=key, how="left")
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        lsns = batch["lsn"].to_pylist()
+        ops = batch["op"].to_pylist()
+        docs = batch[key].to_pylist()
+        news = batch[tokens_col].to_pylist()
+        olds = batch["_old_tokens"].to_pylist()
+        rows_lsn, rows_op, rows_tok, rows_doc = [], [], [], []
+        for lsn, op, d, new, old in zip(lsns, ops, docs, news, olds):
+            new_s = set(new or []) if op == "UPDATE" else set()
+            for t in sorted(set(old or []) - new_s):
+                rows_lsn.append(lsn); rows_op.append("DELETE")
+                rows_tok.append(int(t)); rows_doc.append(d)
+            for t in sorted(new_s):
+                rows_lsn.append(lsn); rows_op.append("UPDATE")
+                rows_tok.append(int(t)); rows_doc.append(d)
+        return pa.table(
+            {
+                "lsn": pa.array(rows_lsn, pa.int64()),
+                "op": pa.array(rows_op, pa.string()),
+                "posting_id": pa.array(
+                    [f"{t}:{d}" for t, d in zip(rows_tok, rows_doc)], pa.string()
+                ),
+                "token": pa.array(rows_tok, pa.int64()),
+                "doc_id": pa.array(rows_doc, pa.string()),
+            },
+            schema=_POSTING_SCHEMA,
+        )
+
+    events = joined.ray.map_batches(_emit, batch_format="pyarrow").materialize()
+    n_events = events.count()  # metadata-only on the pinned result
+    if n_events:
         apply_changes(
-            rd.from_arrow(events),
+            events,
             index_root,
             key="posting_id",
             partition_key="token",
@@ -216,7 +220,7 @@ def refresh_token_index(lake_root: str, index_root: str) -> dict:
     meta["lake_version"] = latest.version
     _store_meta(index_root, meta)
     return {"refreshed": True, "from_version": base_v,
-            "lake_version": latest.version, "posting_events": events.num_rows}
+            "lake_version": latest.version, "posting_events": n_events}
 
 
 def search_tokens(
