@@ -14,7 +14,8 @@ partition column is a pure function of the key.)
 Maintenance mirrors view refresh (cdc/views.py): the doc-lake change
 feed names the changed doc_ids; their OLD postings come from the
 time-traveled doc lake at the index's base version, their NEW postings
-from the feed's live rows. The posting change log is then
+from the feed's live rows (old postings via a semi-join of the time-traveled
+lake — distributed, churn can be lake-sized). The change log is then
 ``DELETE(old posting not in new)`` + ``UPSERT(new posting)``, applied
 with each event carrying the doc's feed LSN — multi-epoch refreshes
 stay correct because the feed is the NET diff.
@@ -39,7 +40,6 @@ from palimpzest_ray.cdc.engine import (
     apply_changes,
     final_state,
     load_latest_manifest,
-    lookup as _lake_lookup,
     net_changes_since,
 )
 
@@ -72,9 +72,7 @@ def _store_meta(index_root: str, meta: dict) -> None:
     os.replace(tmp, _meta_path(index_root))
 
 
-def _postings_batch(
-    doc_ids, tokens_col, lsns, op: str, key: str
-) -> pa.Table:
+def _postings_batch(doc_ids, tokens_col, lsns, op: str) -> pa.Table:
     """(doc, tokens[], lsn) rows → exploded distinct posting events."""
     toks = tokens_col
     if isinstance(toks, pa.ChunkedArray):
@@ -126,7 +124,6 @@ def build_token_index(
             batch[tokens_col],
             np.zeros(n, dtype=np.int64),
             "INSERT",
-            key,
         )
 
     events = docs.map_batches(_explode, batch_format="pyarrow")
