@@ -1034,6 +1034,30 @@ def q77_rag_chunking(sf_dir: str):
     ).project(["doc_id", "chunk_idx", "chunk_start", "chunk"])
 
 
+def q78_shuffled_packing(sf_dir: str):
+    """Composition flagship: epoch shuffle → sequence packing. The
+    corpus is permuted by the reproducible epoch-7 shuffle (q73's
+    operator) and THEN packed (q72's operator) in permutation order —
+    exactly what a training run does per epoch. Exact oracle: the same
+    window cumsum with the shuffle's hash order."""
+    from palimpzest_ray.stages import packing
+    from palimpzest_ray.stages.mixing import deterministic_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    shuffled = deterministic_shuffle(docs.ray, "doc_id", seed=7, hash_fn="duckdb")
+    toks = shuffled.map_batches(packing.add_char_tokens, batch_format="pyarrow")
+    packed = packing.pack_sequences(toks, 512, order_col="pos", eos_id=0)
+
+    def _stringify(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        joined = pc.binary_join(pc.cast(col, pa.list_(pa.string())), ",")
+        return pa.table({"seq_id": batch["seq_id"], "tokens_csv": joined})
+
+    return pzd.Dataset(packed.map_batches(_stringify, batch_format="pyarrow"))
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1287,6 +1311,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q75_incremental_view": q75_incremental_view,
         "q76_text_normalize": q76_text_normalize,
         "q77_rag_chunking": q77_rag_chunking,
+        "q78_shuffled_packing": q78_shuffled_packing,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1425,6 +1450,29 @@ def _base_oracle_sql() -> dict[str, str]:
               select text, length(text) as n,
                      coalesce(sum(length(text) + 1) over (
                        order by doc_id
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) as start_off
+              from documents
+            ),
+            tok as (
+              select start_off + unnest(generate_series(0, n)) as pos,
+                     unnest(list_append(
+                       list_transform(generate_series(1, n),
+                                      i -> unicode(substr(text, cast(i as int), 1))),
+                       0)) as tok
+              from ordered
+            )
+            select cast(pos // 512 as bigint) as seq_id,
+                   string_agg(cast(tok as varchar), ',' order by pos) as tokens_csv
+            from tok
+            group by 1
+            having count(*) = 512
+        """,
+        "q78_shuffled_packing": """
+            with ordered as (
+              select text, length(text) as n,
+                     coalesce(sum(length(text) + 1) over (
+                       order by hash(xor(doc_id, 7)), doc_id
                        rows between unbounded preceding and 1 preceding
                      ), 0) as start_off
               from documents
