@@ -663,6 +663,17 @@ def _apply_changes_impl(
         # carried-forward key that moved buckets. Adopt the manifest's;
         # repartition_lake() is the sanctioned way to change it.
         num_partitions = prev.num_partitions
+    if prev is not None and (key, partition_key) != (prev.key, prev.partition_key):
+        # The identity contract is ALSO a property of the lake (a
+        # derived posting lake is keyed on posting_id / partitioned by
+        # token): applying with a different key would LWW-collapse
+        # distinct rows and mis-bucket carried-forward state. Fail loud.
+        raise ValueError(
+            f"lake {lake_root} is keyed on key={prev.key!r}, "
+            f"partition_key={prev.partition_key!r}; this apply passed "
+            f"key={key!r}, partition_key={partition_key!r} — pass the "
+            "lake's own contract (or build a new root)"
+        )
 
     events_seen = 0
     if isinstance(changes, (str, list)):
@@ -922,7 +933,8 @@ def _apply_changes_impl(
         }
     )
     manifest = commit_version(
-        lake_root, staging_dir, new_parts, carried, num_partitions, lake_schema, prev_version
+        lake_root, staging_dir, new_parts, carried, num_partitions,
+        lake_schema, prev_version, key=key, partition_key=partition_key,
     )
     shutil.rmtree(staging_dir, ignore_errors=True)
 
@@ -1048,6 +1060,8 @@ def repartition_lake(
         state,
         lake_root,
         num_partitions=new_num_partitions,
+        key=prev.key,
+        partition_key=prev.partition_key,
         run_id=run_id,
         exchange=exchange,
         change_schema=change_schema,
@@ -1243,5 +1257,5 @@ def lookup(
         t = drop_internal(conform(t, schema))
         out.append(t)
     if not out:
-        return schema.empty_table()
+        return drop_internal(schema.empty_table())
     return pa.concat_tables(out, promote_options="default").sort_by(key)

@@ -72,6 +72,23 @@ def _store_meta(index_root: str, meta: dict) -> None:
     os.replace(tmp, _meta_path(index_root))
 
 
+def _event_table(lsns: list, ops: list, toks: list, docs: list) -> pa.Table:
+    """The ONE place posting identity is formatted — build and refresh
+    must agree on it or LWW identity diverges between the two paths."""
+    return pa.table(
+        {
+            "lsn": pa.array(lsns, pa.int64()),
+            "op": pa.array(ops, pa.string()),
+            "posting_id": pa.array(
+                [f"{t}:{d}" for t, d in zip(toks, docs)], pa.string()
+            ),
+            "token": pa.array(toks, pa.int64()),
+            "doc_id": pa.array(docs, pa.string()),
+        },
+        schema=_POSTING_SCHEMA,
+    )
+
+
 def _postings_batch(doc_ids, tokens_col, lsns, op: str) -> pa.Table:
     """(doc, tokens[], lsn) rows → exploded distinct posting events."""
     toks = tokens_col
@@ -88,17 +105,7 @@ def _postings_batch(doc_ids, tokens_col, lsns, op: str) -> pa.Table:
         out_tok.extend(int(t) for t in uniq)
         out_doc.extend([d] * len(uniq))
         out_lsn.extend([int(lsns[i])] * len(uniq))
-    pid = pa.array([f"{t}:{d}" for t, d in zip(out_tok, out_doc)], pa.string())
-    return pa.table(
-        {
-            "lsn": pa.array(out_lsn, pa.int64()),
-            "op": pa.array([op] * len(out_tok), pa.string()),
-            "posting_id": pid,
-            "token": pa.array(out_tok, pa.int64()),
-            "doc_id": pa.array(out_doc, pa.string()),
-        },
-        schema=_POSTING_SCHEMA,
-    )
+    return _event_table(out_lsn, [op] * len(out_tok), out_tok, out_doc)
 
 
 def build_token_index(
@@ -114,6 +121,14 @@ def build_token_index(
     manifest = load_latest_manifest(lake_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake under {lake_root}")
+    if load_latest_manifest(index_root) is not None:
+        # a rebuild's INSERTs (lsn=0) cannot supersede existing postings
+        # for tokens docs have since lost — stale postings would stay
+        # live. Refresh instead, or build into a fresh root.
+        raise ValueError(
+            f"{index_root} already holds a posting lake — use "
+            "refresh_token_index to catch it up, or a new index_root"
+        )
     docs = final_state(lake_root, columns=[key, tokens_col])
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -190,18 +205,7 @@ def refresh_token_index(lake_root: str, index_root: str) -> dict:
             for t in sorted(new_s):
                 rows_lsn.append(lsn); rows_op.append("UPDATE")
                 rows_tok.append(int(t)); rows_doc.append(d)
-        return pa.table(
-            {
-                "lsn": pa.array(rows_lsn, pa.int64()),
-                "op": pa.array(rows_op, pa.string()),
-                "posting_id": pa.array(
-                    [f"{t}:{d}" for t, d in zip(rows_tok, rows_doc)], pa.string()
-                ),
-                "token": pa.array(rows_tok, pa.int64()),
-                "doc_id": pa.array(rows_doc, pa.string()),
-            },
-            schema=_POSTING_SCHEMA,
-        )
+        return _event_table(rows_lsn, rows_op, rows_tok, rows_doc)
 
     events = joined.ray.map_batches(_emit, batch_format="pyarrow").materialize()
     n_events = events.count()  # metadata-only on the pinned result
@@ -228,33 +232,16 @@ def search_tokens(
     the token dimension), never an index scan."""
     if mode not in ("any", "all"):
         raise ValueError("mode must be 'any' or 'all'")
-    # postings are keyed on posting_id but PARTITIONED by token: prune
-    # by token, then filter exactly
-    import pyarrow.parquet as pq_
+    # postings are keyed on posting_id but PARTITIONED by token, so
+    # engine.lookup's pruning applies verbatim on the token dimension
+    # (ONE partition-pruned read path, not a re-implementation)
+    from palimpzest_ray.cdc.engine import lookup
 
-    from palimpzest_ray.cdc.engine import TOMBSTONE_COL
-    from palimpzest_ray.functions.tokens import stable_bucket
-
-    manifest = load_latest_manifest(index_root)
-    if manifest is None:
-        raise FileNotFoundError(f"no committed index under {index_root}")
-    tok_arr = pa.array([int(t) for t in tokens], pa.int64())
+    t = lookup(index_root, [int(x) for x in tokens], key="token",
+               columns=["token", "doc_id"])
     hits: dict[str, set] = {}
-    for p in np.unique(stable_bucket(tok_arr, manifest.num_partitions)):
-        entry = manifest.parts.get(int(p))
-        if entry is None:
-            continue
-        path = os.path.join(index_root, entry.file)
-        present = set(pq_.read_schema(path).names)
-        t = pq_.read_table(
-            path,
-            columns=[c for c in ("token", "doc_id", TOMBSTONE_COL) if c in present],
-        )
-        t = t.filter(pc.is_in(t["token"], value_set=tok_arr))
-        if TOMBSTONE_COL in t.column_names:
-            t = t.filter(pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False))))
-        for tok, doc in zip(t["token"].to_pylist(), t["doc_id"].to_pylist()):
-            hits.setdefault(doc, set()).add(tok)
+    for tok, doc in zip(t["token"].to_pylist(), t["doc_id"].to_pylist()):
+        hits.setdefault(doc, set()).add(tok)
     want = set(int(t) for t in tokens)
     if mode == "any":
         return sorted(hits)

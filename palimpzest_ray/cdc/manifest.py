@@ -54,6 +54,11 @@ class LakeManifest:
     num_partitions: int
     schema: pa.Schema
     parts: dict[int, PartEntry]
+    # the lake's identity contract: LWW key and (optional) partition
+    # routing column — persisted so later applies / repartition cannot
+    # silently run with mismatched keys (pre-field manifests default)
+    key: str = "doc_id"
+    partition_key: str | None = None
 
     @property
     def max_lsn(self) -> int:
@@ -67,6 +72,8 @@ class LakeManifest:
             {
                 "version": self.version,
                 "num_partitions": self.num_partitions,
+                "key": self.key,
+                "partition_key": self.partition_key,
                 "schema": schema_to_json(self.schema),
                 "parts": {
                     str(p): dataclasses.asdict(e) for p, e in sorted(self.parts.items())
@@ -83,6 +90,8 @@ class LakeManifest:
             num_partitions=d["num_partitions"],
             schema=schema_from_json(d["schema"]),
             parts={int(p): PartEntry(**e) for p, e in d["parts"].items()},
+            key=d.get("key", "doc_id"),
+            partition_key=d.get("partition_key"),
         )
 
 
@@ -220,6 +229,8 @@ def commit_version(
     num_partitions: int,
     schema: pa.Schema,
     prev_version: int,
+    key: str = "doc_id",
+    partition_key: str | None = None,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
@@ -253,7 +264,8 @@ def commit_version(
             os.replace(src, os.path.join(lake_root, rel))
             parts[p] = dataclasses.replace(entry, file=rel)
         manifest = LakeManifest(
-            version=version, num_partitions=num_partitions, schema=schema, parts=parts
+            version=version, num_partitions=num_partitions, schema=schema,
+            parts=parts, key=key, partition_key=partition_key,
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"), manifest.to_json()

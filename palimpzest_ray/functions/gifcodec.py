@@ -182,8 +182,8 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         else:
             region[:] = px
         frames.append(canvas.copy())
-        if disposal == 2:  # restore to background color
-            bg = lct[bg_index] if bg_index < len(lct) else 0
+        if disposal == 2:  # restore to background color (GCT index per spec)
+            bg = gct[bg_index] if gct is not None and bg_index < len(gct) else 0
             canvas[top : top + h, left : left + w] = bg
         elif disposal == 3:  # restore to previous
             canvas = before

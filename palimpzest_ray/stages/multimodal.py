@@ -40,9 +40,9 @@ import struct as _struct
 import zlib as _zlib
 
 _DECODE_ERRORS = (
-    ValueError, OSError, RuntimeError, KeyError, IndexError,
-    ZeroDivisionError, _struct.error, _zlib.error,
-)
+    ValueError, OSError, RuntimeError, KeyError, IndexError, TypeError,
+    AttributeError, ZeroDivisionError, _struct.error, _zlib.error,
+)  # TypeError/AttributeError: null content blobs reach _decode_one as None
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -246,7 +246,10 @@ class AudioFeatureStage(_MediaStage):
         if undecodable:
             sub = content.take(pa.array(undecodable, pa.int64()))
             feats[undecodable] = self._fake_features(sub, self.feature_dim)
-            n_bytes = np.array([len(b) for b in sub.to_pylist()], dtype=np.float64)
+            n_bytes = np.array(
+                [len(b) if b is not None else 0 for b in sub.to_pylist()],
+                dtype=np.float64,
+            )
             dur[undecodable] = n_bytes / self.BYTES_PER_SEC
         batch = batch.append_column(
             "audio_feat",

@@ -127,3 +127,65 @@ def test_frame_sample_stage_real_gif(ray_session):
     gray_last = ic.to_gray(PAL[frames[7]])
     exp_last = ic.resize_nearest(gray_last, 8, 8).astype(np.float32).reshape(-1) / 255.0
     np.testing.assert_allclose(gif_rows[3]["frame_feat"], exp_last[:64], rtol=1e-6)
+
+
+def test_stage_survives_null_content(ray_session):
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "media_id": pa.array(["n.gif"]),
+            "content": pa.array([None], pa.binary()),
+            "mime": pa.array(["image/gif"]),
+            "n_bytes": pa.array([0], pa.int64()),
+        }
+    )
+    rows = multimodal.sample_frames(rd.from_arrow(t), concurrency=1, num_frames=2).take_all()
+    assert len(rows) == 2  # stub fallback, no crash
+    img_rows = multimodal.decode_images(rd.from_arrow(t), concurrency=1, feature_dim=4).take_all()
+    assert len(img_rows) == 1 and img_rows[0]["width"] >= 1
+    au = multimodal.audio_features(rd.from_arrow(t), concurrency=1).take_all()
+    assert au[0]["duration_s"] == 0.0
+
+
+def test_gif_disposal_background_uses_global_table():
+    """disposal=2 must clear to the GLOBAL table's background color even
+    when the frame carries a local color table."""
+    import struct as st
+
+    base = np.full((2, 2), 1, dtype=np.uint8)  # red via GCT
+    out = bytearray(gc.encode_gif([base], PAL)[:-1])
+    # frame 2 with a LOCAL color table (all white) + disposal=2
+    out += b"\x21\xf9\x04" + bytes([2 << 2]) + st.pack("<H", 4) + b"\x00\x00"
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, 2, 2)
+    out += bytes([0x80 | 0])  # LCT flag, size 2^(0+1)=2 entries
+    out += bytes([255, 255, 255, 200, 200, 200])
+    acc = nbits = 0
+    stream = bytearray()
+    for v in [0, 0, 0, 0]:  # all white via LCT (min_code=2 -> CLEAR=4)
+        for c in (4, v):
+            acc |= c << nbits
+            nbits += 3
+            while nbits >= 8:
+                stream.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    acc |= 5 << nbits; nbits += 3
+    while nbits > 0:
+        stream.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    out += bytes([2])  # min code size
+    out += bytes([len(stream)]) + stream + b"\x00"
+    # frame 3: transparent-everything patch so the disposed canvas shows
+    out += b"\x21\xf9\x04" + bytes([1]) + st.pack("<H", 4) + bytes([1]) + b"\x00"
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, 1, 1) + b"\x00" + bytes([2])
+    acc = nbits = 0
+    stream = bytearray()
+    for c in (4, 1, 5):  # CLEAR, transparent px(idx1), EOI
+        acc |= c << nbits; nbits += 3
+        while nbits >= 8:
+            stream.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    out += bytes([len(stream)]) + stream + b"\x00\x3b"
+    frames = gc.decode_gif(bytes(out))
+    # after frame 2's disposal=2, the canvas region is GCT bg (index 0 =
+    # black), NOT the local table's white
+    np.testing.assert_array_equal(frames[2][0, 0], PAL[0])

@@ -128,3 +128,48 @@ def test_deleted_doc_leaves_the_index(tmp_path):
     assert tix.search_tokens(idx, [7]) == []          # a deleted, b lost 7
     assert tix.search_tokens(idx, [9, 10], mode="all") == ["b"]
     assert tix.search_tokens(idx, [8]) == []
+
+
+def test_lake_key_contract_enforced_and_repartition_safe(tmp_path):
+    """The manifest persists (key, partition_key); a mismatched apply
+    fails loudly instead of LWW-collapsing distinct rows, rebuilding
+    into an existing index root is refused, and repartition_lake
+    forwards the stored contract so the posting lake survives it."""
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "idx")
+    _seed(tmp_path, lake, n_base=120)
+    tix.build_token_index(lake, idx, num_partitions=4)
+    probe = _some_tokens(lake)
+    before = tix.search_tokens(idx, probe)
+
+    # wrong-contract apply on the posting lake: refused
+    bad = pa.table(
+        {
+            "lsn": pa.array([99], pa.int64()),
+            "op": pa.array(["DELETE"]),
+            "doc_id": pa.array(["x"]),
+        }
+    )
+    with pytest.raises(ValueError, match="keyed on"):
+        apply_changes(_write(tmp_path, "bad/log.parquet", bad), idx,
+                      num_partitions=4)
+
+    # rebuild into an existing root: refused
+    with pytest.raises(ValueError, match="already holds"):
+        tix.build_token_index(lake, idx, num_partitions=4)
+
+    # repartition keeps identity AND token-pruned search correctness
+    from palimpzest_ray.cdc import repartition_lake
+
+    repartition_lake(idx, 9)
+    assert tix.search_tokens(idx, probe) == before
+
+
+def test_lookup_all_miss_schema_is_user_only(tmp_path):
+    from palimpzest_ray.cdc import lookup
+
+    lake = str(tmp_path / "lake")
+    _seed(tmp_path, lake, n_base=10)
+    t = lookup(lake, ["definitely-not-a-doc"])
+    assert t.num_rows == 0
+    assert not any(c.startswith("_") for c in t.column_names)
