@@ -14,6 +14,12 @@ Usage::
     python -m palimpzest_ray.cli vacuum LAKE [--keep N]
     python -m palimpzest_ray.cli repartition LAKE NEW_P
                                  [--drop-tombstones-below LSN]
+    python -m palimpzest_ray.cli view-create  LAKE VIEW --group-col C
+                                 [--count N] [--sum OUT=COL] [--avg OUT=COL]
+    python -m palimpzest_ray.cli view-refresh LAKE VIEW
+    python -m palimpzest_ray.cli index-build   LAKE INDEX [--num-partitions P]
+    python -m palimpzest_ray.cli index-refresh LAKE INDEX
+    python -m palimpzest_ray.cli index-search  INDEX TOKEN [TOKEN...] [--all]
 """
 
 from __future__ import annotations
@@ -80,6 +86,32 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("new_num_partitions", type=int)
     p.add_argument("--drop-tombstones-below", type=int, default=None)
 
+    p = sub.add_parser("view-create", help="materialize an aggregate view")
+    p.add_argument("lake")
+    p.add_argument("view")
+    p.add_argument("--group-col", required=True)
+    p.add_argument("--count", default=None, metavar="OUT")
+    p.add_argument("--sum", action="append", default=[], metavar="OUT=COL")
+    p.add_argument("--avg", action="append", default=[], metavar="OUT=COL")
+
+    p = sub.add_parser("view-refresh", help="catch a view up to the lake head")
+    p.add_argument("lake")
+    p.add_argument("view")
+
+    p = sub.add_parser("index-build", help="build the inverted token index")
+    p.add_argument("lake")
+    p.add_argument("index")
+    p.add_argument("--num-partitions", type=int, default=32)
+
+    p = sub.add_parser("index-refresh", help="catch the index up to the lake head")
+    p.add_argument("lake")
+    p.add_argument("index")
+
+    p = sub.add_parser("index-search", help="doc_ids containing the tokens")
+    p.add_argument("index")
+    p.add_argument("tokens", type=int, nargs="+")
+    p.add_argument("--all", action="store_true", help="require ALL tokens")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "state":
@@ -110,7 +142,48 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(dataclasses.asdict(vacuum(args.lake, keep_versions=args.keep))))
         return 0
 
+    if args.cmd == "index-search":
+        from palimpzest_ray.cdc import search_tokens
+
+        docs = search_tokens(args.index, args.tokens,
+                             mode="all" if args.all else "any")
+        print(json.dumps({"tokens": args.tokens, "n_docs": len(docs),
+                          "doc_ids": docs}))
+        return 0
+
     _ensure_ray(args.num_cpus)
+    if args.cmd == "view-create":
+        from palimpzest_ray.cdc import create_view
+
+        aggs: dict[str, tuple] = {}
+        if args.count:
+            aggs[args.count] = ("count", None)
+        for spec, fn in [(x, "sum") for x in args.sum] + [(x, "avg") for x in args.avg]:
+            out, _, col = spec.partition("=")
+            if not col:
+                raise SystemExit(f"--{fn} expects OUT=COL, got {spec!r}")
+            aggs[out] = (fn, col)
+        if not aggs:
+            raise SystemExit("view-create needs at least one of --count/--sum/--avg")
+        meta = create_view(args.lake, args.view, group_col=args.group_col, aggs=aggs)
+        print(json.dumps(meta))
+        return 0
+    if args.cmd == "view-refresh":
+        from palimpzest_ray.cdc import refresh_view
+
+        print(json.dumps(refresh_view(args.lake, args.view)))
+        return 0
+    if args.cmd == "index-build":
+        from palimpzest_ray.cdc import build_token_index
+
+        print(json.dumps(build_token_index(args.lake, args.index,
+                                           num_partitions=args.num_partitions)))
+        return 0
+    if args.cmd == "index-refresh":
+        from palimpzest_ray.cdc import refresh_token_index
+
+        print(json.dumps(refresh_token_index(args.lake, args.index)))
+        return 0
     if args.cmd == "apply":
         from palimpzest_ray.cdc import apply_changes
 

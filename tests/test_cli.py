@@ -30,3 +30,41 @@ def test_cli_apply_state_vacuum(tmp_path, capsys):
     assert cli.main(["vacuum", lake, "--keep", "1"]) == 0
     vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vac["versions_dropped"] == []  # only one version exists
+
+
+def test_cli_views_and_index(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import final_state_table
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    view = os.path.join(str(tmp_path), "view")
+    idx = os.path.join(str(tmp_path), "idx")
+    write_change_log(log, 1_500, 300, seed=21, chunk_rows=1_000)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+
+    assert cli.main([
+        "view-create", lake, view, "--group-col", "source",
+        "--count", "n_docs", "--sum", "total_tok=n_tok",
+    ]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["group_col"] == "source"
+    assert cli.main(["view-refresh", lake, view]) == 0
+    refreshed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert refreshed["refreshed"] is False  # already at head
+
+    assert cli.main(["index-build", lake, idx, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    state = final_state_table(lake)
+    tok = state["tokens"][0][0].as_py()
+    doc = state["doc_id"][0].as_py()
+    assert cli.main(["index-search", idx, str(tok)]) == 0
+    hit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc in hit["doc_ids"] and hit["n_docs"] >= 1
+    assert cli.main(["index-refresh", lake, idx]) == 0
+    assert (
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])["refreshed"]
+        is False
+    )
