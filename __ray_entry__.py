@@ -1058,6 +1058,41 @@ def q78_shuffled_packing(sf_dir: str):
     return pzd.Dataset(packed.map_batches(_stringify, batch_format="pyarrow"))
 
 
+def q79_token_index_search(sf_dir: str):
+    """Inverted-index search with an exact oracle: documents are char-
+    tokenized into a CDC lake, the posting index is built over it
+    (cdc/index.py — derived lake partitioned by token), and an ALL-mode
+    search for two codepoints ('v' AND 'w') returns the docs containing
+    both characters — which SQL states directly as contains()."""
+    import tempfile
+
+    from palimpzest_ray.cdc import apply_changes, build_token_index, search_tokens
+    from palimpzest_ray.stages.packing import add_char_tokens
+
+    work = tempfile.mkdtemp(prefix="pz_q79_")
+    lake, idx = f"{work}/lake", f"{work}/idx"
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).ray
+
+    def _as_log(batch: pa.Table) -> pa.Table:
+        batch = add_char_tokens(batch)
+        return pa.table(
+            {
+                "lsn": batch["doc_id"].cast(pa.int64()),
+                "op": pa.array(["INSERT"] * batch.num_rows),
+                # posting identity is string-keyed (input_hint shape)
+                "doc_id": batch["doc_id"].cast(pa.string()),
+                "tokens": batch["tokens"],
+            }
+        )
+
+    apply_changes(
+        docs.map_batches(_as_log, batch_format="pyarrow"), lake, num_partitions=8
+    )
+    build_token_index(lake, idx, num_partitions=8)
+    hits = search_tokens(idx, [ord("v"), ord("w")], mode="all")
+    return pa.table({"doc_id": pa.array(sorted(int(d) for d in hits), pa.int64())})
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1312,6 +1347,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q76_text_normalize": q76_text_normalize,
         "q77_rag_chunking": q77_rag_chunking,
         "q78_shuffled_packing": q78_shuffled_packing,
+        "q79_token_index_search": q79_token_index_search,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1490,6 +1526,10 @@ def _base_oracle_sql() -> dict[str, str]:
             from tok
             group by 1
             having count(*) = 512
+        """,
+        "q79_token_index_search": """
+            select doc_id from documents
+            where contains(text, 'v') and contains(text, 'w')
         """,
         "q73_epoch_shuffle": """
             select doc_id,
