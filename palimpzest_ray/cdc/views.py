@@ -68,6 +68,13 @@ def _sum_col(out: str) -> str:
     return f"_sum_{out}"
 
 
+def _cnt_col(out: str) -> str:
+    """Per-aggregate NON-NULL row count — the SQL denominator. _NROWS
+    counts every live row (drives group liveness and count(*)); sum/avg
+    skip null values like SQL, so each needs its own valid count."""
+    return f"_cnt_{out}"
+
+
 def _needed_cols(meta: dict) -> list[str]:
     """The only lake columns an aggregate view touches — passed to
     ``final_state(columns=...)`` so the token payload never leaves
@@ -99,6 +106,7 @@ def _partial(meta: dict, sign: int):
             for out, (fn, _c) in aggs.items():
                 if fn != "count":
                     cols[_sum_col(out)] = pa.array([], pa.float64())
+                    cols[_cnt_col(out)] = pa.array([], pa.int64())
             return pa.table(cols)
         keys = batch[group_col]
         if keys.null_count:
@@ -120,9 +128,17 @@ def _partial(meta: dict, sign: int):
             if fn == "count":
                 continue  # served by _NROWS
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            v = np.where(np.isnan(v), 0.0, v)
+            valid = ~np.isnan(v)  # SQL: nulls skip both sum and avg
             cols[_sum_col(out)] = pa.array(
-                sign * np.bincount(idx, weights=v, minlength=n), pa.float64()
+                sign
+                * np.bincount(idx, weights=np.where(valid, v, 0.0), minlength=n),
+                pa.float64(),
+            )
+            cols[_cnt_col(out)] = pa.array(
+                sign
+                * np.bincount(idx, weights=valid.astype(np.float64), minlength=n)
+                .astype(np.int64),
+                pa.int64(),
             )
         return pa.table(cols)
 
@@ -133,9 +149,10 @@ def _reduce(parts: rd.Dataset, meta: dict) -> rd.Dataset:
     """Merge partial-sums rows: one groupby-sum, then drop dead groups
     (live row count 0 — every member deleted since)."""
     group_col = meta["group_col"]
-    sum_cols = [_NROWS] + [
-        _sum_col(o) for o, (fn, _c) in meta["aggs"].items() if fn != "count"
-    ]
+    sum_cols = [_NROWS]
+    for o, (fn, _c) in meta["aggs"].items():
+        if fn != "count":
+            sum_cols += [_sum_col(o), _cnt_col(o)]
     merged = parts.groupby(group_col).sum(sum_cols)
 
     def _finish(batch: pa.Table) -> pa.Table:
@@ -173,6 +190,9 @@ def create_view(
         "aggs": {k: list(v) for k, v in aggs.items()},
         "key": key,
         "lake_version": manifest.version,
+        # SQL null semantics: sum/avg skip null values (per-agg valid
+        # counts stored); an all-null group reports NULL, not 0.
+        "nulls": "sql",
     }
     meta_n = {"group_col": group_col, "aggs": aggs, "key": key}
     parts = final_state(lake_root, columns=_needed_cols(meta_n)).map_batches(
@@ -190,6 +210,11 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
     Returns refresh stats. Raises if the view's base version has been
     vacuumed (the old-row lookup needs it) — recreate the view then."""
     meta = _load_meta(view_root)
+    if meta.get("nulls") != "sql":
+        raise ValueError(
+            "view predates SQL null semantics (no per-aggregate valid "
+            "counts on disk) — recreate it with create_view"
+        )
     meta_n = {
         "group_col": meta["group_col"],
         "aggs": {k: tuple(v) for k, v in meta["aggs"].items()},
@@ -239,22 +264,32 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
 
 
 def read_view(view_root: str) -> rd.Dataset:
-    """The committed view with user-facing columns: count → live rows,
-    sum → raw sum, avg → sum/count, ints preserved where exact."""
+    """The committed view with user-facing columns and SQL null
+    semantics: count → live rows (count(*)), sum → sum over non-null
+    values (NULL when the group's values are all null), avg → sum /
+    non-null count (NULL likewise)."""
     meta = _load_meta(view_root)
     aggs = {k: tuple(v) for k, v in meta["aggs"].items()}
     group_col = meta["group_col"]
 
     def _present(batch: pa.Table) -> pa.Table:
         cols = {group_col: batch[group_col]}
+        null_f64 = pa.scalar(None, pa.float64())
         for out, (fn, _c) in aggs.items():
             if fn == "count":
                 cols[out] = batch[_NROWS]
-            elif fn == "sum":
-                cols[out] = batch[_sum_col(out)]
+                continue
+            has_valid = pc.greater(batch[_cnt_col(out)], 0)
+            if fn == "sum":
+                cols[out] = pc.if_else(has_valid, batch[_sum_col(out)], null_f64)
             else:  # avg
-                cols[out] = pc.divide(
-                    batch[_sum_col(out)], pc.cast(batch[_NROWS], pa.float64())
+                cols[out] = pc.if_else(
+                    has_valid,
+                    pc.divide(
+                        batch[_sum_col(out)],
+                        pc.cast(batch[_cnt_col(out)], pa.float64()),
+                    ),
+                    null_f64,
                 )
         return pa.table(cols)
 

@@ -29,6 +29,22 @@ from palimpzest_ray.functions.tokens import stable_hash
 VOCAB = 50257
 
 
+def demo_workdir(sf_dir: str, kind: str) -> str:
+    """Content-keyed scratch root (input path + size + mtime), WIPED on
+    each call: repeated contract/bench runs reuse ONE directory per
+    (demo, input) instead of leaking a fresh mkdtemp every invocation."""
+    import hashlib
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.sha1(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"pz_{kind}_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    return work
+
+
 def tokenize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """documents row → sequence-table row (vectorized): tokens are
     stable 64-bit word hashes folded into [0, VOCAB)."""
@@ -143,7 +159,7 @@ def run_cdc_demo(
 ) -> rd.Dataset:
     """documents.parquet → tokenized base lake → apply change log →
     final state Dataset (streaming read of the committed lake)."""
-    work = work_dir or tempfile.mkdtemp(prefix="pz_cdc_demo_")
+    work = work_dir or demo_workdir(sf_dir, "cdc_demo")
     lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
     apply_changes(log1, lake, num_partitions=num_partitions)
     apply_changes(log2, lake, num_partitions=num_partitions)
@@ -161,7 +177,7 @@ def run_cdc_view_demo(
     source."""
     from palimpzest_ray.cdc import views
 
-    work = work_dir or tempfile.mkdtemp(prefix="pz_cdc_view_demo_")
+    work = work_dir or demo_workdir(sf_dir, "cdc_view_demo")
     lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
     view = os.path.join(work, "view")
     apply_changes(log1, lake, num_partitions=num_partitions)

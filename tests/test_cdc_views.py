@@ -173,3 +173,62 @@ def test_crashed_refresh_is_not_double_applied(tmp_path, monkeypatch):
 
     views.refresh_view(lake, view)  # retry succeeds against pinned v1
     assert {k: v[:2] for k, v in _view_dict(view).items()} == _recompute(lake)
+
+
+def test_sql_null_semantics(tmp_path):
+    """sum/avg skip null values like SQL: a group with some nulls uses
+    only the non-null rows in both sum and the avg denominator; an
+    all-null group reports NULL for sum and avg but still counts rows;
+    refresh preserves the semantics when nulls are updated in/out.
+    (Uses a 'score' column — n_tok is engine-derived from tokens and
+    can never be null in the lake.)"""
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    base = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "tokens": pa.array([[1], [2], [3], [4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1, 1, 1], pa.int32()),
+            "source": pa.array(["s1", "s1", "s2", "s2"]),
+            "score": pa.array([10.0, None, None, None], pa.float64()),
+        }
+    )
+    boot = pa.table(
+        {
+            "lsn": pa.array([0] * 4, pa.int64()),
+            "op": pa.array(["INSERT"] * 4),
+            **{c: base[c] for c in base.column_names},
+        }
+    )
+    apply_changes(_write(tmp_path, "b/log.parquet", boot), lake, num_partitions=2)
+    aggs = {"n_docs": ("count", None), "total": ("sum", "score"),
+            "mean": ("avg", "score")}
+    views.create_view(lake, view, group_col="source", aggs=aggs)
+
+    def _d():
+        rows = views.read_view(view).take_all()
+        return {r["source"]: (r["n_docs"], r["total"], r["mean"]) for r in rows}
+
+    got = _d()
+    # s1: 2 rows, one null value -> sum 10, avg 10 (denominator 1, not 2)
+    assert got["s1"] == (2, 10.0, 10.0)
+    # s2: all-null values -> NULL sum and avg, but count(*) still 2
+    assert got["s2"] == (2, None, None)
+
+    # update: the null in s1 becomes 20; s2's 'c' gains a value
+    log = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["UPDATE", "UPDATE"]),
+            "doc_id": pa.array(["b", "c"]),
+            "tokens": pa.array([[9], [8]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1], pa.int32()),
+            "source": pa.array(["s1", "s2"]),
+            "score": pa.array([20.0, 5.0], pa.float64()),
+        }
+    )
+    apply_changes(_write(tmp_path, "e/log.parquet", log), lake, num_partitions=2)
+    views.refresh_view(lake, view)
+    got = _d()
+    assert got["s1"] == (2, 30.0, 15.0)
+    assert got["s2"] == (2, 5.0, 5.0)
