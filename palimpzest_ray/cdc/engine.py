@@ -235,10 +235,11 @@ def _spill_factory(spill_dir: str):
 class MergeApplier:
     """Stateful per-partition merge: memtable + LWW index + tombstones.
 
-    Passed as a callable class to ``map_groups`` so Ray Data runs it as
-    an actor pool — constructor work happens once per actor, the
-    pattern that replaces the reference's process-wide Singleton + lock
-    (``topk.py:21-37``). Each call receives ALL change rows for one
+    Instantiated inside plain ``map_batches`` TASKS (state is only
+    paths + a parsed schema — rebuilding per task is ~free, and tasks
+    recover from worker death via lineage retry with no actor-restart
+    hazard, ray#53727). This replaces the reference's process-wide
+    Singleton + lock (``topk.py:21-37``). Each call receives ALL change rows for one
     partition (already batch-combined), merges them against the base
     partition file, and stages the output atomically. Returns a one-row
     lineage table (applied-LSN watermark + upsert/delete counters).
@@ -254,6 +255,7 @@ class MergeApplier:
         fail_parts: tuple[int, ...] = (),
         spill_dir: str | None = None,
         streaming_threshold_rows: int = 4_000_000,
+        die_once: str | None = None,
     ):
         from palimpzest_ray.schemas import schema_from_json
 
@@ -271,6 +273,11 @@ class MergeApplier:
         # base partitions above this row count merge via the streaming
         # path (bounded memory) instead of one in-memory pass
         self.streaming_threshold_rows = streaming_threshold_rows
+        # fault injection: path to a marker file; if set and absent, the
+        # first merge call creates it and HARD-KILLS its worker process
+        # (SIGKILL, not an exception) — tests use this to prove that a
+        # dead merge worker converges via Ray task retry, not a rerun
+        self.die_once = die_once
 
     #: lineage row schema (explicit — ``error`` is usually all-null)
     LINEAGE_SCHEMA = pa.schema(
@@ -305,6 +312,14 @@ class MergeApplier:
         the failed partitions.
         """
         limit_kernel_threads()
+        if self.die_once is not None and not os.path.exists(self.die_once):
+            # o_EXCL: exactly one worker wins the marker and dies
+            try:
+                fd = os.open(self.die_once, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os._exit(137)
+            except FileExistsError:
+                pass
         if block.num_rows == 0:
             return self.LINEAGE_SCHEMA.empty_table()
         out: list[pa.Table] = []
@@ -577,6 +592,7 @@ def apply_changes(
     streaming_threshold_rows: int = 4_000_000,
     partition_key: str | None = None,
     _rebucket: bool = False,
+    die_once: str | None = None,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
 
@@ -609,6 +625,7 @@ def apply_changes(
             streaming_threshold_rows=streaming_threshold_rows,
             partition_key=partition_key,
             _rebucket=_rebucket,
+            die_once=die_once,
         )
 
 
@@ -628,6 +645,7 @@ def _apply_changes_impl(
     streaming_threshold_rows: int = 4_000_000,
     partition_key: str | None = None,
     _rebucket: bool = False,
+    die_once: str | None = None,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
@@ -809,28 +827,31 @@ def _apply_changes_impl(
     from palimpzest_ray.schemas import schema_to_json
 
     if merge_concurrency is None:
-        # Size the MergeApplier actor pool to the cluster but NEVER to the
-        # whole cluster: a pool that reserves every CPU starves the read /
-        # normalize / shuffle stages and the streaming executor deadlocks
-        # (observed at num_cpus=4). Autoscale from 1 so actors only claim
-        # CPUs as merge inputs actually arrive.
+        # Cap merge width below the cluster so the read / normalize /
+        # shuffle stages always keep CPUs (a width equal to the whole
+        # cluster starved upstream stages when this was an actor pool;
+        # kept as the exchange-width heuristic).
         import ray as _ray
 
         ncpu = int(_ray.cluster_resources().get("CPU", 4))
         merge_concurrency = max(1, min(num_partitions, max(1, ncpu - 2)))
-    merge_kwargs = {
-        "fn_constructor_kwargs": {
-            "lake_root": lake_root,
-            "staging_dir": staging_dir,
-            "target_schema_json": schema_to_json(lake_schema),
-            "base_files": base_files,
-            "key": key,
-            "fail_parts": fail_parts,
-            "streaming_threshold_rows": streaming_threshold_rows,
-        },
-        "batch_format": "pyarrow",
-        "batch_size": None,
-        "concurrency": (1, merge_concurrency) if merge_concurrency > 1 else 1,
+    # Merge runs as a TASK pool, not an actor pool: MergeApplier state
+    # is just paths + a parsed schema (rebuilt per task for ~free), and
+    # tasks recover from a dead worker via lineage-based retry — no
+    # actor-restart dependency on possibly-evicted constructor args
+    # (ray#53727; the actor-pool form warned about exactly that in
+    # every bench tail). Retries are safe: staged writes are
+    # tmp+rename-atomic per partition and LWW makes re-merging
+    # idempotent.
+    merge_ctor = {
+        "lake_root": lake_root,
+        "staging_dir": staging_dir,
+        "target_schema_json": schema_to_json(lake_schema),
+        "base_files": base_files,
+        "key": key,
+        "fail_parts": fail_parts,
+        "streaming_threshold_rows": streaming_threshold_rows,
+        "die_once": die_once,
     }
     if exchange == "fs":
         # Exchange through lake storage instead of the object store:
@@ -875,13 +896,9 @@ def _apply_changes_impl(
         ids = rd.from_arrow(
             pa.table({PART_COL: pa.array(parts_present, pa.int32())})
         ).repartition(max(1, len(parts_present)))
-        ctor = dict(merge_kwargs["fn_constructor_kwargs"], spill_dir=spill_dir)
+        ctor = dict(merge_ctor, spill_dir=spill_dir)
 
         def _merge_task(batch: pa.Table) -> pa.Table:
-            # task pool, not actors: fs-mode merge state is just paths +
-            # schema (rebuilt per task from the broadcast ctor dict), and
-            # skipping the actor-pool spin-up removes the largest fixed
-            # cost of small applies at high CPU counts
             return MergeApplier(**ctor)(batch)
 
         lineage_ds = ids.map_batches(
@@ -896,7 +913,13 @@ def _apply_changes_impl(
         # ~20x the actual merge work at bench scale.
         exchange_blocks = min(num_partitions, max(merge_concurrency * 4, 8))
         parted = pipeline.repartition(exchange_blocks, keys=[PART_COL])
-        lineage_ds = parted.map_batches(MergeApplier, **merge_kwargs)
+
+        def _merge_block(batch: pa.Table) -> pa.Table:
+            return MergeApplier(**merge_ctor)(batch)
+
+        lineage_ds = parted.map_batches(
+            _merge_block, batch_format="pyarrow", batch_size=None
+        )
     # Lineage is tiny (<= num_partitions rows) — safe to materialize.
     lineage_rows = lineage_ds.take_all()
     stats = lineage_ds.stats()

@@ -286,3 +286,27 @@ def test_run_report_persisted(tmp_path):
         rep = _json.load(f)
     assert rep["version"] == 1 and rep["events_seen"] == 1
     assert rep["lineage"] and all("max_lsn" in d for d in rep["lineage"])
+
+
+def test_killed_merge_worker_converges_via_task_retry(tmp_path, tmp_lake):
+    """Kill one merge worker process mid-apply (SIGKILL via die_once —
+    a hard death, not an exception): the apply must still SUCCEED in
+    one call, because merges run as plain tasks that Ray retries via
+    lineage after worker death (no actor-restart dependency on evicted
+    constructor args, ray#53727). Result equals the sequential oracle."""
+    base = make_base_table(N_BASE, seed=7)
+    changes = make_change_table(N_EVENTS, N_BASE, seed=8)
+    _bootstrap(tmp_path, tmp_lake, base)
+    log = os.path.join(str(tmp_path), "changes.parquet")
+    pq.write_table(changes, log)
+
+    marker = os.path.join(str(tmp_path), "die_once_marker")
+    res = apply_changes(log, tmp_lake, num_partitions=8, die_once=marker)
+    assert os.path.exists(marker), "fault was never injected"
+    assert res.partitions_rewritten + res.partitions_resumed == 8
+
+    got = final_state_table(tmp_lake)
+    want = sequential_replay(base, changes)
+    got_d = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
+    want_d = {r["doc_id"]: r["tokens"] for r in want.to_pylist()}
+    assert got_d == want_d
