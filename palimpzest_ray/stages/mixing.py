@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from palimpzest_ray.functions.tokens import duckdb_hash_i64
@@ -165,10 +166,26 @@ def upsample_by_weight(
         raise ValueError("negative default weight")
 
     def _rep(batch: pa.Table) -> pa.Table:
-        strata = batch[stratum_col].to_pylist()
-        w = np.array([weights.get(s, default) for s in strata], dtype=np.float64)
-        base = np.floor(w)
-        frac = np.array([_quantize(f, hash_fn) for f in w - base])
+        # dictionary-encode the stratum column so the Python weight-dict
+        # lookup runs once per DISTINCT stratum (a handful), not per row
+        enc = pc.dictionary_encode(batch[stratum_col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        per_val = np.array(
+            [weights.get(s, default) for s in enc.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        base_v = np.floor(per_val)
+        frac_v = np.array([_quantize(f, hash_fn) for f in per_val - base_v])
+        codes = enc.indices
+        if codes.null_count:  # null stratum -> default weight (as before)
+            per_val = np.append(per_val, default)
+            base_v = np.append(base_v, np.floor(default))
+            frac_v = np.append(frac_v, _quantize(default - np.floor(default), hash_fn))
+            codes = codes.fill_null(len(per_val) - 1)
+        code_np = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = base_v[code_np]
+        frac = frac_v[code_np]
         extra = _unit_hash(batch[key], seed, hash_fn) < frac
         copies = (base + extra).astype(np.int64)
         idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), copies)

@@ -408,11 +408,16 @@ def hll_distinct_by(
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         w = h << np.uint64(p)
         rho = np.where(w > 0, 64 - _bit_length_u64(w) + 1, 64 - p + 1).astype(np.uint8)
-        # segment the batch by group (one numpy pass per group present)
-        import pandas as pd
+        # segment the batch by group (one numpy pass per group present):
+        # Arrow-native composite-key encode + dictionary_encode replaces
+        # the former pandas to_pandas()+factorize hop (same
+        # first-occurrence code order, zero pandas conversion)
+        from palimpzest_ray.dataset import _encode_composite_key
 
-        kdf = batch.select(keys).to_pandas()
-        codes, uniq = pd.factorize(pd.MultiIndex.from_frame(kdf), sort=False)
+        enc = pa.compute.dictionary_encode(_encode_composite_key(batch, keys))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(codes, kind="stable")
         bounds = np.flatnonzero(np.diff(codes[order], prepend=-1))
         regs_out, key_rows = [], []
