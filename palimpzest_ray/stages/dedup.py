@@ -73,17 +73,50 @@ def exact_dedup(
 # --------------------------------------------------------------------------
 
 
-def _word_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+def _word_hashes(
+    col: pa.ChunkedArray | pa.Array, hash_fn: str = "stable"
+) -> tuple[np.ndarray, np.ndarray]:
     """(flat word hashes, parent doc index per word), fully vectorized:
-    lowercase → split on whitespace runs → xxhash each word."""
+    lowercase → split on whitespace runs → hash each word.
+
+    ``hash_fn="stable"`` (default) is polars xxhash — the fast
+    engine-internal path. ``hash_fn="fnv"`` is FNV-1a-64 over unicode
+    CODEPOINTS — chosen because a SQL oracle can restate it verbatim
+    (``list_reduce`` over ``unicode(char)`` with HUGEINT wraparound),
+    making hash-derived operators (SimHash) exactly checkable cross
+    engine."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     words = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
     flat = pc.list_flatten(words)
     parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
     keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
-    h = stable_hash(flat)
+    h = _fnv1a_codepoints(flat) if hash_fn == "fnv" else stable_hash(flat)
     return h[keep], parents[keep]
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a_codepoints(flat: pa.Array) -> np.ndarray:
+    """FNV-1a-64 per string over its unicode codepoints, vectorized
+    across strings (numpy UCS-4 grid; the only loop is over character
+    POSITIONS, bounded by the longest word). Cross-engine oracle hash —
+    see ``_word_hashes(hash_fn="fnv")``."""
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    arr = np.array(flat.to_pylist(), dtype="U")
+    if arr.dtype.itemsize == 0:  # every string empty
+        return np.full(n, _FNV_OFFSET, np.uint64)
+    grid = arr.view(np.uint32).reshape(n, -1)
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    for j in range(grid.shape[1]):
+        c = grid[:, j].astype(np.uint64)
+        live = c != 0  # UCS-4 pads with NUL; real NULs can't be in words
+        h[live] = (h[live] ^ c[live]) * _FNV_PRIME
+    return h
 
 
 def _shingle_hashes(
@@ -522,12 +555,20 @@ def minhash_lsh_dedup(
 
 
 def simhash_ds(
-    ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "stable",
 ) -> rd.Dataset:
-    """id + 64-bit SimHash per document (vectorized bit-vote)."""
+    """id + 64-bit SimHash per document (vectorized bit-vote).
+
+    ``hash_fn="fnv"`` swaps the word hash for FNV-1a over codepoints so
+    the signature is a pure function a DuckDB oracle can restate
+    exactly (contract query q58); ``"stable"`` is the fast default."""
 
     def _sim(batch: pa.Table) -> pa.Table:
-        h, parents = _word_hashes(batch[text_col])
+        h, parents = _word_hashes(batch[text_col], hash_fn)
         votes = np.zeros((batch.num_rows, 64), dtype=np.int64)
         if len(h):
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
@@ -545,21 +586,25 @@ def simhash_ds(
     return ds.map_batches(_sim, batch_format="pyarrow")
 
 
-def simhash_dedup(
+def simhash_pairs(
     ds: rd.Dataset,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 256,
-    distributed: bool | None = None,
+    hash_fn: str = "stable",
 ) -> rd.Dataset:
-    """Near-dedup by SimHash Hamming distance ≤ ``max_hamming``.
+    """All pairs with SimHash Hamming distance ≤ ``max_hamming``:
+    ``(id_a, id_b, hamming)``, ``id_a < id_b``.
 
-    Pigeonhole banding: two hashes within Hamming 3 of each other agree
-    exactly on at least one of four 16-bit bands → groupby each band
-    value, verify true Hamming in-bucket."""
-    sh = simhash_ds(ds, text_col=text_col, id_col=id_col)
+    Pigeonhole banding: 64 bits split into 4 16-bit bands — two hashes
+    within Hamming 3 agree EXACTLY on at least one band, so recall is
+    1 by construction (not probabilistic); ``groupby`` each band value,
+    verify true Hamming in-bucket. The only completeness caveat is
+    ``max_bucket`` (degenerate buckets are capped, not exploded O(g²));
+    raise it when an exact contract needs every pair."""
+    sh = simhash_ds(ds, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
 
     def _bands(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -617,10 +662,27 @@ def simhash_dedup(
             }
         )
 
-    pair_tbl = exact_dedup(
+    return exact_dedup(
         banded.groupby("band_key").map_groups(_pairs, batch_format="pyarrow"),
         ["id_a", "id_b"],
         "hamming",
+    )
+
+
+def simhash_dedup(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+    distributed: bool | None = None,
+) -> rd.Dataset:
+    """Near-dedup by SimHash Hamming distance ≤ ``max_hamming``:
+    cluster the :func:`simhash_pairs` output, keep min-id per cluster."""
+    pair_tbl = simhash_pairs(
+        ds, text_col=text_col, id_col=id_col,
+        max_hamming=max_hamming, max_bucket=max_bucket,
     )
     return _drop_by_pair_table(ds, pair_tbl, id_col, distributed=distributed)
 
@@ -758,3 +820,174 @@ def embedding_neardup(
 
     pair_tbl = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
     return _drop_by_pair_table(ds, pair_tbl, id_col, distributed=distributed)
+
+
+# --------------------------------------------------------------------------
+# exact-by-construction pair detection (contract-grade oracles)
+# --------------------------------------------------------------------------
+
+
+def exact_jaccard_pairs(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.8,
+) -> rd.Dataset:
+    """ALL pairs with exact word-``shingle``-gram Jaccard ≥ ``threshold``:
+    ``(id_a, id_b, jaccard)``, ``id_a < id_b``.
+
+    Candidate generation is the inverted-index route — pairs sharing at
+    least one shingle — whose recall is 1 BY CONSTRUCTION for any
+    threshold > 0 (J(a,b) > 0 requires a shared shingle), so the output
+    is a pure function of the data that a DuckDB oracle states directly
+    (shingle self-join; contract query q57). MinHash-LSH
+    (:func:`minhash_candidate_pairs`) is the probabilistic scale path
+    for corpora where hot shingles make the inverted index skewed;
+    pytest proves its r=1 candidate set covers this exact pair set on
+    the test corpora.
+
+    Fully distributed on the engine's proven exchanges (no alpha hash
+    shuffle — chained hash exchanges wedge at low CPU headroom, see
+    ``context.hash_shuffle_scope``): explode (doc, shingle) with the
+    doc's set size riding along each row (no sizes join), SELF-JOIN on
+    the shingle hash through the bucketed-cogroup path (acero kernels)
+    to emit one co-occurrence row per shared shingle, then a combined
+    map-side-partial groupby on the pair counts the intersection;
+    jaccard = c / (na + nb - c).
+    """
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        h, parents = _word_hashes(batch[text_col])
+        sh, sp = _shingle_hashes(h, parents, shingle)
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch[id_col].type),
+                "sh": pa.array([], pa.uint64()),
+                "nsz": pa.array([], pa.int64()),
+            }
+        )
+        if len(sh) == 0:
+            return empty
+        order = np.lexsort((sh, sp))
+        sh, sp = sh[order], sp[order]
+        keep = np.ones(len(sh), bool)
+        keep[1:] = (sh[1:] != sh[:-1]) | (sp[1:] != sp[:-1])
+        sh, sp = sh[keep], sp[keep]
+        # per-doc DISTINCT shingle count, aligned to each exploded row
+        b0 = np.flatnonzero(np.diff(sp, prepend=sp[0] - 1))
+        cnt = np.diff(np.append(b0, len(sp)))
+        nsz = np.repeat(cnt, cnt)
+        ids = batch[id_col].combine_chunks().take(pa.array(sp))
+        return pa.table(
+            {id_col: ids, "sh": pa.array(sh), "nsz": pa.array(nsz, pa.int64())}
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    from palimpzest_ray.dataset import Dataset as _Pz
+    from palimpzest_ray.dataset import GroupedDataset as _Grouped
+
+    def _side(prefix: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"id_{prefix}": batch[id_col],
+                    "sh": batch["sh"],
+                    f"n{prefix}": batch["nsz"],
+                }
+            )
+
+        return _m
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+    left = _Pz(exploded.map_batches(_side("a"), batch_format="pyarrow"))
+    right = _Pz(exploded.map_batches(_side("b"), batch_format="pyarrow"))
+    cooc = (
+        left.join(right, on="sh", how="inner", strategy="shuffle")
+        .filter(batch_fn=lambda b: b.filter(pc.less(b["id_a"], b["id_b"])))
+        .ray
+    )
+    agg = _Grouped(cooc, ["id_a", "id_b"]).aggregate(
+        Count(alias_name="c"), Min("na", alias_name="na"), Min("nb", alias_name="nb")
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["na"].to_numpy(zero_copy_only=False)
+        nb = batch["nb"].to_numpy(zero_copy_only=False)
+        j = c / (na + nb - c)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "id_a": batch["id_a"].filter(pa.array(keep)),
+                "id_b": batch["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return agg.ray.map_batches(_finish, batch_format="pyarrow")
+
+
+def cosine_dup_pairs(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    round_to: int = 3,
+) -> rd.Dataset:
+    """ALL pairs with cosine ≥ ``threshold``: ``(id_a, id_b, score)``
+    where ``score = round(cos * 10^round_to)`` int64 — the integer
+    scaling that makes a float similarity bit-comparable with a SQL
+    ``list_cosine_similarity`` oracle (same tactic as
+    :func:`similarity.knn_search` ``int_scores``); the ≥ test runs on
+    the ROUNDED value on both sides so the boundary is consistent.
+
+    Exact baseline: the normalized matrix is broadcast once
+    (``ray.put``) and every batch matmuls against it — distributed
+    compute, no shuffle, recall 1 by construction. Right for corpora up
+    to millions of vectors (the broadcast side is n×dim×8 bytes);
+    :func:`embedding_neardup` (hyperplane-LSH buckets) is the
+    approximate path beyond that."""
+    from palimpzest_ray.stages.similarity import _normalize, _vectors
+
+    ids_parts: list[np.ndarray] = []
+    vec_parts: list[np.ndarray] = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            ids_parts.append(b[id_col].to_numpy(zero_copy_only=False))
+            vec_parts.append(_vectors(b, emb_col))
+    if not ids_parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ids_all = np.concatenate(ids_parts)
+    A = _normalize(np.concatenate(vec_parts).astype(np.float64))
+    ref = ray.put((ids_all, A))
+    bar = int(round(threshold * 10.0**round_to))
+    scale = 10.0**round_to
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        idsA, Am = ray.get(ref)
+        Vb = _normalize(_vectors(batch, emb_col).astype(np.float64))
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        S = np.round((Vb @ Am.T) * scale)
+        mask = (S >= bar) & (ids_b[:, None] < idsA[None, :])
+        bi, ai = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": pa.array(ids_b[bi], batch[id_col].type),
+                "id_b": pa.array(idsA[ai], batch[id_col].type),
+                "score": pa.array(S[bi, ai].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_pairs, batch_format="pyarrow")

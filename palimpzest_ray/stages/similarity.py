@@ -148,14 +148,25 @@ def lsh_knn_search(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     num_planes: int = 8,
-    probe: int = 1,
+    probe: int | str = 1,
     seed: int = 11,
+    dtype=np.float32,
+    round_to: int = 6,
+    int_scores: bool = False,
 ) -> rd.Dataset:
     """Approximate cosine top-k: scan only vectors whose hyperplane-sign
     bucket is within Hamming ``probe`` of some query's bucket. The
     candidate-bucket set (≤ num_queries × Σ C(planes, i)) is broadcast;
-    each batch filters then matmuls only survivors."""
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    each batch filters then matmuls only survivors.
+
+    ``probe="all"`` probes EVERY bucket — the LSH machinery degenerates
+    to exact top-k, which is how the driver contract states an exact
+    SQL oracle for this operator (the pruning path ``probe<planes``
+    holds its oracle in pytest — same design as the persistent-IVF
+    query probed at nprobe=nlist). ``dtype=np.float64`` +
+    ``int_scores=True`` make scores bit-comparable with the SQL
+    ``round(list_cosine_similarity(...) * 10^round_to)`` form."""
+    Q = _normalize(np.asarray(queries, dtype=dtype))
     dim = Q.shape[1]
     planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
 
@@ -165,22 +176,24 @@ def lsh_knn_search(
             axis=1, dtype=np.uint64
         )
 
-    qb = bucket_of(Q)
-    cand: set[int] = set()
-    flips = [np.uint64(0)]
-    if probe >= 1:
-        flips += [np.uint64(1) << np.uint64(i) for i in range(num_planes)]
-    if probe >= 2:
-        flips += [
-            (np.uint64(1) << np.uint64(i)) | (np.uint64(1) << np.uint64(j))
-            for i in range(num_planes)
-            for j in range(i + 1, num_planes)
-        ]
-    for b in qb:
-        for f in flips:
-            cand.add(int(b ^ f))
-    cand_arr = pa.array(np.array(sorted(cand), dtype=np.uint64))
-    cref = ray.put(cand_arr)
+    scan_all = probe == "all"
+    if not scan_all:
+        qb = bucket_of(Q)
+        cand: set[int] = set()
+        flips = [np.uint64(0)]
+        if probe >= 1:
+            flips += [np.uint64(1) << np.uint64(i) for i in range(num_planes)]
+        if probe >= 2:
+            flips += [
+                (np.uint64(1) << np.uint64(i)) | (np.uint64(1) << np.uint64(j))
+                for i in range(num_planes)
+                for j in range(i + 1, num_planes)
+            ]
+        for b in qb:
+            for f in flips:
+                cand.add(int(b ^ f))
+        cand_arr = pa.array(np.array(sorted(cand), dtype=np.uint64))
+        cref = ray.put(cand_arr)
     qref = ray.put(Q)
 
     def _local(batch: pa.Table) -> pa.Table:
@@ -189,16 +202,17 @@ def lsh_knn_search(
         if batch.num_rows == 0:
             return _batch_topk(
                 batch, Q, k=k, emb_col=emb_col, id_col=id_col,
-                dtype=np.float32, round_to=6, int_scores=False,
+                dtype=dtype, round_to=round_to, int_scores=int_scores,
             )
-        V = _normalize(_vectors(batch, emb_col))
-        b = bucket_of(V)
-        mask = pc.is_in(pa.array(b), value_set=ray.get(cref))
-        batch = batch.filter(mask)
-        Vf = V[mask.to_numpy(zero_copy_only=False)]
+        V = _normalize(_vectors(batch, emb_col).astype(dtype))
+        if not scan_all:
+            b = bucket_of(V.astype(np.float32))
+            mask = pc.is_in(pa.array(b), value_set=ray.get(cref))
+            batch = batch.filter(mask)
+            V = V[mask.to_numpy(zero_copy_only=False)]
         return _batch_topk(
             batch, ray.get(qref), k=k, emb_col=emb_col, id_col=id_col,
-            dtype=np.float32, round_to=6, int_scores=False, V=Vf,
+            dtype=dtype, round_to=round_to, int_scores=int_scores, V=V,
         )
 
     partials = ds.map_batches(_local, batch_format="pyarrow")
