@@ -92,13 +92,14 @@ def q02_filter_project(sf_dir: str):
 
 
 def q03_segment_revenue(sf_dir: str):
-    """Broadcast join (dimension customer shipped once via ray.put)."""
+    """Dimension join; strategy=auto picks broadcast from the pruned
+    customer read's footer-stat estimate (dataset.BROADCAST_EST_BYTES)."""
     from ray.data.aggregate import Count, Sum
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = orders.rename_columns({"o_custkey": "c_custkey"}).join(
-        cust, on="c_custkey", how="inner", strategy="broadcast"
+        cust, on="c_custkey", how="inner"
     )
     out = j.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue_c100"),
@@ -108,13 +109,15 @@ def q03_segment_revenue(sf_dir: str):
 
 
 def q04_priority_lineitems(sf_dir: str):
-    """Shuffle (bucketed cogroup) join of the two big tables."""
+    """Fact-fact join; strategy=auto keeps it on the bucketed-cogroup
+    shuffle path whenever the right side's estimate exceeds the
+    broadcast bound (or is unknown)."""
     from ray.data.aggregate import Count, Sum
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     j = li.rename_columns({"l_orderkey": "o_orderkey"}).join(
-        orders, on="o_orderkey", how="inner", strategy="shuffle"
+        orders, on="o_orderkey", how="inner"
     )
     out = j.groupby("o_orderpriority").aggregate(
         Count(alias_name="n"),
@@ -131,17 +134,20 @@ def q05_nation_revenue(sf_dir: str):
     nation = _read(sf_dir, "nation")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # ALL hops on strategy=auto (round-3 ask #5): region is a footer-
+    # estimated dimension -> broadcast; nr and cn are DERIVED pipelines
+    # with no size bound -> auto stays conservative and shuffles them.
+    # In particular the fact-sized orders ⋈ (customer×nation×region)
+    # hop — round 1's scale-killer when hand-picked broadcast — can no
+    # longer regress: auto never broadcasts a side it cannot bound.
     nr = nation.rename_columns({"n_regionkey": "r_regionkey"}).join(
-        region, on="r_regionkey", how="inner", strategy="broadcast"
+        region, on="r_regionkey", how="inner"
     )
     cn = cust.rename_columns({"c_nationkey": "n_nationkey"}).join(
-        nr, on="n_nationkey", how="inner", strategy="broadcast"
+        nr, on="n_nationkey", how="inner"
     )
-    # orders ⋈ (customer×nation×region): the right side is fact-sized
-    # (scales with customers), so SHUFFLE this hop — broadcast is only
-    # for the true dimension hops above (nation/region).
     oc = orders.rename_columns({"o_custkey": "c_custkey"}).join(
-        cn, on="c_custkey", how="inner", strategy="shuffle"
+        cn, on="c_custkey", how="inner"
     )
     out = oc.groupby(["r_name", "n_name"]).aggregate(
         Sum("o_totalprice", alias_name="revenue_c100")

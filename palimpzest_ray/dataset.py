@@ -39,6 +39,12 @@ import ray.data as rd
 from palimpzest_ray.functions.tokens import first_per_key, stable_hash
 
 RIGHT_SUFFIX = "_right"
+
+#: join(strategy="auto") broadcasts a right side estimated at or below
+#: this many in-memory bytes. The bound is ABSOLUTE, not data-relative:
+#: broadcast cost is driver memory + one object-store copy read by
+#: every task, which is the same machine cost at every corpus scale.
+BROADCAST_EST_BYTES = 2 << 20  # 2 MiB
 _JOIN_BUCKET = "__jbucket"
 _JOIN_SIDE = "__jside"
 
@@ -76,11 +82,95 @@ def read_parquet(paths, columns: list[str] | None = None, **kw) -> "Dataset":
     unhashable, which breaks Ray's schema dedup early-exit (log spam in
     every worker + full unify work per block pair). ``batch_size=None``
     keeps one zero-copy batch per block.
+
+    Also stamps ``_est_bytes`` — the estimated in-memory size of the
+    SELECTED columns from parquet footer statistics — which
+    :meth:`Dataset.join`'s ``strategy="auto"`` uses to pick broadcast
+    vs shuffle without user annotations (VERDICT r2 ask #5).
     """
+    if "schema" not in kw:
+        # pass the footer schema with its metadata dropped: blocks then
+        # leave the READ op already hashable, killing the worker-side
+        # "Failed to hash the schemas" warning that a post-read strip
+        # map cannot reach (it fires inside ReadParquet->SplitBlocks)
+        stripped = _stripped_footer_schema(paths)
+        if stripped is not None:
+            if columns is not None:  # schema must match the projection
+                stripped = pa.schema(
+                    [stripped.field(c) for c in columns if c in stripped.names]
+                )
+            kw["schema"] = stripped
     ds = rd.read_parquet(paths, columns=columns, **kw)
-    return Dataset(
+    out = Dataset(
         ds.map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
     )
+    out._est_bytes = _estimate_parquet_bytes(paths, columns)
+    return out
+
+
+def _stripped_footer_schema(paths) -> pa.Schema | None:
+    """First file's footer schema minus schema-level metadata; None when
+    the footer can't be read cheaply (mixed/remote inputs) or carries no
+    metadata (nothing to strip — let Ray infer as usual)."""
+    import os as _os
+
+    try:
+        p = paths if isinstance(paths, str) else list(paths)[0]
+        if _os.path.isdir(p):
+            for root, _dirs, names in _os.walk(p):
+                pq_names = sorted(n for n in names if n.endswith(".parquet"))
+                if pq_names:
+                    p = _os.path.join(root, pq_names[0])
+                    break
+        import pyarrow.parquet as _pq
+
+        schema = _pq.read_schema(p)
+        return schema.remove_metadata() if schema.metadata else None
+    except Exception:
+        return None
+
+
+def _estimate_parquet_bytes(paths, columns: list[str] | None) -> int | None:
+    """Uncompressed byte estimate of the selected columns, from parquet
+    footers. Bounded plan-time cost: at most 8 footers are read; the
+    rest extrapolate by on-disk file size (uniform-format assumption —
+    exactly how a catalog would scale row-group stats)."""
+    import os as _os
+
+    try:
+        plist = [paths] if isinstance(paths, str) else list(paths)
+        files: list[str] = []
+        for p in plist:
+            if _os.path.isdir(p):
+                for root, _dirs, names in _os.walk(p):
+                    files += [
+                        _os.path.join(root, n)
+                        for n in names
+                        if n.endswith(".parquet")
+                    ]
+            else:
+                files.append(p)
+        if not files:
+            return None
+        import pyarrow.parquet as _pq
+
+        sample = files[:8]
+        est = 0
+        for f in sample:
+            md = _pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if columns is None or col.path_in_schema.split(".")[0] in columns:
+                        est += col.total_uncompressed_size
+        disk_sample = sum(_os.path.getsize(f) for f in sample)
+        disk_total = disk_sample + sum(_os.path.getsize(f) for f in files[8:])
+        if disk_sample:
+            est = int(est * disk_total / disk_sample)
+        return est
+    except Exception:
+        return None  # estimate only — never fail a read over it
 
 
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
@@ -90,11 +180,13 @@ def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
 def from_pandas(df: pd.DataFrame) -> "Dataset":
     # go through Arrow so every block is a pa.Table (pandas-backed blocks
     # trip several Ray 2.49 paths, e.g. PandasBlockSchema vs pa.Schema)
-    return Dataset(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)))
+    return from_arrow(pa.Table.from_pandas(df, preserve_index=False))
 
 
 def from_arrow(table: pa.Table) -> "Dataset":
-    return Dataset(rd.from_arrow(table))
+    out = Dataset(rd.from_arrow(table))
+    out._est_bytes = table.nbytes  # exact, not an estimate
+    return out
 
 
 def from_items(items: list[dict]) -> "Dataset":
@@ -225,6 +317,18 @@ class Dataset:
 
     def __init__(self, ds: rd.Dataset):
         self._ds = ds
+        #: estimated in-memory bytes (None = unknown). Stamped by the
+        #: sources (parquet footers / arrow nbytes), carried through
+        #: row-preserving-or-shrinking ops via _with_est, and consumed
+        #: by join(strategy="auto") to pick broadcast vs shuffle. A
+        #: conservative OVER-estimate is fine (worst case: a shuffle
+        #: where broadcast was possible); unknown always means shuffle.
+        self._est_bytes: int | None = None
+
+    def _with_est(self, ds: rd.Dataset) -> "Dataset":
+        out = Dataset(ds)
+        out._est_bytes = self._est_bytes
+        return out
 
     # ---- plumbing ----
     @property
@@ -375,12 +479,12 @@ class Dataset:
 
     def project(self, cols: list[str]) -> "Dataset":
         """Column projection (reference ``ProjectOp``, ``project.py:8-53``)."""
-        return Dataset(self._ds.select_columns(cols))
+        return self._with_est(self._ds.select_columns(cols))
 
     select_columns = project
 
     def rename_columns(self, mapping: dict[str, str]) -> "Dataset":
-        return Dataset(_rename(self._ds, mapping))
+        return self._with_est(_rename(self._ds, mapping))
 
     def map_batches(self, fn, **kw) -> "Dataset":
         """Vectorized batch transform — the preferred hot path."""
@@ -457,16 +561,18 @@ class Dataset:
         predicate compat path.
         """
         if expr is not None:
-            return Dataset(self._ds.filter(expr=expr))
+            return self._with_est(self._ds.filter(expr=expr))
         if batch_fn is not None:
-            return Dataset(self._ds.map_batches(batch_fn, batch_format="pyarrow"))
+            return self._with_est(
+                self._ds.map_batches(batch_fn, batch_format="pyarrow")
+            )
         assert fn is not None
 
         def _apply(batch: pa.Table) -> pa.Table:
             mask = pa.array([bool(fn(r)) for r in batch.to_pylist()])
             return batch.filter(mask)
 
-        return Dataset(self._ds.map_batches(_apply, batch_format="pyarrow"))
+        return self._with_est(self._ds.map_batches(_apply, batch_format="pyarrow"))
 
     # ---- distinct / limit / sort / union ----
 
@@ -507,7 +613,7 @@ class Dataset:
         """Streaming limit — the executor early-stops upstream work
         (reference enforces this in the driver loop,
         ``parallel_execution_strategy.py:179-191``)."""
-        return Dataset(self._ds.limit(n))
+        return self._with_est(self._ds.limit(n))
 
     def sort(self, key, descending: bool = False, *, null_safe: bool = False) -> "Dataset":
         """Global sort (range shuffle). Absent in the reference
@@ -517,7 +623,7 @@ class Dataset:
         against a value): each key is split into an is-null flag plus a
         null-filled copy, sorted (flag, value), then projected away."""
         if not null_safe:
-            return Dataset(self._ds.sort(key, descending=descending))
+            return self._with_est(self._ds.sort(key, descending=descending))
         keys = [key] if isinstance(key, str) else list(key)
         desc = (
             [descending] * len(keys) if isinstance(descending, bool) else list(descending)
@@ -619,7 +725,7 @@ class Dataset:
         on: str | list[str],
         how: str = "inner",
         *,
-        strategy: str = "shuffle",
+        strategy: str = "auto",
         num_buckets: int | None = None,
         salt: int = 1,
         suffix: str = RIGHT_SUFFIX,
@@ -627,6 +733,14 @@ class Dataset:
         """Equi-join (reference ``RelationalJoin``, ``join.py:179-286``,
         minus its in-memory nested loop). Duplicate non-key columns on
         the right are renamed with ``_right`` (``schemas.py:163-166``).
+
+        ``strategy="auto"`` (default) picks from the RIGHT side's size
+        estimate (parquet footer stats stamped by ``read_parquet`` and
+        carried through row-preserving ops): estimated ≤
+        ``BROADCAST_EST_BYTES`` → broadcast, bigger or UNKNOWN (any
+        derived pipeline) → shuffle. A stale hand-picked broadcast is
+        the classic 100-TB scale-killer; auto never broadcasts a side
+        it cannot bound.
 
         ``strategy="broadcast"``: materialize the (small) right side
         once, ``ray.put`` it, and merge per batch inside ``map_batches``
@@ -659,6 +773,13 @@ class Dataset:
         on = [on] if isinstance(on, str) else list(on)
         how = {"outer": "outer", "full": "outer", "full_outer": "outer"}.get(how, how)
         assert how in ("inner", "left", "right", "outer"), how
+        if strategy == "auto":
+            est = other._est_bytes
+            strategy = (
+                "broadcast"
+                if est is not None and est <= BROADCAST_EST_BYTES
+                else "shuffle"
+            )
         if salt > 1 and (strategy != "shuffle" or how not in ("inner", "left")):
             raise ValueError(
                 "salt requires strategy='shuffle' and how in ('inner', 'left'): "

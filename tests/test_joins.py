@@ -405,3 +405,59 @@ def test_auto_bucket_sizing_from_plan_metadata():
     ).rename_columns({"o_orderkey": "l_orderkey"})
     n = a.join(b, on="l_orderkey", how="inner", strategy="shuffle").ray.count()
     assert n == li.count()
+
+
+def test_auto_join_strategy_selection(ray_session):
+    """strategy="auto" (round-3): broadcast for a footer-estimated
+    dimension read (nation/region-sized), shuffle for a fact-sized read
+    (orders) and for ANY derived pipeline (unknown estimate)."""
+    import palimpzest_ray.dataset as pzd
+
+    sf = "/root/testdata/sf0.01"
+    nation = pzd.read_parquet(f"{sf}/nation.parquet")
+    orders = pzd.read_parquet(f"{sf}/orders.parquet")
+    assert nation._est_bytes is not None
+    assert nation._est_bytes <= pzd.BROADCAST_EST_BYTES
+    # orders at sf0.01 is small too — the pruned-read estimate is what
+    # scales; simulate the fact side crossing the bound
+    big = pzd.read_parquet(f"{sf}/orders.parquet")
+    big._est_bytes = pzd.BROADCAST_EST_BYTES + 1
+
+    # estimates survive the prep chain (rename/project/filter/limit)
+    prep = nation.rename_columns({"n_regionkey": "r_regionkey"}).project(
+        ["n_nationkey", "n_name", "r_regionkey"]
+    )
+    assert prep._est_bytes == nation._est_bytes
+    # a derived (map_batches) pipeline loses the bound -> conservative
+    derived = nation.map_batches(lambda b: b)
+    assert derived._est_bytes is None
+
+    calls = {}
+    import palimpzest_ray.dataset as m
+
+    orig_b, orig_s = m._broadcast_join, m._shuffle_join
+
+    def spy_b(*a, **k):
+        calls["strategy"] = "broadcast"
+        return orig_b(*a, **k)
+
+    def spy_s(*a, **k):
+        calls["strategy"] = "shuffle"
+        return orig_s(*a, **k)
+
+    m._broadcast_join, m._shuffle_join = spy_b, spy_s
+    try:
+        orders.rename_columns({"o_custkey": "n_nationkey"}).join(
+            nation, on="n_nationkey"
+        )
+        assert calls["strategy"] == "broadcast"
+        nation.join(
+            big.rename_columns({"o_custkey": "n_nationkey"}), on="n_nationkey"
+        )
+        assert calls["strategy"] == "shuffle"
+        nation.join(
+            derived.rename_columns({"n_name": "nm"}), on="n_nationkey"
+        )
+        assert calls["strategy"] == "shuffle"
+    finally:
+        m._broadcast_join, m._shuffle_join = orig_b, orig_s
