@@ -1112,6 +1112,55 @@ def q79_token_index_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(sorted(int(d) for d in hits), pa.int64())})
 
 
+def q80_lake_zonemap_scan(sf_dir: str):
+    """Predicate-pushdown lake scan (round-3 ask #6): documents land in
+    a CDC lake PARTITIONED BY ``source`` (partition_key routes by a
+    non-key column), then ``final_state(predicate=[(source == 'src3'),
+    (n_chars >= 300)])`` prunes files by zone maps (min/max footer
+    stats — the source-partitioned files are single-valued in
+    ``source``, so 7/8 partitions never open) and pushes the exact row
+    filter into the arrow fragment scan. Oracle: plain SQL WHERE over
+    documents."""
+    import hashlib
+
+    from palimpzest_ray.cdc import apply_changes, final_state
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    work = f"/tmp/pz_q80_{tag}"
+    lake = f"{work}/lake"
+    if not os.path.exists(os.path.join(lake, "LATEST")):
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        docs = _read(sf_dir, "documents", ["doc_id", "n_chars", "source", "lang"]).ray
+
+        def _as_log(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lsn": batch["doc_id"].cast(pa.int64()),
+                    "op": pa.array(["INSERT"] * batch.num_rows),
+                    **{c: batch[c] for c in ("doc_id", "n_chars", "source", "lang")},
+                }
+            )
+
+        apply_changes(
+            docs.map_batches(_as_log, batch_format="pyarrow"),
+            lake,
+            num_partitions=8,
+            partition_key="source",
+        )
+    return pzd.Dataset(
+        final_state(
+            lake,
+            columns=["doc_id", "n_chars", "source", "lang"],
+            predicate=[("source", "==", "src3"), ("n_chars", ">=", 300)],
+        )
+    ).sort(["doc_id"])
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1469,6 +1518,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q77_rag_chunking": q77_rag_chunking,
         "q78_shuffled_packing": q78_shuffled_packing,
         "q79_token_index_search": q79_token_index_search,
+        "q80_lake_zonemap_scan": q80_lake_zonemap_scan,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1597,6 +1647,13 @@ def oracle_sql() -> dict[str, str]:
 def _base_oracle_sql() -> dict[str, str]:
     lang_expr = T.language_id_sql("text")
     return {
+        # predicate-pushdown lake scan: SQL states the WHERE directly
+        "q80_lake_zonemap_scan": """
+            select doc_id, n_chars, source, lang
+            from documents
+            where source = 'src3' and n_chars >= 300
+            order by doc_id
+        """,
         # exact word-3-gram Jaccard >= 0.8 over all pairs: engine finds
         # them via MinHash-LSH candidates + exact verify; the oracle
         # states the pure function directly (shingle self-join). Short

@@ -2,6 +2,7 @@ from palimpzest_ray.cdc.engine import (
     ApplyResult,
     apply_changes,
     final_state,
+    zone_prune_files,
     final_state_table,
     lookup,
     lww_latest,
@@ -31,6 +32,7 @@ from palimpzest_ray.cdc.synth import (
 __all__ = [
     "apply_changes",
     "final_state",
+    "zone_prune_files",
     "final_state_table",
     "lww_latest",
     "lookup",

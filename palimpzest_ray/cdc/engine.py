@@ -1092,6 +1092,89 @@ def repartition_lake(
     )
 
 
+def _stats_may_match(stats, op: str, value) -> bool:
+    """Can any row in a row group satisfy ``col <op> value`` given its
+    parquet min/max statistics? Missing/untyped stats → maybe (True)."""
+    if stats is None or not stats.has_min_max:
+        return True
+    lo, hi = stats.min, stats.max
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op == "!=":
+            return not (lo == value == hi)
+        if op == ">=":
+            return hi >= value
+        if op == ">":
+            return hi > value
+        if op == "<=":
+            return lo <= value
+        if op == "<":
+            return lo < value
+        if op == "in":
+            return any(lo <= v <= hi for v in value)
+    except TypeError:
+        return True  # incomparable stats (e.g. binary vs str) → scan
+    return True
+
+
+def zone_prune_files(
+    files: list[str], predicate: list[tuple]
+) -> tuple[list[str], int, int]:
+    """File-level zone-map pruning: keep a file only if SOME row group's
+    min/max statistics can satisfy EVERY conjunct. A file lacking a
+    predicate column entirely (pre-evolution epoch) is pruned — those
+    rows are null there and a comparison never matches NULL. Returns
+    (kept files, row groups scanned as maybe-matching, total row
+    groups) — the counters are what tests assert. Footer-only reads;
+    the exact row filter still runs inside the scan (pushdown via the
+    arrow fragment filter), so pruning is a pure I/O optimization,
+    never a semantics change."""
+    kept: list[str] = []
+    rg_match = rg_total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if any(col not in idx for col, _op, _v in predicate):
+            rg_total += md.num_row_groups
+            continue
+        file_hit = False
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            rg_total += 1
+            if all(
+                _stats_may_match(g.column(idx[col]).statistics, op, v)
+                for col, op, v in predicate
+            ):
+                rg_match += 1
+                file_hit = True
+        if file_hit:
+            kept.append(f)
+    return kept, rg_match, rg_total
+
+
+def _predicate_expr(predicate: list[tuple]):
+    """The exact pyarrow dataset expression for the conjuncts — pushed
+    into the parquet scan (arrow skips non-matching row groups by
+    stats, then filters rows exactly)."""
+    import pyarrow.dataset as pds
+
+    expr = None
+    for col, op, v in predicate:
+        f = pds.field(col)
+        e = {
+            "==": lambda: f == v,
+            "!=": lambda: f != v,
+            ">=": lambda: f >= v,
+            ">": lambda: f > v,
+            "<=": lambda: f <= v,
+            "<": lambda: f < v,
+            "in": lambda: f.isin(list(v)),
+        }[op]()
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
 def final_state(
     lake_root: str,
     *,
@@ -1099,6 +1182,7 @@ def final_state(
     include_tombstones: bool = False,
     version: int | None = None,
     columns: list[str] | None = None,
+    predicate: list[tuple] | None = None,
 ) -> rd.Dataset:
     """Read a committed lake version as a streaming Dataset, unifying
     per-file schemas — carried-forward partitions may predate an
@@ -1109,7 +1193,16 @@ def final_state(
     latest). ``columns`` prunes the parquet read to the named USER
     columns (+ the internal columns the filter needs) — pass it when a
     consumer doesn't touch the token payload (e.g. aggregate views:
-    group/value columns are bytes, tokens are megabytes)."""
+    group/value columns are bytes, tokens are megabytes).
+
+    ``predicate`` — a conjunction of ``(col, op, value)`` with op in
+    {==, !=, <, <=, >, >=, in} — is pushed down TWICE (round-3 ask #6):
+    file-level zone maps (:func:`zone_prune_files` skips whole files by
+    row-group min/max footer stats, plus files predating the column)
+    and the arrow fragment filter (row-group skip + exact row filter
+    inside the scan). A 100-TB user's first query is ``WHERE source = X
+    AND date BETWEEN ...`` — with a matching ``partition_key`` the scan
+    touches only that key's partition files."""
     if version is not None:
         from palimpzest_ray.cdc.manifest import load_manifest
 
@@ -1120,6 +1213,19 @@ def final_state(
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     files = manifest.data_files(lake_root)
     schema = manifest.schema
+    read_filter = None
+    if predicate:
+        files, _rg_match, _rg_total = zone_prune_files(files, predicate)
+        read_filter = _predicate_expr(predicate)
+        if not files:
+            base = pa.schema(
+                [f for f in schema if columns is None or f.name in columns]
+            )
+            if user_columns_only:
+                base = pa.schema(
+                    [f for f in base if f.name not in (LSN_COL, TOMBSTONE_COL)]
+                )
+            return rd.from_arrow(base.empty_table())
     read_cols = None
     if columns is not None:
         internal = [TOMBSTONE_COL] if not include_tombstones else []
@@ -1139,8 +1245,11 @@ def final_state(
                 t = t.drop_columns([TOMBSTONE_COL])
         return drop_internal(t) if user_columns_only else t
 
+    fkw = {"filter": read_filter} if read_filter is not None else {}
     if read_cols is None:
-        return rd.read_parquet(files).map_batches(_conform, batch_format="pyarrow")
+        return rd.read_parquet(files, **fkw).map_batches(
+            _conform, batch_format="pyarrow"
+        )
 
     # Parquet-level pruning: only the named columns leave storage. A
     # carried-forward file may predate an evolved column, and
@@ -1156,7 +1265,7 @@ def final_state(
         present = tuple(c for c in read_cols if c in names)
         groups.setdefault(present, []).append(f)
     parts = [
-        rd.read_parquet(fl, columns=list(cols) if cols else None).map_batches(
+        rd.read_parquet(fl, columns=list(cols) if cols else None, **fkw).map_batches(
             _conform, batch_format="pyarrow"
         )
         for cols, fl in groups.items()
