@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("new_num_partitions", type=int)
     p.add_argument("--drop-tombstones-below", type=int, default=None)
 
+    p = sub.add_parser(
+        "compact", help="evaluate the compaction policy; re-bucket/vacuum if it fires"
+    )
+    p.add_argument("lake")
+    p.add_argument("--target-file-mb", type=int, default=512)
+    p.add_argument("--max-superseded-files", type=int, default=64)
+    p.add_argument("--keep", type=int, default=2)
+    p.add_argument("--min-partitions", type=int, default=8)
+    p.add_argument("--drop-tombstones-below", type=int, default=None)
+
     p = sub.add_parser("view-create", help="materialize an aggregate view")
     p.add_argument("lake")
     p.add_argument("view")
@@ -140,6 +150,19 @@ def main(argv: list[str] | None = None) -> int:
         from palimpzest_ray.cdc import vacuum
 
         print(json.dumps(dataclasses.asdict(vacuum(args.lake, keep_versions=args.keep))))
+        return 0
+
+    if args.cmd == "compact":
+        from palimpzest_ray.cdc import CompactionPolicy, auto_compact
+
+        policy = CompactionPolicy(
+            target_file_mb=args.target_file_mb,
+            max_superseded_files=args.max_superseded_files,
+            keep_versions=args.keep,
+            min_partitions=args.min_partitions,
+            tombstone_watermark=args.drop_tombstones_below,
+        )
+        print(json.dumps(auto_compact(args.lake, policy)))
         return 0
 
     if args.cmd == "index-search":

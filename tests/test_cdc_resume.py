@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -310,3 +311,68 @@ def test_killed_merge_worker_converges_via_task_retry(tmp_path, tmp_lake):
     got_d = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
     want_d = {r["doc_id"]: r["tokens"] for r in want.to_pylist()}
     assert got_d == want_d
+
+
+def test_auto_compaction_bounds_files_and_preserves_state(tmp_path, tmp_lake):
+    """N small applies with auto_compact: superseded files stay bounded
+    (vacuum trigger), the live layout re-buckets toward the advised
+    partition count (resize trigger with a tiny target), and the final
+    state is byte-identical to a lake that never compacted."""
+    from palimpzest_ray.cdc import (
+        CompactionPolicy,
+        auto_compact,
+        load_latest_manifest,
+        superseded_files,
+    )
+
+    base = make_base_table(300, seed=11)
+    _bootstrap(tmp_path, tmp_lake, base)
+    plain = os.path.join(str(tmp_path), "plain_lake")
+    _bootstrap(tmp_path, plain, base)
+
+    policy = CompactionPolicy(
+        target_file_mb=1,  # tiny target => advisor collapses partitions
+        resize_factor=2.0,
+        max_superseded_files=4,
+        keep_versions=1,
+        min_partitions=2,
+    )
+    logs = []
+    for i in range(4):
+        chg = make_change_table(400, 300, seed=100 + i)
+        chg = chg.set_column(
+            chg.column_names.index("lsn"),
+            "lsn",
+            pa.array((np.asarray(chg["lsn"]) + i * 10_000).tolist(), pa.int64()),
+        )
+        p = os.path.join(str(tmp_path), f"chg{i}.parquet")
+        pq.write_table(chg, p)
+        logs.append(p)
+        apply_changes(p, tmp_lake, num_partitions=8, auto_compact=policy)
+        apply_changes(p, plain, num_partitions=8)
+
+    # superseded debt bounded: strictly fewer stale files than the
+    # 4-apply x 8-partition worst case, and under the trigger + one round
+    stale = superseded_files(tmp_lake, policy.keep_versions)
+    assert len(stale) < policy.max_superseded_files + 8
+
+    # resize trigger fired at least once: tiny lake collapsed toward
+    # min_partitions
+    m = load_latest_manifest(tmp_lake)
+    assert m.num_partitions < 8
+
+    # a direct auto_compact call with a zero-tolerance vacuum trigger
+    # reclaims everything unreferenced
+    report = auto_compact(
+        tmp_lake, CompactionPolicy(max_superseded_files=1, keep_versions=1,
+                                   target_file_mb=1, min_partitions=2,
+                                   resize_factor=100.0)
+    )
+    assert report["files_deleted"] >= 0
+    assert superseded_files(tmp_lake, 1) == []
+
+    got = final_state_table(tmp_lake)
+    want = final_state_table(plain)
+    gd = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
+    wd = {r["doc_id"]: r["tokens"] for r in want.to_pylist()}
+    assert gd == wd
