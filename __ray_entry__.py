@@ -1161,6 +1161,59 @@ def q80_lake_zonemap_scan(sf_dir: str):
     ).sort(["doc_id"])
 
 
+def q81_sem_topk_ivf(sf_dir: str):
+    """Per-record top-k retrieval (reference ``TopKOp``,
+    ``topk.py:39-313``) against the PERSISTENT IVF index: sem_topk's
+    actor pool constructs one index handle per actor
+    (``make_ivf_searcher`` — centroids + lazily-cached lists) and
+    queries it per record; probed at nprobe=nlist so the driver oracle
+    is the exact cosine top-k SQL for query records vec_id < 4. Same
+    build-once artifact d15/q66 queries (shared content-keyed cache)."""
+    import hashlib
+
+    from palimpzest_ray.stages.semantic import sem_topk
+    from palimpzest_ray.stages.similarity import build_ivf_index, make_ivf_searcher
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(emb_path)
+    tag = hashlib.sha1(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    idx = f"/tmp/pz_ivf_index_{tag}"
+    if not os.path.exists(os.path.join(idx, "_manifest.json")):
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(emb.ray, idx, nlist=32)
+
+    recs = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        batch_fn=lambda b: b.filter(pc.less(b["vec_id"], 4))
+    )
+    matched = sem_topk(
+        recs.ray,
+        make_ivf_searcher(
+            idx, nprobe=32, dtype=np.float64, round_to=3, int_scores=True
+        ),
+        k=10,
+        out_col="matches",
+    )
+
+    def _flatten(batch: pa.Table) -> pa.Table:
+        col = batch["matches"].combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col)
+        return pa.table(
+            {
+                "query_idx": batch["vec_id"].combine_chunks().take(parents),
+                "vec_id": pc.struct_field(flat, "match_id"),
+                "score": pc.struct_field(flat, "score"),
+                "rank": pc.struct_field(flat, "rank"),
+            }
+        )
+
+    return pzd.Dataset(
+        matched.map_batches(_flatten, batch_format="pyarrow")
+    ).sort(["query_idx", "rank"])
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1519,6 +1572,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q78_shuffled_packing": q78_shuffled_packing,
         "q79_token_index_search": q79_token_index_search,
         "q80_lake_zonemap_scan": q80_lake_zonemap_scan,
+        "q81_sem_topk_ivf": q81_sem_topk_ivf,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1647,6 +1701,22 @@ def oracle_sql() -> dict[str, str]:
 def _base_oracle_sql() -> dict[str, str]:
     lang_expr = T.language_id_sql("text")
     return {
+        # per-record top-k over the IVF index at nprobe=nlist == exact
+        # cosine top-k for the 4 query records (q56 oracle shape)
+        "q81_sem_topk_ivf": """
+            with q as (select vec_id as query_idx, embedding as qe
+                       from embeddings where vec_id < 4)
+            select q.query_idx, e.vec_id,
+                   cast(round(list_cosine_similarity(e.embedding, q.qe) * 1000)
+                        as bigint) as score,
+                   row_number() over (
+                     partition by q.query_idx
+                     order by round(list_cosine_similarity(e.embedding, q.qe) * 1000)
+                              desc, e.vec_id) as "rank"
+            from embeddings e, q
+            qualify "rank" <= 10
+            order by query_idx, "rank"
+        """,
         # predicate-pushdown lake scan: SQL states the WHERE directly
         "q80_lake_zonemap_scan": """
             select doc_id, n_chars, source, lang

@@ -501,3 +501,78 @@ def ivf_index_search(
 
     partials = ds.map_batches(_local, batch_format="pyarrow")
     return _topk_reduce(partials, k, id_col)
+
+
+def make_ivf_searcher(
+    index_path: str,
+    *,
+    nprobe: int = 8,
+    dtype=np.float32,
+    round_to: int = 6,
+    int_scores: bool = False,
+    query_col: str | None = None,
+):
+    """``search_fn_factory`` for :func:`stages.semantic.sem_topk` over a
+    persistent :func:`build_ivf_index` artifact — the reference
+    ``TopKOp`` shape (``topk.py:39-313``): the index handle (centroids
+    + lazily-cached probed lists) is constructed ONCE per actor, then
+    queried per record. Probed lists load on first touch and stay
+    cached in the actor, so a stream of similar records amortizes to
+    pure in-memory matmuls; at ``nprobe = nlist`` results are exact
+    (the SQL-oracle configuration, same as ``ivf_index_search``).
+
+    Returns ``factory() -> search(row, k) -> [{id, score, rank}, ...]``
+    with the engine-wide (score desc, id asc) tie-break."""
+
+    def factory():
+        import os
+
+        import pyarrow.parquet as pq
+
+        manifest, C = load_ivf_index(index_path)
+        emb_col, id_col = manifest["emb_col"], manifest["id_col"]
+        qcol = query_col or emb_col
+        base = os.path.join(index_path, manifest["dir"], "lists")
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _list(li: int) -> tuple[np.ndarray, np.ndarray]:
+            if li not in cache:
+                d = os.path.join(base, f"_ivf_list={li}")
+                if not os.path.isdir(d):
+                    cache[li] = (
+                        np.empty(0, np.int64),
+                        np.empty((0, C.shape[1]), dtype),
+                    )
+                else:
+                    t = pa.concat_tables(
+                        pq.read_table(os.path.join(d, f), columns=[id_col, emb_col])
+                        for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet")
+                    )
+                    V = _normalize(np.array(t[emb_col].to_pylist(), dtype=dtype))
+                    cache[li] = (t[id_col].to_numpy(), V)
+            return cache[li]
+
+        def search(row: dict, k: int) -> list[dict]:
+            q = _normalize(np.asarray([row[qcol]], dtype=dtype))[0]
+            probe = np.argsort(-(q.astype(np.float32) @ C.T))[: min(nprobe, len(C))]
+            parts = [_list(int(li)) for li in probe]
+            ids = np.concatenate([p[0] for p in parts])
+            if not len(ids):
+                return []
+            V = np.vstack([p[1] for p in parts])
+            s = (V @ q).astype(np.float64)
+            S = np.round(s * 10.0**round_to) if int_scores else np.round(s, round_to)
+            sel = np.lexsort((ids, -S))[: min(k, len(ids))]
+            return [
+                {
+                    "match_id": int(ids[i]),
+                    "score": int(S[i]) if int_scores else float(S[i]),
+                    "rank": r + 1,
+                }
+                for r, i in enumerate(sel)
+            ]
+
+        return search
+
+    return factory
