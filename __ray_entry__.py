@@ -1214,6 +1214,60 @@ def q81_sem_topk_ivf(sf_dir: str):
     ).sort(["query_idx", "rank"])
 
 
+def _rule_agg_gen(p: str) -> str:
+    """Deterministic 'summarizer': map calls see a JSON array of row
+    dicts (sum their n_chars), the reduce call sees a JSON array of
+    partial strings (sum them). Associative, so the answer is invariant
+    to Ray's batch layout — the property that lets a two-level semantic
+    aggregate carry an exact SQL oracle."""
+    import json as _json
+
+    rows = _json.loads(p)
+    if rows and isinstance(rows[0], dict):
+        return str(sum(r["n_chars"] for r in rows))
+    return str(sum(int(x) for x in rows))
+
+
+def q82_semantic_agg(sf_dir: str):
+    """Semantic aggregate (reference ``Aggregate`` with ``agg_str``,
+    ``aggregate.py:531-667`` — which feeds EVERY record into one LLM
+    call; ours is a two-level map+reduce that streams): the real
+    actor-pool plumbing driven by a deterministic rule generator whose
+    reduction is associative, so the driver hash-compares an exact
+    SUM(n_chars) oracle."""
+    from palimpzest_ray.stages.semantic import mock_generator, sem_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    total = sem_agg(
+        docs.ray, "{rows}", "{parts}", mock_generator(_rule_agg_gen),
+        batch_size=256,
+    )
+    return pa.table({"total_chars": pa.array([int(total)], pa.int64())})
+
+
+def q83_embedding_join(sf_dir: str):
+    """EmbeddingJoin (reference ``join.py:492-822``): embed both sides
+    once per actor, auto-accept/reject by cosine thresholds, ask the
+    generator only about the ambiguous band. For the driver contract
+    the band is forced WIDE OPEN (accept > 1, reject < -1): every pair
+    flows through the deterministic contains-rule generator, so the
+    output is the exact SQL contains-join while the pipeline still
+    exercises the full embedding machinery (per-actor right-side
+    embeddings, banding, generator batch). The short-circuit paths hold
+    their oracle in pytest (test_embedding_join_short_circuits)."""
+    from palimpzest_ray.stages.semantic import embedding_join, mock_generator
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kws = pa.table({"kw": pa.array(["the", "data", "model"])})
+    joined = embedding_join(
+        docs.ray, kws, "{row}\n###\n{right}", mock_generator(_rule_join_gen),
+        left_text="text", right_text="kw",
+        min_matching_sim=1.1, max_non_matching_sim=-1.1,
+        batch_size=128,
+    )
+    return pzd.Dataset(joined).project(["doc_id", "kw"]).sort(["doc_id", "kw"])
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1573,6 +1627,8 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q79_token_index_search": q79_token_index_search,
         "q80_lake_zonemap_scan": q80_lake_zonemap_scan,
         "q81_sem_topk_ivf": q81_sem_topk_ivf,
+        "q82_semantic_agg": q82_semantic_agg,
+        "q83_embedding_join": q83_embedding_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1701,6 +1757,19 @@ def oracle_sql() -> dict[str, str]:
 def _base_oracle_sql() -> dict[str, str]:
     lang_expr = T.language_id_sql("text")
     return {
+        # two-level semantic aggregate with an associative rule
+        # generator == plain SUM
+        "q82_semantic_agg": """
+            select cast(sum(n_chars) as bigint) as total_chars from documents
+        """,
+        # embedding join with the band forced open == contains-join
+        "q83_embedding_join": """
+            select d.doc_id, k.kw
+            from documents d
+            join (values ('the'), ('data'), ('model')) k(kw)
+              on contains(d.text, k.kw)
+            order by d.doc_id, k.kw
+        """,
         # per-record top-k over the IVF index at nprobe=nlist == exact
         # cosine top-k for the 4 query records (q56 oracle shape)
         "q81_sem_topk_ivf": """

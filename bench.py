@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "q39_scalar_math_funcs",
     "q72_sequence_packing",
     "q75_incremental_view",
+    "q80_lake_zonemap_scan",  # round-3: zone-map pruned lake scan
+    "q81_sem_topk_ivf",  # round-3: per-record top-k over the IVF index
     "cdc_replay",
 ]
 
