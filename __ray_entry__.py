@@ -1268,6 +1268,42 @@ def q83_embedding_join(sf_dir: str):
     return pzd.Dataset(joined).project(["doc_id", "kw"]).sort(["doc_id", "kw"])
 
 
+def q84_range_join(sf_dir: str):
+    """Keyed interval join (``Dataset.interval_join``): purchases within one
+    hour AFTER an error by the same user — left.ts BETWEEN [error.ts,
+    error.ts + 1h], keyed by user_id. Tag → union → one groupby(user)
+    cogroup with a chunked vectorized membership mask; every
+    overlapping pair is emitted (unlike asof's latest-only)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purch = ev.filter(
+        batch_fn=lambda b: b.filter(pc.equal(b["event_type"], "purchase"))
+    ).project(["event_id", "ts", "user_id"])
+
+    def _mk_interval(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "error"))
+        return pa.table(
+            {
+                "err_event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "start_ts": b["ts"],
+                "end_ts": pc.add(
+                    b["ts"], pa.scalar(3_600_000_000, pa.duration("us"))
+                ),
+            }
+        )
+
+    errs = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).map_batches(
+        _mk_interval
+    )
+    return (
+        purch.interval_join(
+            errs, on="ts", between=("start_ts", "end_ts"), by="user_id", how="inner"
+        )
+        .project(["event_id", "err_event_id", "user_id"])
+        .sort(["event_id", "err_event_id"])
+    )
+
+
 def _load_queries(sf_dir: str, n: int = 2) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1629,6 +1665,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q81_sem_topk_ivf": q81_sem_topk_ivf,
         "q82_semantic_agg": q82_semantic_agg,
         "q83_embedding_join": q83_embedding_join,
+        "q84_range_join": q84_range_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1757,6 +1794,16 @@ def oracle_sql() -> dict[str, str]:
 def _base_oracle_sql() -> dict[str, str]:
     lang_expr = T.language_id_sql("text")
     return {
+        # interval join == SQL BETWEEN join
+        "q84_range_join": """
+            select p.event_id, e.event_id as err_event_id, p.user_id
+            from events p
+            join events e
+              on p.user_id = e.user_id
+             and p.ts >= e.ts and p.ts <= e.ts + interval 1 hour
+            where p.event_type = 'purchase' and e.event_type = 'error'
+            order by p.event_id, err_event_id
+        """,
         # two-level semantic aggregate with an associative rule
         # generator == plain SUM
         "q82_semantic_agg": """

@@ -893,6 +893,118 @@ class Dataset:
 
         return Dataset(both.groupby(by).map_groups(_asof, batch_format="pyarrow"))
 
+    def interval_join(
+        self,
+        other: "Dataset",
+        *,
+        on: str,
+        between: tuple[str, str],
+        by: str | list[str],
+        how: str = "inner",
+        suffix: str = RIGHT_SUFFIX,
+    ) -> "Dataset":
+        """Keyed interval join — the SCALE path next to the broadcast
+        band-table :meth:`range_join` (both sides may be large; the
+        interval side shuffles with the rows): pair each left row with EVERY right
+        row whose ``[between[0], between[1]]`` interval contains the
+        left row's ``on`` value, within equal ``by`` keys — SQL
+        ``l.on BETWEEN r.start AND r.end`` (inclusive both ends; a NULL
+        value or bound never matches). Absent from the reference and
+        from Ray Data — composed per SURVEY.md guidance as tag → union
+        → ``groupby(by)`` cogroup with a CHUNKED vectorized membership
+        mask per group (memory O(chunk × n_right), never the full
+        n_left × n_right bitmap). Partitioning assumption: one ``by``
+        group fits in a task (same contract as ``asof_join``).
+
+        ``how``: "inner" keeps matched pairs only; "left" also emits
+        unmatched left rows with null right columns."""
+        assert how in ("left", "inner"), how
+        by = [by] if isinstance(by, str) else list(by)
+        left_ds, right_ds = self._ds, other._ds
+        l_schema = _arrow_schema(left_ds)
+        r_schema = _arrow_schema(right_ds)
+        left_names = list(l_schema.names)
+        right_names = list(r_schema.names)
+        collisions = [c for c in right_names if c in left_names and c not in by]
+        if collisions:
+            right_ds = _rename(right_ds, {c: c + suffix for c in collisions})
+            right_names = [c + suffix if c in collisions else c for c in right_names]
+            r_schema = pa.schema(
+                [
+                    pa.field(c + suffix if c in collisions else c, f.type)
+                    for c, f in zip(r_schema.names, r_schema)
+                ]
+            )
+        r_start = between[0] + suffix if between[0] in collisions else between[0]
+        r_end = between[1] + suffix if between[1] in collisions else between[1]
+        l_only = [c for c in left_names if c not in by]
+        r_only = [c for c in right_names if c not in by]
+
+        lt = left_ds.map_batches(
+            lambda b: _pad_columns(b, r_only, r_schema).append_column(
+                _JOIN_SIDE, pa.array(np.zeros(b.num_rows, dtype=np.int8))
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        rt = right_ds.map_batches(
+            lambda b: _pad_columns(b, l_only, l_schema).append_column(
+                _JOIN_SIDE, pa.array(np.ones(b.num_rows, dtype=np.int8))
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        both = lt.union(rt)
+        out_names = list(dict.fromkeys(by + l_only + r_only))
+
+        def _rj(group: pa.Table) -> pa.Table:
+            g = group.combine_chunks()
+            side = g[_JOIN_SIDE].to_numpy(zero_copy_only=False)
+            lrows = g.filter(pa.array(side == 0)).select(by + l_only)
+            rrows = g.filter(pa.array(side == 1)).select(by + r_only)
+            empty = pa.table({c: pa.nulls(0, g[c].type) for c in out_names})
+            if lrows.num_rows == 0:
+                return empty
+            if rrows.num_rows == 0:
+                if how != "left":
+                    return empty
+                matched = lrows
+                for c in r_only:
+                    matched = matched.append_column(
+                        c, pa.nulls(lrows.num_rows, g[c].type)
+                    )
+                return matched.select(out_names)
+            lv = lrows[on].combine_chunks().to_numpy(zero_copy_only=False)
+            rs = rrows[r_start].combine_chunks().to_numpy(zero_copy_only=False)
+            re_ = rrows[r_end].combine_chunks().to_numpy(zero_copy_only=False)
+            li_parts, ri_parts = [], []
+            chunk = max(1, 4_000_000 // max(1, len(rs)))
+            with np.errstate(invalid="ignore"):
+                for i0 in range(0, len(lv), chunk):
+                    sub = lv[i0 : i0 + chunk]
+                    m = (sub[:, None] >= rs[None, :]) & (sub[:, None] <= re_[None, :])
+                    li, ri = np.nonzero(m)
+                    li_parts.append(li + i0)
+                    ri_parts.append(ri)
+            li = np.concatenate(li_parts)
+            ri = np.concatenate(ri_parts)
+            out = lrows.take(pa.array(li))
+            picked = rrows.select(r_only).take(pa.array(ri))
+            for c in r_only:
+                out = out.append_column(c, picked[c])
+            if how == "left":
+                unmatched = np.setdiff1d(
+                    np.arange(lrows.num_rows, dtype=np.int64), li
+                )
+                if len(unmatched):
+                    extra = lrows.take(pa.array(unmatched))
+                    for c in r_only:
+                        extra = extra.append_column(
+                            c, pa.nulls(len(unmatched), g[c].type)
+                        )
+                    out = pa.concat_tables([out, extra])
+            return out.select(out_names)
+
+        return Dataset(both.groupby(by).map_groups(_rj, batch_format="pyarrow"))
+
     def semi_join(
         self, other: "Dataset", on: str | list[str], *, strategy: str = "broadcast"
     ) -> "Dataset":

@@ -121,6 +121,8 @@ def test_range_join_inner_left_and_overlap():
 def test_semi_anti_shuffle_strategy_matches_broadcast():
     import pyarrow as pa
 
+    import pyarrow as pa
+
     import palimpzest_ray.dataset as pzd
 
     left = pzd.from_arrow(
@@ -461,3 +463,51 @@ def test_auto_join_strategy_selection(ray_session):
         assert calls["strategy"] == "shuffle"
     finally:
         m._broadcast_join, m._shuffle_join = orig_b, orig_s
+
+
+def test_interval_join_keyed(ray_session):
+    """Keyed interval join: every containing interval matches (unlike
+    asof's latest-only), bounds inclusive, nulls never match, how=left
+    pads unmatched."""
+    import pyarrow as pa
+
+    import palimpzest_ray.dataset as pzd
+
+    left = pzd.from_arrow(
+        pa.table(
+            {
+                "k": ["a", "a", "a", "b", "b"],
+                "v": pa.array([5, 15, None, 5, 50], pa.int64()),
+                "lid": [0, 1, 2, 3, 4],
+            }
+        )
+    )
+    right = pzd.from_arrow(
+        pa.table(
+            {
+                "k": ["a", "a", "b"],
+                "lo": pa.array([0, 4, 100], pa.int64()),
+                "hi": pa.array([10, 20, 200], pa.int64()),
+                "rid": [10, 11, 12],
+            }
+        )
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in left.interval_join(
+            right, on="v", between=("lo", "hi"), by="k"
+        ).take_all()
+    )
+    # v=5 in [0,10] and [4,20]; v=15 in [4,20]; null v never; b has no
+    # containing interval
+    assert got == [(0, 10), (0, 11), (1, 11)]
+
+    got_left = sorted(
+        (r["lid"], r["rid"])
+        for r in left.interval_join(
+            right, on="v", between=("lo", "hi"), by="k", how="left"
+        ).take_all()
+    )
+    assert got_left == [
+        (0, 10), (0, 11), (1, 11), (2, None), (3, None), (4, None)
+    ]
