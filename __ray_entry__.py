@@ -1586,6 +1586,21 @@ def cdc_replay(sf_dir: str):
     return pzd.Dataset(run_cdc_demo(sf_dir)).project(["doc_id", "n_tok", "source"])
 
 
+def q85_delta_lake_replay(sf_dir: str):
+    """Merge-on-read CDC replay (``apply_changes(mode="delta")``): the
+    flagship change mix applied as chain appends with a mid-run
+    ``compact_deltas``, read back through the LWW chain resolver. Same
+    final state — and therefore the same EXACT SQL oracle — as
+    cdc_replay, proving delta mode end-to-end through the driver.
+    Engine: palimpzest_ray/cdc/engine.py (_apply_one_delta,
+    _resolve_chain, compact_deltas)."""
+    from palimpzest_ray.pipelines.cdc_demo import run_cdc_delta_demo
+
+    return pzd.Dataset(run_cdc_delta_demo(sf_dir)).project(
+        ["doc_id", "n_tok", "source"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1666,6 +1681,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q82_semantic_agg": q82_semantic_agg,
         "q83_embedding_join": q83_embedding_join,
         "q84_range_join": q84_range_join,
+        "q85_delta_lake_replay": q85_delta_lake_replay,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1793,6 +1809,14 @@ def oracle_sql() -> dict[str, str]:
 
 def _base_oracle_sql() -> dict[str, str]:
     lang_expr = T.language_id_sql("text")
+    d = _oracle_sql_literal(lang_expr)
+    # delta mode is state-equivalent to rewrite mode by contract, so the
+    # merge-on-read replay shares the rewrite replay's exact oracle
+    d["q85_delta_lake_replay"] = d["cdc_replay"]
+    return d
+
+
+def _oracle_sql_literal(lang_expr: str) -> dict[str, str]:
     return {
         # interval join == SQL BETWEEN join
         "q84_range_join": """

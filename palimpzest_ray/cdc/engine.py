@@ -119,6 +119,85 @@ def lww_latest(table: pa.Table, key: str = "doc_id", lsn: str = "lsn") -> pa.Tab
     return first_per_key(table, key, order)
 
 
+_SEQ_COL = "__seq"
+
+
+def _resolve_chain(tables: list[pa.Table], key: str, schema: pa.Schema) -> pa.Table:
+    """LWW-resolve a base+delta chain onto ``schema``.
+
+    ``tables`` arrive in chain order (base first, deltas oldest ->
+    newest); each holds at most one row per key (the merge and the
+    delta writer both collapse). One fused sort by
+    ``(key asc, _lsn desc, chain-seq desc)`` + adjacent-inequality
+    first-per-key — the same single-payload-take shape as
+    ``MergeApplier._merge``. Later chain position breaks ``_lsn`` ties
+    (a replayed duplicate LSN carries identical content, so the
+    tie-break is for determinism, not correctness). Output keeps
+    tombstone marker rows; callers filter.
+    """
+    if len(tables) == 1:
+        return conform(tables[0], schema)
+    parts = []
+    for seq, t in enumerate(tables):
+        t = conform(t, schema)
+        parts.append(
+            t.append_column(
+                _SEQ_COL, pa.array(np.full(t.num_rows, seq, dtype=np.int32))
+            )
+        )
+    both = pa.concat_tables(parts).combine_chunks()
+    if both.num_rows <= 1:
+        return both.drop_columns([_SEQ_COL])
+    idx = pc.sort_indices(
+        both,
+        sort_keys=[
+            (key, "ascending"),
+            (LSN_COL, "descending"),
+            (_SEQ_COL, "descending"),
+        ],
+    )
+    keys_sorted = both[key].combine_chunks().take(idx)
+    n = len(keys_sorted)
+    first = np.ones(n, dtype=bool)
+    neq = pc.not_equal(keys_sorted.slice(1), keys_sorted.slice(0, n - 1))
+    first[1:] = neq.to_numpy(zero_copy_only=False)
+    winner_idx = idx.filter(pa.array(first))
+    return both.take(winner_idx).drop_columns([_SEQ_COL])
+
+
+def _read_chain(
+    files: list[str], columns: list[str] | None = None
+) -> list[pa.Table]:
+    """Read a partition chain, pruning each file to the ``columns`` it
+    actually has (a carried base may predate an evolved column)."""
+    out = []
+    for f in files:
+        rc = None
+        if columns is not None:
+            present = set(pq.read_schema(f).names)
+            rc = [c for c in columns if c in present]
+        out.append(pq.read_table(f, columns=rc))
+    return out
+
+
+def _lake_rows_as_changes(t: pa.Table) -> pa.Table:
+    """Re-shape persisted lake rows (``_lsn``/``_deleted``) as change
+    events — how delta files fold into a rewrite/streaming merge."""
+    dead = (
+        pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False))
+        if TOMBSTONE_COL in t.column_names
+        else pa.array(np.zeros(t.num_rows, dtype=bool))
+    )
+    user = [c for c in t.column_names if c not in (LSN_COL, TOMBSTONE_COL)]
+    return pa.table(
+        {
+            "lsn": pc.coalesce(t[LSN_COL], pa.scalar(0)).cast(pa.int64()),
+            "op": pc.if_else(dead, pa.scalar("DELETE"), pa.scalar("INSERT")),
+            **{c: t[c] for c in user},
+        }
+    )
+
+
 @dataclasses.dataclass
 class ApplyResult:
     manifest: LakeManifest
@@ -251,12 +330,13 @@ class MergeApplier:
         lake_root: str,
         staging_dir: str,
         target_schema_json: str,
-        base_files: dict[int, str],
+        base_chains: dict[int, list[str]],
         key: str = "doc_id",
         fail_parts: tuple[int, ...] = (),
         spill_dir: str | None = None,
         streaming_threshold_rows: int = 4_000_000,
         die_once: str | None = None,
+        mode: str = "rewrite",
     ):
         from palimpzest_ray.schemas import schema_from_json
 
@@ -267,8 +347,14 @@ class MergeApplier:
         self.user_schema = pa.schema(
             [f for f in self.target_schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
         )
-        self.base_files = base_files
+        # lake-root-relative [base, *deltas] per partition
+        self.base_chains = base_chains
         self.key = key
+        # "rewrite": merge changes + chain into a fresh base file
+        # (copy-on-write). "delta": stage only this apply's collapsed
+        # winners as a chain append — O(changes) work per partition,
+        # the merge-on-read steady state for frequent small applies.
+        self.mode = mode
         self.fail_parts = set(fail_parts)
         self.spill_dir = spill_dir  # fs-exchange mode: batches carry part IDS
         # base partitions above this row count merge via the streaming
@@ -291,6 +377,7 @@ class MergeApplier:
             pa.field("rows_upserted", pa.int64()),
             pa.field("rows_deleted", pa.int64()),
             pa.field("merge_ms", pa.int64()),
+            pa.field("delta", pa.bool_()),
             pa.field("error", pa.string()),
         ]
     )
@@ -371,10 +458,11 @@ class MergeApplier:
             else group
         )
 
-        base_path = self.base_files.get(part)
-        full_base = (
-            os.path.join(self.lake_root, base_path) if base_path is not None else None
-        )
+        if self.mode == "delta":
+            return self._apply_one_delta(changes, part, _t0)
+
+        chain = self.base_chains.get(part) or []
+        full_chain = [os.path.join(self.lake_root, f) for f in chain]
         max_lsn = pc.max(changes["lsn"]).as_py() or 0
 
         # staged atomic write: tmp + rename, then .done sidecar
@@ -382,18 +470,38 @@ class MergeApplier:
         out = os.path.join(self.staging_dir, fname)
         tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
         base_rows = (
-            pq.ParquetFile(full_base).metadata.num_rows if full_base else 0
+            pq.ParquetFile(full_chain[0]).metadata.num_rows if full_chain else 0
         )
         if base_rows > self.streaming_threshold_rows:
             # larger-than-memory partition: streaming merge-join against
             # the key-sorted base file (SURVEY.md §7.5 item 3's flush
             # path) — memory bound = one base batch + this partition's
-            # reduced changes
+            # reduced changes. A delta chain folds into the change
+            # memtable (deltas are change-sized by the compaction
+            # contract, only the base streams); lineage counters then
+            # include the folded delta rows — the rewrite doubles as a
+            # chain compaction, so the inflation is the fold itself.
+            if len(full_chain) > 1:
+                ch_schema = pa.schema(
+                    list(self.user_schema)
+                    + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+                )
+                folded = [conform(changes, ch_schema)] + [
+                    conform(_lake_rows_as_changes(t), ch_schema)
+                    for t in _read_chain(full_chain[1:])
+                ]
+                changes = pa.concat_tables(folded)
             total_rows, tombstones, upserted, deleted = self._merge_streaming(
-                full_base, changes, tmp
+                full_chain[0], changes, tmp
             )
         else:
-            base = pq.read_table(full_base) if full_base else None
+            base = (
+                _resolve_chain(
+                    _read_chain(full_chain), self.key, self.target_schema
+                )
+                if full_chain
+                else None
+            )
             merged, upserted, deleted = self._merge(base, changes)
             tombstones = _tombstone_count(merged)
             total_rows = merged.num_rows
@@ -414,7 +522,11 @@ class MergeApplier:
             "rows_upserted": int(upserted),
             "rows_deleted": int(deleted),
             "merge_ms": int((_time.monotonic() - _t0) * 1000),
+            "delta": False,
         }
+        return self._finish_lineage(part, lineage)
+
+    def _finish_lineage(self, part: int, lineage: dict) -> pa.Table:
         side = os.path.join(self.staging_dir, f"part-{part:05d}.done.json")
         tmp = side + ".tmp"
         with open(tmp, "w") as f:
@@ -423,6 +535,119 @@ class MergeApplier:
         return pa.Table.from_pylist(
             [{**lineage, "error": None}], schema=self.LINEAGE_SCHEMA
         )
+
+    def _apply_one_delta(self, changes: pa.Table, part: int, _t0: float) -> pa.Table:
+        """Merge-on-read apply: stage ONLY this apply's winning rows as
+        a chain append — never reads or rewrites the base payload.
+
+        Winner determination and lineage counters stay EXACT (identical
+        to a rewrite apply) via a narrow read of the effective chain
+        state — just ``(key, _lsn, _deleted)``, a few percent of a
+        token-payload partition's bytes. Losing change rows (older than
+        the key's persisted ``_lsn``) are dropped here exactly as the
+        rewrite merge drops them; winners sort canonically by key so
+        read-time resolution sees at most one row per key per file.
+        """
+        import time as _time
+
+        ch_schema = pa.schema(
+            list(self.user_schema)
+            + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        )
+        ch = conform(changes, ch_schema)
+        ch = first_per_key(ch, self.key, [("lsn", "descending")])
+        # canonical key order (first_per_key's all-distinct fast path
+        # returns arrival order)
+        ch = ch.take(pc.sort_indices(ch, sort_keys=[(self.key, "ascending")]))
+        max_lsn = pc.max(ch["lsn"]).as_py() or 0
+
+        def _np(a):
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            return a.to_numpy(zero_copy_only=False)
+
+        chain = self.base_chains.get(part) or []
+        narrow_schema = pa.schema(
+            [
+                self.target_schema.field(self.key),
+                pa.field(LSN_COL, pa.int64()),
+                pa.field(TOMBSTONE_COL, pa.bool_()),
+            ]
+        )
+        n = ch.num_rows
+        if chain:
+            nb = _resolve_chain(
+                _read_chain(
+                    [os.path.join(self.lake_root, f) for f in chain],
+                    columns=[self.key, LSN_COL, TOMBSTONE_COL],
+                ),
+                self.key,
+                narrow_schema,
+            )
+        else:
+            nb = narrow_schema.empty_table()
+        if nb.num_rows:
+            nb_lsn = _np(pc.coalesce(nb[LSN_COL], pa.scalar(0, pa.int64())))
+            nb_dead = _np(pc.coalesce(nb[TOMBSTONE_COL], pa.scalar(False)))
+            pos = _np(
+                pc.index_in(
+                    ch[self.key].combine_chunks(),
+                    value_set=nb[self.key].combine_chunks(),
+                ).cast(pa.float64())
+            )
+            present = ~np.isnan(pos)
+            at = np.where(present, pos, 0).astype(np.int64)
+            base_lsn = np.where(present, nb_lsn[at], np.int64(-1))
+            base_dead = np.where(present, nb_dead[at], False)
+            base_live_n = int((~nb_dead).sum())
+            base_tombs = int(nb_dead.sum())
+        else:
+            present = np.zeros(n, dtype=bool)
+            base_lsn = np.full(n, -1, dtype=np.int64)
+            base_dead = np.zeros(n, dtype=bool)
+            base_live_n = base_tombs = 0
+
+        # ties toward the change side — same contract as _merge's
+        # (lsn desc, __is_change desc) sort
+        wins = _np(ch["lsn"]) >= base_lsn
+        is_del = _np(pc.equal(ch["op"], pa.scalar("DELETE")))
+        base_live = present & ~base_dead
+        win_del = wins & is_del
+        win_ups = wins & ~is_del
+        upserted = int(win_ups.sum())
+        deleted = int((win_del & base_live).sum())
+        new_live = int((win_ups & ~base_live).sum())
+        new_tombs = int((win_del & ~(present & base_dead)).sum())
+        revived = int((win_ups & present & base_dead).sum())
+
+        fname = None
+        if wins.any():
+            out = ch.filter(pa.array(wins))
+            out = out.rename_columns(
+                [LSN_COL if c == "lsn" else c for c in out.column_names]
+            ).drop_columns(["op"])
+            out = out.append_column(TOMBSTONE_COL, pa.array(is_del[wins]))
+            out = conform(out, self.target_schema)
+            fname = f"part-{part:05d}.parquet"
+            path = os.path.join(self.staging_dir, fname)
+            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(out, tmp, compression="snappy", row_group_size=64 * 1024)
+            os.replace(tmp, path)
+        # all-losers (old-segment replay): no file, nothing to commit —
+        # the sidecar still marks the partition done for resume
+
+        lineage = {
+            "part": int(part),
+            "file": fname,
+            "max_lsn": int(max_lsn),
+            "rows": base_live_n - deleted + new_live,  # effective live rows
+            "tombstones": base_tombs + new_tombs - revived,
+            "rows_upserted": upserted,
+            "rows_deleted": deleted,
+            "merge_ms": int((_time.monotonic() - _t0) * 1000),
+            "delta": True,
+        }
+        return self._finish_lineage(part, lineage)
 
     def _merge(self, base: pa.Table | None, changes: pa.Table) -> tuple[pa.Table, int, int]:
         """LWW merge of the change memtable into the base partition.
@@ -595,8 +820,19 @@ def apply_changes(
     _rebucket: bool = False,
     die_once: str | None = None,
     auto_compact: "CompactionPolicy | bool | None" = None,
+    mode: str = "rewrite",
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
+
+    ``mode="delta"`` switches to merge-on-read: touched partitions
+    append a small file of this apply's LWW winners to their delta
+    chain instead of rewriting the base — apply cost proportional to
+    the CHANGES, not the lake, which is the steady state for frequent
+    small applies against a 100-TB lake. Readers resolve chains
+    transparently; :func:`compact_deltas` (or the ``auto_compact``
+    ``max_delta_files`` trigger) folds chains back into the base.
+    Modes mix freely on one lake: a later ``rewrite`` apply compacts
+    the chains it touches.
 
     ``auto_compact`` (True for defaults, or a :class:`CompactionPolicy`)
     evaluates the compaction triggers AFTER a successful commit —
@@ -634,6 +870,7 @@ def apply_changes(
             partition_key=partition_key,
             _rebucket=_rebucket,
             die_once=die_once,
+            mode=mode,
         )
     if auto_compact and not _rebucket:  # never recurse from a re-bucket
         policy = auto_compact if isinstance(auto_compact, CompactionPolicy) else None
@@ -660,6 +897,7 @@ def _apply_changes_impl(
     partition_key: str | None = None,
     _rebucket: bool = False,
     die_once: str | None = None,
+    mode: str = "rewrite",
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
@@ -685,6 +923,8 @@ def _apply_changes_impl(
     ``.done.json`` sidecar exists (checkpoint/resume). ``fail_parts``
     injects failures (tests only).
     """
+    if mode not in ("rewrite", "delta"):
+        raise ValueError(f"mode must be 'rewrite' or 'delta', got {mode!r}")
     os.makedirs(lake_root, exist_ok=True)
     prev = load_latest_manifest(lake_root)
     prev_version = prev.version if prev else 0
@@ -810,10 +1050,13 @@ def _apply_changes_impl(
                     d = json.load(fh)
                 done[int(d["part"])] = d
 
-    base_files = (
+    base_chains = (
         {}
         if _rebucket  # the whole state flows through the log; no base merge
-        else {p: e.file for p, e in (prev.parts.items() if prev else {}.items())}
+        else {
+            p: [e.file] + list(e.deltas)
+            for p, e in (prev.parts.items() if prev else {}.items())
+        }
     )
 
     # batch_size=None => one batch per input block: Ray must NOT coalesce
@@ -861,11 +1104,12 @@ def _apply_changes_impl(
         "lake_root": lake_root,
         "staging_dir": staging_dir,
         "target_schema_json": schema_to_json(lake_schema),
-        "base_files": base_files,
+        "base_chains": base_chains,
         "key": key,
         "fail_parts": fail_parts,
         "streaming_threshold_rows": streaming_threshold_rows,
         "die_once": die_once,
+        "mode": mode,
     }
     if exchange == "fs":
         # Exchange through lake storage instead of the object store:
@@ -950,8 +1194,11 @@ def _apply_changes_impl(
     lineage_rows = [d for d in lineage_rows if d.get("file")]
 
     new_parts: dict[int, PartEntry] = {}
+    delta_parts: dict[int, PartEntry] = {}
     for d in list(done.values()) + lineage_rows:
-        new_parts[int(d["part"])] = PartEntry(
+        if not d.get("file"):
+            continue  # delta apply where every change lost — a no-op
+        entry = PartEntry(
             file=d["file"],
             max_lsn=int(d["max_lsn"]),
             rows=int(d["rows"]),
@@ -959,27 +1206,31 @@ def _apply_changes_impl(
             rows_deleted=int(d["rows_deleted"]),
             tombstones=int(d.get("tombstones", 0)),
         )
+        (delta_parts if d.get("delta") else new_parts)[int(d["part"])] = entry
 
+    touched = set(new_parts) | set(delta_parts)
     carried = (
         {}
         if _rebucket  # old-layout partitions must not leak into the new manifest
         else {
             p: e
             for p, e in (prev.parts.items() if prev else {}.items())
-            if p not in new_parts
+            if p not in touched
         }
     )
     manifest = commit_version(
         lake_root, staging_dir, new_parts, carried, num_partitions,
         lake_schema, prev_version, key=key, partition_key=partition_key,
+        delta_parts=delta_parts,
     )
     shutil.rmtree(staging_dir, ignore_errors=True)
 
+    staged = list(new_parts.values()) + list(delta_parts.values())
     result = ApplyResult(
         manifest=manifest,
         events_seen=events_seen,
-        rows_upserted=sum(e.rows_upserted for e in new_parts.values()),
-        rows_deleted=sum(e.rows_deleted for e in new_parts.values()),
+        rows_upserted=sum(e.rows_upserted for e in staged),
+        rows_deleted=sum(e.rows_deleted for e in staged),
         partitions_rewritten=len(lineage_rows),
         partitions_resumed=len(done),
         stats=stats,
@@ -1189,6 +1440,28 @@ def _predicate_expr(predicate: list[tuple]):
     return expr
 
 
+def _filter_predicate(table: pa.Table, predicate: list[tuple]) -> pa.Table:
+    """Exact post-resolution filter for delta-bearing partitions —
+    the fragment-scan pushdown cannot run before LWW resolution there
+    (pre-filtering a chain file could drop a base row whose delta
+    successor fails the predicate, resurrecting the base value)."""
+    mask = None
+    for col, op, v in predicate:
+        c = table[col]
+        m = {
+            "==": lambda: pc.equal(c, v),
+            "!=": lambda: pc.not_equal(c, v),
+            ">=": lambda: pc.greater_equal(c, v),
+            ">": lambda: pc.greater(c, v),
+            "<=": lambda: pc.less_equal(c, v),
+            "<": lambda: pc.less(c, v),
+            "in": lambda: pc.is_in(c, value_set=pa.array(list(v))),
+        }[op]()
+        m = pc.coalesce(m, pa.scalar(False))
+        mask = m if mask is None else pc.and_(mask, m)
+    return table.filter(mask) if mask is not None else table
+
+
 @dataclasses.dataclass
 class CompactionPolicy:
     """Triggers for :func:`auto_compact` (round-3 ask #7). Both checks
@@ -1215,6 +1488,10 @@ class CompactionPolicy:
     keep_versions: int = 2
     min_partitions: int = 8
     tombstone_watermark: int | None = None
+    # merge-on-read debt: fold a partition's delta chain back into its
+    # base once it reaches this many files (bounds both read-time
+    # resolution work and the per-apply narrow stats read)
+    max_delta_files: int = 8
 
 
 def superseded_files(lake_root: str, keep_versions: int = 2) -> list[str]:
@@ -1276,12 +1553,106 @@ def auto_compact(
             drop_tombstones_below=policy.tombstone_watermark,
         )
         report["repartitioned_to"] = suggested
+    if report["repartitioned_to"] is not None:
+        m = load_latest_manifest(lake_root)  # re-bucket cleared all chains
+    longest = max((len(e.deltas) for e in m.parts.values()), default=0)
+    if longest >= policy.max_delta_files:
+        cr = compact_deltas(lake_root, min_deltas=policy.max_delta_files)
+        report["delta_parts_compacted"] = cr["parts_compacted"]
     stale = superseded_files(lake_root, policy.keep_versions)
     if len(stale) >= policy.max_superseded_files:
         vr = vacuum(lake_root, keep_versions=policy.keep_versions)
         report["files_deleted"] = vr.files_deleted
         report["bytes_reclaimed"] = vr.bytes_reclaimed
     return report
+
+
+def compact_deltas(
+    lake_root: str,
+    *,
+    parts: list[int] | None = None,
+    min_deltas: int = 1,
+    run_id: str | None = None,
+) -> dict:
+    """Fold merge-on-read delta chains back into single base files.
+
+    One task per selected partition LWW-resolves its chain (the same
+    resolution every reader applies, so the folded state is identical
+    by construction) and stages a fresh key-sorted base; the commit
+    replaces the chains atomically as the next version. No logical
+    change: counters are zero and watermarks carry forward; the old
+    chain files become unreferenced and are reclaimed by vacuum.
+    Selection: partitions with at least ``min_deltas`` chained files,
+    optionally restricted to ``parts``."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    want = set(parts) if parts is not None else None
+    targets = sorted(
+        p
+        for p, e in m.parts.items()
+        if len(e.deltas) >= max(1, min_deltas) and (want is None or p in want)
+    )
+    if not targets:
+        return {"parts_compacted": 0, "version": m.version}
+    run_id = run_id or uuid.uuid4().hex[:12]
+    staging_dir = os.path.join(lake_root, ".staging", run_id)
+    os.makedirs(staging_dir, exist_ok=True)
+    chains = {p: m.chain(lake_root, p) for p in targets}
+    key = m.key
+    from palimpzest_ray.schemas import schema_to_json
+
+    schema_json = schema_to_json(m.schema)
+
+    def _compact(batch: pa.Table) -> pa.Table:
+        limit_kernel_threads()
+        from palimpzest_ray.schemas import schema_from_json
+
+        sch = schema_from_json(schema_json)
+        rows = []
+        for p in batch["part"].to_pylist():
+            # winner indices ascend in key order, so the resolved table
+            # is already canonically key-sorted
+            r = _resolve_chain(_read_chain(chains[p]), key, sch)
+            fname = f"part-{p:05d}.parquet"
+            out = os.path.join(staging_dir, fname)
+            tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(r, tmp, compression="snappy", row_group_size=64 * 1024)
+            os.replace(tmp, out)
+            tombs = _tombstone_count(r)
+            rows.append(
+                {
+                    "part": int(p),
+                    "file": fname,
+                    "rows": int(r.num_rows - tombs),
+                    "tombstones": int(tombs),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    ids = rd.from_arrow(
+        pa.table({"part": pa.array(targets, pa.int32())})
+    ).repartition(len(targets))
+    lineage = ids.map_batches(
+        _compact, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    new_parts: dict[int, PartEntry] = {}
+    for d in lineage:
+        p = int(d["part"])
+        e = m.parts[p]
+        new_parts[p] = PartEntry(
+            file=d["file"],
+            max_lsn=e.max_lsn,
+            rows=int(d["rows"]),
+            tombstones=int(d["tombstones"]),
+        )
+    carried = {p: e for p, e in m.parts.items() if p not in new_parts}
+    manifest = commit_version(
+        lake_root, staging_dir, new_parts, carried, m.num_partitions,
+        m.schema, m.version, key=m.key, partition_key=m.partition_key,
+    )
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    return {"parts_compacted": len(new_parts), "version": manifest.version}
 
 
 def final_state(
@@ -1320,13 +1691,32 @@ def final_state(
         manifest = load_latest_manifest(lake_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
-    files = manifest.data_files(lake_root)
+    key = manifest.key
+    # merge-on-read split: partitions without a delta chain stream
+    # straight off their base file (each key lives in exactly one
+    # file); delta-bearing partitions go through a per-partition LWW
+    # resolver stage.
+    plain_files = [
+        os.path.join(lake_root, e.file)
+        for _p, e in sorted(manifest.parts.items())
+        if not e.deltas
+    ]
+    chain_parts = sorted(p for p, e in manifest.parts.items() if e.deltas)
     schema = manifest.schema
     read_filter = None
     if predicate:
-        files, _rg_match, _rg_total = zone_prune_files(files, predicate)
+        plain_files, _rg_match, _rg_total = zone_prune_files(plain_files, predicate)
+        # chain-level pruning: every final-state row is SOME chain
+        # file's row, so a partition whose whole chain cannot match
+        # cannot produce a matching winner. (Per-file pruning inside a
+        # kept chain would be unsound — see _filter_predicate.)
+        chain_parts = [
+            p
+            for p in chain_parts
+            if zone_prune_files(manifest.chain(lake_root, p), predicate)[0]
+        ]
         read_filter = _predicate_expr(predicate)
-        if not files:
+        if not plain_files and not chain_parts:
             base = pa.schema(
                 [f for f in schema if columns is None or f.name in columns]
             )
@@ -1354,32 +1744,83 @@ def final_state(
                 t = t.drop_columns([TOMBSTONE_COL])
         return drop_internal(t) if user_columns_only else t
 
-    fkw = {"filter": read_filter} if read_filter is not None else {}
-    if read_cols is None:
-        return rd.read_parquet(files, **fkw).map_batches(
-            _conform, batch_format="pyarrow"
-        )
-
-    # Parquet-level pruning: only the named columns leave storage. A
-    # carried-forward file may predate an evolved column, and
-    # read_parquet errors on a missing column — so group files by which
-    # requested columns their footer actually has (footer reads are
-    # metadata-only) and read each group with its own pruned list;
-    # conform() null-backfills the gaps, then the groups union.
     import pyarrow.parquet as pq
 
-    groups: dict[tuple, list[str]] = {}
-    for f in files:
-        names = set(pq.read_schema(f).names)
-        present = tuple(c for c in read_cols if c in names)
-        groups.setdefault(present, []).append(f)
-    parts = [
-        rd.read_parquet(fl, columns=list(cols) if cols else None, **fkw).map_batches(
-            _conform, batch_format="pyarrow"
+    streams: list[rd.Dataset] = []
+    fkw = {"filter": read_filter} if read_filter is not None else {}
+    if plain_files and read_cols is None:
+        streams.append(
+            rd.read_parquet(plain_files, **fkw).map_batches(
+                _conform, batch_format="pyarrow"
+            )
         )
-        for cols, fl in groups.items()
-    ]
-    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    elif plain_files:
+        # Parquet-level pruning: only the named columns leave storage. A
+        # carried-forward file may predate an evolved column, and
+        # read_parquet errors on a missing column — so group files by which
+        # requested columns their footer actually has (footer reads are
+        # metadata-only) and read each group with its own pruned list;
+        # conform() null-backfills the gaps, then the groups union.
+        groups: dict[tuple, list[str]] = {}
+        for f in plain_files:
+            names = set(pq.read_schema(f).names)
+            present = tuple(c for c in read_cols if c in names)
+            groups.setdefault(present, []).append(f)
+        streams.extend(
+            rd.read_parquet(
+                fl, columns=list(cols) if cols else None, **fkw
+            ).map_batches(_conform, batch_format="pyarrow")
+            for cols, fl in groups.items()
+        )
+    if chain_parts:
+        # one resolver task per delta-bearing partition: read the chain
+        # (pruned to the requested columns + the resolution internals),
+        # LWW-resolve, filter exactly, conform to the plain path's shape
+        resolve_names = (
+            None
+            if read_cols is None
+            else list(dict.fromkeys(read_cols + [key, LSN_COL, TOMBSTONE_COL]))
+        )
+        resolve_schema = pa.schema(
+            [
+                f
+                for f in manifest.schema
+                if resolve_names is None or f.name in resolve_names
+            ]
+        )
+        chains = {p: manifest.chain(lake_root, p) for p in chain_parts}
+        pred = list(predicate) if predicate else None
+
+        def _resolve_part(batch: pa.Table) -> pa.Table:
+            limit_kernel_threads()
+            outs = []
+            for p in batch["part"].to_pylist():
+                r = _resolve_chain(
+                    _read_chain(chains[p], columns=resolve_names),
+                    key,
+                    resolve_schema,
+                )
+                if pred:
+                    r = _filter_predicate(r, pred)
+                outs.append(_conform(r))
+            if not outs:
+                return _conform(resolve_schema.empty_table())
+            return pa.concat_tables(outs)
+
+        ids = rd.from_arrow(
+            pa.table({"part": pa.array(chain_parts, pa.int32())})
+        ).repartition(len(chain_parts))
+        streams.append(
+            ids.map_batches(_resolve_part, batch_format="pyarrow", batch_size=None)
+        )
+    if not streams:
+        base = pa.schema([f for f in schema if columns is None or f.name in columns])
+        if user_columns_only:
+            base = pa.schema(
+                [f for f in base if f.name not in (LSN_COL, TOMBSTONE_COL)]
+            )
+        return rd.from_arrow(base.empty_table())
+    return streams[0].union(*streams[1:]) if len(streams) > 1 else streams[0]
 
 
 def net_changes_since(lake_root: str, version: int) -> rd.Dataset:
@@ -1430,15 +1871,17 @@ def final_state_table(lake_root: str, *, user_columns_only: bool = True) -> pa.T
     if manifest is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     tables = [
-        conform(pq.read_table(f), manifest.schema)
-        for f in manifest.data_files(lake_root)
+        _resolve_chain(
+            _read_chain(manifest.chain(lake_root, p)), manifest.key, manifest.schema
+        )
+        for p in sorted(manifest.parts)
     ]
     t = pa.concat_tables(tables) if tables else manifest.schema.empty_table()
     if TOMBSTONE_COL in t.column_names:
         t = t.filter(pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False))))
     if user_columns_only:
         t = drop_internal(t)
-    return t.sort_by("doc_id")
+    return t.sort_by(manifest.key)
 
 
 def lookup(
@@ -1479,24 +1922,31 @@ def lookup(
     need = (
         None
         if columns is None
-        else list(dict.fromkeys([key] + list(columns) + [TOMBSTONE_COL]))
+        else list(dict.fromkeys([key] + list(columns) + [LSN_COL, TOMBSTONE_COL]))
+    )
+    resolve_schema = pa.schema(
+        [f for f in manifest.schema if need is None or f.name in need]
     )
     out: list[pa.Table] = []
     for p in np.unique(stable_bucket(karr, manifest.num_partitions)):
         entry = manifest.parts.get(int(p))
         if entry is None:
             continue
-        path = os.path.join(lake_root, entry.file)
-        rc = None
-        if need is not None:
-            present = set(pq_.read_schema(path).names)
-            rc = [c for c in need if c in present]
-        t = pq_.read_table(path, columns=rc)
-        t = t.filter(pc.is_in(t[key], value_set=karr))
-        if TOMBSTONE_COL in t.column_names:
-            t = t.filter(pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False))))
-        t = drop_internal(conform(t, schema))
-        out.append(t)
+        tabs = []
+        for path in manifest.chain(lake_root, int(p)):
+            rc = None
+            if need is not None:
+                present = set(pq_.read_schema(path).names)
+                rc = [c for c in need if c in present]
+            t = pq_.read_table(path, columns=rc)
+            tabs.append(t.filter(pc.is_in(t[key], value_set=karr)))
+        # LWW-resolve ACROSS the chain before dropping tombstones — a
+        # delta tombstone must kill its base row, and a delta upsert
+        # must shadow it, neither of which a per-file filter can do
+        r = _resolve_chain(tabs, key, resolve_schema)
+        if TOMBSTONE_COL in r.column_names:
+            r = r.filter(pc.invert(pc.coalesce(r[TOMBSTONE_COL], pa.scalar(False))))
+        out.append(drop_internal(conform(r, schema)))
     if not out:
         return drop_internal(schema.empty_table())
     return pa.concat_tables(out, promote_options="default").sort_by(key)

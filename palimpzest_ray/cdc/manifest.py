@@ -22,6 +22,13 @@ Exactly-once protocol (SURVEY.md §7.5 item 1):
 Partitions untouched by a run carry forward by *reference* (their entry
 points at the previous version's file) — only changed partitions are
 rewritten, which is what makes incremental ingest cheap at 10^10 events.
+A merge-on-read apply (``apply_changes(mode="delta")``) goes further:
+touched partitions append a small delta file
+(``data/v{N}/part-{P:05d}-delta.parquet``) to their entry's ``deltas``
+chain instead of rewriting the base, so apply cost is proportional to
+the CHANGES, not the lake; readers LWW-resolve base+chain per key and
+compaction (``compact_deltas`` / ``auto_compact``) folds chains back
+into a single base file.
 
 The manifest doubles as per-partition lineage: applied-LSN watermark,
 rows, rows_upserted, rows_deleted per partition (north-rule metrics).
@@ -40,12 +47,18 @@ from palimpzest_ray.schemas import schema_from_json, schema_to_json
 
 @dataclasses.dataclass
 class PartEntry:
-    file: str  # lake-root-relative path
+    file: str  # lake-root-relative path (the partition's BASE file)
     max_lsn: int
     rows: int
     rows_upserted: int = 0
     rows_deleted: int = 0
     tombstones: int = 0  # persisted delete markers (excluded from rows)
+    # merge-on-read delta chain, oldest -> newest (lake-root-relative).
+    # A delta apply appends a file of LWW-collapsed change rows here
+    # instead of rewriting the base; readers resolve base+deltas by
+    # (_lsn desc, chain position desc) per key. ``rows``/``tombstones``
+    # always describe the EFFECTIVE resolved state, not the base file.
+    deltas: list[str] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -65,7 +78,23 @@ class LakeManifest:
         return max((e.max_lsn for e in self.parts.values()), default=0)
 
     def data_files(self, lake_root: str) -> list[str]:
-        return [os.path.join(lake_root, self.parts[p].file) for p in sorted(self.parts)]
+        """Every data file this version references: each partition's
+        base file plus its merge-on-read delta chain (vacuum-referenced
+        set, size advisor input)."""
+        out: list[str] = []
+        for p in sorted(self.parts):
+            e = self.parts[p]
+            out.append(os.path.join(lake_root, e.file))
+            out.extend(os.path.join(lake_root, d) for d in e.deltas)
+        return out
+
+    def chain(self, lake_root: str, part: int) -> list[str]:
+        """One partition's read chain in resolution order: base first,
+        then deltas oldest -> newest (later position wins LWW ties)."""
+        e = self.parts[part]
+        return [os.path.join(lake_root, e.file)] + [
+            os.path.join(lake_root, d) for d in e.deltas
+        ]
 
     def to_json(self) -> str:
         return json.dumps(
@@ -167,7 +196,9 @@ def vacuum(
         if os.path.exists(p):
             with open(p) as f:
                 m = LakeManifest.from_json(f.read())
-            referenced.update(os.path.normpath(e.file) for e in m.parts.values())
+            for e in m.parts.values():
+                referenced.add(os.path.normpath(e.file))
+                referenced.update(os.path.normpath(d) for d in e.deltas)
 
     files_deleted = bytes_reclaimed = 0
     data_root = os.path.join(lake_root, "data")
@@ -231,10 +262,20 @@ def commit_version(
     prev_version: int,
     key: str = "doc_id",
     partition_key: str | None = None,
+    delta_parts: dict[int, PartEntry] | None = None,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
     their staging filename; carried entries keep their old paths.
+
+    ``delta_parts`` entries are merge-on-read appends: the staged file
+    is promoted as ``part-{p}-delta.parquet`` and APPENDED to the
+    partition's existing chain (base file carried by reference) —
+    unless the partition has no prior entry, in which case the staged
+    file simply becomes the base. Entry stats (rows/tombstones/
+    counters) were computed against the effective resolved state by
+    the merge worker and are adopted as-is; ``max_lsn`` advances
+    monotonically (never regresses the carried watermark).
 
     The compare-and-swap: commit runs under an exclusive ``flock`` on
     ``.commit.lock`` and re-reads LATEST inside it — if another writer
@@ -262,7 +303,27 @@ def commit_version(
             src = os.path.join(staging_dir, entry.file)
             rel = os.path.join("data", f"v{version}", f"part-{p:05d}.parquet")
             os.replace(src, os.path.join(lake_root, rel))
-            parts[p] = dataclasses.replace(entry, file=rel)
+            # a full rewrite supersedes the whole chain
+            parts[p] = dataclasses.replace(entry, file=rel, deltas=[])
+        for p, entry in (delta_parts or {}).items():
+            src = os.path.join(staging_dir, entry.file)
+            base = (current.parts.get(p) if current else None)
+            if base is None:
+                # first data for this partition: the "delta" IS the base
+                rel = os.path.join("data", f"v{version}", f"part-{p:05d}.parquet")
+                os.replace(src, os.path.join(lake_root, rel))
+                parts[p] = dataclasses.replace(entry, file=rel, deltas=[])
+            else:
+                rel = os.path.join(
+                    "data", f"v{version}", f"part-{p:05d}-delta.parquet"
+                )
+                os.replace(src, os.path.join(lake_root, rel))
+                parts[p] = dataclasses.replace(
+                    entry,
+                    file=base.file,
+                    deltas=base.deltas + [rel],
+                    max_lsn=max(base.max_lsn, entry.max_lsn),
+                )
         manifest = LakeManifest(
             version=version, num_partitions=num_partitions, schema=schema,
             parts=parts, key=key, partition_key=partition_key,

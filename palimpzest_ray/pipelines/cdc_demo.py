@@ -166,6 +166,34 @@ def run_cdc_demo(
     return final_state(lake)
 
 
+def run_cdc_delta_demo(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> rd.Dataset:
+    """Merge-on-read variant of the flagship demo: initial load
+    (rewrite), then the epoch-2 change mix split across TWO delta
+    applies with a chain compaction between them — so the returned
+    final state reads through a LIVE delta chain and the pipeline
+    witnesses delta append, compact_deltas and the chain resolver in
+    one run. Final state is identical to :func:`run_cdc_demo`'s by the
+    mode-equivalence contract (tests/test_cdc_delta.py), so it shares
+    the cdc_replay SQL oracle."""
+    from palimpzest_ray.cdc.engine import compact_deltas
+
+    work = work_dir or demo_workdir(sf_dir, "cdc_delta_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=num_partitions)
+    log = pq.read_table(os.path.join(log2, "log-000.parquet"))
+    half = log.num_rows // 2
+    for name, part in (("log2a", log.slice(0, half)), ("log2b", log.slice(half))):
+        d = os.path.join(work, name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(part, os.path.join(d, "log-000.parquet"))
+    apply_changes(os.path.join(work, "log2a"), lake, mode="delta")
+    compact_deltas(lake)
+    apply_changes(os.path.join(work, "log2b"), lake, mode="delta")
+    return final_state(lake)
+
+
 def run_cdc_view_demo(
     sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
 ) -> rd.Dataset:
