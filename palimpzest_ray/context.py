@@ -69,13 +69,19 @@ def use_hash_shuffle(ctx=None) -> None:
     # can't all start and the exchange never finalizes (observed hang at
     # num_cpus=4). Scale partitions and aggregators with the cluster;
     # fractional CPUs keep aggregators schedulable alongside the map
-    # stages and the merge actor pool.
+    # stages and the merge actor pool. Cap aggregators at a QUARTER of
+    # the cluster, not the whole of it: at aggregators == ncpu the
+    # actor fleet itself saturates the CPU bank and the upstream map
+    # stage never runs (reproduced wedge at num_cpus=16 with 16
+    # aggregators; ncpu//4 both unwedges it and leaves the exchange
+    # throughput unchanged — the aggregator work is memcpy-bound, a
+    # handful of actors keep up with any map width).
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:
         ncpu = 4
     ctx.default_hash_shuffle_parallelism = max(8, 2 * ncpu)
-    ctx.max_hash_shuffle_aggregators = max(2, ncpu)
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
 
