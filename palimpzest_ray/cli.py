@@ -68,11 +68,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--exchange", choices=["ray", "fs"], default="ray")
     p.add_argument("--run-id", default=None)
     p.add_argument("--since-lsn", type=int, default=None)
+    p.add_argument(
+        "--mode", choices=["rewrite", "delta"], default="rewrite",
+        help="delta = merge-on-read chain append (apply cost ~ changes)",
+    )
 
     p = sub.add_parser("tail", help="apply everything past the lake watermark")
     p.add_argument("log_dir")
     p.add_argument("lake")
     p.add_argument("--num-partitions", type=int, default=32)
+    p.add_argument("--mode", choices=["rewrite", "delta"], default="rewrite")
 
     p = sub.add_parser("state", help="print the committed manifest summary")
     p.add_argument("lake")
@@ -95,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep", type=int, default=2)
     p.add_argument("--min-partitions", type=int, default=8)
     p.add_argument("--drop-tombstones-below", type=int, default=None)
+    p.add_argument("--max-delta-files", type=int, default=8)
 
     p = sub.add_parser("view-create", help="materialize an aggregate view")
     p.add_argument("lake")
@@ -140,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
                     "parts": len(m.parts),
                     "rows": sum(e.rows for e in m.parts.values()),
                     "tombstones": sum(e.tombstones for e in m.parts.values()),
+                    "delta_files": sum(len(e.deltas) for e in m.parts.values()),
                     "columns": list(m.schema.names),
                 }
             )
@@ -161,6 +168,7 @@ def main(argv: list[str] | None = None) -> int:
             keep_versions=args.keep,
             min_partitions=args.min_partitions,
             tombstone_watermark=args.drop_tombstones_below,
+            max_delta_files=args.max_delta_files,
         )
         print(json.dumps(auto_compact(args.lake, policy)))
         return 0
@@ -217,11 +225,15 @@ def main(argv: list[str] | None = None) -> int:
             exchange=args.exchange,
             run_id=args.run_id,
             since_lsn=args.since_lsn,
+            mode=args.mode,
         )
     elif args.cmd == "tail":
         from palimpzest_ray.cdc import tail_once
 
-        res = tail_once(args.log_dir, args.lake, num_partitions=args.num_partitions)
+        res = tail_once(
+            args.log_dir, args.lake,
+            num_partitions=args.num_partitions, mode=args.mode,
+        )
     elif args.cmd == "repartition":
         from palimpzest_ray.cdc import repartition_lake
 

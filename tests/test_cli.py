@@ -68,3 +68,33 @@ def test_cli_views_and_index(tmp_path, capsys):
         json.loads(capsys.readouterr().out.strip().splitlines()[-1])["refreshed"]
         is False
     )
+
+
+def test_cli_delta_mode_and_compact(tmp_path, capsys):
+    """apply --mode delta forms chains (visible in state), compact
+    --max-delta-files folds them, state rows unchanged."""
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log1 = os.path.join(str(tmp_path), "log1")
+    log2 = os.path.join(str(tmp_path), "log2")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log1, 1_000, 300, seed=31, chunk_rows=1_000)
+    write_change_log(log2, 1_000, 300, seed=32, chunk_rows=1_000, start_lsn=1_001)
+
+    assert cli.main(["apply", log1, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    assert cli.main(["apply", log2, lake, "--mode", "delta"]) == 0
+    capsys.readouterr()
+    assert cli.main(["state", lake]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["delta_files"] > 0
+    assert cli.main([
+        "compact", lake, "--max-delta-files", "1",
+        "--target-file-mb", "512", "--max-superseded-files", "1000000",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["delta_parts_compacted"] > 0
+    assert cli.main(["state", lake]) == 0
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["delta_files"] == 0 and st2["rows"] == st["rows"]
