@@ -378,6 +378,7 @@ class MergeApplier:
             pa.field("rows_deleted", pa.int64()),
             pa.field("merge_ms", pa.int64()),
             pa.field("delta", pa.bool_()),
+            pa.field("col_stats", pa.string()),  # json zone map
             pa.field("error", pa.string()),
         ]
     )
@@ -491,8 +492,8 @@ class MergeApplier:
                     for t in _read_chain(full_chain[1:])
                 ]
                 changes = pa.concat_tables(folded)
-            total_rows, tombstones, upserted, deleted = self._merge_streaming(
-                full_chain[0], changes, tmp
+            total_rows, tombstones, upserted, deleted, col_stats = (
+                self._merge_streaming(full_chain[0], changes, tmp)
             )
         else:
             base = (
@@ -505,6 +506,7 @@ class MergeApplier:
             merged, upserted, deleted = self._merge(base, changes)
             tombstones = _tombstone_count(merged)
             total_rows = merged.num_rows
+            col_stats = _column_ranges(merged)
             # snappy, not zstd: the merge runs single-threaded inside an
             # actor (Ray pins worker OMP/Arrow threads); zstd encode was
             # a measurable chunk of the 7s/partition profile
@@ -523,6 +525,7 @@ class MergeApplier:
             "rows_deleted": int(deleted),
             "merge_ms": int((_time.monotonic() - _t0) * 1000),
             "delta": False,
+            "col_stats": json.dumps(col_stats),
         }
         return self._finish_lineage(part, lineage)
 
@@ -621,6 +624,7 @@ class MergeApplier:
         revived = int((win_ups & present & base_dead).sum())
 
         fname = None
+        col_stats: dict = {}
         if wins.any():
             out = ch.filter(pa.array(wins))
             out = out.rename_columns(
@@ -628,6 +632,7 @@ class MergeApplier:
             ).drop_columns(["op"])
             out = out.append_column(TOMBSTONE_COL, pa.array(is_del[wins]))
             out = conform(out, self.target_schema)
+            col_stats = _column_ranges(out)
             fname = f"part-{part:05d}.parquet"
             path = os.path.join(self.staging_dir, fname)
             tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -646,6 +651,7 @@ class MergeApplier:
             "rows_deleted": deleted,
             "merge_ms": int((_time.monotonic() - _t0) * 1000),
             "delta": True,
+            "col_stats": json.dumps(col_stats),
         }
         return self._finish_lineage(part, lineage)
 
@@ -756,8 +762,9 @@ class MergeApplier:
         Peak memory = one base batch + the reduced changes; output is
         globally key-sorted because chunk key ranges ascend.
 
-        Returns ``(total_rows, tombstones, upserted, deleted)``.
+        Returns ``(total_rows, tombstones, upserted, deleted, col_stats)``.
         """
+        from palimpzest_ray.cdc.manifest import merge_col_stats
         ch_schema = pa.schema(
             list(self.user_schema)
             + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
@@ -771,6 +778,7 @@ class MergeApplier:
         ch_keys = np.array(ch[self.key].to_pylist(), dtype=object)
 
         total = tombs = ups = dels = 0
+        col_stats: dict = {}
         writer = pq.ParquetWriter(tmp_path, self.target_schema, compression="snappy")
         try:
             ci = 0
@@ -789,6 +797,7 @@ class MergeApplier:
                 tombs += _tombstone_count(merged)
                 ups += u
                 dels += d
+                col_stats = merge_col_stats(col_stats, _column_ranges(merged))
             leftover = ch.slice(ci)
             if leftover.num_rows:
                 merged, u, d = self._merge(None, leftover)
@@ -797,9 +806,10 @@ class MergeApplier:
                 tombs += _tombstone_count(merged)
                 ups += u
                 dels += d
+                col_stats = merge_col_stats(col_stats, _column_ranges(merged))
         finally:
             writer.close()
-        return total, tombs, ups, dels
+        return total, tombs, ups, dels, col_stats
 
 
 def apply_changes(
@@ -1205,6 +1215,9 @@ def _apply_changes_impl(
             rows_upserted=int(d["rows_upserted"]),
             rows_deleted=int(d["rows_deleted"]),
             tombstones=int(d.get("tombstones", 0)),
+            col_stats=(
+                json.loads(d["col_stats"]) if d.get("col_stats") else None
+            ),
         )
         (delta_parts if d.get("delta") else new_parts)[int(d["part"])] = entry
 
@@ -1357,12 +1370,39 @@ def repartition_lake(
     )
 
 
-def _stats_may_match(stats, op: str, value) -> bool:
-    """Can any row in a row group satisfy ``col <op> value`` given its
-    parquet min/max statistics? Missing/untyped stats → maybe (True)."""
-    if stats is None or not stats.has_min_max:
-        return True
-    lo, hi = stats.min, stats.max
+def _column_ranges(table: pa.Table) -> dict:
+    """Per-column [min, max] over the scalar predicate-eligible columns
+    (int/float/string/bool) — the manifest-level zone map a merge
+    worker computes at write time. Nulls are ignored; an all-null or
+    non-scalar column is simply absent (readers treat absence as
+    unknown, never as prunable)."""
+    out: dict = {}
+    for f in table.schema:
+        if f.name in (LSN_COL, TOMBSTONE_COL, PART_COL, "lsn", "op"):
+            continue
+        t = f.type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)
+        ):
+            continue
+        col = table[f.name]
+        if len(col) == 0 or col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or (isinstance(lo, float) and lo != lo):  # all-null / NaN
+            continue
+        out[f.name] = [lo, hi]
+    return out
+
+
+def _range_may_match(lo, hi, op: str, value) -> bool:
+    """Can any row satisfy ``col <op> value`` given the column's
+    [min, max]? Incomparable types → maybe (True)."""
     try:
         if op == "==":
             return lo <= value <= hi
@@ -1379,8 +1419,32 @@ def _stats_may_match(stats, op: str, value) -> bool:
         if op == "in":
             return any(lo <= v <= hi for v in value)
     except TypeError:
-        return True  # incomparable stats (e.g. binary vs str) → scan
+        return True
     return True
+
+
+def _entry_may_match(entry: PartEntry, predicate: list[tuple]) -> bool:
+    """Driver-side partition pruning off the manifest zone map — no
+    parquet footer is opened for a pruned partition (at 1e5 files on
+    object storage the footer round trips ARE the planning cost). A
+    missing map or missing column is unknown → keep; the footer-level
+    :func:`zone_prune_files` still runs on survivors."""
+    cs = entry.col_stats
+    if cs is None:
+        return True
+    for col, op, v in predicate:
+        r = cs.get(col)
+        if r is not None and not _range_may_match(r[0], r[1], op, v):
+            return False
+    return True
+
+
+def _stats_may_match(stats, op: str, value) -> bool:
+    """Can any row in a row group satisfy ``col <op> value`` given its
+    parquet min/max statistics? Missing/untyped stats → maybe (True)."""
+    if stats is None or not stats.has_min_max:
+        return True
+    return _range_may_match(stats.min, stats.max, op, value)
 
 
 def zone_prune_files(
@@ -1626,6 +1690,7 @@ def compact_deltas(
                     "file": fname,
                     "rows": int(r.num_rows - tombs),
                     "tombstones": int(tombs),
+                    "col_stats": json.dumps(_column_ranges(r)),
                 }
             )
         return pa.Table.from_pylist(rows)
@@ -1645,6 +1710,7 @@ def compact_deltas(
             max_lsn=e.max_lsn,
             rows=int(d["rows"]),
             tombstones=int(d["tombstones"]),
+            col_stats=json.loads(d["col_stats"]),
         )
     carried = {p: e for p, e in m.parts.items() if p not in new_parts}
     manifest = commit_version(
@@ -1696,12 +1762,18 @@ def final_state(
     # straight off their base file (each key lives in exactly one
     # file); delta-bearing partitions go through a per-partition LWW
     # resolver stage.
+    part_items = sorted(manifest.parts.items())
+    if predicate:
+        # manifest-level zone maps first: prune whole partitions on the
+        # driver with no footer I/O (the footer pass below only sees
+        # survivors — at 1e5 files the round trips are the plan cost)
+        part_items = [
+            (p, e) for p, e in part_items if _entry_may_match(e, predicate)
+        ]
     plain_files = [
-        os.path.join(lake_root, e.file)
-        for _p, e in sorted(manifest.parts.items())
-        if not e.deltas
+        os.path.join(lake_root, e.file) for _p, e in part_items if not e.deltas
     ]
-    chain_parts = sorted(p for p, e in manifest.parts.items() if e.deltas)
+    chain_parts = sorted(p for p, e in part_items if e.deltas)
     schema = manifest.schema
     read_filter = None
     if predicate:

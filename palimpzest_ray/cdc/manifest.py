@@ -59,6 +59,15 @@ class PartEntry:
     # (_lsn desc, chain position desc) per key. ``rows``/``tombstones``
     # always describe the EFFECTIVE resolved state, not the base file.
     deltas: list[str] = dataclasses.field(default_factory=list)
+    # manifest-level zone map: {column: [min, max]} over the partition's
+    # scalar columns (int/float/string/bool; non-null values), computed
+    # at write time. Lets ``final_state(predicate=...)`` prune whole
+    # partitions on the DRIVER with zero parquet-footer round trips —
+    # at 1e5 files on object storage, footer reads ARE the scan cost.
+    # None = unknown (pre-stats manifest); a column absent from the
+    # dict is also unknown (all-null, non-scalar, or pre-evolution) —
+    # both fall back to footer-level pruning, never to a wrong skip.
+    col_stats: dict | None = None
 
 
 @dataclasses.dataclass
@@ -122,6 +131,23 @@ class LakeManifest:
             key=d.get("key", "doc_id"),
             partition_key=d.get("partition_key"),
         )
+
+
+def merge_col_stats(base: dict | None, delta: dict | None) -> dict | None:
+    """Union two partition zone maps (a delta append widens the chain's
+    ranges, never narrows them). ``None`` on either side means unknown
+    → unknown. A column present on only one side keeps that side's
+    range: the other side holds no non-null values for it.
+    """
+    if base is None or delta is None:
+        return None
+    out = {k: list(v) for k, v in base.items()}
+    for k, (lo, hi) in delta.items():
+        if k in out:
+            out[k] = [min(out[k][0], lo), max(out[k][1], hi)]
+        else:
+            out[k] = [lo, hi]
+    return out
 
 
 def _atomic_write(path: str, data: str) -> None:
@@ -323,6 +349,7 @@ def commit_version(
                     file=base.file,
                     deltas=base.deltas + [rel],
                     max_lsn=max(base.max_lsn, entry.max_lsn),
+                    col_stats=merge_col_stats(base.col_stats, entry.col_stats),
                 )
         manifest = LakeManifest(
             version=version, num_partitions=num_partitions, schema=schema,
