@@ -831,8 +831,17 @@ def apply_changes(
     die_once: str | None = None,
     auto_compact: "CompactionPolicy | bool | None" = None,
     mode: str = "rewrite",
+    max_commit_retries: int = 0,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
+
+    Multi-writer behavior: commits rebase automatically over concurrent
+    writers that touched DISJOINT partitions (partition-local LWW
+    merges commute, so the result equals either serial order); a true
+    overlap raises :class:`ConcurrentCommitError`. With
+    ``max_commit_retries > 0`` the apply then re-plans against the new
+    head and re-runs, up to that many times — the stale-sidecar guard
+    makes the redo exact, and LWW makes it idempotent.
 
     ``mode="delta"`` switches to merge-on-read: touched partitions
     append a small file of this apply's LWW winners to their delta
@@ -864,24 +873,34 @@ def apply_changes(
             # A caller-prepared Dataset captured its DataContext at
             # creation — before this scope; retarget that copy too.
             stack.enter_context(hash_shuffle_scope(changes.context))
-        result = _apply_changes_impl(
-            changes,
-            lake_root,
-            num_partitions=num_partitions,
-            key=key,
-            run_id=run_id,
-            resume=resume,
-            merge_concurrency=merge_concurrency,
-            fail_parts=fail_parts,
-            exchange=exchange,
-            change_schema=change_schema,
-            since_lsn=since_lsn,
-            streaming_threshold_rows=streaming_threshold_rows,
-            partition_key=partition_key,
-            _rebucket=_rebucket,
-            die_once=die_once,
-            mode=mode,
-        )
+        from palimpzest_ray.cdc.manifest import ConcurrentCommitError
+
+        attempts = max(0, max_commit_retries) + 1
+        for attempt in range(attempts):
+            try:
+                result = _apply_changes_impl(
+                    changes,
+                    lake_root,
+                    num_partitions=num_partitions,
+                    key=key,
+                    run_id=run_id,
+                    resume=resume,
+                    merge_concurrency=merge_concurrency,
+                    fail_parts=fail_parts,
+                    exchange=exchange,
+                    change_schema=change_schema,
+                    since_lsn=since_lsn,
+                    streaming_threshold_rows=streaming_threshold_rows,
+                    partition_key=partition_key,
+                    _rebucket=_rebucket,
+                    die_once=die_once,
+                    mode=mode,
+                )
+                break
+            except ConcurrentCommitError:
+                if attempt + 1 >= attempts or isinstance(changes, rd.Dataset):
+                    # a caller Dataset may be single-shot; don't re-run it
+                    raise
     if auto_compact and not _rebucket:  # never recurse from a re-bucket
         policy = auto_compact if isinstance(auto_compact, CompactionPolicy) else None
         result.compaction = globals()["auto_compact"](
@@ -1234,7 +1253,7 @@ def _apply_changes_impl(
     manifest = commit_version(
         lake_root, staging_dir, new_parts, carried, num_partitions,
         lake_schema, prev_version, key=key, partition_key=partition_key,
-        delta_parts=delta_parts,
+        delta_parts=delta_parts, allow_rebase=not _rebucket,
     )
     shutil.rmtree(staging_dir, ignore_errors=True)
 
@@ -1716,6 +1735,7 @@ def compact_deltas(
     manifest = commit_version(
         lake_root, staging_dir, new_parts, carried, m.num_partitions,
         m.schema, m.version, key=m.key, partition_key=m.partition_key,
+        allow_rebase=True,  # disjoint concurrent applies commute
     )
     shutil.rmtree(staging_dir, ignore_errors=True)
     return {"parts_compacted": len(new_parts), "version": manifest.version}

@@ -289,6 +289,7 @@ def commit_version(
     key: str = "doc_id",
     partition_key: str | None = None,
     delta_parts: dict[int, PartEntry] | None = None,
+    allow_rebase: bool = False,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
@@ -308,8 +309,23 @@ def commit_version(
     advanced the lake since this run planned against ``prev_version``,
     raise :class:`ConcurrentCommitError` BEFORE touching anything (a
     blind flip would silently drop the other writer's merge, since both
-    runs carried forward partitions from the same base)."""
+    runs carried forward partitions from the same base).
+
+    ``allow_rebase``: Iceberg-style optimistic rebase for DISJOINT
+    concurrent writers. When the lake advanced but every staged
+    partition's entry (base file + delta chain) is bit-identical
+    between the version this run planned against and the current head
+    — i.e. the other writer(s) touched only OTHER partitions — the
+    commit replays on top of the head instead of failing: carried
+    partitions come from the head, schemas unify, the version is
+    head+1. Any overlap (same partition touched, a re-bucket, a
+    changed key contract) still raises; partition-local LWW merges
+    commute across disjoint partitions, so the rebased state equals
+    either serial order."""
     import fcntl
+
+    from palimpzest_ray.schemas import INTERNAL_COLS
+    from palimpzest_ray.schemas import unify as _unify
 
     lock_path = os.path.join(lake_root, ".commit.lock")
     with open(lock_path, "w") as lock:
@@ -317,10 +333,60 @@ def commit_version(
         current = load_latest_manifest(lake_root)
         current_version = current.version if current else 0
         if current_version != prev_version:
-            raise ConcurrentCommitError(
-                f"lake advanced to v{current_version} while this run planned "
-                f"against v{prev_version}; re-run the apply against the new base"
+            staged = set(new_parts) | set(delta_parts or {})
+
+            def _conflict(msg: str) -> ConcurrentCommitError:
+                return ConcurrentCommitError(
+                    f"lake advanced to v{current_version} while this run "
+                    f"planned against v{prev_version}; {msg}"
+                )
+
+            if not allow_rebase or current is None:
+                raise _conflict("re-run the apply against the new base")
+            if current.num_partitions != num_partitions or (
+                current.key,
+                current.partition_key,
+            ) != (key, partition_key):
+                raise _conflict(
+                    "layout/key contract changed underneath — re-run"
+                )
+            try:
+                planned = (
+                    load_manifest(lake_root, prev_version)
+                    if prev_version > 0
+                    else None
+                )
+            except FileNotFoundError:
+                raise _conflict("planned base vacuumed mid-run — re-run")
+
+            def _chain_of(m, p):
+                e = (m.parts.get(p) if m is not None else None)
+                return None if e is None else (e.file, tuple(e.deltas))
+
+            moved = [
+                p for p in staged
+                if _chain_of(planned, p) != _chain_of(current, p)
+            ]
+            if moved:
+                raise _conflict(
+                    f"staged partition(s) {sorted(moved)[:5]} were also "
+                    "changed by the other writer — re-run against the "
+                    "new base"
+                )
+            # disjoint: rebase on top of the head. Unify USER columns
+            # (head's first — stable order) and keep the internal
+            # columns last, the lake-schema invariant every writer and
+            # reader assumes.
+            internal = [f for f in schema if f.name in INTERNAL_COLS]
+            user_now = pa.schema(
+                [f for f in current.schema if f.name not in INTERNAL_COLS]
             )
+            user_mine = pa.schema(
+                [f for f in schema if f.name not in INTERNAL_COLS]
+            )
+            schema = pa.schema(list(_unify(user_now, user_mine)) + internal)
+            carried = {p: e for p, e in current.parts.items() if p not in staged}
+            prev_version = current_version
         version = prev_version + 1
         data_dir = os.path.join(lake_root, "data", f"v{version}")
         os.makedirs(data_dir, exist_ok=True)
