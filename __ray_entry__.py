@@ -1601,6 +1601,30 @@ def q85_delta_lake_replay(sf_dir: str):
     )
 
 
+def q86_lake_point_lookup(sf_dir: str):
+    """Serving-side point lookups (``cdc.engine.lookup``): fetch a fixed
+    key set from the flagship demo lake — an updated key returns its
+    post-update row, a deleted key returns nothing, fresh inserts and
+    untouched keys return as-is — reading at most one partition chain
+    per key, never scanning the lake. EXACT oracle: the cdc_replay
+    closed form filtered to the same key set."""
+    from palimpzest_ray.cdc.engine import lookup
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+    from palimpzest_ray.cdc import apply_changes
+
+    work = demo_workdir(sf_dir, "cdc_lookup_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")  # chain-read lookups
+    keys = [f"doc-{i:08d}" for i in range(8)] + [
+        "new-00000000", "new-00000003", "doc-99999999",  # last: never existed
+    ]
+    import ray.data as rd
+
+    t = lookup(lake, keys, columns=["n_tok", "source"])
+    return pzd.Dataset(rd.from_arrow(t))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1682,6 +1706,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q83_embedding_join": q83_embedding_join,
         "q84_range_join": q84_range_join,
         "q85_delta_lake_replay": q85_delta_lake_replay,
+        "q86_lake_point_lookup": q86_lake_point_lookup,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1813,6 +1838,13 @@ def _base_oracle_sql() -> dict[str, str]:
     # delta mode is state-equivalent to rewrite mode by contract, so the
     # merge-on-read replay shares the rewrite replay's exact oracle
     d["q85_delta_lake_replay"] = d["cdc_replay"]
+    # point lookups = the replay closed form filtered to the key set
+    # (deleted num%5==0 keys return no row; doc-99999999 never existed)
+    d["q86_lake_point_lookup"] = (
+        "with st as (" + d["cdc_replay"] + ") select * from st where doc_id in ("
+        + ",".join(f"'doc-{i:08d}'" for i in range(8))
+        + ",'new-00000000','new-00000003','doc-99999999')"
+    )
     return d
 
 
