@@ -102,6 +102,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-tombstones-below", type=int, default=None)
     p.add_argument("--max-delta-files", type=int, default=8)
 
+    p = sub.add_parser(
+        "snapshot", help="publish a version as plain partitioned parquet"
+    )
+    p.add_argument("lake")
+    p.add_argument("out_dir")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--columns", nargs="+", default=None)
+
+    p = sub.add_parser("clone", help="copy a committed version as a new lake")
+    p.add_argument("lake")
+    p.add_argument("dst")
+    p.add_argument("--version", type=int, default=None)
+
     p = sub.add_parser("view-create", help="materialize an aggregate view")
     p.add_argument("lake")
     p.add_argument("view")
@@ -182,7 +195,23 @@ def main(argv: list[str] | None = None) -> int:
                           "doc_ids": docs}))
         return 0
 
+    if args.cmd == "clone":
+        from palimpzest_ray.cdc import clone_lake
+
+        mc = clone_lake(args.lake, args.dst, version=args.version)
+        print(json.dumps({"version": mc.version, "parts": len(mc.parts),
+                          "max_lsn": mc.max_lsn}))
+        return 0
+
     _ensure_ray(args.num_cpus)
+    if args.cmd == "snapshot":
+        from palimpzest_ray.cdc import export_snapshot
+
+        meta = export_snapshot(
+            args.lake, args.out_dir, version=args.version, columns=args.columns
+        )
+        print(json.dumps({k: meta[k] for k in ("source_version", "rows", "columns")}))
+        return 0
     if args.cmd == "view-create":
         from palimpzest_ray.cdc import create_view
 
