@@ -104,7 +104,7 @@ def read_parquet(paths, columns: list[str] | None = None, **kw) -> "Dataset":
     out = Dataset(
         ds.map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
     )
-    out._est_bytes = _estimate_parquet_bytes(paths, columns)
+    out._est_bytes, out._est_rows = _estimate_parquet_stats(paths, columns)
     return out
 
 
@@ -130,11 +130,15 @@ def _stripped_footer_schema(paths) -> pa.Schema | None:
         return None
 
 
-def _estimate_parquet_bytes(paths, columns: list[str] | None) -> int | None:
-    """Uncompressed byte estimate of the selected columns, from parquet
+def _estimate_parquet_stats(
+    paths, columns: list[str] | None
+) -> tuple[int | None, int | None]:
+    """(bytes, rows) estimate of the selected columns, from parquet
     footers. Bounded plan-time cost: at most 8 footers are read; the
     rest extrapolate by on-disk file size (uniform-format assumption —
-    exactly how a catalog would scale row-group stats)."""
+    exactly how a catalog would scale row-group stats). Rows feed the
+    join-output upper bound that lets ``strategy="auto"`` broadcast
+    DERIVED small sides (a dimension-chain join stays provably tiny)."""
     import os as _os
 
     try:
@@ -151,13 +155,15 @@ def _estimate_parquet_bytes(paths, columns: list[str] | None) -> int | None:
             else:
                 files.append(p)
         if not files:
-            return None
+            return None, None
         import pyarrow.parquet as _pq
 
         sample = files[:8]
         est = 0
+        rows = 0
         for f in sample:
             md = _pq.ParquetFile(f).metadata
+            rows += md.num_rows
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
@@ -168,9 +174,10 @@ def _estimate_parquet_bytes(paths, columns: list[str] | None) -> int | None:
         disk_total = disk_sample + sum(_os.path.getsize(f) for f in files[8:])
         if disk_sample:
             est = int(est * disk_total / disk_sample)
-        return est
+            rows = int(rows * disk_total / disk_sample)
+        return est, rows
     except Exception:
-        return None  # estimate only — never fail a read over it
+        return None, None  # estimate only — never fail a read over it
 
 
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
@@ -186,6 +193,7 @@ def from_pandas(df: pd.DataFrame) -> "Dataset":
 def from_arrow(table: pa.Table) -> "Dataset":
     out = Dataset(rd.from_arrow(table))
     out._est_bytes = table.nbytes  # exact, not an estimate
+    out._est_rows = table.num_rows
     return out
 
 
@@ -324,10 +332,14 @@ class Dataset:
         #: conservative OVER-estimate is fine (worst case: a shuffle
         #: where broadcast was possible); unknown always means shuffle.
         self._est_bytes: int | None = None
+        #: estimated row count, same contract (upper bound or None) —
+        #: joins need rows, not just bytes, to bound their output
+        self._est_rows: int | None = None
 
     def _with_est(self, ds: rd.Dataset) -> "Dataset":
         out = Dataset(ds)
         out._est_bytes = self._est_bytes
+        out._est_rows = self._est_rows
         return out
 
     # ---- plumbing ----
@@ -794,13 +806,28 @@ class Dataset:
             right_ds = _rename(right_ds, {c: c + suffix for c in collisions})
             right_names = [c + suffix if c in collisions else c for c in right_names]
 
+        # Join-output upper bound: every left row may match every right
+        # row, plus each side's unmatched rows — rows ≤ |L|·|R| + |L| +
+        # |R|, bytes ≤ rows · (bytes/row L + bytes/row R). Loose for
+        # fact joins (harmless: huge bound → downstream shuffles), but
+        # TIGHT for dimension chains — nation⋈region stays provably
+        # KB-sized, so a later join(strategy="auto") against it still
+        # broadcasts instead of paying a full shuffle for a 100-row
+        # side (the q05 star-join regression this fixes).
+        lb, lr = self._est_bytes, self._est_rows
+        rb, rr = other._est_bytes, other._est_rows
+        est_bytes = est_rows = None
+        if None not in (lb, lr, rb, rr) and lr > 0 and rr > 0:
+            est_rows = lr * rr + lr + rr
+            est_bytes = int(est_rows * (lb / lr + rb / rr))
         if strategy == "broadcast":
-            return Dataset(
-                _broadcast_join(left_ds, right_ds, on, how)
+            out = Dataset(_broadcast_join(left_ds, right_ds, on, how))
+        else:
+            out = Dataset(
+                _shuffle_join(left_ds, right_ds, on, how, num_buckets, salt)
             )
-        return Dataset(
-            _shuffle_join(left_ds, right_ds, on, how, num_buckets, salt)
-        )
+        out._est_bytes, out._est_rows = est_bytes, est_rows
+        return out
 
     def asof_join(
         self,

@@ -461,6 +461,30 @@ def test_auto_join_strategy_selection(ray_session):
             derived.rename_columns({"n_name": "nm"}), on="n_nationkey"
         )
         assert calls["strategy"] == "shuffle"
+
+        # a JOINED dimension chain keeps a product-bounded estimate —
+        # nation⋈region is provably ≤ |N|·|R|+|N|+|R| rows, so the next
+        # auto hop still broadcasts it (the q05 star-join shape)
+        region = pzd.read_parquet(f"{sf}/region.parquet")
+        nr = nation.rename_columns({"n_regionkey": "r_regionkey"}).join(
+            region, on="r_regionkey"
+        )
+        assert nr._est_rows is not None and nr._est_rows <= 25 * 5 + 30
+        assert nr._est_bytes is not None
+        big.rename_columns({"o_custkey": "n_nationkey"}).join(
+            nr, on="n_nationkey"
+        )
+        assert calls["strategy"] == "broadcast"
+        # ...but a fact-sized product bound stays a shuffle: the bound
+        # for big⋈nr is huge, so joining AGAINST that result shuffles
+        fact_chain = big.rename_columns({"o_custkey": "n_nationkey"}).join(
+            nr, on="n_nationkey"
+        )
+        assert fact_chain._est_bytes > pzd.BROADCAST_EST_BYTES
+        nation.join(
+            fact_chain.rename_columns({"n_name": "nm2"}), on="n_nationkey"
+        )
+        assert calls["strategy"] == "shuffle"
     finally:
         m._broadcast_join, m._shuffle_join = orig_b, orig_s
 
