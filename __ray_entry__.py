@@ -1625,6 +1625,24 @@ def q86_lake_point_lookup(sf_dir: str):
     return pzd.Dataset(rd.from_arrow(t))
 
 
+def q87_snapshot_roundtrip(sf_dir: str):
+    """Snapshot publication round-trip: build the flagship lake (epoch 2
+    applied merge-on-read so chains are live), export_snapshot resolves
+    them into plain partitioned parquet, read_snapshot streams it back.
+    Same final state as cdc_replay — same EXACT oracle. Engine:
+    palimpzest_ray/cdc/snapshot.py."""
+    from palimpzest_ray.cdc import apply_changes, export_snapshot, read_snapshot
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_snapshot_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+    out = os.path.join(work, "snap")
+    export_snapshot(lake, out, columns=["doc_id", "n_tok", "source"])
+    return pzd.Dataset(read_snapshot(out))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1707,6 +1725,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q84_range_join": q84_range_join,
         "q85_delta_lake_replay": q85_delta_lake_replay,
         "q86_lake_point_lookup": q86_lake_point_lookup,
+        "q87_snapshot_roundtrip": q87_snapshot_roundtrip,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1840,6 +1859,8 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q85_delta_lake_replay"] = d["cdc_replay"]
     # point lookups = the replay closed form filtered to the key set
     # (deleted num%5==0 keys return no row; doc-99999999 never existed)
+    # snapshot export resolves the same state the replay oracle states
+    d["q87_snapshot_roundtrip"] = d["cdc_replay"]
     d["q86_lake_point_lookup"] = (
         "with st as (" + d["cdc_replay"] + ") select * from st where doc_id in ("
         + ",".join(f"'doc-{i:08d}'" for i in range(8))
