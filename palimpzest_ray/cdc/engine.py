@@ -92,6 +92,10 @@ from palimpzest_ray.schemas import (
 
 PART_COL = "__part"
 SRC_COL = "__is_change"
+#: final_state switches a delta-bearing partition to the streaming
+#: chain resolver when its BASE file exceeds this many rows (same
+#: bound class as MergeApplier's streaming_threshold_rows)
+RESOLVE_STREAM_THRESHOLD_ROWS = 4_000_000
 
 
 def _tombstone_count(table: pa.Table) -> int:
@@ -163,6 +167,56 @@ def _resolve_chain(tables: list[pa.Table], key: str, schema: pa.Schema) -> pa.Ta
     first[1:] = neq.to_numpy(zero_copy_only=False)
     winner_idx = idx.filter(pa.array(first))
     return both.take(winner_idx).drop_columns([_SEQ_COL])
+
+
+def _resolve_chain_stream(
+    files: list[str],
+    key: str,
+    schema: pa.Schema,
+    batch_rows: int = 128 * 1024,
+):
+    """Bounded-memory chain resolution for a larger-than-memory BASE:
+    the reader-side analogue of ``MergeApplier._merge_streaming``.
+
+    Deltas are change-sized (the compaction contract bounds the chain),
+    so they resolve in memory first — one winner per key, key-sorted,
+    with later chain position breaking ``_lsn`` ties. The base file is
+    canonically key-sorted and key-unique, so streaming it batch by
+    batch and LWW-merging each batch against the delta keys in its key
+    range yields globally key-sorted output with peak memory = one base
+    batch + the resolved deltas. Yields :class:`pa.Table` chunks.
+    """
+    delta_tables = [conform(t, schema) for t in _read_chain(files[1:])]
+    # resolve among the deltas (chain order = seq order; base excluded)
+    deltas = (
+        _resolve_chain(delta_tables, key, schema)
+        if delta_tables
+        else schema.empty_table()
+    )
+    dk = np.array(deltas[key].to_pylist(), dtype=object)
+    order = np.argsort(dk, kind="stable")
+    deltas = deltas.take(pa.array(order))
+    dk = dk[order]
+
+    ci = 0
+    pf = pq.ParquetFile(files[0])
+    for rb in pf.iter_batches(batch_size=batch_rows):
+        bt = pa.Table.from_batches([rb])
+        if bt.num_rows == 0:
+            continue
+        bmax = bt[key][-1].as_py()
+        j = int(np.searchsorted(dk, bmax, side="right"))
+        chunk = deltas.slice(ci, j - ci)
+        ci = j
+        if chunk.num_rows:
+            # base first (seq 0), delta chunk later (seq 1) — delta
+            # wins ties, same contract as the in-memory resolver
+            yield _resolve_chain([bt, chunk], key, schema)
+        else:
+            yield conform(bt, schema)
+    leftover = deltas.slice(ci)
+    if leftover.num_rows:
+        yield leftover
 
 
 def _read_chain(
@@ -1883,21 +1937,37 @@ def final_state(
         chains = {p: manifest.chain(lake_root, p) for p in chain_parts}
         pred = list(predicate) if predicate else None
 
-        def _resolve_part(batch: pa.Table) -> pa.Table:
+        def _resolve_part(batch: pa.Table):
             limit_kernel_threads()
-            outs = []
+            yielded = False
             for p in batch["part"].to_pylist():
-                r = _resolve_chain(
-                    _read_chain(chains[p], columns=resolve_names),
-                    key,
-                    resolve_schema,
-                )
-                if pred:
-                    r = _filter_predicate(r, pred)
-                outs.append(_conform(r))
-            if not outs:
-                return _conform(resolve_schema.empty_table())
-            return pa.concat_tables(outs)
+                files = chains[p]
+                base_rows = pq.ParquetFile(files[0]).metadata.num_rows
+                if base_rows > RESOLVE_STREAM_THRESHOLD_ROWS:
+                    # larger-than-memory base: stream it (reader-side
+                    # analogue of _merge_streaming); deltas stay small
+                    # by the compaction contract. Column pruning note:
+                    # the streaming path reads the base unpruned via
+                    # iter_batches, so prune after; acceptable because
+                    # this path exists for memory, not I/O, bounds.
+                    chunks = _resolve_chain_stream(files, key, resolve_schema)
+                else:
+                    chunks = [
+                        _resolve_chain(
+                            _read_chain(files, columns=resolve_names),
+                            key,
+                            resolve_schema,
+                        )
+                    ]
+                for r in chunks:
+                    if pred:
+                        r = _filter_predicate(r, pred)
+                    out = _conform(r)
+                    if out.num_rows:
+                        yielded = True
+                        yield out
+            if not yielded:
+                yield _conform(resolve_schema.empty_table())
 
         ids = rd.from_arrow(
             pa.table({"part": pa.array(chain_parts, pa.int32())})

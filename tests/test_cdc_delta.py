@@ -333,3 +333,41 @@ def test_predicate_on_delta_lake_sees_only_final_values(tmp_path):
     want = {f"doc-{i:08d}" for i in range(2, 8)} | {"doc-00000009"}
     assert set(got["doc_id"]) == want
     assert (got["source"] == "web").all()
+
+
+def test_streaming_chain_resolver_equals_in_memory(tmp_path, monkeypatch):
+    """final_state over delta chains with the base forced down the
+    bounded-memory streaming path: same rows, tombstones dropped,
+    predicates exact, internal-column reads (CDF path) intact."""
+    import palimpzest_ray.cdc.engine as eng
+
+    base, logs = (
+        make_base_table(500, seed=21),
+        [
+            make_change_table(700, 500, seed=22, start_lsn=1),
+            make_change_table(700, 500, seed=23, start_lsn=701),
+        ],
+    )
+    dlake = str(tmp_path / "lake")
+    _bootstrap(tmp_path, dlake, base, "b")
+    for i, log in enumerate(logs):
+        apply_changes(_write(tmp_path, f"l{i}/c.parquet", log), dlake, mode="delta")
+    want = final_state_table(dlake)
+
+    monkeypatch.setattr(eng, "RESOLVE_STREAM_THRESHOLD_ROWS", 8)
+    import ray
+
+    refs = final_state(dlake).to_arrow_refs()
+    got = pa.concat_tables(
+        [t for t in ray.get(refs) if t.num_rows], promote_options="permissive"
+    )
+    _assert_equal(got.cast(want.schema), want)
+    # predicate through the streaming path stays exact
+    srcs = want["source"].to_pylist()
+    pick = srcs[0]
+    got_p = final_state(dlake, predicate=[("source", "==", pick)]).take_all()
+    want_n = sum(1 for s in srcs if s == pick)
+    assert len(got_p) == want_n and all(r["source"] == pick for r in got_p)
+    # CDF read (internal columns) through the streaming path
+    feed_rows = net_changes_since(dlake, 1).take_all()
+    assert all("lsn" in r and "op" in r for r in feed_rows)
