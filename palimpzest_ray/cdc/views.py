@@ -18,8 +18,16 @@ handled by construction (subtract from the old group, add to the new);
 groups whose live row count reaches zero are dropped.
 
 min/max are NOT delta-maintainable under deletes (a retracted maximum
-needs the group rescanned) — rejected with a clear error instead of a
-silently-wrong fast path.
+needs the group rescanned), so views containing them refresh by
+AFFECTED-GROUP RECOMPUTE instead: the changed keys' groups (new group
+and, for moved keys, the old group from the time-traveled base) are
+collected — bounded by the view's own cardinality, which is what makes
+a group-by view a view — and the latest lake is rescanned ONLY for
+those groups via ``final_state(predicate=[(group, "in", affected)])``,
+so manifest zone maps / footer stats / fragment filters prune the scan
+(with ``partition_key=group`` it touches only those groups'
+partitions). Unaffected groups copy forward untouched. Cost is
+proportional to the affected groups' data, never the lake.
 
 Storage: each refresh writes a NEW ``sinks.write_versioned`` parquet
 version, then atomically updates ``_view.json`` — which records the
@@ -50,6 +58,7 @@ from palimpzest_ray.cdc.engine import final_state, load_latest_manifest, net_cha
 _NROWS = "_nrows"
 _VIEW_META = "_view.json"
 _DELTA_FNS = {"count", "sum", "avg"}
+_MM_FNS = {"min", "max"}
 
 
 def _load_meta(view_root: str) -> dict:
@@ -66,6 +75,14 @@ def _store_meta(view_root: str, meta: dict) -> None:
 
 def _sum_col(out: str) -> str:
     return f"_sum_{out}"
+
+
+def _mm_col(out: str) -> str:
+    return f"_mm_{out}"
+
+
+def _has_mm(aggs: dict) -> bool:
+    return any(fn in _MM_FNS for fn, _c in aggs.values())
 
 
 def _cnt_col(out: str) -> str:
@@ -104,7 +121,9 @@ def _partial(meta: dict, sign: int):
             cols = {group_col: batch[group_col]}
             cols[_NROWS] = pa.array([], pa.int64())
             for out, (fn, _c) in aggs.items():
-                if fn != "count":
+                if fn in _MM_FNS:
+                    cols[_mm_col(out)] = pa.array([], pa.float64())
+                elif fn != "count":
                     cols[_sum_col(out)] = pa.array([], pa.float64())
                     cols[_cnt_col(out)] = pa.array([], pa.int64())
             return pa.table(cols)
@@ -128,7 +147,21 @@ def _partial(meta: dict, sign: int):
             if fn == "count":
                 continue  # served by _NROWS
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            valid = ~np.isnan(v)  # SQL: nulls skip both sum and avg
+            valid = ~np.isnan(v)  # SQL: nulls skip aggregates
+            if fn in _MM_FNS:
+                sentinel = np.inf if fn == "min" else -np.inf
+                acc = np.full(n, sentinel)
+                ufunc = np.minimum if fn == "min" else np.maximum
+                ufunc.at(acc, idx[valid], v[valid])
+                cols[_mm_col(out)] = pa.array(
+                    np.where(np.isfinite(acc), acc, np.nan), pa.float64()
+                ).cast(pa.float64())
+                # nan -> null so the reduce's ignore-nulls Min/Max works
+                mmarr = cols[_mm_col(out)]
+                cols[_mm_col(out)] = pc.if_else(
+                    pc.is_nan(mmarr), pa.scalar(None, pa.float64()), mmarr
+                )
+                continue
             cols[_sum_col(out)] = pa.array(
                 sign
                 * np.bincount(idx, weights=np.where(valid, v, 0.0), minlength=n),
@@ -146,19 +179,30 @@ def _partial(meta: dict, sign: int):
 
 
 def _reduce(parts: rd.Dataset, meta: dict) -> rd.Dataset:
-    """Merge partial-sums rows: one groupby-sum, then drop dead groups
+    """Merge partial rows: one groupby (sums for the delta aggregates,
+    null-ignoring min/max for the extremal ones), then drop dead groups
     (live row count 0 — every member deleted since)."""
+    from ray.data.aggregate import Max, Min, Sum
+
     group_col = meta["group_col"]
     sum_cols = [_NROWS]
+    mm_specs: list[tuple[str, str]] = []  # (col, fn)
     for o, (fn, _c) in meta["aggs"].items():
-        if fn != "count":
+        if fn in _MM_FNS:
+            mm_specs.append((_mm_col(o), fn))
+        elif fn != "count":
             sum_cols += [_sum_col(o), _cnt_col(o)]
-    merged = parts.groupby(group_col).sum(sum_cols)
+    agg_objs = [Sum(c, alias_name=f"sum({c})") for c in sum_cols] + [
+        (Min if fn == "min" else Max)(c, alias_name=c) for c, fn in mm_specs
+    ]
+    merged = parts.groupby(group_col).aggregate(*agg_objs)
 
     def _finish(batch: pa.Table) -> pa.Table:
         cols = {group_col: batch[group_col]}
         for c in sum_cols:
             cols[c] = batch[f"sum({c})"]
+        for c, _fn in mm_specs:
+            cols[c] = batch[c].cast(pa.float64())
         t = pa.table(cols)
         return t.filter(pc.greater(t[_NROWS], 0))
 
@@ -175,12 +219,14 @@ def create_view(
 ) -> dict:
     """Materialize a group-by aggregate view of the lake's latest
     version. ``aggs``: ``{out_col: (fn, value_col)}`` with fn ∈
-    {"count", "sum", "avg"} (count's value_col is ignored)."""
+    {"count", "sum", "avg", "min", "max"} (count's value_col is
+    ignored). count/sum/avg refresh by pure deltas; any min/max switches
+    the refresh to affected-group recompute (module docstring)."""
     for out, (fn, _col) in aggs.items():
-        if fn not in _DELTA_FNS:
+        if fn not in _DELTA_FNS | _MM_FNS:
             raise ValueError(
-                f"aggregate {fn!r} ({out}) is not delta-maintainable "
-                "under updates/deletes — supported: count, sum, avg"
+                f"aggregate {fn!r} ({out}) is not maintainable — "
+                "supported: count, sum, avg, min, max"
             )
     manifest = load_latest_manifest(lake_root)
     if manifest is None:
@@ -235,6 +281,7 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
         ) from e
 
     key = meta["key"]
+    group_col = meta["group_col"]
     feed = net_changes_since(lake_root, base_v)
 
     def _new_live(batch: pa.Table) -> pa.Table:
@@ -248,10 +295,49 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
     changed_keys = PzDataset(feed).project([key]).distinct([key])
     old_rows = PzDataset(old_state).semi_join(changed_keys, key).ray
 
-    plus = new_rows.map_batches(_partial(meta_n, +1), batch_format="pyarrow")
-    minus = old_rows.map_batches(_partial(meta_n, -1), batch_format="pyarrow")
     current = _read_pinned(view_root, meta)
-    merged = _reduce(current.union(plus).union(minus), meta_n)
+    if _has_mm(meta_n["aggs"]):
+        # AFFECTED-GROUP RECOMPUTE (module docstring): a retracted
+        # min/max needs its group rescanned, and every delta this
+        # refresh would apply touches exactly these groups anyway — so
+        # recompute all aggregates for them from the latest lake
+        # (zone-map/footer-pruned "in" scan) and carry the rest forward.
+        def _groups_of(ds: rd.Dataset) -> set:
+            vals: set = set()
+            for b in ds.map_batches(
+                lambda t: pa.table({group_col: pc.unique(t[group_col])}),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow"):
+                vals.update(v for v in b[group_col].to_pylist() if v is not None)
+            return vals
+
+        affected = sorted(_groups_of(new_rows) | _groups_of(old_rows))
+        if affected:
+            scan = final_state(
+                lake_root,
+                columns=_needed_cols(meta_n),
+                predicate=[(group_col, "in", affected)],
+            )
+            recomputed = _reduce(
+                scan.map_batches(_partial(meta_n, +1), batch_format="pyarrow"),
+                meta_n,
+            )
+            aff_set = set(affected)
+            kept = current.map_batches(
+                lambda t: t.filter(
+                    pc.invert(
+                        pc.is_in(t[group_col], value_set=pa.array(sorted(aff_set)))
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            merged = kept.union(recomputed)
+        else:
+            merged = current
+    else:
+        plus = new_rows.map_batches(_partial(meta_n, +1), batch_format="pyarrow")
+        minus = old_rows.map_batches(_partial(meta_n, -1), batch_format="pyarrow")
+        merged = _reduce(current.union(plus).union(minus), meta_n)
     m = sinks.write_versioned(merged, view_root)
     meta["lake_version"] = latest.version
     meta["view_version"] = m["version"]
@@ -278,6 +364,10 @@ def read_view(view_root: str) -> rd.Dataset:
         for out, (fn, _c) in aggs.items():
             if fn == "count":
                 cols[out] = batch[_NROWS]
+                continue
+            if fn in _MM_FNS:
+                # stored nullable: null already means "no non-null value"
+                cols[out] = batch[_mm_col(out)]
                 continue
             has_valid = pc.greater(batch[_cnt_col(out)], 0)
             if fn == "sum":

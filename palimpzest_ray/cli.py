@@ -122,6 +122,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--count", default=None, metavar="OUT")
     p.add_argument("--sum", action="append", default=[], metavar="OUT=COL")
     p.add_argument("--avg", action="append", default=[], metavar="OUT=COL")
+    p.add_argument("--min", action="append", default=[], metavar="OUT=COL")
+    p.add_argument("--max", action="append", default=[], metavar="OUT=COL")
 
     p = sub.add_parser("view-refresh", help="catch a view up to the lake head")
     p.add_argument("lake")
@@ -218,13 +220,18 @@ def main(argv: list[str] | None = None) -> int:
         aggs: dict[str, tuple] = {}
         if args.count:
             aggs[args.count] = ("count", None)
-        for spec, fn in [(x, "sum") for x in args.sum] + [(x, "avg") for x in args.avg]:
+        for spec, fn in (
+            [(x, "sum") for x in args.sum]
+            + [(x, "avg") for x in args.avg]
+            + [(x, "min") for x in args.min]
+            + [(x, "max") for x in args.max]
+        ):
             out, _, col = spec.partition("=")
             if not col:
                 raise SystemExit(f"--{fn} expects OUT=COL, got {spec!r}")
             aggs[out] = (fn, col)
         if not aggs:
-            raise SystemExit("view-create needs at least one of --count/--sum/--avg")
+            raise SystemExit("view-create needs one of --count/--sum/--avg/--min/--max")
         meta = create_view(args.lake, args.view, group_col=args.group_col, aggs=aggs)
         print(json.dumps(meta))
         return 0

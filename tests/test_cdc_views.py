@@ -143,10 +143,12 @@ def test_vacuumed_base_raises(tmp_path):
 def test_unsupported_agg_rejected(tmp_path):
     lake = str(tmp_path / "lake")
     _seed(tmp_path, lake, n_base=50)
-    with pytest.raises(ValueError, match="not delta-maintainable"):
+    # min/max are supported now (affected-group recompute); a genuinely
+    # unmaintainable aggregate still fails loudly
+    with pytest.raises(ValueError, match="not maintainable"):
         views.create_view(
             lake, str(tmp_path / "v"), group_col="source",
-            aggs={"m": ("max", "n_tok")},
+            aggs={"m": ("median", "n_tok")},
         )
 
 
@@ -232,3 +234,73 @@ def test_sql_null_semantics(tmp_path):
     got = _d()
     assert got["s1"] == (2, 30.0, 15.0)
     assert got["s2"] == (2, 5.0, 5.0)
+
+
+def test_minmax_view_affected_group_recompute(tmp_path):
+    """min/max views refresh by affected-group recompute: a retracted
+    group maximum (the max row deleted or updated DOWN) is re-derived
+    from the latest lake — the failure a delta-only path cannot see —
+    while untouched groups carry forward byte-identically."""
+    import duckdb
+
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    _seed(tmp_path, lake)
+    aggs = {
+        "n_docs": ("count", None),
+        "min_tok": ("min", "n_tok"),
+        "max_tok": ("max", "n_tok"),
+        "total_tok": ("sum", "n_tok"),
+    }
+    views.create_view(lake, view, group_col="source", aggs=aggs)
+
+    def _expect():
+        t = final_state_table(lake)
+        return {
+            r["source"]: (r["n_docs"], r["min_tok"], r["max_tok"], r["total_tok"])
+            for r in duckdb.sql(
+                """select source, count(*) n_docs,
+                          cast(min(n_tok) as double) min_tok,
+                          cast(max(n_tok) as double) max_tok,
+                          cast(sum(n_tok) as double) total_tok
+                   from t group by source"""
+            ).fetchdf().to_dict("records")
+        }
+
+    def _got():
+        rows = views.read_view(view).take_all()
+        return {
+            r["source"]: (r["n_docs"], r["min_tok"], r["max_tok"], r["total_tok"])
+            for r in rows
+        }
+
+    assert _got() == _expect()
+
+    # epoch 2: churn incl. deletes of current extrema (Zipf-hot keys)
+    log2 = make_change_table(2000, 400, seed=17, start_lsn=1, new_key_space=100)
+    apply_changes(_write(tmp_path, "e2/log.parquet", log2), lake, num_partitions=8)
+    r = views.refresh_view(lake, view)
+    assert r["refreshed"]
+    assert _got() == _expect()
+
+    # epoch 3: surgically retract one group's maximum
+    t = final_state_table(lake)
+    import pyarrow.compute as pc
+
+    src0 = t["source"][0].as_py()
+    grp = t.filter(pc.equal(t["source"], src0))
+    mx_i = pc.index(grp["n_tok"], pc.max(grp["n_tok"])).as_py()
+    victim = grp["doc_id"][mx_i].as_py()
+    kill = pa.table(
+        {
+            "lsn": pa.array([10_000], pa.int64()),
+            "op": pa.array(["DELETE"]),
+            "doc_id": pa.array([victim]),
+            "tokens": pa.array([None], pa.list_(pa.int32())),
+            "n_tok": pa.array([None], pa.int32()),
+            "source": pa.array([None], pa.string()),
+        }
+    )
+    apply_changes(_write(tmp_path, "e3/log.parquet", kill), lake, num_partitions=8)
+    views.refresh_view(lake, view)
+    assert _got() == _expect()  # the retracted max is re-derived
