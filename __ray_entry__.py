@@ -1643,6 +1643,33 @@ def q87_snapshot_roundtrip(sf_dir: str):
     return pzd.Dataset(read_snapshot(out))
 
 
+def q88_minmax_view(sf_dir: str):
+    """Incremental view with min/max (affected-group recompute,
+    cdc/views.py): view created at epoch 1, epoch 2 applied
+    merge-on-read, refresh re-derives exactly the changed groups —
+    including retracted extrema (epoch 2 deletes num%5==0 rows, some of
+    which held group maxima). EXACT oracle: the replay closed form
+    grouped by source."""
+    from palimpzest_ray.cdc import apply_changes, views
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_minmax_view_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    view = os.path.join(work, "view")
+    apply_changes(log1, lake, num_partitions=8)
+    views.create_view(
+        lake, view, group_col="source",
+        aggs={
+            "n_docs": ("count", None),
+            "min_tok": ("min", "n_tok"),
+            "max_tok": ("max", "n_tok"),
+        },
+    )
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+    views.refresh_view(lake, view)
+    return pzd.Dataset(views.read_view(view))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1726,6 +1753,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q85_delta_lake_replay": q85_delta_lake_replay,
         "q86_lake_point_lookup": q86_lake_point_lookup,
         "q87_snapshot_roundtrip": q87_snapshot_roundtrip,
+        "q88_minmax_view": q88_minmax_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1861,6 +1889,14 @@ def _base_oracle_sql() -> dict[str, str]:
     # (deleted num%5==0 keys return no row; doc-99999999 never existed)
     # snapshot export resolves the same state the replay oracle states
     d["q87_snapshot_roundtrip"] = d["cdc_replay"]
+    # min/max view == the replay closed form grouped by source
+    d["q88_minmax_view"] = (
+        "with st as (" + d["cdc_replay"] + ") "
+        "select source, count(*) as n_docs, "
+        "cast(min(n_tok) as double) as min_tok, "
+        "cast(max(n_tok) as double) as max_tok "
+        "from st group by source"
+    )
     d["q86_lake_point_lookup"] = (
         "with st as (" + d["cdc_replay"] + ") select * from st where doc_id in ("
         + ",".join(f"'doc-{i:08d}'" for i in range(8))
