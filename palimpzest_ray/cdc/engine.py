@@ -1501,11 +1501,21 @@ def _entry_may_match(entry: PartEntry, predicate: list[tuple]) -> bool:
     parquet footer is opened for a pruned partition (at 1e5 files on
     object storage the footer round trips ARE the planning cost). A
     missing map or missing column is unknown → keep; the footer-level
-    :func:`zone_prune_files` still runs on survivors."""
+    :func:`zone_prune_files` still runs on survivors.
+
+    ``_lsn`` predicates prune off the partition WATERMARK: every row's
+    ``_lsn`` is at most the entry's ``max_lsn`` (rows come from changes
+    whose lsn the apply's watermark bounds; re-buckets recompute it) —
+    so a change-feed catch-up (``net_changes_since``) touches only
+    partitions that actually advanced past the consumer's version."""
     cs = entry.col_stats
-    if cs is None:
-        return True
     for col, op, v in predicate:
+        if col == LSN_COL:
+            if not _range_may_match(-(2**62), entry.max_lsn, op, v):
+                return False
+            continue
+        if cs is None:
+            continue
         r = cs.get(col)
         if r is not None and not _range_may_match(r[0], r[1], op, v):
             return False
@@ -2000,8 +2010,15 @@ def net_changes_since(lake_root: str, version: int) -> rd.Dataset:
     from palimpzest_ray.cdc.manifest import load_manifest
 
     watermark = load_manifest(lake_root, version).max_lsn
+    # the _lsn predicate prunes UNCHANGED partitions at the manifest
+    # (entry max_lsn ≤ watermark → no row can qualify), then unchanged
+    # files/row groups at the parquet footers, then exact rows in the
+    # scan — a catch-up on a 100-TB lake reads only what moved
     raw = final_state(
-        lake_root, user_columns_only=False, include_tombstones=True
+        lake_root,
+        user_columns_only=False,
+        include_tombstones=True,
+        predicate=[(LSN_COL, ">", int(watermark))],
     )
 
     def _feed(batch: pa.Table) -> pa.Table:

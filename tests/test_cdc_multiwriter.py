@@ -245,3 +245,41 @@ def test_rebase_unifies_concurrently_evolved_schema(tmp_path):
     assert set(state.column_names) >= {"doc_id", "lang", "source"}
     got = dict(zip(state["doc_id"].to_pylist(), state["lang"].to_pylist()))
     assert got[keys0[0]] == "en" and got[keys1[0]] is None
+
+
+def test_net_changes_prunes_unchanged_partitions(tmp_path, monkeypatch):
+    """A change-feed catch-up reads ONLY partitions whose watermark
+    advanced past the consumer's version — unchanged partitions are
+    pruned at the manifest, no file of theirs is even opened."""
+    import ray.data as rd_
+
+    import palimpzest_ray.cdc.engine as eng
+    from palimpzest_ray.cdc import net_changes_since
+
+    P = 8
+    keys = [k for p in range(P) for k in _bucket_keys(P, p, 2)]
+    lake = str(tmp_path / "lake")
+    apply_changes(
+        _log(tmp_path, "boot", keys, list(range(len(keys)))), lake,
+        num_partitions=P,
+    )
+    v1 = load_latest_manifest(lake).version
+    # touch exactly one partition
+    one = _bucket_keys(P, 3, 1)
+    apply_changes(_log(tmp_path, "one", one, [1000], ["late"]), lake)
+    m = load_latest_manifest(lake)
+    changed = {p for p, e in m.parts.items() if e.max_lsn > 15}
+    assert len(changed) == 1
+
+    opened: set[str] = set()
+    orig = rd_.read_parquet
+
+    def spy(paths, *a, **k):
+        ps = [paths] if isinstance(paths, str) else list(paths)
+        opened.update(os.path.basename(p) for p in ps)
+        return orig(paths, *a, **k)
+
+    monkeypatch.setattr(eng.rd, "read_parquet", spy)
+    rows = net_changes_since(lake, v1).take_all()
+    assert [r["doc_id"] for r in rows] == one
+    assert opened == {os.path.basename(m.parts[p].file) for p in changed}
