@@ -1670,6 +1670,23 @@ def q88_minmax_view(sf_dir: str):
     return pzd.Dataset(views.read_view(view))
 
 
+_DECONTAM_SNIPPETS = ["the", "data quality", "machine learning models"]
+
+
+def q89_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/text.py decontaminate): drop
+    documents whose normalized word sequence contains any eval snippet
+    contiguously — forced down the scale path (method="ngram": one
+    word-n-gram hash per snippet prunes candidates; only candidates pay
+    the exact verify). EXACT oracle via decontaminate_sql (the same
+    word-boundary containment stated in SQL)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    clean = T.decontaminate(
+        docs.ray, _DECONTAM_SNIPPETS, method="ngram"
+    )
+    return pzd.Dataset(clean).project(["doc_id", "source"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1754,6 +1771,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q86_lake_point_lookup": q86_lake_point_lookup,
         "q87_snapshot_roundtrip": q87_snapshot_roundtrip,
         "q88_minmax_view": q88_minmax_view,
+        "q89_decontaminate": q89_decontaminate,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1889,6 +1907,11 @@ def _base_oracle_sql() -> dict[str, str]:
     # (deleted num%5==0 keys return no row; doc-99999999 never existed)
     # snapshot export resolves the same state the replay oracle states
     d["q87_snapshot_roundtrip"] = d["cdc_replay"]
+    # word-boundary containment restated in SQL by decontaminate_sql
+    d["q89_decontaminate"] = (
+        "select doc_id, source from documents where "
+        + T.decontaminate_sql(_DECONTAM_SNIPPETS)
+    )
     # min/max view == the replay closed form grouped by source
     d["q88_minmax_view"] = (
         "with st as (" + d["cdc_replay"] + ") "

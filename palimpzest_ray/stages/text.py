@@ -264,3 +264,146 @@ def chunk_text(
         .append_column("chunk_start", pa.array(chunk_start, pa.int64()))
         .append_column("chunk", chunks)
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def _norm_padded(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """`` `` + whitespace-normalized lowercase text + `` `` — word-
+    boundary containment then reduces to plain substring containment
+    (the same construction a SQL oracle states verbatim:
+    ``' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' '``)."""
+    t = pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " ")
+    t = pc.utf8_trim(t, " ")
+    return pc.binary_join_element_wise(pa.scalar(" "), t, pa.scalar(" "), "")
+
+
+def _normalize_snippets(snippets) -> list[str]:
+    out = []
+    for s in snippets:
+        w = " ".join(str(s).lower().split())
+        if w:
+            out.append(w)
+    return sorted(set(out))
+
+
+def _contaminated_mask(col, snippets: list[str]) -> "np.ndarray":
+    nd = _norm_padded(col)
+    mask = np.zeros(len(col), dtype=bool)
+    for s in snippets:
+        mask |= pc.match_substring(nd, f" {s} ").to_numpy(zero_copy_only=False)
+    return mask
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    snippets,
+    *,
+    text_col: str = "text",
+    method: str = "auto",
+    mode: str = "drop",
+    ngram_width: int = 8,
+):
+    """Benchmark decontamination: remove (or flag) documents whose
+    normalized word sequence CONTAINS any eval snippet's word sequence
+    contiguously — the standard pre-training hygiene step that keeps
+    eval sets out of the corpus. Word-boundary semantics: lowercase,
+    collapse whitespace runs, match whole-word runs (never mid-word).
+
+    ``method``:
+      - ``"contains"`` — one vectorized substring scan per snippet per
+        batch. Right for benchmark-sized snippet lists (≤ a few
+        hundred).
+      - ``"ngram"`` — the scale path for large snippet sets: each
+        snippet contributes ONE word-n-gram hash (its first
+        ``min(len, ngram_width)``-gram); docs compute the same rolling
+        shingle hashes (``stages.dedup`` machinery, zero-copy numpy)
+        and only hash-candidate rows pay the exact contains verify.
+        Recall is total: any occurrence of a snippet contains the
+        snippet's own first n-gram as a doc n-gram; false candidates
+        are removed by the verify, so the output is EXACTLY the
+        contains semantics at a fraction of the scans.
+      - ``"auto"`` — ngram when more than 64 snippets.
+
+    ``mode``: ``"drop"`` returns only clean docs; ``"flag"`` returns
+    every doc plus a boolean ``contaminated`` column (audit path).
+    """
+    from palimpzest_ray.stages.dedup import _shingle_hashes, _word_hashes
+
+    snips = _normalize_snippets(snippets)
+    if method == "auto":
+        method = "ngram" if len(snips) > 64 else "contains"
+    if method not in ("contains", "ngram"):
+        raise ValueError(f"unknown method {method!r}")
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if not snips:
+        if mode == "drop":
+            return ds
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "contaminated", pa.array(np.zeros(b.num_rows, bool))
+            ),
+            batch_format="pyarrow",
+        )
+
+    # per distinct n: the snippet first-n-gram hash set (driver-side,
+    # snippet lists are benchmark-sized)
+    probe_sets: dict[int, np.ndarray] = {}
+    if method == "ngram":
+        by_n: dict[int, list] = {}
+        for s in snips:
+            n_s = min(len(s.split()), max(1, ngram_width))
+            by_n.setdefault(n_s, []).append(s)
+        for n_s, group in by_n.items():
+            h, parents = _word_hashes(pa.array(group))
+            sh, sp = _shingle_hashes(h, parents, n_s)
+            # first shingle per snippet
+            first = np.ones(len(sp), dtype=bool)
+            first[1:] = sp[1:] != sp[:-1]
+            probe_sets[n_s] = np.unique(sh[first])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        from palimpzest_ray.functions.tokens import limit_kernel_threads
+
+        limit_kernel_threads()
+        col = batch[text_col]
+        if batch.num_rows == 0:
+            mask = np.zeros(0, dtype=bool)
+        elif method == "contains":
+            mask = _contaminated_mask(col, snips)
+        else:
+            cand = np.zeros(batch.num_rows, dtype=bool)
+            h, parents = _word_hashes(col)
+            for n_s, probe in probe_sets.items():
+                sh, sp = _shingle_hashes(h, parents, n_s)
+                hit = np.isin(sh, probe)
+                if hit.any():
+                    cand[np.unique(sp[hit])] = True
+            mask = np.zeros(batch.num_rows, dtype=bool)
+            if cand.any():
+                idx = np.flatnonzero(cand)
+                sub = col.combine_chunks().take(pa.array(idx))
+                mask[idx] = _contaminated_mask(sub, snips)
+        if mode == "flag":
+            return batch.append_column("contaminated", pa.array(mask))
+        return batch.filter(pa.array(~mask))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def decontaminate_sql(snippets, text_col: str = "text") -> str:
+    """The WHERE clause stating clean-ness — the oracle twin of
+    :func:`decontaminate` (word-boundary containment on normalized
+    text)."""
+    nd = (
+        f"' ' || trim(regexp_replace(lower({text_col}), '\s+', ' ', 'g'), ' ') || ' '"
+    )
+    conds = [
+        "not contains(" + nd + ", ' " + s.replace("'", "''") + " ')"
+        for s in _normalize_snippets(snippets)
+    ]
+    return " and ".join(conds) if conds else "true"

@@ -585,3 +585,55 @@ def test_normalize_text_canonical_forms():
     decomposed = unicodedata.normalize("NFD", "Café")
     out = text.normalize_text(pa.table({"text": [decomposed, "A  \t B ", None]}))
     assert out["text_norm"].to_pylist() == ["café", "a b", None]
+
+
+def test_decontaminate_methods_agree_and_match_oracle(ray_session):
+    """contains and ngram paths produce identical clean sets, equal to
+    the DuckDB restatement; word boundaries respected (no mid-word
+    hits); snippets shorter than the shingle width still work."""
+    import duckdb
+    import ray.data as rd
+
+    from palimpzest_ray.stages.text import decontaminate, decontaminate_sql
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(8)]),
+            "text": pa.array(
+                [
+                    "The Quick  brown fox jumps",
+                    "quickly browned food",  # mid-word: clean
+                    "data quality matters a lot here",
+                    "short",
+                    ("filler words " * 10) + "data quality late",
+                    "ends with quick brown",
+                    "QUICK BROWN starts it off",
+                    "   ",  # whitespace-only
+                ]
+            ),
+        }
+    )
+    snips = ["quick brown", "data quality", "absent phrase zz"]
+    ds = rd.from_arrow(docs)
+    got_c = sorted(
+        decontaminate(ds, snips, method="contains").to_pandas()["doc_id"]
+    )
+    got_n = sorted(decontaminate(ds, snips, method="ngram").to_pandas()["doc_id"])
+    t = docs  # noqa: F841 — duckdb scans it
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "select doc_id from t where "
+            + decontaminate_sql(snips)
+            + " order by doc_id"
+        ).fetchall()
+    ]
+    assert got_c == got_n == want == ["d1", "d3", "d7"]
+    flagged = decontaminate(ds, snips, mode="flag").to_pandas()
+    assert sorted(flagged[flagged.contaminated]["doc_id"]) == [
+        "d0", "d2", "d4", "d5", "d6",
+    ]
+    # empty snippet list: everything clean, both modes
+    assert decontaminate(ds, [], method="ngram").count() == 8
+    f2 = decontaminate(ds, ["  "], mode="flag").to_pandas()
+    assert not f2["contaminated"].any()
