@@ -1687,6 +1687,36 @@ def q89_decontaminate(sf_dir: str):
     return pzd.Dataset(clean).project(["doc_id", "source"])
 
 
+_TOKEN_DECONTAM_STRS = ["data", "the model"]
+
+
+def q90_decontaminate_tokens(sf_dir: str):
+    """Token-level decontamination over the lake's native payload
+    (stages/text.py decontaminate_tokens): rows whose token sequence
+    contains an eval snippet's tokens contiguously are dropped — the
+    candidate pruning runs on rolling n-gram hashes of the flattened
+    list<int32> column, verify is an exact vectorized subsequence
+    check. Tokens here are unicode CODEPOINTS of lower(text), so
+    token-subsequence containment == substring containment and the
+    oracle is plain SQL contains()."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _codepoint_tokens(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(b["text"]).to_pylist()
+        toks = pa.array(
+            [[ord(c) for c in (t or "")] for t in texts], pa.list_(pa.int32())
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"], "tokens": toks}
+        )
+
+    seqs = [[ord(c) for c in s] for s in _TOKEN_DECONTAM_STRS]
+    clean = T.decontaminate_tokens(
+        docs.ray.map_batches(_codepoint_tokens, batch_format="pyarrow"), seqs
+    )
+    return pzd.Dataset(clean).project(["doc_id", "source"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1772,6 +1802,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q87_snapshot_roundtrip": q87_snapshot_roundtrip,
         "q88_minmax_view": q88_minmax_view,
         "q89_decontaminate": q89_decontaminate,
+        "q90_decontaminate_tokens": q90_decontaminate_tokens,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1907,6 +1938,13 @@ def _base_oracle_sql() -> dict[str, str]:
     # (deleted num%5==0 keys return no row; doc-99999999 never existed)
     # snapshot export resolves the same state the replay oracle states
     d["q87_snapshot_roundtrip"] = d["cdc_replay"]
+    # codepoint tokens make token-subsequence containment == substring
+    d["q90_decontaminate_tokens"] = (
+        "select doc_id, source from documents where "
+        + " and ".join(
+            f"not contains(lower(text), '{s}')" for s in _TOKEN_DECONTAM_STRS
+        )
+    )
     # word-boundary containment restated in SQL by decontaminate_sql
     d["q89_decontaminate"] = (
         "select doc_id, source from documents where "

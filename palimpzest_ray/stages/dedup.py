@@ -139,7 +139,10 @@ def _shingle_hashes(
     if n >= shingle:
         acc = h[: n - shingle + 1] * _P1
         for j in range(1, shingle):
-            acc = acc ^ (h[j : n - shingle + 1 + j] * (_P2 + np.uint64(j) * _P3))
+            # explicit mod-2^64 for the scalar weight: numpy warns on
+            # SCALAR uint64 overflow even though wraparound is the point
+            w = np.uint64((j * int(_P3) + int(_P2)) & 0xFFFFFFFFFFFFFFFF)
+            acc = acc ^ (h[j : n - shingle + 1 + j] * w)
         valid = parents[: n - shingle + 1] == parents[shingle - 1 :]
         outs_h.append(acc[valid])
         outs_p.append(parents[: n - shingle + 1][valid])

@@ -407,3 +407,94 @@ def decontaminate_sql(snippets, text_col: str = "text") -> str:
         for s in _normalize_snippets(snippets)
     ]
     return " and ".join(conds) if conds else "true"
+
+
+def _contains_subseq(doc: np.ndarray, snip: np.ndarray) -> bool:
+    """Contiguous subsequence containment, vectorized: candidate start
+    positions are where the first element matches; each further snippet
+    position prunes the survivors with one vectorized compare (≤ m
+    passes over a shrinking index set, no Python inner loop per row)."""
+    n, m = len(doc), len(snip)
+    if m == 0:
+        return True
+    if m > n:
+        return False
+    starts = np.flatnonzero(doc[: n - m + 1] == snip[0])
+    for j in range(1, m):
+        if len(starts) == 0:
+            return False
+        starts = starts[doc[starts + j] == snip[j]]
+    return len(starts) > 0
+
+
+def decontaminate_tokens(
+    ds: rd.Dataset,
+    snippet_token_seqs,
+    *,
+    tokens_col: str = "tokens",
+    ngram_width: int = 8,
+):
+    """Token-level decontamination over pre-tokenized sequences (the
+    lake's native payload): drop rows whose ``tokens`` contain any eval
+    snippet's token sequence contiguously. Same candidate-then-verify
+    shape as :func:`decontaminate`: each snippet contributes ONE
+    rolling n-gram hash over its first ``min(len, ngram_width)``
+    tokens; docs compute the same rolling hashes zero-copy from the
+    flattened list column, and only hash-candidates pay the exact
+    subsequence verify. Recall is total (an occurrence contains the
+    snippet's own first n-gram); the verify removes false candidates,
+    so the output is exactly subsequence-containment semantics.
+    """
+    from palimpzest_ray.stages.dedup import _shingle_hashes
+
+    snips = [np.asarray(s, dtype=np.int64) for s in snippet_token_seqs]
+    snips = [s for s in snips if len(s)]
+    if not snips:
+        return ds
+
+    probe_sets: dict[int, np.ndarray] = {}
+    by_n: dict[int, list[np.ndarray]] = {}
+    for s in snips:
+        by_n.setdefault(min(len(s), max(1, ngram_width)), []).append(s)
+    for n_s, group in by_n.items():
+        heads, parents = [], []
+        for i, s in enumerate(group):
+            heads.append(s[:n_s])
+            parents.append(np.full(n_s, i, dtype=np.int64))
+        sh, sp = _shingle_hashes(
+            np.concatenate(heads).astype(np.uint64),
+            np.concatenate(parents),
+            n_s,
+        )
+        first = np.ones(len(sp), dtype=bool)
+        first[1:] = sp[1:] != sp[:-1]
+        probe_sets[n_s] = np.unique(sh[first])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        from palimpzest_ray.functions.tokens import limit_kernel_threads
+
+        limit_kernel_threads()
+        if batch.num_rows == 0:
+            return batch
+        col = batch[tokens_col].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        cand = np.zeros(batch.num_rows, dtype=bool)
+        h = flat.astype(np.uint64)  # identity "hash": ints are their own key
+        for n_s, probe in probe_sets.items():
+            sh, sp = _shingle_hashes(h, parents, n_s)
+            hit = np.isin(sh, probe)
+            if hit.any():
+                cand[np.unique(sp[hit])] = True
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        if cand.any():
+            offs = np.zeros(batch.num_rows + 1, dtype=np.int64)
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            np.cumsum(np.nan_to_num(lens.astype(np.float64)).astype(np.int64),
+                      out=offs[1:])
+            for i in np.flatnonzero(cand):
+                doc = flat[offs[i]:offs[i + 1]]
+                mask[i] = any(_contains_subseq(doc, s) for s in snips)
+        return batch.filter(pa.array(~mask))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")

@@ -637,3 +637,61 @@ def test_decontaminate_methods_agree_and_match_oracle(ray_session):
     assert decontaminate(ds, [], method="ngram").count() == 8
     f2 = decontaminate(ds, ["  "], mode="flag").to_pandas()
     assert not f2["contaminated"].any()
+
+
+def test_decontaminate_tokens_subsequence_semantics(ray_session):
+    """Token-level: contiguous subsequence only (order matters, no
+    gaps), null token rows kept, snippets longer than the doc never
+    match, verify removes hash-candidate false positives."""
+    import numpy as np
+    import ray.data as rd
+
+    from palimpzest_ray.stages.text import decontaminate_tokens
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list("abcdefg")),
+            "tokens": pa.array(
+                [
+                    [1, 2, 3, 4],
+                    [4, 3, 2, 1],      # reversed: clean
+                    [1, 3],            # gap: clean
+                    None,              # null payload: kept
+                    [5] * 30 + [1, 2, 3],
+                    [1, 2],            # shorter than snippet: clean
+                    [],
+                ],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    import ray
+
+    ds = rd.from_arrow(docs)
+    clean = pa.concat_tables(
+        ray.get(decontaminate_tokens(ds, [[1, 2, 3]]).to_arrow_refs())
+    )
+    assert sorted(clean["doc_id"].to_pylist()) == ["b", "c", "d", "f", "g"]
+    # brute-force cross-check on random data
+    rng = np.random.default_rng(5)
+    toks = [rng.integers(0, 9, size=rng.integers(0, 25)).tolist() for _ in range(60)]
+    snips = [[1, 2], [3, 4, 5], [7, 7, 7]]
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([f"r{i}" for i in range(60)]),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+        }
+    )
+
+    def brute(seq, s):
+        return any(seq[i : i + len(s)] == s for i in range(len(seq) - len(s) + 1))
+
+    want = sorted(
+        f"r{i}" for i, seq in enumerate(toks) if not any(brute(seq, s) for s in snips)
+    )
+    got = sorted(
+        decontaminate_tokens(rd.from_arrow(t2), snips, ngram_width=2).to_pandas()[
+            "doc_id"
+        ]
+    )
+    assert got == want
