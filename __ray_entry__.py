@@ -1717,6 +1717,23 @@ def q90_decontaminate_tokens(sf_dir: str):
     return pzd.Dataset(clean).project(["doc_id", "source"])
 
 
+def q91_lake_delete_where(sf_dir: str):
+    """Lake DML (cdc/engine.py delete_where): SQL-DELETE of every
+    synthetic-source row from the flagship lake as one exactly-once
+    merge-on-read commit (tombstone-only delta files), read back
+    through the chain resolver. EXACT oracle: the replay closed form
+    minus the deleted predicate rows."""
+    from palimpzest_ray.cdc import apply_changes, delete_where, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_dml_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8)
+    delete_where(lake, [("source", "==", "synthetic")], mode="delta")
+    return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1803,6 +1820,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q88_minmax_view": q88_minmax_view,
         "q89_decontaminate": q89_decontaminate,
         "q90_decontaminate_tokens": q90_decontaminate_tokens,
+        "q91_lake_delete_where": q91_lake_delete_where,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1938,6 +1956,11 @@ def _base_oracle_sql() -> dict[str, str]:
     # (deleted num%5==0 keys return no row; doc-99999999 never existed)
     # snapshot export resolves the same state the replay oracle states
     d["q87_snapshot_roundtrip"] = d["cdc_replay"]
+    # DELETE WHERE == the replay closed form minus the predicate rows
+    d["q91_lake_delete_where"] = (
+        "with st as (" + d["cdc_replay"] + ") "
+        "select * from st where source is distinct from 'synthetic'"
+    )
     # codepoint tokens make token-subsequence containment == substring
     d["q90_decontaminate_tokens"] = (
         "select doc_id, source from documents where "

@@ -1360,6 +1360,146 @@ def suggest_num_partitions(
     return max(min_partitions, -(-total // (target_mb * 1024 * 1024)))
 
 
+def _dml_feed_schema(m: LakeManifest, cols: list[str]) -> pa.Schema:
+    user = [f for f in m.schema if f.name in cols]
+    return pa.schema(
+        [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + user
+    )
+
+
+def delete_where(
+    lake_root: str,
+    predicate: list[tuple],
+    *,
+    mode: str = "delta",
+    run_id: str | None = None,
+) -> ApplyResult:
+    """SQL-DELETE over the lake: tombstone every live row matching the
+    predicate, as one exactly-once commit. The scan is the pruned
+    :func:`final_state` read (manifest zone maps → footers → fragment
+    filter), the write is an ordinary change-log apply of DELETE events
+    at ``max_lsn + 1`` — so deletion inherits LWW idempotence,
+    time travel (the prior version still shows the rows), resume and
+    the merge-on-read cost model (``mode="delta"`` stages only
+    tombstone rows). All deletes share one LSN: LWW is per key, and a
+    single statement has no internal order."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    key = m.key
+    lsn = int(m.max_lsn) + 1
+    matches = final_state(lake_root, columns=[key], predicate=predicate)
+
+    def _as_deletes(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "lsn": pa.array(np.full(n, lsn, dtype=np.int64)),
+                "op": pa.array(["DELETE"] * n),
+                key: batch[key],
+            }
+        )
+
+    feed = matches.map_batches(_as_deletes, batch_format="pyarrow")
+    return apply_changes(
+        feed,
+        lake_root,
+        key=key,
+        partition_key=m.partition_key,
+        mode=mode,
+        run_id=run_id,
+        change_schema=_dml_feed_schema(m, [key]),
+    )
+
+
+def update_where(
+    lake_root: str,
+    predicate: list[tuple],
+    set_values: dict,
+    *,
+    mode: str = "delta",
+    run_id: str | None = None,
+) -> ApplyResult:
+    """SQL-UPDATE over the lake: rewrite the SET columns of every live
+    row matching the predicate, one exactly-once commit at
+    ``max_lsn + 1``. Reads only the key + the columns the row must
+    carry forward (full user row — an UPDATE event replaces the row
+    under LWW), applies ``set_values`` vectorized, feeds the apply."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    key = m.key
+    user_cols = [f.name for f in m.schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
+    unknown = set(set_values) - set(user_cols)
+    if unknown:
+        raise ValueError(f"SET columns not in lake schema: {sorted(unknown)}")
+    if key in set_values:
+        raise ValueError(f"cannot SET the LWW key {key!r}")
+    lsn = int(m.max_lsn) + 1
+    matches = final_state(lake_root, columns=user_cols, predicate=predicate)
+
+    def _as_updates(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "lsn": pa.array(np.full(n, lsn, dtype=np.int64)),
+            "op": pa.array(["UPDATE"] * n),
+        }
+        for c in user_cols:
+            if c in set_values:
+                v = set_values[c]
+                typ = batch[c].type if c in batch.column_names else None
+                cols[c] = pa.array([v] * n, typ)
+            else:
+                cols[c] = batch[c]
+        return pa.table(cols)
+
+    feed = matches.map_batches(_as_updates, batch_format="pyarrow")
+    return apply_changes(
+        feed,
+        lake_root,
+        key=key,
+        partition_key=m.partition_key,
+        mode=mode,
+        run_id=run_id,
+        change_schema=_dml_feed_schema(m, user_cols),
+    )
+
+
+def delete_keys(
+    lake_root: str,
+    keys: list,
+    *,
+    mode: str = "delta",
+    run_id: str | None = None,
+) -> ApplyResult:
+    """Tombstone an explicit key set (the right-to-be-forgotten /
+    contamination-purge primitive — compose with
+    ``stages.text.decontaminate_tokens(mode="flag")`` to find the
+    keys). One DELETE event per key at ``max_lsn + 1``."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    key = m.key
+    lsn = int(m.max_lsn) + 1
+    karr = pa.array(list(keys))
+    feed = pa.table(
+        {
+            "lsn": pa.array(np.full(len(karr), lsn, dtype=np.int64)),
+            "op": pa.array(["DELETE"] * len(karr)),
+            key: karr.cast(m.schema.field(key).type),
+        }
+    )
+    return apply_changes(
+        rd.from_arrow(feed),
+        lake_root,
+        key=key,
+        partition_key=m.partition_key,
+        mode=mode,
+        run_id=run_id,
+        change_schema=_dml_feed_schema(m, [key]),
+    )
+
+
 def tail_once(
     log_dir: str | list[str],
     lake_root: str,
@@ -1932,10 +2072,15 @@ def final_state(
         # one resolver task per delta-bearing partition: read the chain
         # (pruned to the requested columns + the resolution internals),
         # LWW-resolve, filter exactly, conform to the plain path's shape
+        pred_cols = [c for c, _o, _v in (predicate or [])]
         resolve_names = (
             None
             if read_cols is None
-            else list(dict.fromkeys(read_cols + [key, LSN_COL, TOMBSTONE_COL]))
+            else list(
+                dict.fromkeys(
+                    read_cols + [key, LSN_COL, TOMBSTONE_COL] + pred_cols
+                )
+            )
         )
         resolve_schema = pa.schema(
             [

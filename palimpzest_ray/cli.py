@@ -102,6 +102,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-tombstones-below", type=int, default=None)
     p.add_argument("--max-delta-files", type=int, default=8)
 
+    def _add_where(p):
+        p.add_argument(
+            "--where", action="append", nargs=3, required=True,
+            metavar=("COL", "OP", "VALUE"),
+            help="conjunct, repeatable; VALUE parsed as JSON then string",
+        )
+        p.add_argument("--mode", choices=["rewrite", "delta"], default="delta")
+
+    p = sub.add_parser("delete-where", help="tombstone rows matching a predicate")
+    p.add_argument("lake")
+    _add_where(p)
+
+    p = sub.add_parser("update-where", help="SET columns on matching rows")
+    p.add_argument("lake")
+    _add_where(p)
+    p.add_argument(
+        "--set", action="append", required=True, metavar="COL=VALUE",
+        help="repeatable; VALUE parsed as JSON then string",
+    )
+
     p = sub.add_parser(
         "snapshot", help="publish a version as plain partitioned parquet"
     )
@@ -206,6 +226,32 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     _ensure_ray(args.num_cpus)
+    if args.cmd in ("delete-where", "update-where"):
+        from palimpzest_ray.cdc import delete_where, update_where
+
+        def _val(v: str):
+            try:
+                return json.loads(v)
+            except (json.JSONDecodeError, ValueError):
+                return v
+
+        pred = [(c, op, _val(v)) for c, op, v in args.where]
+        if args.cmd == "delete-where":
+            res = delete_where(args.lake, pred, mode=args.mode)
+        else:
+            sets = {}
+            for spec in args.set:
+                c, _, v = spec.partition("=")
+                if not _:
+                    raise SystemExit(f"--set expects COL=VALUE, got {spec!r}")
+                sets[c] = _val(v)
+            res = update_where(args.lake, pred, sets, mode=args.mode)
+        print(json.dumps({
+            "version": res.manifest.version,
+            "rows_upserted": res.rows_upserted,
+            "rows_deleted": res.rows_deleted,
+        }))
+        return 0
     if args.cmd == "snapshot":
         from palimpzest_ray.cdc import export_snapshot
 

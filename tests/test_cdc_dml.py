@@ -1,0 +1,102 @@
+"""Lake DML: delete_where / update_where / delete_keys — predicate-
+pruned scans feeding exactly-once LWW applies."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import (
+    apply_changes,
+    delete_keys,
+    delete_where,
+    final_state_table,
+    load_latest_manifest,
+    update_where,
+)
+
+
+def _mk_lake(tmp_path, P=8) -> str:
+    lake = str(tmp_path / "lake")
+    n = 120
+    boot = pa.table(
+        {
+            "lsn": pa.array([0] * n, pa.int64()),
+            "op": pa.array(["INSERT"] * n),
+            "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+            "tokens": pa.array([[i, i + 1] for i in range(n)], pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        }
+    )
+    p = str(tmp_path / "boot.parquet")
+    pq.write_table(boot, p)
+    apply_changes(p, lake, num_partitions=P)
+    return lake
+
+
+def test_delete_where_matches_filter_and_time_travels(tmp_path, ray_session):
+    lake = _mk_lake(tmp_path)
+    before = final_state_table(lake)
+    v1 = load_latest_manifest(lake).version
+    res = delete_where(lake, [("source", "==", "s2")])
+    assert res.rows_deleted == 30
+    after = final_state_table(lake)
+    keep = before.filter(pc.not_equal(before["source"], "s2"))
+    assert after.sort_by("doc_id").equals(
+        keep.sort_by("doc_id").cast(after.schema)
+    )
+    # time travel: the prior version still shows every row
+    from palimpzest_ray.cdc import final_state
+
+    old = final_state(lake, version=v1)
+    assert old.count() == before.num_rows
+    # idempotent: re-running deletes nothing new
+    assert delete_where(lake, [("source", "==", "s2")]).rows_deleted == 0
+
+
+def test_update_where_rewrites_set_columns_only(tmp_path, ray_session):
+    lake = _mk_lake(tmp_path)
+    before = final_state_table(lake)
+    res = update_where(
+        lake, [("source", "==", "s1")], {"source": "curated", "n_tok": 9}
+    )
+    assert res.rows_upserted == 30
+    after = final_state_table(lake).sort_by("doc_id")
+    b = before.sort_by("doc_id")
+    was_s1 = pc.equal(b["source"], "s1")
+    # untouched rows identical; touched rows have SET values, carried payload
+    assert after.num_rows == b.num_rows
+    for i in range(after.num_rows):
+        if was_s1[i].as_py():
+            assert after["source"][i].as_py() == "curated"
+            assert after["n_tok"][i].as_py() == 9
+            assert after["tokens"][i].as_py() == b["tokens"][i].as_py()
+        else:
+            assert after["source"][i].as_py() == b["source"][i].as_py()
+            assert after["n_tok"][i].as_py() == b["n_tok"][i].as_py()
+    with pytest.raises(ValueError, match="cannot SET"):
+        update_where(lake, [("source", "==", "s1")], {"doc_id": "x"})
+    with pytest.raises(ValueError, match="not in lake schema"):
+        update_where(lake, [("source", "==", "s1")], {"nope": 1})
+
+
+def test_delete_keys_purges_and_stays_delta_sized(tmp_path, ray_session):
+    lake = _mk_lake(tmp_path)
+    m0 = load_latest_manifest(lake)
+    victims = ["d0000", "d0007", "d0099", "never-existed"]
+    res = delete_keys(lake, victims)
+    assert res.rows_deleted == 3  # the phantom key deletes nothing
+    after = final_state_table(lake)
+    assert set(victims[:3]).isdisjoint(set(after["doc_id"].to_pylist()))
+    m1 = load_latest_manifest(lake)
+    # delta mode: the touched partitions appended tombstone-only files
+    grew = [p for p, e in m1.parts.items() if len(e.deltas) > len(m0.parts[p].deltas)]
+    assert grew
+    for p in grew:
+        f = os.path.join(lake, m1.parts[p].deltas[-1])
+        assert pq.ParquetFile(f).metadata.num_rows <= len(victims)

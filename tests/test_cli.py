@@ -98,3 +98,33 @@ def test_cli_delta_mode_and_compact(tmp_path, capsys):
     assert cli.main(["state", lake]) == 0
     st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st2["delta_files"] == 0 and st2["rows"] == st["rows"]
+
+
+def test_cli_dml(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import final_state_table
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 1_000, 300, seed=41, chunk_rows=1_000)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    before = final_state_table(lake)
+    src0 = before["source"][0].as_py()
+    n0 = sum(1 for s in before["source"].to_pylist() if s == src0)
+
+    assert cli.main(
+        ["update-where", lake, "--where", "source", "==", src0,
+         "--set", "source=curated"]
+    ) == 0
+    upd = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert upd["rows_upserted"] == n0
+    assert cli.main(
+        ["delete-where", lake, "--where", "source", "==", "curated"]
+    ) == 0
+    dele = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dele["rows_deleted"] == n0
+    after = final_state_table(lake)
+    assert "curated" not in set(after["source"].to_pylist())
+    assert after.num_rows == before.num_rows - n0
