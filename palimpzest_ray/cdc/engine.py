@@ -1360,6 +1360,77 @@ def suggest_num_partitions(
     return max(min_partitions, -(-total // (target_mb * 1024 * 1024)))
 
 
+def alter_schema(
+    lake_root: str,
+    *,
+    add: list[pa.Field] | None = None,
+    drop: list[str] | None = None,
+) -> LakeManifest:
+    """Metadata-only schema DDL: commit a new version whose schema has
+    the ``add`` fields appended (null-backfilled at read for every
+    existing row — same machinery as log-driven evolution) and the
+    ``drop`` columns removed. No data file is touched: readers conform
+    every file to the manifest schema, so a dropped column vanishes
+    immediately (logical drop) and is physically removed from each
+    partition at its next rewrite/compaction. Time travel still shows
+    the column at prior versions. The LWW key, the partition key and
+    the internal columns cannot be dropped.
+
+    Evolution still wins going forward: a dropped column that later
+    change logs STILL CARRY is re-introduced by schema unification (as
+    any new column would be), and ``n_tok`` on a tokens table is
+    re-derived by normalize on the next apply — dropping it is a no-op
+    by the sequence-table contract."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    add = list(add or [])
+    drop = list(drop or [])
+    names = set(m.schema.names)
+    protected = {m.key, m.partition_key, LSN_COL, TOMBSTONE_COL} - {None}
+    bad = [c for c in drop if c in protected]
+    if bad:
+        raise ValueError(f"cannot drop protected column(s) {bad}")
+    missing = [c for c in drop if c not in names]
+    if missing:
+        raise ValueError(f"drop of unknown column(s) {missing}")
+    clash = [f.name for f in add if f.name in names and f.name not in drop]
+    if clash:
+        raise ValueError(f"added column(s) already exist: {clash}")
+    internal = [f for f in m.schema if f.name in (LSN_COL, TOMBSTONE_COL)]
+    user = [
+        f
+        for f in m.schema
+        if f.name not in (LSN_COL, TOMBSTONE_COL) and f.name not in drop
+    ]
+    schema = pa.schema(user + add + internal)
+    # a zero-file commit through the same CAS path: parts carry forward
+    staging = os.path.join(lake_root, ".staging", f"ddl-{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    try:
+        manifest = commit_version(
+            lake_root, staging, {}, dict(m.parts), m.num_partitions,
+            schema, m.version, key=m.key, partition_key=m.partition_key,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    # dropped columns' zone-map entries are stale — scrub them so a
+    # predicate on a re-added column never prunes off old ranges
+    touched = set(drop) | {f.name for f in add}
+    if touched:
+        from palimpzest_ray.cdc.manifest import _atomic_write
+
+        for e in manifest.parts.values():
+            if e.col_stats:
+                for c in touched:
+                    e.col_stats.pop(c, None)
+        _atomic_write(
+            os.path.join(lake_root, f"MANIFEST-v{manifest.version}.json"),
+            manifest.to_json(),
+        )
+    return manifest
+
+
 def _dml_feed_schema(m: LakeManifest, cols: list[str]) -> pa.Schema:
     user = [f for f in m.schema if f.name in cols]
     return pa.schema(

@@ -100,3 +100,61 @@ def test_delete_keys_purges_and_stays_delta_sized(tmp_path, ray_session):
     for p in grew:
         f = os.path.join(lake, m1.parts[p].deltas[-1])
         assert pq.ParquetFile(f).metadata.num_rows <= len(victims)
+
+
+def test_alter_schema_ddl(tmp_path, ray_session):
+    """Metadata-only add/drop: immediate logical effect, time travel
+    intact, physical removal at the next rewrite, later logs may
+    re-introduce a dropped column, protected columns refuse."""
+    import pyarrow.parquet as pq_
+
+    from palimpzest_ray.cdc import alter_schema, compact_deltas, final_state
+
+    lake = _mk_lake(tmp_path)
+    v1 = load_latest_manifest(lake).version
+
+    m = alter_schema(
+        lake, add=[pa.field("quality", pa.float32())], drop=["source"]
+    )
+    assert "quality" in m.schema.names and "source" not in m.schema.names
+    after = final_state_table(lake)
+    assert "source" not in after.column_names
+    assert after["quality"].null_count == after.num_rows  # backfilled
+    # time travel still shows the dropped column
+    old = final_state(lake, version=v1).take(1)[0]
+    assert "source" in old
+    # the DDL touched no data file
+    m1 = load_latest_manifest(lake)
+    assert {e.file for e in m1.parts.values()} == {
+        e.file for e in load_latest_manifest(lake).parts.values()
+    }
+    # physical removal on the next rewrite of a partition; the log
+    # does NOT carry the dropped column (else evolution would
+    # legitimately re-introduce it)
+    upd = pa.table(
+        {
+            "lsn": pa.array([999], pa.int64()),
+            "op": pa.array(["UPDATE"]),
+            "doc_id": pa.array(["d0000"]),
+            "tokens": pa.array([[9]], pa.list_(pa.int32())),
+            "quality": pa.array([0.5], pa.float32()),
+        }
+    )
+    p = str(tmp_path / "u.parquet")
+    pq_.write_table(upd, p)
+    apply_changes(p, lake)  # rewrite mode folds + rewrites touched parts
+    m2 = load_latest_manifest(lake)
+    rewritten = next(
+        e for e in m2.parts.values() if e.file.startswith(f"data/v{m2.version}/")
+    )
+    fschema = pq_.read_schema(os.path.join(lake, rewritten.file))
+    assert "source" not in fschema.names and "quality" in fschema.names
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="protected"):
+        alter_schema(lake, drop=["doc_id"])
+    with _pytest.raises(ValueError, match="unknown"):
+        alter_schema(lake, drop=["nope"])
+    with _pytest.raises(ValueError, match="already exist"):
+        alter_schema(lake, add=[pa.field("quality", pa.float32())])
