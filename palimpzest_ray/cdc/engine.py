@@ -1360,6 +1360,73 @@ def suggest_num_partitions(
     return max(min_partitions, -(-total // (target_mb * 1024 * 1024)))
 
 
+def fsck(lake_root: str, *, version: int | None = None, deep: bool = False) -> dict:
+    """Lake integrity audit (driver-side, metadata-first): verify that
+    every referenced file exists, per-entry row/tombstone counts match
+    the data, keys are unique within a resolved partition, every row
+    hashes into its partition, and zone maps bound their columns.
+    ``deep=False`` checks existence + footer row counts only (no data
+    read); ``deep=True`` reads each partition chain and verifies the
+    resolved invariants. Returns ``{"ok": bool, "errors": [...],
+    "files": n, "rows": n}`` — never raises on findings."""
+    from palimpzest_ray.cdc.manifest import load_manifest as _load
+    from palimpzest_ray.functions.tokens import stable_bucket
+
+    m = (
+        _load(lake_root, version)
+        if version is not None
+        else load_latest_manifest(lake_root)
+    )
+    if m is None:
+        return {"ok": False, "errors": ["no committed version"], "files": 0, "rows": 0}
+    errors: list[str] = []
+    files = rows = 0
+    for p, e in sorted(m.parts.items()):
+        chain = m.chain(lake_root, p)
+        missing = [f for f in chain if not os.path.exists(f)]
+        if missing:
+            errors.append(f"part {p}: missing file(s) {missing}")
+            continue
+        files += len(chain)
+        if not deep:
+            rows += e.rows
+            continue
+        r = _resolve_chain(_read_chain(chain), m.key, m.schema)
+        tombs = _tombstone_count(r)
+        live = r.num_rows - tombs
+        rows += live
+        if (live, tombs) != (e.rows, e.tombstones):
+            errors.append(
+                f"part {p}: entry says rows={e.rows}/tombstones={e.tombstones}, "
+                f"data resolves to {live}/{tombs}"
+            )
+        keys = r[m.key]
+        if pc.count_distinct(keys).as_py() != r.num_rows:
+            errors.append(f"part {p}: duplicate keys after resolution")
+        route = r[m.partition_key] if m.partition_key else keys
+        buckets = stable_bucket(route.combine_chunks(), m.num_partitions)
+        if r.num_rows and not (buckets == p).all():
+            errors.append(f"part {p}: rows routed to foreign partitions")
+        lsn = r[LSN_COL]
+        if r.num_rows and pc.max(lsn).as_py() > e.max_lsn:
+            errors.append(f"part {p}: row _lsn above the entry watermark")
+        if e.col_stats:
+            for c, (lo, hi) in e.col_stats.items():
+                if c not in r.column_names:
+                    continue
+                mm = pc.min_max(r[c])
+                cl, ch_ = mm["min"].as_py(), mm["max"].as_py()
+                try:
+                    if cl is not None and (cl < lo or ch_ > hi):
+                        errors.append(
+                            f"part {p}: zone map [{lo}, {hi}] does not bound "
+                            f"column {c!r} data [{cl}, {ch_}]"
+                        )
+                except TypeError:
+                    pass
+    return {"ok": not errors, "errors": errors, "files": files, "rows": rows}
+
+
 def alter_schema(
     lake_root: str,
     *,

@@ -135,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("dst")
     p.add_argument("--version", type=int, default=None)
 
+    p = sub.add_parser("fsck", help="lake integrity audit (add --deep to read data)")
+    p.add_argument("lake")
+    p.add_argument("--deep", action="store_true")
+    p.add_argument("--version", type=int, default=None)
+
     p = sub.add_parser("view-create", help="materialize an aggregate view")
     p.add_argument("lake")
     p.add_argument("view")
@@ -217,6 +222,12 @@ def main(argv: list[str] | None = None) -> int:
                           "doc_ids": docs}))
         return 0
 
+    if args.cmd == "fsck":
+        from palimpzest_ray.cdc import fsck
+
+        rep = fsck(args.lake, version=args.version, deep=args.deep)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
     if args.cmd == "clone":
         from palimpzest_ray.cdc import clone_lake
 

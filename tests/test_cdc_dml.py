@@ -158,3 +158,36 @@ def test_alter_schema_ddl(tmp_path, ray_session):
         alter_schema(lake, drop=["nope"])
     with _pytest.raises(ValueError, match="already exist"):
         alter_schema(lake, add=[pa.field("quality", pa.float32())])
+
+
+def test_fsck_clean_and_detects_tampering(tmp_path, ray_session):
+    from palimpzest_ray.cdc import delete_where, fsck
+
+    lake = _mk_lake(tmp_path)
+    delete_where(lake, [("source", "==", "s3")], mode="delta")
+    rep = fsck(lake, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["rows"] == 90 and rep["files"] > 8
+
+    # tamper: overwrite one delta file with a foreign-keyed row
+    m = load_latest_manifest(lake)
+    p, e = next((p, e) for p, e in m.parts.items() if e.deltas)
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["zz-not-in-this-bucket"]),
+            "tokens": pa.array([[1]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1], pa.int32()),
+            "source": pa.array(["x"]),
+            "_lsn": pa.array([10**6], pa.int64()),
+            "_deleted": pa.array([False]),
+        }
+    )
+    pq.write_table(bad, os.path.join(lake, e.deltas[-1]))
+    rep2 = fsck(lake, deep=True)
+    assert not rep2["ok"]
+    assert any("foreign" in x or "watermark" in x or "rows=" in x for x in rep2["errors"])
+
+    # missing file detected even in shallow mode
+    os.unlink(os.path.join(lake, e.deltas[-1]))
+    rep3 = fsck(lake)
+    assert not rep3["ok"] and any("missing" in x for x in rep3["errors"])
