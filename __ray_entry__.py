@@ -1734,6 +1734,25 @@ def q91_lake_delete_where(sf_dir: str):
     return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
 
 
+def q92_clone_then_apply(sf_dir: str):
+    """Lake cloning (cdc/snapshot.py clone_lake): fork the lake at
+    epoch 1, apply epoch 2 to the FORK only (merge-on-read), return the
+    fork's final state — the source stays at epoch 1 (asserted here;
+    the driver oracle checks the fork equals the full replay)."""
+    from palimpzest_ray.cdc import apply_changes, clone_lake, final_state, load_latest_manifest
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_clone_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    fork = os.path.join(work, "fork")
+    clone_lake(lake, fork)
+    apply_changes(log2, fork, mode="delta")
+    src_v = load_latest_manifest(lake).version
+    assert src_v == 1, "source lake must not advance when the fork does"
+    return pzd.Dataset(final_state(fork)).project(["doc_id", "n_tok", "source"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1821,6 +1840,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q89_decontaminate": q89_decontaminate,
         "q90_decontaminate_tokens": q90_decontaminate_tokens,
         "q91_lake_delete_where": q91_lake_delete_where,
+        "q92_clone_then_apply": q92_clone_then_apply,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1956,6 +1976,8 @@ def _base_oracle_sql() -> dict[str, str]:
     # (deleted num%5==0 keys return no row; doc-99999999 never existed)
     # snapshot export resolves the same state the replay oracle states
     d["q87_snapshot_roundtrip"] = d["cdc_replay"]
+    # the fork after epoch 2 == the full replay closed form
+    d["q92_clone_then_apply"] = d["cdc_replay"]
     # DELETE WHERE == the replay closed form minus the predicate rows
     d["q91_lake_delete_where"] = (
         "with st as (" + d["cdc_replay"] + ") "
