@@ -1753,6 +1753,39 @@ def q92_clone_then_apply(sf_dir: str):
     return pzd.Dataset(final_state(fork)).project(["doc_id", "n_tok", "source"])
 
 
+def q93_debezium_ingest(sf_dir: str):
+    """Debezium-envelope ingest (sources/changelog.py
+    read_debezium_changes): both demo change epochs rendered as
+    Debezium JSONL topic dumps ({"payload": {op: c/u/d, before, after,
+    source.lsn}}), unwrapped back to normalized change rows with Arrow
+    struct-field kernels (no per-row parsing) and applied — epoch 2
+    merge-on-read. Final state must be byte-identical to the parquet
+    path's, so it shares cdc_replay's EXACT oracle."""
+    from palimpzest_ray.cdc import apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+    from palimpzest_ray.sources.changelog import (
+        read_debezium_changes,
+        write_debezium_jsonl,
+    )
+
+    import pyarrow.parquet as pq
+
+    work = demo_workdir(sf_dir, "cdc_debezium_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    for src, name in ((log1, "topic1"), (log2, "topic2")):
+        tbl = pq.read_table(os.path.join(src, "log-000.parquet"))
+        write_debezium_jsonl(tbl, os.path.join(work, name))
+    apply_changes(
+        read_debezium_changes(os.path.join(work, "topic1")), lake,
+        num_partitions=8,
+    )
+    apply_changes(
+        read_debezium_changes(os.path.join(work, "topic2")), lake,
+        num_partitions=8, mode="delta",
+    )
+    return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1841,6 +1874,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q90_decontaminate_tokens": q90_decontaminate_tokens,
         "q91_lake_delete_where": q91_lake_delete_where,
         "q92_clone_then_apply": q92_clone_then_apply,
+        "q93_debezium_ingest": q93_debezium_ingest,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -1978,6 +2012,8 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q87_snapshot_roundtrip"] = d["cdc_replay"]
     # the fork after epoch 2 == the full replay closed form
     d["q92_clone_then_apply"] = d["cdc_replay"]
+    # wire format doesn't change state: Debezium ingest == parquet replay
+    d["q93_debezium_ingest"] = d["cdc_replay"]
     # DELETE WHERE == the replay closed form minus the predicate rows
     d["q91_lake_delete_where"] = (
         "with st as (" + d["cdc_replay"] + ") "

@@ -11,7 +11,11 @@ engine sees identical input regardless of wire format.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from palimpzest_ray.schemas import CHANGELOG_SCHEMA, conform
@@ -31,3 +35,138 @@ def read_jsonl_changes(
         return conform(batch, schema)
 
     return rd.read_json(paths).map_batches(_conform, batch_format="pyarrow")
+
+
+# --- Debezium-style envelopes -------------------------------------------
+# The de-facto wire format for database CDC: one JSON object per change
+# with ``op`` ∈ {c(reate), u(pdate), d(elete), r(ead/snapshot)}, the row
+# image under ``after`` (``before`` for deletes), and the log position
+# under ``source.lsn``. ``read_debezium_changes`` unwraps that envelope
+# into the engine's normalized change schema entirely with Arrow
+# struct-field kernels — no Python-per-row parsing — so a Debezium
+# topic dump applies exactly like a native parquet log.
+
+_DBZ_CODES = ("c", "u", "d", "r")
+_DBZ_TO_OP = ("INSERT", "UPDATE", "DELETE", "INSERT")
+
+
+def _struct_col(
+    batch: pa.Table, col: str, name: str, n: int
+) -> pa.ChunkedArray | pa.Array:
+    """``batch[col].{name}`` as an array, or typed-null when the column
+    or field is absent / inferred as null (e.g. a file of only deletes
+    infers ``after`` as null type)."""
+    if col not in batch.column_names:
+        return pa.nulls(n)
+    arr = batch.column(col)
+    if pa.types.is_null(arr.type):
+        return pa.nulls(n)
+    if not pa.types.is_struct(arr.type) or arr.type.get_field_index(name) < 0:
+        return pa.nulls(n)
+    return pc.struct_field(arr.combine_chunks(), name)
+
+
+def _coalesce_nullsafe(a, b):
+    """``coalesce`` that tolerates untyped-null operands."""
+    if pa.types.is_null(a.type):
+        return b
+    if pa.types.is_null(b.type):
+        return a
+    return pc.coalesce(a, b.cast(a.type))
+
+
+def unwrap_debezium(batch: pa.Table, schema: pa.Schema = CHANGELOG_SCHEMA,
+                    key: str = "doc_id") -> pa.Table:
+    """One envelope batch → normalized change rows (vectorized).
+
+    Accepts both flat envelopes and Kafka-Connect ``{"payload": {...}}``
+    wrapping. ``lsn`` comes from ``source.lsn`` (falling back to a
+    top-level ``lsn``); the key column coalesces ``after.key`` with
+    ``before.key`` so delete events (null ``after``) keep their key;
+    every other payload column reads from ``after`` — null for deletes,
+    which is exactly the engine's tombstone convention.
+    """
+    if "payload" in batch.column_names and pa.types.is_struct(
+        batch.column("payload").type
+    ):
+        env = batch.column("payload").combine_chunks()
+        batch = pa.Table.from_arrays(
+            [pc.struct_field(env, f.name) for f in env.type],
+            names=[f.name for f in env.type],
+        )
+    n = batch.num_rows
+    if "op" not in batch.column_names:
+        if n == 0:  # over-provisioned read task emitted an empty block
+            return conform(batch.select([]), schema)
+        raise ValueError("not a Debezium envelope: no 'op' column")
+    codes = pc.utf8_lower(batch.column("op").cast(pa.string()))
+    idx = pc.index_in(codes, value_set=pa.array(_DBZ_CODES))
+    if n and pc.any(pc.is_null(idx)).as_py():
+        bad = pc.filter(codes, pc.is_null(idx)).unique().to_pylist()
+        raise ValueError(f"unknown Debezium op codes: {bad}")
+    ops = pc.take(pa.array(_DBZ_TO_OP), idx)
+
+    lsn = _struct_col(batch, "source", "lsn", n)
+    if pa.types.is_null(lsn.type) and "lsn" in batch.column_names:
+        lsn = batch.column("lsn")
+
+    cols: dict[str, object] = {"lsn": lsn, "op": ops}
+    for field in schema:
+        if field.name in ("lsn", "op"):
+            continue
+        val = _struct_col(batch, "after", field.name, n)
+        if field.name == key:
+            val = _coalesce_nullsafe(val, _struct_col(batch, "before", key, n))
+        cols[field.name] = val
+    return conform(pa.table(cols), schema)
+
+
+def read_debezium_changes(
+    paths: str | list[str],
+    schema: pa.Schema = CHANGELOG_SCHEMA,
+    key: str = "doc_id",
+) -> rd.Dataset:
+    """Stream a Debezium JSONL topic dump as a conformed change Dataset
+    ready for ``apply_changes(ds, ..., change_schema=schema)``."""
+
+    def _unwrap(batch: pa.Table) -> pa.Table:
+        return unwrap_debezium(batch, schema, key=key)
+
+    return rd.read_json(paths).map_batches(_unwrap, batch_format="pyarrow")
+
+
+def write_debezium_jsonl(
+    changes: pa.Table,
+    out_dir: str,
+    *,
+    key: str = "doc_id",
+    lines_per_file: int = 100_000,
+    connector: str = "synthetic",
+) -> list[str]:
+    """Render a normalized change table as Debezium JSONL files —
+    the test/demo fixture encoder (driver-side, not a hot path; the
+    scale path is parquet logs). Deterministic: ``ts_ms`` mirrors the
+    lsn. Returns the file paths written."""
+    os.makedirs(out_dir, exist_ok=True)
+    op_to_code = {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}
+    payload_cols = [c for c in changes.column_names if c not in ("lsn", "op")]
+    paths: list[str] = []
+    rows = changes.to_pylist()
+    for fi in range(0, max(len(rows), 1), lines_per_file):
+        path = os.path.join(out_dir, f"topic-{fi // lines_per_file:05d}.jsonl")
+        with open(path, "w") as f:
+            for r in rows[fi : fi + lines_per_file]:
+                code = op_to_code[r["op"]]
+                row_img = {c: r[c] for c in payload_cols}
+                env = {
+                    "payload": {
+                        "op": code,
+                        "before": {key: r[key]} if code == "d" else None,
+                        "after": None if code == "d" else row_img,
+                        "source": {"lsn": r["lsn"], "connector": connector},
+                        "ts_ms": r["lsn"],
+                    }
+                }
+                f.write(json.dumps(env, separators=(",", ":")) + "\n")
+        paths.append(path)
+    return paths

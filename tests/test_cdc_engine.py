@@ -435,6 +435,60 @@ def test_jsonl_change_source(tmp_path, tmp_lake):
     assert got["tokens"].to_pylist() == [[3]]
 
 
+def test_debezium_change_source(tmp_path, tmp_lake):
+    """A Debezium JSONL topic dump round-trips (write → unwrap equals
+    the normalized log) and applies identically to the parquet path —
+    including a deletes-only file whose ``after`` infers as null."""
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+    from palimpzest_ray.sources.changelog import (
+        read_debezium_changes,
+        write_debezium_jsonl,
+    )
+
+    log = pa.Table.from_pylist(
+        [
+            {"lsn": 1, "op": "INSERT", "doc_id": "a", "tokens": [1, 2],
+             "n_tok": 2, "source": "web"},
+            {"lsn": 2, "op": "UPDATE", "doc_id": "a", "tokens": [3],
+             "n_tok": 1, "source": "web"},
+            {"lsn": 3, "op": "INSERT", "doc_id": "b", "tokens": [4],
+             "n_tok": 1, "source": "code"},
+        ],
+        CHANGELOG_SCHEMA,
+    )
+    dels = pa.Table.from_pylist(
+        [{"lsn": 4, "op": "DELETE", "doc_id": "b", "tokens": None,
+          "n_tok": None, "source": None}],
+        CHANGELOG_SCHEMA,
+    )
+    d1 = os.path.join(str(tmp_path), "topic-a")
+    d2 = os.path.join(str(tmp_path), "topic-dels")  # after == all-null
+    write_debezium_jsonl(log, d1)
+    write_debezium_jsonl(dels, d2)
+
+    ds = read_debezium_changes([d1, d2])
+    got_log = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=1024)
+    ).sort_by("lsn")
+    assert got_log.equals(pa.concat_tables([log, dels]))
+
+    apply_changes(ds, tmp_lake, num_partitions=2,
+                  change_schema=CHANGELOG_SCHEMA)
+    got = final_state_table(tmp_lake)
+    assert got["doc_id"].to_pylist() == ["a"]
+    assert got["tokens"].to_pylist() == [[3]]
+
+
+def test_debezium_rejects_unknown_op():
+    from palimpzest_ray.sources.changelog import unwrap_debezium
+
+    batch = pa.Table.from_pylist(
+        [{"op": "x", "after": {"doc_id": "a"}, "source": {"lsn": 1}}]
+    )
+    with pytest.raises(ValueError, match="unknown Debezium op"):
+        unwrap_debezium(batch)
+
+
 def test_time_travel_and_net_change_feed(tmp_path, tmp_lake):
     """Versioned reads (time travel) and the net change feed: applying
     net_changes_since(v1) to a replica of v1 converges it to latest."""
