@@ -1786,6 +1786,40 @@ def q93_debezium_ingest(sf_dir: str):
     return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
 
 
+def q94_dedup_ingest(sf_dir: str):
+    """Dedup-at-ingest (cdc/dedup_ingest.py): even-doc_id documents are
+    the corpus (a CDC lake carrying per-doc distinct shingle sets, plus
+    its derived shingle posting index); the odd half arrives as an
+    ingest micro-batch and is screened with a partition-pruned posting
+    lookup — the posting join counts EXACT |A∩B| per (new, corpus)
+    pair, so exact word-3-gram Jaccard needs only a second narrow n_sh
+    lookup; recall is 1 by construction (J>0 needs a shared shingle).
+    Output = the batch docs with NO corpus doc at Jaccard ≥ 0.5. EXACT
+    oracle: screen_sql restates the survivor set as a shingle join."""
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import dedup_ingest as DI
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "dedup_ingest_demo")
+    corpus = (
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .filter(batch_fn=lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)))
+        .ray
+    )
+    batch_tbl = pa.concat_tables(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .filter(batch_fn=lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)))
+        .ray.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    cr, ir = os.path.join(work, "corpus"), os.path.join(work, "idx")
+    DI.init_corpus(corpus, cr, ir, num_partitions=8, index_partitions=16)
+    res = DI.screen(cr, ir, batch_tbl, threshold=0.5)
+    return pzd.Dataset(rd.from_arrow(res["unique"].select(["doc_id"])))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1875,6 +1909,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q91_lake_delete_where": q91_lake_delete_where,
         "q92_clone_then_apply": q92_clone_then_apply,
         "q93_debezium_ingest": q93_debezium_ingest,
+        "q94_dedup_ingest": q94_dedup_ingest,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2014,6 +2049,14 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q92_clone_then_apply"] = d["cdc_replay"]
     # wire format doesn't change state: Debezium ingest == parquet replay
     d["q93_debezium_ingest"] = d["cdc_replay"]
+    # dedup-at-ingest survivor set restated as a shingle join
+    from palimpzest_ray.cdc.dedup_ingest import screen_sql
+
+    d["q94_dedup_ingest"] = screen_sql(
+        0.5,
+        new_pred="doc_id % 2 = 1",
+        corpus_pred="doc_id % 2 = 0",
+    )
     # DELETE WHERE == the replay closed form minus the predicate rows
     d["q91_lake_delete_where"] = (
         "with st as (" + d["cdc_replay"] + ") "
