@@ -1820,6 +1820,77 @@ def q94_dedup_ingest(sf_dir: str):
     return pzd.Dataset(rd.from_arrow(res["unique"].select(["doc_id"])))
 
 
+def q95_incremental_ivf(sf_dir: str):
+    """Incrementally-maintained IVF vector index (cdc/annindex.py):
+    embeddings.parquet becomes a vector LAKE; the assignment lake
+    (rows keyed "list:vec", PARTITIONED by list id, embeddings riding
+    along) is built once, then an UPDATE epoch (vec_id%7==3 →
+    reversed embedding) + DELETE epoch (vec_id%11==5) lands and
+    refresh_ivf_lake re-assigns exactly the changed vectors from the
+    change feed (frozen centroids — FAISS add/remove_ids semantics).
+    Search probes nprobe=nlist, so the result is exact cosine top-10
+    over the FINAL state — the SQL oracle applies the same update
+    rule with list_reverse and ranks with the shared (score desc,
+    vec_id) tie-break."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import annindex as AI
+    from palimpzest_ray.cdc import apply_changes
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "ivf_lake_demo")
+    lake, ivf = os.path.join(work, "vecs"), os.path.join(work, "ivf")
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vec_schema = pa.schema(
+        [
+            pa.field("lsn", pa.int64()),
+            pa.field("op", pa.string()),
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+        ]
+    )
+    n = emb.num_rows
+    load = pa.table(
+        {
+            "lsn": emb["vec_id"].cast(pa.int64()),
+            "op": pa.array(["INSERT"] * n),
+            "vec_id": emb["vec_id"],
+            "embedding": emb["embedding"].cast(pa.list_(pa.float32())),
+        }
+    ).cast(vec_schema)
+    apply_changes(rd.from_arrow(load), lake, key="vec_id",
+                  num_partitions=8, change_schema=vec_schema)
+    AI.build_ivf_lake(lake, ivf, nlist=16, num_partitions=16)
+
+    vid = emb["vec_id"].to_numpy(zero_copy_only=False)
+    upd = (vid % 7 == 3) & (vid % 11 != 5)
+    dele = vid % 11 == 5
+    upd_t = emb.filter(pa.array(upd))
+    rows = []
+    lsn = int(vid.max()) + 1
+    for v, e in zip(upd_t["vec_id"].to_pylist(),
+                    upd_t["embedding"].to_pylist()):
+        rows.append({"lsn": lsn, "op": "UPDATE", "vec_id": v,
+                     "embedding": list(reversed(e))})
+        lsn += 1
+    for v in emb.filter(pa.array(dele))["vec_id"].to_pylist():
+        rows.append({"lsn": lsn, "op": "DELETE", "vec_id": v,
+                     "embedding": None})
+        lsn += 1
+    ep2 = pa.Table.from_pylist(rows, vec_schema)
+    apply_changes(rd.from_arrow(ep2), lake, key="vec_id",
+                  change_schema=vec_schema, mode="delta")
+    AI.refresh_ivf_lake(lake, ivf)
+    t = AI.ivf_lake_search(
+        ivf, _load_queries(sf_dir), k=10, nprobe=16,
+        dtype=np.float64, round_to=3, int_scores=True,
+    )
+    return pzd.Dataset(rd.from_arrow(t))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1910,6 +1981,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q92_clone_then_apply": q92_clone_then_apply,
         "q93_debezium_ingest": q93_debezium_ingest,
         "q94_dedup_ingest": q94_dedup_ingest,
+        "q95_incremental_ivf": q95_incremental_ivf,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2057,6 +2129,27 @@ def _base_oracle_sql() -> dict[str, str]:
         new_pred="doc_id % 2 = 1",
         corpus_pred="doc_id % 2 = 0",
     )
+    # nprobe=nlist IVF over the refreshed lake == exact cosine top-k
+    # over the post-epoch state (same update rule restated in SQL)
+    d["q95_incremental_ivf"] = """
+        with final as (
+          select vec_id,
+                 case when vec_id % 7 = 3 and vec_id % 11 != 5
+                      then list_reverse(embedding) else embedding
+                 end as embedding
+          from embeddings where vec_id % 11 != 5),
+        q as (select vec_id as query_idx, embedding as qe
+              from embeddings where vec_id < 2)
+        select q.query_idx, f.vec_id,
+               cast(round(list_cosine_similarity(f.embedding, q.qe) * 1000)
+                    as bigint) as score,
+               row_number() over (
+                 partition by q.query_idx
+                 order by round(list_cosine_similarity(f.embedding, q.qe)
+                                * 1000) desc, f.vec_id) as "rank"
+        from final f, q
+        qualify "rank" <= 10
+    """
     # DELETE WHERE == the replay closed form minus the predicate rows
     d["q91_lake_delete_where"] = (
         "with st as (" + d["cdc_replay"] + ") "
