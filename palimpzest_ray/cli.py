@@ -20,6 +20,13 @@ Usage::
     python -m palimpzest_ray.cli index-build   LAKE INDEX [--num-partitions P]
     python -m palimpzest_ray.cli index-refresh LAKE INDEX
     python -m palimpzest_ray.cli index-search  INDEX TOKEN [TOKEN...] [--all]
+    python -m palimpzest_ray.cli apply CHANGES LAKE --format debezium|jsonl
+    python -m palimpzest_ray.cli dedup-init   DOCS.parquet CORPUS INDEX
+    python -m palimpzest_ray.cli dedup-screen CORPUS INDEX BATCH.parquet
+    python -m palimpzest_ray.cli dedup-admit  CORPUS INDEX BATCH.parquet
+    python -m palimpzest_ray.cli ivf-build    LAKE IVF [--nlist N]
+    python -m palimpzest_ray.cli ivf-refresh  LAKE IVF
+    python -m palimpzest_ray.cli ivf-search   IVF QUERIES.parquet [--k K]
 """
 
 from __future__ import annotations
@@ -71,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--mode", choices=["rewrite", "delta"], default="rewrite",
         help="delta = merge-on-read chain append (apply cost ~ changes)",
+    )
+    p.add_argument(
+        "--format", choices=["parquet", "jsonl", "debezium"],
+        default="parquet",
+        help="wire format of CHANGES (jsonl = flat change rows, "
+        "debezium = envelope with op c/u/d/r + before/after)",
     )
 
     p = sub.add_parser("tail", help="apply everything past the lake watermark")
@@ -167,6 +180,53 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("index")
     p.add_argument("tokens", type=int, nargs="+")
     p.add_argument("--all", action="store_true", help="require ALL tokens")
+
+    p = sub.add_parser(
+        "dedup-init", help="bootstrap a dedup corpus lake + shingle index"
+    )
+    p.add_argument("docs", help="parquet of (doc_id, text[, source])")
+    p.add_argument("corpus")
+    p.add_argument("index")
+    p.add_argument("--num-partitions", type=int, default=16)
+
+    p = sub.add_parser(
+        "dedup-screen",
+        help="screen a batch parquet against the corpus (no admission)",
+    )
+    p.add_argument("corpus")
+    p.add_argument("index")
+    p.add_argument("batch", help="parquet of (doc_id, text[, source])")
+    p.add_argument("--threshold", type=float, default=0.8)
+
+    p = sub.add_parser(
+        "dedup-admit", help="screen a batch, admit survivors, refresh index"
+    )
+    p.add_argument("corpus")
+    p.add_argument("index")
+    p.add_argument("batch")
+    p.add_argument("--threshold", type=float, default=0.8)
+
+    p = sub.add_parser(
+        "ivf-build", help="build the incremental IVF index over a vector lake"
+    )
+    p.add_argument("lake")
+    p.add_argument("ivf")
+    p.add_argument("--nlist", type=int, default=64)
+    p.add_argument("--key", default="vec_id")
+    p.add_argument("--emb-col", default="embedding")
+
+    p = sub.add_parser("ivf-refresh", help="catch the IVF index up to the lake")
+    p.add_argument("lake")
+    p.add_argument("ivf")
+
+    p = sub.add_parser(
+        "ivf-search", help="cosine top-k for query vectors from a parquet file"
+    )
+    p.add_argument("ivf")
+    p.add_argument("queries", help="parquet with an embedding list column")
+    p.add_argument("--emb-col", default="embedding")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--nprobe", type=int, default=8)
 
     args = ap.parse_args(argv)
 
@@ -308,17 +368,90 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(refresh_token_index(args.lake, args.index)))
         return 0
+    if args.cmd == "dedup-init":
+        import ray.data as rd
+
+        from palimpzest_ray.cdc import dedup_ingest as DI
+
+        print(json.dumps(DI.init_corpus(
+            rd.read_parquet(args.docs), args.corpus, args.index,
+            num_partitions=args.num_partitions,
+        )))
+        return 0
+    if args.cmd in ("dedup-screen", "dedup-admit"):
+        import pyarrow.parquet as pq_
+
+        from palimpzest_ray.cdc import dedup_ingest as DI
+
+        batch = pq_.read_table(args.batch)
+        fn = DI.admit if args.cmd == "dedup-admit" else DI.screen
+        res = fn(args.corpus, args.index, batch, threshold=args.threshold)
+        out = {
+            "batch_rows": batch.num_rows,
+            "unique": res["unique"].num_rows,
+            "dup_pairs": res["dups"].num_rows,
+        }
+        if args.cmd == "dedup-admit":
+            out["admitted"] = res["admitted"]
+            out["rejected"] = res["rejected"]
+        print(json.dumps(out))
+        return 0
+    if args.cmd == "ivf-build":
+        from palimpzest_ray.cdc import annindex as AI
+
+        print(json.dumps(AI.build_ivf_lake(
+            args.lake, args.ivf, key=args.key, emb_col=args.emb_col,
+            nlist=args.nlist,
+        )))
+        return 0
+    if args.cmd == "ivf-refresh":
+        from palimpzest_ray.cdc import annindex as AI
+
+        print(json.dumps(AI.refresh_ivf_lake(args.lake, args.ivf)))
+        return 0
+    if args.cmd == "ivf-search":
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from palimpzest_ray.cdc import annindex as AI
+
+        Q = np.array(
+            pq_.read_table(args.queries, columns=[args.emb_col])[
+                args.emb_col
+            ].to_pylist(),
+            dtype=np.float64,
+        )
+        t = AI.ivf_lake_search(args.ivf, Q, k=args.k, nprobe=args.nprobe)
+        print(json.dumps({"queries": len(Q), "hits": t.to_pylist()}))
+        return 0
     if args.cmd == "apply":
         from palimpzest_ray.cdc import apply_changes
 
+        changes = args.changes
+        extra = {}
+        if args.format in ("jsonl", "debezium"):
+            from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+            from palimpzest_ray.sources.changelog import (
+                read_debezium_changes,
+                read_jsonl_changes,
+            )
+
+            reader = (
+                read_debezium_changes
+                if args.format == "debezium"
+                else read_jsonl_changes
+            )
+            changes = reader(args.changes)
+            extra["change_schema"] = CHANGELOG_SCHEMA
         res = apply_changes(
-            args.changes,
+            changes,
             args.lake,
             num_partitions=args.num_partitions,
             exchange=args.exchange,
             run_id=args.run_id,
             since_lsn=args.since_lsn,
             mode=args.mode,
+            **extra,
         )
     elif args.cmd == "tail":
         from palimpzest_ray.cdc import tail_once

@@ -128,3 +128,118 @@ def test_cli_dml(tmp_path, capsys):
     after = final_state_table(lake)
     assert "curated" not in set(after["source"].to_pylist())
     assert after.num_rows == before.num_rows - n0
+
+
+def test_cli_debezium_apply_and_dedup_and_ivf(tmp_path, capsys):
+    """Round-3 surface: --format debezium apply, dedup-init/screen/admit,
+    ivf-build/refresh/search — one JSON line each."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray import cli
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+    from palimpzest_ray.sources.changelog import write_debezium_jsonl
+
+    # -- debezium apply
+    log = pa.Table.from_pylist(
+        [
+            {"lsn": 1, "op": "INSERT", "doc_id": "a", "tokens": [1, 2],
+             "n_tok": 2, "source": "w"},
+            {"lsn": 2, "op": "DELETE", "doc_id": "a", "tokens": None,
+             "n_tok": None, "source": None},
+            {"lsn": 3, "op": "INSERT", "doc_id": "b", "tokens": [7],
+             "n_tok": 1, "source": "w"},
+        ],
+        CHANGELOG_SCHEMA,
+    )
+    topic = os.path.join(str(tmp_path), "topic")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_debezium_jsonl(log, topic)
+    assert cli.main(["apply", topic, lake, "--num-partitions", "2",
+                     "--format", "debezium"]) == 0
+    applied = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # events_seen is footer-derived (0 for streamed Dataset inputs);
+    # the state assertions below are the real check
+    assert applied["rows_upserted"] == 1 and applied["version"] == 1
+    from palimpzest_ray.cdc.engine import final_state_table
+
+    st = final_state_table(lake)
+    assert st["doc_id"].to_pylist() == ["b"]
+    assert st["tokens"].to_pylist() == [[7]]
+
+    # -- dedup corpus lifecycle
+    docs = pa.table(
+        {
+            "doc_id": ["c1", "c2"],
+            "text": ["alpha beta gamma delta", "epsilon zeta eta theta"],
+            "source": ["s", "s"],
+        }
+    )
+    docs_p = os.path.join(str(tmp_path), "docs.parquet")
+    pq.write_table(docs, docs_p)
+    corpus = os.path.join(str(tmp_path), "corpus")
+    index = os.path.join(str(tmp_path), "shingle_idx")
+    assert cli.main(["dedup-init", docs_p, corpus, index,
+                     "--num-partitions", "2"]) == 0
+    init = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert init["corpus_rows"] == 2
+
+    batch = pa.table(
+        {
+            "doc_id": ["n1", "n2"],
+            "text": ["alpha beta gamma delta", "totally novel words here"],
+            "source": ["x", "x"],
+        }
+    )
+    batch_p = os.path.join(str(tmp_path), "batch.parquet")
+    pq.write_table(batch, batch_p)
+    assert cli.main(["dedup-screen", corpus, index, batch_p,
+                     "--threshold", "0.5"]) == 0
+    scr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert scr == {"batch_rows": 2, "unique": 1, "dup_pairs": 1}
+    assert cli.main(["dedup-admit", corpus, index, batch_p,
+                     "--threshold", "0.5"]) == 0
+    adm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert adm["admitted"] == 1 and adm["rejected"] == 1
+
+    # -- ivf lifecycle over a tiny vector lake
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes
+
+    rng = np.random.default_rng(2)
+    V = rng.normal(size=(40, 8)).astype(np.float32)
+    vec_schema = pa.schema(
+        [("lsn", pa.int64()), ("op", pa.string()),
+         ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    ev = pa.table(
+        {
+            "lsn": pa.array(range(40), pa.int64()),
+            "op": pa.array(["INSERT"] * 40),
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in V],
+                                  pa.list_(pa.float32())),
+        }
+    ).cast(vec_schema)
+    vlake = os.path.join(str(tmp_path), "vecs")
+    ivf = os.path.join(str(tmp_path), "ivf")
+    apply_changes(rd.from_arrow(ev), vlake, key="vec_id",
+                  num_partitions=2, change_schema=vec_schema)
+    assert cli.main(["ivf-build", vlake, ivf, "--nlist", "4"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["nlist"] == 4
+    assert cli.main(["ivf-refresh", vlake, ivf]) == 0
+    ref = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ref["refreshed"] is False  # nothing changed yet
+    qp = os.path.join(str(tmp_path), "queries.parquet")
+    pq.write_table(
+        pa.table({"embedding": pa.array([V[0].tolist()],
+                                        pa.list_(pa.float32()))}),
+        qp,
+    )
+    assert cli.main(["ivf-search", ivf, qp, "--k", "3",
+                     "--nprobe", "4"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits["queries"] == 1 and hits["hits"][0]["vec_id"] == 0
