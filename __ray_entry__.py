@@ -1891,6 +1891,47 @@ def q95_incremental_ivf(sf_dir: str):
     return pzd.Dataset(rd.from_arrow(t))
 
 
+def q96_merge_into(sf_dir: str):
+    """SQL MERGE INTO (cdc/engine.py merge_into): against the epoch-1
+    lake, a source micro-batch updates source='merged' on every
+    num%4==0 key (update_cols SUBSET — n_tok/tokens carry forward via
+    the same partition-pruned lookup that detects matches) and inserts
+    5 brand-new keys; one exactly-once commit at max_lsn+1. EXACT
+    oracle: the epoch-1 closed form with the merge matrix restated."""
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes, merge_into
+    from palimpzest_ray.cdc.engine import final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_merge_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+
+    import pyarrow.parquet as pq
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False)
+    upd_ids = [f"doc-{int(i):08d}" for i in nums if int(i) % 4 == 0]
+    source = pa.table(
+        {
+            "doc_id": pa.array(
+                upd_ids + [f"mrg-{i:08d}" for i in range(5)]
+            ),
+            "n_tok": pa.array(
+                [-1] * len(upd_ids) + list(range(5)), pa.int32()
+            ),
+            "source": pa.array(["merged"] * (len(upd_ids) + 5)),
+        }
+    )
+    merge_into(lake, source, when_matched="update",
+               when_not_matched="insert", update_cols=["source"])
+    return pzd.Dataset(
+        final_state(lake, columns=["doc_id", "n_tok", "source"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1982,6 +2023,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q93_debezium_ingest": q93_debezium_ingest,
         "q94_dedup_ingest": q94_dedup_ingest,
         "q95_incremental_ivf": q95_incremental_ivf,
+        "q96_merge_into": q96_merge_into,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2149,6 +2191,22 @@ def _base_oracle_sql() -> dict[str, str]:
                                 * 1000) desc, f.vec_id) as "rank"
         from final f, q
         qualify "rank" <= 10
+    """
+    # MERGE matrix over the epoch-1 closed form: matched keys get
+    # source='merged' (other columns carry forward), new keys insert
+    d["q96_merge_into"] = r"""
+        with base as (
+          select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 case when doc_id % 4 = 0 then 'merged' else source end
+                   as source
+          from documents)
+        select doc_id, n_tok, source from base
+        union all
+        select 'mrg-' || lpad(cast(i as varchar), 8, '0') as doc_id,
+               cast(i as int) as n_tok, 'merged' as source
+        from range(5) t(i)
     """
     # DELETE WHERE == the replay closed form minus the predicate rows
     d["q91_lake_delete_where"] = (

@@ -1638,6 +1638,148 @@ def delete_keys(
     )
 
 
+def merge_into(
+    lake_root: str,
+    source: pa.Table,
+    *,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    update_cols: list[str] | None = None,
+    mode: str = "delta",
+    run_id: str | None = None,
+) -> ApplyResult:
+    """SQL MERGE INTO for a source micro-batch: one exactly-once commit
+    at ``max_lsn + 1`` implementing the Delta/Iceberg merge matrix —
+    ``when_matched`` ∈ {"update", "delete", "skip"},
+    ``when_not_matched`` ∈ {"insert", "skip"}.
+
+    Match detection is a partition-pruned :func:`lookup` of the
+    source's keys (≤ len(source) partition chains read, never a lake
+    scan — the same serving-path pruning point lookups use), which also
+    fetches the existing rows so ``update_cols`` can rewrite a COLUMN
+    SUBSET while unlisted columns carry forward (an UPDATE event
+    replaces the whole row under LWW, so partial updates must splice).
+    The symmetric case (update+insert, all columns) needs no match
+    detection at all — it IS the engine's upsert; use a plain
+    :func:`apply_changes` for big symmetric sources.
+
+    ``source`` must hold the lake's key column plus any payload columns
+    it asserts; missing payload columns null-fill on insert and carry
+    forward on update."""
+    if when_matched not in ("update", "delete", "skip"):
+        raise ValueError("when_matched must be update|delete|skip")
+    if when_not_matched not in ("insert", "skip"):
+        raise ValueError("when_not_matched must be insert|skip")
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    key = m.key
+    if key not in source.column_names:
+        raise ValueError(f"source is missing the lake key column {key!r}")
+    user_cols = [
+        f.name for f in m.schema if f.name not in (LSN_COL, TOMBSTONE_COL)
+    ]
+    if update_cols is not None:
+        unknown = set(update_cols) - set(user_cols)
+        if unknown:
+            raise ValueError(
+                f"update_cols not in lake schema: {sorted(unknown)}"
+            )
+        if key in update_cols:
+            raise ValueError(f"cannot update the LWW key {key!r}")
+        missing = set(update_cols) - set(source.column_names)
+        if missing:
+            raise ValueError(
+                f"update_cols missing from source: {sorted(missing)}"
+            )
+    lsn = int(m.max_lsn) + 1
+    skeys = source[key].to_pylist()
+    if len(set(skeys)) != len(skeys):
+        raise ValueError("source has duplicate keys — MERGE is ambiguous")
+    existing = lookup(lake_root, skeys, key=key, columns=user_cols)
+    matched_keys = set(existing[key].to_pylist())
+    src_matched = pa.array(
+        [k in matched_keys for k in skeys], pa.bool_()
+    )
+
+    payload = [c for c in user_cols if c != key]
+    events: list[pa.Table] = []
+
+    def _rows(tbl: pa.Table, op: str, cols: dict) -> pa.Table:
+        n = tbl.num_rows
+        out = {
+            "lsn": pa.array(np.full(n, lsn, dtype=np.int64)),
+            "op": pa.array([op] * n),
+            key: tbl[key].cast(m.schema.field(key).type),
+        }
+        for c in payload:
+            out[c] = cols[c]
+        return pa.table(out)
+
+    def _payload_from(tbl: pa.Table) -> dict:
+        n = tbl.num_rows
+        return {
+            c: (
+                tbl[c].cast(m.schema.field(c).type)
+                if c in tbl.column_names
+                else pa.nulls(n, m.schema.field(c).type)
+            )
+            for c in payload
+        }
+
+    if when_not_matched == "insert":
+        ins = source.filter(pc.invert(src_matched))
+        if ins.num_rows:
+            events.append(_rows(ins, "INSERT", _payload_from(ins)))
+    if when_matched == "delete":
+        dl = source.filter(src_matched)
+        if dl.num_rows:
+            n = dl.num_rows
+            events.append(
+                _rows(
+                    dl, "DELETE",
+                    {c: pa.nulls(n, m.schema.field(c).type) for c in payload},
+                )
+            )
+    elif when_matched == "update":
+        upd = source.filter(src_matched)
+        if upd.num_rows:
+            if update_cols is None:
+                cols = _payload_from(upd)
+            else:
+                # splice: listed columns from source, the rest from the
+                # existing row (fetched by the same lookup)
+                old = {
+                    r[key]: r for r in existing.to_pylist()
+                }
+                cols = {}
+                ukeys = upd[key].to_pylist()
+                for c in payload:
+                    if c in update_cols:
+                        cols[c] = upd[c].cast(m.schema.field(c).type)
+                    else:
+                        cols[c] = pa.array(
+                            [old[k2][c] for k2 in ukeys],
+                            m.schema.field(c).type,
+                        )
+            events.append(_rows(upd, "UPDATE", cols))
+    if not events:
+        return ApplyResult(
+            manifest=m, events_seen=0, rows_upserted=0, rows_deleted=0,
+            partitions_rewritten=0, partitions_resumed=0,
+        )
+    feed = pa.concat_tables(events)
+    return apply_changes(
+        rd.from_arrow(feed),
+        lake_root,
+        key=key,
+        partition_key=m.partition_key,
+        mode=mode,
+        run_id=run_id,
+        change_schema=_dml_feed_schema(m, user_cols),
+    )
+
+
 def tail_once(
     log_dir: str | list[str],
     lake_root: str,

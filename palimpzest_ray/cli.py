@@ -181,6 +181,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("tokens", type=int, nargs="+")
     p.add_argument("--all", action="store_true", help="require ALL tokens")
 
+    p = sub.add_parser("merge", help="SQL MERGE INTO from a source parquet")
+    p.add_argument("source", help="parquet with the lake key + payload cols")
+    p.add_argument("lake")
+    p.add_argument("--when-matched", choices=["update", "delete", "skip"],
+                   default="update")
+    p.add_argument("--when-not-matched", choices=["insert", "skip"],
+                   default="insert")
+    p.add_argument("--update-cols", default=None,
+                   help="comma-separated column subset to update")
+    p.add_argument("--mode", choices=["rewrite", "delta"], default="delta")
+
     p = sub.add_parser(
         "dedup-init", help="bootstrap a dedup corpus lake + shingle index"
     )
@@ -367,6 +378,23 @@ def main(argv: list[str] | None = None) -> int:
         from palimpzest_ray.cdc import refresh_token_index
 
         print(json.dumps(refresh_token_index(args.lake, args.index)))
+        return 0
+    if args.cmd == "merge":
+        import pyarrow.parquet as pq_
+
+        from palimpzest_ray.cdc import merge_into
+
+        res = merge_into(
+            args.lake,
+            pq_.read_table(args.source),
+            when_matched=args.when_matched,
+            when_not_matched=args.when_not_matched,
+            update_cols=(
+                args.update_cols.split(",") if args.update_cols else None
+            ),
+            mode=args.mode,
+        )
+        print(json.dumps(_apply_summary(res)))
         return 0
     if args.cmd == "dedup-init":
         import ray.data as rd

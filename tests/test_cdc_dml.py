@@ -191,3 +191,111 @@ def test_fsck_clean_and_detects_tampering(tmp_path, ray_session):
     os.unlink(os.path.join(lake, e.deltas[-1]))
     rep3 = fsck(lake)
     assert not rep3["ok"] and any("missing" in x for x in rep3["errors"])
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO
+# --------------------------------------------------------------------------
+
+
+def test_merge_into_update_insert_full_row(tmp_path, ray_session):
+    from palimpzest_ray.cdc import merge_into
+
+    lake = _mk_lake(tmp_path)
+    src = pa.table(
+        {
+            "doc_id": pa.array(["d0001", "new1"]),
+            "tokens": pa.array([[9], [7, 7]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 2], pa.int32()),
+            "source": pa.array(["m", "m"]),
+        }
+    )
+    merge_into(lake, src)
+    st = final_state_table(lake)
+    rows = {r["doc_id"]: r for r in st.to_pylist()}
+    assert rows["d0001"]["tokens"] == [9] and rows["d0001"]["source"] == "m"
+    assert rows["new1"]["tokens"] == [7, 7]
+    assert len(rows) == 121
+
+
+def test_merge_into_update_cols_splices(tmp_path, ray_session):
+    from palimpzest_ray.cdc import merge_into
+
+    lake = _mk_lake(tmp_path)
+    src = pa.table(
+        {"doc_id": pa.array(["d0002"]), "source": pa.array(["patched"])}
+    )
+    merge_into(lake, src, update_cols=["source"])
+    r = final_state_table(lake).filter(
+        pc.equal(final_state_table(lake)["doc_id"], "d0002")
+    ).to_pylist()[0]
+    assert r["source"] == "patched"
+    assert r["tokens"] == [2, 3] and r["n_tok"] == 2  # carried forward
+
+
+def test_merge_into_delete_matched_skip_unmatched(tmp_path, ray_session):
+    from palimpzest_ray.cdc import merge_into
+
+    lake = _mk_lake(tmp_path)
+    src = pa.table({"doc_id": pa.array(["d0003", "ghost"])})
+    res = merge_into(lake, src, when_matched="delete",
+                     when_not_matched="skip")
+    assert res.rows_deleted == 1
+    ids = set(final_state_table(lake)["doc_id"].to_pylist())
+    assert "d0003" not in ids and "ghost" not in ids
+    assert len(ids) == 119
+
+
+def test_merge_into_insert_only_ignores_matched(tmp_path, ray_session):
+    from palimpzest_ray.cdc import merge_into
+
+    lake = _mk_lake(tmp_path)
+    src = pa.table(
+        {
+            "doc_id": pa.array(["d0004", "fresh"]),
+            "n_tok": pa.array([99, 5], pa.int32()),
+        }
+    )
+    merge_into(lake, src, when_matched="skip")
+    rows = {r["doc_id"]: r for r in final_state_table(lake).to_pylist()}
+    assert rows["d0004"]["n_tok"] == 2  # untouched
+    assert rows["fresh"]["n_tok"] == 5
+    assert rows["fresh"]["tokens"] is None  # absent column null-fills
+
+
+def test_merge_into_rerun_converges(tmp_path, ray_session):
+    from palimpzest_ray.cdc import merge_into
+
+    lake = _mk_lake(tmp_path)
+    src = pa.table(
+        {
+            "doc_id": pa.array(["d0005", "neo"]),
+            "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1], pa.int32()),
+            "source": pa.array(["m", "m"]),
+        }
+    )
+    merge_into(lake, src)
+    first = final_state_table(lake).sort_by("doc_id")
+    merge_into(lake, src)  # second statement at a later LSN
+    second = final_state_table(lake).sort_by("doc_id")
+    assert first.equals(second)
+
+
+def test_merge_into_refusals(tmp_path, ray_session):
+    from palimpzest_ray.cdc import merge_into
+
+    lake = _mk_lake(tmp_path)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(lake, pa.table({"doc_id": pa.array(["a", "a"])}))
+    with pytest.raises(ValueError, match="missing the lake key"):
+        merge_into(lake, pa.table({"nope": pa.array(["a"])}))
+    with pytest.raises(ValueError, match="update_cols not in lake"):
+        merge_into(lake, pa.table({"doc_id": pa.array(["a"])}),
+                   update_cols=["bogus"])
+    with pytest.raises(ValueError, match="cannot update the LWW key"):
+        merge_into(lake, pa.table({"doc_id": pa.array(["a"])}),
+                   update_cols=["doc_id"])
+    with pytest.raises(ValueError, match="missing from source"):
+        merge_into(lake, pa.table({"doc_id": pa.array(["a"])}),
+                   update_cols=["source"])

@@ -243,3 +243,36 @@ def test_cli_debezium_apply_and_dedup_and_ivf(tmp_path, capsys):
                      "--nprobe", "4"]) == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert hits["queries"] == 1 and hits["hits"][0]["vec_id"] == 0
+
+
+def test_cli_merge(tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc.engine import final_state_table
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    load = pa.Table.from_pylist(
+        [{"lsn": i, "op": "INSERT", "doc_id": f"d{i}", "tokens": [i],
+          "n_tok": 1, "source": "w"} for i in range(3)],
+        CHANGELOG_SCHEMA,
+    )
+    boot = os.path.join(str(tmp_path), "boot.parquet")
+    pq.write_table(load, boot)
+    lake = os.path.join(str(tmp_path), "lake")
+    assert cli.main(["apply", boot, lake, "--num-partitions", "2"]) == 0
+    capsys.readouterr()
+
+    src = pa.table(
+        {"doc_id": pa.array(["d1", "n1"]), "source": pa.array(["m", "m"]),
+         "n_tok": pa.array([5, 5], pa.int32())}
+    )
+    srcp = os.path.join(str(tmp_path), "src.parquet")
+    pq.write_table(src, srcp)
+    assert cli.main(["merge", srcp, lake, "--update-cols", "source"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_upserted"] == 2
+    rows = {r["doc_id"]: r for r in final_state_table(lake).to_pylist()}
+    assert rows["d1"]["source"] == "m" and rows["d1"]["n_tok"] == 1
+    assert rows["n1"]["n_tok"] == 5
