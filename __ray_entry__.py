@@ -1932,6 +1932,57 @@ def q96_merge_into(sf_dir: str):
     )
 
 
+def q97_catalog_snapshot(sf_dir: str):
+    """Multi-lake catalog (cdc/catalog.py): two lakes (the tokenized
+    docs lake + a per-source stats lake) are pinned by catalog v1;
+    a cross-table TRANSACTION (epoch 2 on docs + a stats update)
+    advances both and publishes catalog v2. Reading the docs table
+    through catalog v1 AFTER the transaction returns the
+    pre-transaction cut — the consistent-snapshot guarantee. EXACT
+    oracle: the epoch-1 closed form (every document, word-count
+    n_tok)."""
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes
+    from palimpzest_ray.cdc import catalog as CAT
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    work = demo_workdir(sf_dir, "cdc_catalog_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    stats = os.path.join(work, "stats_lake")
+    cat = os.path.join(work, "catalog")
+    apply_changes(log1, lake, num_partitions=8)
+    boot = pa.Table.from_pylist(
+        [{"lsn": 1, "op": "INSERT", "doc_id": "stats", "tokens": None,
+          "n_tok": 0, "source": "epoch1"}],
+        CHANGELOG_SCHEMA,
+    )
+    apply_changes(rd.from_arrow(boot), stats, num_partitions=2,
+                  change_schema=CHANGELOG_SCHEMA)
+    CAT.commit_catalog(cat, {"docs": (lake, None), "stats": (stats, None)})
+
+    upd = pa.Table.from_pylist(
+        [{"lsn": 2, "op": "UPDATE", "doc_id": "stats", "tokens": None,
+          "n_tok": 1, "source": "epoch2"}],
+        CHANGELOG_SCHEMA,
+    )
+    snap2 = CAT.commit_transaction(
+        cat,
+        {"docs": log2, "stats": rd.from_arrow(upd)},
+        {"docs": lake, "stats": stats},
+        apply_kwargs={
+            "docs": {"num_partitions": 8},
+            "stats": {"change_schema": CHANGELOG_SCHEMA},
+        },
+    )
+    assert snap2.pin("docs")[1] == 2 and snap2.pin("stats")[1] == 2
+    return pzd.Dataset(
+        CAT.read_table(cat, "docs", catalog_version=1,
+                       columns=["doc_id", "n_tok", "source"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2024,6 +2075,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q94_dedup_ingest": q94_dedup_ingest,
         "q95_incremental_ivf": q95_incremental_ivf,
         "q96_merge_into": q96_merge_into,
+        "q97_catalog_snapshot": q97_catalog_snapshot,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2207,6 +2259,14 @@ def _base_oracle_sql() -> dict[str, str]:
         select 'mrg-' || lpad(cast(i as varchar), 8, '0') as doc_id,
                cast(i as int) as n_tok, 'merged' as source
         from range(5) t(i)
+    """
+    # catalog v1 pins the pre-transaction cut == the epoch-1 closed form
+    d["q97_catalog_snapshot"] = r"""
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                 as n_tok,
+               source
+        from documents
     """
     # DELETE WHERE == the replay closed form minus the predicate rows
     d["q91_lake_delete_where"] = (

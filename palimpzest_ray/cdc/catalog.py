@@ -1,0 +1,201 @@
+"""Multi-lake CATALOG: atomic cross-table snapshots.
+
+A real CDC stream carries TRANSACTIONS that span tables (an order row
+and its lineitem rows commit together upstream). Each lake's manifest
+commit is atomic per lake, but a reader joining two lakes mid-ingest
+could see table A at epoch 2 and table B at epoch 1 — a cut no
+upstream transaction ever produced. The catalog closes that gap the
+lakehouse way (Iceberg REST catalog / Delta commit coordinator): a
+tiny versioned JSON that PINS a consistent set of (lake, version)
+pairs, committed with the same flock-CAS discipline as a manifest.
+
+- Writers: :func:`commit_transaction` applies each table's change set
+  (ordinary exactly-once ``apply_changes`` — LWW idempotence makes
+  crash-rerun safe), then publishes ONE catalog version naming every
+  lake's new manifest version. A crash between lake applies leaves the
+  catalog at the previous version: catalog readers never observe the
+  partial transaction, and the rerun converges and publishes.
+- Readers: :func:`snapshot` resolves a catalog version to its pins;
+  :func:`read_table` / :func:`lookup_table` are ``final_state`` /
+  ``lookup`` with the pinned ``version`` forced — time travel across
+  ALL tables with one number.
+
+The catalog stores only names → (root, version): bytes are never
+copied, vacuum per lake still applies (keep enough versions for the
+catalog snapshots you serve).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fcntl
+import json
+import os
+
+import pyarrow as pa
+
+from palimpzest_ray.cdc.engine import apply_changes, final_state, lookup
+from palimpzest_ray.cdc.manifest import (
+    ConcurrentCommitError,
+    _atomic_write,
+    load_latest_manifest,
+)
+
+_PTR = "CATALOG-LATEST"
+
+
+@dataclasses.dataclass
+class CatalogSnapshot:
+    version: int
+    pins: dict[str, dict]  # name -> {"root": str, "version": int}
+
+    def pin(self, name: str) -> tuple[str, int]:
+        if name not in self.pins:
+            raise KeyError(
+                f"table {name!r} not in catalog (has {sorted(self.pins)})"
+            )
+        p = self.pins[name]
+        return p["root"], int(p["version"])
+
+
+def _cat_path(root: str, version: int) -> str:
+    return os.path.join(root, f"CATALOG-v{version}.json")
+
+
+def latest_version(catalog_root: str) -> int:
+    ptr = os.path.join(catalog_root, _PTR)
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def snapshot(catalog_root: str, version: int | None = None) -> CatalogSnapshot:
+    v = latest_version(catalog_root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no catalog committed under {catalog_root}")
+    path = _cat_path(catalog_root, v)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"catalog version {v} not found under {catalog_root}"
+        )
+    with open(path) as f:
+        d = json.load(f)
+    return CatalogSnapshot(version=d["version"], pins=d["pins"])
+
+
+def commit_catalog(
+    catalog_root: str, pins: dict[str, tuple[str, int | None]]
+) -> CatalogSnapshot:
+    """Publish one catalog version pinning each named lake at an
+    explicit manifest version (``None`` = its current latest). The
+    flock-CAS mirrors the manifest's: concurrent catalog commits
+    serialize; a commit whose base moved raises."""
+    os.makedirs(catalog_root, exist_ok=True)
+    resolved: dict[str, dict] = {}
+    for name, (root, v) in sorted(pins.items()):
+        if v is None:
+            m = load_latest_manifest(root)
+            if m is None:
+                raise FileNotFoundError(f"no committed lake under {root}")
+            v = m.version
+        resolved[name] = {"root": os.path.abspath(root), "version": int(v)}
+    lock_path = os.path.join(catalog_root, ".catalog.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+        head = latest_version(catalog_root)
+        new_v = head + 1
+        path = _cat_path(catalog_root, new_v)
+        if os.path.exists(path):  # pragma: no cover - CAS safety net
+            raise ConcurrentCommitError(
+                f"catalog version {new_v} already exists"
+            )
+        _atomic_write(
+            path, json.dumps({"version": new_v, "pins": resolved})
+        )
+        _atomic_write(os.path.join(catalog_root, _PTR), str(new_v))
+    return CatalogSnapshot(version=new_v, pins=resolved)
+
+
+def commit_transaction(
+    catalog_root: str,
+    changes: dict[str, object],
+    lakes: dict[str, str],
+    *,
+    apply_kwargs: dict[str, dict] | None = None,
+    carry_unchanged: bool = True,
+) -> CatalogSnapshot:
+    """Apply one upstream TRANSACTION that spans tables, atomically for
+    catalog readers: each named change set runs through the ordinary
+    exactly-once ``apply_changes`` on its lake, then ONE catalog commit
+    pins every resulting version (plus, with ``carry_unchanged``, the
+    current version of catalog tables this transaction didn't touch).
+
+    Crash semantics: a failure after some lake applies leaves the
+    catalog unchanged — snapshot readers still see the pre-transaction
+    cut. Re-running the same transaction converges (LWW idempotence,
+    per-partition resume) and publishes. There is no rollback of lake
+    internals, and none is needed: un-published versions are invisible
+    to catalog readers and reclaimable by vacuum.
+
+    ``changes``: name → change source (path(s) or a Ray Dataset).
+    ``lakes``: name → lake root (must cover every key in ``changes``).
+    """
+    missing = set(changes) - set(lakes)
+    if missing:
+        raise ValueError(f"changes name lakes that are not mapped: {sorted(missing)}")
+    kw = apply_kwargs or {}
+    pins: dict[str, tuple[str, int | None]] = {}
+    for name in sorted(changes):
+        res = apply_changes(changes[name], lakes[name], **kw.get(name, {}))
+        pins[name] = (lakes[name], res.manifest.version)
+    if carry_unchanged:
+        try:
+            prev = snapshot(catalog_root)
+        except FileNotFoundError:
+            prev = None
+        if prev is not None:
+            for name, p in prev.pins.items():
+                pins.setdefault(name, (p["root"], p["version"]))
+    for name, root in lakes.items():
+        pins.setdefault(name, (root, None))
+    return commit_catalog(catalog_root, pins)
+
+
+def read_table(
+    catalog_root: str,
+    name: str,
+    *,
+    catalog_version: int | None = None,
+    **final_state_kwargs,
+):
+    """``final_state`` of one catalog table at the catalog snapshot's
+    pinned version — every table read through the same snapshot is a
+    transactionally-consistent cut."""
+    snap = snapshot(catalog_root, catalog_version)
+    root, v = snap.pin(name)
+    return final_state(root, version=v, **final_state_kwargs)
+
+
+def lookup_table(
+    catalog_root: str,
+    name: str,
+    keys: list,
+    *,
+    catalog_version: int | None = None,
+    **lookup_kwargs,
+) -> pa.Table:
+    snap = snapshot(catalog_root, catalog_version)
+    root, v = snap.pin(name)
+    return lookup(root, keys, version=v, **lookup_kwargs)
+
+
+__all__ = [
+    "CatalogSnapshot",
+    "commit_catalog",
+    "commit_transaction",
+    "latest_version",
+    "lookup_table",
+    "read_table",
+    "snapshot",
+]
