@@ -1983,6 +1983,29 @@ def q97_catalog_snapshot(sf_dir: str):
     )
 
 
+def q98_key_history(sf_dir: str):
+    """SCD2-style temporal reads (cdc/engine.py key_history): every
+    retained VERSION of a key set across the 2-epoch lake, each version
+    fetched with the partition-pruned lookup (never a scan) and
+    consecutive carried-forward versions collapsed by writer-LSN
+    equality. Keys: doc nums 0-39 + one epoch-2 insert. EXACT oracle:
+    v1 rows for all 40, a v2 row only where epoch 2 UPDATEd (num%5==1
+    — deleted num%5==0 keys simply stop appearing), plus the insert's
+    v2 row."""
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes, key_history
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_history_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+    keys = [f"doc-{i:08d}" for i in range(40)] + ["new-00000000"]
+    h = key_history(lake, keys, columns=["n_tok"])
+    return pzd.Dataset(rd.from_arrow(h.select(["doc_id", "_version", "n_tok"])))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2076,6 +2099,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q95_incremental_ivf": q95_incremental_ivf,
         "q96_merge_into": q96_merge_into,
         "q97_catalog_snapshot": q97_catalog_snapshot,
+        "q98_key_history": q98_key_history,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2267,6 +2291,22 @@ def _base_oracle_sql() -> dict[str, str]:
                  as n_tok,
                source
         from documents
+    """
+    # key history: v1 row for every queried key; a v2 row only where
+    # epoch 2 UPDATEd (num%5==1 — tokens reversed, n_tok unchanged);
+    # deleted keys (num%5==0) stop appearing; plus the insert's v2 row
+    d["q98_key_history"] = r"""
+        with base as (
+          select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 doc_id as num
+          from documents where doc_id < 40)
+        select doc_id, cast(1 as bigint) as _version, n_tok from base
+        union all
+        select doc_id, 2, n_tok from base where num % 5 = 1
+        union all
+        select 'new-00000000', 2, cast(8 as int)
     """
     # DELETE WHERE == the replay closed form minus the predicate rows
     d["q91_lake_delete_where"] = (

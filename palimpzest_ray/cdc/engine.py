@@ -1780,6 +1780,73 @@ def merge_into(
     )
 
 
+def key_history(
+    lake_root: str,
+    keys: list,
+    *,
+    key: str | None = None,
+    columns: list[str] | None = None,
+    changes_only: bool = True,
+) -> pa.Table:
+    """Temporal read: every retained VERSION of the given keys — the
+    SCD2 view a warehouse derives with effective-date columns, read
+    here directly off the manifest history. For each un-vacuumed
+    version the keys are fetched with the partition-pruned
+    :func:`lookup` (≤ len(keys) partition chains per version, never a
+    scan); a deleted key contributes no row at versions where it is
+    tombstoned, so its disappearance IS the deletion record.
+
+    Output columns: ``_version`` (manifest version), ``_lsn`` (the
+    row's writer LSN) + the key + requested columns, ordered by
+    (key, _version). ``changes_only=True`` collapses consecutive
+    versions whose row did not change (same ``_lsn`` — every write
+    carries a fresh LSN, so LSN equality ⟺ the row was carried
+    forward), turning V versions into just the change points."""
+    from palimpzest_ray.cdc.manifest import load_manifest
+
+    latest = load_latest_manifest(lake_root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    key = key or latest.key
+    versions = []
+    for v in range(1, latest.version + 1):
+        try:
+            load_manifest(lake_root, v)
+            versions.append(v)
+        except FileNotFoundError:  # vacuumed
+            continue
+    pieces = []
+    want_cols = columns
+    for v in versions:
+        t = lookup(lake_root, keys, key=key, version=v,
+                   columns=want_cols, keep_lsn=True)
+        if t.num_rows:
+            pieces.append(
+                t.append_column(
+                    "_version", pa.array(np.full(t.num_rows, v, np.int64))
+                )
+            )
+    if not pieces:
+        empty = pa.table({key: pa.array([], latest.schema.field(key).type)})
+        return empty.append_column(
+            "_version", pa.array([], pa.int64())
+        )
+    out = pa.concat_tables(pieces, promote_options="permissive")
+    order = pc.sort_indices(
+        out, sort_keys=[(key, "ascending"), ("_version", "ascending")]
+    )
+    out = out.take(order)
+    if changes_only and out.num_rows:
+        ks = out[key].to_numpy(zero_copy_only=False) \
+            if not pa.types.is_string(out[key].type) \
+            else np.array(out[key].to_pylist(), dtype=object)
+        lsns = out["_lsn"].to_numpy(zero_copy_only=False)
+        keep = np.ones(out.num_rows, bool)
+        keep[1:] = (ks[1:] != ks[:-1]) | (lsns[1:] != lsns[:-1])
+        out = out.filter(pa.array(keep))
+    return out
+
+
 def tail_once(
     log_dir: str | list[str],
     lake_root: str,
@@ -2495,6 +2562,7 @@ def lookup(
     key: str = "doc_id",
     version: int | None = None,
     columns: list[str] | None = None,
+    keep_lsn: bool = False,
 ) -> pa.Table:
     """Point/key-set read from the lake WITHOUT scanning it: the lake is
     hash-partitioned on ``key`` (``stable_bucket(key) % P``), so a
@@ -2506,7 +2574,11 @@ def lookup(
     Tombstoned keys return no row (they are deleted). ``columns`` prunes
     each file's read to the named user columns; evolved columns missing
     from carried-forward files are null-backfilled. Deterministic: same
-    keys, same version → same table (sorted by ``key``)."""
+    keys, same version → same table (sorted by ``key``).
+
+    ``keep_lsn=True`` keeps the internal ``_lsn`` column (each live
+    row's writer LSN) — what :func:`key_history` uses to collapse
+    carried-forward versions."""
     import pyarrow.parquet as pq_
 
     from palimpzest_ray.cdc.manifest import load_manifest
@@ -2523,6 +2595,10 @@ def lookup(
     if columns is not None:
         want = list(dict.fromkeys([key] + list(columns)))
         schema = pa.schema([f for f in schema if f.name in want])
+    out_schema = pa.schema(
+        [f for f in schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
+        + ([pa.field(LSN_COL, pa.int64())] if keep_lsn else [])
+    )
     need = (
         None
         if columns is None
@@ -2550,7 +2626,7 @@ def lookup(
         r = _resolve_chain(tabs, key, resolve_schema)
         if TOMBSTONE_COL in r.column_names:
             r = r.filter(pc.invert(pc.coalesce(r[TOMBSTONE_COL], pa.scalar(False))))
-        out.append(drop_internal(conform(r, schema)))
+        out.append(conform(r, out_schema))
     if not out:
-        return drop_internal(schema.empty_table())
+        return out_schema.empty_table()
     return pa.concat_tables(out, promote_options="default").sort_by(key)

@@ -685,3 +685,45 @@ def test_lookup_reads_only_needed_partitions(tmp_path, base_and_changes, monkeyp
     assert set(pruned.column_names) == {"doc_id"} | set(cols[:2])
     empty = lookup(lake, ["nope-1", "nope-2"])
     assert empty.num_rows == 0 and "doc_id" in empty.column_names
+
+
+def test_key_history_scd2(tmp_path, tmp_lake):
+    """Temporal reads: per-version rows via partition-pruned lookups,
+    carried-forward versions collapsed by writer-LSN equality, deleted
+    keys stop appearing, vacuumed versions are skipped gracefully."""
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes, key_history, vacuum
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    def ev(lsn, op, d, tok=None):
+        return {"lsn": lsn, "op": op, "doc_id": d, "tokens": tok,
+                "n_tok": len(tok) if tok else None,
+                "source": "w" if op != "DELETE" else None}
+
+    def _apply(rows, **kw):
+        apply_changes(
+            rd.from_arrow(pa.Table.from_pylist(rows, CHANGELOG_SCHEMA)),
+            tmp_lake, change_schema=CHANGELOG_SCHEMA, **kw)
+
+    _apply([ev(1, "INSERT", "a", [1]), ev(2, "INSERT", "b", [2])],
+           num_partitions=2)
+    _apply([ev(3, "UPDATE", "a", [1, 1])])
+    _apply([ev(4, "DELETE", "b"), ev(5, "INSERT", "c", [3])], mode="delta")
+
+    h = key_history(tmp_lake, ["a", "b", "c"], columns=["n_tok"])
+    rows = [(r["doc_id"], r["_version"], r["n_tok"]) for r in h.to_pylist()]
+    assert rows == [("a", 1, 1), ("a", 2, 2), ("b", 1, 1), ("c", 3, 1)]
+
+    # without collapsing, 'a' also appears carried forward at v3
+    h_all = key_history(tmp_lake, ["a"], columns=["n_tok"],
+                        changes_only=False)
+    assert [r["_version"] for r in h_all.to_pylist()] == [1, 2, 3]
+    assert len({r["_lsn"] for r in h_all.to_pylist()}) == 2
+
+    # vacuum drops v1: history silently starts at the oldest retained
+    vacuum(tmp_lake, keep_versions=2)
+    h2 = key_history(tmp_lake, ["a", "b", "c"], columns=["n_tok"])
+    vs = sorted({r["_version"] for r in h2.to_pylist()})
+    assert vs == [2, 3]
+    assert ("b", 2) in {(r["doc_id"], r["_version"]) for r in h2.to_pylist()}
