@@ -2006,6 +2006,22 @@ def q98_key_history(sf_dir: str):
     return pzd.Dataset(rd.from_arrow(h.select(["doc_id", "_version", "n_tok"])))
 
 
+def q99_fuzzy_join(sf_dir: str):
+    """Fuzzy self-join (stages/fuzzy.py edit_distance_pairs): all
+    supplier-name pairs within Levenshtein distance 1 — candidates by
+    the LOSSLESS positional q-gram count filter (Gravano et al., VLDB
+    2001: an edit destroys ≤ q grams), verify by pair-vectorized DP.
+    EXACT oracle: DuckDB's levenshtein over the self-join."""
+    from palimpzest_ray.stages.fuzzy import edit_distance_pairs
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return pzd.Dataset(
+        edit_distance_pairs(
+            sup.ray, text_col="s_name", id_col="s_suppkey", max_dist=1
+        )
+    ).sort(["id_a", "id_b"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2100,6 +2116,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q96_merge_into": q96_merge_into,
         "q97_catalog_snapshot": q97_catalog_snapshot,
         "q98_key_history": q98_key_history,
+        "q99_fuzzy_join": q99_fuzzy_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2307,6 +2324,15 @@ def _base_oracle_sql() -> dict[str, str]:
         select doc_id, 2, n_tok from base where num % 5 = 1
         union all
         select 'new-00000000', 2, cast(8 as int)
+    """
+    # fuzzy self-join == levenshtein over the cross pairs
+    d["q99_fuzzy_join"] = """
+        select a.s_suppkey as id_a, b.s_suppkey as id_b,
+               cast(levenshtein(a.s_name, b.s_name) as bigint) as dist
+        from supplier a
+        join supplier b on a.s_suppkey < b.s_suppkey
+        where levenshtein(a.s_name, b.s_name) <= 1
+        order by id_a, id_b
     """
     # DELETE WHERE == the replay closed form minus the predicate rows
     d["q91_lake_delete_where"] = (
