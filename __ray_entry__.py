@@ -2022,6 +2022,29 @@ def q99_fuzzy_join(sf_dir: str):
     ).sort(["id_a", "id_b"])
 
 
+_PROFILE_KINDS = {
+    "l_orderkey": "int",
+    "l_quantity": "float",
+    "l_returnflag": "str",
+}
+
+
+def q100_data_profile(sf_dir: str):
+    """Data profiling (stages/profile.py): one describe-row per column
+    — exact counts / int-scaled extremes+sums / string extremes from
+    ONE combined-aggregate pass, plus the HLL approx-distinct whose
+    registers the SQL oracle rebuilds verbatim (duckdb-hash mode,
+    integer columns; non-integer columns report null approx under that
+    mode, mirrored in the oracle)."""
+    import ray.data as rd
+
+    from palimpzest_ray.stages.profile import profile_table
+
+    li = _read(sf_dir, "lineitem", list(_PROFILE_KINDS))
+    t = profile_table(li.ray, list(_PROFILE_KINDS), p=6, hash_fn="duckdb")
+    return pzd.Dataset(rd.from_arrow(t))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2117,6 +2140,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q97_catalog_snapshot": q97_catalog_snapshot,
         "q98_key_history": q98_key_history,
         "q99_fuzzy_join": q99_fuzzy_join,
+        "q100_data_profile": q100_data_profile,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2191,49 +2215,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _hll_oracle_sql(
-    table: str, col: str, *, p: int, out: str, group: str | None = None
-) -> str:
-    """DuckDB SQL that reproduces ``sketches.hll_*(hash_fn="duckdb")``
-    bit-for-bit: rebuild registers from ``hash(col)``, harmonic sum as
-    an exact HUGEINT scaled by 2^B, then ONE float expression with the
-    same literal casts and left-to-right operation order as
-    ``hll_estimate`` (both engines: alpha * m * m * 2^B / double(S),
-    then floor(x + 0.5))."""
-    m = 1 << p
-    B = 64 - p + 1
-    g_sel, g_by, g_out = "", "", ""
-    if group:
-        g_sel, g_by, g_out = f"{group}, ", f"group by {group}", f"{group}, "
-    return f"""
-        with h as (
-          select {g_sel}hash({col}) as hv
-          from {table} where {col} is not null
-        ),
-        r as (
-          select {g_sel}hv >> (64 - {p}) as idx,
-                 hv % (1::UBIGINT << (64 - {p})) as rem
-          from h
-        ),
-        regs as (
-          select {g_sel}idx,
-                 max(case when rem = 0 then {B}
-                     else (64 - {p}) - length(bin(rem)) + 1 end) as reg
-          from r group by {g_sel}idx
-        ),
-        s as (
-          select {g_sel}count(*) as nz,
-                 sum(cast((1::UBIGINT << ({B} - reg)) as HUGEINT)) as s_nz
-          from regs {g_by}
-        )
-        select {g_out}cast(floor(
-            (0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / {m}::DOUBLE))
-            * {m} * {m} * 2.0^{B}
-            / cast(s_nz + cast(({m} - nz) as HUGEINT)
-                   * cast((1::UBIGINT << {B}) as HUGEINT) as DOUBLE)
-            + 0.5) as BIGINT) as "{out}"
-        from s
-    """
+from palimpzest_ray.stages.sketches import hll_oracle_sql as _hll_oracle_sql  # noqa: E501  (shared with stages.profile)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2325,6 +2307,10 @@ def _base_oracle_sql() -> dict[str, str]:
         union all
         select 'new-00000000', 2, cast(8 as int)
     """
+    # describe rows restated per column; HLL registers rebuilt verbatim
+    from palimpzest_ray.stages.profile import profile_sql
+
+    d["q100_data_profile"] = profile_sql("lineitem", _PROFILE_KINDS, p=6)
     # fuzzy self-join == levenshtein over the cross pairs
     d["q99_fuzzy_join"] = """
         select a.s_suppkey as id_a, b.s_suppkey as id_b,

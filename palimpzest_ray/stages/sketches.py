@@ -454,3 +454,48 @@ def hll_distinct_by(
             _merge, batch_format="pyarrow"
         ).ray
     return partial.groupby(keys).map_groups(_merge, batch_format="pyarrow")
+
+
+def hll_oracle_sql(
+    table: str, col: str, *, p: int, out: str, group: str | None = None
+) -> str:
+    """DuckDB SQL that reproduces ``sketches.hll_*(hash_fn="duckdb")``
+    bit-for-bit: rebuild registers from ``hash(col)``, harmonic sum as
+    an exact HUGEINT scaled by 2^B, then ONE float expression with the
+    same literal casts and left-to-right operation order as
+    ``hll_estimate`` (both engines: alpha * m * m * 2^B / double(S),
+    then floor(x + 0.5))."""
+    m = 1 << p
+    B = 64 - p + 1
+    g_sel, g_by, g_out = "", "", ""
+    if group:
+        g_sel, g_by, g_out = f"{group}, ", f"group by {group}", f"{group}, "
+    return f"""
+        with h as (
+          select {g_sel}hash({col}) as hv
+          from {table} where {col} is not null
+        ),
+        r as (
+          select {g_sel}hv >> (64 - {p}) as idx,
+                 hv % (1::UBIGINT << (64 - {p})) as rem
+          from h
+        ),
+        regs as (
+          select {g_sel}idx,
+                 max(case when rem = 0 then {B}
+                     else (64 - {p}) - length(bin(rem)) + 1 end) as reg
+          from r group by {g_sel}idx
+        ),
+        s as (
+          select {g_sel}count(*) as nz,
+                 sum(cast((1::UBIGINT << ({B} - reg)) as HUGEINT)) as s_nz
+          from regs {g_by}
+        )
+        select {g_out}cast(floor(
+            (0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / {m}::DOUBLE))
+            * {m} * {m} * 2.0^{B}
+            / cast(s_nz + cast(({m} - nz) as HUGEINT)
+                   * cast((1::UBIGINT << {B}) as HUGEINT) as DOUBLE)
+            + 0.5) as BIGINT) as "{out}"
+        from s
+    """
