@@ -2045,6 +2045,28 @@ def q100_data_profile(sf_dir: str):
     return pzd.Dataset(rd.from_arrow(t))
 
 
+def q101_bpe_pair_counts(sf_dir: str):
+    """Tokenizer induction (stages/packing.py token_pair_counts): the
+    counting step of one BPE merge selection — adjacent codepoint-pair
+    frequencies over lower(text), each block reduced to its distinct
+    pairs, coarse-bucket vectorized final reduce, global top-20 with
+    the (cnt desc, tok_a, tok_b) tie-break. Codepoint tokens make the
+    oracle plain SQL (unicode(substr(...)) pairs)."""
+    from palimpzest_ray.stages.packing import add_char_tokens, token_pair_counts
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"doc_id": batch["doc_id"],
+             "text": pc.utf8_lower(batch["text"])}
+        )
+        return add_char_tokens(t).select(["doc_id", "tokens"])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).ray.map_batches(
+        _tok, batch_format="pyarrow"
+    )
+    return pzd.Dataset(token_pair_counts(docs, top_k=20))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2141,6 +2163,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q98_key_history": q98_key_history,
         "q99_fuzzy_join": q99_fuzzy_join,
         "q100_data_profile": q100_data_profile,
+        "q101_bpe_pair_counts": q101_bpe_pair_counts,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2311,6 +2334,19 @@ def _base_oracle_sql() -> dict[str, str]:
     from palimpzest_ray.stages.profile import profile_sql
 
     d["q100_data_profile"] = profile_sql("lineitem", _PROFILE_KINDS, p=6)
+    # adjacent codepoint pairs == the BPE counting step stated in SQL
+    d["q101_bpe_pair_counts"] = r"""
+        with toks as (select lower(text) as t from documents),
+        pairs as (
+          select unicode(substr(t, i, 1)) as tok_a,
+                 unicode(substr(t, i + 1, 1)) as tok_b
+          from toks, unnest(range(1, length(t))) as r(i)
+          where length(t) >= 2)
+        select cast(tok_a as int) as tok_a, cast(tok_b as int) as tok_b,
+               count(*) as cnt
+        from pairs group by 1, 2
+        order by cnt desc, tok_a, tok_b limit 20
+    """
     # fuzzy self-join == levenshtein over the cross pairs
     d["q99_fuzzy_join"] = """
         select a.s_suppkey as id_a, b.s_suppkey as id_b,

@@ -251,3 +251,208 @@ def pack_sequences_reference(
             break
         out.append((s // seq_len, chunk))
     return out
+
+
+def token_pair_counts(
+    ds: rd.Dataset,
+    *,
+    tokens_col: str = "tokens",
+    top_k: int | None = None,
+) -> rd.Dataset:
+    """Adjacent token-pair frequencies over the corpus — the counting
+    step of ONE BPE merge selection (Sennrich et al., ACL 2016:
+    repeatedly merge the most frequent adjacent pair). Tokenizer
+    induction at 100 TB is exactly this loop, and each iteration is one
+    streaming pass here:
+
+    - per batch: flatten the list column zero-copy, form adjacent
+      pairs with a boundary mask (no pair spans two documents), pack
+      ``(a << 32) | b`` into one int64 code, ``np.unique`` the block —
+      each block reduces to its distinct pairs;
+    - final reduce: coarse-bucket vectorized arrow aggregation
+      (``dedup._bucketed_group_agg`` — never per-pair Ray groups);
+    - ``top_k``: global sort on (cnt desc, tok_a, tok_b) + limit.
+
+    Token ids must be non-negative and < 2^31 (any real vocab id;
+    validated). Output ``(tok_a, tok_b, cnt)`` int32/int32/int64.
+    """
+    from palimpzest_ray.stages.dedup import _bucketed_group_agg
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"code": pa.array([], pa.int64()),
+             "cnt": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vals) == 0:
+            return empty
+        if vals.min() < 0 or vals.max() >= (1 << 31):
+            raise ValueError("token ids must be in [0, 2^31)")
+        offsets = col.offsets.to_numpy()
+        a, b = vals[:-1], vals[1:]
+        # boundary mask: drop the pair straddling each list edge
+        mask = np.ones(len(vals) - 1, dtype=bool) if len(vals) > 1 else \
+            np.zeros(0, dtype=bool)
+        edges = offsets[1:-1]  # interior boundaries
+        mask[edges[(edges > 0) & (edges < len(vals))] - 1] = False
+        code = (a[mask] << np.int64(32)) | b[mask]
+        if len(code) == 0:
+            return empty
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {"code": pa.array(u), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    def _sum_codes(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by(["code"], use_threads=False)
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["code", "cnt"])
+        )
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    counts = _bucketed_group_agg(partial, ["code"], _sum_codes)
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tok_a": pa.array((code >> np.int64(32)).astype(np.int32)),
+                "tok_b": pa.array(
+                    (code & np.int64(0xFFFFFFFF)).astype(np.int32)
+                ),
+                "cnt": batch["cnt"],
+            }
+        )
+
+    out = counts.map_batches(_unpack, batch_format="pyarrow")
+    if top_k is not None:
+        # sort key: cnt desc, then (tok_a, tok_b) asc — expressed as one
+        # ascending composite (negate cnt; pair code is already ordered)
+        def _sort_key(batch: pa.Table) -> pa.Table:
+            cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+            code = (
+                batch["tok_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+                << np.int64(32)
+            ) | batch["tok_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.append_column("__neg", pa.array(-cnt)).append_column(
+                "__code", pa.array(code)
+            )
+
+        out = (
+            out.map_batches(_sort_key, batch_format="pyarrow")
+            .sort(["__neg", "__code"])
+            .limit(top_k)
+            .map_batches(
+                lambda b: b.drop_columns(["__neg", "__code"]),
+                batch_format="pyarrow",
+            )
+        )
+    return out
+
+
+def apply_merge_batch(
+    batch: pa.Table,
+    pair: tuple[int, int],
+    new_id: int,
+    *,
+    tokens_col: str = "tokens",
+) -> pa.Table:
+    """Replace every non-overlapping occurrence of ``pair`` with
+    ``new_id`` inside each token list (left-to-right, the BPE rule),
+    vectorized: one boundary-masked match pass + an overlap fix-up
+    (a run like [x,x,x] for pair (x,x) merges once, greedily)."""
+    col = batch[tokens_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = col.offsets.to_numpy().astype(np.int64)
+    n = len(vals)
+    if n < 2:
+        return batch
+    a, b = pair
+    hit = (vals[:-1] == a) & (vals[1:] == b)
+    edges = offsets[1:-1]
+    hit[edges[(edges > 0) & (edges < n)] - 1] = False
+    # greedy left-to-right: a hit at i disables a hit at i+1 (overlap);
+    # runs only matter when a == b (otherwise hits can't be adjacent)
+    if a == b and hit.any():
+        idx = np.flatnonzero(hit)
+        keep = np.ones(len(idx), dtype=bool)
+        for k in range(1, len(idx)):  # bounded by hits in a run
+            if idx[k] == idx[k - 1] + 1 and keep[k - 1]:
+                keep[k] = False
+        hit[:] = False
+        hit[idx[keep]] = True
+    if not hit.any():
+        return batch
+    out = vals.copy()
+    out[np.flatnonzero(hit)] = new_id
+    drop = np.zeros(n, dtype=bool)
+    drop[np.flatnonzero(hit) + 1] = True
+    # new per-list lengths after dropping merged right-halves
+    # (cumsum indexing is safe for empty lists, unlike reduceat)
+    cums = np.concatenate([[0], np.cumsum(drop)])
+    dropped_per_list = cums[offsets[1:]] - cums[offsets[:-1]]
+    new_lens = np.diff(offsets) - dropped_per_list
+    new_offsets = np.zeros(len(offsets), dtype=np.int64)
+    np.cumsum(new_lens, out=new_offsets[1:])
+    merged = pa.LargeListArray.from_arrays(
+        pa.array(new_offsets, pa.int64()),
+        pa.array(out[~drop].astype(np.int32), pa.int32()),
+    ).cast(pa.list_(pa.int32()))
+    i = batch.column_names.index(tokens_col)
+    return batch.set_column(i, tokens_col, merged)
+
+
+def learn_bpe(
+    ds: rd.Dataset,
+    n_merges: int,
+    *,
+    tokens_col: str = "tokens",
+    next_id: int | None = None,
+) -> list[tuple[int, int, int]]:
+    """Distributed BPE training loop (Sennrich et al., ACL 2016): each
+    iteration counts adjacent pairs with :func:`token_pair_counts`
+    (one streaming pass), picks the most frequent (tie-break: smaller
+    pair code), assigns it the next vocab id, and rewrites the corpus
+    with :func:`apply_merge_batch`. Returns the merge table
+    ``[(tok_a, tok_b, new_id), ...]``.
+
+    The corpus is re-materialized per iteration (BPE is inherently
+    iterative); at 100 TB you run few merges per job and checkpoint the
+    corpus between them — the merge table itself is tiny state."""
+    merges: list[tuple[int, int, int]] = []
+    cur = ds
+    for _ in range(n_merges):
+        top = token_pair_counts(cur, tokens_col=tokens_col, top_k=1)
+        rows = top.take_all()
+        if not rows or rows[0]["cnt"] < 2:
+            break
+        a, b = int(rows[0]["tok_a"]), int(rows[0]["tok_b"])
+        if next_id is None:
+            mx = cur.map_batches(
+                lambda t: pa.table({"m": pa.array([
+                    int(pa.compute.max(pa.compute.list_flatten(
+                        t[tokens_col].combine_chunks()
+                        if isinstance(t[tokens_col], pa.ChunkedArray)
+                        else t[tokens_col])).as_py() or 0)
+                ], pa.int64())}),
+                batch_format="pyarrow",
+            )
+            next_id = max(r["m"] for r in mx.take_all()) + 1
+        nid = next_id
+        next_id += 1
+        merges.append((a, b, nid))
+        cur = cur.map_batches(
+            lambda t, _p=(a, b), _n=nid: apply_merge_batch(
+                t, _p, _n, tokens_col=tokens_col
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return merges

@@ -96,3 +96,104 @@ def test_add_char_tokens():
     assert toks[0] == [97, 98]
     assert toks[1] == [] and toks[2] == []
     assert toks[3] == [ord(c) for c in "héllo"]
+
+
+# --------------------------------------------------------------------------
+# BPE: pair counting + merge loop
+# --------------------------------------------------------------------------
+
+
+def _bpe_ref(docs: list[list[int]], n_merges: int, next_id: int):
+    """Pure-python BPE reference: count pairs, merge most frequent
+    (tie-break smaller (a, b)), greedy left-to-right application."""
+    from collections import Counter
+
+    docs = [list(d) for d in docs]
+    merges = []
+    for _ in range(n_merges):
+        cnt = Counter()
+        for d in docs:
+            for x, y in zip(d, d[1:]):
+                cnt[(x, y)] += 1
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _ = best
+        merges.append((a, b, next_id))
+        for di, d in enumerate(docs):
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(next_id)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            docs[di] = out
+        next_id += 1
+    return merges, docs
+
+
+def test_token_pair_counts_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from palimpzest_ray.stages.packing import token_pair_counts
+
+    rng = np.random.default_rng(17)
+    docs = [rng.integers(0, 6, rng.integers(0, 9)).tolist() for _ in range(80)]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "tokens": pa.array(docs, pa.list_(pa.int32()))}
+    )
+    got = {
+        (r["tok_a"], r["tok_b"]): r["cnt"]
+        for r in token_pair_counts(
+            rd.from_arrow(t).repartition(7)
+        ).take_all()
+    }
+    from collections import Counter
+
+    exp = Counter()
+    for d in docs:
+        for x, y in zip(d, d[1:]):
+            exp[(x, y)] += 1
+    assert got == dict(exp)
+
+
+def test_learn_bpe_matches_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from palimpzest_ray.stages.packing import apply_merge_batch, learn_bpe
+
+    rng = np.random.default_rng(23)
+    docs = [rng.integers(0, 4, rng.integers(2, 14)).tolist()
+            for _ in range(60)]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "tokens": pa.array(docs, pa.list_(pa.int32()))}
+    )
+    merges = learn_bpe(rd.from_arrow(t).repartition(5), 4, next_id=100)
+    exp_merges, exp_docs = _bpe_ref(docs, 4, 100)
+    assert merges == exp_merges
+
+    # applying the learned merges reproduces the reference corpus
+    cur = t
+    for a, b, nid in merges:
+        cur = apply_merge_batch(cur, (a, b), nid)
+    assert cur["tokens"].to_pylist() == exp_docs
+
+
+def test_apply_merge_greedy_runs(ray_session):
+    from palimpzest_ray.stages.packing import apply_merge_batch
+
+    t = pa.table(
+        {"tokens": pa.array([[7, 7, 7, 7, 7], [7, 7], [1], []],
+                            pa.list_(pa.int32()))}
+    )
+    out = apply_merge_batch(t, (7, 7), 9)
+    # greedy left-to-right: [77,77,7] -> [9,9,7]; [7,7] -> [9]
+    assert out["tokens"].to_pylist() == [[9, 9, 7], [9], [1], []]
