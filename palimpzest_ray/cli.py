@@ -181,6 +181,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("tokens", type=int, nargs="+")
     p.add_argument("--all", action="store_true", help="require ALL tokens")
 
+    p = sub.add_parser(
+        "history", help="SCD2 key history: every retained version of keys"
+    )
+    p.add_argument("lake")
+    p.add_argument("keys", nargs="+")
+    p.add_argument("--all-versions", action="store_true",
+                   help="include carried-forward versions")
+
+    p = sub.add_parser(
+        "catalog-commit",
+        help="pin lakes at their current versions: NAME=LAKE_ROOT ...",
+    )
+    p.add_argument("catalog")
+    p.add_argument("pins", nargs="+", metavar="NAME=LAKE_ROOT")
+
+    p = sub.add_parser("catalog-show", help="print a catalog snapshot")
+    p.add_argument("catalog")
+    p.add_argument("--version", type=int, default=None)
+
     p = sub.add_parser("merge", help="SQL MERGE INTO from a source parquet")
     p.add_argument("source", help="parquet with the lake key + payload cols")
     p.add_argument("lake")
@@ -378,6 +397,31 @@ def main(argv: list[str] | None = None) -> int:
         from palimpzest_ray.cdc import refresh_token_index
 
         print(json.dumps(refresh_token_index(args.lake, args.index)))
+        return 0
+    if args.cmd == "history":
+        from palimpzest_ray.cdc import key_history
+
+        t = key_history(args.lake, args.keys,
+                        changes_only=not args.all_versions)
+        print(json.dumps({"rows": t.to_pylist()}, default=str))
+        return 0
+    if args.cmd == "catalog-commit":
+        from palimpzest_ray.cdc import catalog as _cat
+
+        pins = {}
+        for spec in args.pins:
+            name, _, root = spec.partition("=")
+            if not root:
+                raise SystemExit(f"bad pin {spec!r}: want NAME=LAKE_ROOT")
+            pins[name] = (root, None)
+        snap = _cat.commit_catalog(args.catalog, pins)
+        print(json.dumps({"version": snap.version, "pins": snap.pins}))
+        return 0
+    if args.cmd == "catalog-show":
+        from palimpzest_ray.cdc import catalog as _cat
+
+        snap = _cat.snapshot(args.catalog, args.version)
+        print(json.dumps({"version": snap.version, "pins": snap.pins}))
         return 0
     if args.cmd == "merge":
         import pyarrow.parquet as pq_

@@ -276,3 +276,40 @@ def test_cli_merge(tmp_path, capsys):
     rows = {r["doc_id"]: r for r in final_state_table(lake).to_pylist()}
     assert rows["d1"]["source"] == "m" and rows["d1"]["n_tok"] == 1
     assert rows["n1"]["n_tok"] == 5
+
+
+def test_cli_history_and_catalog(tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray import cli
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    def mk(rows, name):
+        p = os.path.join(str(tmp_path), name)
+        pq.write_table(pa.Table.from_pylist(rows, CHANGELOG_SCHEMA), p)
+        return p
+
+    lake = os.path.join(str(tmp_path), "lake")
+    assert cli.main(["apply", mk(
+        [{"lsn": 1, "op": "INSERT", "doc_id": "a", "tokens": [1],
+          "n_tok": 1, "source": "w"}], "l1.parquet"
+    ), lake, "--num-partitions", "2"]) == 0
+    assert cli.main(["apply", mk(
+        [{"lsn": 2, "op": "UPDATE", "doc_id": "a", "tokens": [2, 2],
+          "n_tok": 2, "source": "w"}], "l2.parquet"
+    ), lake]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["history", lake, "a"]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["_version"] for r in hist["rows"]] == [1, 2]
+    assert hist["rows"][1]["n_tok"] == 2
+
+    cat = os.path.join(str(tmp_path), "cat")
+    assert cli.main(["catalog-commit", cat, f"docs={lake}"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["pins"]["docs"]["version"] == 2
+    assert cli.main(["catalog-show", cat]) == 0
+    shown = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert shown == out
