@@ -2111,15 +2111,19 @@ _ALIASES: dict[str, str] = {
 }
 
 
-def _registry_order(key: str) -> tuple[int, str]:
-    """Canonical registry order: q-names numerically ascending, then
-    legacy d-names, then everything else (cdc_replay) — alphabetical
-    within each group (names are zero-padded so this is numeric)."""
-    if key.startswith("q"):
-        return (0, key)
+def _registry_order(key: str) -> tuple[int, int, str]:
+    """Canonical registry order: q-names NUMERICALLY ascending (parsed
+    — lexicographic sorting would slot q100+ before q11 and displace
+    queries from any fixed grading window), then legacy d-names, then
+    everything else (cdc_replay)."""
+    import re
+
+    m = re.match(r"q(\d+)", key)
+    if m:
+        return (0, int(m.group(1)), key)
     if key.startswith("d"):
-        return (1, key)
-    return (2, key)
+        return (1, 0, key)
+    return (2, 0, key)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
