@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "q75_incremental_view",
     "q80_lake_zonemap_scan",  # round-3: zone-map pruned lake scan
     "q81_sem_topk_ivf",  # round-3: per-record top-k over the IVF index
+    "q94_dedup_ingest",  # round-3: corpus-screened ingest micro-batch
+    "q99_fuzzy_join",  # round-3: lossless edit-distance self-join
     "cdc_replay",
 ]
 
