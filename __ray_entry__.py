@@ -2067,6 +2067,31 @@ def q101_bpe_pair_counts(sf_dir: str):
     return pzd.Dataset(token_pair_counts(docs, top_k=20))
 
 
+def q102_repeated_spans(sf_dir: str):
+    """Cross-document duplicate spans (stages/dedup.py
+    repeated_kgram_spans — the Lee et al. ACL'22 detection core done
+    with rolling hashes instead of a suffix array): every position
+    whose 24-codepoint window of lower(text) occurs in ≥2 distinct
+    documents. Codepoint tokens make the oracle plain SQL (substr
+    windows grouped by content, HAVING count(distinct doc) ≥ 2)."""
+    from palimpzest_ray.stages.dedup import repeated_kgram_spans
+    from palimpzest_ray.stages.packing import add_char_tokens
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"doc_id": batch["doc_id"],
+             "text": pc.utf8_lower(batch["text"])}
+        )
+        return add_char_tokens(t).select(["doc_id", "tokens"])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).ray.map_batches(
+        _tok, batch_format="pyarrow"
+    )
+    return pzd.Dataset(
+        repeated_kgram_spans(docs, k=24, min_docs=2)
+    ).sort(["doc_id", "pos"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2168,6 +2193,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q99_fuzzy_join": q99_fuzzy_join,
         "q100_data_profile": q100_data_profile,
         "q101_bpe_pair_counts": q101_bpe_pair_counts,
+        "q102_repeated_spans": q102_repeated_spans,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2350,6 +2376,19 @@ def _base_oracle_sql() -> dict[str, str]:
                count(*) as cnt
         from pairs group by 1, 2
         order by cnt desc, tok_a, tok_b limit 20
+    """
+    # repeated k-gram spans == substr windows with >= 2 distinct docs
+    d["q102_repeated_spans"] = r"""
+        with toks as (select doc_id, lower(text) as t from documents),
+        grams as (
+          select doc_id, i - 1 as pos, substr(t, i, 24) as g
+          from toks, unnest(range(1, length(t) - 24 + 2)) as r(i)
+          where length(t) >= 24),
+        rep as (
+          select g from grams group by g
+          having count(distinct doc_id) >= 2)
+        select doc_id, pos from grams join rep using (g)
+        order by doc_id, pos
     """
     # fuzzy self-join == levenshtein over the cross pairs
     d["q99_fuzzy_join"] = """

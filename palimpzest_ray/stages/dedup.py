@@ -994,3 +994,127 @@ def cosine_dup_pairs(
         )
 
     return ds.map_batches(_pairs, batch_format="pyarrow")
+
+
+def repeated_kgram_spans(
+    ds: rd.Dataset,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """Exact cross-document duplicate SPANS: every position where a
+    document's ``k``-token window also occurs in ≥ ``min_docs`` DISTINCT
+    documents (itself included) — the detection core of
+    suffix-array-style training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022), done with
+    rolling hashes instead of a suffix array so it distributes:
+
+    1. per batch: rolling k-gram hashes over the flattened list column
+       (same mixing as ``_shingle_hashes``, windows never span doc
+       boundaries), emitting ``(gram, doc, pos)`` span rows;
+    2. distinct-doc counts per gram: per-block (gram, doc) dedupe, then
+       the coarse-bucket vectorized reduce with arrow
+       ``count_distinct``;
+    3. grams with ≥ min_docs distinct docs broadcast back
+       (``ray.put``) and filter the span rows.
+
+    Output ``(doc_id, pos)`` — 0-based window starts, one row per
+    repeated position. Hash-collision caveat: two distinct k-grams
+    colliding at uint64 would over-report (~2^-64 per pair; the q102
+    oracle relies on this the same way q57 does). Scale note: step 3's
+    repeated-gram set is corpus-duplication-sized; beyond broadcast
+    scale, swap the ``is_in`` for a keyed semi-join on ``gram``.
+    """
+
+    def _span_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.int64()),
+                id_col: pa.array([], batch[id_col].type),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < k:
+            return empty
+        h = flat.astype(np.uint64)
+        # rolling k-gram mix — the _shingle_hashes formula, kept
+        # positional (no short-doc branch: docs shorter than k have no
+        # k-gram to repeat)
+        acc = h[: n - k + 1] * _P1
+        for j in range(1, k):
+            w = np.uint64((j * int(_P3) + int(_P2)) & 0xFFFFFFFFFFFFFFFF)
+            acc = acc ^ (h[j : n - k + 1 + j] * w)
+        valid = parents[: n - k + 1] == parents[k - 1 :]
+        starts = np.flatnonzero(valid)
+        if len(starts) == 0:
+            return empty
+        par = parents[starts]
+        offs = col.offsets.to_numpy().astype(np.int64)
+        pos = starts - offs[par]
+        ids = col_ids = batch[id_col]
+        if isinstance(col_ids, pa.ChunkedArray):
+            ids = col_ids.combine_chunks()
+        return pa.table(
+            {
+                "gram": pa.array(acc[valid].view(np.int64)),
+                id_col: ids.take(pa.array(par)),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    spans = ds.map_batches(_span_rows, batch_format="pyarrow")
+
+    def _gram_doc(batch: pa.Table) -> pa.Table:
+        t = batch.select(["gram", id_col])
+        return t.group_by(["gram", id_col], use_threads=False).aggregate([])
+
+    def _count_docs(g: pa.Table) -> pa.Table:
+        # per-bucket: distinct (gram, doc) again (cross-block dupes),
+        # then docs-per-gram
+        d = g.group_by(["gram", id_col], use_threads=False).aggregate([])
+        out = (
+            d.group_by(["gram"], use_threads=False)
+            .aggregate([(id_col, "count")])
+            .rename_columns(["gram", "n_docs"])
+        )
+        return out.filter(pc.greater_equal(out["n_docs"], min_docs))
+
+    gram_docs = spans.map_batches(_gram_doc, batch_format="pyarrow")
+    repeated = _bucketed_group_agg(gram_docs, ["gram"], _count_docs)
+    rep_parts = list(
+        repeated.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    rep_tbl = (
+        pa.concat_tables(rep_parts) if rep_parts
+        else pa.table({"gram": pa.array([], pa.int64())})
+    )
+    rep_ref = ray.put(
+        rep_tbl["gram"].combine_chunks()
+        if rep_tbl.num_rows
+        else pa.array([], pa.int64())
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        rep = ray.get(rep_ref)
+        if batch.num_rows == 0 or len(rep) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        keep = pc.is_in(batch["gram"], value_set=rep)
+        out = batch.filter(keep)
+        return out.select([id_col, "pos"])
+
+    return spans.map_batches(_filter, batch_format="pyarrow")

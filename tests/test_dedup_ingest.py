@@ -211,3 +211,57 @@ def test_screen_prune_is_lossless_random():
             .to_pylist()
         )
         assert got == sorted(_brute_force_survivors(corpus, batch, t)), t
+
+
+# --------------------------------------------------------------------------
+# repeated k-gram spans (cross-document duplicate detection)
+# --------------------------------------------------------------------------
+
+
+def test_repeated_spans_matches_brute_force():
+    from collections import Counter
+
+    from palimpzest_ray.stages.dedup import repeated_kgram_spans
+
+    rng = np.random.default_rng(6)
+    docs = [rng.integers(0, 5, rng.integers(0, 15)).tolist()
+            for _ in range(50)]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "tokens": pa.array(docs, pa.list_(pa.int32()))}
+    )
+    k = 4
+    got = sorted(
+        (r["doc_id"], r["pos"])
+        for r in repeated_kgram_spans(
+            rd.from_arrow(t).repartition(7), k=k, min_docs=2
+        ).take_all()
+    )
+    gram_docs: dict[tuple, set] = {}
+    for di, d in enumerate(docs):
+        for i in range(len(d) - k + 1):
+            gram_docs.setdefault(tuple(d[i: i + k]), set()).add(di)
+    exp = sorted(
+        (di, i)
+        for di, d in enumerate(docs)
+        for i in range(len(d) - k + 1)
+        if len(gram_docs[tuple(d[i: i + k])]) >= 2
+    )
+    assert got == exp
+    del Counter
+
+
+def test_repeated_spans_min_docs_and_self_repeat():
+    from palimpzest_ray.stages.dedup import repeated_kgram_spans
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         # (7,7) repeats WITHIN doc0 only — min_docs counts DISTINCT
+         # docs, so it must not flag
+         "tokens": pa.array([[7, 7, 7], [1, 2]], pa.list_(pa.int32()))}
+    )
+    res = repeated_kgram_spans(rd.from_arrow(t), k=2, min_docs=2)
+    assert res.take_all() == []
+    res3 = repeated_kgram_spans(rd.from_arrow(t), k=2, min_docs=1)
+    got = sorted((r["doc_id"], r["pos"]) for r in res3.take_all())
+    assert got == [(0, 0), (0, 1), (1, 0)]
