@@ -2092,6 +2092,56 @@ def q102_repeated_spans(sf_dir: str):
     ).sort(["doc_id", "pos"])
 
 
+def q103_span_removal(sf_dir: str):
+    """The full Lee-et-al dedup pipeline: repeated_kgram_spans DETECTS
+    every 24-codepoint window shared by ≥2 documents, remove_spans CUTS
+    them (overlaps merged via the interval delta array — one vectorized
+    pass), and the cleaned codepoint stream decodes back to text. EXACT
+    oracle: per-character anti-join against the flagged windows,
+    string_agg'd back in order."""
+    import ray.data as rd
+
+    from palimpzest_ray.stages.dedup import remove_spans, repeated_kgram_spans
+    from palimpzest_ray.stages.packing import add_char_tokens
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"doc_id": batch["doc_id"],
+             "text": pc.utf8_lower(batch["text"])}
+        )
+        return add_char_tokens(t).select(["doc_id", "tokens"])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).ray.map_batches(
+        _tok, batch_format="pyarrow"
+    )
+    spans = pa.Table.from_pylist(
+        repeated_kgram_spans(docs, k=24, min_docs=2).take_all(),
+        pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]),
+    )
+    cleaned = remove_spans(docs, spans, k=24)
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype("<i4")
+        offs = col.offsets.to_numpy()
+        buf = flat.tobytes()
+        texts = [
+            buf[offs[i] * 4 : offs[i + 1] * 4].decode("utf-32-le")
+            for i in range(batch.num_rows)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": pa.array(texts, pa.string()),
+                "n_removed": batch["n_removed"].cast(pa.int64()),
+            }
+        )
+
+    return pzd.Dataset(cleaned.map_batches(_decode, batch_format="pyarrow"))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2194,6 +2244,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q100_data_profile": q100_data_profile,
         "q101_bpe_pair_counts": q101_bpe_pair_counts,
         "q102_repeated_spans": q102_repeated_spans,
+        "q103_span_removal": q103_span_removal,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2389,6 +2440,36 @@ def _base_oracle_sql() -> dict[str, str]:
           having count(distinct doc_id) >= 2)
         select doc_id, pos from grams join rep using (g)
         order by doc_id, pos
+    """
+    # span removal == per-character anti-join against flagged windows
+    d["q103_span_removal"] = r"""
+        with toks as (select doc_id, lower(text) as t from documents),
+        grams as (
+          select doc_id, i - 1 as pos, substr(t, i, 24) as g
+          from toks, unnest(range(1, length(t) - 24 + 2)) as r(i)
+          where length(t) >= 24),
+        rep as (
+          select g from grams group by g
+          having count(distinct doc_id) >= 2),
+        flagged as (select doc_id, pos from grams join rep using (g)),
+        chars as (
+          select doc_id, i, substr(t, i, 1) as ch
+          from toks, unnest(range(1, length(t) + 1)) as r(i)),
+        kept as (
+          select c.doc_id, c.i, c.ch
+          from chars c
+          where not exists (
+            select 1 from flagged f
+            where f.doc_id = c.doc_id
+              and c.i between f.pos + 1 and f.pos + 24)),
+        agg as (
+          select doc_id, string_agg(ch, '' order by i) as clean_text,
+                 count(*) as n_kept
+          from kept group by doc_id)
+        select t.doc_id,
+               coalesce(a.clean_text, '') as clean_text,
+               length(t.t) - coalesce(a.n_kept, 0) as n_removed
+        from toks t left join agg a using (doc_id)
     """
     # fuzzy self-join == levenshtein over the cross pairs
     d["q99_fuzzy_join"] = """

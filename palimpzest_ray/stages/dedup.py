@@ -1118,3 +1118,68 @@ def repeated_kgram_spans(
         return out.select([id_col, "pos"])
 
     return spans.map_batches(_filter, batch_format="pyarrow")
+
+
+def remove_spans(
+    ds: rd.Dataset,
+    spans: pa.Table,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> rd.Dataset:
+    """Cut the flagged ``k``-token windows OUT of each document — the
+    second half of Lee-et-al-style dedup (:func:`repeated_kgram_spans`
+    finds the spans, this removes them). Overlapping spans merge
+    naturally via an interval delta array (+1 at each span start, -1
+    after its end, cumsum > 0 = covered): one vectorized pass per
+    batch, no per-token Python. Adds ``n_removed`` (tokens cut).
+
+    ``spans`` is the (doc_id, pos) table (broadcast via ``ray.put`` —
+    span tables are duplication-sized; a keyed cogroup is the
+    beyond-broadcast path)."""
+    spans_ref = ray.put(spans)
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "n_removed", pa.array([], pa.int32())
+            )
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy().astype(np.int64)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sp = ray.get(spans_ref)
+        here = sp.filter(pc.is_in(sp[id_col], value_set=ids))
+        delta = np.zeros(len(flat) + 1, dtype=np.int64)
+        if here.num_rows:
+            row_of = pc.index_in(here[id_col], value_set=ids).to_numpy(
+                zero_copy_only=False
+            )
+            pos = here["pos"].to_numpy(zero_copy_only=False)
+            starts = offs[row_of] + pos
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, starts + k, -1)  # windows never cross docs
+        covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        removed_per_doc = np.zeros(batch.num_rows, dtype=np.int64)
+        if covered.any():
+            cums = np.concatenate([[0], np.cumsum(covered)])
+            removed_per_doc = cums[offs[1:]] - cums[offs[:-1]]
+        new_lens = np.diff(offs) - removed_per_doc
+        new_offs = np.zeros(len(offs), dtype=np.int64)
+        np.cumsum(new_lens, out=new_offs[1:])
+        cleaned = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()),
+            pa.array(flat[keep].astype(np.int32), pa.int32()),
+        ).cast(pa.list_(pa.int32()))
+        i = batch.column_names.index(tokens_col)
+        return batch.set_column(i, tokens_col, cleaned).append_column(
+            "n_removed", pa.array(removed_per_doc.astype(np.int32))
+        )
+
+    return ds.map_batches(_cut, batch_format="pyarrow")

@@ -265,3 +265,60 @@ def test_repeated_spans_min_docs_and_self_repeat():
     res3 = repeated_kgram_spans(rd.from_arrow(t), k=2, min_docs=1)
     got = sorted((r["doc_id"], r["pos"]) for r in res3.take_all())
     assert got == [(0, 0), (0, 1), (1, 0)]
+
+
+def test_remove_spans_overlap_merge_and_counts():
+    from palimpzest_ray.stages.dedup import remove_spans
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "tokens": pa.array(
+             [[1, 2, 3, 4, 5, 6], [7, 8, 9], [1, 1]], pa.list_(pa.int32())
+         )}
+    )
+    # doc0: spans at pos 0 and 2 with k=3 -> covered [0,3) U [2,5) = [0,5)
+    spans = pa.table(
+        {"doc_id": pa.array([0, 0], pa.int64()),
+         "pos": pa.array([0, 2], pa.int64())}
+    )
+    out = pa.concat_tables(
+        remove_spans(rd.from_arrow(t), spans, k=3).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("doc_id")
+    assert out["tokens"].to_pylist() == [[6], [7, 8, 9], [1, 1]]
+    assert out["n_removed"].to_pylist() == [5, 0, 0]
+
+
+def test_detect_then_remove_leaves_no_repeats():
+    """After cutting, re-detection finds nothing (fixpoint on this
+    corpus shape)."""
+    from palimpzest_ray.stages.dedup import remove_spans, repeated_kgram_spans
+
+    shared = list(range(30, 40))
+    docs = [
+        shared + [1, 2, 3],
+        [5, 6] + shared,
+        [9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9],
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(3), pa.int64()),
+         "tokens": pa.array(docs, pa.list_(pa.int32()))}
+    )
+    k = 10
+    spans = pa.Table.from_pylist(
+        repeated_kgram_spans(rd.from_arrow(t), k=k, min_docs=2).take_all(),
+        pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]),
+    )
+    assert spans.num_rows == 2  # the shared run, once per doc
+    cleaned = remove_spans(rd.from_arrow(t), spans, k=k).materialize()
+    again = repeated_kgram_spans(
+        cleaned, k=k, min_docs=2
+    ).take_all()
+    assert again == []
+    rows = pa.concat_tables(
+        cleaned.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+    assert rows["tokens"].to_pylist()[0] == [1, 2, 3]
+    assert rows["tokens"].to_pylist()[1] == [5, 6]
+    assert rows["tokens"].to_pylist()[2] == docs[2]  # within-doc only
