@@ -2142,6 +2142,38 @@ def q103_span_removal(sf_dir: str):
     return pzd.Dataset(cleaned.map_batches(_decode, batch_format="pyarrow"))
 
 
+def q104_ddl_backfill(sf_dir: str):
+    """Metadata-only DDL + computed backfill (cdc/engine.py
+    alter_schema + backfill): add ``tok_bucket`` without touching data
+    files, then backfill ``n_tok // 100`` for every live row in one
+    exactly-once UPDATE commit — the standard add-a-derived-column
+    migration. EXACT oracle: the epoch-1 closed form with the bucket
+    expression."""
+    from palimpzest_ray.cdc import alter_schema, apply_changes, backfill
+    from palimpzest_ray.cdc.engine import final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_backfill_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    alter_schema(lake, add=[pa.field("tok_bucket", pa.int32())])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"tok_bucket": pc.cast(
+                pc.floor(pc.divide(
+                    batch["n_tok"].cast(pa.float64()), 100.0)),
+                pa.int32(),
+            )}
+        )
+
+    backfill(lake, _bucket, input_cols=["n_tok"],
+             output_cols=["tok_bucket"])
+    return pzd.Dataset(
+        final_state(lake, columns=["doc_id", "n_tok", "tok_bucket", "source"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2245,6 +2277,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q101_bpe_pair_counts": q101_bpe_pair_counts,
         "q102_repeated_spans": q102_repeated_spans,
         "q103_span_removal": q103_span_removal,
+        "q104_ddl_backfill": q104_ddl_backfill,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2440,6 +2473,16 @@ def _base_oracle_sql() -> dict[str, str]:
           having count(distinct doc_id) >= 2)
         select doc_id, pos from grams join rep using (g)
         order by doc_id, pos
+    """
+    # DDL+backfill == the epoch-1 closed form plus the bucket expression
+    d["q104_ddl_backfill"] = r"""
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                 as n_tok,
+               cast(len(regexp_split_to_array(lower(text), '\s+')) // 100
+                 as int) as tok_bucket,
+               source
+        from documents
     """
     # span removal == per-character anti-join against flagged windows
     d["q103_span_removal"] = r"""

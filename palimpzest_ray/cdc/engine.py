@@ -1638,6 +1638,82 @@ def delete_keys(
     )
 
 
+def backfill(
+    lake_root: str,
+    fn,
+    *,
+    input_cols: list[str],
+    output_cols: list[str],
+    predicate: list[tuple] | None = None,
+    mode: str = "delta",
+    run_id: str | None = None,
+) -> ApplyResult:
+    """Computed UPDATE over the lake: ``SET out_cols = fn(batch)`` for
+    every live row (optionally predicate-pruned) — the missing half of
+    DML next to :func:`update_where`'s constant SET, and the natural
+    partner of :func:`alter_schema`: add a column as metadata-only DDL,
+    then backfill its values in one exactly-once commit at
+    ``max_lsn + 1``.
+
+    ``fn(batch: pa.Table) -> pa.Table`` receives the key +
+    ``input_cols`` (vectorized, per batch) and must return exactly
+    ``output_cols``, row-aligned. Columns the row must carry forward
+    are read alongside (an UPDATE event replaces the whole row under
+    LWW) — reads stay pruned to key + carried + input columns."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    key = m.key
+    user_cols = [
+        f.name for f in m.schema if f.name not in (LSN_COL, TOMBSTONE_COL)
+    ]
+    unknown = set(output_cols) - set(user_cols)
+    if unknown:
+        raise ValueError(
+            f"output_cols not in lake schema (alter_schema first?): "
+            f"{sorted(unknown)}"
+        )
+    if key in output_cols:
+        raise ValueError(f"cannot backfill the LWW key {key!r}")
+    missing_in = set(input_cols) - set(user_cols)
+    if missing_in:
+        raise ValueError(f"input_cols not in lake schema: {sorted(missing_in)}")
+    lsn = int(m.max_lsn) + 1
+    read_cols = list(dict.fromkeys(user_cols))  # full row carries forward
+    matches = final_state(lake_root, columns=read_cols, predicate=predicate)
+
+    def _as_updates(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        computed = fn(batch.select([key] + [c for c in input_cols if c != key]))
+        got = set(computed.column_names)
+        if got != set(output_cols) or computed.num_rows != n:
+            raise ValueError(
+                f"backfill fn must return exactly {output_cols} "
+                f"({n} rows); got {sorted(got)} ({computed.num_rows})"
+            )
+        cols = {
+            "lsn": pa.array(np.full(n, lsn, dtype=np.int64)),
+            "op": pa.array(["UPDATE"] * n),
+        }
+        for c in user_cols:
+            if c in output_cols:
+                cols[c] = computed[c].cast(m.schema.field(c).type)
+            else:
+                cols[c] = batch[c]
+        return pa.table(cols)
+
+    feed = matches.map_batches(_as_updates, batch_format="pyarrow")
+    return apply_changes(
+        feed,
+        lake_root,
+        key=key,
+        partition_key=m.partition_key,
+        mode=mode,
+        run_id=run_id,
+        change_schema=_dml_feed_schema(m, user_cols),
+    )
+
+
 def merge_into(
     lake_root: str,
     source: pa.Table,

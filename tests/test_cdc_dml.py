@@ -299,3 +299,71 @@ def test_merge_into_refusals(tmp_path, ray_session):
     with pytest.raises(ValueError, match="missing from source"):
         merge_into(lake, pa.table({"doc_id": pa.array(["a"])}),
                    update_cols=["source"])
+
+
+# --------------------------------------------------------------------------
+# backfill (computed UPDATE)
+# --------------------------------------------------------------------------
+
+
+def test_backfill_computed_column_after_ddl(tmp_path, ray_session):
+    import numpy as np
+
+    from palimpzest_ray.cdc import alter_schema, backfill
+
+    lake = _mk_lake(tmp_path)
+    alter_schema(lake, add=[pa.field("tok_sum", pa.int64())])
+
+    def f(batch):
+        col = batch["tokens"].combine_chunks()
+        v = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy().astype(np.int64)
+        cums = np.concatenate([[0], np.cumsum(v)])
+        return pa.table({"tok_sum": pa.array(cums[offs[1:]] - cums[offs[:-1]])})
+
+    res = backfill(lake, f, input_cols=["tokens"], output_cols=["tok_sum"])
+    assert res.rows_upserted == 120
+    st = final_state_table(lake).sort_by("doc_id")
+    # tokens were [i, i+1] -> sum 2i+1; carried columns intact
+    assert st["tok_sum"].to_pylist() == [2 * i + 1 for i in range(120)]
+    assert st["n_tok"].to_pylist() == [2] * 120
+    # time travel: the pre-backfill version still reads null buckets
+    from palimpzest_ray.cdc.engine import final_state
+
+    import pyarrow as pa_
+    old = pa_.concat_tables(
+        final_state(lake, version=2).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+    )
+    assert old["tok_sum"].null_count == old.num_rows
+
+
+def test_backfill_predicate_pruned(tmp_path, ray_session):
+    from palimpzest_ray.cdc import backfill
+
+    lake = _mk_lake(tmp_path)
+
+    def f(batch):
+        n = batch.num_rows
+        return pa.table({"source": pa.array(["flagged"] * n)})
+
+    backfill(lake, f, input_cols=["source"], output_cols=["source"],
+             predicate=[("source", "==", "s1")])
+    st = final_state_table(lake)
+    srcs = st["source"].to_pylist()
+    assert srcs.count("flagged") == 30 and "s1" not in srcs
+
+
+def test_backfill_refusals(tmp_path, ray_session):
+    from palimpzest_ray.cdc import backfill
+
+    lake = _mk_lake(tmp_path)
+    with pytest.raises(ValueError, match="output_cols not in lake"):
+        backfill(lake, lambda b: b, input_cols=["n_tok"],
+                 output_cols=["ghost"])
+    with pytest.raises(ValueError, match="cannot backfill the LWW key"):
+        backfill(lake, lambda b: b, input_cols=["n_tok"],
+                 output_cols=["doc_id"])
+    with pytest.raises(Exception, match="must return exactly"):
+        backfill(lake, lambda b: pa.table({"wrong": pa.array([1])}),
+                 input_cols=["n_tok"], output_cols=["n_tok"])
