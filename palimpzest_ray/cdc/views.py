@@ -55,6 +55,11 @@ import ray.data as rd
 from palimpzest_ray import sinks
 from palimpzest_ray.cdc.engine import final_state, load_latest_manifest, net_changes_since
 
+#: refresh_view churn threshold: at or below this many changed keys the
+#: old rows come from the partition-pruned lookup (driver-side key set,
+#: no extra Ray execution); above it, the distributed semi-join path
+_LOOKUP_CHURN_CAP = 100_000
+
 _NROWS = "_nrows"
 _VIEW_META = "_view.json"
 _DELTA_FNS = {"count", "sum", "avg"}
@@ -282,18 +287,49 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
 
     key = meta["key"]
     group_col = meta["group_col"]
-    feed = net_changes_since(lake_root, base_v)
+    # the feed is CHANGE-sized by definition — pin it once instead of
+    # re-deriving it for each consumer below (each lazy consumer would
+    # re-run the whole catch-up scan; measured ~2s/extra execution of
+    # pure fixed cost on the bench demo)
+    feed = net_changes_since(lake_root, base_v).materialize()
 
     def _new_live(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch["op"], "UPDATE"))
 
     new_rows = feed.map_batches(_new_live, batch_format="pyarrow")
 
-    # the OLD contribution of every changed key, from the base version
-    from palimpzest_ray.dataset import Dataset as PzDataset
+    # the OLD contribution of every changed key, from the base version.
+    # Small churn (the steady state): collect the key set driver-side
+    # and use the partition-pruned LOOKUP — ≤ keys partition chains
+    # read, zero extra Ray executions. Lake-sized churn falls back to
+    # the distributed semi-join (block-local dedupe is enough: the
+    # broadcast semi_join only needs the key SET).
+    keys_set: set = set()
+    small_churn = True
+    for b in feed.iter_batches(batch_format="pyarrow", batch_size=None):
+        keys_set.update(pc.unique(b[key]).to_pylist())
+        if len(keys_set) > _LOOKUP_CHURN_CAP:
+            small_churn = False
+            break
+    if small_churn:
+        from palimpzest_ray.cdc.engine import lookup
 
-    changed_keys = PzDataset(feed).project([key]).distinct([key])
-    old_rows = PzDataset(old_state).semi_join(changed_keys, key).ray
+        old_rows = rd.from_arrow(
+            lookup(
+                lake_root, sorted(keys_set), key=key, version=base_v,
+                columns=_needed_cols(meta),
+            )
+        )
+    else:
+        from palimpzest_ray.dataset import Dataset as PzDataset
+
+        changed_keys = PzDataset(
+            feed.map_batches(
+                lambda t: pa.table({key: pc.unique(t[key])}),
+                batch_format="pyarrow",
+            )
+        )
+        old_rows = PzDataset(old_state).semi_join(changed_keys, key).ray
 
     current = _read_pinned(view_root, meta)
     if _has_mm(meta_n["aggs"]):
