@@ -60,6 +60,7 @@ def export_snapshot(
     *,
     version: int | None = None,
     columns: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Write a committed version as plain partitioned parquet.
 
@@ -70,6 +71,15 @@ def export_snapshot(
     bytes (resolution is deterministic). A ``_SNAPSHOT.json`` manifest
     records provenance (source lake, version, key, row count) and is
     written LAST, so its presence marks a complete snapshot.
+
+    ``cluster_by``: sort each exported partition by these columns
+    before writing — the Delta-OPTIMIZE-style read layout: row-group
+    min/max stats on the cluster columns become tight, so predicate
+    scans of the snapshot skip most row groups. This lives HERE and
+    not on the live lake because the merge contract owns base-file
+    order (bases must stay key-sorted for chain resolution and
+    streaming merges); a snapshot has no chains to resolve, so any
+    serving order is safe.
     """
     m = _manifest(lake_root, version)
     os.makedirs(out_dir, exist_ok=True)
@@ -84,6 +94,12 @@ def export_snapshot(
             raise ValueError(f"snapshot columns not in lake schema: {sorted(missing)}")
         user_fields = [f for f in user_fields if f.name in want]
     out_schema = pa.schema(user_fields)
+    if cluster_by:
+        bad = set(cluster_by) - {f.name for f in user_fields}
+        if bad:
+            raise ValueError(
+                f"cluster_by columns not in the exported schema: {sorted(bad)}"
+            )
     # resolution internals: key + lsn + tombstone always read
     read_cols = list(
         dict.fromkeys([f.name for f in user_fields] + [key, LSN_COL, TOMBSTONE_COL])
@@ -109,6 +125,8 @@ def export_snapshot(
                     pc.invert(pc.coalesce(r[TOMBSTONE_COL], pa.scalar(False)))
                 )
             r = conform(r, osch)
+            if cluster_by:
+                r = r.sort_by([(c, "ascending") for c in cluster_by])
             fname = f"part-{p:05d}.parquet"
             tmp = os.path.join(out_dir, fname + f".tmp-{uuid.uuid4().hex[:8]}")
             pq.write_table(r, tmp, compression="snappy", row_group_size=64 * 1024)
@@ -131,6 +149,7 @@ def export_snapshot(
         "rows": int(sum(d["rows"] for d in lineage)),
         "files": sorted(d["file"] for d in lineage),
         "columns": [f.name for f in user_fields],
+        "cluster_by": list(cluster_by) if cluster_by else [],
     }
     _atomic_write(os.path.join(out_dir, SNAPSHOT_META), json.dumps(meta, indent=1))
     return meta

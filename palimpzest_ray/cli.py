@@ -142,6 +142,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out_dir")
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--columns", nargs="+", default=None)
+    p.add_argument("--cluster-by", nargs="+", default=None,
+                   help="sort each partition by these columns (read layout)")
 
     p = sub.add_parser("clone", help="copy a committed version as a new lake")
     p.add_argument("lake")
@@ -357,7 +359,8 @@ def main(argv: list[str] | None = None) -> int:
         from palimpzest_ray.cdc import export_snapshot
 
         meta = export_snapshot(
-            args.lake, args.out_dir, version=args.version, columns=args.columns
+            args.lake, args.out_dir, version=args.version,
+            columns=args.columns, cluster_by=args.cluster_by,
         )
         print(json.dumps({k: meta[k] for k in ("source_version", "rows", "columns")}))
         return 0

@@ -102,3 +102,58 @@ def test_clone_lake_independent_and_chain_preserving(tmp_path, ray_session):
     assert load_latest_manifest(dst).max_lsn > m_src.max_lsn
     with pytest.raises(FileExistsError):
         clone_lake(lake, dst)
+
+
+def test_clustered_snapshot_prunes_row_groups(tmp_path, ray_session):
+    """cluster_by sorts each exported partition so row-group min/max
+    stats on the cluster column become tight — a predicate scan of the
+    clustered snapshot touches fewer row groups than the key-sorted
+    one, with identical content."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes, export_snapshot
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    n = 200_000
+    rng = np.random.default_rng(3)
+    rows = pa.table(
+        {
+            "lsn": pa.array(np.arange(n), pa.int64()),
+            "op": pa.array(["INSERT"] * n),
+            "doc_id": pa.array([f"d{i:07d}" for i in rng.permutation(n)]),
+            "tokens": pa.nulls(n, pa.list_(pa.int32())),
+            "n_tok": pa.array(rng.integers(0, 1000, n), pa.int32()),
+            "source": pa.array([f"s{i % 5}" for i in range(n)]),
+        }
+    ).cast(CHANGELOG_SCHEMA)
+    lake = os.path.join(str(tmp_path), "lake")
+    apply_changes(rd.from_arrow(rows), lake, num_partitions=2,
+                  change_schema=CHANGELOG_SCHEMA)
+
+    plain = os.path.join(str(tmp_path), "snap_plain")
+    clustered = os.path.join(str(tmp_path), "snap_clustered")
+    export_snapshot(lake, plain, columns=["doc_id", "n_tok"])
+    meta = export_snapshot(lake, clustered, columns=["doc_id", "n_tok"],
+                           cluster_by=["n_tok"])
+    assert meta["cluster_by"] == ["n_tok"]
+
+    def matching_row_groups(d):
+        hit = 0
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(1).statistics
+                if st.min <= 3 and st.max >= 3:  # n_tok == 3
+                    hit += 1
+        return hit
+
+    assert matching_row_groups(clustered) < matching_row_groups(plain)
+
+    # identical content (order-insensitive)
+    a = pq.read_table(plain).sort_by("doc_id")
+    b = pq.read_table(clustered).sort_by("doc_id")
+    assert a.equals(b)
