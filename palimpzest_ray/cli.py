@@ -145,6 +145,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cluster-by", nargs="+", default=None,
                    help="sort each partition by these columns (read layout)")
 
+    p = sub.add_parser(
+        "export-changes",
+        help="publish the net change feed since a version as JSONL topics",
+    )
+    p.add_argument("lake")
+    p.add_argument("since_version", type=int)
+    p.add_argument("out_dir")
+    p.add_argument("--format", choices=["debezium", "jsonl"],
+                   default="debezium")
+
     p = sub.add_parser("clone", help="copy a committed version as a new lake")
     p.add_argument("lake")
     p.add_argument("dst")
@@ -400,6 +410,14 @@ def main(argv: list[str] | None = None) -> int:
         from palimpzest_ray.cdc import refresh_token_index
 
         print(json.dumps(refresh_token_index(args.lake, args.index)))
+        return 0
+    if args.cmd == "export-changes":
+        from palimpzest_ray.sources.changelog import export_changes
+
+        print(json.dumps(export_changes(
+            args.lake, args.since_version, args.out_dir,
+            format=args.format,
+        )))
         return 0
     if args.cmd == "history":
         from palimpzest_ray.cdc import key_history

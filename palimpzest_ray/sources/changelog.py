@@ -170,3 +170,102 @@ def write_debezium_jsonl(
                 f.write(json.dumps(env, separators=(",", ":")) + "\n")
         paths.append(path)
     return paths
+
+
+def export_changes(
+    lake_root: str,
+    since_version: int,
+    out_dir: str,
+    *,
+    format: str = "debezium",
+    key: str = "doc_id",
+    connector: str = "palimpzest_ray",
+) -> dict:
+    """The ingest symmetry: publish the lake's NET change feed since a
+    committed version as JSONL topic files a non-engine consumer can
+    tail — ``format="debezium"`` renders the standard envelope
+    (``read_debezium_changes`` round-trips it), ``"jsonl"`` flat change
+    rows. One file per feed block (tmp+rename, re-export converges),
+    ``_CHANGES.json`` provenance written last. The feed itself is the
+    engine's ``net_changes_since`` (manifest-level pruning of unchanged
+    partitions), so exporting a small catch-up from a huge lake costs
+    O(changes)."""
+    import uuid
+
+    from palimpzest_ray.cdc.engine import net_changes_since
+    from palimpzest_ray.cdc.manifest import _atomic_write, load_latest_manifest
+
+    if format not in ("debezium", "jsonl"):
+        raise ValueError("format must be debezium|jsonl")
+    latest = load_latest_manifest(lake_root)
+    os.makedirs(out_dir, exist_ok=True)
+    feed = net_changes_since(lake_root, since_version)
+
+    def _write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "events": pa.array([], pa.int64())})
+        op_to_code = {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}
+        payload_cols = [
+            c for c in batch.column_names if c not in ("lsn", "op")
+        ]
+        name = f"changes-{uuid.uuid4().hex[:12]}.jsonl"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in batch.to_pylist():
+                if format == "jsonl":
+                    f.write(json.dumps(r, separators=(",", ":")) + "\n")
+                    continue
+                code = op_to_code[r["op"]]
+                env = {
+                    "payload": {
+                        "op": code,
+                        "before": {key: r[key]} if code == "d" else None,
+                        "after": (
+                            None if code == "d"
+                            else {c: r[c] for c in payload_cols}
+                        ),
+                        "source": {"lsn": r["lsn"], "connector": connector},
+                        "ts_ms": r["lsn"],
+                    }
+                }
+                f.write(json.dumps(env, separators=(",", ":")) + "\n")
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"file": pa.array([name]),
+                         "events": pa.array([batch.num_rows], pa.int64())})
+
+    parts = list(
+        feed.map_batches(_write, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    lineage = (
+        pa.concat_tables(parts) if parts
+        else pa.table({"file": pa.array([], pa.string()),
+                       "events": pa.array([], pa.int64())})
+    )
+    meta = {
+        "source_lake": os.path.abspath(lake_root),
+        "since_version": since_version,
+        "to_version": latest.version,
+        "format": format,
+        "events": int(pc.sum(lineage["events"]).as_py() or 0),
+        "files": sorted(lineage["file"].to_pylist()),
+    }
+    _atomic_write(os.path.join(out_dir, "_CHANGES.json"),
+                  json.dumps(meta, indent=1))
+    return meta
+
+
+def read_exported_changes(out_dir: str, schema: pa.Schema = CHANGELOG_SCHEMA,
+                          key: str = "doc_id") -> rd.Dataset:
+    """Consume an :func:`export_changes` directory: the provenance file
+    names the data files and format, so the reader never confuses
+    ``_CHANGES.json`` for a topic file."""
+    with open(os.path.join(out_dir, "_CHANGES.json")) as f:
+        meta = json.load(f)
+    paths = [os.path.join(out_dir, n) for n in meta["files"]]
+    if not paths:
+        return rd.from_arrow(schema.empty_table())
+    if meta["format"] == "debezium":
+        return read_debezium_changes(paths, schema, key=key)
+    return read_jsonl_changes(paths, schema)

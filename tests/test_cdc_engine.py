@@ -727,3 +727,54 @@ def test_key_history_scd2(tmp_path, tmp_lake):
     vs = sorted({r["_version"] for r in h2.to_pylist()})
     assert vs == [2, 3]
     assert ("b", 2) in {(r["doc_id"], r["_version"]) for r in h2.to_pylist()}
+
+
+def test_export_changes_debezium_roundtrip(tmp_path, tmp_lake):
+    """Change-feed export symmetry: export the net feed as Debezium
+    JSONL, re-ingest it through read_debezium_changes onto a replica
+    pinned at the base version — the replica converges to the latest
+    state (the wire format carries the full catch-up)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes
+    from palimpzest_ray.cdc.snapshot import clone_lake
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+    from palimpzest_ray.sources.changelog import (
+        export_changes,
+        read_exported_changes,
+    )
+
+    def ev(lsn, op, d, tok=None):
+        return {"lsn": lsn, "op": op, "doc_id": d, "tokens": tok,
+                "n_tok": len(tok) if tok else None,
+                "source": "w" if op != "DELETE" else None}
+
+    apply_changes(
+        rd.from_arrow(pa.Table.from_pylist(
+            [ev(1, "INSERT", "a", [1]), ev(2, "INSERT", "b", [2])],
+            CHANGELOG_SCHEMA)),
+        tmp_lake, num_partitions=2, change_schema=CHANGELOG_SCHEMA)
+    replica = os.path.join(str(tmp_path), "replica")
+    clone_lake(tmp_lake, replica)
+
+    apply_changes(
+        rd.from_arrow(pa.Table.from_pylist(
+            [ev(3, "UPDATE", "a", [9, 9]), ev(4, "DELETE", "b"),
+             ev(5, "INSERT", "c", [3])],
+            CHANGELOG_SCHEMA)),
+        tmp_lake, change_schema=CHANGELOG_SCHEMA, mode="delta")
+
+    out = os.path.join(str(tmp_path), "topic_out")
+    meta = export_changes(tmp_lake, 1, out, format="debezium")
+    assert meta["events"] == 3 and meta["to_version"] == 2
+    prov = _json.load(open(os.path.join(out, "_CHANGES.json")))
+    assert prov["files"] == meta["files"] and len(prov["files"]) >= 1
+
+    apply_changes(
+        read_exported_changes(out), replica,
+        change_schema=CHANGELOG_SCHEMA)
+    got = final_state_table(replica).sort_by("doc_id")
+    want = final_state_table(tmp_lake).sort_by("doc_id")
+    assert got.equals(want)
