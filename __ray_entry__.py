@@ -2174,6 +2174,68 @@ def q104_ddl_backfill(sf_dir: str):
     )
 
 
+def q105_changefeed_roundtrip(sf_dir: str):
+    """Change-feed EXPORT symmetry through the driver: the flagship
+    lake at epoch 1 is cloned, epoch 2 lands on the source
+    (merge-on-read), export_changes publishes the net feed as Debezium
+    JSONL, read_exported_changes re-ingests it onto the clone — whose
+    final state must equal the full replay. Shares cdc_replay's EXACT
+    oracle (the wire format carries the whole catch-up or the hash
+    diverges)."""
+    from palimpzest_ray.cdc import apply_changes, clone_lake, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+    from palimpzest_ray.sources.changelog import (
+        export_changes,
+        read_exported_changes,
+    )
+
+    work = demo_workdir(sf_dir, "cdc_feed_export_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    replica = os.path.join(work, "replica")
+    clone_lake(lake, replica)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+    topic = os.path.join(work, "topic")
+    export_changes(lake, 1, topic, format="debezium")
+    apply_changes(
+        read_exported_changes(topic), replica,
+        change_schema=CHANGELOG_SCHEMA,
+    )
+    return pzd.Dataset(
+        final_state(replica, columns=["doc_id", "n_tok", "source"])
+    )
+
+
+def q106_token_budget(sf_dir: str):
+    """Per-domain token budgets (the standard mixture constraint: cap
+    each source's contribution): running SUM of n_tok per source in
+    doc order (Dataset.window_cum — one keyed shuffle), keep rows whose
+    cumulative count stays ≤ 600. EXACT oracle: the same window in
+    SQL."""
+    from palimpzest_ray.pipelines.cdc_demo import tokenize_batch
+
+    docs = (
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(
+            lambda b: tokenize_batch(b).select(
+                ["doc_id", "n_tok", "source"]
+            )
+        )
+    )
+    budgeted = docs.window_cum(
+        "n_tok", "sum", by="source", order="doc_id", out="cum_tok"
+    )
+    return (
+        budgeted.filter(
+            batch_fn=lambda b: b.filter(
+                pc.less_equal(b["cum_tok"], pa.scalar(600))
+            )
+        )
+        .project(["doc_id", "source", "n_tok", "cum_tok"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2278,6 +2340,8 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q102_repeated_spans": q102_repeated_spans,
         "q103_span_removal": q103_span_removal,
         "q104_ddl_backfill": q104_ddl_backfill,
+        "q105_changefeed_roundtrip": q105_changefeed_roundtrip,
+        "q106_token_budget": q106_token_budget,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2473,6 +2537,24 @@ def _base_oracle_sql() -> dict[str, str]:
           having count(distinct doc_id) >= 2)
         select doc_id, pos from grams join rep using (g)
         order by doc_id, pos
+    """
+    # exported feed re-applied to a clone == the full replay
+    d["q105_changefeed_roundtrip"] = d["cdc_replay"]
+    # per-source running token sum capped == the same SQL window
+    d["q106_token_budget"] = r"""
+        with toks as (
+          select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents),
+        w as (
+          select doc_id, source, n_tok,
+                 sum(n_tok) over (partition by source order by doc_id
+                                  rows unbounded preceding) as cum_tok
+          from toks)
+        select doc_id, source, n_tok, cast(cum_tok as bigint) as cum_tok
+        from w where cum_tok <= 600
     """
     # DDL+backfill == the epoch-1 closed form plus the bucket expression
     d["q104_ddl_backfill"] = r"""
