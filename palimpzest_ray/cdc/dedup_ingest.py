@@ -84,25 +84,21 @@ def shingle_table(
     n = batch.num_rows
     h, parents = _word_hashes(batch[text_col])
     sh, sp = _shingle_hashes(h, parents, shingle)
-    per_doc: list[np.ndarray] = [np.empty(0, np.int64)] * n
     if len(sh):
         order = np.lexsort((sh, sp))
         sh, sp = sh[order], sp[order]
         keep = np.ones(len(sh), bool)
         keep[1:] = (sh[1:] != sh[:-1]) | (sp[1:] != sp[:-1])
         sh, sp = sh[keep], sp[keep]
-        starts = np.flatnonzero(np.diff(sp, prepend=sp[0] - 1))
-        ends = np.append(starts[1:], len(sp))
-        signed = sh.view(np.int64)
-        for s, e in zip(starts, ends):
-            per_doc[int(sp[s])] = signed[s:e]
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum([len(a) for a in per_doc], out=offsets[1:])
-    values = (
-        np.concatenate(per_doc) if n else np.empty(0, np.int64)
-    )
+        values = sh.view(np.int64)
+    else:
+        sp = np.empty(0, np.int64)
+        values = np.empty(0, np.int64)
+    # (sp, values) are sorted by doc — per-doc list offsets fall out of
+    # one searchsorted, no per-doc Python loop
+    offsets = np.searchsorted(sp, np.arange(n + 1), side="left")
     shingles = pa.LargeListArray.from_arrays(
-        pa.array(offsets), pa.array(values, pa.int64())
+        pa.array(offsets.astype(np.int64)), pa.array(values, pa.int64())
     ).cast(pa.list_(pa.int64()))
     cols = {
         id_col: batch[id_col].cast(pa.string()),

@@ -44,41 +44,80 @@ def _qgram_rows(
     batch: pa.Table, text_col: str, id_col: str, q: int
 ) -> pa.Table:
     """Explode each string into positional-multiset q-gram hash rows
-    ``(id, gram, n)`` where ``gram`` = hash(q-gram text, occurrence#)
-    and ``n`` = the string's total q-gram count. Strings shorter than
-    ``q`` emit one whole-string gram (so short strings still join)."""
-    texts = batch[text_col].cast(pa.string()).to_pylist()
-    ids = batch[id_col]
-    out_id_idx, out_gram_txt = [], []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, s in enumerate(texts):
-        s = s or ""
-        grams = (
-            [s[j : j + q] for j in range(len(s) - q + 1)]
-            if len(s) >= q
-            else [f"\x00SHORT:{s}"]
+    ``(id, gram, n)`` — ``gram`` mixes the q-gram's content hash with
+    its occurrence ordinal (multiset emulation), ``n`` is the string's
+    gram count. Vectorized: the only Python loop is over character
+    POSITIONS (bounded by the longest string) — each iteration slices
+    every string at once (``utf8_slice_codeunits``) and hashes the
+    column. Strings shorter than ``q`` emit one whole-string gram."""
+    col = batch[text_col].cast(pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    L = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rows = len(col)
+    long_counts = np.maximum(L - q + 1, 0)
+    counts = np.where(L >= q, long_counts, 1)
+
+    parents_parts: list[np.ndarray] = []
+    hash_parts: list[np.ndarray] = []
+    max_pos = int(long_counts.max()) if n_rows else 0
+    for j in range(max_pos):
+        mask = L >= j + q
+        if not mask.any():
+            break
+        m = pa.array(mask)
+        sliced = pc.utf8_slice_codeunits(
+            col.filter(m), start=j, stop=j + q
         )
-        counts[i] = len(grams)
-        seen: dict[str, int] = {}
-        for g in grams:
-            occ = seen.get(g, 0)
-            seen[g] = occ + 1
-            out_id_idx.append(i)
-            out_gram_txt.append(f"{g}\x00{occ}")
-    gram_h = stable_hash(pa.array(out_gram_txt, pa.string())).view(np.int64)
-    idx = pa.array(np.asarray(out_id_idx, dtype=np.int64))
+        hash_parts.append(stable_hash(sliced))
+        parents_parts.append(np.flatnonzero(mask))
+    short = L < q
+    if short.any():
+        sm = pa.array(short)
+        # mix with a marker so "ab" the short-string never equals the
+        # "ab" q-gram of a longer string
+        hash_parts.append(stable_hash(col.filter(sm)) * _QS)
+        parents_parts.append(np.flatnonzero(short))
+    if not hash_parts:
+        return pa.table(
+            {
+                id_col: batch[id_col].slice(0, 0),
+                "gram": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    parent = np.concatenate(parents_parts)
+    gh = np.concatenate(hash_parts).astype(np.uint64)
+    # occurrence ordinal per (string, gram content): block j holds at
+    # most one row per string and blocks ascend in position, so a
+    # STABLE sort by (parent, gh) keeps position order within each run
+    order = np.lexsort((gh, parent))
+    parent, gh = parent[order], gh[order]
+    run_start = np.zeros(len(gh), dtype=bool)
+    run_start[0] = True
+    run_start[1:] = (parent[1:] != parent[:-1]) | (gh[1:] != gh[:-1])
+    starts = np.flatnonzero(run_start)
+    occ = np.arange(len(gh)) - np.repeat(
+        starts, np.diff(np.append(starts, len(gh)))
+    )
+    with np.errstate(over="ignore"):
+        key = (gh * _QP1) ^ ((occ.astype(np.uint64) + np.uint64(1)) * _QP2)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
     return pa.table(
         {
-            id_col: ids.combine_chunks().take(idx)
-            if isinstance(ids, pa.ChunkedArray)
-            else ids.take(idx),
-            "gram": pa.array(gram_h),
-            "n": pa.array(counts[np.asarray(out_id_idx, dtype=np.int64)]),
-            "txt": pc.take(batch[text_col].combine_chunks()
-                           if isinstance(batch[text_col], pa.ChunkedArray)
-                           else batch[text_col], idx),
+            id_col: ids.take(pa.array(parent)),
+            "gram": pa.array(key.view(np.int64)),
+            "n": pa.array(counts[parent]),
         }
     )
+
+
+_QP1 = np.uint64(0x9E3779B185EBCA87)
+_QP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_QS = np.uint64(0x165667B19E3779F9)  # short-string marker mix
 
 
 def _lev_vectorized(A_txt: list[str], B_txt: list[str], k: int) -> np.ndarray:
@@ -202,15 +241,13 @@ def edit_distance_pairs(
 
     # per-string sizes + payload, broadcast to every counting batch
     def _sizes(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].cast(pa.string()).to_pylist()
-        n = np.array(
-            [max(len(s or "") - q + 1, 1) for s in texts], dtype=np.int64
-        )
+        txt = pc.fill_null(batch[text_col].cast(pa.string()), "")
+        L = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "n": pa.array(n),
-                "txt": batch[text_col].cast(pa.string()),
+                "n": pa.array(np.maximum(L - q + 1, 1).astype(np.int64)),
+                "txt": txt,
             }
         )
 
