@@ -2236,6 +2236,36 @@ def q106_token_budget(sf_dir: str):
     )
 
 
+def q107_lake_existence(sf_dir: str):
+    """Key-existence screen (``cdc.engine.contains_keys``): which of a
+    candidate key set is LIVE in the flagship demo lake — deleted keys
+    read absent, epoch-2 inserts read present, never-written keys read
+    absent without opening a single data file (the per-file key-Bloom
+    sidecars prove absence; ``tests/test_cdc_bloom.py`` holds the
+    zero-read proof). The anti-join every ingest pipeline runs before
+    admitting a batch. EXACT oracle: LEFT JOIN of the probe set against
+    the replay closed form."""
+    from palimpzest_ray.cdc import apply_changes, contains_keys
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_lookup_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+    probes = (
+        [f"doc-{i:08d}" for i in range(12)]      # num%5==0 were deleted
+        + [f"new-{i:08d}" for i in range(12)]    # only 0-9 were inserted
+        + [f"ghost-{i:04d}" for i in range(6)]   # never written: bloom-pruned
+    )
+    t = contains_keys(lake, probes)
+    t = pa.table(
+        {"doc_id": t["doc_id"], "present": pc.cast(t["exists"], pa.int64())}
+    )
+    import ray.data as rd
+
+    return pzd.Dataset(rd.from_arrow(t))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2342,6 +2372,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q104_ddl_backfill": q104_ddl_backfill,
         "q105_changefeed_roundtrip": q105_changefeed_roundtrip,
         "q106_token_budget": q106_token_budget,
+        "q107_lake_existence": q107_lake_existence,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2634,6 +2665,19 @@ def _base_oracle_sql() -> dict[str, str]:
         "with st as (" + d["cdc_replay"] + ") select * from st where doc_id in ("
         + ",".join(f"'doc-{i:08d}'" for i in range(8))
         + ",'new-00000000','new-00000003','doc-99999999')"
+    )
+    # key existence == probe set LEFT JOIN the replay closed form
+    d["q107_lake_existence"] = (
+        "with st as (" + d["cdc_replay"] + "), probes as ("
+        "  select 'doc-' || lpad(cast(i as varchar), 8, '0') as doc_id"
+        "  from range(12) t(i)"
+        "  union all"
+        "  select 'new-' || lpad(cast(i as varchar), 8, '0') from range(12) t(i)"
+        "  union all"
+        "  select 'ghost-' || lpad(cast(i as varchar), 4, '0') from range(6) t(i)"
+        ") select p.doc_id,"
+        "         cast(s.doc_id is not null as bigint) as present"
+        "  from probes p left join st s using (doc_id)"
     )
     return d
 

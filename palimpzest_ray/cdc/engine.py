@@ -69,6 +69,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from palimpzest_ray.cdc.bloom import (
+    bloom_might_contain,
+    load_bloom,
+    write_bloom_sidecar,
+)
 from palimpzest_ray.cdc.manifest import (
     LakeManifest,
     PartEntry,
@@ -391,6 +396,7 @@ class MergeApplier:
         streaming_threshold_rows: int = 4_000_000,
         die_once: str | None = None,
         mode: str = "rewrite",
+        bloom_col: str | None = None,
     ):
         from palimpzest_ray.schemas import schema_from_json
 
@@ -409,6 +415,10 @@ class MergeApplier:
         # winners as a chain append — O(changes) work per partition,
         # the merge-on-read steady state for frequent small applies.
         self.mode = mode
+        # the column the key-Bloom sidecar indexes: the lake's ROUTING
+        # column (partition_key or key) — the only column lookup() can
+        # probe by, and therefore the only one worth a filter
+        self.bloom_col = bloom_col or key
         self.fail_parts = set(fail_parts)
         self.spill_dir = spill_dir  # fs-exchange mode: batches carry part IDS
         # base partitions above this row count merge via the streaming
@@ -549,6 +559,7 @@ class MergeApplier:
             total_rows, tombstones, upserted, deleted, col_stats = (
                 self._merge_streaming(full_chain[0], changes, tmp)
             )
+            bloom_keys = None  # streaming path: narrow re-read below
         else:
             base = (
                 _resolve_chain(
@@ -567,7 +578,15 @@ class MergeApplier:
             pq.write_table(
                 merged, tmp, compression="snappy", row_group_size=64 * 1024
             )
+            bloom_keys = merged[self.bloom_col]
         os.replace(tmp, out)
+        # key Bloom sidecar: promoted with the file by commit_version so
+        # lookup() can skip chain files that provably lack a key
+        if bloom_keys is None:
+            bloom_keys = pq.read_table(out, columns=[self.bloom_col])[
+                self.bloom_col
+            ]
+        write_bloom_sidecar(out, bloom_keys)
 
         lineage = {
             "part": int(part),
@@ -692,6 +711,9 @@ class MergeApplier:
             tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
             pq.write_table(out, tmp, compression="snappy", row_group_size=64 * 1024)
             os.replace(tmp, path)
+            # tombstone keys included: a delta's DELETE row must still be
+            # read by chain resolution, so its key answers "maybe"
+            write_bloom_sidecar(path, out[self.bloom_col])
         # all-losers (old-segment replay): no file, nothing to commit —
         # the sidecar still marks the partition done for resume
 
@@ -1193,6 +1215,7 @@ def _apply_changes_impl(
         "streaming_threshold_rows": streaming_threshold_rows,
         "die_once": die_once,
         "mode": mode,
+        "bloom_col": partition_key or key,
     }
     if exchange == "fs":
         # Exchange through lake storage instead of the object store:
@@ -1940,6 +1963,67 @@ def tail_once(
     return apply_changes(log_dir, lake_root, since_lsn=watermark, **apply_kwargs)
 
 
+def tail_follow(
+    log_dir: str | list[str],
+    lake_root: str,
+    *,
+    poll_interval: float = 2.0,
+    idle_stop: int | None = 3,
+    max_commits: int | None = None,
+    stop_file: str | None = None,
+    on_commit=None,
+    **apply_kwargs,
+) -> list[ApplyResult]:
+    """Follow a growing log directory: loop :func:`tail_once` until a
+    stop condition, committing one lake version per iteration that finds
+    events past the watermark. The driver-side daemon mode of the ingest
+    story (a scheduler/cron owns restarts; every iteration is idempotent
+    by LWW, so kill-anywhere is safe).
+
+    Stop conditions (at least one must be set — an unconditionally
+    infinite loop is the caller's own ``while True``):
+
+    - ``idle_stop``: N consecutive polls with no new events ("the
+      producer drained" — the batch-backfill exit).
+    - ``max_commits``: stop after N committing iterations.
+    - ``stop_file``: path whose existence requests a cooperative stop
+      (checked each iteration; the operational kill switch).
+
+    ``on_commit(result)`` fires after each committed version — the hook
+    downstream maintenance rides on (refresh a view / index, kick
+    ``auto_compact``, export a change feed). Polls that find nothing
+    skip the sleep only when the previous poll committed (drain fast
+    while the producer is ahead; back off when caught up).
+    """
+    import time as _time
+
+    if idle_stop is None and max_commits is None and stop_file is None:
+        raise ValueError(
+            "tail_follow needs a stop condition: idle_stop, max_commits "
+            "or stop_file"
+        )
+    results: list[ApplyResult] = []
+    idle = 0
+    while True:
+        if stop_file is not None and os.path.exists(stop_file):
+            break
+        res = tail_once(log_dir, lake_root, **apply_kwargs)
+        committed = res.events_seen > 0
+        if committed:
+            idle = 0
+            results.append(res)
+            if on_commit is not None:
+                on_commit(res)
+            if max_commits is not None and len(results) >= max_commits:
+                break
+        else:
+            idle += 1
+            if idle_stop is not None and idle >= idle_stop:
+                break
+            _time.sleep(poll_interval)
+    return results
+
+
 def repartition_lake(
     lake_root: str,
     new_num_partitions: int,
@@ -2310,6 +2394,7 @@ def compact_deltas(
     os.makedirs(staging_dir, exist_ok=True)
     chains = {p: m.chain(lake_root, p) for p in targets}
     key = m.key
+    bloom_col = m.partition_key or m.key  # sidecars index the routing column
     from palimpzest_ray.schemas import schema_to_json
 
     schema_json = schema_to_json(m.schema)
@@ -2329,6 +2414,7 @@ def compact_deltas(
             tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
             pq.write_table(r, tmp, compression="snappy", row_group_size=64 * 1024)
             os.replace(tmp, out)
+            write_bloom_sidecar(out, r[bloom_col])
             tombs = _tombstone_count(r)
             rows.append(
                 {
@@ -2684,18 +2770,39 @@ def lookup(
         [f for f in manifest.schema if need is None or f.name in need]
     )
     out: list[pa.Table] = []
-    for p in np.unique(stable_bucket(karr, manifest.num_partitions)):
+    # sidecar Blooms index the lake's ROUTING column — consult them only
+    # when that's the column being probed (e.g. the token index lake is
+    # keyed on posting_id but partitioned/probed by token; its sidecars
+    # hold token hashes, so a posting_id probe must ignore them)
+    use_bloom = key == (manifest.partition_key or manifest.key)
+    buckets = stable_bucket(karr, manifest.num_partitions)
+    for p in np.unique(buckets):
         entry = manifest.parts.get(int(p))
         if entry is None:
             continue
+        routed = karr.filter(pa.array(buckets == p))  # keys this chain could hold
         tabs = []
         for path in manifest.chain(lake_root, int(p)):
+            # key-Bloom sidecar: skip a chain file that PROVABLY holds
+            # none of the routed keys — an absent-key probe then opens
+            # zero parquet files for this partition (the sidecar is KBs;
+            # the chain is MBs). Missing sidecar = read as before.
+            blob = load_bloom(path) if use_bloom else None
+            if blob is not None and not bloom_might_contain(blob, routed).any():
+                continue
             rc = None
             if need is not None:
                 present = set(pq_.read_schema(path).names)
                 rc = [c for c in need if c in present]
-            t = pq_.read_table(path, columns=rc)
+            # predicate pushdown on the key: base files are key-sorted
+            # (merge contract), so row-group min/max stats prune most of
+            # the file for point probes; the exact filter still runs
+            t = pq_.read_table(
+                path, columns=rc, filters=pc.field(key).isin(routed)
+            )
             tabs.append(t.filter(pc.is_in(t[key], value_set=karr)))
+        if not tabs:
+            continue
         # LWW-resolve ACROSS the chain before dropping tombstones — a
         # delta tombstone must kill its base row, and a delta upsert
         # must shadow it, neither of which a per-file filter can do
@@ -2706,3 +2813,34 @@ def lookup(
     if not out:
         return out_schema.empty_table()
     return pa.concat_tables(out, promote_options="default").sort_by(key)
+
+
+def contains_keys(
+    lake_root: str,
+    keys: list,
+    *,
+    key: str = "doc_id",
+    version: int | None = None,
+) -> pa.Table:
+    """Vectorized key-existence probe: ``(key, exists)`` for every input
+    key, deduplicated and sorted. ``exists`` is live presence — a
+    tombstoned (deleted) key reads False, exactly like :func:`lookup`
+    returning no row.
+
+    This is the anti-join screen a 100-TB ingest pipeline runs before
+    admitting a candidate batch ("which of these doc_ids are already in
+    the corpus?"). Cost shape: hash routing bounds the probe to one
+    partition chain per key, and the per-file key-Bloom sidecars
+    (:mod:`palimpzest_ray.cdc.bloom`) prove absence without opening the
+    file — so the common screening case (mostly-new keys) reads KBs of
+    sidecar instead of MBs of chain, and the residue that must be
+    confirmed reads only the key + tombstone columns under a pushed-down
+    key filter. The reference has no lake machinery; its closest probe
+    is re-running a filter over the full source (``FilteredScan``).
+    """
+    karr = pc.unique(pa.array(keys).drop_null())
+    found = lookup(lake_root, karr.to_pylist(), key=key, version=version,
+                   columns=[])
+    exists = pc.is_in(karr, value_set=found[key])
+    t = pa.table({key: karr, "exists": exists})
+    return t.sort_by(key)

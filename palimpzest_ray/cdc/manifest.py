@@ -233,7 +233,9 @@ def vacuum(
             full_vdir = os.path.join(data_root, vdir)
             for fn in os.listdir(full_vdir):
                 rel = os.path.normpath(os.path.join("data", vdir, fn))
-                if rel not in referenced:
+                # a .bloom sidecar lives and dies with its data file
+                stem = rel[: -len(".bloom")] if rel.endswith(".bloom") else rel
+                if stem not in referenced:
                     fp = os.path.join(lake_root, rel)
                     bytes_reclaimed += os.path.getsize(fp)
                     os.unlink(fp)
@@ -390,11 +392,19 @@ def commit_version(
         version = prev_version + 1
         data_dir = os.path.join(lake_root, "data", f"v{version}")
         os.makedirs(data_dir, exist_ok=True)
+
+        def _promote(src: str, dst: str) -> None:
+            # a staged data file travels with its optional key-Bloom
+            # sidecar (<file>.bloom) — same atomic rename discipline
+            os.replace(src, dst)
+            if os.path.exists(src + ".bloom"):
+                os.replace(src + ".bloom", dst + ".bloom")
+
         parts: dict[int, PartEntry] = dict(carried)
         for p, entry in new_parts.items():
             src = os.path.join(staging_dir, entry.file)
             rel = os.path.join("data", f"v{version}", f"part-{p:05d}.parquet")
-            os.replace(src, os.path.join(lake_root, rel))
+            _promote(src, os.path.join(lake_root, rel))
             # a full rewrite supersedes the whole chain
             parts[p] = dataclasses.replace(entry, file=rel, deltas=[])
         for p, entry in (delta_parts or {}).items():
@@ -403,13 +413,13 @@ def commit_version(
             if base is None:
                 # first data for this partition: the "delta" IS the base
                 rel = os.path.join("data", f"v{version}", f"part-{p:05d}.parquet")
-                os.replace(src, os.path.join(lake_root, rel))
+                _promote(src, os.path.join(lake_root, rel))
                 parts[p] = dataclasses.replace(entry, file=rel, deltas=[])
             else:
                 rel = os.path.join(
                     "data", f"v{version}", f"part-{p:05d}-delta.parquet"
                 )
-                os.replace(src, os.path.join(lake_root, rel))
+                _promote(src, os.path.join(lake_root, rel))
                 parts[p] = dataclasses.replace(
                     entry,
                     file=base.file,

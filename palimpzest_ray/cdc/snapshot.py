@@ -192,6 +192,12 @@ def clone_lake(
     def _copy(rel: str, new_name: str) -> str:
         dst_rel = os.path.join("data", "v1", new_name)
         shutil.copy2(os.path.join(src_root, rel), os.path.join(dst_root, dst_rel))
+        # key-Bloom sidecar travels with its data file (optional)
+        if os.path.exists(os.path.join(src_root, rel) + ".bloom"):
+            shutil.copy2(
+                os.path.join(src_root, rel) + ".bloom",
+                os.path.join(dst_root, dst_rel) + ".bloom",
+            )
         return dst_rel
 
     parts: dict[int, PartEntry] = {}

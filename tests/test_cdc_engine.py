@@ -317,6 +317,55 @@ def test_tail_once_incremental_ingest(tmp_path, tmp_lake):
     _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, changes))
 
 
+def test_tail_follow_drains_then_stops(tmp_path, tmp_lake):
+    """Daemon mode: tail_follow commits per poll that finds events, a
+    producer feeding the log between commits is drained, and the loop
+    exits on idle_stop once the producer is done. Final state == full
+    sequential replay; the hook fires once per committed version."""
+    import glob as _g
+    import shutil as _sh
+
+    from palimpzest_ray.cdc import load_latest_manifest, tail_follow
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    write_change_log(log, 2_000, 400, seed=41, chunk_rows=1_000)
+    side = os.path.join(str(tmp_path), "side")
+    write_change_log(side, 1_000, 400, seed=42, start_lsn=2_001, chunk_rows=500)
+    pending = sorted(_g.glob(os.path.join(side, "*.parquet")))
+
+    seen_versions = []
+
+    def produce_more(res):
+        seen_versions.append(load_latest_manifest(tmp_lake).version)
+        if pending:  # the "producer": one more segment arrives post-commit
+            f = pending.pop(0)
+            _sh.move(f, os.path.join(log, "tail-" + os.path.basename(f)))
+
+    results = tail_follow(
+        log, tmp_lake, poll_interval=0.05, idle_stop=2,
+        on_commit=produce_more, num_partitions=4,
+    )
+    # initial batch + 2 produced segments = 3 committing iterations
+    assert len(results) == 3 and len(seen_versions) == 3
+    assert seen_versions == sorted(set(seen_versions))
+    files = sorted(_g.glob(os.path.join(log, "*.parquet")))
+    changes = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="permissive"
+    )
+    _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, changes))
+
+    # stop_file requested before any poll: no-op, and the guard refuses
+    # an unbounded loop
+    stop = os.path.join(str(tmp_path), "STOP")
+    open(stop, "w").close()
+    assert tail_follow(log, tmp_lake, stop_file=stop, num_partitions=4) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stop condition"):
+        tail_follow(log, tmp_lake, idle_stop=None)
+
+
 def test_persisted_tombstones_make_segments_commutative(tmp_path, tmp_lake):
     """A deleted key cannot be resurrected by a late-arriving OLDER
     segment (tombstones persist in lake files); retention compaction
