@@ -2266,6 +2266,42 @@ def q107_lake_existence(sf_dir: str):
     return pzd.Dataset(rd.from_arrow(t))
 
 
+def q108_secondary_index(sf_dir: str):
+    """Secondary column index (``cdc.colindex``): ``WHERE source IN
+    (...)`` over the flagship demo lake WITHOUT scanning it — hop 1
+    reads ≤1 index partition per probed value (the index is a derived
+    lake partitioned by value), hop 2 fetches the matching docs through
+    the key-pruned Bloom-assisted lookup. Built after epoch 1,
+    incrementally refreshed from the change feed after epoch 2 (the
+    graded path exercises refresh, not just build). EXACT oracle: the
+    replay closed form filtered to the probed values."""
+    import os as _os
+
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        build_column_index,
+        lookup_by,
+        refresh_column_index,
+    )
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_colindex_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    idx = _os.path.join(work, "source_index")
+    apply_changes(log1, lake, num_partitions=8)
+    if not _os.path.exists(_os.path.join(idx, "_column_index.json")):
+        build_column_index(lake, idx, "source", num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+    refresh_column_index(lake, idx)
+    t = lookup_by(
+        lake, idx, ["src7", "synthetic", "no-such-source"],
+        columns=["n_tok", "source"],
+    )
+    import ray.data as rd
+
+    return pzd.Dataset(rd.from_arrow(t))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2373,6 +2409,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q105_changefeed_roundtrip": q105_changefeed_roundtrip,
         "q106_token_budget": q106_token_budget,
         "q107_lake_existence": q107_lake_existence,
+        "q108_secondary_index": q108_secondary_index,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2678,6 +2715,11 @@ def _base_oracle_sql() -> dict[str, str]:
         ") select p.doc_id,"
         "         cast(s.doc_id is not null as bigint) as present"
         "  from probes p left join st s using (doc_id)"
+    )
+    # index-accelerated equality probe == the replay closed form filtered
+    d["q108_secondary_index"] = (
+        "with st as (" + d["cdc_replay"] + ") "
+        "select * from st where source in ('src7', 'synthetic')"
     )
     return d
 

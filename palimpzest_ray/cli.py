@@ -194,6 +194,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--all", action="store_true", help="require ALL tokens")
 
     p = sub.add_parser(
+        "colindex-build", help="build a secondary value index on a column"
+    )
+    p.add_argument("lake")
+    p.add_argument("index")
+    p.add_argument("column")
+    p.add_argument("--num-partitions", type=int, default=32)
+
+    p = sub.add_parser(
+        "colindex-refresh", help="catch the column index up to the lake head"
+    )
+    p.add_argument("lake")
+    p.add_argument("index")
+
+    p = sub.add_parser(
+        "colindex-lookup", help="rows WHERE column IN values, index-pruned"
+    )
+    p.add_argument("lake")
+    p.add_argument("index")
+    p.add_argument("values", nargs="+")
+    p.add_argument("--columns", nargs="*", default=None)
+
+    p = sub.add_parser(
         "history", help="SCD2 key history: every retained version of keys"
     )
     p.add_argument("lake")
@@ -322,6 +344,26 @@ def main(argv: list[str] | None = None) -> int:
                              mode="all" if args.all else "any")
         print(json.dumps({"tokens": args.tokens, "n_docs": len(docs),
                           "doc_ids": docs}))
+        return 0
+    if args.cmd == "colindex-build":
+        from palimpzest_ray.cdc import build_column_index
+
+        print(json.dumps(build_column_index(
+            args.lake, args.index, args.column,
+            num_partitions=args.num_partitions)))
+        return 0
+    if args.cmd == "colindex-refresh":
+        from palimpzest_ray.cdc import refresh_column_index
+
+        print(json.dumps(refresh_column_index(args.lake, args.index)))
+        return 0
+    if args.cmd == "colindex-lookup":
+        from palimpzest_ray.cdc import lookup_by
+
+        t = lookup_by(args.lake, args.index, args.values,
+                      columns=args.columns)
+        print(json.dumps({"n_rows": t.num_rows,
+                          "rows": t.to_pylist()}, default=str))
         return 0
 
     if args.cmd == "fsck":

@@ -69,6 +69,29 @@ def test_cli_views_and_index(tmp_path, capsys):
         is False
     )
 
+    # secondary column index lifecycle mirrors the token index's
+    cidx = os.path.join(str(tmp_path), "cidx")
+    assert cli.main([
+        "colindex-build", lake, cidx, "source", "--num-partitions", "4"
+    ]) == 0
+    capsys.readouterr()
+    import pyarrow.compute as _pc
+
+    src = state["source"][0].as_py()
+    want = state.filter(
+        _pc.equal(state["source"], src)
+    )["doc_id"].to_pylist()
+    assert cli.main([
+        "colindex-lookup", lake, cidx, src, "--columns", "source"
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert sorted(r["doc_id"] for r in rows) == sorted(want)
+    assert cli.main(["colindex-refresh", lake, cidx]) == 0
+    assert (
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])["refreshed"]
+        is False
+    )
+
 
 def test_cli_delta_mode_and_compact(tmp_path, capsys):
     """apply --mode delta forms chains (visible in state), compact
