@@ -1414,7 +1414,31 @@ def fsck(lake_root: str, *, version: int | None = None, deep: bool = False) -> d
         if not deep:
             rows += e.rows
             continue
-        r = _resolve_chain(_read_chain(chain), m.key, m.schema)
+        # Bloom sidecars must honor the one-sided contract for EVERY key
+        # physically in their file (tombstones included): a false
+        # negative would silently drop rows from lookups — the only
+        # bloom failure mode that corrupts results rather than costing a
+        # read. Checked per FILE (pre-resolution), since lookup consults
+        # sidecars per chain file.
+        bloom_col = m.partition_key or m.key
+        chain_tabs = _read_chain(chain)
+        for path, t in zip(chain, chain_tabs):
+            blob = load_bloom(path)
+            if blob is None or t.num_rows == 0:
+                continue  # missing sidecar = legal (read-as-before)
+            try:
+                maybe = bloom_might_contain(blob, t[bloom_col].combine_chunks())
+            except Exception as exc:  # truncated / foreign bytes
+                errors.append(f"part {p}: unreadable bloom sidecar for "
+                              f"{os.path.basename(path)} ({exc})")
+                continue
+            if not maybe.all():
+                errors.append(
+                    f"part {p}: bloom sidecar for {os.path.basename(path)} "
+                    f"denies {int((~maybe).sum())} key(s) present in the "
+                    "file (false negatives — lookups would drop rows)"
+                )
+        r = _resolve_chain(chain_tabs, m.key, m.schema)
         tombs = _tombstone_count(r)
         live = r.num_rows - tombs
         rows += live

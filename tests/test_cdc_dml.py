@@ -187,6 +187,27 @@ def test_fsck_clean_and_detects_tampering(tmp_path, ray_session):
     assert not rep2["ok"]
     assert any("foreign" in x or "watermark" in x or "rows=" in x for x in rep2["errors"])
 
+    # a FALSE-NEGATIVE bloom sidecar (the only bloom failure mode that
+    # drops rows instead of costing a read) is caught by the deep audit
+    from palimpzest_ray.cdc.bloom import BLOOM_SUFFIX, bloom_build
+
+    base_file = os.path.join(lake, e.file)
+    wrong = bloom_build(pa.array(["only-this-key"]))
+    with open(base_file + BLOOM_SUFFIX, "wb") as f:
+        f.write(wrong)
+    from palimpzest_ray.cdc.bloom import _load_bloom_cached
+
+    _load_bloom_cached.cache_clear()  # committed files are immutable; tampering isn't
+    repb = fsck(lake, deep=True)
+    assert not repb["ok"] and any("false negatives" in x for x in repb["errors"])
+    with open(base_file + BLOOM_SUFFIX, "wb") as f:
+        f.write(b"garbage")
+    _load_bloom_cached.cache_clear()
+    repc = fsck(lake, deep=True)
+    assert not repc["ok"] and any("unreadable bloom" in x for x in repc["errors"])
+    os.unlink(base_file + BLOOM_SUFFIX)  # missing sidecar = legal again
+    _load_bloom_cached.cache_clear()
+
     # missing file detected even in shallow mode
     os.unlink(os.path.join(lake, e.deltas[-1]))
     rep3 = fsck(lake)
