@@ -2302,6 +2302,46 @@ def q108_secondary_index(sf_dir: str):
     return pzd.Dataset(rd.from_arrow(t))
 
 
+def q109_ingest_screen(sf_dir: str):
+    """Distributed exact-key ingest screen (``cdc.screen_new_keys``):
+    probe EVERY document (plus never-written ghosts) against the
+    flagship demo lake as a streaming candidate Dataset — the Bloom
+    phase proves ghosts new without touching parquet, the shuffle
+    anti-join confirms the residue, tombstoned (epoch-2-deleted) keys
+    correctly screen as new. EXACT oracle: candidates minus the replay
+    closed form."""
+    from palimpzest_ray.cdc import apply_changes, screen_new_keys
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_lookup_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+
+    import ray.data as rd
+
+    def _fmt(b: pa.Table) -> pa.Table:
+        did = pc.binary_join_element_wise(
+            pa.array(["doc-"] * b.num_rows),
+            pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 8, "0"),
+            "",
+        )
+        return pa.table({"doc_id": did, "source": b["source"]})
+
+    cand = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(_fmt)
+    ghosts = pzd.Dataset(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([f"ghost-{i:04d}" for i in range(8)]),
+                    "source": pa.array(["ghost"] * 8),
+                }
+            )
+        )
+    )
+    return screen_new_keys(lake, cand.union(ghosts))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2410,6 +2450,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q106_token_budget": q106_token_budget,
         "q107_lake_existence": q107_lake_existence,
         "q108_secondary_index": q108_secondary_index,
+        "q109_ingest_screen": q109_ingest_screen,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2720,6 +2761,17 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q108_secondary_index"] = (
         "with st as (" + d["cdc_replay"] + ") "
         "select * from st where source in ('src7', 'synthetic')"
+    )
+    # ingest screen == candidates ANTI JOIN the live replay closed form
+    d["q109_ingest_screen"] = (
+        "with st as (" + d["cdc_replay"] + "), cand as ("
+        "  select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,"
+        "         source from documents"
+        "  union all"
+        "  select 'ghost-' || lpad(cast(i as varchar), 4, '0'), 'ghost'"
+        "  from range(8) t(i)"
+        ") select c.doc_id, c.source from cand c "
+        "where c.doc_id not in (select doc_id from st)"
     )
     return d
 
