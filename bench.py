@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "q81_sem_topk_ivf",  # round-3: per-record top-k over the IVF index
     "q94_dedup_ingest",  # round-3: corpus-screened ingest micro-batch
     "q99_fuzzy_join",  # round-3: lossless edit-distance self-join
+    "q109_ingest_screen",  # round-3: bloom-phased distributed key screen
     "cdc_replay",
 ]
 
