@@ -410,6 +410,36 @@ def apply_merge_batch(
     return batch.set_column(i, tokens_col, merged)
 
 
+def apply_bpe(
+    ds: rd.Dataset,
+    merges: list[tuple[int, int, int]],
+    *,
+    tokens_col: str = "tokens",
+) -> rd.Dataset:
+    """ENCODE a corpus with a learned merge table — the inference half
+    of :func:`learn_bpe`, shaped for scale: ONE streaming ``map_batches``
+    pass over the corpus, looping the merge rules in learned order
+    inside the batch fn (each rule exhaustively via the vectorized
+    :func:`apply_merge_batch`), with none of the per-rule corpus
+    re-materialization the training loop needs.
+
+    Applying each rule exhaustively once, in learned order, equals the
+    classic iterative min-rank encode: a merge only creates adjacencies
+    involving its fresh ``new_id``, whose own pairs were learned LATER,
+    so no earlier rule can newly apply after its pass (and a rule can
+    never re-enable itself — ``new_id`` is fresh). The equivalence is
+    pinned against a pure-python iterative reference in
+    ``tests/test_packing.py``."""
+    rules = [(int(a), int(b), int(n)) for a, b, n in merges]
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        for a, b, nid in rules:
+            batch = apply_merge_batch(batch, (a, b), nid, tokens_col=tokens_col)
+        return batch
+
+    return ds.map_batches(_encode, batch_format="pyarrow")
+
+
 def learn_bpe(
     ds: rd.Dataset,
     n_merges: int,

@@ -187,6 +187,66 @@ def test_learn_bpe_matches_reference(ray_session):
     assert cur["tokens"].to_pylist() == exp_docs
 
 
+def _bpe_encode_ref(doc: list[int], merges: list[tuple[int, int, int]]):
+    """Classic ITERATIVE min-rank encode (subword-nmt shape): find the
+    lowest-rank applicable rule, apply it exhaustively, repeat until
+    none applies — the reference apply_bpe's ordered single pass must
+    equal."""
+    rank = {(a, b): (i, n) for i, (a, b, n) in enumerate(merges)}
+    d = list(doc)
+    while True:
+        present = {(x, y) for x, y in zip(d, d[1:]) if (x, y) in rank}
+        if not present:
+            return d
+        a, b = min(present, key=lambda p: rank[p][0])
+        nid = rank[(a, b)][1]
+        out, i = [], 0
+        while i < len(d):
+            if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                out.append(nid)
+                i += 2
+            else:
+                out.append(d[i])
+                i += 1
+        d = out
+
+
+def test_apply_bpe_streaming_encode_matches_iterative(ray_session):
+    """apply_bpe (one streaming pass, rules in learned order) equals
+    the iterative min-rank encode on a corpus the rules were NOT
+    learned from — the inference half of the BPE story."""
+    import numpy as np
+    import ray.data as rd
+
+    from palimpzest_ray.stages.packing import apply_bpe, learn_bpe
+
+    rng = np.random.default_rng(29)
+    train = [rng.integers(0, 4, rng.integers(2, 14)).tolist() for _ in range(60)]
+    tt = pa.table(
+        {"doc_id": pa.array(range(len(train)), pa.int64()),
+         "tokens": pa.array(train, pa.list_(pa.int32()))}
+    )
+    merges = learn_bpe(rd.from_arrow(tt).repartition(5), 6, next_id=100)
+    assert len(merges) >= 4  # enough rules to chain (new ids re-merge)
+
+    fresh = [rng.integers(0, 4, rng.integers(0, 20)).tolist() for _ in range(80)]
+    ft = pa.table(
+        {"doc_id": pa.array(range(len(fresh)), pa.int64()),
+         "tokens": pa.array(fresh, pa.list_(pa.int32()))}
+    )
+    got = (
+        apply_bpe(rd.from_arrow(ft).repartition(7), merges)
+        .sort("doc_id").take_all()
+    )
+    want = [_bpe_encode_ref(d, merges) for d in fresh]
+    assert [r["tokens"] for r in got] == want
+
+    # and on the training corpus it reproduces learn_bpe's final state
+    exp_merges, exp_docs = _bpe_ref(train, 6, 100)
+    got_t = apply_bpe(rd.from_arrow(tt), merges).sort("doc_id").take_all()
+    assert [r["tokens"] for r in got_t] == exp_docs
+
+
 def test_apply_merge_greedy_runs(ray_session):
     from palimpzest_ray.stages.packing import apply_merge_batch
 
