@@ -216,6 +216,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--columns", nargs="*", default=None)
 
     p = sub.add_parser(
+        "screen", help="rows of a candidate parquet whose key is NOT in the lake"
+    )
+    p.add_argument("lake")
+    p.add_argument("candidates", help="parquet file/dir of candidate rows")
+    p.add_argument("--out", default=None,
+                   help="write surviving rows as parquet here (default: count only)")
+
+    p = sub.add_parser(
         "history", help="SCD2 key history: every retained version of keys"
     )
     p.add_argument("lake")
@@ -344,6 +352,21 @@ def main(argv: list[str] | None = None) -> int:
                              mode="all" if args.all else "any")
         print(json.dumps({"tokens": args.tokens, "n_docs": len(docs),
                           "doc_ids": docs}))
+        return 0
+    if args.cmd == "screen":
+        import ray.data as rd
+
+        from palimpzest_ray.cdc import screen_new_keys
+
+        new = screen_new_keys(args.lake, rd.read_parquet(args.candidates))
+        if args.out:
+            new.ray.write_parquet(args.out)
+            import pyarrow.dataset as pads
+
+            n = pads.dataset(args.out).count_rows()
+        else:
+            n = new.count()
+        print(json.dumps({"new_rows": int(n), "out": args.out}))
         return 0
     if args.cmd == "colindex-build":
         from palimpzest_ray.cdc import build_column_index

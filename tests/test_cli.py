@@ -92,6 +92,23 @@ def test_cli_views_and_index(tmp_path, capsys):
         is False
     )
 
+    # ingest screen: 4 fresh candidates + 2 already-present keys -> 4 new
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    cand = pa.table(
+        {"doc_id": pa.array([f"screen-{i}" for i in range(4)]
+                            + state["doc_id"].to_pylist()[:2])}
+    )
+    cpath = os.path.join(str(tmp_path), "cand.parquet")
+    _pq.write_table(cand, cpath)
+    outdir = os.path.join(str(tmp_path), "screened")
+    assert cli.main(["screen", lake, cpath, "--out", outdir]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["new_rows"] == 4
+    got = _pq.read_table(outdir)
+    assert sorted(got["doc_id"].to_pylist()) == [f"screen-{i}" for i in range(4)]
+
 
 def test_cli_delta_mode_and_compact(tmp_path, capsys):
     """apply --mode delta forms chains (visible in state), compact
