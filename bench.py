@@ -174,7 +174,10 @@ def run_cdc_incremental(num_partitions: int = 64) -> dict:
         t0 = time.time()
         written = 0
         for d in epoch_dirs:
-            r = apply_changes(d, lake, mode=mode, exchange=CDC_EXCHANGE)
+            # epochs use exchange="auto": a 25k-event epoch is exactly
+            # the small-commit case the driver-local path exists for —
+            # the engine's real steady-state behavior, not a pinned mode
+            r = apply_changes(d, lake, mode=mode, exchange="auto")
             written += _version_bytes(lake, r.manifest.version)
         dt = time.time() - t0
         total = CDC_INC_EPOCHS * CDC_INC_EVENTS

@@ -317,6 +317,54 @@ def test_tail_once_incremental_ingest(tmp_path, tmp_lake):
     _assert_tables_equal(final_state_table(tmp_lake), sequential_replay(None, changes))
 
 
+def test_local_apply_equals_distributed(tmp_path, tmp_lake, base_and_changes, monkeypatch):
+    """exchange='auto' routes small logs driver-locally (zero Ray
+    executions); the committed state must be EXACTLY what every
+    distributed exchange produces, in both modes, and the threshold
+    must route big logs back to Ray."""
+    from palimpzest_ray.cdc import engine as eng
+
+    base, changes = base_and_changes
+    boot = pa.table(
+        {
+            "lsn": pa.array([0] * base.num_rows, pa.int64()),
+            "op": pa.array(["INSERT"] * base.num_rows),
+            **{c: base[c] for c in base.column_names},
+        }
+    )
+    bp = _write(tmp_path, "boot/log.parquet", boot)
+    cp = _write(tmp_path, "log/changes.parquet", changes)
+
+    states = {}
+    for ex in ("local", "ray", "fs"):
+        lake = os.path.join(str(tmp_path), f"lake-{ex}")
+        for mode, log in (("rewrite", bp), ("delta", cp)):
+            r = apply_changes(log, lake, num_partitions=8, exchange=ex, mode=mode)
+        states[ex] = final_state_table(lake, user_columns_only=False)
+        if ex == "local":
+            assert r.stats.startswith("local")
+    assert states["local"].equals(states["ray"])
+    assert states["local"].equals(states["fs"])
+    _assert_tables_equal(
+        final_state_table(os.path.join(str(tmp_path), "lake-local")),
+        sequential_replay(base, changes),
+    )
+
+    # auto respects the byte threshold: tiny threshold -> distributed
+    monkeypatch.setattr(eng, "LOCAL_APPLY_MAX_BYTES", 1)
+    r2 = apply_changes(cp, os.path.join(str(tmp_path), "lake-local"),
+                       num_partitions=8)
+    assert not r2.stats.startswith("local")
+    # explicit local with a Dataset input refuses
+    import pytest as _pytest
+    import ray.data as rd
+
+    with _pytest.raises(ValueError, match="parquet path"):
+        apply_changes(rd.from_arrow(changes),
+                      os.path.join(str(tmp_path), "lake-local"),
+                      num_partitions=8, exchange="local")
+
+
 def test_tail_follow_drains_then_stops(tmp_path, tmp_lake):
     """Daemon mode: tail_follow commits per poll that finds events, a
     producer feeding the log between commits is drained, and the loop
