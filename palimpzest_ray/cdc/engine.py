@@ -101,6 +101,9 @@ SRC_COL = "__is_change"
 #: driver-locally (zero Ray executions — the frequent-small-epoch fast
 #: path); larger logs take the distributed exchange
 LOCAL_APPLY_MAX_BYTES = 32 << 20
+#: newest run reports kept under <lake>/.runs (older ones are pruned at
+#: each apply so a forever-tailing lake never accumulates them unboundedly)
+RUN_REPORTS_KEEP = 512
 #: final_state switches a delta-bearing partition to the streaming
 #: chain resolver when its BASE file exceeds this many rows (same
 #: bound class as MergeApplier's streaming_threshold_rows)
@@ -1425,6 +1428,21 @@ def _apply_changes_impl(
     with open(tmp_report, "w") as f:
         json.dump(report, f, indent=1)
     os.replace(tmp_report, os.path.join(runs_dir, f"{run_id}.json"))
+    # retention: a tail_follow lake commits forever — keep the newest
+    # RUN_REPORTS_KEEP reports (by mtime; run ids are random, names
+    # don't sort) so .runs never grows unboundedly
+    reports = [
+        os.path.join(runs_dir, f)
+        for f in os.listdir(runs_dir)
+        if f.endswith(".json")
+    ]
+    if len(reports) > RUN_REPORTS_KEEP:
+        reports.sort(key=os.path.getmtime)
+        for old in reports[:-RUN_REPORTS_KEEP]:
+            try:
+                os.unlink(old)
+            except OSError:
+                pass  # concurrent writer pruned it first
     return result
 
 

@@ -365,6 +365,31 @@ def test_local_apply_equals_distributed(tmp_path, tmp_lake, base_and_changes, mo
                       num_partitions=8, exchange="local")
 
 
+def test_run_report_retention(tmp_path, tmp_lake, monkeypatch):
+    """.runs keeps only the newest RUN_REPORTS_KEEP reports — a
+    forever-tailing lake must not accumulate one file per commit."""
+    from palimpzest_ray.cdc import engine as eng
+
+    monkeypatch.setattr(eng, "RUN_REPORTS_KEEP", 3)
+    seg = pa.table(
+        {
+            "lsn": pa.array([1], pa.int64()),
+            "op": ["INSERT"],
+            "doc_id": ["a"],
+            "tokens": pa.array([[1]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1], pa.int32()),
+            "source": ["s"],
+        }
+    )
+    for i in range(6):
+        log = seg.set_column(0, "lsn", pa.array([i + 1], pa.int64()))
+        apply_changes(_write(tmp_path, f"l{i}/log.parquet", log),
+                      tmp_lake, num_partitions=2)
+    runs = [f for f in os.listdir(os.path.join(tmp_lake, ".runs"))
+            if f.endswith(".json")]
+    assert len(runs) == 3
+
+
 def test_tail_follow_drains_then_stops(tmp_path, tmp_lake):
     """Daemon mode: tail_follow commits per poll that finds events, a
     producer feeding the log between commits is drained, and the loop
