@@ -206,8 +206,10 @@ def refresh_column_index(lake_root: str, index_root: str) -> dict:
     events = joined.ray.map_batches(_emit, batch_format="pyarrow").materialize()
     n_events = events.count()  # metadata-only on the pinned result
     if n_events:
+        from palimpzest_ray.cdc.index import _small_or_ds
+
         apply_changes(
-            events,
+            _small_or_ds(events, n_events),
             index_root,
             key="entry_id",
             partition_key="value",

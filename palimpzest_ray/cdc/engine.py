@@ -896,7 +896,7 @@ class MergeApplier:
 
 
 def apply_changes(
-    changes: str | list[str] | rd.Dataset,
+    changes: str | list[str] | pa.Table | rd.Dataset,
     lake_root: str,
     *,
     num_partitions: int = 32,
@@ -1005,7 +1005,7 @@ def apply_changes(
 
 
 def _apply_changes_impl(
-    changes: str | list[str] | rd.Dataset,
+    changes: str | list[str] | pa.Table | rd.Dataset,
     lake_root: str,
     *,
     num_partitions: int = 32,
@@ -1038,7 +1038,9 @@ def _apply_changes_impl(
     Correct by the replay contract (LWW makes re-application idempotent
     anyway; the filter just cuts the work).
 
-    ``changes`` may be parquet path(s) or a prepared ``ray.data.Dataset``.
+    ``changes`` may be parquet path(s), a driver-side ``pyarrow.Table``
+    (the refresh-commit idiom; small tables apply locally under
+    ``exchange="auto"``), or a prepared ``ray.data.Dataset``.
     For a Dataset whose blocks mix schema epochs, pass ``change_schema``
     (the unified schema) — ``ds.schema()`` only reflects the first block,
     and normalize refuses batches with undeclared columns.
@@ -1111,6 +1113,14 @@ def _apply_changes_impl(
 
         _ncpu = int(_ray.cluster_resources().get("CPU", 4))
         ds = rd.read_parquet(files, override_num_blocks=max(len(files), 2 * _ncpu))
+    elif isinstance(changes, pa.Table):
+        # driver-side event table (the refresh paths materialize their
+        # change-sized feeds anyway): routes to the local path when
+        # small, otherwise promoted to a Dataset for the exchange
+        events_seen = changes.num_rows
+        if change_schema is None:
+            change_schema = changes.schema
+        ds = None  # decided below by exchange routing
     else:
         ds = changes
         if change_schema is None:
@@ -1203,7 +1213,30 @@ def _apply_changes_impl(
             )
         return batch
 
-    pipeline = ds.map_batches(_norm_skip, batch_format="pyarrow", batch_size=None)
+    if exchange == "auto":
+        # Small-batch fast path (see apply_changes docstring): parquet
+        # logs and driver-side event tables at or below the threshold
+        # run the whole apply in-process; fault injection keeps the
+        # distributed machinery it targets.
+        if fail_parts or die_once is not None:
+            local_ok = False
+        elif isinstance(changes, (str, list)):
+            local_ok = (
+                sum(os.path.getsize(f) for f in files) <= LOCAL_APPLY_MAX_BYTES
+            )
+        elif isinstance(changes, pa.Table):
+            local_ok = changes.nbytes <= LOCAL_APPLY_MAX_BYTES
+        else:
+            local_ok = False
+        exchange = "local" if local_ok else "ray"
+    if ds is None and exchange != "local":
+        ds = rd.from_arrow(changes)  # big driver table -> the exchange
+
+    pipeline = (
+        None
+        if exchange == "local"
+        else ds.map_batches(_norm_skip, batch_format="pyarrow", batch_size=None)
+    )
 
     from palimpzest_ray.schemas import schema_to_json
 
@@ -1236,35 +1269,23 @@ def _apply_changes_impl(
         "mode": mode,
         "bloom_col": partition_key or key,
     }
-    if exchange == "auto":
-        # Small-batch fast path: a frequent-small-epoch steady state
-        # (view/index refresh commits, MERGE INTO, DML, tail_follow
-        # polls) pays ~1.4s of fixed cost for TWO Ray executions that
-        # move a few MB. Below the threshold, run the SAME normalize +
-        # merge + commit code driver-locally — zero Ray executions,
-        # identical staging/sidecar/CAS semantics (crash/resume and LWW
-        # idempotence don't care which process ran the merge). Fault
-        # injection keeps the distributed machinery it targets.
-        local_ok = (
-            isinstance(changes, (str, list))
-            and not fail_parts
-            and die_once is None
-            and sum(os.path.getsize(f) for f in files) <= LOCAL_APPLY_MAX_BYTES
-        )
-        exchange = "local" if local_ok else "ray"
-
     lineage_ds = None
     if exchange == "local":
-        if not isinstance(changes, (str, list)):
+        if not isinstance(changes, (str, list, pa.Table)):
             raise ValueError(
-                "exchange='local' needs parquet path(s); pass "
-                "exchange='auto' (or 'ray'/'fs') for Dataset inputs"
+                "exchange='local' needs parquet path(s) or a pyarrow "
+                "Table; pass exchange='auto' (or 'ray'/'fs') for "
+                "Dataset inputs"
             )
         import pyarrow as _pa
 
         cpu_before, io_before = _pa.cpu_count(), _pa.io_thread_count()
         try:
-            norm = [_norm_skip(pq.read_table(f)) for f in files]
+            norm = (
+                [_norm_skip(changes)]
+                if isinstance(changes, pa.Table)
+                else [_norm_skip(pq.read_table(f)) for f in files]
+            )
             normalized = pa.concat_tables(norm, promote_options="default")
             # one in-process call; MergeApplier splits partitions itself
             # and CONTAINS per-partition errors as lineage rows, exactly

@@ -56,6 +56,19 @@ _POSTING_SCHEMA = pa.schema(
 )
 
 
+def _small_or_ds(events: rd.Dataset, n_events: int):
+    """A change-sized refresh feed below the small-commit threshold is
+    pulled to the driver as one Arrow table so ``apply_changes`` can
+    take its zero-Ray-execution local path; larger feeds stay a
+    Dataset and go through the distributed exchange."""
+    if n_events > 200_000:
+        return events
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(events.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs, promote_options="default")
+
+
 def _meta_path(index_root: str) -> str:
     return os.path.join(index_root, _META)
 
@@ -211,7 +224,7 @@ def refresh_token_index(lake_root: str, index_root: str) -> dict:
     n_events = events.count()  # metadata-only on the pinned result
     if n_events:
         apply_changes(
-            events,
+            _small_or_ds(events, n_events),
             index_root,
             key="posting_id",
             partition_key="token",

@@ -350,6 +350,16 @@ def test_local_apply_equals_distributed(tmp_path, tmp_lake, base_and_changes, mo
         sequential_replay(base, changes),
     )
 
+    # a driver-side pa.Table input applies locally and lands the same
+    # state (the refresh-commit idiom)
+    lake_t = os.path.join(str(tmp_path), "lake-table")
+    apply_changes(boot, lake_t, num_partitions=8)
+    r_t = apply_changes(changes, lake_t, num_partitions=8, mode="delta")
+    assert r_t.stats.startswith("local")
+    assert final_state_table(lake_t, user_columns_only=False).equals(
+        states["local"]
+    )
+
     # auto respects the byte threshold: tiny threshold -> distributed
     monkeypatch.setattr(eng, "LOCAL_APPLY_MAX_BYTES", 1)
     r2 = apply_changes(cp, os.path.join(str(tmp_path), "lake-local"),
