@@ -277,8 +277,10 @@ def refresh_ivf_lake(lake_root: str, ivf_root: str) -> dict:
     events = joined.ray.map_batches(_emit, batch_format="pyarrow").materialize()
     n_events = events.count()
     if n_events:
+        from palimpzest_ray.cdc.index import _small_or_ds
+
         apply_changes(
-            events,
+            _small_or_ds(events, n_events),
             ivf_root,
             key="assign_id",
             partition_key="list_id",

@@ -304,8 +304,10 @@ def admit(
                 ),
             }
         )
+        # events is already a driver-side table: the small-commit local
+        # path applies it with zero Ray executions
         apply_changes(
-            rd.from_arrow(events), corpus_root,
+            events, corpus_root,
             change_schema=CORPUS_SCHEMA, mode=mode,
         )
         refresh_token_index(corpus_root, index_root)
