@@ -2342,6 +2342,70 @@ def q109_ingest_screen(sf_dir: str):
     return screen_new_keys(lake, cand.union(ghosts))
 
 
+def q110_patch_apply(sf_dir: str):
+    """Partial-image (patch) CDC apply (cdc/patch.py apply_patches):
+    against the epoch-1 lake, a mixed patch batch exercises every
+    composition rule — column-subset UPDATEs on two different columns
+    (num%3==0 sets source='patched'; num%7==2 sets n_tok=-5, each
+    carrying the OTHER columns forward), DELETEs (num%9==4), patches
+    AFTER the delete that resurrect with only their patched columns
+    (num%2==1 revives source; the n_tok patch outranks the delete by
+    lsn too), and patch-upserts of brand-new keys. One exactly-once
+    commit through the ordinary apply. EXACT oracle: the epoch-1
+    closed form with the per-column CASE matrix restated."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, apply_patches, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_patch_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _ids(ns) -> list[str]:
+        return [f"doc-{int(i):08d}" for i in ns]
+
+    def _patch(ns, lsn0, *, op="UPDATE", n_tok=None, source=None):
+        k = len(ns)
+        return pa.table(
+            {
+                "lsn": pa.array(lsn0 + ns, pa.int64()),
+                "op": pa.array([op] * k),
+                "doc_id": pa.array(_ids(ns)),
+                "n_tok": pa.array([n_tok] * k, pa.int32()),
+                "source": pa.array([source] * k, pa.string()),
+            }
+        )
+
+    events = pa.concat_tables(
+        [
+            _patch(nums[nums % 3 == 0], 10_000_000, source="patched"),
+            _patch(nums[nums % 9 == 4], 20_000_000, op="DELETE"),
+            _patch(nums[nums % 7 == 2], 30_000_000, n_tok=-5),
+            _patch(
+                nums[(nums % 9 == 4) & (nums % 2 == 1)],
+                40_000_000,
+                source="revived",
+            ),
+            pa.table(
+                {
+                    "lsn": pa.array([50_000_000 + i for i in range(3)], pa.int64()),
+                    "op": pa.array(["UPDATE"] * 3),
+                    "doc_id": pa.array([f"pch-{i:08d}" for i in range(3)]),
+                    "n_tok": pa.array([100 + i for i in range(3)], pa.int32()),
+                    "source": pa.array(["fresh"] * 3),
+                }
+            ),
+        ]
+    )
+    apply_patches(events, lake, num_partitions=8)
+    return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2451,6 +2515,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q107_lake_existence": q107_lake_existence,
         "q108_secondary_index": q108_secondary_index,
         "q109_ingest_screen": q109_ingest_screen,
+        "q110_patch_apply": q110_patch_apply,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2773,6 +2838,34 @@ def _base_oracle_sql() -> dict[str, str]:
         ") select c.doc_id, c.source from cand c "
         "where c.doc_id not in (select doc_id from st)"
     )
+    # patch composition over the epoch-1 closed form: per-column CASE
+    # matrix (delete wins unless a later patch resurrects; resurrected
+    # rows carry ONLY post-delete patched columns; pre-delete patches
+    # are discarded), plus the patch-upserted fresh keys
+    d["q110_patch_apply"] = r"""
+        with base as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents)
+        select doc_id,
+               case when num % 9 = 4 then
+                      case when num % 7 = 2 then cast(-5 as int) end
+                    when num % 7 = 2 then cast(-5 as int)
+                    else n_tok end as n_tok,
+               case when num % 9 = 4 then
+                      case when num % 2 = 1 then 'revived' end
+                    when num % 3 = 0 then 'patched'
+                    else source end as source
+        from base
+        where num % 9 != 4 or num % 2 = 1 or num % 7 = 2
+        union all
+        select 'pch-' || lpad(cast(i as varchar), 8, '0') as doc_id,
+               cast(100 + i as int) as n_tok, 'fresh' as source
+        from range(3) t(i)
+    """
     return d
 
 

@@ -86,6 +86,20 @@ def main(argv: list[str] | None = None) -> int:
         "debezium = envelope with op c/u/d/r + before/after)",
     )
 
+    p = sub.add_parser(
+        "patch",
+        help="apply a PARTIAL-image change log (null column = carry "
+        "forward; Mongo/Debezium partial-update semantics)",
+    )
+    p.add_argument("changes")
+    p.add_argument("lake")
+    p.add_argument("--num-partitions", type=int, default=32)
+    p.add_argument("--mode", choices=["rewrite", "delta"], default="rewrite")
+    p.add_argument(
+        "--chunk-events", type=int, default=None,
+        help="fold+apply in LSN-ordered chunks of this many events",
+    )
+
     p = sub.add_parser("tail", help="apply everything past the lake watermark")
     p.add_argument("log_dir")
     p.add_argument("lake")
@@ -610,6 +624,16 @@ def main(argv: list[str] | None = None) -> int:
             since_lsn=args.since_lsn,
             mode=args.mode,
             **extra,
+        )
+    elif args.cmd == "patch":
+        from palimpzest_ray.cdc import apply_patches
+
+        res = apply_patches(
+            args.changes,
+            args.lake,
+            num_partitions=args.num_partitions,
+            mode=args.mode,
+            chunk_events=args.chunk_events,
         )
     elif args.cmd == "tail":
         from palimpzest_ray.cdc import tail_once

@@ -5,6 +5,9 @@ from __future__ import annotations
 import json
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
 
 def test_cli_apply_state_vacuum(tmp_path, capsys):
     from palimpzest_ray import cli
@@ -168,6 +171,38 @@ def test_cli_dml(tmp_path, capsys):
     after = final_state_table(lake)
     assert "curated" not in set(after["source"].to_pylist())
     assert after.num_rows == before.num_rows - n0
+
+
+def test_cli_patch(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import final_state_table
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 500, 200, seed=47, chunk_rows=500)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    before = final_state_table(lake)
+    k = before["doc_id"][0].as_py()
+    patch = pa.table(
+        {
+            "lsn": pa.array([10_000], pa.int64()),
+            "op": ["UPDATE"],
+            "doc_id": [k],
+            "source": pa.array(["patched"]),
+        }
+    )
+    pfile = os.path.join(str(tmp_path), "patch.parquet")
+    pq.write_table(patch, pfile)
+    assert cli.main(["patch", pfile, lake]) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    after = {r["doc_id"]: r for r in final_state_table(lake).to_pylist()}
+    want = {r["doc_id"]: r for r in before.to_pylist()}
+    assert after[k]["source"] == "patched"
+    assert after[k]["tokens"] == want[k]["tokens"]  # carried forward
+    for key2 in list(want)[1:5]:
+        assert after[key2] == want[key2]
 
 
 def test_cli_debezium_apply_and_dedup_and_ivf(tmp_path, capsys):
