@@ -2406,6 +2406,48 @@ def q110_patch_apply(sf_dir: str):
     return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
 
 
+def q111_partitioned_join(sf_dir: str):
+    """Storage-partitioned join (cdc/pjoin.py join_lakes): the epoch-1
+    docs lake (P=8) LEFT-joins a scores lake (P=4, even-numbered keys
+    only) with ZERO exchange — co-partitioning (4 | 8) means fine
+    partition j can only match coarse partition j%4, so the plan is
+    one map task per fine partition reading exactly two chains; odd
+    keys surface with null score. EXACT oracle: the epoch-1 closed
+    form left-joined to the even-key score rule."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, join_lakes
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_pjoin_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    even = nums[nums % 2 == 0]
+    scores = pa.table(
+        {
+            "lsn": pa.array(1 + even, pa.int64()),
+            "op": pa.array(["INSERT"] * len(even)),
+            "doc_id": pa.array([f"doc-{int(i):08d}" for i in even]),
+            "score": pa.array(even % 10, pa.int32()),
+        }
+    )
+    score_lake = os.path.join(work, "scores")
+    apply_changes(scores, score_lake, num_partitions=4, key="doc_id")
+    return pzd.Dataset(
+        join_lakes(
+            lake,
+            score_lake,
+            how="left",
+            columns_left=["n_tok", "source"],
+            columns_right=["score"],
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2516,6 +2558,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q108_secondary_index": q108_secondary_index,
         "q109_ingest_screen": q109_ingest_screen,
         "q110_patch_apply": q110_patch_apply,
+        "q111_partitioned_join": q111_partitioned_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2865,6 +2908,17 @@ def _base_oracle_sql() -> dict[str, str]:
         select 'pch-' || lpad(cast(i as varchar), 8, '0') as doc_id,
                cast(100 + i as int) as n_tok, 'fresh' as source
         from range(3) t(i)
+    """
+    # zero-exchange co-partitioned left join == the closed-form left
+    # join: even-numbered keys carry score = num % 10, odd keys null
+    d["q111_partitioned_join"] = r"""
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                 as n_tok,
+               source,
+               case when doc_id % 2 = 0 then cast(doc_id % 10 as int) end
+                 as score
+        from documents
     """
     return d
 
