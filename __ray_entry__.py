@@ -2406,6 +2406,25 @@ def q110_patch_apply(sf_dir: str):
     return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
 
 
+def q112_lake_count(sf_dir: str):
+    """Metadata-only COUNT(*) (cdc/engine.py lake_count): after both
+    demo epochs (rewrite + merge-on-read delta), the live-row count
+    answers from the manifest's per-partition counters with ZERO
+    parquet I/O — the counters track the effective resolved state
+    through every mutator. EXACT oracle: count over the replay closed
+    form."""
+    from palimpzest_ray.cdc import apply_changes, lake_count
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_count_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+    return pa.table(
+        {"n_rows": pa.array([lake_count(lake)], pa.int64())}
+    )
+
+
 def q111_partitioned_join(sf_dir: str):
     """Storage-partitioned join (cdc/pjoin.py join_lakes): the epoch-1
     docs lake (P=8) LEFT-joins a scores lake (P=4, even-numbered keys
@@ -2559,6 +2578,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q109_ingest_screen": q109_ingest_screen,
         "q110_patch_apply": q110_patch_apply,
         "q111_partitioned_join": q111_partitioned_join,
+        "q112_lake_count": q112_lake_count,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2920,6 +2940,12 @@ def _base_oracle_sql() -> dict[str, str]:
                  as score
         from documents
     """
+    # metadata COUNT(*) == count over the replay closed form
+    d["q112_lake_count"] = (
+        "select cast(count(*) as bigint) as n_rows from ("
+        + d["cdc_replay"]
+        + ") t"
+    )
     return d
 
 

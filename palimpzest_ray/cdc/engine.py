@@ -2772,6 +2772,39 @@ def final_state(
     return streams[0].union(*streams[1:]) if len(streams) > 1 else streams[0]
 
 
+def lake_count(
+    lake_root: str,
+    *,
+    predicate: list[tuple] | None = None,
+    version: int | None = None,
+) -> int:
+    """Exact live-row count of a committed lake version.
+
+    Without a predicate this is PURE METADATA — the manifest's
+    per-partition ``rows`` counters (which track the EFFECTIVE resolved
+    state through rewrite applies, delta chains, DML, and compaction —
+    fsck's deep mode validates them against the data) sum in O(P) with
+    zero parquet I/O. ``SELECT COUNT(*)`` over a 100-TB lake answers
+    from one JSON file. With a predicate it falls back to a
+    zone-map-pruned counting scan reading ONLY the predicate columns.
+    """
+    if version is not None:
+        from palimpzest_ray.cdc.manifest import load_manifest
+
+        manifest = load_manifest(lake_root, version)
+    else:
+        manifest = load_latest_manifest(lake_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    if not predicate:
+        return sum(e.rows for e in manifest.parts.values())
+    cols = list(dict.fromkeys(c for c, _o, _v in predicate))
+    ds = final_state(
+        lake_root, version=version, predicate=predicate, columns=cols
+    )
+    return ds.count()
+
+
 def net_changes_since(lake_root: str, version: int) -> rd.Dataset:
     """Change feed: the NET changes between committed ``version`` and
     the latest version, as a change-log-shaped Dataset (``lsn``, ``op``

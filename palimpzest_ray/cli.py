@@ -137,6 +137,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         p.add_argument("--mode", choices=["rewrite", "delta"], default="delta")
 
+    p = sub.add_parser(
+        "count",
+        help="exact live-row count (pure metadata without --where)",
+    )
+    p.add_argument("lake")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument(
+        "--where", action="append", nargs=3, default=None,
+        metavar=("COL", "OP", "VALUE"),
+        help="optional conjunct, repeatable (switches to a pruned scan)",
+    )
+
     p = sub.add_parser("delete-where", help="tombstone rows matching a predicate")
     p.add_argument("lake")
     _add_where(p)
@@ -415,6 +427,23 @@ def main(argv: list[str] | None = None) -> int:
         mc = clone_lake(args.lake, args.dst, version=args.version)
         print(json.dumps({"version": mc.version, "parts": len(mc.parts),
                           "max_lsn": mc.max_lsn}))
+        return 0
+
+    if args.cmd == "count":
+        from palimpzest_ray.cdc import lake_count
+
+        pred = None
+        if args.where:
+            def _cv(v: str):
+                try:
+                    return json.loads(v)
+                except (json.JSONDecodeError, ValueError):
+                    return v
+
+            pred = [(c, op, _cv(v)) for c, op, v in args.where]
+            _ensure_ray(args.num_cpus)  # metadata-only path needs no Ray
+        n = lake_count(args.lake, predicate=pred, version=args.version)
+        print(json.dumps({"rows": n, "metadata_only": pred is None}))
         return 0
 
     _ensure_ray(args.num_cpus)

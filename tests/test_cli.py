@@ -205,6 +205,27 @@ def test_cli_patch(tmp_path, capsys):
         assert after[key2] == want[key2]
 
 
+def test_cli_count(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import final_state_table
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 800, 250, seed=48, chunk_rows=800)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    state = final_state_table(lake)
+    assert cli.main(["count", lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"rows": state.num_rows, "metadata_only": True}
+    src0 = state["source"][0].as_py()
+    n0 = sum(1 for s in state["source"].to_pylist() if s == src0)
+    assert cli.main(["count", lake, "--where", "source", "==", src0]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"rows": n0, "metadata_only": False}
+
+
 def test_cli_debezium_apply_and_dedup_and_ivf(tmp_path, capsys):
     """Round-3 surface: --format debezium apply, dedup-init/screen/admit,
     ivf-build/refresh/search — one JSON line each."""
