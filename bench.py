@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "q94_dedup_ingest",  # round-3: corpus-screened ingest micro-batch
     "q99_fuzzy_join",  # round-3: lossless edit-distance self-join
     "q109_ingest_screen",  # round-3: bloom-phased distributed key screen
+    "q110_patch_apply",  # round-3: partial-image patch composition
+    "q111_partitioned_join",  # round-3: zero-exchange co-partitioned join
     "cdc_replay",
 ]
 

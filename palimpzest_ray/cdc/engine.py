@@ -2072,6 +2072,7 @@ def key_history(
 def tail_once(
     log_dir: str | list[str],
     lake_root: str,
+    patch: bool = False,
     **apply_kwargs,
 ) -> ApplyResult:
     """One binlog-tail iteration: apply every event past the lake's
@@ -2080,9 +2081,20 @@ def tail_once(
     and cheap: log files wholly at-or-below the watermark are pruned by
     parquet footer stats without being read. Call in a loop (or from a
     scheduler) to follow a growing log directory; each iteration with
-    new events commits one version, iterations with none are no-ops."""
+    new events commits one version, iterations with none are no-ops.
+
+    ``patch=True`` treats the log as PARTIAL-image updates (Mongo /
+    Debezium partial feeds) and routes through
+    :func:`~palimpzest_ray.cdc.patch.apply_patches` — null columns
+    carry forward instead of overwriting."""
     prev = load_latest_manifest(lake_root)
     watermark = prev.max_lsn if prev is not None else None
+    if patch:
+        from palimpzest_ray.cdc.patch import apply_patches
+
+        return apply_patches(
+            log_dir, lake_root, since_lsn=watermark, **apply_kwargs
+        )
     return apply_changes(log_dir, lake_root, since_lsn=watermark, **apply_kwargs)
 
 

@@ -219,6 +219,7 @@ def apply_patches(
     key: str = "doc_id",
     chunk_events: int | None = None,
     fold: str = "auto",
+    since_lsn: int | None = None,
     **apply_kwargs,
 ):
     """Apply a partial-image (patch) change batch to the lake.
@@ -248,8 +249,22 @@ def apply_patches(
         lookup,
     )
 
+    from palimpzest_ray.cdc.engine import ApplyResult
+
     events = _load_events(changes)
+    if since_lsn is not None and events.num_rows:
+        # tail semantics: only events past the committed watermark
+        events = events.filter(
+            pc.greater(events["lsn"].cast(pa.int64()), pa.scalar(since_lsn))
+        )
     if events.num_rows == 0:
+        if since_lsn is not None:
+            from palimpzest_ray.cdc.engine import load_latest_manifest
+
+            prev = load_latest_manifest(lake_root)
+            if prev is None:
+                raise FileNotFoundError("empty patch log and no committed version")
+            return ApplyResult(prev, 0, 0, 0, 0, 0)
         raise ValueError("empty patch batch")
     events = events.sort_by("lsn")  # chunk boundaries must be LSN-ordered
     chunks: list[pa.Table] = (

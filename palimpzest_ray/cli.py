@@ -105,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("lake")
     p.add_argument("--num-partitions", type=int, default=32)
     p.add_argument("--mode", choices=["rewrite", "delta"], default="rewrite")
+    p.add_argument(
+        "--format", choices=["parquet", "patch"], default="parquet",
+        help="patch = partial row images (null column carries forward)",
+    )
 
     p = sub.add_parser("state", help="print the committed manifest summary")
     p.add_argument("lake")
@@ -669,6 +673,7 @@ def main(argv: list[str] | None = None) -> int:
 
         res = tail_once(
             args.log_dir, args.lake,
+            patch=args.format == "patch",
             num_partitions=args.num_partitions, mode=args.mode,
         )
     elif args.cmd == "repartition":

@@ -275,6 +275,46 @@ def test_apply_patches_delta_mode_and_new_column(tmp_path, tmp_lake):
     assert rows[untouched]["tokens"] == b[untouched]["tokens"]
 
 
+def test_tail_follows_patch_log(tmp_path, tmp_lake):
+    """tail_once(patch=True): watermark-filtered patch segments apply
+    incrementally; a poll with nothing new is a version no-op."""
+    from palimpzest_ray.cdc import load_latest_manifest, tail_once
+
+    base = make_base_table(25, seed=42)
+    _bootstrap(tmp_path, tmp_lake, base)
+    log = tmp_path / "patchlog"
+    log.mkdir()
+    k0, k1 = base["doc_id"].to_pylist()[:2]
+
+    def _seg(name, lsn, key, src):
+        pq.write_table(
+            pa.table(
+                {
+                    "lsn": pa.array([lsn], pa.int64()),
+                    "op": ["UPDATE"],
+                    "doc_id": [key],
+                    "source": pa.array([src]),
+                }
+            ),
+            str(log / name),
+        )
+
+    _seg("s0.parquet", 100, k0, "tail-a")
+    r1 = tail_once(str(log), tmp_lake, patch=True, num_partitions=8)
+    assert r1.manifest.version == 2 and r1.rows_upserted == 1
+    _seg("s1.parquet", 101, k1, "tail-b")
+    r2 = tail_once(str(log), tmp_lake, patch=True, num_partitions=8)
+    assert r2.manifest.version == 3
+    # idle poll: no new events past the watermark, version unchanged
+    r3 = tail_once(str(log), tmp_lake, patch=True, num_partitions=8)
+    assert r3.events_seen == 0
+    assert load_latest_manifest(tmp_lake).version == 3
+    rows = {r["doc_id"]: r for r in final_state_table(tmp_lake).to_pylist()}
+    b = {r["doc_id"]: r for r in base.to_pylist()}
+    assert rows[k0]["source"] == "tail-a" and rows[k0]["tokens"] == b[k0]["tokens"]
+    assert rows[k1]["source"] == "tail-b"
+
+
 def test_fold_rejects_bad_input():
     ev = pa.table(
         {"lsn": pa.array([1], pa.int64()), "op": ["PATCH"], "doc_id": ["a"],
