@@ -2425,6 +2425,30 @@ def q112_lake_count(sf_dir: str):
     )
 
 
+def q113_lake_minmax(sf_dir: str):
+    """Metadata-first MIN/MAX (cdc/engine.py lake_minmax): after both
+    demo epochs the lake holds tombstones and delta chains, so dirty
+    partitions take the exact pruned-resolve path while clean ones
+    answer from zone maps — the mixed plan this operator exists for.
+    EXACT oracle: min/max over the replay closed form."""
+    from palimpzest_ray.cdc import apply_changes, lake_minmax
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_minmax_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8, mode="delta")
+    mm = lake_minmax(lake, ["n_tok", "source"])
+    return pa.table(
+        {
+            "n_tok_min": pa.array([mm["n_tok"][0]], pa.int32()),
+            "n_tok_max": pa.array([mm["n_tok"][1]], pa.int32()),
+            "source_min": pa.array([mm["source"][0]], pa.string()),
+            "source_max": pa.array([mm["source"][1]], pa.string()),
+        }
+    )
+
+
 def q111_partitioned_join(sf_dir: str):
     """Storage-partitioned join (cdc/pjoin.py join_lakes): the epoch-1
     docs lake (P=8) LEFT-joins a scores lake (P=4, even-numbered keys
@@ -2579,6 +2603,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q110_patch_apply": q110_patch_apply,
         "q111_partitioned_join": q111_partitioned_join,
         "q112_lake_count": q112_lake_count,
+        "q113_lake_minmax": q113_lake_minmax,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2943,6 +2968,14 @@ def _base_oracle_sql() -> dict[str, str]:
     # metadata COUNT(*) == count over the replay closed form
     d["q112_lake_count"] = (
         "select cast(count(*) as bigint) as n_rows from ("
+        + d["cdc_replay"]
+        + ") t"
+    )
+    # metadata-first MIN/MAX == extremes over the replay closed form
+    d["q113_lake_minmax"] = (
+        "select cast(min(n_tok) as int) as n_tok_min,"
+        " cast(max(n_tok) as int) as n_tok_max,"
+        " min(source) as source_min, max(source) as source_max from ("
         + d["cdc_replay"]
         + ") t"
     )

@@ -2817,6 +2817,94 @@ def lake_count(
     return ds.count()
 
 
+def lake_minmax(
+    lake_root: str,
+    columns: list[str] | str,
+    *,
+    version: int | None = None,
+) -> dict:
+    """Exact per-column ``[min, max]`` over the lake's LIVE rows,
+    answered from manifest zone maps wherever that is provably exact.
+
+    A partition's zone map equals its live-row range exactly when the
+    partition is chain-free AND tombstone-free (stats are computed over
+    the merged partition at write time; a tombstone keeps its key — and
+    whatever payload the DELETE event carried — so its presence makes
+    the stats a bound, not the answer; a delta chain can shadow the
+    base's extremes). Those partitions contribute in O(1) metadata.
+    Every other partition falls back to a pruned chain resolve reading
+    only the requested columns — so right after compaction with
+    tombstone retention passed, the whole answer is metadata, and a
+    delta-heavy lake still returns the exact value. All-null columns
+    report ``[None, None]``.
+    """
+    from palimpzest_ray.cdc.pjoin import _live_partition
+
+    if isinstance(columns, str):
+        columns = [columns]
+    if version is not None:
+        from palimpzest_ray.cdc.manifest import load_manifest
+
+        manifest = load_manifest(lake_root, version)
+    else:
+        manifest = load_latest_manifest(lake_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    for c in columns:
+        idx = manifest.schema.get_field_index(c)
+        if idx < 0:
+            raise KeyError(f"column {c!r} not in lake schema")
+        t = manifest.schema.field(idx).type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)
+        ):
+            raise TypeError(f"min/max needs a scalar column; {c!r} is {t}")
+
+    out: dict = {c: [None, None] for c in columns}
+
+    def _fold(c, lo, hi):
+        cur = out[c]
+        cur[0] = lo if cur[0] is None else min(cur[0], lo)
+        cur[1] = hi if cur[1] is None else max(cur[1], hi)
+
+    scan_parts: list[int] = []
+    for p, e in sorted(manifest.parts.items()):
+        clean = not e.deltas and e.tombstones == 0 and e.col_stats is not None
+        if e.rows == 0 and e.tombstones == 0 and not e.deltas:
+            continue
+        if clean and all(
+            c in e.col_stats or e.rows == 0 for c in columns
+        ):
+            # a clean partition missing a column's stats means that
+            # column is all-null there — contributes nothing
+            for c in columns:
+                if c in e.col_stats:
+                    _fold(c, *e.col_stats[c])
+        else:
+            scan_parts.append(p)
+    for p in scan_parts:
+        t = _live_partition(
+            lake_root,
+            manifest.chain(lake_root, p),
+            manifest.key,
+            manifest.schema,
+            columns,
+        )
+        for c in columns:
+            col = t[c]
+            if len(col) == 0 or col.null_count == len(col):
+                continue
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None:
+                _fold(c, lo, hi)
+    return {c: tuple(v) for c, v in out.items()}
+
+
 def net_changes_since(lake_root: str, version: int) -> rd.Dataset:
     """Change feed: the NET changes between committed ``version`` and
     the latest version, as a change-log-shaped Dataset (``lsn``, ``op``

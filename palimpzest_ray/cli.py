@@ -153,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
         help="optional conjunct, repeatable (switches to a pruned scan)",
     )
 
+    p = sub.add_parser(
+        "minmax",
+        help="exact per-column min/max (zone maps where provably exact)",
+    )
+    p.add_argument("lake")
+    p.add_argument("columns", nargs="+")
+    p.add_argument("--version", type=int, default=None)
+
     p = sub.add_parser("delete-where", help="tombstone rows matching a predicate")
     p.add_argument("lake")
     _add_where(p)
@@ -448,6 +456,13 @@ def main(argv: list[str] | None = None) -> int:
             _ensure_ray(args.num_cpus)  # metadata-only path needs no Ray
         n = lake_count(args.lake, predicate=pred, version=args.version)
         print(json.dumps({"rows": n, "metadata_only": pred is None}))
+        return 0
+
+    if args.cmd == "minmax":
+        from palimpzest_ray.cdc import lake_minmax
+
+        mm = lake_minmax(args.lake, args.columns, version=args.version)
+        print(json.dumps({c: list(v) for c, v in mm.items()}))
         return 0
 
     _ensure_ray(args.num_cpus)

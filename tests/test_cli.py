@@ -224,6 +224,10 @@ def test_cli_count(tmp_path, capsys):
     assert cli.main(["count", lake, "--where", "source", "==", src0]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"rows": n0, "metadata_only": False}
+    assert cli.main(["minmax", lake, "n_tok", "source"]) == 0
+    mm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    nts = state["n_tok"].to_pylist()
+    assert mm["n_tok"] == [min(nts), max(nts)]
 
 
 def test_cli_debezium_apply_and_dedup_and_ivf(tmp_path, capsys):

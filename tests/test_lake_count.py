@@ -58,6 +58,55 @@ def test_lake_count_metadata_only(tmp_path, tmp_lake, monkeypatch):
     assert lake_count(tmp_lake) == want
 
 
+def test_lake_minmax_metadata_when_clean(tmp_path, tmp_lake, monkeypatch):
+    """Chain-free tombstone-free lake: min/max answers from zone maps
+    with zero parquet I/O and equals the scan truth."""
+    base = make_base_table(250, seed=8)
+    _boot(tmp_path, tmp_lake, base)
+    from palimpzest_ray.cdc import lake_minmax
+
+    state = final_state_table(tmp_lake)
+    want_n = (
+        min(state["n_tok"].to_pylist()), max(state["n_tok"].to_pylist())
+    )
+    want_s = (
+        min(state["source"].to_pylist()), max(state["source"].to_pylist())
+    )
+    import palimpzest_ray.cdc.engine as eng
+
+    def _boom(*a, **k):  # pragma: no cover
+        raise AssertionError("clean-lake minmax read a parquet file")
+
+    monkeypatch.setattr(eng.pq, "read_table", _boom)
+    got = lake_minmax(tmp_lake, ["n_tok", "source"])
+    assert got["n_tok"] == want_n and got["source"] == want_s
+    with pytest.raises(TypeError, match="scalar column"):
+        lake_minmax(tmp_lake, "tokens")
+    with pytest.raises(KeyError):
+        lake_minmax(tmp_lake, "nope")
+
+
+def test_lake_minmax_falls_back_when_extreme_deleted(tmp_path, tmp_lake):
+    """Deleting the row holding the global max must change the answer —
+    the tombstone-bearing partition takes the exact resolve path (the
+    stale zone map is a bound, not the answer)."""
+    base = make_base_table(120, seed=9)
+    _boot(tmp_path, tmp_lake, base)
+    from palimpzest_ray.cdc import delete_keys, lake_minmax
+
+    state = final_state_table(tmp_lake)
+    rows = state.to_pylist()
+    mx = max(r["n_tok"] for r in rows)
+    doomed = [r["doc_id"] for r in rows if r["n_tok"] == mx]
+    delete_keys(tmp_lake, doomed, mode="delta")  # tombstones + chains
+    survivors = [r["n_tok"] for r in rows if r["doc_id"] not in set(doomed)]
+    got = lake_minmax(tmp_lake, "n_tok")["n_tok"]
+    assert got == (min(survivors), max(survivors))
+    assert got[1] < mx
+    # time travel still sees the old extreme
+    assert lake_minmax(tmp_lake, "n_tok", version=1)["n_tok"][1] == mx
+
+
 def test_lake_count_predicate_and_version(tmp_path, tmp_lake):
     base = make_base_table(200, seed=6)
     _boot(tmp_path, tmp_lake, base)
