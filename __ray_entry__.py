@@ -2449,6 +2449,29 @@ def q113_lake_minmax(sf_dir: str):
     )
 
 
+def q114_partitioned_agg(sf_dir: str):
+    """Zero-exchange GROUP BY the routing column (cdc/pjoin.py
+    aggregate_lake): the epoch-1 log applied with
+    partition_key='source' co-locates each source's rows in one
+    partition, so per-source stats — including the HOLISTIC
+    count_distinct — aggregate locally with no shuffle at all. EXACT
+    oracle: GROUP BY source over the epoch-1 closed form."""
+    from palimpzest_ray.cdc import aggregate_lake, apply_changes
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_pagg_demo")
+    _lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    lake = os.path.join(work, "by_source")
+    apply_changes(log1, lake, num_partitions=8, partition_key="source")
+    return pzd.Dataset(
+        aggregate_lake(
+            lake,
+            ["count(*)", "sum(n_tok)", "min(n_tok)", "max(n_tok)",
+             "count_distinct(doc_id)"],
+        )
+    )
+
+
 def q111_partitioned_join(sf_dir: str):
     """Storage-partitioned join (cdc/pjoin.py join_lakes): the epoch-1
     docs lake (P=8) LEFT-joins a scores lake (P=4, even-numbered keys
@@ -2604,6 +2627,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q111_partitioned_join": q111_partitioned_join,
         "q112_lake_count": q112_lake_count,
         "q113_lake_minmax": q113_lake_minmax,
+        "q114_partitioned_agg": q114_partitioned_agg,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -2971,6 +2995,22 @@ def _base_oracle_sql() -> dict[str, str]:
         + d["cdc_replay"]
         + ") t"
     )
+    # zero-exchange routing-key aggregate == GROUP BY over the epoch-1
+    # closed form (engine-wide "func(col)" output naming)
+    d["q114_partitioned_agg"] = r"""
+        with base as (
+          select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents)
+        select source, count(*) as "count(*)",
+               sum(n_tok) as "sum(n_tok)",
+               cast(min(n_tok) as int) as "min(n_tok)",
+               cast(max(n_tok) as int) as "max(n_tok)",
+               count(distinct doc_id) as "count_distinct(doc_id)"
+        from base group by source
+    """
     # metadata-first MIN/MAX == extremes over the replay closed form
     d["q113_lake_minmax"] = (
         "select cast(min(n_tok) as int) as n_tok_min,"

@@ -239,3 +239,122 @@ def join_lakes(
         pa.table({"part": pa.array(np.arange(pf, dtype=np.int32))})
     ).repartition(pf)
     return ids.map_batches(_join_part, batch_format="pyarrow", batch_size=None)
+
+
+#: "func(col)" aggregate spec → arrow TableGroupBy function
+_AGG_FUNCS = {
+    "count": "count",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+    "avg": "mean",
+    "mean": "mean",
+    "stddev": "stddev",
+    "var": "variance",
+    "count_distinct": "count_distinct",
+}
+
+
+def aggregate_lake(
+    lake_root: str,
+    aggs: list[str],
+    *,
+    by: str | None = None,
+    version: int | None = None,
+) -> rd.Dataset:
+    """GROUP BY the lake's ROUTING column with ZERO exchange.
+
+    Every row of one routing value lives in exactly one partition
+    (``stable_bucket(routing) % P``), so grouping by that column needs
+    no shuffle at all: one task per partition LWW-resolves its chain
+    and aggregates locally, and the per-partition results are already
+    globally complete — including HOLISTIC aggregates (count_distinct,
+    stddev) that a shuffle plan would need a full exchange or sketch
+    for. The payoff case is a derived lake partitioned by a grouping
+    column (``apply_changes(partition_key=...)``: per-source corpus
+    stats, postings per token, vectors per IVF list).
+
+    ``aggs`` uses the engine-wide ``"func(col)"`` naming (``count(*)``,
+    ``sum(n_tok)``, ``avg``/``min``/``max``/``stddev``/``var``/
+    ``count_distinct``); output columns carry the spec string as their
+    name so SQL oracles align. ``by`` defaults to the routing column
+    and REFUSES anything else — grouping on a non-routing column is not
+    co-located, and silently shuffling would hide the asymptotic cliff
+    (read through ``final_state`` + an ordinary groupby instead).
+    """
+    from palimpzest_ray.cdc.engine import load_latest_manifest
+    from palimpzest_ray.cdc.manifest import load_manifest
+
+    m = (
+        load_manifest(lake_root, version)
+        if version is not None
+        else load_latest_manifest(lake_root)
+    )
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    routing = m.partition_key or m.key
+    by = by or routing
+    if by != routing:
+        raise ValueError(
+            f"aggregate_lake groups by the routing column {routing!r}; "
+            f"{by!r} is not co-located — use final_state + groupby for "
+            "arbitrary grouping columns"
+        )
+    specs: list[tuple] = []  # (arrow_col, arrow_func, out_name)
+    need_cols: list[str] = []
+    for s in aggs:
+        fn, _, rest = s.partition("(")
+        col = rest.rstrip(")").strip()
+        fn = fn.strip()
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"unsupported aggregate {s!r}")
+        if fn == "count" and col == "*":
+            specs.append(([], "count_all", None, s))
+        else:
+            if m.schema.get_field_index(col) < 0:
+                raise KeyError(f"column {col!r} not in lake schema")
+            # SQL (duckdb-oracle) convention: SAMPLE stddev/variance.
+            # (flag, not a pc.VarianceOptions — options don't pickle;
+            # the worker builds them)
+            sample = _AGG_FUNCS[fn] in ("stddev", "variance")
+            specs.append((col, _AGG_FUNCS[fn], sample, s))
+            need_cols.append(col)
+    need_cols = list(dict.fromkeys(need_cols))
+    chains = {p: m.chain(lake_root, p) for p in m.parts}
+    schema = m.schema
+    lake_key = m.key  # chain LWW resolution key (NOT the grouping column)
+
+    def _agg_part(batch: pa.Table):
+        from palimpzest_ray.functions.tokens import limit_kernel_threads
+
+        limit_kernel_threads()
+        empty = None
+        for p in batch["part"].to_pylist():
+            t = _live_partition(
+                lake_root, chains.get(p), lake_key, schema,
+                list(dict.fromkeys([by] + need_cols)),
+            )
+            out = t.group_by([by]).aggregate(
+                [
+                    ((c, f, pc.VarianceOptions(ddof=1)) if o else (c, f))
+                    for c, f, o, _n in specs
+                ]
+            )
+            arrow_names = [
+                ("count_all" if f == "count_all" else f"{c}_{f}")
+                for c, f, _o, _n in specs
+            ]
+            out = out.select([by] + arrow_names).rename_columns(
+                [by] + [n for _c, _f, _o, n in specs]
+            )
+            if out.num_rows:
+                yield out.sort_by(by)
+            elif empty is None:
+                empty = out
+        if empty is not None:
+            yield empty
+
+    ids = rd.from_arrow(
+        pa.table({"part": pa.array(np.arange(m.num_partitions, dtype=np.int32))})
+    ).repartition(m.num_partitions)
+    return ids.map_batches(_agg_part, batch_format="pyarrow", batch_size=None)
