@@ -52,7 +52,13 @@ SQL = """
 
 def _check(lake):
     got = _collect(aggregate_lake(lake, SPECS)).sort_by("source")
-    want = duckdb.arrow(final_state_table(lake)).query("t", SQL).arrow()
+    # private connection: duckdb.arrow(...).query("t", ...) would create a
+    # persistent view named "t" in the shared default connection, shadowing
+    # every later test's replacement-scan of a local variable `t`
+    con = duckdb.connect()
+    con.register("t", final_state_table(lake))
+    want = con.execute(SQL).arrow()
+    con.close()
     g, w = got.to_pydict(), want.to_pydict()
     assert g["source"] == w["source"]
     for k in SPECS:
