@@ -2514,6 +2514,82 @@ def q111_partitioned_join(sf_dir: str):
     )
 
 
+def _quarantine_events(sf_dir: str) -> pa.Table:
+    """Deterministic change log with disjoint injected violations, a
+    pure function of documents.parquet (so both the surviving state and
+    the dead letter are closed-form SQL): num%9==2 → invalid op,
+    num%9==4 → null lsn, num%9==6 → null key, num%9==8 → n_tok=-5
+    (fails the positive_n_tok expectation); everything else a healthy
+    INSERT with n_tok = num%97+1."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    num = docs["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    mod = num % 9
+    key = np.char.add("doc-", np.char.zfill(num.astype("U8"), 8))
+    return pa.table(
+        {
+            "lsn": pa.array(num + 1, mask=(mod == 4)),
+            "op": pa.array(np.where(mod == 2, "UPSERT", "INSERT")),
+            "doc_id": pa.array(key, mask=(mod == 6)),
+            "n_tok": pa.array(
+                np.where(mod == 8, -5, num % 97 + 1).astype(np.int32)
+            ),
+            "source": docs["source"],
+        }
+    )
+
+
+_QUAR_EXPECT = [("positive_n_tok", [("n_tok", ">", 0)])]
+
+
+def q115_quarantine_apply(sf_dir: str):
+    """Ingest data-quality gate, surviving side (cdc/engine.py
+    _normalize_factory + apply_changes(quarantine=True)): events with
+    an invalid op, null lsn, null key, or a failed named expectation
+    route to the dead letter through the same exchange; the commit
+    holds exactly the healthy rows. EXACT oracle: the closed-form
+    filter of the same violation rules."""
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes, final_state_table
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_quar_demo")
+    lake = os.path.join(work, "lake")
+    apply_changes(
+        _quarantine_events(sf_dir), lake, num_partitions=8,
+        expectations=_QUAR_EXPECT, quarantine=True,
+    )
+    return pzd.Dataset(
+        rd.from_arrow(
+            final_state_table(lake).select(["doc_id", "n_tok", "source"])
+        )
+    )
+
+
+def q116_quarantine_deadletter(sf_dir: str):
+    """Ingest data-quality gate, dead-letter side (cdc/engine.py
+    read_quarantine): the rejected events surface with their original
+    payload plus a per-row _errors reason column, published under the
+    committing version. EXACT oracle: the closed-form violation rows
+    with their reason strings."""
+    from palimpzest_ray.cdc import apply_changes, read_quarantine
+
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_quar_dl_demo")
+    lake = os.path.join(work, "lake")
+    res = apply_changes(
+        _quarantine_events(sf_dir), lake, num_partitions=8,
+        expectations=_QUAR_EXPECT, quarantine=True,
+    )
+    q = read_quarantine(lake, version=res.manifest.version)
+    return q.select(["lsn", "op", "n_tok", "source", "_errors"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2628,6 +2704,8 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q112_lake_count": q112_lake_count,
         "q113_lake_minmax": q113_lake_minmax,
         "q114_partitioned_agg": q114_partitioned_agg,
+        "q115_quarantine_apply": q115_quarantine_apply,
+        "q116_quarantine_deadletter": q116_quarantine_deadletter,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3019,6 +3097,29 @@ def _base_oracle_sql() -> dict[str, str]:
         + d["cdc_replay"]
         + ") t"
     )
+    # quarantine apply: surviving lake state == the closed-form filter
+    # of the injected-violation rules (see _quarantine_events)
+    d["q115_quarantine_apply"] = r"""
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               cast(doc_id % 97 + 1 as int) as n_tok, source
+        from documents
+        where doc_id % 9 not in (2, 4, 6, 8)
+    """
+    # dead-letter side: the violating events with their reason strings
+    d["q116_quarantine_deadletter"] = r"""
+        select case when doc_id % 9 = 4 then null
+                    else doc_id + 1 end as lsn,
+               case when doc_id % 9 = 2 then 'UPSERT'
+                    else 'INSERT' end as op,
+               cast(case when doc_id % 9 = 8 then -5
+                         else doc_id % 97 + 1 end as int) as n_tok,
+               source,
+               case doc_id % 9
+                 when 2 then 'invalid_op' when 4 then 'null_lsn'
+                 when 6 then 'null_key' when 8 then 'positive_n_tok'
+               end as "_errors"
+        from documents where doc_id % 9 in (2, 4, 6, 8)
+    """
     return d
 
 

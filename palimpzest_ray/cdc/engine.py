@@ -97,6 +97,13 @@ from palimpzest_ray.schemas import (
 
 PART_COL = "__part"
 SRC_COL = "__is_change"
+#: pseudo-partition id that routes rows failing validation through the
+#: ordinary exchange to the dead-letter writer instead of a merge
+QUARANTINE_PART = -1
+#: per-row diagnostics column on quarantined events (comma-joined names
+#: of the failed checks, in check order); all-null on healthy rows while
+#: they share blocks with quarantined ones
+ERRORS_COL = "_errors"
 #: exchange="auto" applies change logs at or below this many input bytes
 #: driver-locally (zero Ray executions — the frequent-small-epoch fast
 #: path); larger logs take the distributed exchange
@@ -275,6 +282,8 @@ class ApplyResult:
     stats: str = ""  # ray Dataset.stats() of the merge pipeline
     lineage: list = dataclasses.field(default_factory=list)  # per-partition rows
     compaction: dict | None = None  # auto_compact report, when requested
+    rows_quarantined: int = 0  # dead-lettered events (quarantine=True)
+    quarantine_file: str | None = None  # published dead-letter parquet
 
 
 def _expand_paths(changes: str | list[str]) -> list[str]:
@@ -303,22 +312,29 @@ def _normalize_factory(
     num_partitions: int,
     key: str,
     partition_key: str | None = None,
+    expectations: list[tuple[str, list[tuple]]] | None = None,
+    quarantine: bool = False,
 ):
     """Stateless normalize stage: validate + conform + partition-assign.
 
     Columnar analogue of the reference's scan-time field validation
     (``scan.py:95-124``): op ∈ {INSERT,UPDATE,DELETE}, non-null
     lsn/doc_id, ``n_tok`` derived from ``tokens`` where missing.
+
+    ``expectations`` are named data-quality predicates (the
+    ``[("col", op, value)]`` mini-language) every non-DELETE event must
+    satisfy; a null value fails its expectation (an "expect" gate, not a
+    SQL CHECK). With ``quarantine=False`` any violation — structural or
+    expectation — fails the apply. With ``quarantine=True`` violating
+    rows are routed to the dead-letter pseudo-partition
+    (:data:`QUARANTINE_PART`) with a per-row :data:`ERRORS_COL` reason
+    string, and the apply proceeds with the healthy rows (the Debezium
+    dead-letter-topic / expectations pattern).
     """
+    expectations = list(expectations or [])
 
     def normalize(batch: pa.Table) -> pa.Table:
         limit_kernel_threads()
-        ok = pc.is_in(batch["op"], value_set=pa.array(CHANGE_OPS))
-        bad = batch.num_rows - (pc.sum(ok.cast(pa.int64())).as_py() or 0)
-        if bad:
-            raise ValueError(f"{bad} change events with op outside {CHANGE_OPS}")
-        if batch["lsn"].null_count or batch[key].null_count:
-            raise ValueError("null lsn/doc_id in change log")
         if "tokens" in batch.column_names:
             derived = token_length(batch["tokens"])
             if "n_tok" in batch.column_names:
@@ -328,6 +344,63 @@ def _normalize_factory(
                 )
             else:
                 batch = batch.append_column("n_tok", derived)
+
+        ok = pc.is_in(batch["op"], value_set=pa.array(CHANGE_OPS))
+        if not quarantine:
+            bad = batch.num_rows - (pc.sum(ok.cast(pa.int64())).as_py() or 0)
+            if bad:
+                raise ValueError(f"{bad} change events with op outside {CHANGE_OPS}")
+            if batch["lsn"].null_count or batch[key].null_count:
+                raise ValueError("null lsn/doc_id in change log")
+            for name, pred in expectations:
+                sat = _predicate_mask(batch, pred)
+                exempt = pc.coalesce(
+                    pc.equal(batch["op"], pa.scalar("DELETE")), pa.scalar(False)
+                )
+                viol = pc.and_(pc.invert(sat), pc.invert(exempt))
+                n_bad = pc.sum(viol.cast(pa.int64())).as_py() or 0
+                if n_bad:
+                    raise ValueError(
+                        f"expectation {name!r} violated by {n_bad} event(s); "
+                        "pass quarantine=True to dead-letter them instead"
+                    )
+            good, badt, reasons = batch, None, None
+        else:
+            # named checks in a fixed order; reasons join in this order
+            checks: list[tuple[str, np.ndarray]] = [
+                (
+                    "invalid_op",
+                    np.asarray(
+                        pc.invert(pc.coalesce(ok, pa.scalar(False))).to_numpy(
+                            zero_copy_only=False
+                        )
+                    ),
+                ),
+                ("null_lsn", batch["lsn"].is_null().to_numpy(zero_copy_only=False)),
+                ("null_key", batch[key].is_null().to_numpy(zero_copy_only=False)),
+            ]
+            not_delete = pc.invert(
+                pc.coalesce(
+                    pc.equal(batch["op"], pa.scalar("DELETE")), pa.scalar(False)
+                )
+            ).to_numpy(zero_copy_only=False)
+            for name, pred in expectations:
+                sat = _predicate_mask(batch, pred).to_numpy(zero_copy_only=False)
+                checks.append((name, np.asarray(~sat) & np.asarray(not_delete)))
+            bad_any = np.zeros(batch.num_rows, dtype=bool)
+            for _, m in checks:
+                bad_any |= m
+            if bad_any.any():
+                idx_bad = np.nonzero(bad_any)[0]
+                # Python only over the (exceptional) bad rows
+                reasons = [
+                    ",".join(nm for nm, m in checks if m[i]) for i in idx_bad
+                ]
+                good = batch.filter(pa.array(~bad_any))
+                badt = batch.take(pa.array(idx_bad))
+            else:
+                good, badt, reasons = batch, None, None
+
         extra = [c for c in batch.column_names if c not in target_schema.names]
         if extra:
             # Silently dropping undeclared columns would lose data on the
@@ -339,13 +412,26 @@ def _normalize_factory(
                 "change_schema=pa.unify_schemas([...]) to apply_changes — "
                 "ds.schema() only reflects the first block."
             )
-        batch = conform(batch, target_schema)
-        part = stable_bucket(batch[partition_key or key], num_partitions)
-        batch = batch.append_column(PART_COL, pa.array(part))
+        good = conform(good, target_schema)
+        part = stable_bucket(good[partition_key or key], num_partitions)
+        good = good.append_column(PART_COL, pa.array(part))
         # fused per-batch LWW combiner (module docstring: the skew
         # treatment) — same pass as normalize so the shuffle input is
         # produced in ONE map stage with no rebatching copies
-        return first_per_key(batch, key, [("lsn", "descending")])
+        good = first_per_key(good, key, [("lsn", "descending")])
+        if not quarantine:
+            return good
+        good = good.append_column(
+            ERRORS_COL, pa.nulls(good.num_rows, pa.string())
+        )
+        if badt is None:
+            return good
+        badt = conform(badt, target_schema)
+        badt = badt.append_column(
+            PART_COL, pa.array(np.full(badt.num_rows, QUARANTINE_PART, np.int32))
+        )
+        badt = badt.append_column(ERRORS_COL, pa.array(reasons, pa.string()))
+        return pa.concat_tables([good, badt])
 
     return normalize
 
@@ -522,11 +608,17 @@ class MergeApplier:
         if part in self.fail_parts:
             raise RuntimeError(f"injected failure for partition {part}")
 
+        if part == QUARANTINE_PART:
+            return self._stage_quarantine(group, _t0)
         # cross-block LWW happens inside the fused _merge sort — no
         # separate pre-reduce pass (each take copies the token payload)
+        drop = [
+            c for c in (PART_COL, ERRORS_COL) if c in group.column_names
+        ]  # PART_COL absent in fs-exchange reads; ERRORS_COL all-null on
+        # healthy rows and only present under quarantine mode
         changes = (
-            group.drop_columns([PART_COL])
-            if PART_COL in group.column_names  # absent in fs-exchange reads
+            group.drop_columns(drop)
+            if drop
             else group
         )
 
@@ -608,6 +700,40 @@ class MergeApplier:
             "col_stats": json.dumps(col_stats),
         }
         return self._finish_lineage(part, lineage)
+
+    def _stage_quarantine(self, group: pa.Table, _t0: float) -> pa.Table:
+        """Dead-letter writer: stage the quarantined events (original
+        payload + per-row ``_errors`` reasons) as one parquet file.
+        tmp+rename-atomic and deterministic, so task retries converge;
+        the driver publishes it under ``<lake>/_quarantine/`` after the
+        commit. The pseudo-partition lands wholly in one exchange block
+        (hash repartition on ``__part``), so exactly one task runs this.
+        """
+        import time as _time
+
+        drop = [c for c in (PART_COL,) if c in group.column_names]
+        rows = group.drop_columns(drop) if drop else group
+        # deterministic file content: quarantine order is LSN order
+        # (nulls last) regardless of block arrival order
+        rows = rows.sort_by([("lsn", "ascending")])
+        fname = os.path.join(self.staging_dir, "quarantine.parquet")
+        tmp = fname + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(rows, tmp)
+        os.replace(tmp, fname)
+        lsns = rows["lsn"].drop_null()
+        lineage = {
+            "part": QUARANTINE_PART,
+            "file": fname,
+            "max_lsn": int(pc.max(lsns).as_py()) if len(lsns) else 0,
+            "rows": rows.num_rows,
+            "tombstones": 0,
+            "rows_upserted": 0,
+            "rows_deleted": 0,
+            "merge_ms": int((_time.monotonic() - _t0) * 1000),
+            "delta": False,
+            "col_stats": None,
+        }
+        return self._finish_lineage(QUARANTINE_PART, lineage)
 
     def _finish_lineage(self, part: int, lineage: dict) -> pa.Table:
         side = os.path.join(self.staging_dir, f"part-{part:05d}.done.json")
@@ -915,8 +1041,24 @@ def apply_changes(
     auto_compact: "CompactionPolicy | bool | None" = None,
     mode: str = "rewrite",
     max_commit_retries: int = 0,
+    expectations: list[tuple[str, list[tuple]]] | None = None,
+    quarantine: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
+
+    ``expectations`` / ``quarantine`` are the ingest data-quality gate
+    (Debezium dead-letter topic / Delta Live Tables expectations):
+    named ``[("col", op, value)]`` predicates every non-DELETE event
+    must satisfy, plus the always-on structural checks (op ∈
+    INSERT/UPDATE/DELETE, non-null lsn and key). ``quarantine=False``
+    fails the apply on any violation; ``quarantine=True`` routes
+    violating events — with a per-row ``_errors`` reason column — to
+    ``<lake>/_quarantine/v{version:06d}.parquet`` through the same
+    exchange and commits the healthy rows. Read back with
+    :func:`read_quarantine`. Dead-letter delivery is per-commit
+    diagnostics: replaying an already-applied log re-quarantines its
+    bad rows under the new version (the healthy side stays idempotent
+    via LWW; watermarked tailing never re-reads old events anyway).
 
     Multi-writer behavior: commits rebase automatically over concurrent
     writers that touched DISJOINT partitions (partition-local LWW
@@ -990,6 +1132,8 @@ def apply_changes(
                     _rebucket=_rebucket,
                     die_once=die_once,
                     mode=mode,
+                    expectations=expectations,
+                    quarantine=quarantine,
                 )
                 break
             except ConcurrentCommitError:
@@ -1022,6 +1166,8 @@ def _apply_changes_impl(
     _rebucket: bool = False,
     die_once: str | None = None,
     mode: str = "rewrite",
+    expectations: list[tuple[str, list[tuple]]] | None = None,
+    quarantine: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
@@ -1198,14 +1344,22 @@ def _apply_changes_impl(
     # (its internal concat cannot unify struct columns missing on one
     # side). After normalize every block has the unified schema. The
     # per-block LWW combiner is fused into normalize.
-    normalize_fn = _normalize_factory(norm_schema, num_partitions, key, partition_key)
+    normalize_fn = _normalize_factory(
+        norm_schema, num_partitions, key, partition_key,
+        expectations=expectations, quarantine=quarantine,
+    )
     done_set = (
         pa.array(np.array(sorted(done), dtype=np.int32)) if done else None
     )
 
     def _norm_skip(batch: pa.Table) -> pa.Table:
         if since_lsn is not None:
-            batch = batch.filter(pc.greater(batch["lsn"], pa.scalar(since_lsn)))
+            keep = pc.greater(batch["lsn"], pa.scalar(since_lsn))
+            if quarantine:
+                # a null-lsn event can't be watermark-compared — keep it
+                # so it reaches the dead letter instead of vanishing
+                keep = pc.or_kleene(keep, batch["lsn"].is_null())
+            batch = batch.filter(keep)
         batch = normalize_fn(batch)
         if done_set is not None:
             batch = batch.filter(
@@ -1382,12 +1536,22 @@ def _apply_changes_impl(
             f"(run_id={run_id!r} keeps completed partitions for resume): {msgs}"
         )
     lineage_rows = [d for d in lineage_rows if d.get("file")]
+    # dead-letter rows ride the same lineage channel but are not lake
+    # partitions: pull them out before PartEntry construction
+    quar_rows = [
+        d
+        for d in list(done.values()) + lineage_rows
+        if int(d["part"]) == QUARANTINE_PART
+    ]
+    lineage_rows = [d for d in lineage_rows if int(d["part"]) != QUARANTINE_PART]
 
     new_parts: dict[int, PartEntry] = {}
     delta_parts: dict[int, PartEntry] = {}
     for d in list(done.values()) + lineage_rows:
         if not d.get("file"):
             continue  # delta apply where every change lost — a no-op
+        if int(d["part"]) == QUARANTINE_PART:
+            continue  # resumed dead-letter sidecar
         entry = PartEntry(
             file=d["file"],
             max_lsn=int(d["max_lsn"]),
@@ -1416,6 +1580,17 @@ def _apply_changes_impl(
         lake_schema, prev_version, key=key, partition_key=partition_key,
         delta_parts=delta_parts, allow_rebase=not _rebucket,
     )
+    # publish the dead letter under the committed version (before the
+    # staging rmtree; per-commit diagnostics — see apply_changes notes)
+    rows_quarantined, quarantine_file = 0, None
+    if quar_rows:
+        qdir = os.path.join(lake_root, "_quarantine")
+        os.makedirs(qdir, exist_ok=True)
+        quarantine_file = os.path.join(
+            qdir, f"v{manifest.version:06d}.parquet"
+        )
+        os.replace(quar_rows[0]["file"], quarantine_file)
+        rows_quarantined = int(quar_rows[0]["rows"])
     shutil.rmtree(staging_dir, ignore_errors=True)
 
     staged = list(new_parts.values()) + list(delta_parts.values())
@@ -1428,6 +1603,8 @@ def _apply_changes_impl(
         partitions_resumed=len(done),
         stats=stats,
         lineage=lineage_rows,
+        rows_quarantined=rows_quarantined,
+        quarantine_file=quarantine_file,
     )
     # Persist the run report (north-rule lineage discipline): summary +
     # per-partition watermarks/counters/timings, auditable after the
@@ -1443,6 +1620,7 @@ def _apply_changes_impl(
         "partitions_rewritten": result.partitions_rewritten,
         "partitions_resumed": result.partitions_resumed,
         "max_lsn": manifest.max_lsn,
+        "rows_quarantined": rows_quarantined,
         "lineage": lineage_rows,
     }
     tmp_report = os.path.join(runs_dir, f"{run_id}.json.tmp")
@@ -1571,6 +1749,36 @@ def fsck(lake_root: str, *, version: int | None = None, deep: bool = False) -> d
                 except TypeError:
                     pass
     return {"ok": not errors, "errors": errors, "files": files, "rows": rows}
+
+
+def read_quarantine(
+    lake_root: str, *, version: int | None = None
+) -> pa.Table:
+    """Read the dead-letter table: events rejected by ingest validation
+    (``apply_changes(..., quarantine=True)``), each with its original
+    payload and the ``_errors`` reason column. ``version=`` narrows to
+    the file published by that commit; default is every retained
+    dead-letter file (column-unified — quarantine schemas may evolve
+    with the change schema)."""
+    qdir = os.path.join(lake_root, "_quarantine")
+    if version is not None:
+        files = [os.path.join(qdir, f"v{version:06d}.parquet")]
+        if not os.path.exists(files[0]):
+            raise FileNotFoundError(
+                f"no quarantined events for version {version} under {qdir}"
+            )
+    else:
+        files = sorted(glob.glob(os.path.join(qdir, "v*.parquet")))
+        if not files:
+            return pa.table(
+                {
+                    "lsn": pa.array([], pa.int64()),
+                    "op": pa.array([], pa.string()),
+                    ERRORS_COL: pa.array([], pa.string()),
+                }
+            )
+    tables = [pq.read_table(f) for f in files]
+    return pa.concat_tables(tables, promote_options="default")
 
 
 def alter_schema(
@@ -2069,6 +2277,30 @@ def key_history(
     return out
 
 
+def quarantine_watermark(lake_root: str) -> int | None:
+    """Highest LSN ever dead-lettered (footer stats only — no data
+    read). Tailing must treat a quarantined event as CONSUMED: the
+    manifest's ``max_lsn`` covers only healthy merges, so a bad event
+    holding the log's tail position would be re-read — and
+    re-quarantined into a fresh commit — on every poll without this."""
+    files = sorted(
+        glob.glob(os.path.join(lake_root, "_quarantine", "v*.parquet"))
+    )
+    mx: int | None = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        idx = md.schema.to_arrow_schema().get_field_index("lsn")
+        if idx < 0:
+            continue
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is not None and st.max is not None:
+                mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 def tail_once(
     log_dir: str | list[str],
     lake_root: str,
@@ -2089,6 +2321,10 @@ def tail_once(
     carry forward instead of overwriting."""
     prev = load_latest_manifest(lake_root)
     watermark = prev.max_lsn if prev is not None else None
+    if apply_kwargs.get("quarantine"):
+        qw = quarantine_watermark(lake_root)
+        if qw is not None:
+            watermark = qw if watermark is None else max(watermark, qw)
     if patch:
         from palimpzest_ray.cdc.patch import apply_patches
 
@@ -2369,11 +2605,10 @@ def _predicate_expr(predicate: list[tuple]):
     return expr
 
 
-def _filter_predicate(table: pa.Table, predicate: list[tuple]) -> pa.Table:
-    """Exact post-resolution filter for delta-bearing partitions —
-    the fragment-scan pushdown cannot run before LWW resolution there
-    (pre-filtering a chain file could drop a base row whose delta
-    successor fails the predicate, resurrecting the base value)."""
+def _predicate_mask(table: pa.Table, predicate: list[tuple]):
+    """Boolean mask for the conjuncts (null comparisons → False), the
+    shared evaluator behind post-resolution filters and ingest
+    expectations."""
     mask = None
     for col, op, v in predicate:
         c = table[col]
@@ -2388,6 +2623,15 @@ def _filter_predicate(table: pa.Table, predicate: list[tuple]) -> pa.Table:
         }[op]()
         m = pc.coalesce(m, pa.scalar(False))
         mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
+def _filter_predicate(table: pa.Table, predicate: list[tuple]) -> pa.Table:
+    """Exact post-resolution filter for delta-bearing partitions —
+    the fragment-scan pushdown cannot run before LWW resolution there
+    (pre-filtering a chain file could drop a base row whose delta
+    successor fails the predicate, resurrecting the base value)."""
+    mask = _predicate_mask(table, predicate)
     return table.filter(mask) if mask is not None else table
 
 
