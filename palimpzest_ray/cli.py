@@ -60,7 +60,40 @@ def _apply_summary(res) -> dict:
         "rows_deleted": res.rows_deleted,
         "partitions_rewritten": res.partitions_rewritten,
         "partitions_resumed": res.partitions_resumed,
+        "rows_quarantined": getattr(res, "rows_quarantined", 0),
     }
+
+
+def _add_gate(p) -> None:
+    """Shared ingest data-quality-gate flags (apply / tail)."""
+    p.add_argument(
+        "--expect", action="append", nargs=4, default=None,
+        metavar=("NAME", "COL", "OP", "VALUE"),
+        help="named expectation every non-DELETE event must satisfy "
+        "(OP one of == != > >= < <=; VALUE parsed as JSON)",
+    )
+    p.add_argument(
+        "--quarantine", action="store_true",
+        help="dead-letter violating events to <lake>/_quarantine/ "
+        "instead of failing the apply",
+    )
+
+
+def _gate_kwargs(args) -> dict:
+    out: dict = {}
+    if getattr(args, "expect", None):
+        def _v(v: str):
+            try:
+                return json.loads(v)
+            except (json.JSONDecodeError, ValueError):
+                return v
+
+        out["expectations"] = [
+            (name, [(col, op, _v(v))]) for name, col, op, v in args.expect
+        ]
+    if getattr(args, "quarantine", False):
+        out["quarantine"] = True
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -85,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         help="wire format of CHANGES (jsonl = flat change rows, "
         "debezium = envelope with op c/u/d/r + before/after)",
     )
+    _add_gate(p)
 
     p = sub.add_parser(
         "patch",
@@ -109,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
         "--format", choices=["parquet", "patch"], default="parquet",
         help="patch = partial row images (null column carries forward)",
     )
+    _add_gate(p)
+
+    p = sub.add_parser(
+        "quarantine",
+        help="print dead-lettered events (apply/tail --quarantine)",
+    )
+    p.add_argument("lake")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--limit", type=int, default=20)
 
     p = sub.add_parser("state", help="print the committed manifest summary")
     p.add_argument("lake")
@@ -458,6 +501,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": n, "metadata_only": pred is None}))
         return 0
 
+    if args.cmd == "quarantine":  # pure file read — no Ray session
+        from palimpzest_ray.cdc import read_quarantine
+
+        q = read_quarantine(args.lake, version=args.version)
+        print(json.dumps({"rows": q.num_rows}))
+        for row in q.slice(0, args.limit).to_pylist():
+            row.pop("tokens", None)  # payload too wide for a console
+            print(json.dumps(row, default=str))
+        return 0
+
     if args.cmd == "minmax":
         from palimpzest_ray.cdc import lake_minmax
 
@@ -672,6 +725,7 @@ def main(argv: list[str] | None = None) -> int:
             since_lsn=args.since_lsn,
             mode=args.mode,
             **extra,
+            **_gate_kwargs(args),
         )
     elif args.cmd == "patch":
         from palimpzest_ray.cdc import apply_patches
@@ -690,6 +744,7 @@ def main(argv: list[str] | None = None) -> int:
             args.log_dir, args.lake,
             patch=args.format == "patch",
             num_partitions=args.num_partitions, mode=args.mode,
+            **_gate_kwargs(args),
         )
     elif args.cmd == "repartition":
         from palimpzest_ray.cdc import repartition_lake

@@ -413,3 +413,30 @@ def test_cli_history_and_catalog(tmp_path, capsys):
     assert cli.main(["catalog-show", cat]) == 0
     shown = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert shown == out
+
+
+def test_cli_quarantine_gate(tmp_path, capsys):
+    from palimpzest_ray import cli
+
+    log = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "op": pa.array(["INSERT", "BAD", "INSERT"]),
+            "doc_id": pa.array(["a", "b", "c"]),
+            "n_tok": pa.array([5, 6, -1], pa.int32()),
+        }
+    )
+    p = os.path.join(str(tmp_path), "log.parquet")
+    pq.write_table(log, p)
+    lake = os.path.join(str(tmp_path), "lake")
+    assert cli.main([
+        "apply", p, lake, "--num-partitions", "2",
+        "--expect", "pos_tok", "n_tok", ">", "0", "--quarantine",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_quarantined"] == 2 and out["rows_upserted"] == 1
+    assert cli.main(["quarantine", lake]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[0])["rows"] == 2
+    reasons = {json.loads(ln)["_errors"] for ln in lines[1:]}
+    assert reasons == {"invalid_op", "pos_tok"}
