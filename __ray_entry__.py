@@ -2590,6 +2590,37 @@ def q116_quarantine_deadletter(sf_dir: str):
     return q.select(["lsn", "op", "n_tok", "source", "_errors"])
 
 
+def q117_wap_publish(sf_dir: str):
+    """Write-audit-publish round trip (cdc/manifest.py
+    commit_version(publish=False) + publish_version): epoch 2 is
+    applied with audit=True — fully written, invisible to head readers
+    (asserted: the head still equals epoch 1) — audited through a
+    version= read, then published as a pure pointer flip. Same final
+    state as a direct apply — cdc_replay's EXACT oracle."""
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        final_state_table,
+        load_latest_manifest,
+        publish_version,
+    )
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_wap_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    head_before = load_latest_manifest(lake).version
+    res = apply_changes(log2, lake, num_partitions=8, audit=True)
+    assert load_latest_manifest(lake).version == head_before  # invisible
+    audited = final_state_table(lake, version=res.manifest.version)
+    publish_version(lake, res.manifest.version)
+    assert final_state_table(lake).equals(audited)  # flip changed nothing
+    return pzd.Dataset(
+        rd.from_arrow(audited.select(["doc_id", "n_tok", "source"]))
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2706,6 +2737,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q114_partitioned_agg": q114_partitioned_agg,
         "q115_quarantine_apply": q115_quarantine_apply,
         "q116_quarantine_deadletter": q116_quarantine_deadletter,
+        "q117_wap_publish": q117_wap_publish,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3120,6 +3152,8 @@ def _base_oracle_sql() -> dict[str, str]:
                end as "_errors"
         from documents where doc_id % 9 in (2, 4, 6, 8)
     """
+    # write-audit-publish is state-equivalent to a direct apply
+    d["q117_wap_publish"] = d["cdc_replay"]
     return d
 
 

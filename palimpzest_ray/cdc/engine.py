@@ -1043,8 +1043,21 @@ def apply_changes(
     max_commit_retries: int = 0,
     expectations: list[tuple[str, list[tuple]]] | None = None,
     quarantine: bool = False,
+    audit: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
+
+    ``audit=True`` is write-audit-publish (the Iceberg WAP pattern):
+    the version is fully written — data promoted, manifest committed,
+    dead letter published — but ``LATEST`` does not move, so head
+    readers never see it. Audit it through any reader's ``version=``
+    (``final_state_table``, ``lake_count``, ``fsck``,
+    ``read_quarantine``), then
+    :func:`~palimpzest_ray.cdc.manifest.publish_version` (a pure
+    pointer flip — the staged commit holds the head+1 slot, blocking
+    other writers, so nothing moves underneath it) or
+    :func:`~palimpzest_ray.cdc.manifest.discard_version`. Vacuum
+    preserves staged versions' files mid-audit.
 
     ``expectations`` / ``quarantine`` are the ingest data-quality gate
     (Debezium dead-letter topic / Delta Live Tables expectations):
@@ -1134,13 +1147,16 @@ def apply_changes(
                     mode=mode,
                     expectations=expectations,
                     quarantine=quarantine,
+                    audit=audit,
                 )
                 break
             except ConcurrentCommitError:
                 if attempt + 1 >= attempts or isinstance(changes, rd.Dataset):
                     # a caller Dataset may be single-shot; don't re-run it
                     raise
-    if auto_compact and not _rebucket:  # never recurse from a re-bucket
+    if auto_compact and not _rebucket and not audit:
+        # never recurse from a re-bucket; never compact an unpublished
+        # staged version (compaction commits, which the staged slot blocks)
         policy = auto_compact if isinstance(auto_compact, CompactionPolicy) else None
         result.compaction = globals()["auto_compact"](
             lake_root, policy, exchange=exchange
@@ -1168,6 +1184,7 @@ def _apply_changes_impl(
     mode: str = "rewrite",
     expectations: list[tuple[str, list[tuple]]] | None = None,
     quarantine: bool = False,
+    audit: bool = False,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
@@ -1579,6 +1596,7 @@ def _apply_changes_impl(
         lake_root, staging_dir, new_parts, carried, num_partitions,
         lake_schema, prev_version, key=key, partition_key=partition_key,
         delta_parts=delta_parts, allow_rebase=not _rebucket,
+        publish=not audit,
     )
     # publish the dead letter under the committed version (before the
     # staging rmtree; per-commit diagnostics — see apply_changes notes)
@@ -3197,10 +3215,23 @@ def net_changes_since(lake_root: str, version: int) -> rd.Dataset:
     return raw.map_batches(_feed, batch_format="pyarrow")
 
 
-def final_state_table(lake_root: str, *, user_columns_only: bool = True) -> pa.Table:
+def final_state_table(
+    lake_root: str,
+    *,
+    user_columns_only: bool = True,
+    version: int | None = None,
+) -> pa.Table:
     """Materialized, canonically sorted final state (tests / small lakes
-    only — the streaming path is :func:`final_state`)."""
-    manifest = load_latest_manifest(lake_root)
+    only — the streaming path is :func:`final_state`). ``version=`` time
+    travel includes staged (unpublished write-audit-publish) versions —
+    the audit read."""
+    from palimpzest_ray.cdc.manifest import load_manifest
+
+    manifest = (
+        load_manifest(lake_root, version)
+        if version is not None
+        else load_latest_manifest(lake_root)
+    )
     if manifest is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     tables = [

@@ -217,7 +217,17 @@ def vacuum(
     keep = max(1, keep_versions)
     lo = latest.version - keep + 1  # retain versions [lo, latest]
     referenced: set[str] = set()
-    for v in range(max(1, lo), latest.version + 1):
+    # staged (write-audit-publish) manifests live ABOVE LATEST until
+    # published — their files must survive a vacuum run mid-audit.
+    # Only MARKED versions count: unmarked above-LATEST manifests are
+    # rollback debris whose files are fair game.
+    staged = [
+        v
+        for f in os.listdir(lake_root)
+        if f.startswith(".staged-v")
+        and (v := int(f[len(".staged-v"):])) > latest.version
+    ]
+    for v in list(range(max(1, lo), latest.version + 1)) + staged:
         p = os.path.join(lake_root, f"MANIFEST-v{v}.json")
         if os.path.exists(p):
             with open(p) as f:
@@ -292,10 +302,21 @@ def commit_version(
     partition_key: str | None = None,
     delta_parts: dict[int, PartEntry] | None = None,
     allow_rebase: bool = False,
+    publish: bool = True,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
     their staging filename; carried entries keep their old paths.
+
+    ``publish=False`` is the write half of write-audit-publish: the
+    version's data files are promoted and its manifest written, but
+    ``LATEST`` does not move — readers of the head never see it, while
+    auditors read it explicitly via ``version=``. Exactly one staged
+    version may exist at a time (it holds the ``LATEST+1`` slot; any
+    concurrent commit raises :class:`ConcurrentCommitError` until it is
+    published or discarded — see :func:`publish_version` /
+    :func:`discard_version`), which is what keeps publish a pure
+    pointer flip: the staged version's planned base IS the head.
 
     ``delta_parts`` entries are merge-on-read appends: the staged file
     is promoted as ``part-{p}-delta.parquet`` and APPENDED to the
@@ -390,6 +411,15 @@ def commit_version(
             carried = {p: e for p, e in current.parts.items() if p not in staged}
             prev_version = current_version
         version = prev_version + 1
+        if os.path.exists(_staged_marker(lake_root, version)):
+            # an unpublished write-audit-publish commit holds this slot.
+            # (An above-LATEST manifest WITHOUT a marker is rollback
+            # debris — LATEST rewound by hand — and is overwritten.)
+            raise ConcurrentCommitError(
+                f"staged (unpublished) version v{version} exists on "
+                f"{lake_root}; publish_version or discard_version it "
+                "before committing"
+            )
         data_dir = os.path.join(lake_root, "data", f"v{version}")
         os.makedirs(data_dir, exist_ok=True)
 
@@ -434,5 +464,76 @@ def commit_version(
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"), manifest.to_json()
         )
-        _atomic_write(os.path.join(lake_root, "LATEST"), str(version))
+        if publish:
+            _atomic_write(os.path.join(lake_root, "LATEST"), str(version))
+        else:
+            _atomic_write(_staged_marker(lake_root, version), "staged")
     return manifest
+
+
+def _staged_marker(lake_root: str, version: int) -> str:
+    """Marker distinguishing a staged write-audit-publish version from
+    rollback debris (an above-LATEST manifest left by rewinding LATEST,
+    which a new commit legitimately overwrites)."""
+    return os.path.join(lake_root, f".staged-v{version}")
+
+
+def publish_version(lake_root: str, version: int) -> LakeManifest:
+    """Publish a staged (write-audit-publish) version: flip ``LATEST``
+    to it. A pure pointer flip — the staged commit already holds the
+    ``head+1`` slot and blocked every other writer, so its planned base
+    is still the head; nothing can have moved underneath it."""
+    import fcntl
+
+    with open(os.path.join(lake_root, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+        current = load_latest_manifest(lake_root)
+        head = current.version if current else 0
+        if version != head + 1:
+            raise ConcurrentCommitError(
+                f"cannot publish v{version}: head is v{head} "
+                f"(staged versions publish in order, head+1 first)"
+            )
+        m = load_manifest(lake_root, version)  # must exist
+        _atomic_write(os.path.join(lake_root, "LATEST"), str(version))
+        try:  # absent if the stage crashed between manifest and marker
+            os.unlink(_staged_marker(lake_root, version))
+        except FileNotFoundError:
+            pass
+    return m
+
+
+def discard_version(lake_root: str, version: int) -> None:
+    """Abandon a staged (unpublished) version: delete its manifest and
+    every data file that ONLY it references (carried-by-reference files
+    belong to published versions and stay). Refuses to touch anything
+    at or below ``LATEST``."""
+    import fcntl
+    import shutil
+
+    with open(os.path.join(lake_root, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+        current = load_latest_manifest(lake_root)
+        head = current.version if current else 0
+        if version <= head:
+            raise ValueError(
+                f"v{version} is published (head v{head}); use vacuum for "
+                "retention, not discard_version"
+            )
+        mpath = os.path.join(lake_root, f"MANIFEST-v{version}.json")
+        if not os.path.exists(_staged_marker(lake_root, version)):
+            raise FileNotFoundError(
+                f"v{version} is not a staged version (no marker); "
+                "rollback debris is reclaimed by overwrite, not discard"
+            )
+        if os.path.exists(mpath):
+            os.unlink(mpath)
+        os.unlink(_staged_marker(lake_root, version))
+        # the staged version's own data dir holds exactly the files no
+        # published manifest can reference (promotion is per-version)
+        shutil.rmtree(
+            os.path.join(lake_root, "data", f"v{version}"), ignore_errors=True
+        )
+        q = os.path.join(lake_root, "_quarantine", f"v{version:06d}.parquet")
+        if os.path.exists(q):
+            os.unlink(q)

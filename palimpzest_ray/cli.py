@@ -77,6 +77,11 @@ def _add_gate(p) -> None:
         help="dead-letter violating events to <lake>/_quarantine/ "
         "instead of failing the apply",
     )
+    p.add_argument(
+        "--audit", action="store_true",
+        help="write-audit-publish: commit the version WITHOUT moving "
+        "LATEST; inspect it via --version, then publish/discard",
+    )
 
 
 def _gate_kwargs(args) -> dict:
@@ -93,6 +98,8 @@ def _gate_kwargs(args) -> dict:
         ]
     if getattr(args, "quarantine", False):
         out["quarantine"] = True
+    if getattr(args, "audit", False):
+        out["audit"] = True
     return out
 
 
@@ -152,6 +159,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("lake")
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--limit", type=int, default=20)
+
+    p = sub.add_parser(
+        "publish", help="flip LATEST to a staged (apply --audit) version"
+    )
+    p.add_argument("lake")
+    p.add_argument("version", type=int)
+
+    p = sub.add_parser(
+        "discard", help="abandon a staged (apply --audit) version"
+    )
+    p.add_argument("lake")
+    p.add_argument("version", type=int)
 
     p = sub.add_parser("state", help="print the committed manifest summary")
     p.add_argument("lake")
@@ -499,6 +518,17 @@ def main(argv: list[str] | None = None) -> int:
             _ensure_ray(args.num_cpus)  # metadata-only path needs no Ray
         n = lake_count(args.lake, predicate=pred, version=args.version)
         print(json.dumps({"rows": n, "metadata_only": pred is None}))
+        return 0
+
+    if args.cmd in ("publish", "discard"):  # pointer ops — no Ray session
+        from palimpzest_ray.cdc import discard_version, publish_version
+
+        if args.cmd == "publish":
+            m = publish_version(args.lake, args.version)
+            print(json.dumps({"published": m.version}))
+        else:
+            discard_version(args.lake, args.version)
+            print(json.dumps({"discarded": args.version}))
         return 0
 
     if args.cmd == "quarantine":  # pure file read — no Ray session

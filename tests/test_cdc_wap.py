@@ -1,0 +1,167 @@
+"""Write-audit-publish: staged commits that audits gate.
+
+``apply_changes(audit=True)`` fully writes a version without moving
+LATEST; auditors read it via ``version=``; ``publish_version`` is a
+pure pointer flip (the staged slot blocks every other writer, so the
+planned base is still the head); ``discard_version`` abandons it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import (
+    apply_changes,
+    discard_version,
+    final_state_table,
+    lake_count,
+    load_latest_manifest,
+    publish_version,
+    read_quarantine,
+    vacuum,
+)
+from palimpzest_ray.cdc.manifest import ConcurrentCommitError
+
+
+def _log(rows, tmp_path, name):
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("lsn", pa.int64()),
+                ("op", pa.string()),
+                ("doc_id", pa.string()),
+                ("n_tok", pa.int32()),
+            ]
+        ),
+    )
+    p = os.path.join(str(tmp_path), name)
+    pq.write_table(t, p)
+    return p
+
+
+def _boot(tmp_path, lake):
+    apply_changes(
+        _log(
+            [
+                {"lsn": 1, "op": "INSERT", "doc_id": "a", "n_tok": 5},
+                {"lsn": 2, "op": "INSERT", "doc_id": "b", "n_tok": 7},
+            ],
+            tmp_path, "boot.parquet",
+        ),
+        lake, num_partitions=2,
+    )
+
+
+def test_wap_stage_audit_publish(tmp_path, tmp_lake):
+    _boot(tmp_path, tmp_lake)
+    res = apply_changes(
+        _log(
+            [
+                {"lsn": 3, "op": "UPDATE", "doc_id": "a", "n_tok": 9},
+                {"lsn": 4, "op": "DELETE", "doc_id": "b", "n_tok": None},
+            ],
+            tmp_path, "e2.parquet",
+        ),
+        tmp_lake, num_partitions=2, audit=True,
+    )
+    staged = res.manifest.version
+    assert staged == 2
+    # head readers see the pre-stage state; auditors see the staged one
+    assert load_latest_manifest(tmp_lake).version == 1
+    assert sorted(final_state_table(tmp_lake)["doc_id"].to_pylist()) == [
+        "a", "b",
+    ]
+    audited = final_state_table(tmp_lake, version=staged)
+    assert audited.to_pylist() == [{"doc_id": "a", "n_tok": 9}]
+    assert lake_count(tmp_lake, version=staged) == 1
+    # publish: pointer flip only; state byte-equal to the audit read
+    m = publish_version(tmp_lake, staged)
+    assert m.version == load_latest_manifest(tmp_lake).version == 2
+    assert final_state_table(tmp_lake).equals(audited)
+
+
+def test_wap_staged_slot_blocks_other_writers(tmp_path, tmp_lake):
+    _boot(tmp_path, tmp_lake)
+    res = apply_changes(
+        _log([{"lsn": 3, "op": "INSERT", "doc_id": "c", "n_tok": 1}],
+             tmp_path, "stage.parquet"),
+        tmp_lake, num_partitions=2, audit=True,
+    )
+    with pytest.raises(ConcurrentCommitError, match="staged"):
+        apply_changes(
+            _log([{"lsn": 4, "op": "INSERT", "doc_id": "d", "n_tok": 2}],
+                 tmp_path, "other.parquet"),
+            tmp_lake, num_partitions=2,
+        )
+    # publish unblocks; the blocked write then lands as v3
+    publish_version(tmp_lake, res.manifest.version)
+    apply_changes(
+        _log([{"lsn": 4, "op": "INSERT", "doc_id": "d", "n_tok": 2}],
+             tmp_path, "other2.parquet"),
+        tmp_lake, num_partitions=2,
+    )
+    assert load_latest_manifest(tmp_lake).version == 3
+    assert sorted(final_state_table(tmp_lake)["doc_id"].to_pylist()) == [
+        "a", "b", "c", "d",
+    ]
+
+
+def test_wap_discard_reclaims_and_frees_slot(tmp_path, tmp_lake):
+    _boot(tmp_path, tmp_lake)
+    res = apply_changes(
+        _log([{"lsn": 3, "op": "INSERT", "doc_id": "bad", "n_tok": -1}],
+             tmp_path, "stage.parquet"),
+        tmp_lake, num_partitions=2, audit=True, quarantine=True,
+    )
+    staged = res.manifest.version
+    discard_version(tmp_lake, staged)
+    assert not os.path.exists(
+        os.path.join(tmp_lake, f"MANIFEST-v{staged}.json")
+    )
+    assert not os.path.isdir(os.path.join(tmp_lake, "data", f"v{staged}"))
+    assert read_quarantine(tmp_lake).num_rows == 0  # dead letter withdrawn
+    # the slot is free again: the next commit takes v2 cleanly
+    apply_changes(
+        _log([{"lsn": 4, "op": "INSERT", "doc_id": "c", "n_tok": 3}],
+             tmp_path, "next.parquet"),
+        tmp_lake, num_partitions=2,
+    )
+    assert load_latest_manifest(tmp_lake).version == staged
+    assert sorted(final_state_table(tmp_lake)["doc_id"].to_pylist()) == [
+        "a", "b", "c",
+    ]
+    # guards: can't discard published versions, can't publish out of order
+    with pytest.raises(ValueError, match="published"):
+        discard_version(tmp_lake, staged)
+    with pytest.raises(ConcurrentCommitError, match="head"):
+        publish_version(tmp_lake, staged + 5)
+
+
+def test_wap_survives_vacuum_mid_audit(tmp_path, tmp_lake):
+    _boot(tmp_path, tmp_lake)
+    # advance head a few times so vacuum has something to drop
+    for i, lsn in enumerate((3, 4, 5)):
+        apply_changes(
+            _log([{"lsn": lsn, "op": "UPDATE", "doc_id": "a",
+                   "n_tok": 10 + i}], tmp_path, f"e{lsn}.parquet"),
+            tmp_lake, num_partitions=2,
+        )
+    res = apply_changes(
+        _log([{"lsn": 9, "op": "INSERT", "doc_id": "z", "n_tok": 1}],
+             tmp_path, "stage.parquet"),
+        tmp_lake, num_partitions=2, audit=True,
+    )
+    staged = res.manifest.version
+    vacuum(tmp_lake, keep_versions=1)
+    # the staged version's files survived the vacuum; publish still works
+    audited = final_state_table(tmp_lake, version=staged)
+    publish_version(tmp_lake, staged)
+    assert final_state_table(tmp_lake).equals(audited)
+    assert sorted(final_state_table(tmp_lake)["doc_id"].to_pylist()) == [
+        "a", "b", "z",
+    ]

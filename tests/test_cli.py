@@ -440,3 +440,53 @@ def test_cli_quarantine_gate(tmp_path, capsys):
     assert json.loads(lines[0])["rows"] == 2
     reasons = {json.loads(ln)["_errors"] for ln in lines[1:]}
     assert reasons == {"invalid_op", "pos_tok"}
+
+
+def test_cli_wap_publish_discard(tmp_path, capsys):
+    from palimpzest_ray import cli
+
+    def mk(rows, name):
+        t = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("lsn", pa.int64()), ("op", pa.string()),
+                 ("doc_id", pa.string()), ("n_tok", pa.int32())]
+            ),
+        )
+        p = os.path.join(str(tmp_path), name)
+        pq.write_table(t, p)
+        return p
+
+    lake = os.path.join(str(tmp_path), "lake")
+    assert cli.main([
+        "apply", mk([{"lsn": 1, "op": "INSERT", "doc_id": "a", "n_tok": 1}],
+                    "l1.parquet"),
+        lake, "--num-partitions", "2",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "apply", mk([{"lsn": 2, "op": "INSERT", "doc_id": "b", "n_tok": 2}],
+                    "l2.parquet"),
+        lake, "--num-partitions", "2", "--audit",
+    ]) == 0
+    staged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert staged["version"] == 2
+    assert cli.main(["state", lake]) == 0
+    head = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert head["version"] == 1  # stage invisible to the head
+    assert cli.main(["publish", lake, "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["published"] == 2
+    # stage another and discard it
+    assert cli.main([
+        "apply", mk([{"lsn": 3, "op": "INSERT", "doc_id": "c", "n_tok": 3}],
+                    "l3.parquet"),
+        lake, "--num-partitions", "2", "--audit",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main(["discard", lake, "3"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["discarded"] == 3
+    assert cli.main(["state", lake]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["version"] == 2
