@@ -1164,6 +1164,86 @@ def apply_changes(
     return result
 
 
+class AuditFailed(RuntimeError):
+    """An :func:`audited_apply` guardrail rejected the staged version.
+
+    ``failures`` lists the failing checks; ``staged_version`` is the
+    version that was discarded (or left staged with
+    ``keep_staged_on_fail=True`` for inspection)."""
+
+    def __init__(self, failures: list[str], staged_version: int, kept: bool):
+        self.failures = failures
+        self.staged_version = staged_version
+        self.kept = kept
+        state = "kept staged for inspection" if kept else "discarded"
+        super().__init__(
+            f"audit failed for staged v{staged_version} ({state}): "
+            + "; ".join(failures)
+        )
+
+
+def audited_apply(
+    changes,
+    lake_root: str,
+    *,
+    audits: list[tuple] | None = None,
+    max_delete_frac: float | None = None,
+    min_rows: int | None = None,
+    keep_staged_on_fail: bool = False,
+    **apply_kwargs,
+) -> ApplyResult:
+    """One-call write-audit-publish: stage the apply (``audit=True``),
+    run guardrails against the staged version, publish on pass /
+    discard on fail (:class:`AuditFailed`).
+
+    Built-in guardrails are METADATA-ONLY (manifest row counters — zero
+    data I/O, the same counters fsck --deep validates): ``min_rows``
+    floors the staged live-row count; ``max_delete_frac`` rejects a
+    commit that would shrink the table by more than the given fraction
+    — the classic safety rail against a runaway DELETE feed. ``audits``
+    adds custom checks ``(name, fn(lake_root, staged_version) -> bool)``
+    — run anything over the staged state via the ``version=`` readers;
+    an exception counts as a failure. ``keep_staged_on_fail=True``
+    leaves the rejected version staged (still holding the commit slot)
+    so an operator can inspect it with ``final_state_table(version=)``
+    before discarding by hand."""
+    from palimpzest_ray.cdc.manifest import discard_version, publish_version
+
+    prev = load_latest_manifest(lake_root)
+    prev_version = prev.version if prev else 0
+    prev_rows = sum(e.rows for e in prev.parts.values()) if prev else 0
+    res = apply_changes(changes, lake_root, audit=True, **apply_kwargs)
+    if res.manifest.version == prev_version:
+        return res  # watermark no-op: nothing staged, nothing to audit
+    staged = res.manifest.version
+    new_rows = sum(e.rows for e in res.manifest.parts.values())
+    failures: list[str] = []
+    if min_rows is not None and new_rows < min_rows:
+        failures.append(f"min_rows: staged has {new_rows} < {min_rows}")
+    if max_delete_frac is not None and prev_rows:
+        dropped = prev_rows - new_rows
+        if dropped > 0 and dropped / prev_rows > max_delete_frac:
+            failures.append(
+                f"max_delete_frac: commit drops {dropped}/{prev_rows} rows "
+                f"({dropped / prev_rows:.1%} > {max_delete_frac:.1%})"
+            )
+    for name, fn in audits or []:
+        try:
+            ok = fn(lake_root, staged)
+        except Exception as e:  # noqa: BLE001 — a crashed audit is a veto
+            ok = False
+            failures.append(f"{name}: raised {type(e).__name__}: {e}")
+            continue
+        if not ok:
+            failures.append(f"{name}: returned {ok!r}")
+    if failures:
+        if not keep_staged_on_fail:
+            discard_version(lake_root, staged)
+        raise AuditFailed(failures, staged, keep_staged_on_fail)
+    res.manifest = publish_version(lake_root, staged)
+    return res
+
+
 def _apply_changes_impl(
     changes: str | list[str] | pa.Table | rd.Dataset,
     lake_root: str,

@@ -254,7 +254,17 @@ def vacuum(
                 os.rmdir(full_vdir)
 
     dropped = []
-    for v in range(1, max(1, lo)):
+    # above-LATEST manifests without a staged marker are rollback
+    # debris (restore_version) whose files were just reclaimed — drop
+    # the manifests too so time travel can't point at deleted files
+    debris = [
+        v
+        for f in os.listdir(lake_root)
+        if f.startswith("MANIFEST-v") and f.endswith(".json")
+        and (v := int(f[len("MANIFEST-v"):-len(".json")])) > latest.version
+        and v not in staged
+    ]
+    for v in list(range(1, max(1, lo))) + debris:
         p = os.path.join(lake_root, f"MANIFEST-v{v}.json")
         if os.path.exists(p):
             os.unlink(p)
@@ -500,6 +510,35 @@ def publish_version(lake_root: str, version: int) -> LakeManifest:
             os.unlink(_staged_marker(lake_root, version))
         except FileNotFoundError:
             pass
+    return m
+
+
+def restore_version(lake_root: str, version: int) -> LakeManifest:
+    """Delta-RESTORE-style rollback: point ``LATEST`` back at a retained
+    older version. Pure pointer flip — no data moves; versions above the
+    restore point become rollback debris that the next commit overwrites
+    (and vacuum's referenced-set subtraction reclaims). Refuses if the
+    target manifest was vacuumed or a staged (write-audit-publish)
+    version exists (publish or discard it first — restoring underneath
+    an audit would silently invalidate its planned base)."""
+    import fcntl
+
+    with open(os.path.join(lake_root, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+        current = load_latest_manifest(lake_root)
+        head = current.version if current else 0
+        if version > head:
+            raise ValueError(
+                f"cannot restore forward: v{version} is above head v{head}"
+            )
+        staged = [f for f in os.listdir(lake_root) if f.startswith(".staged-v")]
+        if staged:
+            raise ConcurrentCommitError(
+                f"staged version(s) {staged} exist; publish or discard "
+                "before restoring"
+            )
+        m = load_manifest(lake_root, version)  # raises if vacuumed
+        _atomic_write(os.path.join(lake_root, "LATEST"), str(version))
     return m
 
 

@@ -172,6 +172,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("lake")
     p.add_argument("version", type=int)
 
+    p = sub.add_parser(
+        "restore", help="roll LATEST back to a retained older version"
+    )
+    p.add_argument("lake")
+    p.add_argument("version", type=int)
+
     p = sub.add_parser("state", help="print the committed manifest summary")
     p.add_argument("lake")
 
@@ -520,12 +526,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": n, "metadata_only": pred is None}))
         return 0
 
-    if args.cmd in ("publish", "discard"):  # pointer ops — no Ray session
-        from palimpzest_ray.cdc import discard_version, publish_version
+    if args.cmd in ("publish", "discard", "restore"):
+        # pointer ops — no Ray session
+        from palimpzest_ray.cdc import (
+            discard_version,
+            publish_version,
+            restore_version,
+        )
 
         if args.cmd == "publish":
             m = publish_version(args.lake, args.version)
             print(json.dumps({"published": m.version}))
+        elif args.cmd == "restore":
+            m = restore_version(args.lake, args.version)
+            print(json.dumps({"restored": m.version}))
         else:
             discard_version(args.lake, args.version)
             print(json.dumps({"discarded": args.version}))

@@ -165,3 +165,105 @@ def test_wap_survives_vacuum_mid_audit(tmp_path, tmp_lake):
     assert sorted(final_state_table(tmp_lake)["doc_id"].to_pylist()) == [
         "a", "b", "z",
     ]
+
+
+def test_restore_version_rollback(tmp_path, tmp_lake):
+    """Delta-RESTORE: pointer rollback to a retained version; the next
+    commit overwrites the debris; vacuum reclaims debris files AND
+    drops debris manifests (time travel can't point at deleted files)."""
+    _boot(tmp_path, tmp_lake)
+    v1_state = final_state_table(tmp_lake)
+    apply_changes(
+        _log([{"lsn": 3, "op": "DELETE", "doc_id": "a", "n_tok": None}],
+             tmp_path, "e2.parquet"),
+        tmp_lake, num_partitions=2,
+    )
+    assert final_state_table(tmp_lake).num_rows == 1
+    from palimpzest_ray.cdc import restore_version
+
+    m = restore_version(tmp_lake, 1)
+    assert m.version == load_latest_manifest(tmp_lake).version == 1
+    assert final_state_table(tmp_lake).equals(v1_state)
+    with pytest.raises(ValueError, match="restore forward"):
+        restore_version(tmp_lake, 9)
+    # the next commit takes v2 again, overwriting the debris manifest
+    apply_changes(
+        _log([{"lsn": 4, "op": "INSERT", "doc_id": "c", "n_tok": 3}],
+             tmp_path, "e3.parquet"),
+        tmp_lake, num_partitions=2,
+    )
+    assert load_latest_manifest(tmp_lake).version == 2
+    assert sorted(final_state_table(tmp_lake)["doc_id"].to_pylist()) == [
+        "a", "b", "c",
+    ]
+    # rollback again, then vacuum: debris manifest v2 is dropped
+    restore_version(tmp_lake, 1)
+    rep = vacuum(tmp_lake, keep_versions=1)
+    assert 2 in rep.versions_dropped
+    assert not os.path.exists(os.path.join(tmp_lake, "MANIFEST-v2.json"))
+    assert final_state_table(tmp_lake).equals(v1_state)
+
+
+def test_restore_refuses_under_staged(tmp_path, tmp_lake):
+    _boot(tmp_path, tmp_lake)
+    apply_changes(
+        _log([{"lsn": 3, "op": "INSERT", "doc_id": "c", "n_tok": 1}],
+             tmp_path, "stage.parquet"),
+        tmp_lake, num_partitions=2, audit=True,
+    )
+    from palimpzest_ray.cdc import restore_version
+
+    with pytest.raises(ConcurrentCommitError, match="staged"):
+        restore_version(tmp_lake, 1)
+
+
+def test_audited_apply_pass_and_fail(tmp_path, tmp_lake):
+    from palimpzest_ray.cdc import AuditFailed, audited_apply
+
+    _boot(tmp_path, tmp_lake)
+    # pass: net growth, custom audit sees the staged state
+    seen = {}
+
+    def _audit(lake, v):
+        seen["rows"] = final_state_table(lake, version=v).num_rows
+        return True
+
+    res = audited_apply(
+        _log([{"lsn": 3, "op": "INSERT", "doc_id": "c", "n_tok": 1}],
+             tmp_path, "grow.parquet"),
+        tmp_lake, num_partitions=2,
+        max_delete_frac=0.5, audits=[("probe", _audit)],
+    )
+    assert seen["rows"] == 3
+    assert load_latest_manifest(tmp_lake).version == res.manifest.version == 2
+    # fail: deleting 2 of 3 rows breaches max_delete_frac; head unmoved,
+    # the staged version discarded, the slot free
+    with pytest.raises(AuditFailed, match="max_delete_frac"):
+        audited_apply(
+            _log(
+                [
+                    {"lsn": 4, "op": "DELETE", "doc_id": "a", "n_tok": None},
+                    {"lsn": 5, "op": "DELETE", "doc_id": "b", "n_tok": None},
+                ],
+                tmp_path, "purge.parquet",
+            ),
+            tmp_lake, num_partitions=2, max_delete_frac=0.5,
+        )
+    assert load_latest_manifest(tmp_lake).version == 2
+    assert not os.path.exists(os.path.join(tmp_lake, "MANIFEST-v3.json"))
+    assert sorted(final_state_table(tmp_lake)["doc_id"].to_pylist()) == [
+        "a", "b", "c",
+    ]
+    # a failing custom audit with keep_staged_on_fail leaves it staged
+    with pytest.raises(AuditFailed, match="veto") as ei:
+        audited_apply(
+            _log([{"lsn": 6, "op": "INSERT", "doc_id": "d", "n_tok": 2}],
+                 tmp_path, "veto.parquet"),
+            tmp_lake, num_partitions=2,
+            audits=[("veto", lambda lake, v: False)],
+            keep_staged_on_fail=True,
+        )
+    staged = ei.value.staged_version
+    assert os.path.exists(os.path.join(tmp_lake, f"MANIFEST-v{staged}.json"))
+    assert final_state_table(tmp_lake, version=staged).num_rows == 4
+    discard_version(tmp_lake, staged)
