@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "q109_ingest_screen",  # round-3: bloom-phased distributed key screen
     "q110_patch_apply",  # round-3: partial-image patch composition
     "q111_partitioned_join",  # round-3: zero-exchange co-partitioned join
+    "q115_quarantine_apply",  # round-3: ingest gate throughput cost
     "cdc_replay",
 ]
 

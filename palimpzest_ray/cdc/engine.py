@@ -2399,6 +2399,48 @@ def quarantine_watermark(lake_root: str) -> int | None:
     return mx
 
 
+def ingest_lag(log_dir: str | list[str], lake_root: str) -> dict:
+    """Replication lag: how far the lake trails the log, from parquet
+    FOOTER stats only (no data read — O(files) metadata, callable from
+    a monitor at any frequency). ``lag_events`` is an upper bound: the
+    row count of every row group not provably at-or-below the
+    watermark (row-group granularity; files wholly below cost nothing
+    and count nothing). ``watermark`` covers quarantined events too —
+    consumed is consumed, whichever side of the gate they landed on."""
+    files = _expand_paths(log_dir)
+    prev = load_latest_manifest(lake_root)
+    watermark = prev.max_lsn if prev is not None else None
+    qw = quarantine_watermark(lake_root)
+    if qw is not None:
+        watermark = qw if watermark is None else max(watermark, qw)
+    log_max = None
+    lag_rows = 0
+    files_pending = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        idx = md.schema.to_arrow_schema().get_field_index("lsn")
+        pending = False
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics if idx >= 0 else None
+            gmax = st.max if st is not None and st.max is not None else None
+            if gmax is not None:
+                log_max = gmax if log_max is None else max(log_max, gmax)
+            if watermark is None or gmax is None or gmax > watermark:
+                lag_rows += md.row_group(g).num_rows
+                pending = True
+        files_pending += pending
+    return {
+        "watermark": watermark,
+        "log_max_lsn": log_max,
+        "lag_events": lag_rows,  # upper bound (row-group granularity)
+        "files_pending": files_pending,
+        "files_total": len(files),
+        "caught_up": lag_rows == 0,
+    }
+
+
 def tail_once(
     log_dir: str | list[str],
     lake_root: str,

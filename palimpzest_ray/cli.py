@@ -178,6 +178,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("lake")
     p.add_argument("version", type=int)
 
+    p = sub.add_parser(
+        "lag", help="replication lag of the lake behind a log directory"
+    )
+    p.add_argument("log_dir")
+    p.add_argument("lake")
+
     p = sub.add_parser("state", help="print the committed manifest summary")
     p.add_argument("lake")
 
@@ -543,6 +549,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             discard_version(args.lake, args.version)
             print(json.dumps({"discarded": args.version}))
+        return 0
+
+    if args.cmd == "lag":  # footer stats only — no Ray session
+        from palimpzest_ray.cdc import ingest_lag
+
+        print(json.dumps(ingest_lag(args.log_dir, args.lake)))
         return 0
 
     if args.cmd == "quarantine":  # pure file read — no Ray session

@@ -267,3 +267,40 @@ def test_audited_apply_pass_and_fail(tmp_path, tmp_lake):
     assert os.path.exists(os.path.join(tmp_lake, f"MANIFEST-v{staged}.json"))
     assert final_state_table(tmp_lake, version=staged).num_rows == 4
     discard_version(tmp_lake, staged)
+
+
+def test_ingest_lag_inspector(tmp_path, tmp_lake):
+    """ingest_lag reads only footers: before any apply it reports the
+    whole log pending; after tailing everything it reports caught_up;
+    a new log file reopens exactly its own rows as lag."""
+    from palimpzest_ray.cdc import ingest_lag, tail_once
+
+    log_dir = os.path.join(str(tmp_path), "log")
+    os.makedirs(log_dir)
+    t1 = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "op": pa.array(["INSERT"] * 3),
+            "doc_id": pa.array(["a", "b", "c"]),
+            "n_tok": pa.array([1, 2, 3], pa.int32()),
+        }
+    )
+    pq.write_table(t1, os.path.join(log_dir, "000.parquet"))
+    lag0 = ingest_lag(log_dir, tmp_lake)
+    assert lag0["lag_events"] == 3 and lag0["watermark"] is None
+    tail_once(log_dir, tmp_lake, num_partitions=2)
+    lag1 = ingest_lag(log_dir, tmp_lake)
+    assert lag1["caught_up"] and lag1["watermark"] == 3
+    assert lag1["log_max_lsn"] == 3 and lag1["files_pending"] == 0
+    t2 = pa.table(
+        {
+            "lsn": pa.array([4, 5], pa.int64()),
+            "op": pa.array(["INSERT"] * 2),
+            "doc_id": pa.array(["d", "e"]),
+            "n_tok": pa.array([4, 5], pa.int32()),
+        }
+    )
+    pq.write_table(t2, os.path.join(log_dir, "001.parquet"))
+    lag2 = ingest_lag(log_dir, tmp_lake)
+    assert lag2["lag_events"] == 2 and lag2["files_pending"] == 1
+    assert lag2["log_max_lsn"] == 5 and not lag2["caught_up"]
