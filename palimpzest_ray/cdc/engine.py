@@ -1189,6 +1189,8 @@ def audited_apply(
     audits: list[tuple] | None = None,
     max_delete_frac: float | None = None,
     min_rows: int | None = None,
+    max_quarantine_frac: float | None = None,
+    schema_locked: bool = False,
     keep_staged_on_fail: bool = False,
     **apply_kwargs,
 ) -> ApplyResult:
@@ -1200,7 +1202,15 @@ def audited_apply(
     data I/O, the same counters fsck --deep validates): ``min_rows``
     floors the staged live-row count; ``max_delete_frac`` rejects a
     commit that would shrink the table by more than the given fraction
-    — the classic safety rail against a runaway DELETE feed. ``audits``
+    — the classic safety rail against a runaway DELETE feed.
+    ``max_quarantine_frac`` rejects the commit when the ingest gate
+    dead-lettered more than that fraction of the events it saw (a
+    sudden spike means the FEED broke, not the data — better to hold
+    the commit than to publish a half-empty epoch). ``schema_locked``
+    rejects a staged version whose user schema differs from the head's
+    — the rail against surprise schema drift riding an upstream
+    producer deploy (explicit evolution goes through ``alter_schema``
+    or an unlocked apply). ``audits``
     adds custom checks ``(name, fn(lake_root, staged_version) -> bool)``
     — run anything over the staged state via the ``version=`` readers;
     an exception counts as a failure. ``keep_staged_on_fail=True``
@@ -1226,6 +1236,28 @@ def audited_apply(
             failures.append(
                 f"max_delete_frac: commit drops {dropped}/{prev_rows} rows "
                 f"({dropped / prev_rows:.1%} > {max_delete_frac:.1%})"
+            )
+    if max_quarantine_frac is not None and res.events_seen:
+        frac = res.rows_quarantined / res.events_seen
+        if frac > max_quarantine_frac:
+            failures.append(
+                f"max_quarantine_frac: gate dead-lettered "
+                f"{res.rows_quarantined}/{res.events_seen} events "
+                f"({frac:.1%} > {max_quarantine_frac:.1%})"
+            )
+    if schema_locked and prev is not None:
+        def _user(s):
+            return [
+                (f.name, str(f.type))
+                for f in s
+                if f.name not in (LSN_COL, TOMBSTONE_COL)
+            ]
+
+        if _user(res.manifest.schema) != _user(prev.schema):
+            drift = set(_user(res.manifest.schema)) ^ set(_user(prev.schema))
+            failures.append(
+                f"schema_locked: staged user schema differs from head "
+                f"(drift: {sorted(drift)})"
             )
     for name, fn in audits or []:
         try:
@@ -1661,6 +1693,19 @@ def _apply_changes_impl(
             ),
         )
         (delta_parts if d.get("delta") else new_parts)[int(d["part"])] = entry
+
+    if (
+        not new_parts
+        and not delta_parts
+        and not quar_rows
+        and prev is not None
+        and not _rebucket
+    ):
+        # every event filtered (watermark) or LWW-lost: a version bump
+        # would churn the manifest for identical content — no-op instead
+        # (mirrors the pruned-log early return)
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        return ApplyResult(prev, events_seen, 0, 0, 0, len(done))
 
     touched = set(new_parts) | set(delta_parts)
     carried = (
@@ -2441,10 +2486,36 @@ def ingest_lag(log_dir: str | list[str], lake_root: str) -> dict:
     }
 
 
+def _consumed_ledger_path(lake_root: str) -> str:
+    return os.path.join(lake_root, ".consumed.json")
+
+
+def _load_consumed(lake_root: str) -> dict:
+    try:
+        with open(_consumed_ledger_path(lake_root)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def _record_consumed(lake_root: str, files: list[str]) -> None:
+    ledger = _load_consumed(lake_root)
+    for f in files:
+        try:
+            ledger[os.path.basename(f)] = os.path.getsize(f)
+        except OSError:
+            continue  # rotated away mid-poll; re-read next time
+    tmp = _consumed_ledger_path(lake_root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ledger, fh)
+    os.replace(tmp, _consumed_ledger_path(lake_root))
+
+
 def tail_once(
     log_dir: str | list[str],
     lake_root: str,
     patch: bool = False,
+    format: str = "parquet",
     **apply_kwargs,
 ) -> ApplyResult:
     """One binlog-tail iteration: apply every event past the lake's
@@ -2458,19 +2529,68 @@ def tail_once(
     ``patch=True`` treats the log as PARTIAL-image updates (Mongo /
     Debezium partial feeds) and routes through
     :func:`~palimpzest_ray.cdc.patch.apply_patches` — null columns
-    carry forward instead of overwriting."""
+    carry forward instead of overwriting.
+
+    ``format="jsonl"`` / ``"debezium"`` tails a JSON topic directory.
+    JSON has no footer stats, so pruning uses a consumed-file ledger
+    (``<lake>/.consumed.json``: basename → size): a file whose size is
+    unchanged since it was applied is skipped without being parsed; a
+    GROWN file (the active segment) re-parses fully and the LSN
+    watermark drops its already-applied lines — so the ledger is pure
+    economy, never correctness (a lost ledger just re-parses
+    everything into a watermark no-op). The ledger updates after the
+    commit; a crash between the two re-parses once and converges."""
     prev = load_latest_manifest(lake_root)
     watermark = prev.max_lsn if prev is not None else None
     if apply_kwargs.get("quarantine"):
         qw = quarantine_watermark(lake_root)
         if qw is not None:
             watermark = qw if watermark is None else max(watermark, qw)
-    if patch:
+    if patch or format == "patch":
         from palimpzest_ray.cdc.patch import apply_patches
 
         return apply_patches(
             log_dir, lake_root, since_lsn=watermark, **apply_kwargs
         )
+    if format in ("jsonl", "debezium"):
+        from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+        from palimpzest_ray.sources.changelog import (
+            read_debezium_changes,
+            read_jsonl_changes,
+        )
+
+        dirs = [log_dir] if isinstance(log_dir, str) else list(log_dir)
+        files: list[str] = []
+        for d in dirs:
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith((".json", ".jsonl"))
+                )
+            else:
+                files.append(d)
+        ledger = _load_consumed(lake_root)
+        pending = [
+            f
+            for f in files
+            if ledger.get(os.path.basename(f)) != os.path.getsize(f)
+        ]
+        if not pending:
+            if prev is None:
+                raise FileNotFoundError("empty topic and no committed version")
+            return ApplyResult(prev, 0, 0, 0, 0, 0)
+        reader = (
+            read_debezium_changes if format == "debezium" else read_jsonl_changes
+        )
+        res = apply_changes(
+            reader(pending), lake_root,
+            since_lsn=watermark,
+            change_schema=apply_kwargs.pop("change_schema", CHANGELOG_SCHEMA),
+            **apply_kwargs,
+        )
+        _record_consumed(lake_root, pending)
+        return res
     return apply_changes(log_dir, lake_root, since_lsn=watermark, **apply_kwargs)
 
 

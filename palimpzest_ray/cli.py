@@ -147,8 +147,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-partitions", type=int, default=32)
     p.add_argument("--mode", choices=["rewrite", "delta"], default="rewrite")
     p.add_argument(
-        "--format", choices=["parquet", "patch"], default="parquet",
-        help="patch = partial row images (null column carries forward)",
+        "--format", choices=["parquet", "patch", "jsonl", "debezium"],
+        default="parquet",
+        help="patch = partial row images (null column carries forward); "
+        "jsonl/debezium = JSON topic dirs (consumed-file ledger pruning)",
     )
     _add_gate(p)
 
@@ -798,7 +800,7 @@ def main(argv: list[str] | None = None) -> int:
 
         res = tail_once(
             args.log_dir, args.lake,
-            patch=args.format == "patch",
+            format=args.format,
             num_partitions=args.num_partitions, mode=args.mode,
             **_gate_kwargs(args),
         )

@@ -304,3 +304,44 @@ def test_ingest_lag_inspector(tmp_path, tmp_lake):
     lag2 = ingest_lag(log_dir, tmp_lake)
     assert lag2["lag_events"] == 2 and lag2["files_pending"] == 1
     assert lag2["log_max_lsn"] == 5 and not lag2["caught_up"]
+
+
+def test_audited_apply_quarantine_and_schema_guardrails(tmp_path, tmp_lake):
+    from palimpzest_ray.cdc import AuditFailed, audited_apply
+
+    _boot(tmp_path, tmp_lake)
+    # quarantine-rate breach: 2 of 3 events dead-letter (> 50%)
+    with pytest.raises(AuditFailed, match="max_quarantine_frac"):
+        audited_apply(
+            _log(
+                [
+                    {"lsn": 3, "op": "BAD", "doc_id": "x", "n_tok": 1},
+                    {"lsn": 4, "op": "BAD", "doc_id": "y", "n_tok": 2},
+                    {"lsn": 5, "op": "INSERT", "doc_id": "c", "n_tok": 3},
+                ],
+                tmp_path, "feedbreak.parquet",
+            ),
+            tmp_lake, num_partitions=2,
+            quarantine=True, max_quarantine_frac=0.5,
+        )
+    assert load_latest_manifest(tmp_lake).version == 1
+    assert read_quarantine(tmp_lake).num_rows == 0  # discarded with the stage
+    # schema drift: a new column rides the feed; locked apply rejects it
+    drift = pa.table(
+        {
+            "lsn": pa.array([6], pa.int64()),
+            "op": pa.array(["INSERT"]),
+            "doc_id": pa.array(["d"]),
+            "n_tok": pa.array([4], pa.int32()),
+            "surprise": pa.array(["?!"]),
+        }
+    )
+    p = os.path.join(str(tmp_path), "drift.parquet")
+    pq.write_table(drift, p)
+    with pytest.raises(AuditFailed, match="schema_locked"):
+        audited_apply(p, tmp_lake, num_partitions=2, schema_locked=True)
+    assert load_latest_manifest(tmp_lake).version == 1
+    assert "surprise" not in load_latest_manifest(tmp_lake).schema.names
+    # the same drift passes unlocked (ordinary evolution)
+    res = audited_apply(p, tmp_lake, num_partitions=2)
+    assert "surprise" in res.manifest.schema.names
