@@ -2621,6 +2621,39 @@ def q117_wap_publish(sf_dir: str):
     )
 
 
+def q118_branch_merge(sf_dir: str):
+    """Zero-copy branch + three-way merge (cdc/branch.py): epoch 2 is
+    applied on a BRANCH — the parent head is asserted unchanged, the
+    branch's v1 manifest references the parent's files with no bytes
+    copied — then merged back (fast-forward: the parent stood still, so
+    every reconciled partition takes the branch entry). Same final
+    state as a direct apply — cdc_replay's EXACT oracle."""
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        create_branch,
+        final_state_table,
+        load_latest_manifest,
+        merge_branch,
+    )
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_branch_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    head_before = load_latest_manifest(lake).version
+    broot = create_branch(lake, "epoch2")
+    apply_changes(log2, broot, num_partitions=8)
+    assert load_latest_manifest(lake).version == head_before  # isolated
+    merge_branch(lake, "epoch2", delete=True)
+    return pzd.Dataset(
+        rd.from_arrow(
+            final_state_table(lake).select(["doc_id", "n_tok", "source"])
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2738,6 +2771,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q115_quarantine_apply": q115_quarantine_apply,
         "q116_quarantine_deadletter": q116_quarantine_deadletter,
         "q117_wap_publish": q117_wap_publish,
+        "q118_branch_merge": q118_branch_merge,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3154,6 +3188,8 @@ def _base_oracle_sql() -> dict[str, str]:
     """
     # write-audit-publish is state-equivalent to a direct apply
     d["q117_wap_publish"] = d["cdc_replay"]
+    # branch-apply-merge is state-equivalent to a direct apply
+    d["q118_branch_merge"] = d["cdc_replay"]
     return d
 
 

@@ -235,6 +235,12 @@ def vacuum(
             for e in m.parts.values():
                 referenced.add(os.path.normpath(e.file))
                 referenced.update(os.path.normpath(d) for d in e.deltas)
+    # zero-copy branches pin parent files their manifests still
+    # reference — a branch head may point at a file no retained parent
+    # manifest does (the fork predates the retention window)
+    from palimpzest_ray.cdc.branch import branch_referenced_files
+
+    referenced |= branch_referenced_files(lake_root)
 
     files_deleted = bytes_reclaimed = 0
     data_root = os.path.join(lake_root, "data")

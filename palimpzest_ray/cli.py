@@ -274,6 +274,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("dst")
     p.add_argument("--version", type=int, default=None)
 
+    p = sub.add_parser(
+        "branch",
+        help="zero-copy branch ops: create/list/delete/merge",
+    )
+    p.add_argument("lake")
+    p.add_argument(
+        "action", choices=["create", "list", "delete", "merge"],
+    )
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("--version", type=int, default=None,
+                   help="fork point for create (default: head)")
+    p.add_argument("--keep", action="store_true",
+                   help="merge: keep the branch afterwards (default drops it)")
+
     p = sub.add_parser("fsck", help="lake integrity audit (add --deep to read data)")
     p.add_argument("lake")
     p.add_argument("--deep", action="store_true")
@@ -551,6 +565,31 @@ def main(argv: list[str] | None = None) -> int:
         else:
             discard_version(args.lake, args.version)
             print(json.dumps({"discarded": args.version}))
+        return 0
+
+    if args.cmd == "branch":  # metadata ops — no Ray session
+        from palimpzest_ray.cdc import (
+            create_branch,
+            delete_branch,
+            list_branches,
+            merge_branch,
+        )
+
+        if args.action != "list" and not args.name:
+            print("branch {create,delete,merge} requires a NAME")
+            return 2
+        if args.action == "create":
+            root = create_branch(args.lake, args.name, version=args.version)
+            print(json.dumps({"branch": args.name, "root": root}))
+        elif args.action == "list":
+            print(json.dumps({"branches": list_branches(args.lake)}))
+        elif args.action == "delete":
+            delete_branch(args.lake, args.name)
+            print(json.dumps({"deleted": args.name}))
+        else:
+            m = merge_branch(args.lake, args.name, delete=not args.keep)
+            print(json.dumps({"merged": args.name, "version": m.version,
+                              "parts": len(m.parts)}))
         return 0
 
     if args.cmd == "lag":  # footer stats only — no Ray session

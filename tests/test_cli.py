@@ -490,3 +490,40 @@ def test_cli_wap_publish_discard(tmp_path, capsys):
     assert json.loads(
         capsys.readouterr().out.strip().splitlines()[-1]
     )["version"] == 2
+
+
+def test_cli_branch_lifecycle(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import final_state_table
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    log2 = os.path.join(str(tmp_path), "log2")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 2_000, 400, seed=13, chunk_rows=1_000)
+    write_change_log(
+        log2, 500, 400, seed=14, chunk_rows=500, start_lsn=3_000
+    )
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["branch", lake, "create", "dev"]) == 0
+    broot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["root"]
+    assert cli.main(["branch", lake, "list"]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["branches"] == ["dev"]
+
+    before = final_state_table(lake)
+    assert cli.main(["apply", log2, broot, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    assert final_state_table(lake).equals(before)  # isolated
+
+    assert cli.main(["branch", lake, "merge", "dev"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["merged"] == "dev"
+    assert final_state_table(lake).num_rows >= before.num_rows
+    assert cli.main(["branch", lake, "list"]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["branches"] == []
