@@ -2654,6 +2654,33 @@ def q118_branch_merge(sf_dir: str):
     )
 
 
+def q119_lake_history(sf_dir: str):
+    """DESCRIBE-HISTORY analog (cdc/manifest.py lake_history): one
+    summary row per retained version from manifest JSON alone — zero
+    data I/O. EXACT oracle: the two demo epochs' effects are closed
+    forms of documents.parquet (epoch 1 inserts every doc at lsn=num;
+    epoch 2 deletes num%5==0, updates num%5==1, inserts 10 fresh keys
+    at consecutive LSNs from max(num)+1)."""
+    from palimpzest_ray.cdc import apply_changes, lake_history
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_history_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8)
+    hist = lake_history(lake)
+    return pa.table(
+        {
+            "version": pa.array([h["version"] for h in hist], pa.int64()),
+            "live_rows": pa.array([h["rows"] for h in hist], pa.int64()),
+            "tombstones": pa.array(
+                [h["tombstones"] for h in hist], pa.int64()
+            ),
+            "max_lsn": pa.array([h["max_lsn"] for h in hist], pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2772,6 +2799,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q116_quarantine_deadletter": q116_quarantine_deadletter,
         "q117_wap_publish": q117_wap_publish,
         "q118_branch_merge": q118_branch_merge,
+        "q119_lake_history": q119_lake_history,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3190,6 +3218,18 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q117_wap_publish"] = d["cdc_replay"]
     # branch-apply-merge is state-equivalent to a direct apply
     d["q118_branch_merge"] = d["cdc_replay"]
+    # per-version history: closed forms of the two demo epochs
+    d["q119_lake_history"] = """
+        with d as (select cast(doc_id as bigint) as num from documents),
+        s as (select count(*) as n, max(num) as mx,
+                     sum(case when num % 5 = 0 then 1 else 0 end) as ndel,
+                     sum(case when num % 5 = 1 then 1 else 0 end) as nupd
+              from d)
+        select cast(1 as bigint) as version, n as live_rows,
+               cast(0 as bigint) as tombstones, mx as max_lsn from s
+        union all
+        select 2, n - ndel + 10, ndel, mx + ndel + nupd + 10 from s
+    """
     return d
 
 

@@ -582,3 +582,78 @@ def discard_version(lake_root: str, version: int) -> None:
         q = os.path.join(lake_root, "_quarantine", f"v{version:06d}.parquet")
         if os.path.exists(q):
             os.unlink(q)
+
+
+def lake_history(
+    lake_root: str, *, limit: int | None = None
+) -> list[dict]:
+    """Delta-DESCRIBE-HISTORY analog: one summary row per RETAINED
+    version, newest first, computed purely from manifests — O(retained
+    versions) JSON reads, zero data I/O, no Ray session.
+
+    Each row reports the version's effective state (``rows``,
+    ``tombstones``, ``max_lsn``, ``num_partitions``, ``schema_cols``)
+    plus its DELTA against the previous retained version:
+    ``parts_changed`` (entries whose base+chain identity moved) and
+    ``rows_upserted`` / ``rows_deleted`` summed over exactly those
+    changed entries — carried-by-reference partitions keep their old
+    counters, so summing over changed entries recovers the per-commit
+    numbers the apply reported. The earliest retained version has no
+    predecessor: its delta fields are reported against an empty lake
+    (every partition "changed"), honest for v1 and a lower-bound note
+    for a vacuumed-ahead-of window. ``wall_time`` is the manifest
+    file's mtime (commit time on this filesystem).
+
+    ``limit`` returns only the newest N rows (still one manifest read
+    per returned row plus one for each row's predecessor)."""
+    latest = load_latest_manifest(lake_root)
+    if latest is None:
+        return []
+    versions = []
+    for f in os.listdir(lake_root):
+        if f.startswith("MANIFEST-v") and f.endswith(".json"):
+            v = int(f[len("MANIFEST-v"):-len(".json")])
+            if v <= latest.version:  # staged/debris above head excluded
+                versions.append(v)
+    versions.sort(reverse=True)
+    if limit is not None:
+        versions = versions[: limit + 1]  # +1: predecessors for deltas
+
+    manifests = {v: load_manifest(lake_root, v) for v in versions}
+    out: list[dict] = []
+    for i, v in enumerate(versions):
+        if limit is not None and i >= limit:
+            break
+        m = manifests[v]
+        prev = manifests.get(v - 1)  # None for v1 or vacuumed-below
+
+        def _sig(mm, p):
+            e = None if mm is None else mm.parts.get(p)
+            return None if e is None else (e.file, tuple(e.deltas))
+
+        changed = [
+            p for p in m.parts if _sig(m, p) != _sig(prev, p)
+        ]
+        out.append(
+            {
+                "version": v,
+                "rows": int(sum(e.rows for e in m.parts.values())),
+                "tombstones": int(
+                    sum(e.tombstones for e in m.parts.values())
+                ),
+                "max_lsn": int(m.max_lsn),
+                "num_partitions": m.num_partitions,
+                "schema_cols": len(m.schema.names),
+                "parts_changed": len(changed),
+                "rows_upserted": int(
+                    sum(m.parts[p].rows_upserted for p in changed)
+                ),
+                "rows_deleted": int(
+                    sum(m.parts[p].rows_deleted for p in changed)
+                ),
+                "wall_time": os.path.getmtime(
+                    os.path.join(lake_root, f"MANIFEST-v{v}.json")
+                ),
+            }
+        )
+    return out

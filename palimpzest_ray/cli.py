@@ -288,6 +288,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep", action="store_true",
                    help="merge: keep the branch afterwards (default drops it)")
 
+    p = sub.add_parser(
+        "log", help="per-version commit summary from manifests (git-log style)"
+    )
+    p.add_argument("lake")
+    p.add_argument("--limit", type=int, default=None)
+
     p = sub.add_parser("fsck", help="lake integrity audit (add --deep to read data)")
     p.add_argument("lake")
     p.add_argument("--deep", action="store_true")
@@ -565,6 +571,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             discard_version(args.lake, args.version)
             print(json.dumps({"discarded": args.version}))
+        return 0
+
+    if args.cmd == "log":  # manifest reads only — no Ray session
+        from palimpzest_ray.cdc import lake_history
+
+        for row in lake_history(args.lake, limit=args.limit):
+            print(json.dumps(row))
         return 0
 
     if args.cmd == "branch":  # metadata ops — no Ray session

@@ -1,0 +1,86 @@
+"""lake_history: per-version summaries from manifests alone."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from palimpzest_ray.cdc import apply_changes, lake_history, vacuum
+
+
+def _log(rows, tmp_path, name):
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("lsn", pa.int64()), ("op", pa.string()),
+             ("doc_id", pa.string()), ("n_tok", pa.int32())]
+        ),
+    )
+    p = os.path.join(str(tmp_path), name)
+    pq.write_table(t, p)
+    return p
+
+
+def test_history_matches_apply_results(tmp_path, tmp_lake, monkeypatch):
+    r1 = apply_changes(
+        _log(
+            [
+                {"lsn": i, "op": "INSERT", "doc_id": f"d{i}", "n_tok": i}
+                for i in range(1, 8)
+            ],
+            tmp_path, "e1.parquet",
+        ),
+        tmp_lake, num_partitions=4,
+    )
+    r2 = apply_changes(
+        _log(
+            [
+                {"lsn": 10, "op": "UPDATE", "doc_id": "d1", "n_tok": 99},
+                {"lsn": 11, "op": "DELETE", "doc_id": "d2", "n_tok": None},
+            ],
+            tmp_path, "e2.parquet",
+        ),
+        tmp_lake, num_partitions=4,
+    )
+    # metadata-only claim: no parquet is opened
+    monkeypatch.setattr(
+        pq, "read_table",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("data I/O")),
+    )
+    hist = lake_history(tmp_lake)
+    assert [h["version"] for h in hist] == [2, 1]
+    v2, v1 = hist
+    assert v1["rows"] == 7 and v1["tombstones"] == 0 and v1["max_lsn"] == 7
+    assert v2["rows"] == 6 and v2["tombstones"] == 1 and v2["max_lsn"] == 11
+    # per-version deltas recover the ApplyResult counters
+    assert v1["rows_upserted"] == r1.rows_upserted
+    assert v2["rows_upserted"] == r2.rows_upserted
+    assert v2["rows_deleted"] == r2.rows_deleted
+    assert v2["parts_changed"] == r2.partitions_rewritten
+    assert all(h["wall_time"] > 0 for h in hist)
+
+    # limit returns only the newest N
+    assert [h["version"] for h in lake_history(tmp_lake, limit=1)] == [2]
+
+
+def test_history_survives_vacuum_window(tmp_path, tmp_lake):
+    for i in range(4):
+        apply_changes(
+            _log(
+                [{"lsn": 100 + i, "op": "INSERT",
+                  "doc_id": f"x{i}", "n_tok": i}],
+                tmp_path, f"a{i}.parquet",
+            ),
+            tmp_lake, num_partitions=2,
+        )
+    vacuum(tmp_lake, keep_versions=2)
+    hist = lake_history(tmp_lake)
+    assert [h["version"] for h in hist] == [4, 3]
+    # v3 is the earliest retained: its predecessor manifest is gone, so
+    # its delta is reported against an empty lake — every partition
+    # that holds data counts as changed
+    from palimpzest_ray.cdc import load_manifest
+
+    assert hist[1]["parts_changed"] == len(load_manifest(tmp_lake, 3).parts)
