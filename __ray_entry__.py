@@ -2681,6 +2681,78 @@ def q119_lake_history(sf_dir: str):
     )
 
 
+def q120_accumulate_apply(sf_dir: str):
+    """Accumulating (delta-counter) CDC apply (cdc/patch.py
+    apply_accumulate — the ClickHouse SummingMergeTree / Hudi
+    merge-payload shape): against the epoch-1 lake, one mixed delta
+    batch exercises every composition rule — additive n_tok deltas on
+    even keys (+num%13, other columns carried), DELETEs (num%11==3),
+    post-delete deltas that resurrect summing from empty (num%11==3 &
+    odd: n_tok=5, source='acc'), INSERT resets that discard prior sums
+    (num%17==5 → 1000, 'reset') followed by more deltas (+2 → 1002),
+    and delta-upserts of brand-new keys. One exactly-once commit.
+    EXACT oracle: the epoch-1 closed form with the accumulate matrix
+    restated as CASE arithmetic."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_accumulate, apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_accum_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _ids(ns) -> pa.Array:
+        return pa.array([f"doc-{int(i):08d}" for i in ns])
+
+    def _delta(ns, lsn0, *, op="UPDATE", n_tok=None, source=None):
+        k = len(ns)
+        return pa.table(
+            {
+                "lsn": pa.array(lsn0 + ns, pa.int64()),
+                "op": pa.array([op] * k),
+                "doc_id": _ids(ns),
+                "n_tok": pa.array(
+                    n_tok if isinstance(n_tok, np.ndarray) else [n_tok] * k,
+                    pa.int32(),
+                ),
+                "source": pa.array([source] * k, pa.string()),
+            }
+        )
+
+    even = nums[nums % 2 == 0]
+    events = pa.concat_tables(
+        [
+            _delta(even, 10_000_000, n_tok=(even % 13).astype(np.int32)),
+            _delta(nums[nums % 11 == 3], 20_000_000, op="DELETE"),
+            _delta(
+                nums[(nums % 11 == 3) & (nums % 2 == 1)],
+                30_000_000, n_tok=5, source="acc",
+            ),
+            _delta(
+                nums[nums % 17 == 5], 40_000_000,
+                op="INSERT", n_tok=1000, source="reset",
+            ),
+            _delta(nums[nums % 17 == 5], 50_000_000, n_tok=2),
+            pa.table(
+                {
+                    "lsn": pa.array([60_000_000 + i for i in range(3)], pa.int64()),
+                    "op": pa.array(["UPDATE"] * 3),
+                    "doc_id": pa.array([f"acc-{i:08d}" for i in range(3)]),
+                    "n_tok": pa.array([100 + i for i in range(3)], pa.int32()),
+                    "source": pa.array([None] * 3, pa.string()),
+                }
+            ),
+        ]
+    )
+    apply_accumulate(events, lake, sum_cols=("n_tok",), num_partitions=8)
+    return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2800,6 +2872,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q117_wap_publish": q117_wap_publish,
         "q118_branch_merge": q118_branch_merge,
         "q119_lake_history": q119_lake_history,
+        "q120_accumulate_apply": q120_accumulate_apply,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3229,6 +3302,31 @@ def _base_oracle_sql() -> dict[str, str]:
                cast(0 as bigint) as tombstones, mx as max_lsn from s
         union all
         select 2, n - ndel + 10, ndel, mx + ndel + nupd + 10 from s
+    """
+    # accumulate apply: the delta/reset/resurrect matrix as CASE
+    # arithmetic over the epoch-1 closed form (word-count n_tok)
+    d["q120_accumulate_apply"] = r"""
+        with base as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents)
+        select doc_id,
+               case when num % 17 = 5 then cast(1002 as int)
+                    when num % 11 = 3 then cast(5 as int)
+                    when num % 2 = 0 then cast(n_tok + num % 13 as int)
+                    else n_tok end as n_tok,
+               case when num % 17 = 5 then 'reset'
+                    when num % 11 = 3 then 'acc'
+                    else source end as source
+        from base
+        where num % 17 = 5 or num % 11 != 3 or num % 2 = 1
+        union all
+        select 'acc-' || lpad(cast(i as varchar), 8, '0') as doc_id,
+               cast(100 + i as int) as n_tok, cast(null as varchar) as source
+        from range(3) t(i)
     """
     return d
 

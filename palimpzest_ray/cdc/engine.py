@@ -2529,7 +2529,10 @@ def tail_once(
     ``patch=True`` treats the log as PARTIAL-image updates (Mongo /
     Debezium partial feeds) and routes through
     :func:`~palimpzest_ray.cdc.patch.apply_patches` — null columns
-    carry forward instead of overwriting.
+    carry forward instead of overwriting. Add ``sum_cols=(...)`` to
+    tail an ACCUMULATING delta feed (``apply_accumulate`` semantics);
+    the watermark here is exactly what makes raw delta re-reads safe
+    for a non-idempotent feed.
 
     ``format="jsonl"`` / ``"debezium"`` tails a JSON topic directory.
     JSON has no footer stats, so pruning uses a consumed-file ledger

@@ -86,6 +86,7 @@ def fold_patch_events(
     lsn_col: str = "lsn",
     op_col: str = "op",
     user_schema: pa.Schema | None = None,
+    sum_cols: tuple[str, ...] | list[str] = (),
 ) -> pa.Table:
     """Fold mixed INSERT / UPDATE-patch / DELETE events per key in LSN
     order into FULL-image change rows (one per key, at the key's max
@@ -96,9 +97,24 @@ def fold_patch_events(
     "last non-null position per group" via ``np.maximum.reduceat`` and
     ONE ``take`` per column — no per-row Python, list/struct payloads
     (token arrays) move exactly once.
+
+    ``sum_cols`` switches the named numeric columns to ACCUMULATE
+    semantics (ClickHouse SummingMergeTree / Hudi merge-payload shape):
+    an UPDATE's value there is a DELTA added to the current value
+    rather than a replacement. Per key the folded value is the sum of
+    every non-null delta AFTER the last barrier, plus the barrier
+    image's own value when that barrier is an INSERT — and the base
+    row enters the fold as an INSERT at ``BASE_LSN``, so a delta feed
+    composes to ``current + Σ deltas`` exactly. A key with no
+    contribution at all (e.g. resurrected with no delta for that
+    column) folds to NULL — matching SQL's SUM over an empty set.
+    Non-sum columns keep patch semantics (null = carried forward).
     """
     if events.num_rows == 0:
         return events
+    sum_cols = tuple(sum_cols)
+    if key in sum_cols or lsn_col in sum_cols or op_col in sum_cols:
+        raise ValueError("sum_cols cannot include the key/lsn/op columns")
     for c in (lsn_col, op_col, key):
         if c not in events.column_names:
             raise ValueError(f"patch events missing required column {c!r}")
@@ -165,10 +181,34 @@ def fold_patch_events(
     final_delete = op_np[ends] == "DELETE"
 
     user_cols = [f.name for f in user_schema if f.name != key]
+    for c in sum_cols:
+        if c not in user_cols:
+            raise ValueError(f"sum_cols column {c!r} not in the fold schema")
+        t = user_schema.field(c).type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            raise ValueError(f"sum_cols column {c!r} must be numeric, got {t}")
+    bi_row = np.repeat(barrier_is_insert, counts)
     out_cols: dict[str, pa.Array] = {key: keys_s.take(pa.array(ends))}
     for c in user_cols:
         col_s = aug[c].combine_chunks().take(sidx)
         valid = pc.is_valid(col_s).to_numpy(zero_copy_only=False)
+        if c in sum_cols:
+            # accumulate: Σ of non-null deltas after the barrier, plus
+            # the barrier image's value when the barrier is an INSERT
+            # (the base row included — that IS "current + Σ deltas")
+            contrib = valid & ((pos > b_row) | ((pos == b_row) & bi_row))
+            t = user_schema.field(c).type
+            acc = (
+                pc.fill_null(col_s, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64 if pa.types.is_integer(t) else np.float64)
+            )
+            sums = np.add.reduceat(np.where(contrib, acc, 0), starts)
+            cnt = np.add.reduceat(contrib.astype(np.int64), starts)
+            out_cols[c] = pa.array(
+                sums, mask=(cnt == 0) | final_delete
+            ).cast(t)
+            continue
         # last position per group holding a value set AFTER the barrier
         cand = np.where(valid & (pos > b_row), pos, np.int64(-1))
         last_patch = np.maximum.reduceat(cand, starts)
@@ -220,6 +260,7 @@ def apply_patches(
     chunk_events: int | None = None,
     fold: str = "auto",
     since_lsn: int | None = None,
+    sum_cols: tuple[str, ...] | list[str] = (),
     **apply_kwargs,
 ):
     """Apply a partial-image (patch) change batch to the lake.
@@ -311,7 +352,8 @@ def apply_patches(
                 else None
             )
             out = fold_patch_events(
-                batch, base, key=key, user_schema=target_user
+                batch, base, key=key, user_schema=target_user,
+                sum_cols=sum_cols,
             )
             return conform(out, composed_schema)
 
@@ -352,3 +394,38 @@ def apply_patches(
             **apply_kwargs,
         )
     return result
+
+
+def apply_accumulate(
+    changes: str | list[str] | pa.Table | rd.Dataset,
+    lake_root: str,
+    *,
+    sum_cols: tuple[str, ...] | list[str],
+    **patch_kwargs,
+):
+    """Apply a DELTA (accumulating-counter) change batch to the lake —
+    the ClickHouse ``SummingMergeTree`` / Hudi merge-payload semantics
+    expressed through the exactly-once apply.
+
+    ``sum_cols`` columns on UPDATE events carry DELTAS added to the
+    key's current value; INSERT resets to the event's absolute image;
+    DELETE tombstones (a later delta resurrects, summing from empty =
+    NULL start + deltas). Every other column keeps patch semantics
+    (null = carried forward). The batch folds to absolute full-image
+    rows against the live lake (:func:`fold_patch_events` with
+    ``sum_cols``) and commits through :func:`~.engine.apply_changes`,
+    so exactly-once, rewrite/delta modes, schema evolution, time
+    travel and multi-writer rebase all inherit.
+
+    CONSUMPTION CONTRACT: unlike full-image LWW (and unlike patches,
+    whose SETs are naturally idempotent), re-applying the same RAW
+    delta events would double-add. The COMPOSED commit itself is
+    idempotent (absolute values at the keys' max LSNs — a crash-rerun
+    of the same call converges via LWW), but a caller re-feeding old
+    events must pass ``since_lsn`` (the lake watermark), exactly as
+    ``tail_once`` does. Accumulate feeds should be consumed through
+    the watermarked tail path, never blind re-reads of the topic.
+    """
+    if not sum_cols:
+        raise ValueError("apply_accumulate requires at least one sum_cols column")
+    return apply_patches(changes, lake_root, sum_cols=sum_cols, **patch_kwargs)
