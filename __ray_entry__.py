@@ -2753,6 +2753,62 @@ def q120_accumulate_apply(sf_dir: str):
     return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
 
 
+def q121_composite_key_apply(sf_dir: str):
+    """Composite (multi-column) record keys (cdc/keys.py — the Hudi
+    ComplexKeyGenerator shape): the lake is keyed on the tuple
+    (source, doc_id % 50) via an injective synthesized string column,
+    so many documents collapse LWW per composite key. One mixed log:
+    an INSERT per document (lsn = doc_id), an UPDATE wave
+    (doc_id % 7 == 3, n_chars + 1000 at lsn 10M + doc_id), and a
+    DELETE wave (bucket % 5 == 3 at lsn 20M + doc_id — structural in
+    the bucket so a fifth of the keys tombstone at EVERY scale) — the
+    winner per (source, bucket) is the max-lsn event, tombstoned when
+    that winner is a DELETE. EXACT oracle: the same event union
+    replayed with a SQL window function."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_composite_demo")
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = docs["source"].combine_chunks()
+    nch = docs["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = ids % 50
+
+    def _wave(mask, lsn0, op, val):
+        idx = pa.array(np.nonzero(mask)[0])
+        k = len(idx)
+        return pa.table(
+            {
+                "lsn": pa.array(lsn0 + ids[mask], pa.int64()),
+                "op": pa.array([op] * k),
+                "source": src.take(idx),
+                "bucket": pa.array(bucket[mask], pa.int64()),
+                "n_chars": pa.array(val, pa.int64())
+                if val is not None
+                else pa.nulls(k, pa.int64()),
+            }
+        )
+
+    all_rows = np.ones(len(ids), bool)
+    log = pa.concat_tables(
+        [
+            _wave(all_rows, 0, "INSERT", nch),
+            _wave(ids % 7 == 3, 10_000_000, "UPDATE", nch[ids % 7 == 3] + 1000),
+            _wave(bucket % 5 == 3, 20_000_000, "DELETE", None),
+        ]
+    )
+    lake = os.path.join(work, "lake")
+    apply_changes(log, lake, key=("source", "bucket"), num_partitions=8)
+    return pzd.Dataset(final_state(lake)).project(
+        ["source", "bucket", "n_chars"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2873,6 +2929,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q118_branch_merge": q118_branch_merge,
         "q119_lake_history": q119_lake_history,
         "q120_accumulate_apply": q120_accumulate_apply,
+        "q121_composite_key_apply": q121_composite_key_apply,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3327,6 +3384,29 @@ def _base_oracle_sql() -> dict[str, str]:
         select 'acc-' || lpad(cast(i as varchar), 8, '0') as doc_id,
                cast(100 + i as int) as n_tok, cast(null as varchar) as source
         from range(3) t(i)
+    """
+    # composite-key apply: replay the same event union per
+    # (source, bucket) tuple with a window function
+    d["q121_composite_key_apply"] = """
+        with ev as (
+          select doc_id as lsn, 'INSERT' as op, source,
+                 doc_id % 50 as bucket, n_chars
+          from documents
+          union all
+          select 10000000 + doc_id, 'UPDATE', source, doc_id % 50,
+                 n_chars + 1000
+          from documents where doc_id % 7 = 3
+          union all
+          select 20000000 + doc_id, 'DELETE', source, doc_id % 50,
+                 cast(null as bigint)
+          from documents where (doc_id % 50) % 5 = 3
+        ), win as (
+          select *, row_number() over (
+            partition by source, bucket order by lsn desc) as rn
+          from ev
+        )
+        select source, bucket, n_chars from win
+        where rn = 1 and op <> 'DELETE'
     """
     return d
 

@@ -120,6 +120,7 @@ def create_branch(
         parts=parts,
         key=src.key,
         partition_key=src.partition_key,
+        key_cols=src.key_cols,
     )
     _atomic_write(os.path.join(root, "MANIFEST-v1.json"), m.to_json())
     _atomic_write(
@@ -319,6 +320,7 @@ def merge_branch(
             parts=parts,
             key=head.key,
             partition_key=head.partition_key,
+            key_cols=head.key_cols,
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"),

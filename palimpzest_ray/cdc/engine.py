@@ -62,6 +62,7 @@ import json
 import os
 import shutil
 import uuid
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -314,6 +315,7 @@ def _normalize_factory(
     partition_key: str | None = None,
     expectations: list[tuple[str, list[tuple]]] | None = None,
     quarantine: bool = False,
+    key_cols: tuple[str, ...] | None = None,
 ):
     """Stateless normalize stage: validate + conform + partition-assign.
 
@@ -335,6 +337,28 @@ def _normalize_factory(
 
     def normalize(batch: pa.Table) -> pa.Table:
         limit_kernel_threads()
+        if key_cols:
+            # synthesize the composite record key (cdc.keys encoding)
+            # BEFORE the structural gate so a null component becomes a
+            # null key and hits the same refusal/dead-letter path. An
+            # incoming non-null key column wins (an exported change
+            # feed from a composite lake already carries it — e.g. a
+            # DELETE whose component payload was not exported).
+            from palimpzest_ray.cdc.keys import composite_key_column
+
+            has_key = key in batch.column_names
+            if all(c in batch.column_names for c in key_cols):
+                synth = composite_key_column(batch, key_cols)
+                if has_key:
+                    merged = pc.coalesce(batch[key], synth)
+                    batch = batch.set_column(
+                        batch.column_names.index(key),
+                        pa.field(key, pa.string()), merged,
+                    )
+                else:
+                    batch = batch.append_column(key, synth)
+            elif not has_key:
+                composite_key_column(batch, key_cols)  # raises with detail
         if "tokens" in batch.column_names:
             derived = token_length(batch["tokens"])
             if "n_tok" in batch.column_names:
@@ -1026,7 +1050,7 @@ def apply_changes(
     lake_root: str,
     *,
     num_partitions: int = 32,
-    key: str = "doc_id",
+    key: "str | Sequence[str]" = "doc_id",
     run_id: str | None = None,
     resume: bool = True,
     merge_concurrency: int | None = None,
@@ -1281,7 +1305,7 @@ def _apply_changes_impl(
     lake_root: str,
     *,
     num_partitions: int = 32,
-    key: str = "doc_id",
+    key: str | Sequence[str] = "doc_id",
     run_id: str | None = None,
     resume: bool = True,
     merge_concurrency: int | None = None,
@@ -1326,6 +1350,20 @@ def _apply_changes_impl(
     """
     if mode not in ("rewrite", "delta"):
         raise ValueError(f"mode must be 'rewrite' or 'delta', got {mode!r}")
+    key_cols: tuple[str, ...] | None = None
+    if not isinstance(key, str):
+        # composite record key (Hudi ComplexKeyGenerator shape): the
+        # lake is keyed on a synthesized injective string column built
+        # from the named components at normalize time (cdc/keys.py)
+        from palimpzest_ray.cdc.keys import COMPOSITE_KEY_COL
+
+        key_cols = tuple(key)
+        if not key_cols or not all(isinstance(c, str) for c in key_cols):
+            raise ValueError(f"composite key must name columns, got {key!r}")
+        bad = [c for c in key_cols if c in ("lsn", "op", COMPOSITE_KEY_COL)]
+        if bad:
+            raise ValueError(f"composite key may not include {bad}")
+        key = COMPOSITE_KEY_COL
     os.makedirs(lake_root, exist_ok=True)
     prev = load_latest_manifest(lake_root)
     prev_version = prev.version if prev else 0
@@ -1336,7 +1374,9 @@ def _apply_changes_impl(
         # carried-forward key that moved buckets. Adopt the manifest's;
         # repartition_lake() is the sanctioned way to change it.
         num_partitions = prev.num_partitions
-    if prev is not None and (key, partition_key) != (prev.key, prev.partition_key):
+    if prev is not None and (key, partition_key, key_cols) != (
+        prev.key, prev.partition_key, prev.key_cols,
+    ):
         # The identity contract is ALSO a property of the lake (a
         # derived posting lake is keyed on posting_id / partitioned by
         # token): applying with a different key would LWW-collapse
@@ -1424,6 +1464,16 @@ def _apply_changes_impl(
         # column passes the undeclared-column guard on logs that carry
         # tokens but no precomputed n_tok
         user_schema = user_schema.append(pa.field("n_tok", pa.int32()))
+    if key_cols is not None:
+        missing_kc = [c for c in key_cols if c not in user_schema.names]
+        if missing_kc and key not in user_schema.names:
+            raise ValueError(
+                f"composite key component(s) {missing_kc} absent from the "
+                f"change schema {user_schema.names} (and no pre-synthesized "
+                f"{key!r} column present)"
+            )
+        if key not in user_schema.names:
+            user_schema = user_schema.append(pa.field(key, pa.string()))
     norm_schema = pa.schema(
         [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + list(user_schema)
     )
@@ -1475,7 +1525,7 @@ def _apply_changes_impl(
     # per-block LWW combiner is fused into normalize.
     normalize_fn = _normalize_factory(
         norm_schema, num_partitions, key, partition_key,
-        expectations=expectations, quarantine=quarantine,
+        expectations=expectations, quarantine=quarantine, key_cols=key_cols,
     )
     done_set = (
         pa.array(np.array(sorted(done), dtype=np.int32)) if done else None
@@ -1721,7 +1771,7 @@ def _apply_changes_impl(
         lake_root, staging_dir, new_parts, carried, num_partitions,
         lake_schema, prev_version, key=key, partition_key=partition_key,
         delta_parts=delta_parts, allow_rebase=not _rebucket,
-        publish=not audit,
+        publish=not audit, key_cols=key_cols,
     )
     # publish the dead letter under the committed version (before the
     # staging rmtree; per-commit diagnostics — see apply_changes notes)
@@ -1975,6 +2025,7 @@ def alter_schema(
         manifest = commit_version(
             lake_root, staging, {}, dict(m.parts), m.num_partitions,
             schema, m.version, key=m.key, partition_key=m.partition_key,
+            key_cols=m.key_cols,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -2715,7 +2766,7 @@ def repartition_lake(
         state,
         lake_root,
         num_partitions=new_num_partitions,
-        key=prev.key,
+        key=prev.key_cols if prev.key_cols else prev.key,
         partition_key=prev.partition_key,
         run_id=run_id,
         exchange=exchange,
@@ -3091,6 +3142,7 @@ def compact_deltas(
         lake_root, staging_dir, new_parts, carried, m.num_partitions,
         m.schema, m.version, key=m.key, partition_key=m.partition_key,
         allow_rebase=True,  # disjoint concurrent applies commute
+        key_cols=m.key_cols,
     )
     shutil.rmtree(staging_dir, ignore_errors=True)
     return {"parts_compacted": len(new_parts), "version": manifest.version}
@@ -3528,6 +3580,13 @@ def lookup(
         manifest = load_latest_manifest(lake_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    if manifest.key_cols and keys and isinstance(keys[0], (tuple, list)):
+        # composite-key lake: accept key TUPLES, encode to the lake's
+        # synthesized key strings (cdc.keys) and look those up
+        from palimpzest_ray.cdc.keys import encode_key_tuples
+
+        keys = encode_key_tuples(keys)
+        key = manifest.key
     karr = pa.array(keys)
     schema = manifest.schema
     if columns is not None:

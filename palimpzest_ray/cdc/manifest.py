@@ -81,6 +81,9 @@ class LakeManifest:
     # silently run with mismatched keys (pre-field manifests default)
     key: str = "doc_id"
     partition_key: str | None = None
+    # composite-key lakes: the component columns `key` was synthesized
+    # from (cdc.keys encoding); None on single-column-key lakes
+    key_cols: tuple[str, ...] | None = None
 
     @property
     def max_lsn(self) -> int:
@@ -112,6 +115,7 @@ class LakeManifest:
                 "num_partitions": self.num_partitions,
                 "key": self.key,
                 "partition_key": self.partition_key,
+                "key_cols": list(self.key_cols) if self.key_cols else None,
                 "schema": schema_to_json(self.schema),
                 "parts": {
                     str(p): dataclasses.asdict(e) for p, e in sorted(self.parts.items())
@@ -130,6 +134,7 @@ class LakeManifest:
             parts={int(p): PartEntry(**e) for p, e in d["parts"].items()},
             key=d.get("key", "doc_id"),
             partition_key=d.get("partition_key"),
+            key_cols=tuple(d["key_cols"]) if d.get("key_cols") else None,
         )
 
 
@@ -319,6 +324,7 @@ def commit_version(
     delta_parts: dict[int, PartEntry] | None = None,
     allow_rebase: bool = False,
     publish: bool = True,
+    key_cols: tuple[str, ...] | None = None,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
@@ -385,7 +391,8 @@ def commit_version(
             if current.num_partitions != num_partitions or (
                 current.key,
                 current.partition_key,
-            ) != (key, partition_key):
+                current.key_cols,
+            ) != (key, partition_key, tuple(key_cols) if key_cols else None):
                 raise _conflict(
                     "layout/key contract changed underneath — re-run"
                 )
@@ -476,6 +483,7 @@ def commit_version(
         manifest = LakeManifest(
             version=version, num_partitions=num_partitions, schema=schema,
             parts=parts, key=key, partition_key=partition_key,
+            key_cols=tuple(key_cols) if key_cols else None,
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"), manifest.to_json()

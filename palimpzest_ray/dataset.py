@@ -335,11 +335,17 @@ class Dataset:
         #: estimated row count, same contract (upper bound or None) —
         #: joins need rows, not just bytes, to bound their output
         self._est_rows: int | None = None
+        #: column-name hint for 0-row results: Ray's schema() is
+        #: unreliable once a pipeline ends empty (None, or the
+        #: pre-Project schema), so project() records the selection and
+        #: to_arrow()'s empty fallback re-applies it
+        self._proj_cols: list[str] | None = None
 
     def _with_est(self, ds: rd.Dataset) -> "Dataset":
         out = Dataset(ds)
         out._est_bytes = self._est_bytes
         out._est_rows = self._est_rows
+        out._proj_cols = self._proj_cols
         return out
 
     # ---- plumbing ----
@@ -379,7 +385,17 @@ class Dataset:
         ]
         if not tables:
             base = self._ds.schema()
-            return base.base_schema.empty_table() if base else pa.table({})
+            empty = base.base_schema.empty_table() if base else pa.table({})
+            if self._proj_cols is not None:
+                keep = [c for c in self._proj_cols if c in empty.column_names]
+                empty = (
+                    empty.select(keep)
+                    if len(keep) == len(self._proj_cols)
+                    else pa.schema(
+                        [pa.field(c, pa.null()) for c in self._proj_cols]
+                    ).empty_table()
+                )
+            return empty
         return pa.concat_tables(tables, promote_options="permissive")
 
     def take_all(self):
@@ -491,7 +507,9 @@ class Dataset:
 
     def project(self, cols: list[str]) -> "Dataset":
         """Column projection (reference ``ProjectOp``, ``project.py:8-53``)."""
-        return self._with_est(self._ds.select_columns(cols))
+        out = self._with_est(self._ds.select_columns(cols))
+        out._proj_cols = list(cols)
+        return out
 
     select_columns = project
 

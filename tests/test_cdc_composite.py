@@ -1,0 +1,226 @@
+"""Composite (multi-column) record keys for the CDC lake
+(cdc/keys.py + apply_changes(key=(col, ...))): the Hudi
+ComplexKeyGenerator shape — a synthesized injective string key column
+drives routing / LWW / lookups, while the component columns stay
+ordinary payload.
+
+Covers: LWW correctness vs a per-(tuple)-key sequential replay,
+encoding injectivity under adversarial separator/backslash content,
+null-component refusal + quarantine routing, the lake identity
+contract (key_cols pinned in the manifest), tuple point lookups, and
+schema evolution on a composite lake."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import (
+    COMPOSITE_KEY_COL,
+    apply_changes,
+    composite_key_column,
+    encode_key_tuple,
+    final_state_table,
+    lookup,
+    sequential_replay,
+)
+from palimpzest_ray.cdc.manifest import load_latest_manifest
+
+
+def _log(rows: list[tuple]) -> pa.Table:
+    """rows: (lsn, op, src, bucket, val)"""
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "src": pa.array([r[2] for r in rows], pa.string()),
+            "bucket": pa.array([r[3] for r in rows], pa.int64()),
+            "val": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def _write(tmp_path, name: str, t: pa.Table) -> str:
+    p = os.path.join(str(tmp_path), name)
+    pq.write_table(t, p)
+    return p
+
+
+def test_composite_apply_matches_tuple_replay(tmp_path):
+    lake = str(tmp_path / "lake")
+    log = _log(
+        [
+            (1, "INSERT", "a", 0, "x0"),
+            (2, "INSERT", "a", 1, "x1"),
+            (3, "INSERT", "b", 0, "y0"),
+            (4, "UPDATE", "a", 0, "x0v2"),  # same tuple, later lsn wins
+            (5, "DELETE", "a", 1, None),  # tombstone by tuple
+            (6, "UPDATE", "b", 1, "y1"),  # upsert of a new tuple
+            (7, "UPDATE", "a", 0, "x0v3"),
+        ]
+    )
+    apply_changes(
+        _write(tmp_path, "log.parquet", log), lake,
+        key=("src", "bucket"), num_partitions=4,
+    )
+    got = final_state_table(lake)
+    # oracle: replay per encoded tuple key, driver-side
+    enc = log.append_column(
+        COMPOSITE_KEY_COL, composite_key_column(log, ("src", "bucket"))
+    )
+    want = sequential_replay(None, enc, key=COMPOSITE_KEY_COL)
+    got = got.sort_by(COMPOSITE_KEY_COL).select(want.column_names)
+    assert got.equals(want.sort_by(COMPOSITE_KEY_COL).cast(got.schema))
+    # live tuples: (a,0)->x0v3, (b,0)->y0, (b,1)->y1 ; (a,1) deleted
+    d = {
+        (r["src"], r["bucket"]): r["val"]
+        for r in got.to_pylist()
+    }
+    assert d == {("a", 0): "x0v3", ("b", 0): "y0", ("b", 1): "y1"}
+    m = load_latest_manifest(lake)
+    assert m.key == COMPOSITE_KEY_COL and m.key_cols == ("src", "bucket")
+
+
+def test_encoding_injective_under_adversarial_content(tmp_path):
+    # tuples that collide under naive join: ("a\x1fb", "c") vs
+    # ("a", "b\x1fc"), plus backslash-bearing components
+    t = pa.table(
+        {
+            "x": pa.array(["a\x1fb", "a", "a\\", "a"]),
+            "y": pa.array(["c", "b\x1fc", "b", "\\b"]),
+        }
+    )
+    keys = composite_key_column(t, ("x", "y")).to_pylist()
+    assert len(set(keys)) == 4
+    # scalar twin agrees with the vectorized kernel
+    for i, (x, y) in enumerate(zip(t["x"].to_pylist(), t["y"].to_pylist())):
+        assert encode_key_tuple((x, y)) == keys[i]
+    # int components: encode_key_tuple matches arrow cast
+    t2 = pa.table({"x": pa.array(["s"]), "n": pa.array([42], pa.int64())})
+    assert composite_key_column(t2, ("x", "n")).to_pylist() == [
+        encode_key_tuple(("s", 42))
+    ]
+
+
+def test_null_component_refused_and_quarantined(tmp_path):
+    lake = str(tmp_path / "lake")
+    log = _log(
+        [
+            (1, "INSERT", "a", 0, "x"),
+            (2, "INSERT", None, 1, "bad"),  # null component -> null key
+        ]
+    )
+    p = _write(tmp_path, "log.parquet", log)
+    with pytest.raises(ValueError, match="null lsn/doc_id"):
+        apply_changes(p, lake, key=("src", "bucket"), num_partitions=4)
+    r = apply_changes(
+        p, lake, key=("src", "bucket"), num_partitions=4, quarantine=True
+    )
+    assert r.rows_quarantined == 1
+    live = final_state_table(lake)
+    assert live.num_rows == 1 and live["src"].to_pylist() == ["a"]
+
+
+def test_key_cols_contract_pinned(tmp_path):
+    lake = str(tmp_path / "lake")
+    log = _log([(1, "INSERT", "a", 0, "x")])
+    p = _write(tmp_path, "log.parquet", log)
+    apply_changes(p, lake, key=("src", "bucket"), num_partitions=4)
+    with pytest.raises(ValueError, match="keyed on"):
+        apply_changes(p, lake, key=("bucket", "src"), num_partitions=4)
+    with pytest.raises(ValueError, match="keyed on"):
+        apply_changes(p, lake, key="src", num_partitions=4)
+    # float components are not canonical key material
+    bad = log.set_column(
+        log.column_names.index("bucket"),
+        pa.field("bucket", pa.float64()),
+        log["bucket"].cast(pa.float64()),
+    )
+    with pytest.raises(TypeError, match="string, integer, or bool"):
+        apply_changes(
+            _write(tmp_path, "bad.parquet", bad),
+            str(tmp_path / "lake2"), key=("src", "bucket"), num_partitions=4,
+        )
+
+
+def test_tuple_lookup_and_second_epoch(tmp_path):
+    lake = str(tmp_path / "lake")
+    e1 = _log([(i, "INSERT", f"s{i % 3}", i % 5, f"v{i}") for i in range(1, 31)])
+    apply_changes(
+        _write(tmp_path, "e1.parquet", e1), lake,
+        key=("src", "bucket"), num_partitions=4,
+    )
+    # second epoch through the same contract: update one tuple, delete one
+    e2 = _log([(100, "UPDATE", "s1", 1, "NEW"), (101, "DELETE", "s2", 2, None)])
+    apply_changes(
+        _write(tmp_path, "e2.parquet", e2), lake,
+        key=("src", "bucket"), num_partitions=4,
+    )
+    got = lookup(lake, [("s1", 1), ("s2", 2), ("s0", 0)])
+    d = {(r["src"], r["bucket"]): r["val"] for r in got.to_pylist()}
+    assert d[("s1", 1)] == "NEW"
+    assert ("s2", 2) not in d  # tombstoned
+    assert ("s0", 0) in d
+    # full-state oracle across both epochs
+    both = pa.concat_tables([e1, e2])
+    enc = both.append_column(
+        COMPOSITE_KEY_COL, composite_key_column(both, ("src", "bucket"))
+    )
+    want = sequential_replay(None, enc, key=COMPOSITE_KEY_COL)
+    got_all = final_state_table(lake).sort_by(COMPOSITE_KEY_COL)
+    assert got_all.select(want.column_names).equals(
+        want.sort_by(COMPOSITE_KEY_COL).cast(
+            got_all.select(want.column_names).schema
+        )
+    )
+
+
+def test_composite_schema_evolution(tmp_path):
+    lake = str(tmp_path / "lake")
+    e1 = _log([(1, "INSERT", "a", 0, "x"), (2, "INSERT", "b", 1, "y")])
+    apply_changes(
+        _write(tmp_path, "e1.parquet", e1), lake,
+        key=("src", "bucket"), num_partitions=4,
+    )
+    e2 = _log([(3, "UPDATE", "a", 0, "x2")]).append_column(
+        "lang", pa.array(["en"], pa.string())
+    )
+    apply_changes(
+        _write(tmp_path, "e2.parquet", e2), lake,
+        key=("src", "bucket"), num_partitions=4,
+    )
+    got = final_state_table(lake).sort_by("src")
+    assert got["lang"].to_pylist() == ["en", None]
+    assert got["val"].to_pylist() == ["x2", "y"]
+
+
+def test_composite_exported_feed_carries_key(tmp_path):
+    # a feed that already carries a non-null _ckey (export round trip)
+    # wins over re-synthesis; DELETEs with null components still route
+    lake = str(tmp_path / "lake")
+    e1 = _log([(1, "INSERT", "a", 0, "x"), (2, "INSERT", "b", 1, "y")])
+    apply_changes(
+        _write(tmp_path, "e1.parquet", e1), lake,
+        key=("src", "bucket"), num_partitions=4,
+    )
+    ck = encode_key_tuple(("b", 1))
+    feed = pa.table(
+        {
+            "lsn": pa.array([9], pa.int64()),
+            "op": pa.array(["DELETE"]),
+            "src": pa.array([None], pa.string()),
+            "bucket": pa.array([None], pa.int64()),
+            "val": pa.array([None], pa.string()),
+            COMPOSITE_KEY_COL: pa.array([ck]),
+        }
+    )
+    apply_changes(
+        _write(tmp_path, "feed.parquet", feed), lake,
+        key=("src", "bucket"), num_partitions=4,
+    )
+    live = final_state_table(lake)
+    assert live.num_rows == 1 and live["src"].to_pylist() == ["a"]

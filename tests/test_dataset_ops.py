@@ -200,3 +200,22 @@ def test_pivot_sum_and_count():
         .take_all()
     }
     assert cnt["u1"]["v_a"] == 2 and cnt["u2"]["v_a"] == 0
+
+
+def test_project_schema_survives_empty_result():
+    # Ray's schema() is unreliable once a pipeline ends empty (None or
+    # the pre-Project schema); project() must still yield exactly the
+    # selected columns on a 0-row result (driver-contract canon sorts
+    # on them)
+    import palimpzest_ray.dataset as pzd
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"], "c": [1.0, 2.0]})
+    ds = (
+        pzd.from_arrow(t)
+        .filter(batch_fn=lambda b: b.filter(pa.array([False] * b.num_rows)))
+        .project(["a", "b"])
+    )
+    out = ds.to_arrow()
+    assert out.num_rows == 0 and out.column_names == ["a", "b"]
+    df = ds.to_pandas()
+    assert list(df.columns) == ["a", "b"] and len(df) == 0
