@@ -2753,6 +2753,54 @@ def q120_accumulate_apply(sf_dir: str):
     return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
 
 
+def q122_extremum_apply(sf_dir: str):
+    """Extremum merge policies (cdc/patch.py max_cols/min_cols — the
+    AggregatingMergeTree max/min states): against the epoch-1 lake,
+    one candidate feed maintains a high-water mark on n_tok
+    (max policy: two candidates num%200 and num%300 fold with the base
+    word count via running max) and a first-seen mark on a NEW column
+    first_seen (min policy + schema evolution: the base has no such
+    column, so min starts from empty = least of the two candidates
+    num%100 and num%77). source carries forward untouched (patch
+    semantics). One exactly-once commit. EXACT oracle: the epoch-1
+    closed form with greatest()/least() arithmetic."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_accumulate, apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_extremum_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = pa.array([f"doc-{int(i):08d}" for i in nums])
+
+    def _cands(lsn0, ntok_mod, fs_mod):
+        return pa.table(
+            {
+                "lsn": pa.array(lsn0 + nums, pa.int64()),
+                "op": pa.array(["UPDATE"] * len(nums)),
+                "doc_id": ids,
+                "n_tok": pa.array(nums % ntok_mod, pa.int32()),
+                "first_seen": pa.array(nums % fs_mod, pa.int32()),
+            }
+        )
+
+    feed = pa.concat_tables(
+        [_cands(10_000_000, 200, 100), _cands(20_000_000, 300, 77)]
+    )
+    apply_accumulate(
+        feed, lake, max_cols=("n_tok",), min_cols=("first_seen",),
+        num_partitions=8,
+    )
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "n_tok", "first_seen", "source"]
+    )
+
+
 def q121_composite_key_apply(sf_dir: str):
     """Composite (multi-column) record keys (cdc/keys.py — the Hudi
     ComplexKeyGenerator shape): the lake is keyed on the tuple
@@ -2930,6 +2978,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q119_lake_history": q119_lake_history,
         "q120_accumulate_apply": q120_accumulate_apply,
         "q121_composite_key_apply": q121_composite_key_apply,
+        "q122_extremum_apply": q122_extremum_apply,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3407,6 +3456,16 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         select source, bucket, n_chars from win
         where rn = 1 and op <> 'DELETE'
+    """
+    # extremum apply: greatest/least over the candidate feed + base
+    d["q122_extremum_apply"] = r"""
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               cast(greatest(
+                 len(regexp_split_to_array(lower(text), '\s+')),
+                 doc_id % 200, doc_id % 300) as int) as n_tok,
+               cast(least(doc_id % 100, doc_id % 77) as int) as first_seen,
+               source
+        from documents
     """
     return d
 

@@ -87,6 +87,8 @@ def fold_patch_events(
     op_col: str = "op",
     user_schema: pa.Schema | None = None,
     sum_cols: tuple[str, ...] | list[str] = (),
+    max_cols: tuple[str, ...] | list[str] = (),
+    min_cols: tuple[str, ...] | list[str] = (),
 ) -> pa.Table:
     """Fold mixed INSERT / UPDATE-patch / DELETE events per key in LSN
     order into FULL-image change rows (one per key, at the key's max
@@ -109,12 +111,31 @@ def fold_patch_events(
     contribution at all (e.g. resurrected with no delta for that
     column) folds to NULL — matching SQL's SUM over an empty set.
     Non-sum columns keep patch semantics (null = carried forward).
+
+    ``max_cols`` / ``min_cols`` are the other two decomposable merge
+    policies (ClickHouse AggregatingMergeTree's max/min states): an
+    UPDATE's value is a CANDIDATE folded by running extremum over the
+    same contribution window (after the last barrier, plus an INSERT
+    barrier's own value), so "high-water mark" / "first-seen" columns
+    maintain themselves through the ordinary change feed. The three
+    policy sets must be disjoint; every policy column folds to NULL
+    when the window is empty.
     """
     if events.num_rows == 0:
         return events
     sum_cols = tuple(sum_cols)
-    if key in sum_cols or lsn_col in sum_cols or op_col in sum_cols:
-        raise ValueError("sum_cols cannot include the key/lsn/op columns")
+    max_cols = tuple(max_cols)
+    min_cols = tuple(min_cols)
+    policy = {c: "sum" for c in sum_cols}
+    for cs, nm in ((max_cols, "max"), (min_cols, "min")):
+        for c in cs:
+            if c in policy:
+                raise ValueError(
+                    f"column {c!r} given more than one merge policy"
+                )
+            policy[c] = nm
+    if key in policy or lsn_col in policy or op_col in policy:
+        raise ValueError("merge-policy cols cannot include key/lsn/op")
     for c in (lsn_col, op_col, key):
         if c not in events.column_names:
             raise ValueError(f"patch events missing required column {c!r}")
@@ -181,29 +202,41 @@ def fold_patch_events(
     final_delete = op_np[ends] == "DELETE"
 
     user_cols = [f.name for f in user_schema if f.name != key]
-    for c in sum_cols:
+    for c, nm in policy.items():
         if c not in user_cols:
-            raise ValueError(f"sum_cols column {c!r} not in the fold schema")
+            raise ValueError(f"{nm}_cols column {c!r} not in the fold schema")
         t = user_schema.field(c).type
         if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
-            raise ValueError(f"sum_cols column {c!r} must be numeric, got {t}")
+            raise ValueError(f"{nm}_cols column {c!r} must be numeric, got {t}")
     bi_row = np.repeat(barrier_is_insert, counts)
     out_cols: dict[str, pa.Array] = {key: keys_s.take(pa.array(ends))}
     for c in user_cols:
         col_s = aug[c].combine_chunks().take(sidx)
         valid = pc.is_valid(col_s).to_numpy(zero_copy_only=False)
-        if c in sum_cols:
-            # accumulate: Σ of non-null deltas after the barrier, plus
-            # the barrier image's value when the barrier is an INSERT
-            # (the base row included — that IS "current + Σ deltas")
+        if c in policy:
+            # decomposable merge policy over the contribution window:
+            # every non-null value AFTER the barrier, plus the barrier
+            # image's own value when that barrier is an INSERT (the
+            # base row included — sum IS "current + Σ deltas", max IS
+            # the running high-water mark, etc.)
             contrib = valid & ((pos > b_row) | ((pos == b_row) & bi_row))
             t = user_schema.field(c).type
+            is_int = pa.types.is_integer(t)
+            nm = policy[c]
+            if nm == "sum":
+                neutral, ufunc = 0, np.add
+            elif nm == "max":
+                neutral = np.iinfo(np.int64).min if is_int else -np.inf
+                ufunc = np.maximum
+            else:
+                neutral = np.iinfo(np.int64).max if is_int else np.inf
+                ufunc = np.minimum
             acc = (
                 pc.fill_null(col_s, 0)
                 .to_numpy(zero_copy_only=False)
-                .astype(np.int64 if pa.types.is_integer(t) else np.float64)
+                .astype(np.int64 if is_int else np.float64)
             )
-            sums = np.add.reduceat(np.where(contrib, acc, 0), starts)
+            sums = ufunc.reduceat(np.where(contrib, acc, neutral), starts)
             cnt = np.add.reduceat(contrib.astype(np.int64), starts)
             out_cols[c] = pa.array(
                 sums, mask=(cnt == 0) | final_delete
@@ -261,6 +294,8 @@ def apply_patches(
     fold: str = "auto",
     since_lsn: int | None = None,
     sum_cols: tuple[str, ...] | list[str] = (),
+    max_cols: tuple[str, ...] | list[str] = (),
+    min_cols: tuple[str, ...] | list[str] = (),
     **apply_kwargs,
 ):
     """Apply a partial-image (patch) change batch to the lake.
@@ -353,7 +388,7 @@ def apply_patches(
             )
             out = fold_patch_events(
                 batch, base, key=key, user_schema=target_user,
-                sum_cols=sum_cols,
+                sum_cols=sum_cols, max_cols=max_cols, min_cols=min_cols,
             )
             return conform(out, composed_schema)
 
@@ -400,7 +435,9 @@ def apply_accumulate(
     changes: str | list[str] | pa.Table | rd.Dataset,
     lake_root: str,
     *,
-    sum_cols: tuple[str, ...] | list[str],
+    sum_cols: tuple[str, ...] | list[str] = (),
+    max_cols: tuple[str, ...] | list[str] = (),
+    min_cols: tuple[str, ...] | list[str] = (),
     **patch_kwargs,
 ):
     """Apply a DELTA (accumulating-counter) change batch to the lake —
@@ -425,7 +462,21 @@ def apply_accumulate(
     events must pass ``since_lsn`` (the lake watermark), exactly as
     ``tail_once`` does. Accumulate feeds should be consumed through
     the watermarked tail path, never blind re-reads of the topic.
+    (``max_cols`` / ``min_cols`` candidates, unlike sum deltas, ARE
+    idempotent under re-read — extremum is absorbing — but a mixed
+    feed inherits the strictest contract.)
+
+    ``max_cols`` / ``min_cols`` fold by running extremum instead — the
+    AggregatingMergeTree max/min states: high-water marks (latest
+    event-time seen, max severity) and first-seen marks (min
+    first_seen_lsn) maintain themselves from the raw feed. The three
+    policy sets must be disjoint.
     """
-    if not sum_cols:
-        raise ValueError("apply_accumulate requires at least one sum_cols column")
-    return apply_patches(changes, lake_root, sum_cols=sum_cols, **patch_kwargs)
+    if not (sum_cols or max_cols or min_cols):
+        raise ValueError(
+            "apply_accumulate requires at least one sum/max/min column"
+        )
+    return apply_patches(
+        changes, lake_root, sum_cols=sum_cols, max_cols=max_cols,
+        min_cols=min_cols, **patch_kwargs,
+    )

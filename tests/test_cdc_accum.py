@@ -204,5 +204,5 @@ def test_accumulate_watermark_consumption_contract(tmp_path, tmp_lake):
 
 
 def test_accumulate_requires_sum_cols():
-    with pytest.raises(ValueError, match="at least one sum_cols"):
+    with pytest.raises(ValueError, match="at least one sum/max/min"):
         apply_accumulate(pa.table({"lsn": [1]}), "/tmp/x", sum_cols=())

@@ -160,3 +160,98 @@ def test_sum_cols_validation():
         fold_patch_events(ev, sum_cols=("source",))
     with pytest.raises(ValueError, match="not in the fold schema"):
         fold_patch_events(ev, sum_cols=("missing",))
+
+
+# ---- max/min merge policies (AggregatingMergeTree extremum states) ----
+
+MAX_COLS = ("cnt",)
+MIN_COLS = ("score",)
+
+
+def _naive_ext(base: pa.Table, events: pa.Table) -> dict:
+    state = {
+        r["doc_id"]: {c: r[c] for c in USER} for r in base.to_pylist()
+    }
+    for row in sorted(events.to_pylist(), key=lambda r: r["lsn"]):
+        k, op = row["doc_id"], row["op"]
+        if op == "DELETE":
+            state.pop(k, None)
+        elif op == "INSERT":
+            state[k] = {c: row[c] for c in USER}
+        else:
+            cur = state.get(k, {c: None for c in USER})
+            for c in USER:
+                if row[c] is None:
+                    continue
+                if c in MAX_COLS:
+                    cur[c] = row[c] if cur[c] is None else max(cur[c], row[c])
+                elif c in MIN_COLS:
+                    cur[c] = row[c] if cur[c] is None else min(cur[c], row[c])
+                else:
+                    cur[c] = row[c]
+            state[k] = cur
+    return state
+
+
+def _fold_state_ext(base: pa.Table, events: pa.Table) -> dict:
+    state = {
+        r["doc_id"]: {c: r[c] for c in USER} for r in base.to_pylist()
+    }
+    folded = fold_patch_events(
+        events, base, max_cols=MAX_COLS, min_cols=MIN_COLS
+    )
+    for r in folded.to_pylist():
+        if r["op"] == "DELETE":
+            state.pop(r["doc_id"], None)
+        else:
+            state[r["doc_id"]] = {c: r[c] for c in USER}
+    return state
+
+
+@given(accum_logs())
+@settings(max_examples=150, deadline=None)
+def test_extremum_fold_equals_naive_replay(log):
+    events, base = log
+    assert _fold_state_ext(base, events) == _naive_ext(base, events)
+
+
+@given(accum_logs(), st.integers(0, 49))
+@settings(max_examples=100, deadline=None)
+def test_extremum_chunked_fold_composes(log, cut):
+    events, base = log
+    ordered = events.sort_by("lsn")
+    cut = min(cut, ordered.num_rows)
+    first, second = ordered.slice(0, cut), ordered.slice(cut)
+    if first.num_rows and second.num_rows:
+        mid = _fold_state_ext(base, first)
+        mid_table = pa.Table.from_pylist(
+            [{"doc_id": k, **v} for k, v in sorted(mid.items())],
+            BASE_SCHEMA,
+        )
+        got = _fold_state_ext(mid_table, second)
+    elif first.num_rows:
+        got = _fold_state_ext(base, first)
+    else:
+        got = _fold_state_ext(base, second)
+    assert got == _naive_ext(base, events)
+
+
+@given(accum_logs(), st.integers(0, 2**16))
+@settings(max_examples=100, deadline=None)
+def test_extremum_fold_is_permutation_invariant(log, seed):
+    events, base = log
+    perm = np.random.default_rng(seed).permutation(events.num_rows)
+    shuffled = events.take(pa.array(perm))
+    assert _fold_state_ext(base, shuffled) == _fold_state_ext(base, events)
+
+
+def test_policy_sets_must_be_disjoint():
+    import pytest
+
+    ev = pa.Table.from_pylist(
+        [{"lsn": 1, "op": "UPDATE", "doc_id": "a",
+          "cnt": 1, "score": 1.0, "source": "s"}],
+        SCHEMA,
+    )
+    with pytest.raises(ValueError, match="more than one merge policy"):
+        fold_patch_events(ev, sum_cols=("cnt",), max_cols=("cnt",))
