@@ -2801,6 +2801,44 @@ def q122_extremum_apply(sf_dir: str):
     )
 
 
+def q123_constrained_apply(sf_dir: str):
+    """Persistent table constraints (cdc/engine.py add_constraint —
+    Delta ALTER TABLE ADD CONSTRAINT): after epoch 1, the lake gains
+    CHECK (n_tok >= 0) — verified against existing rows at add time —
+    and a later UPDATE feed (even keys, n_tok = num%7 - 3, source
+    'upd') is gated WITHOUT the caller passing any expectation: the
+    negative-n_tok rows (num%7 < 3) dead-letter under quarantine=True
+    while the rest commit. EXACT oracle: the epoch-1 closed form with
+    the surviving-update CASE."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import add_constraint, apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_constraint_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    add_constraint(lake, "tok_nonneg", [("n_tok", ">=", 0)])
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    even = nums[nums % 2 == 0]
+    feed = pa.table(
+        {
+            "lsn": pa.array(10_000_000 + even, pa.int64()),
+            "op": pa.array(["UPDATE"] * len(even)),
+            "doc_id": pa.array([f"doc-{int(i):08d}" for i in even]),
+            "n_tok": pa.array((even % 7 - 3), pa.int32()),
+            "source": pa.array(["upd"] * len(even)),
+        }
+    )
+    apply_changes(feed, lake, num_partitions=8, quarantine=True)
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "n_tok", "source"]
+    )
+
+
 def q121_composite_key_apply(sf_dir: str):
     """Composite (multi-column) record keys (cdc/keys.py — the Hudi
     ComplexKeyGenerator shape): the lake is keyed on the tuple
@@ -2979,6 +3017,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q120_accumulate_apply": q120_accumulate_apply,
         "q121_composite_key_apply": q121_composite_key_apply,
         "q122_extremum_apply": q122_extremum_apply,
+        "q123_constrained_apply": q123_constrained_apply,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3466,6 +3505,23 @@ def _base_oracle_sql() -> dict[str, str]:
                cast(least(doc_id % 100, doc_id % 77) as int) as first_seen,
                source
         from documents
+    """
+    # constrained apply: updates survive only where the persistent
+    # CHECK (n_tok >= 0) holds, i.e. num%7 >= 3 on the even-key feed
+    d["q123_constrained_apply"] = r"""
+        with base as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents)
+        select doc_id,
+               case when num % 2 = 0 and num % 7 >= 3
+                    then cast(num % 7 - 3 as int) else n_tok end as n_tok,
+               case when num % 2 = 0 and num % 7 >= 3
+                    then 'upd' else source end as source
+        from base
     """
     return d
 

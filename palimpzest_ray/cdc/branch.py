@@ -121,6 +121,7 @@ def create_branch(
         key=src.key,
         partition_key=src.partition_key,
         key_cols=src.key_cols,
+        constraints=src.constraints,
     )
     _atomic_write(os.path.join(root, "MANIFEST-v1.json"), m.to_json())
     _atomic_write(
@@ -321,6 +322,7 @@ def merge_branch(
             key=head.key,
             partition_key=head.partition_key,
             key_cols=head.key_cols,
+            constraints=head.constraints,
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"),

@@ -1523,6 +1523,14 @@ def _apply_changes_impl(
     # (its internal concat cannot unify struct columns missing on one
     # side). After normalize every block has the unified schema. The
     # per-block LWW combiner is fused into normalize.
+    if prev is not None and prev.constraints:
+        # persistent table constraints join the apply's gate exactly
+        # like caller expectations (add_constraint — the Delta
+        # ADD CONSTRAINT analog); deterministic order for reason strings
+        expectations = list(expectations or []) + [
+            (f"constraint:{n}", pred)
+            for n, pred in sorted(prev.constraints.items())
+        ]
     normalize_fn = _normalize_factory(
         norm_schema, num_partitions, key, partition_key,
         expectations=expectations, quarantine=quarantine, key_cols=key_cols,
@@ -2044,6 +2052,97 @@ def alter_schema(
             manifest.to_json(),
         )
     return manifest
+
+
+_EXPECT_OPS = ("==", "!=", ">=", ">", "<=", "<", "in")
+
+
+def add_constraint(
+    lake_root: str,
+    name: str,
+    predicate: list[tuple],
+    *,
+    verify: bool = True,
+) -> LakeManifest:
+    """Persistent table constraint (the Delta Lake ``ALTER TABLE ADD
+    CONSTRAINT`` idea): ``predicate`` — conjuncts in the expectations
+    mini-language ``[("col", op, value), ...]`` — is stored in the
+    manifest and from then on EVERY apply to this lake enforces it
+    exactly like a caller-supplied expectation (fail the apply, or
+    dead-letter the violating events under ``quarantine=True``). The
+    apply's DELETE exemption holds: a tombstone carries no payload to
+    check.
+
+    ``verify=True`` (default, matching Delta) first proves the EXISTING
+    live rows satisfy the predicate via a zone-map-pruned counting scan
+    over only the predicate columns (metadata-only total minus
+    satisfying count); a violated constraint is refused rather than
+    stored. The DDL itself is a zero-file metadata commit through the
+    same CAS path as :func:`alter_schema`."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    if m.constraints and name in m.constraints:
+        raise ValueError(f"constraint {name!r} already exists")
+    predicate = [tuple(p) for p in predicate]
+    if not predicate:
+        raise ValueError("constraint predicate must have >= 1 conjunct")
+    for p in predicate:
+        if len(p) != 3:
+            raise ValueError(f"conjunct {p!r} is not (col, op, value)")
+        col, op, _v = p
+        if col not in m.schema.names:
+            raise ValueError(
+                f"constraint column {col!r} not in lake schema "
+                f"{[f.name for f in m.schema]}"
+            )
+        if op not in _EXPECT_OPS:
+            raise ValueError(f"unknown predicate op {op!r} (use {_EXPECT_OPS})")
+    if verify:
+        total = lake_count(lake_root)
+        satisfied = lake_count(lake_root, predicate=predicate)
+        if satisfied != total:
+            raise ValueError(
+                f"constraint {name!r} is violated by {total - satisfied} "
+                f"existing live row(s); fix the data first "
+                "(or pass verify=False to enforce only going forward)"
+            )
+    new = dict(m.constraints or {})
+    new[name] = predicate
+    staging = os.path.join(lake_root, ".staging", f"ddl-{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    try:
+        return commit_version(
+            lake_root, staging, {}, dict(m.parts), m.num_partitions,
+            m.schema, m.version, key=m.key, partition_key=m.partition_key,
+            key_cols=m.key_cols, constraints=new,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def drop_constraint(lake_root: str, name: str) -> LakeManifest:
+    """Remove a persistent constraint (zero-file metadata commit).
+    Time travel still shows it at prior versions."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    if not m.constraints or name not in m.constraints:
+        raise ValueError(
+            f"no constraint {name!r} on this lake "
+            f"(have: {sorted(m.constraints or {})})"
+        )
+    new = {n: p for n, p in m.constraints.items() if n != name}
+    staging = os.path.join(lake_root, ".staging", f"ddl-{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    try:
+        return commit_version(
+            lake_root, staging, {}, dict(m.parts), m.num_partitions,
+            m.schema, m.version, key=m.key, partition_key=m.partition_key,
+            key_cols=m.key_cols, constraints=new or None,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _dml_feed_schema(m: LakeManifest, cols: list[str]) -> pa.Schema:
@@ -2922,10 +3021,18 @@ def _predicate_expr(predicate: list[tuple]):
 def _predicate_mask(table: pa.Table, predicate: list[tuple]):
     """Boolean mask for the conjuncts (null comparisons → False), the
     shared evaluator behind post-resolution filters and ingest
-    expectations."""
+    expectations. A column absent from the table evaluates as all-null
+    (→ False): an ingest batch that doesn't carry a constrained column
+    is inserting NULL there, which fails the constraint — lake readers
+    conform to the manifest schema first, so absence never occurs on
+    the read side for a schema-validated predicate."""
     mask = None
     for col, op, v in predicate:
-        c = table[col]
+        c = (
+            table[col]
+            if col in table.column_names
+            else pa.nulls(table.num_rows)
+        )
         m = {
             "==": lambda: pc.equal(c, v),
             "!=": lambda: pc.not_equal(c, v),

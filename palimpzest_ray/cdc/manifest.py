@@ -84,6 +84,10 @@ class LakeManifest:
     # composite-key lakes: the component columns `key` was synthesized
     # from (cdc.keys encoding); None on single-column-key lakes
     key_cols: tuple[str, ...] | None = None
+    # persistent table constraints (Delta ADD CONSTRAINT analog):
+    # name -> predicate in the expectations mini-language
+    # [("col", op, value), ...]; enforced on every apply
+    constraints: dict | None = None
 
     @property
     def max_lsn(self) -> int:
@@ -116,6 +120,7 @@ class LakeManifest:
                 "key": self.key,
                 "partition_key": self.partition_key,
                 "key_cols": list(self.key_cols) if self.key_cols else None,
+                "constraints": self.constraints or None,
                 "schema": schema_to_json(self.schema),
                 "parts": {
                     str(p): dataclasses.asdict(e) for p, e in sorted(self.parts.items())
@@ -135,6 +140,12 @@ class LakeManifest:
             key=d.get("key", "doc_id"),
             partition_key=d.get("partition_key"),
             key_cols=tuple(d["key_cols"]) if d.get("key_cols") else None,
+            constraints={
+                n: [tuple(p) for p in pred]
+                for n, pred in d["constraints"].items()
+            }
+            if d.get("constraints")
+            else None,
         )
 
 
@@ -311,6 +322,11 @@ class ConcurrentCommitError(RuntimeError):
     the new base (LWW makes re-application idempotent)."""
 
 
+#: sentinel: commit_version carries the head's constraints forward by
+#: default; only the constraint DDL paths pass an explicit value
+_CARRY = object()
+
+
 def commit_version(
     lake_root: str,
     staging_dir: str,
@@ -325,6 +341,7 @@ def commit_version(
     allow_rebase: bool = False,
     publish: bool = True,
     key_cols: tuple[str, ...] | None = None,
+    constraints: "dict | None | object" = _CARRY,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
@@ -484,6 +501,11 @@ def commit_version(
             version=version, num_partitions=num_partitions, schema=schema,
             parts=parts, key=key, partition_key=partition_key,
             key_cols=tuple(key_cols) if key_cols else None,
+            constraints=(
+                (current.constraints if current else None)
+                if constraints is _CARRY
+                else constraints
+            ),
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"), manifest.to_json()

@@ -223,6 +223,7 @@ def clone_lake(
         key=m.key,
         partition_key=m.partition_key,
         key_cols=m.key_cols,
+        constraints=m.constraints,
     )
     _atomic_write(os.path.join(dst_root, "MANIFEST-v1.json"), clone.to_json())
     _atomic_write(os.path.join(dst_root, "LATEST"), "1")

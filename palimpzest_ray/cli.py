@@ -294,6 +294,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("lake")
     p.add_argument("--limit", type=int, default=None)
 
+    p = sub.add_parser(
+        "constraint",
+        help="persistent CHECK constraints: add / drop / list",
+    )
+    p.add_argument("lake")
+    p.add_argument("action", choices=["add", "drop", "list"])
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument(
+        "--where", action="append", nargs=3, default=None,
+        metavar=("COL", "OP", "VALUE"),
+        help="conjunct, repeatable (add); VALUE parsed as JSON then string",
+    )
+    p.add_argument(
+        "--no-verify", action="store_true",
+        help="skip the existing-rows check (enforce forward only)",
+    )
+
     p = sub.add_parser("fsck", help="lake integrity audit (add --deep to read data)")
     p.add_argument("lake")
     p.add_argument("--deep", action="store_true")
@@ -626,6 +643,40 @@ def main(argv: list[str] | None = None) -> int:
 
         mm = lake_minmax(args.lake, args.columns, version=args.version)
         print(json.dumps({c: list(v) for c, v in mm.items()}))
+        return 0
+
+    if args.cmd == "constraint":
+        from palimpzest_ray.cdc import add_constraint, drop_constraint
+        from palimpzest_ray.cdc.manifest import load_latest_manifest
+
+        if args.action == "list":  # pure metadata, no Ray session
+            m = load_latest_manifest(args.lake)
+            print(json.dumps((m.constraints if m else None) or {}))
+            return 0
+        if not args.name:
+            raise SystemExit("constraint add/drop needs NAME")
+        if args.action == "drop":
+            m = drop_constraint(args.lake, args.name)
+        else:
+            if not args.where:
+                raise SystemExit("constraint add needs --where COL OP VALUE")
+
+            def _cval(v: str):
+                try:
+                    return json.loads(v)
+                except (json.JSONDecodeError, ValueError):
+                    return v
+
+            if not args.no_verify:
+                _ensure_ray(args.num_cpus)  # verify scans the lake
+            m = add_constraint(
+                args.lake, args.name,
+                [(c, op, _cval(v)) for c, op, v in args.where],
+                verify=not args.no_verify,
+            )
+        print(json.dumps(
+            {"version": m.version, "constraints": m.constraints or {}}
+        ))
         return 0
 
     _ensure_ray(args.num_cpus)

@@ -527,3 +527,29 @@ def test_cli_branch_lifecycle(tmp_path, capsys):
     assert json.loads(
         capsys.readouterr().out.strip().splitlines()[-1]
     )["branches"] == []
+
+
+def test_cli_constraint(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 1_000, 200, seed=5, chunk_rows=1_000)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+
+    assert cli.main(
+        ["constraint", lake, "add", "tok_nonneg",
+         "--where", "n_tok", ">=", "0"]
+    ) == 0
+    added = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "tok_nonneg" in added["constraints"]
+
+    assert cli.main(["constraint", lake, "list"]) == 0
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert listed == {"tok_nonneg": [["n_tok", ">=", 0]]}
+
+    assert cli.main(["constraint", lake, "drop", "tok_nonneg"]) == 0
+    dropped = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dropped["constraints"] == {}
