@@ -2839,6 +2839,49 @@ def q123_constrained_apply(sf_dir: str):
     )
 
 
+def q124_generated_column(sf_dir: str):
+    """Generated columns (cdc/engine.py add_generated_column — Delta
+    GENERATED ALWAYS AS over the cdc/expr JSON expression language):
+    after epoch 1, tok_bucket := n_tok % 7 is added WITH backfill (one
+    exactly-once UPDATE commit over existing rows), then an UPDATE
+    feed (num % 3 == 0: n_tok = num % 23, source 'upd') recomputes the
+    generated value per incoming row — including overwriting the
+    feed's deliberately WRONG tok_bucket values. EXACT oracle: the
+    epoch-1 closed form with the expression restated as SQL
+    arithmetic."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import add_generated_column, apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_generated_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    add_generated_column(
+        lake, pa.field("tok_bucket", pa.int32()),
+        ["mod", ["col", "n_tok"], 7],
+    )
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m3 = nums[nums % 3 == 0]
+    feed = pa.table(
+        {
+            "lsn": pa.array(10_000_000 + m3, pa.int64()),
+            "op": pa.array(["UPDATE"] * len(m3)),
+            "doc_id": pa.array([f"doc-{int(i):08d}" for i in m3]),
+            "n_tok": pa.array(m3 % 23, pa.int32()),
+            "source": pa.array(["upd"] * len(m3)),
+            "tok_bucket": pa.array([-1] * len(m3), pa.int32()),  # lies
+        }
+    )
+    apply_changes(feed, lake, num_partitions=8)
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "n_tok", "tok_bucket", "source"]
+    )
+
+
 def q121_composite_key_apply(sf_dir: str):
     """Composite (multi-column) record keys (cdc/keys.py — the Hudi
     ComplexKeyGenerator shape): the lake is keyed on the tuple
@@ -3018,6 +3061,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q121_composite_key_apply": q121_composite_key_apply,
         "q122_extremum_apply": q122_extremum_apply,
         "q123_constrained_apply": q123_constrained_apply,
+        "q124_generated_column": q124_generated_column,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3522,6 +3566,24 @@ def _base_oracle_sql() -> dict[str, str]:
                case when num % 2 = 0 and num % 7 >= 3
                     then 'upd' else source end as source
         from base
+    """
+    # generated column: tok_bucket = n_tok % 7 recomputed per apply
+    d["q124_generated_column"] = r"""
+        with base as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents),
+        upd as (
+          select doc_id, num,
+                 case when num % 3 = 0 then cast(num % 23 as int)
+                      else n_tok end as n_tok,
+                 case when num % 3 = 0 then 'upd' else source end as source
+          from base)
+        select doc_id, n_tok, cast(n_tok % 7 as int) as tok_bucket, source
+        from upd
     """
     return d
 

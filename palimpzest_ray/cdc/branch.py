@@ -122,6 +122,7 @@ def create_branch(
         partition_key=src.partition_key,
         key_cols=src.key_cols,
         constraints=src.constraints,
+        generated=src.generated,
     )
     _atomic_write(os.path.join(root, "MANIFEST-v1.json"), m.to_json())
     _atomic_write(
@@ -323,6 +324,7 @@ def merge_branch(
             partition_key=head.partition_key,
             key_cols=head.key_cols,
             constraints=head.constraints,
+            generated=head.generated,
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"),

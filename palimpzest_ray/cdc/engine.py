@@ -316,6 +316,7 @@ def _normalize_factory(
     expectations: list[tuple[str, list[tuple]]] | None = None,
     quarantine: bool = False,
     key_cols: tuple[str, ...] | None = None,
+    generated: dict | None = None,
 ):
     """Stateless normalize stage: validate + conform + partition-assign.
 
@@ -368,6 +369,31 @@ def _normalize_factory(
                 )
             else:
                 batch = batch.append_column("n_tok", derived)
+        if generated:
+            # GENERATED ALWAYS AS: recompute every declared column —
+            # an incoming value is overwritten, never trusted (Delta
+            # enforces writer agreement; recomputing is the stronger
+            # guarantee). A referenced column absent from this batch
+            # (minimal DELETE payloads) evaluates to null. Runs BEFORE
+            # the expectation gate so constraints may check generated
+            # values.
+            from palimpzest_ray.cdc.expr import eval_expr, expr_columns
+
+            for gname, gexpr in generated.items():
+                ftype = target_schema.field(gname).type
+                if expr_columns(gexpr) - set(batch.column_names):
+                    col = pa.nulls(batch.num_rows, ftype)
+                else:
+                    col = pc.cast(eval_expr(batch, gexpr), ftype)
+                    if isinstance(col, pa.Scalar):  # constant expression
+                        col = pa.nulls(batch.num_rows, ftype).fill_null(col)
+                fld = pa.field(gname, ftype)
+                if gname in batch.column_names:
+                    batch = batch.set_column(
+                        batch.column_names.index(gname), fld, col
+                    )
+                else:
+                    batch = batch.append_column(fld, col)
 
         ok = pc.is_in(batch["op"], value_set=pa.array(CHANGE_OPS))
         if not quarantine:
@@ -1534,6 +1560,7 @@ def _apply_changes_impl(
     normalize_fn = _normalize_factory(
         norm_schema, num_partitions, key, partition_key,
         expectations=expectations, quarantine=quarantine, key_cols=key_cols,
+        generated=prev.generated if prev is not None else None,
     )
     done_set = (
         pa.array(np.array(sorted(done), dtype=np.int32)) if done else None
@@ -2019,6 +2046,26 @@ def alter_schema(
     clash = [f.name for f in add if f.name in names and f.name not in drop]
     if clash:
         raise ValueError(f"added column(s) already exist: {clash}")
+    gen = dict(m.generated or {})
+    if drop and (gen or m.constraints):
+        from palimpzest_ray.cdc.expr import expr_columns
+
+        for n, gexpr in gen.items():
+            used = expr_columns(gexpr) & set(drop)
+            if used:
+                raise ValueError(
+                    f"column(s) {sorted(used)} are referenced by generated "
+                    f"column {n!r}; drop it first"
+                )
+        for n, pred in (m.constraints or {}).items():
+            used = {c for c, _o, _v in pred} & set(drop)
+            if used:
+                raise ValueError(
+                    f"column(s) {sorted(used)} are referenced by constraint "
+                    f"{n!r}; drop it first"
+                )
+        # dropping a generated column drops its spec with it
+        gen = {n: e for n, e in gen.items() if n not in drop}
     internal = [f for f in m.schema if f.name in (LSN_COL, TOMBSTONE_COL)]
     user = [
         f
@@ -2033,7 +2080,7 @@ def alter_schema(
         manifest = commit_version(
             lake_root, staging, {}, dict(m.parts), m.num_partitions,
             schema, m.version, key=m.key, partition_key=m.partition_key,
-            key_cols=m.key_cols,
+            key_cols=m.key_cols, generated=gen or None,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -2119,6 +2166,79 @@ def add_constraint(
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def add_generated_column(
+    lake_root: str,
+    field: pa.Field,
+    expr,
+    *,
+    backfill_existing: bool = True,
+) -> LakeManifest:
+    """Generated column (the Delta Lake ``GENERATED ALWAYS AS`` idea):
+    ``field`` is added to the schema and ``expr`` — a
+    :mod:`palimpzest_ray.cdc.expr` JSON expression over the lake's
+    columns — is stored in the manifest; from then on EVERY apply
+    recomputes the column for each incoming row (an incoming value is
+    overwritten, never trusted — the strong form of Delta's
+    writer-agreement check), before the expectation gate so persistent
+    constraints may reference it.
+
+    ``backfill_existing=True`` (default) immediately fills the column
+    for every existing live row as one exactly-once UPDATE commit
+    (:func:`backfill`, reads pruned to the referenced columns);
+    otherwise existing rows read NULL until their next update.
+
+    The expression is validated now (unknown columns / ops / arity are
+    refused at DDL time) and may not reference itself or other
+    generated columns (one evaluation pass per batch, no topological
+    ordering to get wrong)."""
+    from palimpzest_ray.cdc.expr import expr_columns, validate_expr
+
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    if field.name in m.schema.names:
+        raise ValueError(f"column {field.name!r} already exists")
+    refs = expr_columns(expr)
+    gen_refs = refs & set(m.generated or {}) | ({field.name} & refs)
+    if gen_refs:
+        raise ValueError(
+            f"generated expression may not reference generated column(s) "
+            f"{sorted(gen_refs)}"
+        )
+    user = pa.schema(
+        [f for f in m.schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
+    )
+    validate_expr(expr, user)  # refuses unknown cols/ops at DDL time
+    m = alter_schema(lake_root, add=[field])
+    new = dict(m.generated or {})
+    new[field.name] = expr
+    staging = os.path.join(lake_root, ".staging", f"ddl-{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    try:
+        m = commit_version(
+            lake_root, staging, {}, dict(m.parts), m.num_partitions,
+            m.schema, m.version, key=m.key, partition_key=m.partition_key,
+            key_cols=m.key_cols, generated=new,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    if backfill_existing and sum(e.rows for e in m.parts.values()):
+        from palimpzest_ray.cdc.expr import eval_expr
+
+        in_cols = sorted(refs)
+
+        def _fill(batch: pa.Table) -> pa.Table:
+            col = pc.cast(eval_expr(batch, expr), field.type)
+            if isinstance(col, pa.Scalar):
+                col = pa.nulls(batch.num_rows, field.type).fill_null(col)
+            return pa.table({field.name: col})
+
+        backfill(lake_root, _fill, input_cols=in_cols,
+                 output_cols=[field.name])
+        m = load_latest_manifest(lake_root)
+    return m
 
 
 def drop_constraint(lake_root: str, name: str) -> LakeManifest:

@@ -88,6 +88,9 @@ class LakeManifest:
     # name -> predicate in the expectations mini-language
     # [("col", op, value), ...]; enforced on every apply
     constraints: dict | None = None
+    # generated columns (Delta GENERATED ALWAYS AS analog): column
+    # name -> cdc.expr JSON expression, recomputed on every apply
+    generated: dict | None = None
 
     @property
     def max_lsn(self) -> int:
@@ -121,6 +124,7 @@ class LakeManifest:
                 "partition_key": self.partition_key,
                 "key_cols": list(self.key_cols) if self.key_cols else None,
                 "constraints": self.constraints or None,
+                "generated": self.generated or None,
                 "schema": schema_to_json(self.schema),
                 "parts": {
                     str(p): dataclasses.asdict(e) for p, e in sorted(self.parts.items())
@@ -146,6 +150,7 @@ class LakeManifest:
             }
             if d.get("constraints")
             else None,
+            generated=d.get("generated") or None,
         )
 
 
@@ -342,6 +347,7 @@ def commit_version(
     publish: bool = True,
     key_cols: tuple[str, ...] | None = None,
     constraints: "dict | None | object" = _CARRY,
+    generated: "dict | None | object" = _CARRY,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
@@ -505,6 +511,11 @@ def commit_version(
                 (current.constraints if current else None)
                 if constraints is _CARRY
                 else constraints
+            ),
+            generated=(
+                (current.generated if current else None)
+                if generated is _CARRY
+                else generated
             ),
         )
         _atomic_write(

@@ -224,6 +224,7 @@ def clone_lake(
         partition_key=m.partition_key,
         key_cols=m.key_cols,
         constraints=m.constraints,
+        generated=m.generated,
     )
     _atomic_write(os.path.join(dst_root, "MANIFEST-v1.json"), clone.to_json())
     _atomic_write(os.path.join(dst_root, "LATEST"), "1")
