@@ -2882,6 +2882,31 @@ def q124_generated_column(sf_dir: str):
     )
 
 
+def q125_computed_update(sf_dir: str):
+    """Computed UPDATE (cdc/engine.py update_where with
+    cdc/expr.Expr SET values — SQL's SET col = expression): against
+    the epoch-1 lake, rows with n_tok >= 100 get
+    SET n_tok = n_tok * 2 + 1, source = source || '!' in one
+    exactly-once commit; reads pruned to carried columns. EXACT
+    oracle: the epoch-1 closed form with the same CASE arithmetic."""
+    from palimpzest_ray.cdc import Expr, apply_changes, final_state, update_where
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_computed_upd_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    update_where(
+        lake, [("n_tok", ">=", 100)],
+        {
+            "n_tok": Expr(["add", ["mul", ["col", "n_tok"], 2], 1]),
+            "source": Expr(["concat", ["col", "source"], ["lit", "!"]]),
+        },
+    )
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "n_tok", "source"]
+    )
+
+
 def q121_composite_key_apply(sf_dir: str):
     """Composite (multi-column) record keys (cdc/keys.py — the Hudi
     ComplexKeyGenerator shape): the lake is keyed on the tuple
@@ -3062,6 +3087,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q122_extremum_apply": q122_extremum_apply,
         "q123_constrained_apply": q123_constrained_apply,
         "q124_generated_column": q124_generated_column,
+        "q125_computed_update": q125_computed_update,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3584,6 +3610,21 @@ def _base_oracle_sql() -> dict[str, str]:
           from base)
         select doc_id, n_tok, cast(n_tok % 7 as int) as tok_bucket, source
         from upd
+    """
+    # computed UPDATE: SET n_tok = n_tok*2+1, source = source||'!'
+    d["q125_computed_update"] = r"""
+        with base as (
+          select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents)
+        select doc_id,
+               case when n_tok >= 100 then cast(n_tok * 2 + 1 as int)
+                    else n_tok end as n_tok,
+               case when n_tok >= 100 then source || '!'
+                    else source end as source
+        from base
     """
     return d
 

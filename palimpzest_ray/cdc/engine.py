@@ -403,7 +403,7 @@ def _normalize_factory(
             if batch["lsn"].null_count or batch[key].null_count:
                 raise ValueError("null lsn/doc_id in change log")
             for name, pred in expectations:
-                sat = _predicate_mask(batch, pred)
+                sat = _expect_mask(batch, pred)
                 exempt = pc.coalesce(
                     pc.equal(batch["op"], pa.scalar("DELETE")), pa.scalar(False)
                 )
@@ -435,7 +435,7 @@ def _normalize_factory(
                 )
             ).to_numpy(zero_copy_only=False)
             for name, pred in expectations:
-                sat = _predicate_mask(batch, pred).to_numpy(zero_copy_only=False)
+                sat = _expect_mask(batch, pred).to_numpy(zero_copy_only=False)
                 checks.append((name, np.asarray(~sat) & np.asarray(not_delete)))
             bad_any = np.zeros(batch.num_rows, dtype=bool)
             for _, m in checks:
@@ -2058,7 +2058,12 @@ def alter_schema(
                     f"column {n!r}; drop it first"
                 )
         for n, pred in (m.constraints or {}).items():
-            used = {c for c, _o, _v in pred} & set(drop)
+            cset = (
+                expr_columns(pred["expr"])
+                if isinstance(pred, dict)
+                else {c for c, _o, _v in pred}
+            )
+            used = cset & set(drop)
             if used:
                 raise ValueError(
                     f"column(s) {sorted(used)} are referenced by constraint "
@@ -2107,8 +2112,9 @@ _EXPECT_OPS = ("==", "!=", ">=", ">", "<=", "<", "in")
 def add_constraint(
     lake_root: str,
     name: str,
-    predicate: list[tuple],
+    predicate: list[tuple] | None = None,
     *,
+    expr=None,
     verify: bool = True,
 ) -> LakeManifest:
     """Persistent table constraint (the Delta Lake ``ALTER TABLE ADD
@@ -2125,12 +2131,50 @@ def add_constraint(
     over only the predicate columns (metadata-only total minus
     satisfying count); a violated constraint is refused rather than
     stored. The DDL itself is a zero-file metadata commit through the
-    same CAS path as :func:`alter_schema`."""
+    same CAS path as :func:`alter_schema`.
+
+    Instead of conjuncts, pass ``expr=`` — a full
+    :mod:`~palimpzest_ray.cdc.expr` boolean expression (disjunctions,
+    arithmetic, cross-column comparisons): the Delta CHECK-constraint
+    generality. Verification then scans only the referenced columns."""
     m = load_latest_manifest(lake_root)
     if m is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     if m.constraints and name in m.constraints:
         raise ValueError(f"constraint {name!r} already exists")
+    if (predicate is None) == (expr is None):
+        raise ValueError("pass exactly one of predicate= or expr=")
+    if expr is not None:
+        from palimpzest_ray.cdc.expr import expr_columns, validate_expr
+
+        user = pa.schema(
+            [f for f in m.schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
+        )
+        validate_expr(expr, user)
+        stored = {"expr": expr}
+        if verify:
+            refs = sorted(expr_columns(expr)) or [m.key]
+            ds = final_state(lake_root, columns=refs)
+
+            def _nbad(batch: pa.Table) -> pa.Table:
+                ok = _expect_mask(batch, stored)
+                n_ok = pc.sum(pc.cast(ok, pa.int64())).as_py() or 0
+                return pa.table(
+                    {"bad": pa.array([batch.num_rows - n_ok], pa.int64())}
+                )
+
+            bad = ds.map_batches(
+                _nbad, batch_format="pyarrow"
+            ).sum("bad") or 0
+            if bad:
+                raise ValueError(
+                    f"constraint {name!r} is violated by {bad} existing "
+                    "live row(s); fix the data first "
+                    "(or pass verify=False to enforce only going forward)"
+                )
+        new = dict(m.constraints or {})
+        new[name] = stored
+        return _commit_constraints(lake_root, m, new)
     predicate = [tuple(p) for p in predicate]
     if not predicate:
         raise ValueError("constraint predicate must have >= 1 conjunct")
@@ -2156,6 +2200,12 @@ def add_constraint(
             )
     new = dict(m.constraints or {})
     new[name] = predicate
+    return _commit_constraints(lake_root, m, new)
+
+
+def _commit_constraints(
+    lake_root: str, m: LakeManifest, new: dict
+) -> LakeManifest:
     staging = os.path.join(lake_root, ".staging", f"ddl-{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
     try:
@@ -2329,7 +2379,14 @@ def update_where(
     row matching the predicate, one exactly-once commit at
     ``max_lsn + 1``. Reads only the key + the columns the row must
     carry forward (full user row — an UPDATE event replaces the row
-    under LWW), applies ``set_values`` vectorized, feeds the apply."""
+    under LWW), applies ``set_values`` vectorized, feeds the apply.
+
+    A SET value may be a :class:`~palimpzest_ray.cdc.expr.Expr`
+    wrapping a DSL expression over the row's columns —
+    ``SET n_tok = n_tok + 1`` is ``{"n_tok": Expr(["add", ["col",
+    "n_tok"], 1])}``; a plain value stays a constant assignment."""
+    from palimpzest_ray.cdc.expr import Expr, eval_expr, expr_columns
+
     m = load_latest_manifest(lake_root)
     if m is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
@@ -2340,6 +2397,20 @@ def update_where(
         raise ValueError(f"SET columns not in lake schema: {sorted(unknown)}")
     if key in set_values:
         raise ValueError(f"cannot SET the LWW key {key!r}")
+    if m.key_cols and set(set_values) & set(m.key_cols):
+        raise ValueError(
+            f"cannot SET composite-key component(s) "
+            f"{sorted(set(set_values) & set(m.key_cols))} — the record "
+            "key is immutable (DELETE + INSERT to re-key)"
+        )
+    for c, v in set_values.items():
+        if isinstance(v, Expr):
+            bad = expr_columns(v.expr) - set(user_cols)
+            if bad:
+                raise ValueError(
+                    f"SET expression for {c!r} references unknown "
+                    f"column(s) {sorted(bad)}"
+                )
     lsn = int(m.max_lsn) + 1
     matches = final_state(lake_root, columns=user_cols, predicate=predicate)
 
@@ -2353,7 +2424,13 @@ def update_where(
             if c in set_values:
                 v = set_values[c]
                 typ = batch[c].type if c in batch.column_names else None
-                cols[c] = pa.array([v] * n, typ)
+                if isinstance(v, Expr):
+                    col = pc.cast(eval_expr(batch, v.expr), typ)
+                    if isinstance(col, pa.Scalar):
+                        col = pa.nulls(n, typ).fill_null(col)
+                    cols[c] = col
+                else:
+                    cols[c] = pa.array([v] * n, typ)
             else:
                 cols[c] = batch[c]
         return pa.table(cols)
@@ -3165,6 +3242,28 @@ def _predicate_mask(table: pa.Table, predicate: list[tuple]):
         m = pc.coalesce(m, pa.scalar(False))
         mask = m if mask is None else pc.and_(mask, m)
     return mask
+
+
+def _expect_mask(table: pa.Table, pred):
+    """Expectation-gate evaluator: ``pred`` is either a conjunct list
+    (the mini-language, via :func:`_predicate_mask`) or ``{"expr": e}``
+    — a full :mod:`~palimpzest_ray.cdc.expr` CHECK expression. A
+    referenced column absent from the batch evaluates as violated
+    (inserting NULL into a checked column), mirroring the conjunct
+    path's absent-column rule."""
+    if isinstance(pred, dict):
+        from palimpzest_ray.cdc.expr import eval_expr, expr_columns
+
+        e = pred["expr"]
+        if expr_columns(e) - set(table.column_names):
+            return pa.nulls(table.num_rows, pa.bool_()).fill_null(False)
+        m = eval_expr(table, e)
+        if isinstance(m, pa.Scalar):
+            return pa.nulls(table.num_rows, pa.bool_()).fill_null(
+                pa.scalar(bool(m.as_py()))
+            )
+        return pc.fill_null(pc.cast(m, pa.bool_()), False)
+    return _predicate_mask(table, pred)
 
 
 def _filter_predicate(table: pa.Table, predicate: list[tuple]) -> pa.Table:

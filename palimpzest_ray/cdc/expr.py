@@ -164,3 +164,18 @@ def _as_py(v, what: str):
 
 def _type_of(v):
     return v.type
+
+
+class Expr:
+    """Marker wrapping a DSL expression for APIs whose plain values
+    mean constants (``update_where``'s SET dict): ``{"n_tok":
+    Expr(["add", ["col", "n_tok"], 1])}`` increments, ``{"n_tok": 5}``
+    assigns."""
+
+    __slots__ = ("expr",)
+
+    def __init__(self, expr):
+        self.expr = expr
+
+    def __repr__(self) -> str:  # error messages
+        return f"Expr({self.expr!r})"

@@ -145,7 +145,9 @@ class LakeManifest:
             partition_key=d.get("partition_key"),
             key_cols=tuple(d["key_cols"]) if d.get("key_cols") else None,
             constraints={
-                n: [tuple(p) for p in pred]
+                # conjunct lists round-trip as tuples; {"expr": ...}
+                # CHECK expressions stay verbatim JSON
+                n: pred if isinstance(pred, dict) else [tuple(p) for p in pred]
                 for n, pred in d["constraints"].items()
             }
             if d.get("constraints")

@@ -310,6 +310,10 @@ def main(argv: list[str] | None = None) -> int:
         "--no-verify", action="store_true",
         help="skip the existing-rows check (enforce forward only)",
     )
+    p.add_argument(
+        "--expr", default=None,
+        help="CHECK expression as cdc.expr JSON (instead of --where)",
+    )
 
     p = sub.add_parser("fsck", help="lake integrity audit (add --deep to read data)")
     p.add_argument("lake")
@@ -658,8 +662,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "drop":
             m = drop_constraint(args.lake, args.name)
         else:
-            if not args.where:
-                raise SystemExit("constraint add needs --where COL OP VALUE")
+            if bool(args.where) == bool(args.expr):
+                raise SystemExit(
+                    "constraint add needs exactly one of "
+                    "--where COL OP VALUE / --expr JSON"
+                )
 
             def _cval(v: str):
                 try:
@@ -669,11 +676,17 @@ def main(argv: list[str] | None = None) -> int:
 
             if not args.no_verify:
                 _ensure_ray(args.num_cpus)  # verify scans the lake
-            m = add_constraint(
-                args.lake, args.name,
-                [(c, op, _cval(v)) for c, op, v in args.where],
-                verify=not args.no_verify,
-            )
+            if args.expr:
+                m = add_constraint(
+                    args.lake, args.name, expr=json.loads(args.expr),
+                    verify=not args.no_verify,
+                )
+            else:
+                m = add_constraint(
+                    args.lake, args.name,
+                    [(c, op, _cval(v)) for c, op, v in args.where],
+                    verify=not args.no_verify,
+                )
         print(json.dumps(
             {"version": m.version, "constraints": m.constraints or {}}
         ))

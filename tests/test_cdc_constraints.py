@@ -141,3 +141,52 @@ def test_constraint_survives_clone_and_refusals(tmp_path, tmp_lake):
         add_constraint(tmp_lake, "c2", [("nope", ">", 0)])
     with pytest.raises(ValueError, match="unknown predicate op"):
         add_constraint(tmp_lake, "c3", [("n_tok", "~", 0)])
+
+
+def test_expr_constraint_cross_column_check(tmp_path, tmp_lake):
+    """CHECK expressions beyond conjuncts: a cross-column disjunction
+    gates every apply, verify scans only referenced columns."""
+    _boot(tmp_path, tmp_lake)  # n_tok = 10*i + 1, source s0
+    # CHECK (n_tok > 5 OR source == 's0'): existing rows satisfy
+    expr = ["or", ["gt", ["col", "n_tok"], 5], ["eq", ["col", "source"], "s0"]]
+    m = add_constraint(tmp_lake, "chk", expr=expr)
+    assert m.constraints == {"chk": {"expr": expr}}
+    # violating row: n_tok <= 5 AND source != s0
+    with pytest.raises(ValueError, match="constraint:chk"):
+        apply_changes(
+            _ev([(600, "INSERT", "x", 2, "s9")]), tmp_lake, num_partitions=4
+        )
+    # satisfying rows pass through both arms of the disjunction
+    apply_changes(
+        _ev([(601, "INSERT", "y", 2, "s0"), (602, "INSERT", "z", 9, "s9")]),
+        tmp_lake, num_partitions=4,
+    )
+    # verify=True refuses an expr the existing data violates
+    with pytest.raises(ValueError, match="violated by"):
+        add_constraint(
+            tmp_lake, "chk2", expr=["lt", ["col", "n_tok"], 50]
+        )
+    # the stored expr round-trips through manifest JSON
+    from palimpzest_ray.cdc.manifest import load_latest_manifest
+
+    assert load_latest_manifest(tmp_lake).constraints["chk"] == {"expr": expr}
+
+
+def test_update_where_with_expression_set(tmp_path, tmp_lake):
+    from palimpzest_ray.cdc import Expr, update_where
+
+    _boot(tmp_path, tmp_lake)  # n_tok in {11,21,31,41,51}
+    update_where(
+        tmp_lake, [("n_tok", ">", 25)],
+        {"n_tok": Expr(["add", ["col", "n_tok"], 100]),
+         "source": Expr(["concat", ["col", "source"], ["lit", "!"]])},
+    )
+    t = final_state_table(tmp_lake)
+    d = {r["doc_id"]: (r["n_tok"], r["source"]) for r in t.to_pylist()}
+    assert d["d1"] == (11, "s0") and d["d2"] == (21, "s0")  # untouched
+    assert d["d3"] == (131, "s0!") and d["d5"] == (151, "s0!")
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where(
+            tmp_lake, [("n_tok", ">", 0)],
+            {"n_tok": Expr(["add", ["col", "zz"], 1])},
+        )

@@ -553,3 +553,20 @@ def test_cli_constraint(tmp_path, capsys):
     assert cli.main(["constraint", lake, "drop", "tok_nonneg"]) == 0
     dropped = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert dropped["constraints"] == {}
+
+
+def test_cli_constraint_expr(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 800, 150, seed=9, chunk_rows=800)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["constraint", lake, "add", "chk",
+         "--expr", '["ge", ["col", "n_tok"], 0]']
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraints"]["chk"] == {"expr": ["ge", ["col", "n_tok"], 0]}
