@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import time as _time
 import os
 import shutil
 
@@ -123,6 +124,7 @@ def create_branch(
         key_cols=src.key_cols,
         constraints=src.constraints,
         generated=src.generated,
+        committed_at=_time.time(),
     )
     _atomic_write(os.path.join(root, "MANIFEST-v1.json"), m.to_json())
     _atomic_write(
@@ -325,6 +327,7 @@ def merge_branch(
             key_cols=head.key_cols,
             constraints=head.constraints,
             generated=head.generated,
+            committed_at=_time.time(),
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"),

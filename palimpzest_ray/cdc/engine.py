@@ -3482,6 +3482,7 @@ def final_state(
     version: int | None = None,
     columns: list[str] | None = None,
     predicate: list[tuple] | None = None,
+    as_of: float | None = None,
 ) -> rd.Dataset:
     """Read a committed lake version as a streaming Dataset, unifying
     per-file schemas — carried-forward partitions may predate an
@@ -3501,7 +3502,17 @@ def final_state(
     and the arrow fragment filter (row-group skip + exact row filter
     inside the scan). A 100-TB user's first query is ``WHERE source = X
     AND date BETWEEN ...`` — with a matching ``partition_key`` the scan
-    touches only that key's partition files."""
+    touches only that key's partition files.
+
+    ``as_of`` is TIMESTAMP AS OF (epoch seconds): resolved to the
+    newest version committed at or before it via the manifests' own
+    ``committed_at`` stamps (mutually exclusive with ``version``)."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of=, not both")
+        from palimpzest_ray.cdc.manifest import version_as_of
+
+        version = version_as_of(lake_root, as_of)
     if version is not None:
         from palimpzest_ray.cdc.manifest import load_manifest
 
@@ -3843,13 +3854,20 @@ def final_state_table(
     *,
     user_columns_only: bool = True,
     version: int | None = None,
+    as_of: float | None = None,
 ) -> pa.Table:
     """Materialized, canonically sorted final state (tests / small lakes
     only — the streaming path is :func:`final_state`). ``version=`` time
     travel includes staged (unpublished write-audit-publish) versions —
-    the audit read."""
+    the audit read. ``as_of=`` is TIMESTAMP AS OF (epoch seconds)."""
     from palimpzest_ray.cdc.manifest import load_manifest
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of=, not both")
+        from palimpzest_ray.cdc.manifest import version_as_of
+
+        version = version_as_of(lake_root, as_of)
     manifest = (
         load_manifest(lake_root, version)
         if version is not None

@@ -39,6 +39,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time as _time
 
 import pyarrow as pa
 
@@ -91,6 +92,10 @@ class LakeManifest:
     # generated columns (Delta GENERATED ALWAYS AS analog): column
     # name -> cdc.expr JSON expression, recomputed on every apply
     generated: dict | None = None
+    # commit wall-clock (epoch seconds), written INTO the manifest so
+    # TIMESTAMP-AS-OF survives copies/rsync where mtimes do not; None
+    # on pre-field manifests (readers fall back to file mtime)
+    committed_at: float | None = None
 
     @property
     def max_lsn(self) -> int:
@@ -125,6 +130,7 @@ class LakeManifest:
                 "key_cols": list(self.key_cols) if self.key_cols else None,
                 "constraints": self.constraints or None,
                 "generated": self.generated or None,
+                "committed_at": self.committed_at,
                 "schema": schema_to_json(self.schema),
                 "parts": {
                     str(p): dataclasses.asdict(e) for p, e in sorted(self.parts.items())
@@ -153,6 +159,7 @@ class LakeManifest:
             if d.get("constraints")
             else None,
             generated=d.get("generated") or None,
+            committed_at=d.get("committed_at"),
         )
 
 
@@ -519,6 +526,7 @@ def commit_version(
                 if generated is _CARRY
                 else generated
             ),
+            committed_at=_time.time(),
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"), manifest.to_json()
@@ -627,6 +635,43 @@ def discard_version(lake_root: str, version: int) -> None:
             os.unlink(q)
 
 
+def commit_time(lake_root: str, version: int) -> float:
+    """Wall-clock commit time of a retained version: the manifest's
+    own ``committed_at`` where present (survives copies), else the
+    manifest file's mtime (pre-field manifests)."""
+    m = load_manifest(lake_root, version)
+    if m.committed_at is not None:
+        return float(m.committed_at)
+    return os.path.getmtime(
+        os.path.join(lake_root, f"MANIFEST-v{version}.json")
+    )
+
+
+def version_as_of(lake_root: str, ts: float) -> int:
+    """TIMESTAMP AS OF (the Delta idea): the newest retained version
+    committed at or before ``ts`` (epoch seconds). O(retained
+    versions) manifest reads, zero data I/O. Raises if ``ts`` predates
+    every retained version (vacuumed or before the lake existed)."""
+    latest = load_latest_manifest(lake_root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    best, best_t = None, None
+    for f in os.listdir(lake_root):
+        if f.startswith("MANIFEST-v") and f.endswith(".json"):
+            v = int(f[len("MANIFEST-v"):-len(".json")])
+            if v > latest.version:  # staged/debris above head excluded
+                continue
+            t = commit_time(lake_root, v)
+            if t <= ts and (best is None or (t, v) > (best_t, best)):
+                best, best_t = v, t
+    if best is None:
+        raise ValueError(
+            f"no retained version committed at or before ts={ts} "
+            f"(earliest retained commits later, or was vacuumed)"
+        )
+    return best
+
+
 def lake_history(
     lake_root: str, *, limit: int | None = None
 ) -> list[dict]:
@@ -694,8 +739,12 @@ def lake_history(
                 "rows_deleted": int(
                     sum(m.parts[p].rows_deleted for p in changed)
                 ),
-                "wall_time": os.path.getmtime(
-                    os.path.join(lake_root, f"MANIFEST-v{v}.json")
+                "wall_time": (
+                    float(m.committed_at)
+                    if m.committed_at is not None
+                    else os.path.getmtime(
+                        os.path.join(lake_root, f"MANIFEST-v{v}.json")
+                    )
                 ),
             }
         )

@@ -20,6 +20,7 @@ only manifest-referenced files.
 from __future__ import annotations
 
 import json
+import time as _time
 import os
 import shutil
 import uuid
@@ -225,6 +226,7 @@ def clone_lake(
         key_cols=m.key_cols,
         constraints=m.constraints,
         generated=m.generated,
+        committed_at=_time.time(),
     )
     _atomic_write(os.path.join(dst_root, "MANIFEST-v1.json"), clone.to_json())
     _atomic_write(os.path.join(dst_root, "LATEST"), "1")

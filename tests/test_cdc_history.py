@@ -84,3 +84,50 @@ def test_history_survives_vacuum_window(tmp_path, tmp_lake):
     from palimpzest_ray.cdc import load_manifest
 
     assert hist[1]["parts_changed"] == len(load_manifest(tmp_lake, 3).parts)
+
+
+def test_timestamp_as_of(tmp_path, tmp_lake):
+    """TIMESTAMP AS OF (manifest.version_as_of + reader as_of=): the
+    commit wall-clock lives IN the manifest (committed_at), so
+    resolution survives copies where mtimes do not."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        commit_time,
+        final_state_table,
+        version_as_of,
+    )
+
+    def _ev(lsn, doc, tok):
+        return pa.table(
+            {
+                "lsn": pa.array([lsn], pa.int64()),
+                "op": pa.array(["INSERT"]),
+                "doc_id": pa.array([doc]),
+                "n_tok": pa.array([tok], pa.int32()),
+            }
+        )
+
+    apply_changes(_ev(1, "a", 1), tmp_lake, num_partitions=2)
+    apply_changes(_ev(2, "b", 2), tmp_lake, num_partitions=2)
+    t1, t2 = commit_time(tmp_lake, 1), commit_time(tmp_lake, 2)
+    assert t1 <= t2
+    assert version_as_of(tmp_lake, t1) == 1 if t1 < t2 else 2
+    assert version_as_of(tmp_lake, t2) == 2
+    assert version_as_of(tmp_lake, t2 + 3600) == 2
+    with pytest.raises(ValueError, match="no retained version"):
+        version_as_of(tmp_lake, t1 - 3600)
+    got = final_state_table(tmp_lake, as_of=t2)
+    assert got.num_rows == 2
+    with pytest.raises(ValueError, match="not both"):
+        final_state_table(tmp_lake, version=1, as_of=t2)
+    # the stamp survives a copy (mtimes reset, committed_at does not)
+    cp = str(tmp_path / "copied_lake")
+    shutil.copytree(tmp_lake, cp)
+    for f in os.listdir(cp):
+        os.utime(os.path.join(cp, f))  # clobber mtimes
+    assert commit_time(cp, 1) == t1 and version_as_of(cp, t2) == 2
