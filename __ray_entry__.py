@@ -2907,6 +2907,45 @@ def q125_computed_update(sf_dir: str):
     )
 
 
+def q126_txn_idempotent_ingest(sf_dir: str):
+    """Producer transaction idempotence (Delta txnAppId/txnVersion —
+    manifest app_versions watermarks): an accumulating delta feed
+    (+num % 13 n_tok deltas on even keys) is applied TWICE with the
+    same txn=('ingestor', 1); the replay no-ops at the watermark, so
+    the state equals exactly ONE application — the failure mode LWW
+    alone cannot prevent for delta feeds. EXACT oracle: the epoch-1
+    closed form with a single delta application."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_accumulate, apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_txn_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    even = nums[nums % 2 == 0]
+    feed = pa.table(
+        {
+            "lsn": pa.array(10_000_000 + even, pa.int64()),
+            "op": pa.array(["UPDATE"] * len(even)),
+            "doc_id": pa.array([f"doc-{int(i):08d}" for i in even]),
+            "n_tok": pa.array((even % 13).astype(np.int32), pa.int32()),
+        }
+    )
+    for _ in range(2):  # second application MUST no-op
+        apply_accumulate(
+            feed, lake, sum_cols=("n_tok",), num_partitions=8,
+            txn=("ingestor", 1),
+        )
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "n_tok", "source"]
+    )
+
+
 def q121_composite_key_apply(sf_dir: str):
     """Composite (multi-column) record keys (cdc/keys.py — the Hudi
     ComplexKeyGenerator shape): the lake is keyed on the tuple
@@ -3088,6 +3127,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q123_constrained_apply": q123_constrained_apply,
         "q124_generated_column": q124_generated_column,
         "q125_computed_update": q125_computed_update,
+        "q126_txn_idempotent_ingest": q126_txn_idempotent_ingest,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3625,6 +3665,15 @@ def _base_oracle_sql() -> dict[str, str]:
                case when n_tok >= 100 then source || '!'
                     else source end as source
         from base
+    """
+    # txn idempotence: exactly ONE delta application despite the replay
+    d["q126_txn_idempotent_ingest"] = r"""
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               cast(len(regexp_split_to_array(lower(text), '\s+'))
+                    + case when doc_id % 2 = 0 then doc_id % 13 else 0 end
+                    as int) as n_tok,
+               source
+        from documents
     """
     return d
 

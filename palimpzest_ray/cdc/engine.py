@@ -1094,6 +1094,7 @@ def apply_changes(
     expectations: list[tuple[str, list[tuple]]] | None = None,
     quarantine: bool = False,
     audit: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
 
@@ -1198,6 +1199,7 @@ def apply_changes(
                     expectations=expectations,
                     quarantine=quarantine,
                     audit=audit,
+                    txn=txn,
                 )
                 break
             except ConcurrentCommitError:
@@ -1347,6 +1349,7 @@ def _apply_changes_impl(
     expectations: list[tuple[str, list[tuple]]] | None = None,
     quarantine: bool = False,
     audit: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
@@ -1400,6 +1403,17 @@ def _apply_changes_impl(
         # carried-forward key that moved buckets. Adopt the manifest's;
         # repartition_lake() is the sanctioned way to change it.
         num_partitions = prev.num_partitions
+    if txn is not None:
+        app, ver = txn
+        if not isinstance(app, str) or not isinstance(ver, int):
+            raise ValueError(f"txn must be (app_id: str, version: int), got {txn!r}")
+        applied = (prev.app_versions or {}).get(app) if prev else None
+        if applied is not None and int(applied) >= ver:
+            # producer idempotence (Delta txnAppId/txnVersion): this
+            # batch (or a later one) from this producer is already in —
+            # the replay no-ops even for NON-idempotent accumulate
+            # feeds, where LWW alone cannot dedup a re-sent delta
+            return ApplyResult(prev, 0, 0, 0, 0, 0)
     if prev is not None and (key, partition_key, key_cols) != (
         prev.key, prev.partition_key, prev.key_cols,
     ):
@@ -1806,7 +1820,7 @@ def _apply_changes_impl(
         lake_root, staging_dir, new_parts, carried, num_partitions,
         lake_schema, prev_version, key=key, partition_key=partition_key,
         delta_parts=delta_parts, allow_rebase=not _rebucket,
-        publish=not audit, key_cols=key_cols,
+        publish=not audit, key_cols=key_cols, txn=txn,
     )
     # publish the dead letter under the committed version (before the
     # staging rmtree; per-commit diagnostics — see apply_changes notes)

@@ -96,6 +96,11 @@ class LakeManifest:
     # TIMESTAMP-AS-OF survives copies/rsync where mtimes do not; None
     # on pre-field manifests (readers fall back to file mtime)
     committed_at: float | None = None
+    # producer transaction watermarks (Delta txnAppId/txnVersion):
+    # app_id -> highest producer version applied; a replayed batch at
+    # or below its watermark no-ops — exactly-once for NON-idempotent
+    # (accumulate) feeds under producer retries
+    app_versions: dict | None = None
 
     @property
     def max_lsn(self) -> int:
@@ -131,6 +136,7 @@ class LakeManifest:
                 "constraints": self.constraints or None,
                 "generated": self.generated or None,
                 "committed_at": self.committed_at,
+                "app_versions": self.app_versions or None,
                 "schema": schema_to_json(self.schema),
                 "parts": {
                     str(p): dataclasses.asdict(e) for p, e in sorted(self.parts.items())
@@ -160,6 +166,7 @@ class LakeManifest:
             else None,
             generated=d.get("generated") or None,
             committed_at=d.get("committed_at"),
+            app_versions=d.get("app_versions") or None,
         )
 
 
@@ -341,6 +348,27 @@ class ConcurrentCommitError(RuntimeError):
 _CARRY = object()
 
 
+def _fold_txn(
+    head_versions: dict | None, txn: tuple[str, int] | None
+) -> dict | None:
+    """Merge this commit's producer txn into the HEAD's watermarks —
+    under the commit lock, so two racing producers cannot both record
+    the same (app, version). A stale txn raises: the caller's retry
+    re-enters apply_changes, which no-ops at its own watermark check."""
+    out = dict(head_versions or {})
+    if txn is not None:
+        app, ver = txn
+        prev = out.get(app)
+        if prev is not None and int(prev) >= int(ver):
+            raise ConcurrentCommitError(
+                f"producer txn ({app!r}, {ver}) already applied "
+                f"(watermark {prev}) — a concurrent retry won the race; "
+                "re-running the apply converges as a no-op"
+            )
+        out[app] = int(ver)
+    return out or None
+
+
 def commit_version(
     lake_root: str,
     staging_dir: str,
@@ -357,6 +385,7 @@ def commit_version(
     key_cols: tuple[str, ...] | None = None,
     constraints: "dict | None | object" = _CARRY,
     generated: "dict | None | object" = _CARRY,
+    txn: tuple[str, int] | None = None,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
@@ -527,6 +556,9 @@ def commit_version(
                 else generated
             ),
             committed_at=_time.time(),
+            app_versions=_fold_txn(
+                current.app_versions if current else None, txn
+            ),
         )
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{version}.json"), manifest.to_json()

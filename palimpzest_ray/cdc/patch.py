@@ -357,8 +357,16 @@ def apply_patches(
         [f for f in events.schema if f.name not in ("lsn", "op")]
     )
     caller_schema = apply_kwargs.pop("change_schema", None)
+    # A producer txn must cover the WHOLE batch: stamping chunk 1 would
+    # make later chunks no-op at the watermark check, so it goes on the
+    # FINAL chunk only. A crash mid-chunks leaves the txn unrecorded and
+    # the retry re-runs — idempotent for plain patches (SETs); for
+    # sum_cols the retry must pass since_lsn = the lake watermark (the
+    # tail idiom, see apply_accumulate's consumption contract).
+    txn = apply_kwargs.pop("txn", None)
     result = None
-    for chunk in chunks:
+    for ci, chunk in enumerate(chunks):
+        chunk_txn = txn if ci + 1 == len(chunks) else None
         manifest = load_latest_manifest(lake_root)
         pinned = manifest.version if manifest is not None else None
         # one unified user schema for every fold group, so distributed
@@ -426,6 +434,7 @@ def apply_patches(
             lake_root,
             key=key,
             change_schema=caller_schema or composed_schema,
+            txn=chunk_txn,
             **apply_kwargs,
         )
     return result

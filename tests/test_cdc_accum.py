@@ -206,3 +206,82 @@ def test_accumulate_watermark_consumption_contract(tmp_path, tmp_lake):
 def test_accumulate_requires_sum_cols():
     with pytest.raises(ValueError, match="at least one sum/max/min"):
         apply_accumulate(pa.table({"lsn": [1]}), "/tmp/x", sum_cols=())
+
+
+def test_producer_txn_idempotence(tmp_path, tmp_lake):
+    """Delta txnAppId/txnVersion: a replayed (app, version) batch
+    no-ops even for NON-idempotent accumulate feeds, where LWW alone
+    cannot dedup a re-sent delta."""
+    from palimpzest_ray.cdc.manifest import load_latest_manifest
+
+    base = _counter_base(4)
+    _bootstrap(tmp_path, tmp_lake, base)
+    ev = pa.Table.from_pylist(
+        [{"lsn": 100, "op": "UPDATE", "doc_id": "doc-0001",
+          "views": 5, "score": None, "source": None}],
+        pa.schema(
+            [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+            + list(COUNTER_SCHEMA)
+        ),
+    )
+
+    def views() -> int:
+        t = final_state_table(tmp_lake)
+        return t.filter(
+            pa.compute.equal(t["doc_id"], "doc-0001")
+        )["views"][0].as_py()
+
+    r1 = apply_accumulate(
+        ev, tmp_lake, sum_cols=SUM_COLS, num_partitions=8,
+        txn=("ingestor", 7),
+    )
+    assert views() == 15
+    m = load_latest_manifest(tmp_lake)
+    assert m.app_versions == {"ingestor": 7}
+    # blind producer retry of the SAME txn: no-op, no double-add
+    r2 = apply_accumulate(
+        ev, tmp_lake, sum_cols=SUM_COLS, num_partitions=8,
+        txn=("ingestor", 7),
+    )
+    assert r2.manifest.version == r1.manifest.version and views() == 15
+    # an OLDER txn version also no-ops; a NEWER one applies
+    r3 = apply_accumulate(
+        ev, tmp_lake, sum_cols=SUM_COLS, num_partitions=8,
+        txn=("ingestor", 6),
+    )
+    assert r3.manifest.version == r1.manifest.version and views() == 15
+    apply_accumulate(
+        ev, tmp_lake, sum_cols=SUM_COLS, num_partitions=8,
+        txn=("ingestor", 8),
+    )
+    assert views() == 20
+    # independent producers keep independent watermarks
+    apply_accumulate(
+        ev, tmp_lake, sum_cols=SUM_COLS, num_partitions=8,
+        txn=("other-app", 1),
+    )
+    assert views() == 25
+    m = load_latest_manifest(tmp_lake)
+    assert m.app_versions == {"ingestor": 8, "other-app": 1}
+    import pytest
+
+    with pytest.raises(ValueError, match="app_id: str"):
+        apply_changes(ev, tmp_lake, num_partitions=8, txn=(1, "x"))
+
+
+def test_txn_on_chunked_patch_stamps_final_chunk(tmp_path, tmp_lake):
+    from palimpzest_ray.cdc.manifest import load_latest_manifest
+
+    base = _counter_base(10)
+    _bootstrap(tmp_path, tmp_lake, base)
+    events = _rand_events(120, base["doc_id"].to_pylist(), seed=3)
+    from palimpzest_ray.cdc import apply_patches
+
+    apply_patches(
+        events, tmp_lake, chunk_events=40, txn=("loader", 1)
+    )
+    after = final_state_table(tmp_lake)
+    assert load_latest_manifest(tmp_lake).app_versions == {"loader": 1}
+    # full-batch replay with the same txn: no-op, state unchanged
+    apply_patches(events, tmp_lake, chunk_events=40, txn=("loader", 1))
+    assert final_state_table(tmp_lake).equals(after)
