@@ -2946,6 +2946,62 @@ def q126_txn_idempotent_ingest(sf_dir: str):
     )
 
 
+def q127_hidden_partitioning(sf_dir: str):
+    """Hidden partitioning (Iceberg partition-transform shape):
+    the lake is created with generated={'pfx': substr(doc_id, 10, 2)}
+    and partition_key='pfx' — the feed NEVER carries the partition
+    column; normalize derives it per batch from the stored transform,
+    and because the transform is a pure function of the key, point
+    lookups keep O(keys) partition pruning. Two epochs (insert wave,
+    then update %5 / delete %9 waves) route consistently. EXACT
+    oracle: the closed form with the transform restated as SQL
+    substr."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_hidden_part_demo")
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nch = docs["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _wave(mask, lsn0, op, val):
+        k = int(mask.sum())
+        return pa.table(
+            {
+                "lsn": pa.array(lsn0 + ids[mask], pa.int64()),
+                "op": pa.array([op] * k),
+                "doc_id": pa.array(
+                    [f"doc-{int(i):08d}" for i in ids[mask]]
+                ),
+                "n_chars": pa.array(val, pa.int64())
+                if val is not None
+                else pa.nulls(k, pa.int64()),
+            }
+        )
+
+    lake = os.path.join(work, "lake")
+    every = np.ones(len(ids), bool)
+    apply_changes(
+        _wave(every, 0, "INSERT", nch), lake, num_partitions=8,
+        partition_key="pfx",
+        generated={"pfx": ["substr", ["col", "doc_id"], 10, 2]},
+    )
+    e2 = pa.concat_tables(
+        [
+            _wave(ids % 5 == 0, 10_000_000, "UPDATE", nch[ids % 5 == 0] + 7),
+            _wave(ids % 9 == 4, 20_000_000, "DELETE", None),
+        ]
+    )
+    apply_changes(e2, lake, num_partitions=8, partition_key="pfx")
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "pfx", "n_chars"]
+    )
+
+
 def q121_composite_key_apply(sf_dir: str):
     """Composite (multi-column) record keys (cdc/keys.py — the Hudi
     ComplexKeyGenerator shape): the lake is keyed on the tuple
@@ -3128,6 +3184,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q124_generated_column": q124_generated_column,
         "q125_computed_update": q125_computed_update,
         "q126_txn_idempotent_ingest": q126_txn_idempotent_ingest,
+        "q127_hidden_partitioning": q127_hidden_partitioning,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3674,6 +3731,21 @@ def _base_oracle_sql() -> dict[str, str]:
                     as int) as n_tok,
                source
         from documents
+    """
+    # hidden partitioning: pfx = the generated substr transform;
+    # update %5 then delete %9 waves win by LSN
+    d["q127_hidden_partitioning"] = """
+        with ids as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 n_chars
+          from documents)
+        select doc_id,
+               substr(doc_id, 11, 2) as pfx,
+               case when num % 5 = 0 then n_chars + 7
+                    else n_chars end as n_chars
+        from ids
+        where num % 9 != 4
     """
     return d
 

@@ -76,6 +76,7 @@ from palimpzest_ray.cdc.bloom import (
     write_bloom_sidecar,
 )
 from palimpzest_ray.cdc.manifest import (
+    _CARRY,
     LakeManifest,
     PartEntry,
     commit_version,
@@ -1095,6 +1096,7 @@ def apply_changes(
     quarantine: bool = False,
     audit: bool = False,
     txn: tuple[str, int] | None = None,
+    generated: dict | None = None,
 ) -> ApplyResult:
     """Apply a change log to the lake (see :func:`_apply_changes_impl`).
 
@@ -1200,6 +1202,7 @@ def apply_changes(
                     quarantine=quarantine,
                     audit=audit,
                     txn=txn,
+                    generated=generated,
                 )
                 break
             except ConcurrentCommitError:
@@ -1350,6 +1353,7 @@ def _apply_changes_impl(
     quarantine: bool = False,
     audit: bool = False,
     txn: tuple[str, int] | None = None,
+    generated: dict | None = None,
 ) -> ApplyResult:
     """Apply a change log to the lake; commit a new version exactly-once.
 
@@ -1414,6 +1418,14 @@ def _apply_changes_impl(
             # the replay no-ops even for NON-idempotent accumulate
             # feeds, where LWW alone cannot dedup a re-sent delta
             return ApplyResult(prev, 0, 0, 0, 0, 0)
+    if generated is not None and prev is not None:
+        if (prev.generated or {}) != generated:
+            raise ValueError(
+                "generated= on apply_changes is a CREATION-TIME property; "
+                "this lake exists — evolve it with add_generated_column "
+                "(or pass the manifest's own specs verbatim)"
+            )
+        generated = None  # identical re-statement: the manifest's win
     if prev is not None and (key, partition_key, key_cols) != (
         prev.key, prev.partition_key, prev.key_cols,
     ):
@@ -1514,6 +1526,36 @@ def _apply_changes_impl(
             )
         if key not in user_schema.names:
             user_schema = user_schema.append(pa.field(key, pa.string()))
+    if generated:
+        # creation-time generated columns (hidden-partitioning shape:
+        # partition_key may name one): validate each expr against the
+        # change schema, infer its type from an empty evaluation, and
+        # declare the field so normalize's recompute passes the
+        # undeclared-column guard
+        from palimpzest_ray.cdc.expr import eval_expr, expr_columns
+
+        for gname, gexpr in generated.items():
+            if gname in user_schema.names:
+                raise ValueError(
+                    f"generated column {gname!r} collides with a change "
+                    "schema column"
+                )
+            bad = expr_columns(gexpr) & set(generated)
+            if bad:
+                raise ValueError(
+                    f"generated expression for {gname!r} may not reference "
+                    f"generated column(s) {sorted(bad)}"
+                )
+            probe = eval_expr(user_schema.empty_table(), gexpr)
+            gtype = (
+                probe.type if hasattr(probe, "type") else pa.scalar(None).type
+            )
+            if pa.types.is_null(gtype):
+                raise ValueError(
+                    f"cannot infer the type of generated column {gname!r}; "
+                    "wrap the expression in ['cast', ..., 'type']"
+                )
+            user_schema = user_schema.append(pa.field(gname, gtype))
     norm_schema = pa.schema(
         [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + list(user_schema)
     )
@@ -1574,7 +1616,7 @@ def _apply_changes_impl(
     normalize_fn = _normalize_factory(
         norm_schema, num_partitions, key, partition_key,
         expectations=expectations, quarantine=quarantine, key_cols=key_cols,
-        generated=prev.generated if prev is not None else None,
+        generated=prev.generated if prev is not None else generated,
     )
     done_set = (
         pa.array(np.array(sorted(done), dtype=np.int32)) if done else None
@@ -1821,6 +1863,7 @@ def _apply_changes_impl(
         lake_schema, prev_version, key=key, partition_key=partition_key,
         delta_parts=delta_parts, allow_rebase=not _rebucket,
         publish=not audit, key_cols=key_cols, txn=txn,
+        generated=generated if (prev is None and generated) else _CARRY,
     )
     # publish the dead letter under the committed version (before the
     # staging rmtree; per-commit diagnostics — see apply_changes notes)
@@ -3968,12 +4011,35 @@ def lookup(
     # keyed on posting_id but partitioned/probed by token; its sidecars
     # hold token hashes, so a posting_id probe must ignore them)
     use_bloom = key == (manifest.partition_key or manifest.key)
-    buckets = stable_bucket(karr, manifest.num_partitions)
-    for p in np.unique(buckets):
+    route_col = manifest.partition_key or manifest.key
+    if key == route_col:
+        buckets = stable_bucket(karr, manifest.num_partitions)
+    elif key == manifest.key and manifest.partition_key:
+        # hidden partitioning: the routing column is a STORED generated
+        # transform of the key, so a key probe re-derives its partition
+        # value driver-side and keeps O(keys) pruning; without such a
+        # transform the probe must consider every partition (correct,
+        # just unpruned — pass the partition column's values instead)
+        gexpr = (manifest.generated or {}).get(manifest.partition_key)
+        from palimpzest_ray.cdc.expr import eval_expr, expr_columns
+
+        if gexpr is not None and expr_columns(gexpr) <= {manifest.key}:
+            pvals = eval_expr(pa.table({manifest.key: karr}), gexpr)
+            buckets = stable_bucket(pvals, manifest.num_partitions)
+        else:
+            buckets = None
+    else:
+        buckets = None  # probing a non-routing column: no pruning
+    part_ids = (
+        sorted(manifest.parts) if buckets is None else np.unique(buckets)
+    )
+    for p in part_ids:
         entry = manifest.parts.get(int(p))
         if entry is None:
             continue
-        routed = karr.filter(pa.array(buckets == p))  # keys this chain could hold
+        routed = (  # keys this chain could hold
+            karr if buckets is None else karr.filter(pa.array(buckets == p))
+        )
         tabs = []
         for path in manifest.chain(lake_root, int(p)):
             # key-Bloom sidecar: skip a chain file that PROVABLY holds

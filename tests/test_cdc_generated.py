@@ -209,3 +209,59 @@ def test_generated_delete_with_minimal_payload(tmp_path, tmp_lake):
     assert "d2" not in {
         r["doc_id"] for r in final_state_table(tmp_lake).to_pylist()
     }
+
+
+def test_creation_time_generated_hidden_partitioning(tmp_path, tmp_lake):
+    """generated= at lake creation + partition_key naming the generated
+    column — Iceberg hidden partitioning: the feed never carries the
+    partition column, routing stays stable across epochs and DELETEs
+    (the expr is a pure function of the key)."""
+    from palimpzest_ray.cdc import lookup
+
+    spec = {"pfx": ["substr", ["col", "doc_id"], 0, 1]}
+
+    def _feed(rows):
+        return pa.Table.from_pylist(
+            [
+                {"lsn": r[0], "op": r[1], "doc_id": r[2], "n_tok": r[3]}
+                for r in rows
+            ],
+            pa.schema(
+                [pa.field("lsn", pa.int64()), pa.field("op", pa.string()),
+                 pa.field("doc_id", pa.string()),
+                 pa.field("n_tok", pa.int32())]
+            ),
+        )
+
+    e1 = _feed([(i, "INSERT", f"{i % 4}k{i}", 10 * i) for i in range(1, 21)])
+    apply_changes(
+        e1, tmp_lake, num_partitions=4, partition_key="pfx", generated=spec
+    )
+    m = load_latest_manifest(tmp_lake)
+    assert m.generated == spec and m.partition_key == "pfx"
+    t = final_state_table(tmp_lake)
+    assert t["pfx"].to_pylist() == [d[0] for d in t["doc_id"].to_pylist()]
+    # epoch 2 through the SAME hidden partitioning: update + delete
+    e2 = _feed([(100, "UPDATE", "1k1", 999), (101, "DELETE", "2k2", None)])
+    apply_changes(e2, tmp_lake, num_partitions=4, partition_key="pfx")
+    d = {r["doc_id"]: r["n_tok"] for r in final_state_table(tmp_lake).to_pylist()}
+    assert d["1k1"] == 999 and "2k2" not in d and len(d) == 19
+    # point lookups prune by the key as usual
+    assert lookup(tmp_lake, ["1k1"])["n_tok"].to_pylist() == [999]
+    # re-stating the same specs is fine; different specs are refused
+    apply_changes(
+        _feed([(102, "UPDATE", "3k3", 7)]), tmp_lake, num_partitions=4,
+        partition_key="pfx", generated=spec,
+    )
+    with pytest.raises(ValueError, match="CREATION-TIME"):
+        apply_changes(
+            _feed([(103, "UPDATE", "3k3", 8)]), tmp_lake, num_partitions=4,
+            partition_key="pfx",
+            generated={"pfx": ["substr", ["col", "doc_id"], 1, 1]},
+        )
+    # untyped-inference refusal: a null literal has no type
+    with pytest.raises(ValueError, match="cannot infer"):
+        apply_changes(
+            e1, str(tmp_path / "lake2"), num_partitions=4,
+            generated={"g": ["lit", None]},
+        )
