@@ -2381,8 +2381,9 @@ def _dml_feed_schema(m: LakeManifest, cols: list[str]) -> pa.Schema:
 
 def delete_where(
     lake_root: str,
-    predicate: list[tuple],
+    predicate: list[tuple] | None = None,
     *,
+    expr=None,
     mode: str = "delta",
     run_id: str | None = None,
 ) -> ApplyResult:
@@ -2394,13 +2395,37 @@ def delete_where(
     time travel (the prior version still shows the rows), resume and
     the merge-on-read cost model (``mode="delta"`` stages only
     tombstone rows). All deletes share one LSN: LWW is per key, and a
-    single statement has no internal order."""
+    single statement has no internal order.
+
+    ``expr=`` accepts a full :mod:`~palimpzest_ray.cdc.expr` boolean
+    expression instead of conjuncts (disjunctions, arithmetic,
+    cross-column comparisons); the scan then prunes its read to the
+    referenced columns but cannot zone-prune files the way conjuncts
+    do — prefer conjuncts when the shape allows."""
     m = load_latest_manifest(lake_root)
     if m is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    if (predicate is None) == (expr is None):
+        raise ValueError("pass exactly one of predicate or expr=")
     key = m.key
     lsn = int(m.max_lsn) + 1
-    matches = final_state(lake_root, columns=[key], predicate=predicate)
+    if expr is not None:
+        from palimpzest_ray.cdc.expr import expr_columns, validate_expr
+
+        user = pa.schema(
+            [f for f in m.schema if f.name not in (LSN_COL, TOMBSTONE_COL)]
+        )
+        validate_expr(expr, user)
+        refs = sorted(expr_columns(expr) | {key})
+        scan = final_state(lake_root, columns=refs)
+        stored = {"expr": expr}
+
+        def _match(batch: pa.Table) -> pa.Table:
+            return batch.filter(_expect_mask(batch, stored))
+
+        matches = scan.map_batches(_match, batch_format="pyarrow")
+    else:
+        matches = final_state(lake_root, columns=[key], predicate=predicate)
 
     def _as_deletes(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

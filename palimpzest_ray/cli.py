@@ -209,9 +209,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-tombstones-below", type=int, default=None)
     p.add_argument("--max-delta-files", type=int, default=8)
 
-    def _add_where(p):
+    def _add_where(p, required: bool = True):
         p.add_argument(
-            "--where", action="append", nargs=3, required=True,
+            "--where", action="append", nargs=3, required=required,
             metavar=("COL", "OP", "VALUE"),
             help="conjunct, repeatable; VALUE parsed as JSON then string",
         )
@@ -239,7 +239,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("delete-where", help="tombstone rows matching a predicate")
     p.add_argument("lake")
-    _add_where(p)
+    _add_where(p, required=False)
+    p.add_argument(
+        "--expr", default=None,
+        help="cdc.expr JSON boolean expression (instead of --where)",
+    )
 
     p = sub.add_parser("update-where", help="SET columns on matching rows")
     p.add_argument("lake")
@@ -313,6 +317,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--expr", default=None,
         help="CHECK expression as cdc.expr JSON (instead of --where)",
+    )
+
+    p = sub.add_parser(
+        "generated",
+        help="generated columns (GENERATED ALWAYS AS): add / list",
+    )
+    p.add_argument("lake")
+    p.add_argument("action", choices=["add", "list"])
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("type", nargs="?", default=None,
+                   help="arrow type name (int32/int64/float64/string/bool)")
+    p.add_argument("--expr", default=None, help="cdc.expr JSON expression")
+    p.add_argument(
+        "--no-backfill", action="store_true",
+        help="existing rows read NULL until their next update",
     )
 
     p = sub.add_parser("fsck", help="lake integrity audit (add --deep to read data)")
@@ -649,6 +668,38 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({c: list(v) for c, v in mm.items()}))
         return 0
 
+    if args.cmd == "generated":
+        from palimpzest_ray.cdc import add_generated_column
+        from palimpzest_ray.cdc.manifest import load_latest_manifest
+
+        if args.action == "list":  # pure metadata, no Ray session
+            m = load_latest_manifest(args.lake)
+            print(json.dumps((m.generated if m else None) or {}))
+            return 0
+        if not (args.name and args.type and args.expr):
+            raise SystemExit("generated add needs NAME TYPE --expr JSON")
+        import pyarrow as _pa
+
+        types = {
+            "int8": _pa.int8(), "int16": _pa.int16(), "int32": _pa.int32(),
+            "int64": _pa.int64(), "float32": _pa.float32(),
+            "float64": _pa.float64(), "string": _pa.string(),
+            "bool": _pa.bool_(),
+        }
+        if args.type not in types:
+            raise SystemExit(f"unknown type {args.type!r} (use {sorted(types)})")
+        if not args.no_backfill:
+            _ensure_ray(args.num_cpus)  # backfill scans the lake
+        m = add_generated_column(
+            args.lake, _pa.field(args.name, types[args.type]),
+            json.loads(args.expr),
+            backfill_existing=not args.no_backfill,
+        )
+        print(json.dumps(
+            {"version": m.version, "generated": m.generated or {}}
+        ))
+        return 0
+
     if args.cmd == "constraint":
         from palimpzest_ray.cdc import add_constraint, drop_constraint
         from palimpzest_ray.cdc.manifest import load_latest_manifest
@@ -702,9 +753,17 @@ def main(argv: list[str] | None = None) -> int:
             except (json.JSONDecodeError, ValueError):
                 return v
 
-        pred = [(c, op, _val(v)) for c, op, v in args.where]
+        pred = [(c, op, _val(v)) for c, op, v in (args.where or [])]
         if args.cmd == "delete-where":
-            res = delete_where(args.lake, pred, mode=args.mode)
+            dexpr = getattr(args, "expr", None)
+            if bool(pred) == bool(dexpr):
+                raise SystemExit(
+                    "delete-where needs exactly one of --where / --expr"
+                )
+            res = delete_where(
+                args.lake, pred or None,
+                expr=json.loads(dexpr) if dexpr else None, mode=args.mode,
+            )
         else:
             sets = {}
             for spec in args.set:

@@ -570,3 +570,40 @@ def test_cli_constraint_expr(tmp_path, capsys):
     ) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["constraints"]["chk"] == {"expr": ["ge", ["col", "n_tok"], 0]}
+
+
+def test_cli_generated_and_expr_delete(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import final_state_table
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 1_000, 200, seed=31, chunk_rows=1_000)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+
+    assert cli.main(
+        ["generated", lake, "add", "tok_bucket", "int32",
+         "--expr", '["mod", ["col", "n_tok"], 5]']
+    ) == 0
+    added = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "tok_bucket" in added["generated"]
+    t = final_state_table(lake)
+    assert t["tok_bucket"].to_pylist() == [
+        v % 5 for v in t["n_tok"].to_pylist()
+    ]
+
+    assert cli.main(["generated", lake, "list"]) == 0
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert listed == {"tok_bucket": ["mod", ["col", "n_tok"], 5]}
+
+    before = final_state_table(lake).num_rows
+    assert cli.main(
+        ["delete-where", lake, "--expr", '["eq", ["col", "tok_bucket"], 3]']
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    after = final_state_table(lake)
+    assert res["rows_deleted"] > 0
+    assert after.num_rows == before - res["rows_deleted"]
+    assert 3 not in set(after["tok_bucket"].to_pylist())
