@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "q110_patch_apply",  # round-3: partial-image patch composition
     "q111_partitioned_join",  # round-3: zero-exchange co-partitioned join
     "q115_quarantine_apply",  # round-3: ingest gate throughput cost
+    "q121_composite_key_apply",  # round-3: composite-key LWW apply
+    "q126_txn_idempotent_ingest",  # round-3: producer-txn accumulate x2
     "cdc_replay",
 ]
 

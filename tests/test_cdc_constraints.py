@@ -190,3 +190,24 @@ def test_update_where_with_expression_set(tmp_path, tmp_lake):
             tmp_lake, [("n_tok", ">", 0)],
             {"n_tok": Expr(["add", ["col", "zz"], 1])},
         )
+
+
+def test_expr_constraint_quarantine_reason(tmp_path, tmp_lake):
+    """An expression CHECK dead-letters with its constraint:<name>
+    reason through the quarantine branch, same as conjunct gates."""
+    _boot(tmp_path, tmp_lake)
+    add_constraint(
+        tmp_lake, "chk",
+        expr=["or", ["gt", ["col", "n_tok"], 5],
+              ["eq", ["col", "source"], "s0"]],
+    )
+    mixed = _ev(
+        [(700, "INSERT", "bad", 2, "s9"), (701, "INSERT", "good", 9, "s9")]
+    )
+    r = apply_changes(mixed, tmp_lake, num_partitions=4, quarantine=True)
+    assert r.rows_quarantined == 1
+    q = read_quarantine(tmp_lake)
+    assert q["_errors"].to_pylist() == ["constraint:chk"]
+    assert q["doc_id"].to_pylist() == ["bad"]
+    live = {r["doc_id"] for r in final_state_table(tmp_lake).to_pylist()}
+    assert "good" in live and "bad" not in live
