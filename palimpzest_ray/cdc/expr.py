@@ -115,9 +115,10 @@ def eval_expr(table: pa.Table, expr):
     if op == "coalesce":
         return pc.coalesce(*a)
     if op == "greatest":
-        return pc.max_element_wise(*a, skip_nulls=False)
+        # duckdb/Postgres semantics: nulls ignored, all-null -> null
+        return pc.max_element_wise(*a, skip_nulls=True)
     if op == "least":
-        return pc.min_element_wise(*a, skip_nulls=False)
+        return pc.min_element_wise(*a, skip_nulls=True)
     if op == "lower":
         _arity(op, a, 1)
         return pc.utf8_lower(a[0])

@@ -70,9 +70,10 @@ def test_eval_expr_kernels():
     assert eval_expr(
         t, ["if", ["ge", ["col", "a"], 0], ["lit", "pos"], ["lit", "neg"]]
     ).to_pylist() == ["pos", "neg", "pos", None]
+    # duckdb/Postgres greatest: nulls ignored, all-null -> null
     assert eval_expr(
         t, ["greatest", ["col", "a"], ["col", "b"]]
-    ).to_pylist() == [7, 3, 10, None]
+    ).to_pylist() == [7, 3, 10, 5]
     assert eval_expr(t, ["lower", ["col", "s"]]).to_pylist() == [
         "ab", "cd", None, "ef",
     ]
