@@ -3002,6 +3002,59 @@ def q127_hidden_partitioning(sf_dir: str):
     )
 
 
+def q128_dlq_replay(sf_dir: str):
+    """Dead-letter replay (cdc/engine.py replay_quarantine — the
+    Debezium DLQ-reprocessing story): q123's constrained feed
+    dead-letters its negative-n_tok rows; the replay clamps them to 0
+    (fix callable) and re-ingests through the SAME gate at their
+    ORIGINAL LSNs. EXACT oracle: the epoch-1 closed form where every
+    even key ends at greatest(num%7 - 3, 0) — the surviving updates
+    committed directly, the repaired ones via the replay."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import (
+        add_constraint,
+        apply_changes,
+        final_state,
+        replay_quarantine,
+    )
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_dlq_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    add_constraint(lake, "tok_nonneg", [("n_tok", ">=", 0)])
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    even = nums[nums % 2 == 0]
+    feed = pa.table(
+        {
+            "lsn": pa.array(10_000_000 + even, pa.int64()),
+            "op": pa.array(["UPDATE"] * len(even)),
+            "doc_id": pa.array([f"doc-{int(i):08d}" for i in even]),
+            "n_tok": pa.array((even % 7 - 3), pa.int32()),
+            "source": pa.array(["upd"] * len(even)),
+        }
+    )
+    r = apply_changes(feed, lake, num_partitions=8, quarantine=True)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_tok")
+        return batch.set_column(
+            i, pa.field("n_tok", pa.int32()),
+            pc.max_element_wise(batch["n_tok"], pa.scalar(0, pa.int32())),
+        )
+
+    replay_quarantine(
+        lake, version=r.manifest.version, fix=fix, num_partitions=8
+    )
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "n_tok", "source"]
+    )
+
+
 def q121_composite_key_apply(sf_dir: str):
     """Composite (multi-column) record keys (cdc/keys.py — the Hudi
     ComplexKeyGenerator shape): the lake is keyed on the tuple
@@ -3185,6 +3238,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q125_computed_update": q125_computed_update,
         "q126_txn_idempotent_ingest": q126_txn_idempotent_ingest,
         "q127_hidden_partitioning": q127_hidden_partitioning,
+        "q128_dlq_replay": q128_dlq_replay,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3746,6 +3800,23 @@ def _base_oracle_sql() -> dict[str, str]:
                     else n_chars end as n_chars
         from ids
         where num % 9 != 4
+    """
+    # DLQ replay: even keys end at greatest(num%7 - 3, 0) either via
+    # the direct commit (>= 0) or via the clamped dead-letter replay
+    d["q128_dlq_replay"] = r"""
+        with base as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents)
+        select doc_id,
+               case when num % 2 = 0
+                    then cast(greatest(num % 7 - 3, 0) as int)
+                    else n_tok end as n_tok,
+               case when num % 2 = 0 then 'upd' else source end as source
+        from base
     """
     return d
 

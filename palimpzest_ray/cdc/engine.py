@@ -2066,6 +2066,49 @@ def read_quarantine(
     return pa.concat_tables(tables, promote_options="default")
 
 
+def replay_quarantine(
+    lake_root: str,
+    *,
+    version: int | None = None,
+    fix=None,
+    **apply_kwargs,
+) -> "ApplyResult":
+    """Reprocess the dead letter (the Debezium DLQ-replay story): read
+    the quarantined events (``version=`` narrows to one commit's file;
+    default every retained file), apply ``fix(batch) -> batch`` —
+    repair lsn/op/key, clamp values, or DROP unsalvageable rows — and
+    feed the result back through :func:`apply_changes`, i.e. through
+    the SAME structural + expectation + constraint gate that rejected
+    them. Events that are still bad fail the replay (or dead-letter
+    again under ``quarantine=True`` — pass it explicitly). Events keep
+    their ORIGINAL LSNs: a repaired late row merges into LWW order
+    exactly where it belongs, and replaying an already-repaired event
+    stays idempotent. The dead-letter files themselves are per-commit
+    diagnostics and are not consumed by the replay — re-running with
+    the same inputs converges via LWW."""
+    q = read_quarantine(lake_root, version=version)
+    if ERRORS_COL in q.column_names:
+        q = q.drop_columns([ERRORS_COL])
+    if fix is not None:
+        n_in = q.num_rows
+        q = fix(q)
+        if not isinstance(q, pa.Table):
+            raise TypeError("fix(batch) must return a pyarrow.Table")
+        if q.num_rows > n_in:
+            raise ValueError(
+                "fix(batch) may repair or drop rows, not invent them "
+                f"({n_in} in, {q.num_rows} out)"
+            )
+    if q.num_rows == 0:
+        m = load_latest_manifest(lake_root)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed lake version under {lake_root}"
+            )
+        return ApplyResult(m, 0, 0, 0, 0, 0)
+    return apply_changes(q, lake_root, **apply_kwargs)
+
+
 def alter_schema(
     lake_root: str,
     *,

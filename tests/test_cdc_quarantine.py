@@ -204,3 +204,79 @@ def test_quarantine_delta_mode_and_empty_read(tmp_path, tmp_lake):
         expectations=EXPECT, quarantine=True,
     )
     assert read_quarantine(clean).num_rows == 0
+
+
+def test_replay_quarantine_fix_and_converge(tmp_path, tmp_lake):
+    """DLQ reprocessing: quarantine -> fix -> replay through the SAME
+    gate; repaired rows merge at their ORIGINAL LSNs, still-bad rows
+    dead-letter again, and replaying twice converges by LWW."""
+    import pyarrow.compute as pc
+
+    from palimpzest_ray.cdc import (
+        add_constraint,
+        apply_changes,
+        final_state_table,
+        read_quarantine,
+        replay_quarantine,
+    )
+
+    schema = pa.schema(
+        [pa.field("lsn", pa.int64()), pa.field("op", pa.string()),
+         pa.field("doc_id", pa.string()), pa.field("n_tok", pa.int32())]
+    )
+
+    def _ev(rows):
+        return pa.Table.from_pylist(
+            [{"lsn": r[0], "op": r[1], "doc_id": r[2], "n_tok": r[3]}
+             for r in rows], schema,
+        )
+
+    apply_changes(
+        _ev([(i, "INSERT", f"d{i}", 10 * i) for i in range(1, 5)]),
+        tmp_lake, num_partitions=4,
+    )
+    add_constraint(tmp_lake, "nonneg", [("n_tok", ">=", 0)])
+    # two violators (negative) + one structurally dead (null key)
+    bad = pa.Table.from_pylist(
+        [
+            {"lsn": 100, "op": "UPDATE", "doc_id": "d1", "n_tok": -5},
+            {"lsn": 101, "op": "UPDATE", "doc_id": "d2", "n_tok": -9},
+            {"lsn": 102, "op": "UPDATE", "doc_id": None, "n_tok": 3},
+        ],
+        schema,
+    )
+    r = apply_changes(bad, tmp_lake, num_partitions=4, quarantine=True)
+    assert r.rows_quarantined == 3
+
+    def fix(batch: pa.Table) -> pa.Table:
+        # clamp negatives to 0; drop the row that has no key
+        batch = batch.filter(pc.is_valid(batch["doc_id"]))
+        i = batch.column_names.index("n_tok")
+        return batch.set_column(
+            i, pa.field("n_tok", pa.int32()),
+            pc.max_element_wise(
+                batch["n_tok"], pa.scalar(0, pa.int32())
+            ),
+        )
+
+    r2 = replay_quarantine(tmp_lake, version=r.manifest.version, fix=fix)
+    assert r2.rows_upserted == 2
+    d = {row["doc_id"]: row["n_tok"]
+         for row in final_state_table(tmp_lake).to_pylist()}
+    assert d["d1"] == 0 and d["d2"] == 0 and d["d3"] == 30
+    # replay again: LWW converges, nothing changes
+    replay_quarantine(tmp_lake, version=r.manifest.version, fix=fix)
+    assert {row["doc_id"]: row["n_tok"]
+            for row in final_state_table(tmp_lake).to_pylist()} == d
+    # unfixed replay: the same gate rejects again (or re-quarantines)
+    import pytest
+
+    with pytest.raises(ValueError, match="constraint:nonneg|null"):
+        replay_quarantine(tmp_lake, version=r.manifest.version)
+    r3 = replay_quarantine(
+        tmp_lake, version=r.manifest.version, quarantine=True,
+        num_partitions=4,
+    )
+    assert r3.rows_quarantined == 3
+    q = read_quarantine(tmp_lake, version=r3.manifest.version)
+    assert q.num_rows == 3
