@@ -3055,6 +3055,88 @@ def q128_dlq_replay(sf_dir: str):
     )
 
 
+def q129_join_view(sf_dir: str):
+    """Incrementally-maintained JOIN view (cdc/jview.py — the
+    Materialize idea lake-natively): docs ⋈ scores materialized once
+    via the zero-exchange co-partitioned join, then BOTH sides take an
+    update/delete epoch and the refresh touches only the changed keys
+    (net change feeds → partition-pruned lookups → the same join
+    kernel). EXACT oracle: the SQL join of both sides' closed forms."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        create_join_view,
+        final_state,
+        refresh_join_view,
+    )
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_jview_demo")
+    docs_lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, docs_lake, num_partitions=8)
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _ids(ns):
+        return pa.array([f"doc-{int(i):08d}" for i in ns])
+
+    def _feed(ns, lsn0, op, cols):
+        return pa.table(
+            {
+                "lsn": pa.array(lsn0 + ns, pa.int64()),
+                "op": pa.array([op] * len(ns)),
+                "doc_id": _ids(ns),
+                **cols,
+            }
+        )
+
+    scored = nums[nums % 3 != 1]
+    scores_lake = os.path.join(work, "scores")
+    apply_changes(
+        _feed(scored, 0, "INSERT",
+              {"score": pa.array((scored % 17) / 2.0, pa.float64())}),
+        scores_lake, num_partitions=8,
+    )
+    view = os.path.join(work, "view")
+    create_join_view(
+        view, docs_lake, scores_lake, how="inner",
+        columns_left=["n_tok"], columns_right=["score"],
+    )
+    # epoch 2 on BOTH sides
+    m5 = nums[nums % 5 == 0]
+    apply_changes(
+        pa.concat_tables([
+            _feed(m5, 10_000_000, "UPDATE",
+                  {"n_tok": pa.array((m5 % 100 + 1000).astype(np.int32),
+                                     pa.int32())}),
+            _feed(nums[nums % 11 == 7], 20_000_000, "DELETE",
+                  {"n_tok": pa.nulls(int((nums % 11 == 7).sum()),
+                                     pa.int32())}),
+        ]),
+        docs_lake, num_partitions=8,
+    )
+    # restrict to already-scored keys: UPDATE has upsert semantics, and
+    # the oracle states the scored set as %3 != 1
+    m7 = nums[(nums % 7 == 2) & (nums % 3 != 1)]
+    apply_changes(
+        pa.concat_tables([
+            _feed(m7, 10_000_000, "UPDATE",
+                  {"score": pa.array([9.5] * len(m7), pa.float64())}),
+            _feed(nums[nums % 13 == 3], 20_000_000, "DELETE",
+                  {"score": pa.nulls(int((nums % 13 == 3).sum()),
+                                     pa.float64())}),
+        ]),
+        scores_lake, num_partitions=8,
+    )
+    refresh_join_view(view)
+    return pzd.Dataset(final_state(view)).project(
+        ["doc_id", "n_tok", "score"]
+    )
+
+
 def q121_composite_key_apply(sf_dir: str):
     """Composite (multi-column) record keys (cdc/keys.py — the Hudi
     ComplexKeyGenerator shape): the lake is keyed on the tuple
@@ -3239,6 +3321,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q126_txn_idempotent_ingest": q126_txn_idempotent_ingest,
         "q127_hidden_partitioning": q127_hidden_partitioning,
         "q128_dlq_replay": q128_dlq_replay,
+        "q129_join_view": q129_join_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3817,6 +3900,27 @@ def _base_oracle_sql() -> dict[str, str]:
                     else n_tok end as n_tok,
                case when num % 2 = 0 then 'upd' else source end as source
         from base
+    """
+    # join view: both sides' closed forms joined in SQL
+    d["q129_join_view"] = r"""
+        with base as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok
+          from documents),
+        docs as (
+          select doc_id,
+                 case when num % 5 = 0 then cast(num % 100 + 1000 as int)
+                      else n_tok end as n_tok
+          from base where num % 11 != 7),
+        scores as (
+          select doc_id,
+                 case when num % 7 = 2 then 9.5
+                      else (num % 17) / 2.0 end as score
+          from base where num % 3 != 1 and num % 13 != 3)
+        select d.doc_id, d.n_tok, s.score
+        from docs d join scores s using (doc_id)
     """
     return d
 

@@ -1,0 +1,150 @@
+"""Incrementally-maintained JOIN views (cdc/jview.py): initial build
+via the zero-exchange co-partitioned join, refresh touching ONLY the
+changed keys from both change feeds, equivalence against a full
+re-join at every step, and the crash/idempotence contract."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import (
+    apply_changes,
+    create_join_view,
+    final_state_table,
+    refresh_join_view,
+)
+
+DOCS = pa.schema(
+    [pa.field("lsn", pa.int64()), pa.field("op", pa.string()),
+     pa.field("doc_id", pa.string()), pa.field("n_tok", pa.int32())]
+)
+SCORES = pa.schema(
+    [pa.field("lsn", pa.int64()), pa.field("op", pa.string()),
+     pa.field("doc_id", pa.string()), pa.field("score", pa.float64())]
+)
+
+
+def _ev(schema, rows):
+    names = [f.name for f in schema]
+    return pa.Table.from_pylist(
+        [dict(zip(names, r)) for r in rows], schema
+    )
+
+
+def _oracle(left_lake, right_lake, how) -> pa.Table:
+    lt = final_state_table(left_lake)
+    rt = final_state_table(right_lake)
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    jt = "inner" if how == "inner" else "left"
+    t = con.execute(
+        f"select l.doc_id, l.n_tok, r.score from l {jt} join r using "
+        "(doc_id) order by l.doc_id"
+    ).arrow()
+    con.close()
+    return t
+
+
+def _view_table(view_root) -> pa.Table:
+    t = final_state_table(view_root).sort_by("doc_id")
+    return t.select(["doc_id", "n_tok", "score"])
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_join_view_create_refresh_matches_full_rejoin(tmp_path, how):
+    left = str(tmp_path / "docs")
+    right = str(tmp_path / "scores")
+    view = str(tmp_path / f"view_{how}")
+    apply_changes(
+        _ev(DOCS, [(i, "INSERT", f"d{i}", 10 * i) for i in range(1, 9)]),
+        left, num_partitions=4,
+    )
+    apply_changes(
+        _ev(SCORES, [(i, "INSERT", f"d{i}", i / 2) for i in range(1, 6)]),
+        right, num_partitions=4,
+    )
+    meta = create_join_view(view, left, right, how=how)
+    assert meta["left_version"] == 1 and meta["right_version"] == 1
+    assert _view_table(view).equals(
+        _oracle(left, right, how).cast(_view_table(view).schema)
+    )
+    # epoch 2 on BOTH sides: updates, deletes, inserts
+    apply_changes(
+        _ev(DOCS, [
+            (100, "UPDATE", "d1", 999),   # left value change
+            (101, "DELETE", "d2", None),  # left row gone -> view row gone
+            (102, "INSERT", "d9", 90),    # new left row
+        ]),
+        left, num_partitions=4,
+    )
+    apply_changes(
+        _ev(SCORES, [
+            (100, "UPDATE", "d3", 7.5),   # right value change
+            (101, "DELETE", "d4", None),  # right gone: inner drops, left nulls
+            (102, "INSERT", "d7", 0.25),  # right row for an unmatched left
+        ]),
+        right, num_partitions=4,
+    )
+    r = refresh_join_view(view)
+    assert not r["noop"] and r["keys_refreshed"] == 6
+    assert _view_table(view).equals(
+        _oracle(left, right, how).cast(_view_table(view).schema)
+    )
+    # idempotent: nothing moved -> no-op refresh
+    r2 = refresh_join_view(view)
+    assert r2["noop"] and r2["keys_refreshed"] == 0
+
+
+def test_join_view_crash_between_commit_and_pin_converges(tmp_path):
+    from palimpzest_ray.cdc import jview
+
+    left = str(tmp_path / "docs")
+    right = str(tmp_path / "scores")
+    view = str(tmp_path / "view")
+    apply_changes(
+        _ev(DOCS, [(i, "INSERT", f"d{i}", i) for i in range(1, 5)]),
+        left, num_partitions=2,
+    )
+    apply_changes(
+        _ev(SCORES, [(i, "INSERT", f"d{i}", float(i)) for i in range(1, 5)]),
+        right, num_partitions=2,
+    )
+    create_join_view(view, left, right, how="inner")
+    apply_changes(
+        _ev(DOCS, [(100, "UPDATE", "d1", 77)]), left, num_partitions=2
+    )
+    # crash: view committed but pins NOT updated
+    orig = jview._store_meta
+    calls = {"n": 0}
+
+    def dying(view_root, meta):
+        calls["n"] += 1
+        raise RuntimeError("crash before pin update")
+
+    jview._store_meta = dying
+    try:
+        with pytest.raises(RuntimeError):
+            refresh_join_view(view)
+    finally:
+        jview._store_meta = orig
+    # rerun re-refreshes the same keys at a fresh LSN and converges
+    r = refresh_join_view(view)
+    assert r["keys_refreshed"] == 1
+    assert _view_table(view).equals(
+        _oracle(left, right, "inner").cast(_view_table(view).schema)
+    )
+
+
+def test_join_view_refusals(tmp_path):
+    left = str(tmp_path / "docs")
+    apply_changes(
+        _ev(DOCS, [(1, "INSERT", "d1", 1)]), left, num_partitions=2
+    )
+    with pytest.raises(ValueError, match="inner.*left|'inner' and 'left'"):
+        create_join_view(str(tmp_path / "v"), left, left, how="outer")
