@@ -3193,6 +3193,67 @@ def q121_composite_key_apply(sf_dir: str):
     )
 
 
+def q130_rename_widen(sf_dir: str):
+    """Rename-without-rewrite + lossless type widening (cdc/engine.py
+    alter_schema(rename=, widen=) — the Delta column-mapping /
+    type-widening ideas): after the initial load, `source` is renamed
+    to `origin` and `n_tok` widened int32→int64 as ONE metadata-only
+    commit (no data file rewritten); then an UN-MIGRATED producer's
+    epoch still arrives under the OLD name carrying values that NEED
+    the wide type (num % 50 + 2^40 for even keys), plus a DELETE wave
+    (num % 9 == 4). Every read below translates pre-rename files'
+    physical names on the fly. EXACT oracle: the closed form of both
+    epochs under the logical schema."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import alter_schema, apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_rename_demo")
+    lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    alter_schema(
+        lake, rename={"source": "origin"}, widen={"n_tok": pa.int64()}
+    )
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    even = nums[nums % 2 == 0]
+    dels = nums[nums % 9 == 4]
+
+    def _ids(ns):
+        return pa.array([f"doc-{int(i):08d}" for i in ns])
+
+    feed = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "lsn": pa.array(10_000_000 + even, pa.int64()),
+                    "op": pa.array(["UPDATE"] * len(even)),
+                    "doc_id": _ids(even),
+                    # historical name — the lake maps it to `origin`
+                    "source": pa.array(["upd"] * len(even)),
+                    "n_tok": pa.array(even % 50 + 2**40, pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "lsn": pa.array(20_000_000 + dels, pa.int64()),
+                    "op": pa.array(["DELETE"] * len(dels)),
+                    "doc_id": _ids(dels),
+                    "source": pa.nulls(len(dels), pa.string()),
+                    "n_tok": pa.nulls(len(dels), pa.int64()),
+                }
+            ),
+        ]
+    )
+    apply_changes(feed, lake, num_partitions=8)
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "origin", "n_tok"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3322,6 +3383,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q127_hidden_partitioning": q127_hidden_partitioning,
         "q128_dlq_replay": q128_dlq_replay,
         "q129_join_view": q129_join_view,
+        "q130_rename_widen": q130_rename_widen,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3921,6 +3983,23 @@ def _base_oracle_sql() -> dict[str, str]:
           from base where num % 3 != 1 and num % 13 != 3)
         select d.doc_id, d.n_tok, s.score
         from docs d join scores s using (doc_id)
+    """
+    # rename+widen: logical schema (origin, bigint n_tok) over both
+    # epochs' closed form; even keys took the wide update, %9==4 deleted
+    d["q130_rename_widen"] = r"""
+        with base as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents)
+        select doc_id,
+               case when num % 2 = 0 then 'upd' else source end as origin,
+               case when num % 2 = 0 then num % 50 + 1099511627776
+                    else cast(n_tok as bigint) end as n_tok
+        from base
+        where num % 9 != 4
     """
     return d
 

@@ -124,6 +124,7 @@ def create_branch(
         key_cols=src.key_cols,
         constraints=src.constraints,
         generated=src.generated,
+        renames=src.renames,
         committed_at=_time.time(),
     )
     _atomic_write(os.path.join(root, "MANIFEST-v1.json"), m.to_json())
@@ -240,6 +241,15 @@ def merge_branch(
                 "(re-bucket or key change) — merge cannot reconcile; "
                 "re-apply the branch's feed on the parent instead"
             )
+        if (head.renames or {}) != (bhead.renames or {}):
+            # a rename on one side re-labels columns its files still
+            # carry physically; merging mismatched maps would read one
+            # side's data under the wrong logical names
+            raise MergeConflict(
+                "column renames diverged between parent and branch — "
+                "apply the same alter_schema(rename=...) on both sides "
+                "(or re-apply the branch's feed on the parent) first"
+            )
         version = head.version + 1
         if os.path.exists(os.path.join(lake_root, f".staged-v{version}")):
             raise ConcurrentCommitError(
@@ -327,6 +337,7 @@ def merge_branch(
             key_cols=head.key_cols,
             constraints=head.constraints,
             generated=head.generated,
+            renames=head.renames,
             committed_at=_time.time(),
         )
         _atomic_write(

@@ -94,6 +94,8 @@ from palimpzest_ray.schemas import (
     TOMBSTONE_COL,
     conform,
     drop_internal,
+    physical_columns,
+    rename_to_logical,
     unify,
 )
 
@@ -195,6 +197,7 @@ def _resolve_chain_stream(
     key: str,
     schema: pa.Schema,
     batch_rows: int = 128 * 1024,
+    renames: dict | None = None,
 ):
     """Bounded-memory chain resolution for a larger-than-memory BASE:
     the reader-side analogue of ``MergeApplier._merge_streaming``.
@@ -207,7 +210,9 @@ def _resolve_chain_stream(
     range yields globally key-sorted output with peak memory = one base
     batch + the resolved deltas. Yields :class:`pa.Table` chunks.
     """
-    delta_tables = [conform(t, schema) for t in _read_chain(files[1:])]
+    delta_tables = [
+        conform(t, schema) for t in _read_chain(files[1:], renames=renames)
+    ]
     # resolve among the deltas (chain order = seq order; base excluded)
     deltas = (
         _resolve_chain(delta_tables, key, schema)
@@ -222,7 +227,7 @@ def _resolve_chain_stream(
     ci = 0
     pf = pq.ParquetFile(files[0])
     for rb in pf.iter_batches(batch_size=batch_rows):
-        bt = pa.Table.from_batches([rb])
+        bt = rename_to_logical(pa.Table.from_batches([rb]), renames)
         if bt.num_rows == 0:
             continue
         bmax = bt[key][-1].as_py()
@@ -241,17 +246,23 @@ def _resolve_chain_stream(
 
 
 def _read_chain(
-    files: list[str], columns: list[str] | None = None
+    files: list[str],
+    columns: list[str] | None = None,
+    renames: dict | None = None,
 ) -> list[pa.Table]:
     """Read a partition chain, pruning each file to the ``columns`` it
-    actually has (a carried base may predate an evolved column)."""
+    actually has (a carried base may predate an evolved column).
+    ``renames`` is the manifest's column-mapping: a logical column
+    request is translated to the historical name a pre-rename file
+    carries, and every table comes back under logical names — so no
+    consumer downstream of a chain read ever sees a physical alias."""
     out = []
     for f in files:
         rc = None
         if columns is not None:
             present = set(pq.read_schema(f).names)
-            rc = [c for c in columns if c in present]
-        out.append(pq.read_table(f, columns=rc))
+            rc = physical_columns(present, columns, renames)
+        out.append(rename_to_logical(pq.read_table(f, columns=rc), renames))
     return out
 
 
@@ -309,6 +320,36 @@ def _unified_change_schema(files: list[str]) -> pa.Schema:
     return unify(*[pq.read_schema(f) for f in files])
 
 
+def _rename_schema(schema: pa.Schema, renames: dict) -> pa.Schema:
+    """Translate a change feed's historical column names to the lake's
+    current logical names (the producer-compat half of
+    ``alter_schema(rename=...)``: an un-migrated upstream keeps sending
+    the old name and its events still apply). A feed carrying BOTH an
+    old name and its logical name is ambiguous — refused outright (a
+    producer bug, not a row-level quality issue)."""
+    present = set(schema.names)
+    out = []
+    for f in schema:
+        tgt = renames.get(f.name)
+        if tgt is None:
+            out.append(f)
+            continue
+        if tgt in present:
+            raise ValueError(
+                f"change feed carries both {f.name!r} and its renamed "
+                f"form {tgt!r} — drop one (the lake maps {f.name!r} -> "
+                f"{tgt!r} since alter_schema(rename=...))"
+            )
+        out.append(pa.field(tgt, f.type))
+    names = [f.name for f in out]
+    dup = {n for n in names if names.count(n) > 1}
+    if dup:
+        raise ValueError(
+            f"change feed columns collide after rename mapping: {sorted(dup)}"
+        )
+    return pa.schema(out)
+
+
 def _normalize_factory(
     target_schema: pa.Schema,
     num_partitions: int,
@@ -318,6 +359,7 @@ def _normalize_factory(
     quarantine: bool = False,
     key_cols: tuple[str, ...] | None = None,
     generated: dict | None = None,
+    renames: dict | None = None,
 ):
     """Stateless normalize stage: validate + conform + partition-assign.
 
@@ -339,6 +381,13 @@ def _normalize_factory(
 
     def normalize(batch: pa.Table) -> pa.Table:
         limit_kernel_threads()
+        if renames:
+            # producer-compat column mapping: events arriving under a
+            # historical name land in the renamed (logical) column. A
+            # batch carrying both names is a producer bug — the schema
+            # plan already refused it; the guard in rename_to_logical
+            # keeps this a no-op in that unreachable case.
+            batch = rename_to_logical(batch, renames)
         if key_cols:
             # synthesize the composite record key (cdc.keys encoding)
             # BEFORE the structural gate so a null component becomes a
@@ -541,9 +590,13 @@ class MergeApplier:
         die_once: str | None = None,
         mode: str = "rewrite",
         bloom_col: str | None = None,
+        renames: dict | None = None,
     ):
         from palimpzest_ray.schemas import schema_from_json
 
+        # column-mapping: pre-rename base/chain files carry historical
+        # names; every base read below maps them to logical names
+        self.renames = renames
         self.lake_root = lake_root
         self.staging_dir = staging_dir
         # user cols + _lsn + _deleted
@@ -703,7 +756,7 @@ class MergeApplier:
                 )
                 folded = [conform(changes, ch_schema)] + [
                     conform(_lake_rows_as_changes(t), ch_schema)
-                    for t in _read_chain(full_chain[1:])
+                    for t in _read_chain(full_chain[1:], renames=self.renames)
                 ]
                 changes = pa.concat_tables(folded)
             total_rows, tombstones, upserted, deleted, col_stats = (
@@ -713,7 +766,9 @@ class MergeApplier:
         else:
             base = (
                 _resolve_chain(
-                    _read_chain(full_chain), self.key, self.target_schema
+                    _read_chain(full_chain, renames=self.renames),
+                    self.key,
+                    self.target_schema,
                 )
                 if full_chain
                 else None
@@ -840,6 +895,7 @@ class MergeApplier:
                 _read_chain(
                     [os.path.join(self.lake_root, f) for f in chain],
                     columns=[self.key, LSN_COL, TOMBSTONE_COL],
+                    renames=self.renames,
                 ),
                 self.key,
                 narrow_schema,
@@ -1044,7 +1100,9 @@ class MergeApplier:
             ci = 0
             pf = pq.ParquetFile(base_path)
             for rb in pf.iter_batches(batch_size=128 * 1024):
-                bt = pa.Table.from_batches([rb])
+                bt = rename_to_logical(
+                    pa.Table.from_batches([rb]), self.renames
+                )
                 bmax = bt[self.key][-1].as_py()
                 j = int(np.searchsorted(ch_keys, bmax, side="right"))
                 chunk = ch.slice(ci, j - ci)
@@ -1502,6 +1560,13 @@ def _apply_changes_impl(
             "as an INSERT-only epoch (op='INSERT', lsn below the log's range)."
         )
 
+    if prev is not None and prev.renames:
+        # column-mapping: a not-yet-migrated producer may still send a
+        # renamed column under its historical name — translate the
+        # change schema to logical names at plan time so unification
+        # never re-introduces an old physical name as a fresh column
+        change_schema = _rename_schema(change_schema, prev.renames)
+
     # unified target schema: previous lake schema ∪ incoming change schema
     user_change = pa.schema([f for f in change_schema if f.name not in ("lsn", "op")])
     if prev is not None:
@@ -1617,6 +1682,7 @@ def _apply_changes_impl(
         norm_schema, num_partitions, key, partition_key,
         expectations=expectations, quarantine=quarantine, key_cols=key_cols,
         generated=prev.generated if prev is not None else generated,
+        renames=prev.renames if prev is not None else None,
     )
     done_set = (
         pa.array(np.array(sorted(done), dtype=np.int32)) if done else None
@@ -1692,6 +1758,7 @@ def _apply_changes_impl(
         "die_once": die_once,
         "mode": mode,
         "bloom_col": partition_key or key,
+        "renames": prev.renames if prev is not None else None,
     }
     lineage_ds = None
     if exchange == "local":
@@ -1983,7 +2050,7 @@ def fsck(lake_root: str, *, version: int | None = None, deep: bool = False) -> d
         # read. Checked per FILE (pre-resolution), since lookup consults
         # sidecars per chain file.
         bloom_col = m.partition_key or m.key
-        chain_tabs = _read_chain(chain)
+        chain_tabs = _read_chain(chain, renames=m.renames)
         for path, t in zip(chain, chain_tabs):
             blob = load_bloom(path)
             if blob is None or t.num_rows == 0:
@@ -2109,11 +2176,36 @@ def replay_quarantine(
     return apply_changes(q, lake_root, **apply_kwargs)
 
 
+def _safe_widen(src: pa.DataType, dst: pa.DataType) -> bool:
+    """True iff dst can represent EVERY src value exactly (the type
+    promotions alter_schema(widen=...) admits)."""
+    import pyarrow.types as pt
+
+    if src.equals(dst):
+        return False
+    if pt.is_integer(src) and pt.is_integer(dst):
+        if pt.is_signed_integer(src) and pt.is_unsigned_integer(dst):
+            return False  # negatives don't fit
+        if pt.is_signed_integer(src) == pt.is_signed_integer(dst):
+            return dst.bit_width > src.bit_width
+        # unsigned -> signed needs strictly more bits
+        return dst.bit_width > src.bit_width
+    if pt.is_floating(src) and pt.is_floating(dst):
+        return dst.bit_width > src.bit_width
+    if pt.is_integer(src) and pt.is_floating(dst):
+        mantissa = {16: 11, 32: 24, 64: 53}.get(dst.bit_width, 0)
+        magnitude = src.bit_width - (1 if pt.is_signed_integer(src) else 0)
+        return magnitude <= mantissa
+    return False
+
+
 def alter_schema(
     lake_root: str,
     *,
     add: list[pa.Field] | None = None,
     drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    widen: dict[str, pa.DataType] | None = None,
 ) -> LakeManifest:
     """Metadata-only schema DDL: commit a new version whose schema has
     the ``add`` fields appended (null-backfilled at read for every
@@ -2129,14 +2221,42 @@ def alter_schema(
     change logs STILL CARRY is re-introduced by schema unification (as
     any new column would be), and ``n_tok`` on a tokens table is
     re-derived by normalize on the next apply — dropping it is a no-op
-    by the sequence-table contract."""
+    by the sequence-table contract.
+
+    ``rename`` — ``{old: new}`` — is rename-WITHOUT-rewrite (the Delta
+    column-mapping idea): no data file is touched; the manifest records
+    a flattened ``{historical_name: logical_name}`` map and every read
+    re-labels pre-rename files' columns on the fly (compaction /
+    rewrite materializes the new name physically). Producer compat:
+    change feeds still arriving under the OLD name keep applying — the
+    ingest maps them to the logical column (a feed carrying both names
+    is refused). Historical names stay reserved: ``add`` of one is
+    refused. Not renamable: the LWW key, composite-key components, the
+    partition column, internal columns, ``tokens``/``n_tok`` on a
+    sequence lake (normalize derives them by name), generated columns
+    (drop + re-add to re-derive), and columns referenced by a
+    constraint or generated expression (drop the reference first).
+
+    ``widen`` — ``{col: wider_type}`` — is lossless type widening
+    (Delta type-widening): metadata-only; readers cast narrow stored
+    values at conform time. Allowed: int8→int16→int32→int64 (and the
+    unsigned chain, or unsigned→signed with strictly more bits),
+    float32→float64, and int/uint of ≤32 bits→float64 (≤16→float32) —
+    every value-preserving promotion, nothing lossy (int64→float64 is
+    refused). Not widenable: the key, key components, the partition
+    column (routing hashes raw values), and generated columns (their
+    type derives from the expression)."""
     m = load_latest_manifest(lake_root)
     if m is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     add = list(add or [])
     drop = list(drop or [])
+    rename = dict(rename or {})
+    widen = dict(widen or {})
     names = set(m.schema.names)
+    historical = set((m.renames or {}))  # reserved physical names
     protected = {m.key, m.partition_key, LSN_COL, TOMBSTONE_COL} - {None}
+    protected |= set(m.key_cols or ())
     bad = [c for c in drop if c in protected]
     if bad:
         raise ValueError(f"cannot drop protected column(s) {bad}")
@@ -2146,6 +2266,90 @@ def alter_schema(
     clash = [f.name for f in add if f.name in names and f.name not in drop]
     if clash:
         raise ValueError(f"added column(s) already exist: {clash}")
+    reserved = [f.name for f in add if f.name in historical]
+    if reserved:
+        raise ValueError(
+            f"added column name(s) {reserved} are reserved historical "
+            "names of renamed columns (pre-rename files still carry them "
+            "physically) — pick different names"
+        )
+    gen0 = m.generated or {}
+    if rename or widen:
+        from palimpzest_ray.cdc.expr import expr_columns as _exc
+
+        touched_rw = set(rename) | set(widen)
+        overlap = touched_rw & (set(drop) | {f.name for f in add})
+        if overlap:
+            raise ValueError(
+                f"column(s) {sorted(overlap)} appear in more than one DDL "
+                "role in a single alter_schema call — split the calls"
+            )
+        referenced: dict[str, str] = {}
+        for n, gexpr in gen0.items():
+            for c in _exc(gexpr):
+                referenced.setdefault(c, f"generated column {n!r}")
+        for n, pred in (m.constraints or {}).items():
+            cset = (
+                _exc(pred["expr"])
+                if isinstance(pred, dict)
+                else {c for c, _o, _v in pred}
+            )
+            for c in cset:
+                referenced.setdefault(c, f"constraint {n!r}")
+    for old_name, new_name in rename.items():
+        if old_name in protected:
+            raise ValueError(f"cannot rename protected column {old_name!r}")
+        if old_name in ("tokens", "n_tok") and "tokens" in names:
+            raise ValueError(
+                "cannot rename tokens/n_tok on a sequence lake — "
+                "normalize derives n_tok from tokens by name"
+            )
+        if old_name not in names:
+            raise ValueError(f"rename of unknown column {old_name!r}")
+        if old_name in gen0:
+            raise ValueError(
+                f"cannot rename generated column {old_name!r} — drop it "
+                "and re-add under the new name (the expression re-derives "
+                "its values)"
+            )
+        if old_name in referenced:
+            raise ValueError(
+                f"column {old_name!r} is referenced by {referenced[old_name]};"
+                " drop that first"
+            )
+        if new_name in names or new_name in historical:
+            raise ValueError(
+                f"rename target {new_name!r} collides with an existing "
+                "column or a reserved historical name"
+            )
+        if not new_name or new_name in (LSN_COL, TOMBSTONE_COL):
+            raise ValueError(f"invalid rename target {new_name!r}")
+    tgt_counts = list(rename.values())
+    dup_tgt = {t for t in tgt_counts if tgt_counts.count(t) > 1}
+    if dup_tgt:
+        raise ValueError(f"rename targets collide: {sorted(dup_tgt)}")
+    add_clash = [t for t in rename.values() if t in {f.name for f in add}]
+    if add_clash:
+        raise ValueError(
+            f"rename target(s) {add_clash} collide with added column(s)"
+        )
+    for col, new_type in widen.items():
+        if col in protected:
+            raise ValueError(f"cannot widen protected column {col!r}")
+        if col not in names:
+            raise ValueError(f"widen of unknown column {col!r}")
+        if col in gen0:
+            raise ValueError(
+                f"cannot widen generated column {col!r} — its type derives "
+                "from the expression"
+            )
+        cur = m.schema.field(col).type
+        if not _safe_widen(cur, new_type):
+            raise ValueError(
+                f"widen {col!r}: {cur} -> {new_type} is not a lossless "
+                "promotion (allowed: wider ints of the same or higher "
+                "signedness class, float32->float64, small ints->float)"
+            )
     gen = dict(m.generated or {})
     if drop and (gen or m.constraints):
         from palimpzest_ray.cdc.expr import expr_columns
@@ -2177,7 +2381,31 @@ def alter_schema(
         for f in m.schema
         if f.name not in (LSN_COL, TOMBSTONE_COL) and f.name not in drop
     ]
+    if widen:
+        # metadata-only: readers conform() stored narrow values up
+        user = [
+            pa.field(f.name, widen[f.name], nullable=f.nullable,
+                     metadata=f.metadata)
+            if f.name in widen else f
+            for f in user
+        ]
+    if rename:
+        user = [
+            f.with_name(rename[f.name]) if f.name in rename else f
+            for f in user
+        ]
     schema = pa.schema(user + add + internal)
+    extra = {}
+    if rename:
+        # flatten the column-mapping: a historical name whose CURRENT
+        # logical name is being renamed now maps straight to the newest
+        # name (a file carries exactly one vintage of a column's name,
+        # so one-hop translation at read time stays sufficient)
+        flat = {
+            old: rename.get(cur, cur) for old, cur in (m.renames or {}).items()
+        }
+        flat.update(rename)
+        extra["renames"] = flat
     # a zero-file commit through the same CAS path: parts carry forward
     staging = os.path.join(lake_root, ".staging", f"ddl-{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
@@ -2185,20 +2413,25 @@ def alter_schema(
         manifest = commit_version(
             lake_root, staging, {}, dict(m.parts), m.num_partitions,
             schema, m.version, key=m.key, partition_key=m.partition_key,
-            key_cols=m.key_cols, generated=gen or None,
+            key_cols=m.key_cols, generated=gen or None, **extra,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     # dropped columns' zone-map entries are stale — scrub them so a
-    # predicate on a re-added column never prunes off old ranges
+    # predicate on a re-added column never prunes off old ranges;
+    # renamed columns' entries re-key to the logical name (widened
+    # entries keep their values — the promotion is order-preserving)
     touched = set(drop) | {f.name for f in add}
-    if touched:
+    if touched or rename:
         from palimpzest_ray.cdc.manifest import _atomic_write
 
         for e in manifest.parts.values():
             if e.col_stats:
                 for c in touched:
                     e.col_stats.pop(c, None)
+                for old_name, new_name in rename.items():
+                    if old_name in e.col_stats:
+                        e.col_stats[new_name] = e.col_stats.pop(old_name)
         _atomic_write(
             os.path.join(lake_root, f"MANIFEST-v{manifest.version}.json"),
             manifest.to_json(),
@@ -3249,7 +3482,18 @@ def _range_may_match(lo, hi, op: str, value) -> bool:
     return True
 
 
-def _entry_may_match(entry: PartEntry, predicate: list[tuple]) -> bool:
+def _alias_names(col: str, renames: dict | None) -> list[str]:
+    """A logical column plus every historical physical name that maps
+    to it (column-mapping): the names under which pre-rename files and
+    pre-rename manifest entries may carry this column's data/stats."""
+    if not renames:
+        return [col]
+    return [col] + [old for old, new in renames.items() if new == col]
+
+
+def _entry_may_match(
+    entry: PartEntry, predicate: list[tuple], renames: dict | None = None
+) -> bool:
     """Driver-side partition pruning off the manifest zone map — no
     parquet footer is opened for a pruned partition (at 1e5 files on
     object storage the footer round trips ARE the planning cost). A
@@ -3269,7 +3513,10 @@ def _entry_may_match(entry: PartEntry, predicate: list[tuple]) -> bool:
             continue
         if cs is None:
             continue
-        r = cs.get(col)
+        r = next(
+            (rr for a in _alias_names(col, renames) if (rr := cs.get(a)) is not None),
+            None,
+        )
         if r is not None and not _range_may_match(r[0], r[1], op, v):
             return False
     return True
@@ -3284,7 +3531,7 @@ def _stats_may_match(stats, op: str, value) -> bool:
 
 
 def zone_prune_files(
-    files: list[str], predicate: list[tuple]
+    files: list[str], predicate: list[tuple], renames: dict | None = None
 ) -> tuple[list[str], int, int]:
     """File-level zone-map pruning: keep a file only if SOME row group's
     min/max statistics can satisfy EVERY conjunct. A file lacking a
@@ -3300,7 +3547,15 @@ def zone_prune_files(
     for f in files:
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        if any(col not in idx for col, _op, _v in predicate):
+        # column-mapping: a pre-rename file carries the predicate
+        # column's data under a historical name — prune by THOSE stats
+        cidx = {
+            col: next(
+                (idx[a] for a in _alias_names(col, renames) if a in idx), None
+            )
+            for col, _op, _v in predicate
+        }
+        if any(i is None for i in cidx.values()):
             rg_total += md.num_row_groups
             continue
         file_hit = False
@@ -3308,7 +3563,7 @@ def zone_prune_files(
             g = md.row_group(rg)
             rg_total += 1
             if all(
-                _stats_may_match(g.column(idx[col]).statistics, op, v)
+                _stats_may_match(g.column(cidx[col]).statistics, op, v)
                 for col, op, v in predicate
             ):
                 rg_match += 1
@@ -3318,15 +3573,17 @@ def zone_prune_files(
     return kept, rg_match, rg_total
 
 
-def _predicate_expr(predicate: list[tuple]):
+def _predicate_expr(predicate: list[tuple], name_map: dict | None = None):
     """The exact pyarrow dataset expression for the conjuncts — pushed
     into the parquet scan (arrow skips non-matching row groups by
-    stats, then filters rows exactly)."""
+    stats, then filters rows exactly). ``name_map`` translates logical
+    column names to the physical names one file group actually carries
+    (column-mapping: pre-rename files)."""
     import pyarrow.dataset as pds
 
     expr = None
     for col, op, v in predicate:
-        f = pds.field(col)
+        f = pds.field((name_map or {}).get(col, col))
         e = {
             "==": lambda: f == v,
             "!=": lambda: f != v,
@@ -3538,6 +3795,7 @@ def compact_deltas(
     os.makedirs(staging_dir, exist_ok=True)
     chains = {p: m.chain(lake_root, p) for p in targets}
     key = m.key
+    renames = m.renames
     bloom_col = m.partition_key or m.key  # sidecars index the routing column
     from palimpzest_ray.schemas import schema_to_json
 
@@ -3551,8 +3809,11 @@ def compact_deltas(
         rows = []
         for p in batch["part"].to_pylist():
             # winner indices ascend in key order, so the resolved table
-            # is already canonically key-sorted
-            r = _resolve_chain(_read_chain(chains[p]), key, sch)
+            # is already canonically key-sorted (column-mapping applies
+            # at the read, so the rewrite MATERIALIZES logical names)
+            r = _resolve_chain(
+                _read_chain(chains[p], renames=renames), key, sch
+            )
             fname = f"part-{p:05d}.parquet"
             out = os.path.join(staging_dir, fname)
             tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -3652,12 +3913,15 @@ def final_state(
     # file); delta-bearing partitions go through a per-partition LWW
     # resolver stage.
     part_items = sorted(manifest.parts.items())
+    renames = manifest.renames
     if predicate:
         # manifest-level zone maps first: prune whole partitions on the
         # driver with no footer I/O (the footer pass below only sees
         # survivors — at 1e5 files the round trips are the plan cost)
         part_items = [
-            (p, e) for p, e in part_items if _entry_may_match(e, predicate)
+            (p, e)
+            for p, e in part_items
+            if _entry_may_match(e, predicate, renames)
         ]
     plain_files = [
         os.path.join(lake_root, e.file) for _p, e in part_items if not e.deltas
@@ -3666,7 +3930,9 @@ def final_state(
     schema = manifest.schema
     read_filter = None
     if predicate:
-        plain_files, _rg_match, _rg_total = zone_prune_files(plain_files, predicate)
+        plain_files, _rg_match, _rg_total = zone_prune_files(
+            plain_files, predicate, renames
+        )
         # chain-level pruning: every final-state row is SOME chain
         # file's row, so a partition whose whole chain cannot match
         # cannot produce a matching winner. (Per-file pruning inside a
@@ -3674,7 +3940,7 @@ def final_state(
         chain_parts = [
             p
             for p in chain_parts
-            if zone_prune_files(manifest.chain(lake_root, p), predicate)[0]
+            if zone_prune_files(manifest.chain(lake_root, p), predicate, renames)[0]
         ]
         read_filter = _predicate_expr(predicate)
         if not plain_files and not chain_parts:
@@ -3696,7 +3962,7 @@ def final_state(
         schema = pa.schema(keep)
 
     def _conform(batch: pa.Table) -> pa.Table:
-        t = conform(batch, schema)
+        t = conform(rename_to_logical(batch, renames), schema)
         if not include_tombstones and TOMBSTONE_COL in t.column_names:
             t = t.filter(
                 pc.invert(pc.coalesce(t[TOMBSTONE_COL], pa.scalar(False)))
@@ -3709,7 +3975,12 @@ def final_state(
 
     streams: list[rd.Dataset] = []
     fkw = {"filter": read_filter} if read_filter is not None else {}
-    if plain_files and read_cols is None:
+    pcols = [c for c, _o, _v in (predicate or [])]
+    # column-mapping: when a predicate column has historical aliases,
+    # the single fragment filter cannot name pre-rename files' physical
+    # columns — group files by footer names and translate per group
+    pred_aliased = any(len(_alias_names(c, renames)) > 1 for c in pcols)
+    if plain_files and read_cols is None and not pred_aliased:
         streams.append(
             rd.read_parquet(plain_files, **fkw).map_batches(
                 _conform, batch_format="pyarrow"
@@ -3720,19 +3991,37 @@ def final_state(
         # carried-forward file may predate an evolved column, and
         # read_parquet errors on a missing column — so group files by which
         # requested columns their footer actually has (footer reads are
-        # metadata-only) and read each group with its own pruned list;
+        # metadata-only) and read each group with its own pruned list
+        # (translated to the file's physical names under column-mapping);
         # conform() null-backfills the gaps, then the groups union.
         groups: dict[tuple, list[str]] = {}
         for f in plain_files:
             names = set(pq.read_schema(f).names)
-            present = tuple(c for c in read_cols if c in names)
-            groups.setdefault(present, []).append(f)
-        streams.extend(
-            rd.read_parquet(
-                fl, columns=list(cols) if cols else None, **fkw
-            ).map_batches(_conform, batch_format="pyarrow")
-            for cols, fl in groups.items()
-        )
+            rc = (
+                tuple(physical_columns(names, read_cols, renames))
+                if read_cols is not None
+                else None
+            )
+            nmap = (
+                tuple(
+                    (c, next((a for a in _alias_names(c, renames) if a in names), c))
+                    for c in pcols
+                )
+                if pred_aliased
+                else ()
+            )
+            groups.setdefault((rc, nmap), []).append(f)
+        for (rc, nmap), fl in groups.items():
+            gkw = (
+                {"filter": _predicate_expr(predicate, dict(nmap))}
+                if pred_aliased and predicate
+                else fkw
+            )
+            streams.append(
+                rd.read_parquet(
+                    fl, columns=list(rc) if rc else None, **gkw
+                ).map_batches(_conform, batch_format="pyarrow")
+            )
     if chain_parts:
         # one resolver task per delta-bearing partition: read the chain
         # (pruned to the requested columns + the resolution internals),
@@ -3770,11 +4059,15 @@ def final_state(
                     # the streaming path reads the base unpruned via
                     # iter_batches, so prune after; acceptable because
                     # this path exists for memory, not I/O, bounds.
-                    chunks = _resolve_chain_stream(files, key, resolve_schema)
+                    chunks = _resolve_chain_stream(
+                        files, key, resolve_schema, renames=renames
+                    )
                 else:
                     chunks = [
                         _resolve_chain(
-                            _read_chain(files, columns=resolve_names),
+                            _read_chain(
+                                files, columns=resolve_names, renames=renames
+                            ),
                             key,
                             resolve_schema,
                         )
@@ -3914,6 +4207,7 @@ def lake_minmax(
             manifest.key,
             manifest.schema,
             columns,
+            manifest.renames,
         )
         for c in columns:
             col = t[c]
@@ -4002,7 +4296,9 @@ def final_state_table(
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     tables = [
         _resolve_chain(
-            _read_chain(manifest.chain(lake_root, p)), manifest.key, manifest.schema
+            _read_chain(manifest.chain(lake_root, p), renames=manifest.renames),
+            manifest.key,
+            manifest.schema,
         )
         for p in sorted(manifest.parts)
     ]
@@ -4120,12 +4416,17 @@ def lookup(
             rc = None
             if need is not None:
                 present = set(pq_.read_schema(path).names)
-                rc = [c for c in need if c in present]
+                rc = physical_columns(present, need, manifest.renames)
             # predicate pushdown on the key: base files are key-sorted
             # (merge contract), so row-group min/max stats prune most of
-            # the file for point probes; the exact filter still runs
-            t = pq_.read_table(
-                path, columns=rc, filters=pc.field(key).isin(routed)
+            # the file for point probes; the exact filter still runs.
+            # (The key column is never renamable, so the filter's name
+            # is valid in every chain file.)
+            t = rename_to_logical(
+                pq_.read_table(
+                    path, columns=rc, filters=pc.field(key).isin(routed)
+                ),
+                manifest.renames,
             )
             tabs.append(t.filter(pc.is_in(t[key], value_set=karr)))
         if not tabs:

@@ -101,6 +101,14 @@ class LakeManifest:
     # or below its watermark no-ops — exactly-once for NON-idempotent
     # (accumulate) feeds under producer retries
     app_versions: dict | None = None
+    # rename-without-rewrite (Delta column-mapping analog): flattened
+    # {historical_physical_name: current_logical_name}. Data files
+    # written before an `alter_schema(rename=...)` keep their old
+    # column names on disk; every read maps them to the current
+    # logical names (schemas.rename_to_logical), and compaction /
+    # rewrite materializes the logical name physically. Historical
+    # names stay reserved: re-adding one as a fresh column is refused.
+    renames: dict | None = None
 
     @property
     def max_lsn(self) -> int:
@@ -137,6 +145,7 @@ class LakeManifest:
                 "generated": self.generated or None,
                 "committed_at": self.committed_at,
                 "app_versions": self.app_versions or None,
+                "renames": self.renames or None,
                 "schema": schema_to_json(self.schema),
                 "parts": {
                     str(p): dataclasses.asdict(e) for p, e in sorted(self.parts.items())
@@ -167,6 +176,7 @@ class LakeManifest:
             generated=d.get("generated") or None,
             committed_at=d.get("committed_at"),
             app_versions=d.get("app_versions") or None,
+            renames=d.get("renames") or None,
         )
 
 
@@ -386,6 +396,7 @@ def commit_version(
     constraints: "dict | None | object" = _CARRY,
     generated: "dict | None | object" = _CARRY,
     txn: tuple[str, int] | None = None,
+    renames: "dict | None | object" = _CARRY,
 ) -> LakeManifest:
     """Promote staged partition files to version ``prev_version + 1`` and
     atomically flip ``LATEST``. ``new_parts`` entries have ``file`` set to
@@ -558,6 +569,11 @@ def commit_version(
             committed_at=_time.time(),
             app_versions=_fold_txn(
                 current.app_versions if current else None, txn
+            ),
+            renames=(
+                (current.renames if current else None)
+                if renames is _CARRY
+                else renames
             ),
         )
         _atomic_write(

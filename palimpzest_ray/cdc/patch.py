@@ -328,6 +328,23 @@ def apply_patches(
     from palimpzest_ray.cdc.engine import ApplyResult
 
     events = _load_events(changes)
+    _m0 = load_latest_manifest(lake_root)
+    if _m0 is not None and _m0.renames:
+        # column-mapping: a patch from an un-migrated producer may
+        # carry a renamed column under its historical name — the fold
+        # must see logical names (its carry-forward is column-wise)
+        from palimpzest_ray.schemas import rename_to_logical
+
+        both = [
+            o for o, n in _m0.renames.items()
+            if o in events.column_names and n in events.column_names
+        ]
+        if both:
+            raise ValueError(
+                f"patch feed carries renamed column(s) under both names: "
+                f"{both} — drop one"
+            )
+        events = rename_to_logical(events, _m0.renames)
     if since_lsn is not None and events.num_rows:
         # tail semantics: only events past the committed watermark
         events = events.filter(

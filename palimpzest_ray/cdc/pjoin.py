@@ -50,6 +50,7 @@ def _live_partition(
     key: str,
     schema: pa.Schema,
     columns: list[str] | None,
+    renames: dict | None = None,
 ) -> pa.Table:
     """One partition's LIVE rows (chain LWW-resolved, tombstones
     dropped), pruned to ``columns`` (+key)."""
@@ -70,7 +71,9 @@ def _live_partition(
     resolve_schema = pa.schema(
         [f for f in schema if want is None or f.name in want]
     )
-    r = _resolve_chain(_read_chain(chain, columns=want), key, resolve_schema)
+    r = _resolve_chain(
+        _read_chain(chain, columns=want, renames=renames), key, resolve_schema
+    )
     if TOMBSTONE_COL in r.column_names:
         r = r.filter(pc.invert(pc.coalesce(r[TOMBSTONE_COL], pa.scalar(False))))
     return conform(r, out_schema)
@@ -197,6 +200,7 @@ def join_lakes(
     chains_r = {p: mr.chain(right_root, p) for p in mr.parts}
     join_type = _JOIN_TYPES[how]
     sl, sr = ml.schema, mr.schema
+    ren_l, ren_r = ml.renames, mr.renames
 
     def _join_part(batch: pa.Table):
         from palimpzest_ray.functions.tokens import limit_kernel_threads
@@ -207,10 +211,10 @@ def join_lakes(
             jl = j if left_fine else j % pl
             jr = j % pr if left_fine else j
             lt = _live_partition(
-                left_root, chains_l.get(jl), kl, sl, columns_left
+                left_root, chains_l.get(jl), kl, sl, columns_left, ren_l
             )
             rt = _live_partition(
-                right_root, chains_r.get(jr), kr, sr, columns_right
+                right_root, chains_r.get(jr), kr, sr, columns_right, ren_r
             )
             # a coarse-side row belongs to exactly one fine bucket:
             # filter the wider-read side to THIS task's bucket so
@@ -322,6 +326,7 @@ def aggregate_lake(
     need_cols = list(dict.fromkeys(need_cols))
     chains = {p: m.chain(lake_root, p) for p in m.parts}
     schema = m.schema
+    lake_renames = m.renames
     lake_key = m.key  # chain LWW resolution key (NOT the grouping column)
 
     def _agg_part(batch: pa.Table):
@@ -332,7 +337,7 @@ def aggregate_lake(
         for p in batch["part"].to_pylist():
             t = _live_partition(
                 lake_root, chains.get(p), lake_key, schema,
-                list(dict.fromkeys([by] + need_cols)),
+                list(dict.fromkeys([by] + need_cols)), lake_renames,
             )
             out = t.group_by([by]).aggregate(
                 [

@@ -110,6 +110,7 @@ def export_snapshot(
     )
     chains = {p: m.chain(lake_root, p) for p in m.parts}
     out_json = schema_to_json(out_schema)
+    renames = m.renames
 
     def _export(batch: pa.Table) -> pa.Table:
         limit_kernel_threads()
@@ -119,7 +120,9 @@ def export_snapshot(
         rows = []
         for p in batch["part"].to_pylist():
             r = _resolve_chain(
-                _read_chain(chains[p], columns=read_cols), key, resolve_schema
+                _read_chain(chains[p], columns=read_cols, renames=renames),
+                key,
+                resolve_schema,
             )
             if TOMBSTONE_COL in r.column_names:
                 r = r.filter(
@@ -226,6 +229,7 @@ def clone_lake(
         key_cols=m.key_cols,
         constraints=m.constraints,
         generated=m.generated,
+        renames=m.renames,
         committed_at=_time.time(),
     )
     _atomic_write(os.path.join(dst_root, "MANIFEST-v1.json"), clone.to_json())

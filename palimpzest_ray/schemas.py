@@ -161,6 +161,52 @@ def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def rename_to_logical(
+    table: pa.Table, renames: "dict[str, str] | None"
+) -> pa.Table:
+    """Map a file's historical (physical) column names to the lake's
+    current logical names — the read half of rename-without-rewrite
+    (Delta column mapping, `alter_schema(rename=...)`). ``renames`` is
+    the manifest's flattened ``{historical_name: current_name}`` map; a
+    file written before the rename carries the old physical name, and
+    this one simultaneous pass re-labels it so every consumer
+    downstream of the read sees only logical names. A file that already
+    carries the logical name is untouched (the guard makes the pass
+    idempotent and safe on post-rename files)."""
+    if not renames:
+        return table
+    names = table.column_names
+    present = set(names)
+    out = [
+        tgt
+        if (tgt := renames.get(c)) is not None and tgt not in present
+        else c
+        for c in names
+    ]
+    return table.rename_columns(out) if out != names else table
+
+
+def physical_columns(
+    file_names: "set[str] | frozenset[str]",
+    wanted: "list[str]",
+    renames: "dict[str, str] | None",
+) -> "list[str]":
+    """Translate a logical column request into the names actually
+    present in one file: the logical name itself when the file has it,
+    else any historical alias(es) recorded in ``renames``. Columns the
+    file predates entirely simply drop out (conform null-backfills)."""
+    inv: dict[str, list[str]] = {}
+    for old, new in (renames or {}).items():
+        inv.setdefault(new, []).append(old)
+    out: list[str] = []
+    for c in wanted:
+        if c in file_names:
+            out.append(c)
+        else:
+            out.extend(o for o in inv.get(c, ()) if o in file_names)
+    return out
+
+
 def schema_to_json(schema: pa.Schema) -> str:
     """Serialize a schema for the manifest (Arrow IPC bytes, base64)."""
     return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
