@@ -3254,6 +3254,33 @@ def q130_rename_widen(sf_dir: str):
     )
 
 
+def q131_gdpr_purge(sf_dir: str):
+    """GDPR hard delete (cdc/purge.py purge_keys — the right-to-be-
+    forgotten completion of delete_keys): after both demo epochs, every
+    key with num % 10 == 6 is purged from ALL retained versions' data
+    files (audit tombstone first, then the history scrub; counters /
+    zone maps / Bloom sidecars recomputed, fsck-clean). EXACT oracle:
+    the epoch closed form minus the purged keys."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, final_state, purge_keys
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_purge_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    apply_changes(log2, lake, num_partitions=8)
+
+    nums = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    purged = nums[nums % 10 == 6]
+    purge_keys(lake, [f"doc-{int(i):08d}" for i in purged])
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "n_tok", "source"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3384,6 +3411,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q128_dlq_replay": q128_dlq_replay,
         "q129_join_view": q129_join_view,
         "q130_rename_widen": q130_rename_widen,
+        "q131_gdpr_purge": q131_gdpr_purge,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4000,6 +4028,24 @@ def _base_oracle_sql() -> dict[str, str]:
                     else cast(n_tok as bigint) end as n_tok
         from base
         where num % 9 != 4
+    """
+    # GDPR purge: the two-epoch replay closed form minus purged keys —
+    # purge only removes rows, it cannot perturb survivors
+    d["q131_gdpr_purge"] = r"""
+        with base as (
+          select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source,
+                 doc_id as num
+          from documents
+        )
+        select doc_id, n_tok, source from base
+        where num % 5 <> 0 and num % 10 <> 6
+        union all
+        select 'new-' || lpad(cast(i as varchar), 8, '0') as doc_id,
+               8 as n_tok, 'synthetic' as source
+        from range(10) t(i)
     """
     return d
 

@@ -2820,8 +2820,16 @@ def delete_keys(
     if m is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
     key = m.key
+    if m.key_cols and keys and isinstance(keys[0], (tuple, list)):
+        from palimpzest_ray.cdc.keys import encode_key_tuples
+
+        keys = encode_key_tuples(keys)
     lsn = int(m.max_lsn) + 1
     karr = pa.array(list(keys))
+    # on a composite lake the feed carries the synthesized _ckey
+    # directly (no component payload needed — an exported _ckey wins
+    # over re-synthesis), while the apply states the lake's own
+    # identity contract (the key TUPLE)
     feed = pa.table(
         {
             "lsn": pa.array(np.full(len(karr), lsn, dtype=np.int64)),
@@ -2832,7 +2840,7 @@ def delete_keys(
     return apply_changes(
         rd.from_arrow(feed),
         lake_root,
-        key=key,
+        key=m.key_cols if m.key_cols else key,
         partition_key=m.partition_key,
         mode=mode,
         run_id=run_id,
@@ -3135,6 +3143,12 @@ def quarantine_watermark(lake_root: str) -> int | None:
         glob.glob(os.path.join(lake_root, "_quarantine", "v*.parquet"))
     )
     mx: int | None = None
+    # purge_keys persists the pre-scrub high-water here so removing a
+    # dead-lettered event cannot regress the tail position
+    wfile = os.path.join(lake_root, "_quarantine", "WATERMARK.json")
+    if os.path.exists(wfile):
+        with open(wfile) as fh:
+            mx = int(json.load(fh)["max_lsn"])
     for f in files:
         md = pq.ParquetFile(f).metadata
         if md.num_rows == 0:

@@ -240,12 +240,21 @@ def vacuum(
     keep_versions: int = 2,
     clean_staging: bool = True,
     staging_grace_s: float = 3600.0,
+    keep_hours: float | None = None,
 ) -> VacuumResult:
     """Retention cleanup: drop manifests older than the last
     ``keep_versions`` and delete data files no retained manifest
     references. Because untouched partitions carry forward by reference,
     a file under ``data/v{old}/`` may still back the LATEST version —
     referenced-set subtraction, never directory age, decides deletion.
+
+    ``keep_hours`` adds TIME-based retention (the Delta
+    ``RETAIN n HOURS`` idea, off the authoritative ``committed_at``
+    stamps, not file mtimes): every version committed within the window
+    is ALSO retained, however many that is — so ``keep_versions=1,
+    keep_hours=168`` keeps the head plus a week of time travel, and a
+    burst of commits cannot age history out early. The two floors
+    union; neither ever drops the head.
 
     ``clean_staging`` removes staging run dirs that hold no parquet
     anywhere (completed runs leave only sidecars after their files were
@@ -263,6 +272,22 @@ def vacuum(
         return VacuumResult([], 0, 0, 0)
     keep = max(1, keep_versions)
     lo = latest.version - keep + 1  # retain versions [lo, latest]
+    if keep_hours is not None:
+        import time as _time
+
+        cutoff = _time.time() - keep_hours * 3600.0
+        v = latest.version
+        while v >= 1:
+            # walk back while versions are still inside the window
+            # (an already-vacuumed gap ends the walk — commits are
+            # time-ordered, so nothing older can be in the window)
+            try:
+                if commit_time(lake_root, v) < cutoff:
+                    break
+            except FileNotFoundError:
+                break
+            lo = min(lo, v)
+            v -= 1
     referenced: set[str] = set()
     # staged (write-audit-publish) manifests live ABOVE LATEST until
     # published — their files must survive a vacuum run mid-audit.

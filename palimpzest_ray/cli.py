@@ -103,6 +103,22 @@ def _gate_kwargs(args) -> dict:
     return out
 
 
+def _arrow_type(name: str):
+    """Console-friendly scalar type names for DDL subcommands."""
+    import pyarrow as _pa
+
+    types = {
+        "int8": _pa.int8(), "int16": _pa.int16(), "int32": _pa.int32(),
+        "int64": _pa.int64(), "uint8": _pa.uint8(), "uint16": _pa.uint16(),
+        "uint32": _pa.uint32(), "uint64": _pa.uint64(),
+        "float32": _pa.float32(), "float64": _pa.float64(),
+        "string": _pa.string(), "bool": _pa.bool_(),
+    }
+    if name not in types:
+        raise SystemExit(f"unknown type {name!r} (use {sorted(types)})")
+    return types[name]
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="palimpzest_ray.cli", description=__doc__)
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -192,6 +208,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("vacuum", help="drop old versions and unreferenced files")
     p.add_argument("lake")
     p.add_argument("--keep", type=int, default=2)
+    p.add_argument(
+        "--keep-hours", type=float, default=None,
+        help="ALSO retain every version committed within the window "
+        "(time-based retention off committed_at stamps)",
+    )
 
     p = sub.add_parser("repartition", help="re-bucket the lake to a new P")
     p.add_argument("lake")
@@ -332,6 +353,49 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--no-backfill", action="store_true",
         help="existing rows read NULL until their next update",
+    )
+
+    p = sub.add_parser(
+        "purge",
+        help="GDPR hard delete: remove keys from ALL retained versions' "
+        "data files (history rewrite, fsck-consistent)",
+    )
+    p.add_argument("lake")
+    p.add_argument("keys", nargs="+", help="key values (JSON-parsed, then string)")
+    p.add_argument(
+        "--keep-tombstones", action="store_true",
+        help="retain nulled tombstones as the LWW barrier "
+        "(contamination purge) instead of full forget",
+    )
+    p.add_argument(
+        "--skip-quarantine", action="store_true",
+        help="leave dead-letter files untouched",
+    )
+
+    p = sub.add_parser(
+        "alter",
+        help="schema DDL: add / drop / rename / widen columns "
+        "(metadata-only commit, no data file touched)",
+    )
+    p.add_argument("lake")
+    p.add_argument(
+        "--add", action="append", nargs=2, default=None,
+        metavar=("NAME", "TYPE"),
+        help="append a column (null-backfilled at read), repeatable",
+    )
+    p.add_argument(
+        "--drop", action="append", default=None, metavar="NAME",
+        help="drop a column logically (physical removal at next rewrite)",
+    )
+    p.add_argument(
+        "--rename", action="append", nargs=2, default=None,
+        metavar=("OLD", "NEW"),
+        help="rename WITHOUT rewrite (column mapping), repeatable",
+    )
+    p.add_argument(
+        "--widen", action="append", nargs=2, default=None,
+        metavar=("COL", "TYPE"),
+        help="lossless type widening (e.g. int32 -> int64), repeatable",
     )
 
     p = sub.add_parser("fsck", help="lake integrity audit (add --deep to read data)")
@@ -502,7 +566,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "vacuum":
         from palimpzest_ray.cdc import vacuum
 
-        print(json.dumps(dataclasses.asdict(vacuum(args.lake, keep_versions=args.keep))))
+        print(json.dumps(dataclasses.asdict(vacuum(
+            args.lake, keep_versions=args.keep, keep_hours=args.keep_hours
+        ))))
         return 0
 
     if args.cmd == "compact":
@@ -668,6 +734,57 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({c: list(v) for c, v in mm.items()}))
         return 0
 
+    if args.cmd == "purge":
+        from palimpzest_ray.cdc import purge_keys
+
+        def _jval(s: str):
+            try:
+                return json.loads(s)
+            except (json.JSONDecodeError, ValueError):
+                return s
+
+        _ensure_ray(args.num_cpus)  # tombstone_first commits an apply
+        res = purge_keys(
+            args.lake,
+            [_jval(k) for k in args.keys],
+            keep_tombstones=args.keep_tombstones,
+            include_quarantine=not args.skip_quarantine,
+        )
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "alter":  # pure metadata commit, no Ray session
+        from palimpzest_ray.cdc import alter_schema
+
+        kw = {}
+        if args.add:
+            import pyarrow as _pa
+
+            kw["add"] = [
+                _pa.field(n, _arrow_type(t)) for n, t in args.add
+            ]
+        if args.drop:
+            kw["drop"] = list(args.drop)
+        if args.rename:
+            kw["rename"] = {old: new for old, new in args.rename}
+        if args.widen:
+            kw["widen"] = {c: _arrow_type(t) for c, t in args.widen}
+        if not kw:
+            raise SystemExit(
+                "alter needs at least one of --add/--drop/--rename/--widen"
+            )
+        m = alter_schema(args.lake, **kw)
+        print(json.dumps(
+            {
+                "version": m.version,
+                "columns": {
+                    f.name: str(f.type) for f in m.schema
+                },
+                "renames": m.renames or {},
+            }
+        ))
+        return 0
+
     if args.cmd == "generated":
         from palimpzest_ray.cdc import add_generated_column
         from palimpzest_ray.cdc.manifest import load_latest_manifest
@@ -680,18 +797,10 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("generated add needs NAME TYPE --expr JSON")
         import pyarrow as _pa
 
-        types = {
-            "int8": _pa.int8(), "int16": _pa.int16(), "int32": _pa.int32(),
-            "int64": _pa.int64(), "float32": _pa.float32(),
-            "float64": _pa.float64(), "string": _pa.string(),
-            "bool": _pa.bool_(),
-        }
-        if args.type not in types:
-            raise SystemExit(f"unknown type {args.type!r} (use {sorted(types)})")
         if not args.no_backfill:
             _ensure_ray(args.num_cpus)  # backfill scans the lake
         m = add_generated_column(
-            args.lake, _pa.field(args.name, types[args.type]),
+            args.lake, _pa.field(args.name, _arrow_type(args.type)),
             json.loads(args.expr),
             backfill_existing=not args.no_backfill,
         )

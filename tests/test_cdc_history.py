@@ -131,3 +131,45 @@ def test_timestamp_as_of(tmp_path, tmp_lake):
     for f in os.listdir(cp):
         os.utime(os.path.join(cp, f))  # clobber mtimes
     assert commit_time(cp, 1) == t1 and version_as_of(cp, t2) == 2
+
+
+def test_vacuum_time_based_retention(tmp_path, tmp_lake):
+    """keep_hours unions with keep_versions: versions committed inside
+    the window survive however small keep_versions is; a burst of
+    commits cannot age history out early."""
+    import json
+    import time
+
+    from palimpzest_ray.cdc.manifest import (
+        _atomic_write,
+        load_latest_manifest,
+        load_manifest,
+    )
+
+    for v in range(4):
+        apply_changes(
+            _log(
+                [{"lsn": 10 * v + 1, "op": "INSERT",
+                  "doc_id": f"d{v}", "n_tok": v}],
+                tmp_path, f"l{v}.parquet",
+            ),
+            tmp_lake, num_partitions=2,
+        )
+    # backdate v1/v2 far outside the window; v3/v4 stay recent
+    now = time.time()
+    for v, age_h in [(1, 100.0), (2, 90.0), (3, 0.2), (4, 0.0)]:
+        m = load_manifest(tmp_lake, v)
+        m.committed_at = now - age_h * 3600.0
+        _atomic_write(
+            os.path.join(tmp_lake, f"MANIFEST-v{v}.json"), m.to_json()
+        )
+
+    res = vacuum(tmp_lake, keep_versions=1, keep_hours=24.0)
+    assert res.versions_dropped == [1, 2]
+    # v3 survived ONLY because of the time window
+    assert load_manifest(tmp_lake, 3) is not None
+    assert load_latest_manifest(tmp_lake).version == 4
+    # outside any window the count floor still keeps the head
+    res2 = vacuum(tmp_lake, keep_versions=1, keep_hours=0.05)
+    assert res2.versions_dropped == [3]
+    assert load_latest_manifest(tmp_lake).version == 4

@@ -7,6 +7,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 
 def test_cli_apply_state_vacuum(tmp_path, capsys):
@@ -607,3 +608,60 @@ def test_cli_generated_and_expr_delete(tmp_path, capsys):
     assert res["rows_deleted"] > 0
     assert after.num_rows == before - res["rows_deleted"]
     assert 3 not in set(after["tok_bucket"].to_pylist())
+
+
+def test_cli_alter_rename_widen(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import final_state_table
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 1_000, 200, seed=43, chunk_rows=1_000)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    before = final_state_table(lake)
+
+    assert cli.main(
+        ["alter", lake,
+         "--rename", "source", "origin",
+         "--widen", "n_tok", "int64",
+         "--add", "quality", "float64"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["renames"] == {"source": "origin"}
+    assert out["columns"]["n_tok"] == "int64"
+    assert out["columns"]["quality"] == "double"
+    after = final_state_table(lake)
+    assert after["origin"].to_pylist() == before["source"].to_pylist()
+    assert after["n_tok"].type == pa.int64()
+    assert after["quality"].null_count == after.num_rows
+
+    assert cli.main(["alter", lake, "--drop", "quality"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "quality" not in out["columns"]
+    with pytest.raises(SystemExit):
+        cli.main(["alter", lake])
+    with pytest.raises(SystemExit):
+        cli.main(["alter", lake, "--widen", "n_tok", "complex128"])
+
+
+def test_cli_purge(tmp_path, capsys):
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import final_state_table, fsck
+    from palimpzest_ray.cdc.synth import write_change_log
+
+    log = os.path.join(str(tmp_path), "log")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_change_log(log, 1_000, 200, seed=44, chunk_rows=1_000)
+    assert cli.main(["apply", log, lake, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    before = final_state_table(lake)
+    victim = before["doc_id"][0].as_py()
+
+    assert cli.main(["purge", lake, victim]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_removed"] >= 1
+    after = final_state_table(lake)
+    assert victim not in set(after["doc_id"].to_pylist())
+    assert fsck(lake, deep=True)["ok"]
