@@ -3281,6 +3281,50 @@ def q131_gdpr_purge(sf_dir: str):
     )
 
 
+def q132_change_router(sf_dir: str):
+    """Content-based change routing (cdc/router.py route_changes — the
+    Debezium ContentBasedRouter story): the demo load feed splits by
+    FIRST-MATCH-WINS predicates in one streaming pass — a string-range
+    route on source (src1*), then a content route (n_tok < 50), then
+    the default — each slice applied to its own lake and ONE catalog
+    version pinning all three. EXACT oracle: the same CASE routing
+    stated in SQL over the load's closed form."""
+    from palimpzest_ray.cdc import final_state, route_changes
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_router_demo")
+    _lake, log1, _log2 = prepare_demo_inputs(sf_dir, work)
+    cat = os.path.join(work, "catalog")
+    import shutil
+
+    for d in ("catalog", "ones", "small", "rest"):
+        shutil.rmtree(os.path.join(work, d), ignore_errors=True)
+    lakes = {n: os.path.join(work, n) for n in ("ones", "small", "rest")}
+    route_changes(
+        log1, cat,
+        routes={
+            "ones": [("source", ">=", "src1"), ("source", "<", "src2")],
+            "small": [("n_tok", "<", 50)],
+        },
+        lakes=lakes,
+        default="rest",
+        apply_kwargs={n: {"num_partitions": 8} for n in lakes},
+    )
+    parts = []
+    for name in ("ones", "small", "rest"):
+        ds = final_state(lakes[name], columns=["doc_id", "n_tok", "source"])
+        parts.append(
+            ds.map_batches(
+                lambda b, _n=name: b.append_column(
+                    "route", pa.array([_n] * b.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = parts[0].union(*parts[1:])
+    return pzd.Dataset(out)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3412,6 +3456,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q129_join_view": q129_join_view,
         "q130_rename_widen": q130_rename_widen,
         "q131_gdpr_purge": q131_gdpr_purge,
+        "q132_change_router": q132_change_router,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4046,6 +4091,21 @@ def _base_oracle_sql() -> dict[str, str]:
         select 'new-' || lpad(cast(i as varchar), 8, '0') as doc_id,
                8 as n_tok, 'synthetic' as source
         from range(10) t(i)
+    """
+    # change router: the same first-match CASE routing stated in SQL
+    # over the load feed's closed form (no epoch 2 — routing the load)
+    d["q132_change_router"] = r"""
+        with base as (
+          select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source
+          from documents)
+        select doc_id, n_tok, source,
+               case when source >= 'src1' and source < 'src2' then 'ones'
+                    when n_tok < 50 then 'small'
+                    else 'rest' end as route
+        from base
     """
     return d
 
