@@ -3325,6 +3325,55 @@ def q132_change_router(sf_dir: str):
     return pzd.Dataset(out)
 
 
+def q133_subscription_replica(sf_dir: str):
+    """Durable change-feed subscription (cdc/subs.py — the Kafka
+    consumer-group cursor lake-natively): clone the lake at epoch 1 as
+    a replica with a subscription pinned at the same version
+    (consistent handoff), apply epoch 2 to the SOURCE only, then
+    poll → apply-to-replica → ack; the poll is redelivered once first
+    (at-least-once) and the duplicate apply is a no-op by LWW. EXACT
+    oracle: the replica equals the full two-epoch replay closed form."""
+    from palimpzest_ray.cdc import (
+        ack_subscription,
+        apply_changes,
+        create_subscription,
+        final_state,
+        poll_subscription,
+    )
+    from palimpzest_ray.cdc.snapshot import clone_lake
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_subs_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    create_subscription(lake, "replica")
+    replica = os.path.join(work, "replica")
+    import shutil
+
+    shutil.rmtree(replica, ignore_errors=True)
+    clone_lake(lake, replica)
+
+    apply_changes(log2, lake, num_partitions=8)
+
+    # crash-before-ack simulation: poll twice, apply the first delivery
+    feed1, token1 = poll_subscription(lake, "replica")
+    tab1 = pa.concat_tables(
+        feed1.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    feed2, token2 = poll_subscription(lake, "replica")
+    assert token2 == token1
+    apply_changes(tab1, replica)
+    # redelivered duplicate converges idempotently
+    tab2 = pa.concat_tables(
+        feed2.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    apply_changes(tab2, replica)
+    ack_subscription(lake, "replica", token1)
+    return pzd.Dataset(final_state(replica)).project(
+        ["doc_id", "n_tok", "source"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3457,6 +3506,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q130_rename_widen": q130_rename_widen,
         "q131_gdpr_purge": q131_gdpr_purge,
         "q132_change_router": q132_change_router,
+        "q133_subscription_replica": q133_subscription_replica,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3554,6 +3604,8 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q92_clone_then_apply"] = d["cdc_replay"]
     # wire format doesn't change state: Debezium ingest == parquet replay
     d["q93_debezium_ingest"] = d["cdc_replay"]
+    # a subscribed replica that polled/applied/acked == the full replay
+    d["q133_subscription_replica"] = d["cdc_replay"]
     # dedup-at-ingest survivor set restated as a shingle join
     from palimpzest_ray.cdc.dedup_ingest import screen_sql
 

@@ -256,6 +256,12 @@ def vacuum(
     burst of commits cannot age history out early. The two floors
     union; neither ever drops the head.
 
+    Durable subscriptions (``cdc.subs``) add a third floor: every
+    version at or above the OLDEST cursor is retained, so a slow
+    consumer can always still poll its feed — the Kafka
+    retention-vs-consumer-lag contract. ``subscription_lag`` names the
+    laggard; drop or advance it to release retention.
+
     ``clean_staging`` removes staging run dirs that hold no parquet
     anywhere (completed runs leave only sidecars after their files were
     promoted — fs-exchange spill checkpoints under ``exchange/`` count
@@ -288,6 +294,11 @@ def vacuum(
                 break
             lo = min(lo, v)
             v -= 1
+    from palimpzest_ray.cdc.subs import min_subscription_version
+
+    sub_floor = min_subscription_version(lake_root)
+    if sub_floor is not None:
+        lo = min(lo, sub_floor)
     referenced: set[str] = set()
     # staged (write-audit-publish) manifests live ABOVE LATEST until
     # published — their files must survive a vacuum run mid-audit.

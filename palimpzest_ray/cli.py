@@ -356,6 +356,27 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "sub",
+        help="durable change-feed subscriptions: create / ack / drop / "
+        "list / lag (consumer-group cursors; vacuum retains the "
+        "slowest cursor's versions)",
+    )
+    p.add_argument("lake")
+    p.add_argument(
+        "action", choices=["create", "ack", "drop", "list", "lag"]
+    )
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument(
+        "--from-version", type=int, default=None,
+        help="create: start the feed at a retained version "
+        "(default: the current head)",
+    )
+    p.add_argument(
+        "--token", type=int, default=None,
+        help="ack: the head version a poll returned",
+    )
+
+    p = sub.add_parser(
         "purge",
         help="GDPR hard delete: remove keys from ALL retained versions' "
         "data files (history rewrite, fsck-consistent)",
@@ -732,6 +753,37 @@ def main(argv: list[str] | None = None) -> int:
 
         mm = lake_minmax(args.lake, args.columns, version=args.version)
         print(json.dumps({c: list(v) for c, v in mm.items()}))
+        return 0
+
+    if args.cmd == "sub":  # pure metadata, no Ray session
+        from palimpzest_ray.cdc import (
+            ack_subscription,
+            create_subscription,
+            drop_subscription,
+            list_subscriptions,
+            subscription_lag,
+        )
+
+        if args.action == "list":
+            print(json.dumps(list_subscriptions(args.lake)))
+            return 0
+        if not args.name:
+            raise SystemExit(f"sub {args.action} needs NAME")
+        if args.action == "create":
+            print(json.dumps(create_subscription(
+                args.lake, args.name, from_version=args.from_version
+            )))
+        elif args.action == "ack":
+            if args.token is None:
+                raise SystemExit("sub ack needs --token")
+            print(json.dumps(ack_subscription(
+                args.lake, args.name, args.token
+            )))
+        elif args.action == "drop":
+            drop_subscription(args.lake, args.name)
+            print(json.dumps({"dropped": args.name}))
+        else:
+            print(json.dumps(subscription_lag(args.lake, args.name)))
         return 0
 
     if args.cmd == "purge":

@@ -1,0 +1,188 @@
+"""Durable change-feed subscriptions: named cursors with at-least-once
+poll/ack delivery, vacuum retention pinned to the slowest consumer."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import (
+    ack_subscription,
+    apply_changes,
+    create_subscription,
+    drop_subscription,
+    final_state_table,
+    list_subscriptions,
+    poll_subscription,
+    subscription_lag,
+    vacuum,
+)
+from palimpzest_ray.cdc.manifest import load_manifest
+
+
+def _log(tmp_path, name, rows):
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("lsn", pa.int64()), ("op", pa.string()),
+             ("doc_id", pa.string()), ("n_tok", pa.int32())]
+        ),
+    )
+    p = os.path.join(str(tmp_path), name)
+    pq.write_table(t, p)
+    return p
+
+
+def _boot(tmp_path, lake, n=30):
+    apply_changes(
+        _log(tmp_path, "boot.parquet", [
+            {"lsn": i + 1, "op": "INSERT",
+             "doc_id": f"d{i:03d}", "n_tok": i}
+            for i in range(n)
+        ]),
+        lake, num_partitions=4,
+    )
+
+
+def test_poll_ack_replica_convergence(tmp_path, ray_session):
+    """The headline loop: clone at the cursor, poll, apply the feed to
+    the replica, ack — the replica equals the source head."""
+    from palimpzest_ray.cdc.snapshot import clone_lake
+
+    lake = str(tmp_path / "lake")
+    _boot(tmp_path, lake)
+    create_subscription(lake, "replica")
+    replica = str(tmp_path / "replica")
+    clone_lake(lake, replica)  # consistent handoff at the cursor
+
+    # caught up: nothing to deliver
+    feed, token = poll_subscription(lake, "replica")
+    assert feed is None
+
+    # two more epochs on the source
+    apply_changes(
+        _log(tmp_path, "e2.parquet", [
+            {"lsn": 100 + i, "op": "UPDATE",
+             "doc_id": f"d{i:03d}", "n_tok": 999}
+            for i in range(0, 30, 3)
+        ]),
+        lake,
+    )
+    apply_changes(
+        _log(tmp_path, "e3.parquet", [
+            {"lsn": 200, "op": "DELETE", "doc_id": "d001", "n_tok": None},
+            {"lsn": 201, "op": "INSERT", "doc_id": "new1", "n_tok": 7},
+        ]),
+        lake,
+    )
+    feed, token = poll_subscription(lake, "replica")
+    assert feed is not None
+    tab = pa.concat_tables(
+        feed.iter_batches(batch_format="pyarrow", batch_size=4096)
+    )
+    # the net feed carries exactly the changed keys
+    assert set(tab["op"].to_pylist()) == {"UPDATE", "DELETE"}
+
+    # crash before ack: re-poll redelivers the SAME feed
+    feed2, token2 = poll_subscription(lake, "replica")
+    tab2 = pa.concat_tables(
+        feed2.iter_batches(batch_format="pyarrow", batch_size=4096)
+    )
+    assert token2 == token
+    assert tab2.sort_by("doc_id").equals(tab.sort_by("doc_id"))
+
+    apply_changes(tab, replica)
+    ack_subscription(lake, "replica", token)
+    assert final_state_table(replica).equals(final_state_table(lake))
+    # caught up again
+    feed3, _ = poll_subscription(lake, "replica")
+    assert feed3 is None
+
+    # re-applying the acked feed is harmless (at-least-once contract)
+    apply_changes(tab, replica)
+    assert final_state_table(replica).equals(final_state_table(lake))
+
+
+def test_vacuum_retains_slowest_cursor(tmp_path, ray_session):
+    lake = str(tmp_path / "lake")
+    _boot(tmp_path, lake)
+    create_subscription(lake, "slow")  # pinned at v1
+    for e in range(3):
+        apply_changes(
+            _log(tmp_path, f"u{e}.parquet", [
+                {"lsn": 1000 + 10 * e, "op": "UPDATE",
+                 "doc_id": "d000", "n_tok": e}
+            ]),
+            lake,
+        )
+    res = vacuum(lake, keep_versions=1)
+    assert res.versions_dropped == []  # the cursor pins v1..v4
+    assert load_manifest(lake, 1) is not None
+
+    lag = subscription_lag(lake, "slow")
+    assert lag["versions_behind"] == 3
+    assert lag["events_behind"] > 0
+
+    # advance the cursor: retention releases
+    feed, token = poll_subscription(lake, "slow")
+    ack_subscription(lake, "slow", token)
+    res2 = vacuum(lake, keep_versions=1)
+    assert res2.versions_dropped == [1, 2, 3]
+
+    # dropping the sub removes the floor entirely
+    drop_subscription(lake, "slow")
+    assert list_subscriptions(lake) == {}
+
+
+def test_subscription_validations(tmp_path, ray_session):
+    lake = str(tmp_path / "lake")
+    _boot(tmp_path, lake)
+    create_subscription(lake, "a")
+    with pytest.raises(ValueError, match="already exists"):
+        create_subscription(lake, "a")
+    with pytest.raises(ValueError, match="outside retained"):
+        create_subscription(lake, "b", from_version=99)
+    with pytest.raises(ValueError, match="invalid subscription name"):
+        create_subscription(lake, "../evil")
+    with pytest.raises(FileNotFoundError):
+        poll_subscription(lake, "nope")
+    with pytest.raises(ValueError, match="above the head"):
+        ack_subscription(lake, "a", 99)
+    apply_changes(
+        _log(tmp_path, "u.parquet",
+             [{"lsn": 500, "op": "UPDATE", "doc_id": "d000", "n_tok": 1}]),
+        lake,
+    )
+    _feed, token = poll_subscription(lake, "a")
+    ack_subscription(lake, "a", token)
+    with pytest.raises(ValueError, match="behind the cursor"):
+        ack_subscription(lake, "a", 1)
+
+
+def test_cli_sub_roundtrip(tmp_path, capsys, ray_session):
+    import json as _json
+
+    from palimpzest_ray import cli
+
+    lake = str(tmp_path / "lake")
+    _boot(tmp_path, lake)
+    assert cli.main(["sub", lake, "create", "c1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"name": "c1", "version": 1}
+    apply_changes(
+        _log(tmp_path, "u.parquet",
+             [{"lsn": 500, "op": "UPDATE", "doc_id": "d000", "n_tok": 1}]),
+        lake,
+    )
+    assert cli.main(["sub", lake, "lag", "c1"]) == 0
+    lag = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lag["versions_behind"] == 1
+    assert cli.main(["sub", lake, "ack", "c1", "--token", "2"]) == 0
+    capsys.readouterr()
+    assert cli.main(["sub", lake, "list"]) == 0
+    subs = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert subs == {"c1": 2}
+    assert cli.main(["sub", lake, "drop", "c1"]) == 0
