@@ -3374,6 +3374,52 @@ def q133_subscription_replica(sf_dir: str):
     )
 
 
+def q134_enriched_ingest(sf_dir: str):
+    """Ingest-time broadcast enrichment (cdc/enrich.py — the Flink
+    lookup/temporal-join story): an orders fact feed is enriched with
+    customer dimension attributes AT INGEST (dimension loaded once,
+    ray.put, per-batch index_in/take lookup — no shuffle, facts move
+    once) and the lake stores denormalized rows. EXACT oracle: the SQL
+    left join of orders to customer."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_enriched, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_enrich_demo")
+    lake = os.path.join(work, "lake")
+    import shutil
+
+    shutil.rmtree(lake, ignore_errors=True)
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    feed = pa.table(
+        {
+            "lsn": orders["o_orderkey"].cast(pa.int64()),
+            "op": pa.array(["INSERT"] * orders.num_rows),
+            "doc_id": pc.cast(orders["o_orderkey"], pa.string()),
+            "o_custkey": orders["o_custkey"],
+            "o_totalprice": orders["o_totalprice"],
+        }
+    )
+    dim = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    apply_enriched(
+        feed, lake,
+        source=dim, on="o_custkey", source_key="c_custkey",
+        columns=["c_name", "c_mktsegment"],
+        num_partitions=8,
+    )
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3507,6 +3553,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q131_gdpr_purge": q131_gdpr_purge,
         "q132_change_router": q132_change_router,
         "q133_subscription_replica": q133_subscription_replica,
+        "q134_enriched_ingest": q134_enriched_ingest,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3606,6 +3653,12 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q93_debezium_ingest"] = d["cdc_replay"]
     # a subscribed replica that polled/applied/acked == the full replay
     d["q133_subscription_replica"] = d["cdc_replay"]
+    # broadcast enrichment at ingest == the SQL left join
+    d["q134_enriched_ingest"] = """
+        select cast(o_orderkey as varchar) as doc_id,
+               o_custkey, o_totalprice, c_name, c_mktsegment
+        from orders left join customer on o_custkey = c_custkey
+    """
     # dedup-at-ingest survivor set restated as a shingle join
     from palimpzest_ray.cdc.dedup_ingest import screen_sql
 

@@ -240,6 +240,9 @@ BENCH_QUERIES = [
     "q115_quarantine_apply",  # round-3: ingest gate throughput cost
     "q121_composite_key_apply",  # round-3: composite-key LWW apply
     "q126_txn_idempotent_ingest",  # round-3: producer-txn accumulate x2
+    "q131_gdpr_purge",  # round-3: history-rewrite purge after 2 epochs
+    "q132_change_router",  # round-3: streaming split + 3-lake catalog txn
+    "q133_subscription_replica",  # round-3: poll/ack replica catch-up
     "cdc_replay",
 ]
 
