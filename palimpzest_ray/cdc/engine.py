@@ -3883,6 +3883,7 @@ def final_state(
     columns: list[str] | None = None,
     predicate: list[tuple] | None = None,
     as_of: float | None = None,
+    tag: str | None = None,
 ) -> rd.Dataset:
     """Read a committed lake version as a streaming Dataset, unifying
     per-file schemas — carried-forward partitions may predate an
@@ -3907,6 +3908,12 @@ def final_state(
     ``as_of`` is TIMESTAMP AS OF (epoch seconds): resolved to the
     newest version committed at or before it via the manifests' own
     ``committed_at`` stamps (mutually exclusive with ``version``)."""
+    if tag is not None:
+        if version is not None or as_of is not None:
+            raise ValueError("pass exactly one of version=/as_of=/tag=")
+        from palimpzest_ray.cdc.manifest import resolve_tag
+
+        version = resolve_tag(lake_root, tag)
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version= or as_of=, not both")
@@ -4288,6 +4295,7 @@ def final_state_table(
     user_columns_only: bool = True,
     version: int | None = None,
     as_of: float | None = None,
+    tag: str | None = None,
 ) -> pa.Table:
     """Materialized, canonically sorted final state (tests / small lakes
     only — the streaming path is :func:`final_state`). ``version=`` time
@@ -4295,6 +4303,12 @@ def final_state_table(
     the audit read. ``as_of=`` is TIMESTAMP AS OF (epoch seconds)."""
     from palimpzest_ray.cdc.manifest import load_manifest
 
+    if tag is not None:
+        if version is not None or as_of is not None:
+            raise ValueError("pass exactly one of version=/as_of=/tag=")
+        from palimpzest_ray.cdc.manifest import resolve_tag
+
+        version = resolve_tag(lake_root, tag)
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version= or as_of=, not both")

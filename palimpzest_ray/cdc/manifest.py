@@ -299,6 +299,9 @@ def vacuum(
     sub_floor = min_subscription_version(lake_root)
     if sub_floor is not None:
         lo = min(lo, sub_floor)
+    tag_floor = min_tag_version(lake_root)
+    if tag_floor is not None:
+        lo = min(lo, tag_floor)
     referenced: set[str] = set()
     # staged (write-audit-publish) manifests live ABOVE LATEST until
     # published — their files must survive a vacuum run mid-audit.
@@ -754,6 +757,139 @@ def version_as_of(lake_root: str, ts: float) -> int:
             f"(earliest retained commits later, or was vacuumed)"
         )
     return best
+
+
+# --- version tags (Iceberg tags / named savepoints) ---------------------
+
+_TAGS_DIR = "_tags"
+
+
+def _tag_path(lake_root: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    return os.path.join(lake_root, _TAGS_DIR, f"{name}.json")
+
+
+def tag_version(
+    lake_root: str,
+    name: str,
+    version: int | None = None,
+    *,
+    force: bool = False,
+) -> dict:
+    """Name a retained version (the Iceberg TAG idea): ``release-3``,
+    ``pre-migration``, ``training-cut-08`` — a human handle readers
+    resolve instead of a raw number. One tiny JSON file, no Ray
+    session; ``vacuum`` retains every version at or above the OLDEST
+    tag (same floor mechanism as subscriptions), so a tagged training
+    cut cannot be aged out underneath a reproducibility claim.
+    ``force=True`` moves an existing tag; by default re-tagging is
+    refused (a savepoint that silently moves is worse than none)."""
+    latest = load_latest_manifest(lake_root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    v = latest.version if version is None else int(version)
+    if v < 1 or v > latest.version:
+        raise ValueError(
+            f"version {v} outside retained range [1, {latest.version}]"
+        )
+    load_manifest(lake_root, v)  # must be retained
+    p = _tag_path(lake_root, name)
+    if os.path.exists(p) and not force:
+        raise ValueError(
+            f"tag {name!r} already exists (force=True to move it)"
+        )
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    import time as _time
+
+    tag = {"name": name, "version": v, "created_at": _time.time()}
+    _atomic_write(p, json.dumps(tag))
+    return tag
+
+
+def resolve_tag(lake_root: str, name: str) -> int:
+    p = _tag_path(lake_root, name)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no tag {name!r} under {lake_root}")
+    with open(p) as fh:
+        return int(json.load(fh)["version"])
+
+
+def drop_tag(lake_root: str, name: str) -> None:
+    os.unlink(_tag_path(lake_root, name))
+
+
+def list_tags(lake_root: str) -> dict[str, int]:
+    d = os.path.join(lake_root, _TAGS_DIR)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, int] = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                t = json.load(fh)
+            out[t["name"]] = int(t["version"])
+    return out
+
+
+def min_tag_version(lake_root: str) -> int | None:
+    tags = list_tags(lake_root)
+    return min(tags.values()) if tags else None
+
+
+def lake_skew(
+    lake_root: str, *, hot_threshold: float = 2.0
+) -> dict:
+    """Partition-balance inspector from manifest counters alone — zero
+    data I/O, no Ray session. The operational question at 10^10 events
+    is "did a hot key family pile into one bucket": per-partition LIVE
+    row counts give min/p50/p99/max/mean, the coefficient of variation,
+    the top-5 heaviest partitions, and a flag when the heaviest exceeds
+    ``hot_threshold``× the mean — the signal to re-check the routing
+    column (or salt it) and ``repartition_lake``. Delta-chain lengths
+    are reported alongside (a long chain is compaction debt, not key
+    skew — different remedy)."""
+    m = load_latest_manifest(lake_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    rows = {p: e.rows for p, e in m.parts.items()}
+    chains = {p: len(e.deltas) for p, e in m.parts.items() if e.deltas}
+    # partitions with no entry yet hold zero rows
+    counts = [rows.get(p, 0) for p in range(m.num_partitions)]
+    counts_sorted = sorted(counts)
+    n = len(counts)
+    total = sum(counts)
+    mean = total / n if n else 0.0
+
+    def _pct(q: float) -> int:
+        if not counts_sorted:
+            return 0
+        i = min(n - 1, max(0, round(q * (n - 1))))
+        return counts_sorted[int(i)]
+
+    if n and mean > 0:
+        var = sum((c - mean) ** 2 for c in counts) / n
+        cv = (var ** 0.5) / mean
+    else:
+        cv = 0.0
+    top = sorted(rows.items(), key=lambda kv: -kv[1])[:5]
+    mx = counts_sorted[-1] if counts_sorted else 0
+    return {
+        "num_partitions": m.num_partitions,
+        "rows_total": total,
+        "rows_min": counts_sorted[0] if counts_sorted else 0,
+        "rows_p50": _pct(0.50),
+        "rows_p99": _pct(0.99),
+        "rows_max": mx,
+        "rows_mean": round(mean, 1),
+        "cv": round(cv, 4),
+        "hot_partitions": [
+            {"part": p, "rows": r} for p, r in top if r > 0
+        ],
+        "skewed": bool(mean > 0 and mx > hot_threshold * mean),
+        "delta_chain_partitions": len(chains),
+        "max_delta_chain": max(chains.values()) if chains else 0,
+    }
 
 
 def lake_history(

@@ -356,6 +356,25 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "tag",
+        help="named savepoints: create / drop / list (vacuum retains "
+        "tagged versions)",
+    )
+    p.add_argument("lake")
+    p.add_argument("action", choices=["create", "drop", "list"])
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--force", action="store_true",
+                   help="create: move an existing tag")
+
+    p = sub.add_parser(
+        "skew",
+        help="partition-balance report from manifest counters "
+        "(zero data I/O)",
+    )
+    p.add_argument("lake")
+
+    p = sub.add_parser(
         "sub",
         help="durable change-feed subscriptions: create / ack / drop / "
         "list / lag (consumer-group cursors; vacuum retains the "
@@ -753,6 +772,28 @@ def main(argv: list[str] | None = None) -> int:
 
         mm = lake_minmax(args.lake, args.columns, version=args.version)
         print(json.dumps({c: list(v) for c, v in mm.items()}))
+        return 0
+
+    if args.cmd == "tag":  # pure metadata, no Ray session
+        from palimpzest_ray.cdc import drop_tag, list_tags, tag_version
+
+        if args.action == "list":
+            print(json.dumps(list_tags(args.lake)))
+        elif not args.name:
+            raise SystemExit(f"tag {args.action} needs NAME")
+        elif args.action == "create":
+            print(json.dumps(tag_version(
+                args.lake, args.name, args.version, force=args.force
+            )))
+        else:
+            drop_tag(args.lake, args.name)
+            print(json.dumps({"dropped": args.name}))
+        return 0
+
+    if args.cmd == "skew":  # pure metadata, no Ray session
+        from palimpzest_ray.cdc import lake_skew
+
+        print(json.dumps(lake_skew(args.lake)))
         return 0
 
     if args.cmd == "sub":  # pure metadata, no Ray session
