@@ -3235,6 +3235,7 @@ def tail_once(
     lake_root: str,
     patch: bool = False,
     format: str = "parquet",
+    transform=None,
     **apply_kwargs,
 ) -> ApplyResult:
     """One binlog-tail iteration: apply every event past the lake's
@@ -3261,7 +3262,17 @@ def tail_once(
     watermark drops its already-applied lines — so the ledger is pure
     economy, never correctness (a lost ledger just re-parses
     everything into a watermark no-op). The ledger updates after the
-    commit; a crash between the two re-parses once and converges."""
+    commit; a crash between the two re-parses once and converges.
+
+    ``transform=`` — a ``Dataset -> Dataset`` hook applied to the
+    pending feed BETWEEN read and apply: the composition point for
+    ingest-time enrichment (``enrich_changes`` partially applied),
+    custom filtering, or envelope rewrites in the daemon loop. The
+    watermark file pruning still runs first (the transform only sees
+    events the tail would apply); row-level watermark filtering still
+    runs after (a transform cannot resurrect consumed events). Not
+    supported with ``patch=True`` (the patch fold consumes raw
+    partial images)."""
     prev = load_latest_manifest(lake_root)
     watermark = prev.max_lsn if prev is not None else None
     if apply_kwargs.get("quarantine"):
@@ -3269,6 +3280,11 @@ def tail_once(
         if qw is not None:
             watermark = qw if watermark is None else max(watermark, qw)
     if patch or format == "patch":
+        if transform is not None:
+            raise ValueError(
+                "transform= is not supported with patch=True — the "
+                "patch fold consumes raw partial images"
+            )
         from palimpzest_ray.cdc.patch import apply_patches
 
         return apply_patches(
@@ -3305,14 +3321,48 @@ def tail_once(
         reader = (
             read_debezium_changes if format == "debezium" else read_jsonl_changes
         )
+        feed = reader(pending)
+        if transform is not None:
+            feed = transform(feed)
         res = apply_changes(
-            reader(pending), lake_root,
+            feed, lake_root,
             since_lsn=watermark,
             change_schema=apply_kwargs.pop("change_schema", CHANGELOG_SCHEMA),
             **apply_kwargs,
         )
         _record_consumed(lake_root, pending)
         return res
+    if transform is not None:
+        # build the pending feed ourselves so the transform sees a
+        # Dataset; reproduce the footer-stat file pruning apply_changes
+        # does for path inputs (a tail re-scan must stay cheap)
+        files = _expand_paths(log_dir)
+        if watermark is not None:
+            kept = []
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                if md.num_rows == 0:
+                    continue
+                idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                mx = None
+                unknown = False
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or st.max is None:
+                        unknown = True
+                        break
+                    mx = st.max if mx is None else max(mx, st.max)
+                if unknown or (mx is not None and mx > watermark):
+                    kept.append(f)
+            files = kept
+        if not files:
+            if prev is None:
+                raise FileNotFoundError("empty log and no committed version")
+            return ApplyResult(prev, 0, 0, 0, 0, 0)
+        feed = transform(rd.read_parquet(files))
+        return apply_changes(
+            feed, lake_root, since_lsn=watermark, **apply_kwargs
+        )
     return apply_changes(log_dir, lake_root, since_lsn=watermark, **apply_kwargs)
 
 

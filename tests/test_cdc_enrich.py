@@ -162,3 +162,47 @@ def test_enrich_validations(ray_session):
         _collect(enrich_changes(
             clash, source=_dim(), on="cust", columns=["name"]
         ))
+
+
+def test_tail_with_enrich_transform(tmp_path, ray_session):
+    """The daemon composition: tail_once(transform=...) enriches each
+    pending micro-batch before the watermarked apply."""
+    import functools
+
+    from palimpzest_ray.cdc import tail_once
+
+    lake = str(tmp_path / "lake")
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+
+    def _seg(name, lsns, custs):
+        pq.write_table(
+            pa.table(
+                {
+                    "lsn": pa.array(lsns, pa.int64()),
+                    "op": pa.array(["INSERT"] * len(lsns)),
+                    "doc_id": pa.array([f"o{i}" for i in lsns]),
+                    "cust": pa.array(custs, pa.int64()),
+                }
+            ),
+            os.path.join(log, name),
+        )
+
+    enrich = functools.partial(
+        enrich_changes, source=_dim(), on="cust", columns=["tier"]
+    )
+    _seg("seg-000.parquet", [1, 2], [10, 20])
+    r1 = tail_once(log, lake, transform=enrich, num_partitions=2)
+    assert r1.rows_upserted == 2
+    _seg("seg-001.parquet", [3], [30])
+    r2 = tail_once(log, lake, transform=enrich, num_partitions=2)
+    assert r2.rows_upserted == 1
+    # caught up: watermark no-op, transform sees nothing
+    r3 = tail_once(log, lake, transform=enrich, num_partitions=2)
+    assert r3.rows_upserted == 0
+    t = final_state_table(lake).sort_by("doc_id")
+    assert t["tier"].to_pylist() == ["gold", "silver", "gold"]
+
+    from palimpzest_ray.cdc import apply_patches  # noqa: F401
+    with pytest.raises(ValueError, match="not supported with patch"):
+        tail_once(log, lake, patch=True, transform=enrich)
