@@ -3420,6 +3420,35 @@ def q134_enriched_ingest(sf_dir: str):
     )
 
 
+def q135_filtered_view(sf_dir: str):
+    """Filtered incremental view (cdc/views.py create_view(where=...) —
+    the SQL WHERE-before-GROUP-BY materialized and maintained): the
+    view is created after epoch 1 with predicate n_tok >= 40, epoch 2
+    updates/deletes/inserts, and ONE O(changes) refresh catches it up —
+    rows crossing the threshold either way are ordinary +/- deltas.
+    EXACT oracle: the filtered GROUP BY over the replay closed form."""
+    from palimpzest_ray.cdc import apply_changes, views
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+
+    work = demo_workdir(sf_dir, "cdc_fview_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    apply_changes(log1, lake, num_partitions=8)
+    view = os.path.join(work, "fview")
+    import shutil
+
+    shutil.rmtree(view, ignore_errors=True)
+    views.create_view(
+        lake, view, group_col="source",
+        aggs={"n_docs": ("count", None), "total_tok": ("sum", "n_tok")},
+        where=[("n_tok", ">=", 40)],
+    )
+    apply_changes(log2, lake, num_partitions=8)
+    views.refresh_view(lake, view)
+    return pzd.Dataset(views.read_view(view)).project(
+        ["source", "n_docs", "total_tok"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3554,6 +3583,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q132_change_router": q132_change_router,
         "q133_subscription_replica": q133_subscription_replica,
         "q134_enriched_ingest": q134_enriched_ingest,
+        "q135_filtered_view": q135_filtered_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3653,6 +3683,27 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q93_debezium_ingest"] = d["cdc_replay"]
     # a subscribed replica that polled/applied/acked == the full replay
     d["q133_subscription_replica"] = d["cdc_replay"]
+    # filtered view refreshed after epoch 2 == WHERE + GROUP BY over
+    # the replay closed form
+    d["q135_filtered_view"] = r"""
+        with base as (
+          select cast(len(regexp_split_to_array(lower(text), '\s+')) as int)
+                   as n_tok,
+                 source,
+                 doc_id as num
+          from documents),
+        final as (
+          select n_tok, source from base where num % 5 <> 0
+          union all
+          select 8 as n_tok, 'synthetic' as source from range(10)
+        )
+        select source,
+               count(*) as n_docs,
+               cast(sum(n_tok) as bigint) as total_tok
+        from final
+        where n_tok >= 40
+        group by source
+    """
     # broadcast enrichment at ingest == the SQL left join
     d["q134_enriched_ingest"] = """
         select cast(o_orderkey as varchar) as doc_id,

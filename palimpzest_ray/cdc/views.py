@@ -105,6 +105,8 @@ def _needed_cols(meta: dict) -> list[str]:
     for _out, (fn, col) in dict(meta["aggs"]).items():
         if fn != "count" and col:
             cols.append(col)
+    for c, _op, _v in meta.get("where") or []:
+        cols.append(c)
     return list(dict.fromkeys(cols))
 
 
@@ -221,12 +223,23 @@ def create_view(
     group_col: str,
     aggs: dict[str, tuple[str, str | None]],
     key: str = "doc_id",
+    where: list | None = None,
 ) -> dict:
     """Materialize a group-by aggregate view of the lake's latest
     version. ``aggs``: ``{out_col: (fn, value_col)}`` with fn ∈
     {"count", "sum", "avg", "min", "max"} (count's value_col is
     ignored). count/sum/avg refresh by pure deltas; any min/max switches
-    the refresh to affected-group recompute (module docstring)."""
+    the refresh to affected-group recompute (module docstring).
+
+    ``where`` — conjuncts in the expectations mini-language
+    ``[("col", op, value), ...]`` — makes this a FILTERED view: only
+    rows satisfying the predicate contribute (the SQL ``WHERE`` before
+    ``GROUP BY``). The build pushes the predicate into the lake scan
+    (zone-map + row-group pruned); the refresh stays O(changes): a
+    changed row's old/new images each count only while they satisfy
+    the predicate, so rows entering/leaving the filtered set come out
+    as ordinary +/- deltas, and groups whose filtered set empties drop
+    out (count 0)."""
     for out, (fn, _col) in aggs.items():
         if fn not in _DELTA_FNS | _MM_FNS:
             raise ValueError(
@@ -236,17 +249,32 @@ def create_view(
     manifest = load_latest_manifest(lake_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake under {lake_root}")
+    if where:
+        from palimpzest_ray.cdc.engine import _predicate_mask
+
+        _predicate_mask(  # validate the conjunct shapes up front
+            pa.schema(
+                [pa.field(c, pa.null()) for c, _o, _v in where]
+            ).empty_table(),
+            list(where),
+        )
     meta = {
         "group_col": group_col,
         "aggs": {k: list(v) for k, v in aggs.items()},
         "key": key,
+        "where": [list(w) for w in where] if where else None,
         "lake_version": manifest.version,
         # SQL null semantics: sum/avg skip null values (per-agg valid
         # counts stored); an all-null group reports NULL, not 0.
         "nulls": "sql",
     }
-    meta_n = {"group_col": group_col, "aggs": aggs, "key": key}
-    parts = final_state(lake_root, columns=_needed_cols(meta_n)).map_batches(
+    meta_n = {"group_col": group_col, "aggs": aggs, "key": key,
+              "where": meta["where"]}
+    parts = final_state(
+        lake_root,
+        columns=_needed_cols(meta_n),
+        predicate=[tuple(w) for w in where] if where else None,
+    ).map_batches(
         _partial(meta_n, +1), batch_format="pyarrow"
     )
     os.makedirs(view_root, exist_ok=True)
@@ -270,7 +298,9 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
         "group_col": meta["group_col"],
         "aggs": {k: tuple(v) for k, v in meta["aggs"].items()},
         "key": meta["key"],
+        "where": meta.get("where"),
     }
+    where = [tuple(w) for w in meta.get("where") or []] or None
     base_v = meta["lake_version"]
     latest = load_latest_manifest(lake_root)
     if latest.version == base_v:
@@ -294,7 +324,17 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
     feed = net_changes_since(lake_root, base_v).materialize()
 
     def _new_live(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["op"], "UPDATE"))
+        out = batch.filter(pc.equal(batch["op"], "UPDATE"))
+        if where:
+            # filtered view: only rows satisfying the predicate
+            # contribute — a changed row OUTSIDE the filter adds nothing
+            # (its old image, if it was inside, retracts below)
+            from palimpzest_ray.cdc.engine import _predicate_mask
+
+            out = out.filter(
+                pc.coalesce(_predicate_mask(out, where), pa.scalar(False))
+            )
+        return out
 
     new_rows = feed.map_batches(_new_live, batch_format="pyarrow")
 
@@ -314,12 +354,19 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
     if small_churn:
         from palimpzest_ray.cdc.engine import lookup
 
-        old_rows = rd.from_arrow(
-            lookup(
-                lake_root, sorted(keys_set), key=key, version=base_v,
-                columns=_needed_cols(meta),
-            )
+        old_tab = lookup(
+            lake_root, sorted(keys_set), key=key, version=base_v,
+            columns=_needed_cols(meta),
         )
+        if where:
+            from palimpzest_ray.cdc.engine import _predicate_mask
+
+            old_tab = old_tab.filter(
+                pc.coalesce(
+                    _predicate_mask(old_tab, where), pa.scalar(False)
+                )
+            )
+        old_rows = rd.from_arrow(old_tab)
     else:
         from palimpzest_ray.dataset import Dataset as PzDataset
 
@@ -330,6 +377,15 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
             )
         )
         old_rows = PzDataset(old_state).semi_join(changed_keys, key).ray
+        if where:
+            from palimpzest_ray.cdc.engine import _predicate_mask
+
+            old_rows = old_rows.map_batches(
+                lambda t: t.filter(
+                    pc.coalesce(_predicate_mask(t, where), pa.scalar(False))
+                ),
+                batch_format="pyarrow",
+            )
 
     current = _read_pinned(view_root, meta)
     if _has_mm(meta_n["aggs"]):
@@ -352,7 +408,7 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
             scan = final_state(
                 lake_root,
                 columns=_needed_cols(meta_n),
-                predicate=[(group_col, "in", affected)],
+                predicate=[(group_col, "in", affected)] + list(where or []),
             )
             recomputed = _reduce(
                 scan.map_batches(_partial(meta_n, +1), batch_format="pyarrow"),

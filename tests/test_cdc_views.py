@@ -304,3 +304,70 @@ def test_minmax_view_affected_group_recompute(tmp_path):
     apply_changes(_write(tmp_path, "e3/log.parquet", kill), lake, num_partitions=8)
     views.refresh_view(lake, view)
     assert _got() == _expect()  # the retracted max is re-derived
+
+
+def test_filtered_view_refresh_equals_recompute(tmp_path):
+    """where= makes a FILTERED view: only predicate-satisfying rows
+    contribute; rows entering/leaving the filtered set across epochs
+    come out as ordinary deltas and refresh == recreate throughout."""
+
+    def _filtered_recompute(lake) -> dict:
+        t = final_state_table(lake)
+        out: dict = {}
+        for src, n in zip(t["source"].to_pylist(), t["n_tok"].to_pylist()):
+            if n is None or n < 40:
+                continue
+            c, s = out.get(src, (0, 0))
+            out[src] = (c + 1, s + n)
+        return out
+
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    _seed(tmp_path, lake)
+    where = [("n_tok", ">=", 40)]
+    m = views.create_view(
+        lake, view, group_col="source", aggs=AGGS, where=where
+    )
+    assert m["where"] == [list(where[0])]
+    assert {k: v[:2] for k, v in _view_dict(view).items()} == \
+        _filtered_recompute(lake)
+
+    # epochs with updates that cross the threshold both ways, deletes,
+    # and fresh keys
+    log2 = make_change_table(2000, 400, seed=9, start_lsn=1,
+                             new_key_space=100)
+    apply_changes(_write(tmp_path, "e2/log.parquet", log2), lake,
+                  num_partitions=8)
+    views.refresh_view(lake, view)
+    assert {k: v[:2] for k, v in _view_dict(view).items()} == \
+        _filtered_recompute(lake)
+
+    log3 = make_change_table(1500, 500, seed=10, start_lsn=3000)
+    apply_changes(_write(tmp_path, "e3/log.parquet", log3), lake,
+                  num_partitions=8)
+    views.refresh_view(lake, view)
+    got = {k: v[:2] for k, v in _view_dict(view).items()}
+    exp = _filtered_recompute(lake)
+    assert got == exp
+
+    # filtered min/max views take the affected-group recompute path
+    view2 = str(tmp_path / "view2")
+    views.create_view(
+        lake, view2, group_col="source",
+        aggs={"n_docs": ("count", None), "top_tok": ("max", "n_tok")},
+        where=where,
+    )
+    log4 = make_change_table(800, 300, seed=11, start_lsn=6000)
+    apply_changes(_write(tmp_path, "e4/log.parquet", log4), lake,
+                  num_partitions=8)
+    views.refresh_view(lake, view2)
+    t = final_state_table(lake)
+    exp_mm: dict = {}
+    for src, n in zip(t["source"].to_pylist(), t["n_tok"].to_pylist()):
+        if n is None or n < 40:
+            continue
+        c, mx = exp_mm.get(src, (0, None))
+        exp_mm[src] = (c + 1, n if mx is None else max(mx, n))
+    rows = views.read_view(view2).take_all()
+    got_mm = {r["source"]: (r["n_docs"], r["top_tok"]) for r in rows}
+    assert got_mm == exp_mm
