@@ -3449,6 +3449,50 @@ def q135_filtered_view(sf_dir: str):
     )
 
 
+def q136_row_ttl(sf_dir: str):
+    """Row TTL (cdc/ttl.py — the ClickHouse TTL idea): an events lake
+    declares `ts older than 72h expires`; one apply_ttl enforcement at
+    a pinned clock (max ts) tombstones exactly the stale slice as an
+    ordinary exactly-once DELETE. EXACT oracle: events within the
+    72-hour window of max(ts)."""
+    from datetime import timezone
+
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, apply_ttl, final_state, set_ttl
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_ttl_demo")
+    lake = os.path.join(work, "lake")
+    import shutil
+
+    shutil.rmtree(lake, ignore_errors=True)
+    shutil.rmtree(os.path.join(lake, "_policy"), ignore_errors=True)
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    feed = pa.table(
+        {
+            "lsn": ev["event_id"].cast(pa.int64()),
+            "op": pa.array(["INSERT"] * ev.num_rows),
+            "doc_id": pc.cast(ev["event_id"], pa.string()),
+            "ts": ev["ts"],
+            "event_type": ev["event_type"],
+            "value": ev["value"],
+        }
+    )
+    apply_changes(feed, lake, num_partitions=8)
+    set_ttl(lake, "ts", keep_seconds=72 * 3600)
+    max_ts = pc.max(ev["ts"]).as_py()
+    now = max_ts.replace(tzinfo=timezone.utc).timestamp()
+    apply_ttl(lake, now=now)
+    return pzd.Dataset(final_state(lake)).project(
+        ["doc_id", "ts", "event_type", "value"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3584,6 +3628,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q133_subscription_replica": q133_subscription_replica,
         "q134_enriched_ingest": q134_enriched_ingest,
         "q135_filtered_view": q135_filtered_view,
+        "q136_row_ttl": q136_row_ttl,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3703,6 +3748,12 @@ def _base_oracle_sql() -> dict[str, str]:
         from final
         where n_tok >= 40
         group by source
+    """
+    # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
+    d["q136_row_ttl"] = """
+        select cast(event_id as varchar) as doc_id, ts, event_type, value
+        from events
+        where ts >= (select max(ts) - interval 72 hour from events)
     """
     # broadcast enrichment at ingest == the SQL left join
     d["q134_enriched_ingest"] = """
