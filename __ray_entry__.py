@@ -3493,6 +3493,83 @@ def q136_row_ttl(sf_dir: str):
     )
 
 
+def q137_multicol_view(sf_dir: str):
+    """Multi-column grouped incremental view (cdc/views.py group_col as
+    a LIST — GROUP BY (source, bucket) through the injective composite
+    key, decoded back to typed columns at read): created after the
+    load, refreshed in O(changes) after an update/delete epoch. EXACT
+    oracle: the two-column GROUP BY over the closed form."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, views
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_mcview_demo")
+    lake = os.path.join(work, "lake")
+    view = os.path.join(work, "view")
+    import shutil
+
+    for d in (lake, view):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    nums = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    feed1 = pa.table(
+        {
+            "lsn": pa.array(nums, pa.int64()),
+            "op": pa.array(["INSERT"] * len(nums)),
+            "doc_id": pa.array([f"doc-{int(i):08d}" for i in nums]),
+            "source": docs["source"],
+            "bucket": pa.array(nums % 3, pa.int64()),
+            "n_chars": docs["n_chars"].cast(pa.int64()),
+        }
+    )
+    apply_changes(feed1, lake, num_partitions=8)
+    views.create_view(
+        lake, view, group_col=["source", "bucket"],
+        aggs={"n_docs": ("count", None), "total_chars": ("sum", "n_chars")},
+    )
+    upd = nums[nums % 4 == 1]
+    dele = nums[nums % 11 == 7]
+    feed2 = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "lsn": pa.array(10_000_000 + upd, pa.int64()),
+                    "op": pa.array(["UPDATE"] * len(upd)),
+                    "doc_id": pa.array([f"doc-{int(i):08d}" for i in upd]),
+                    "source": docs["source"].filter(
+                        pa.array(nums % 4 == 1)
+                    ),
+                    "bucket": pa.array(upd % 3, pa.int64()),
+                    "n_chars": pa.array(
+                        docs["n_chars"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[nums % 4 == 1] + 1000,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            pa.table(
+                {
+                    "lsn": pa.array(20_000_000 + dele, pa.int64()),
+                    "op": pa.array(["DELETE"] * len(dele)),
+                    "doc_id": pa.array([f"doc-{int(i):08d}" for i in dele]),
+                    "source": pa.nulls(len(dele), pa.string()),
+                    "bucket": pa.nulls(len(dele), pa.int64()),
+                    "n_chars": pa.nulls(len(dele), pa.int64()),
+                }
+            ),
+        ]
+    )
+    apply_changes(feed2, lake)
+    views.refresh_view(lake, view)
+    return pzd.Dataset(views.read_view(view)).project(
+        ["source", "bucket", "n_docs", "total_chars"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3629,6 +3706,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q134_enriched_ingest": q134_enriched_ingest,
         "q135_filtered_view": q135_filtered_view,
         "q136_row_ttl": q136_row_ttl,
+        "q137_multicol_view": q137_multicol_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3748,6 +3826,22 @@ def _base_oracle_sql() -> dict[str, str]:
         from final
         where n_tok >= 40
         group by source
+    """
+    # multi-column grouped view after refresh == the 2-col GROUP BY
+    # over the closed form
+    d["q137_multicol_view"] = """
+        with final as (
+          select source,
+                 doc_id % 3 as bucket,
+                 case when doc_id % 4 = 1 then n_chars + 1000
+                      else n_chars end as n_chars
+          from documents
+          where doc_id % 11 <> 7)
+        select source, bucket,
+               count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as total_chars
+        from final
+        group by source, bucket
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

@@ -98,3 +98,27 @@ def encode_key_tuple(values: Sequence) -> str:
 
 def encode_key_tuples(tuples: Sequence[Sequence]) -> list[str]:
     return [encode_key_tuple(t) for t in tuples]
+
+
+def decode_key_string(s: str) -> list[str]:
+    """Inverse of :func:`encode_key_tuple` (string components): split
+    on unescaped separators and unescape. The escape map is prefix-free
+    (``\\`` escapes exactly the next char), so the decomposition is
+    unique — the injectivity the encoder's tests prove."""
+    out: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == KEY_SEP:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out

@@ -97,11 +97,20 @@ def _cnt_col(out: str) -> str:
     return f"_cnt_{out}"
 
 
+GROUP_KEY_COL = "_gkey"  # synthesized multi-column group key
+
+
+def _group_cols(meta: dict) -> list[str] | None:
+    """The original component columns of a multi-column group, or None
+    for a single-column view."""
+    return meta.get("group_cols") or None
+
+
 def _needed_cols(meta: dict) -> list[str]:
     """The only lake columns an aggregate view touches — passed to
     ``final_state(columns=...)`` so the token payload never leaves
     parquet (group/value columns are bytes per row, tokens are KBs)."""
-    cols = [meta["key"], meta["group_col"]]
+    cols = [meta["key"]] + (_group_cols(meta) or [meta["group_col"]])
     for _out, (fn, col) in dict(meta["aggs"]).items():
         if fn != "count" and col:
             cols.append(col)
@@ -123,9 +132,23 @@ def _partial(meta: dict, sign: int):
     group_col = meta["group_col"]
     aggs = meta["aggs"]
 
+    gcols = _group_cols(meta)
+
     def _fn(batch: pa.Table) -> pa.Table:
+        if gcols:
+            from palimpzest_ray.cdc.keys import composite_key_column
+
+            if group_col not in batch.column_names:
+                batch = batch.append_column(
+                    group_col,
+                    pa.chunked_array([composite_key_column(batch, gcols)])
+                    if batch.num_rows
+                    else pa.array([], pa.string()),
+                )
         if batch.num_rows == 0:
-            cols = {group_col: batch[group_col]}
+            cols = {group_col: batch[group_col]
+                    if group_col in batch.column_names
+                    else pa.array([], pa.string())}
             cols[_NROWS] = pa.array([], pa.int64())
             for out, (fn, _c) in aggs.items():
                 if fn in _MM_FNS:
@@ -220,7 +243,7 @@ def create_view(
     lake_root: str,
     view_root: str,
     *,
-    group_col: str,
+    group_col,
     aggs: dict[str, tuple[str, str | None]],
     key: str = "doc_id",
     where: list | None = None,
@@ -230,6 +253,12 @@ def create_view(
     {"count", "sum", "avg", "min", "max"} (count's value_col is
     ignored). count/sum/avg refresh by pure deltas; any min/max switches
     the refresh to affected-group recompute (module docstring).
+
+    ``group_col`` may be a LIST of columns — GROUP BY (a, b, ...):
+    the pipeline keys on an injective synthesized string
+    (``cdc.keys`` composite encoding, so components must be
+    string/int/bool) and ``read_view`` decodes it back to the original
+    typed columns; maintenance is identical to the single-column case.
 
     ``where`` — conjuncts in the expectations mini-language
     ``[("col", op, value), ...]`` — makes this a FILTERED view: only
@@ -249,6 +278,28 @@ def create_view(
     manifest = load_latest_manifest(lake_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake under {lake_root}")
+    group_cols = None
+    group_types = None
+    if not isinstance(group_col, str):
+        group_cols = list(group_col)
+        if len(group_cols) == 1:
+            group_col = group_cols[0]
+            group_cols = None
+        else:
+            unknown = [c for c in group_cols if c not in manifest.schema.names]
+            if unknown:
+                raise ValueError(f"unknown group column(s) {unknown}")
+            for c in group_cols:
+                t = manifest.schema.field(c).type
+                if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                        or pa.types.is_integer(t) or pa.types.is_boolean(t)):
+                    raise ValueError(
+                        f"group column {c!r} has type {t}; multi-column "
+                        "groups need string/int/bool components"
+                    )
+            group_types = [str(manifest.schema.field(c).type)
+                           for c in group_cols]
+            group_col = GROUP_KEY_COL
     if where:
         from palimpzest_ray.cdc.engine import _predicate_mask
 
@@ -260,6 +311,8 @@ def create_view(
         )
     meta = {
         "group_col": group_col,
+        "group_cols": group_cols,
+        "group_types": group_types,
         "aggs": {k: list(v) for k, v in aggs.items()},
         "key": key,
         "where": [list(w) for w in where] if where else None,
@@ -268,8 +321,8 @@ def create_view(
         # counts stored); an all-null group reports NULL, not 0.
         "nulls": "sql",
     }
-    meta_n = {"group_col": group_col, "aggs": aggs, "key": key,
-              "where": meta["where"]}
+    meta_n = {"group_col": group_col, "group_cols": group_cols,
+              "aggs": aggs, "key": key, "where": meta["where"]}
     parts = final_state(
         lake_root,
         columns=_needed_cols(meta_n),
@@ -296,6 +349,7 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
         )
     meta_n = {
         "group_col": meta["group_col"],
+        "group_cols": meta.get("group_cols"),
         "aggs": {k: tuple(v) for k, v in meta["aggs"].items()},
         "key": meta["key"],
         "where": meta.get("where"),
@@ -394,10 +448,23 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
         # refresh would apply touches exactly these groups anyway — so
         # recompute all aggregates for them from the latest lake
         # (zone-map/footer-pruned "in" scan) and carry the rest forward.
+        gcols = _group_cols(meta_n)
+
+        def _gkey_of(t: pa.Table) -> pa.Table:
+            if gcols and group_col not in t.column_names:
+                from palimpzest_ray.cdc.keys import composite_key_column
+
+                t = t.append_column(
+                    group_col,
+                    pa.chunked_array([composite_key_column(t, gcols)])
+                    if t.num_rows else pa.array([], pa.string()),
+                )
+            return t
+
         def _groups_of(ds: rd.Dataset) -> set:
             vals: set = set()
             for b in ds.map_batches(
-                lambda t: pa.table({group_col: pc.unique(t[group_col])}),
+                lambda t: pa.table({group_col: pc.unique(_gkey_of(t)[group_col])}),
                 batch_format="pyarrow",
             ).iter_batches(batch_format="pyarrow"):
                 vals.update(v for v in b[group_col].to_pylist() if v is not None)
@@ -405,11 +472,43 @@ def refresh_view(lake_root: str, view_root: str) -> dict:
 
         affected = sorted(_groups_of(new_rows) | _groups_of(old_rows))
         if affected:
-            scan = final_state(
-                lake_root,
-                columns=_needed_cols(meta_n),
-                predicate=[(group_col, "in", affected)] + list(where or []),
-            )
+            if gcols:
+                # component-level "in" predicates prune the rescan (a
+                # superset of the affected tuples); the exact tuple
+                # filter below keeps recomputed rows disjoint from kept
+                from palimpzest_ray.cdc.keys import decode_key_string
+
+                comp_vals: list[set] = [set() for _ in gcols]
+                for g in affected:
+                    for i, v in enumerate(decode_key_string(g)):
+                        comp_vals[i].add(v)
+                pred = []
+                for c, vals, tname in zip(
+                    gcols, comp_vals, meta.get("group_types") or []
+                ):
+                    typed = list(vals)
+                    if tname and "int" in tname:
+                        typed = [int(v) for v in typed]
+                    elif tname == "bool":
+                        typed = [v == "true" for v in typed]
+                    pred.append((c, "in", sorted(typed)))
+                aff_arr = pa.array(affected)
+                scan = final_state(
+                    lake_root,
+                    columns=_needed_cols(meta_n),
+                    predicate=pred + list(where or []),
+                ).map_batches(
+                    lambda t: (lambda tt: tt.filter(
+                        pc.is_in(tt[group_col], value_set=aff_arr)
+                    ))(_gkey_of(t)),
+                    batch_format="pyarrow",
+                )
+            else:
+                scan = final_state(
+                    lake_root,
+                    columns=_needed_cols(meta_n),
+                    predicate=[(group_col, "in", affected)] + list(where or []),
+                )
             recomputed = _reduce(
                 scan.map_batches(_partial(meta_n, +1), batch_format="pyarrow"),
                 meta_n,
@@ -450,8 +549,28 @@ def read_view(view_root: str) -> rd.Dataset:
     aggs = {k: tuple(v) for k, v in meta["aggs"].items()}
     group_col = meta["group_col"]
 
+    gcols = _group_cols(meta)
+    gtypes = meta.get("group_types") or []
+
     def _present(batch: pa.Table) -> pa.Table:
-        cols = {group_col: batch[group_col]}
+        if gcols:
+            # decode the synthesized key back to the original typed
+            # columns (output is group-sized — tiny next to the lake)
+            from palimpzest_ray.cdc.keys import decode_key_string
+
+            decoded = [decode_key_string(v)
+                       for v in batch[group_col].to_pylist()]
+            cols = {}
+            for i, (c, tname) in enumerate(zip(gcols, gtypes)):
+                vals = [d[i] for d in decoded]
+                t = pa.type_for_alias(tname)
+                if pa.types.is_integer(t):
+                    vals = [int(v) for v in vals]
+                elif pa.types.is_boolean(t):
+                    vals = [v == "true" for v in vals]
+                cols[c] = pa.array(vals, t)
+        else:
+            cols = {group_col: batch[group_col]}
         null_f64 = pa.scalar(None, pa.float64())
         for out, (fn, _c) in aggs.items():
             if fn == "count":

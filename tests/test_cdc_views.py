@@ -371,3 +371,99 @@ def test_filtered_view_refresh_equals_recompute(tmp_path):
     rows = views.read_view(view2).take_all()
     got_mm = {r["source"]: (r["n_docs"], r["top_tok"]) for r in rows}
     assert got_mm == exp_mm
+
+
+def test_multicolumn_group_view(tmp_path):
+    """group_col as a LIST: GROUP BY (source, bucket) via the injective
+    composite key; refresh == recreate across epochs; read_view decodes
+    back to the original typed columns; min/max takes the pruned
+    affected-group path."""
+    lake = str(tmp_path / "lake")
+    _seed(tmp_path, lake)
+    # give rows a second (int) group dimension derived from n_tok
+    from palimpzest_ray.cdc import add_generated_column
+
+    add_generated_column(
+        lake, pa.field("bucket", pa.int64()),
+        ["mod", ["col", "n_tok"], 3],
+    )
+
+    def _recompute2(lake) -> dict:
+        t = final_state_table(lake)
+        out: dict = {}
+        for src, b, n in zip(
+            t["source"].to_pylist(), t["bucket"].to_pylist(),
+            t["n_tok"].to_pylist(),
+        ):
+            c, s = out.get((src, b), (0, 0))
+            out[(src, b)] = (c + 1, s + n)
+        return out
+
+    view = str(tmp_path / "view")
+    views.create_view(
+        lake, view, group_col=["source", "bucket"],
+        aggs={"n_docs": ("count", None), "total_tok": ("sum", "n_tok")},
+    )
+
+    def _got(view_root) -> dict:
+        rows = views.read_view(view_root).take_all()
+        assert all(isinstance(r["bucket"], int) for r in rows)
+        return {
+            (r["source"], r["bucket"]): (r["n_docs"], r["total_tok"])
+            for r in rows
+        }
+
+    assert _got(view) == _recompute2(lake)
+
+    log2 = make_change_table(2000, 400, seed=12, start_lsn=1,
+                             new_key_space=100)
+    apply_changes(_write(tmp_path, "e2/log.parquet", log2), lake,
+                  num_partitions=8)
+    views.refresh_view(lake, view)
+    assert _got(view) == _recompute2(lake)
+
+    # min/max multi-column view: affected-group recompute path
+    view2 = str(tmp_path / "view2")
+    views.create_view(
+        lake, view2, group_col=["source", "bucket"],
+        aggs={"n_docs": ("count", None), "top_tok": ("max", "n_tok")},
+    )
+    log3 = make_change_table(1000, 300, seed=13, start_lsn=4000)
+    apply_changes(_write(tmp_path, "e3/log.parquet", log3), lake,
+                  num_partitions=8)
+    views.refresh_view(lake, view2)
+    t = final_state_table(lake)
+    exp_mm: dict = {}
+    for src, b, n in zip(
+        t["source"].to_pylist(), t["bucket"].to_pylist(),
+        t["n_tok"].to_pylist(),
+    ):
+        c, mx = exp_mm.get((src, b), (0, None))
+        exp_mm[(src, b)] = (c + 1, n if mx is None else max(mx, n))
+    rows = views.read_view(view2).take_all()
+    got_mm = {
+        (r["source"], r["bucket"]): (r["n_docs"], r["top_tok"])
+        for r in rows
+    }
+    assert got_mm == exp_mm
+
+    # a float group component is refused up front
+    flake = str(tmp_path / "flake")
+    apply_changes(
+        pa.table(
+            {
+                "lsn": pa.array([1], pa.int64()),
+                "op": pa.array(["INSERT"]),
+                "doc_id": pa.array(["a"]),
+                "score": pa.array([1.5], pa.float64()),
+                "grp": pa.array(["g"]),
+            }
+        ),
+        flake, num_partitions=2,
+    )
+    with pytest.raises(ValueError, match="string/int/bool"):
+        views.create_view(
+            flake, str(tmp_path / "v3"),
+            group_col=["grp", "score"],
+            aggs={"n": ("count", None)},
+        )
