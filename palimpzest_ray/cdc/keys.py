@@ -9,6 +9,13 @@ with an INJECTIVE, order-preserving-per-component encoding, and the
 lake proceeds keyed on that column — the Hudi ``ComplexKeyGenerator``
 idea (public docs: hudi.apache.org key generation) re-done columnar.
 
+Injectivity is over tuples from a FIXED column-type signature (what a
+lake guarantees: each component column has one type, and schema
+unification refuses int↔string/bool flips). The canonical
+stringification deliberately maps int ``0`` and str ``"0"`` to the
+same text — those can only meet across DIFFERENT schemas, never
+within one lake's key space.
+
 Encoding: each component is stringified canonically (utf8 as-is,
 integers in decimal, bool as true/false), then ``\\`` -> ``\\\\`` and
 the separator ``\\x1f`` -> ``\\\\x1f`` are escaped, and components are

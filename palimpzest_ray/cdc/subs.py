@@ -150,6 +150,50 @@ def min_subscription_version(lake_root: str) -> int | None:
     return min(subs.values()) if subs else None
 
 
+def sync_replica(
+    src_root: str, dst_root: str, *, name: str | None = None
+) -> dict:
+    """One-call replica maintenance: the first call CLONES the source
+    at its current head and pins a subscription at the same version
+    (the consistent handoff); every later call polls the cursor,
+    applies the net feed to the replica and acks — O(changes) catch-up,
+    at-least-once safe (a crash between apply and ack redelivers and
+    the LWW apply converges). Run it from cron/`tail_follow(on_commit)`
+    and the replica follows the source. Returns
+    ``{"bootstrapped": bool, "applied": rows, "version": cursor}``."""
+    sub_name = name or (
+        "replica-" + os.path.basename(os.path.abspath(dst_root))
+    )
+    if load_latest_manifest(dst_root) is None:
+        from palimpzest_ray.cdc.snapshot import clone_lake
+
+        try:
+            sub = create_subscription(src_root, sub_name)
+        except ValueError:
+            # a cursor from a deleted replica: restart the handoff
+            drop_subscription(src_root, sub_name)
+            sub = create_subscription(src_root, sub_name)
+        clone_lake(src_root, dst_root)
+        return {
+            "bootstrapped": True, "applied": 0, "version": sub["version"]
+        }
+    import pyarrow as pa
+
+    feed, token = poll_subscription(src_root, sub_name)
+    if feed is None:
+        return {"bootstrapped": False, "applied": 0, "version": token}
+    from palimpzest_ray.cdc.engine import apply_changes
+
+    tab = pa.concat_tables(
+        feed.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    apply_changes(tab, dst_root)
+    ack_subscription(src_root, sub_name, token)
+    return {
+        "bootstrapped": False, "applied": tab.num_rows, "version": token
+    }
+
+
 def subscription_lag(lake_root: str, name: str) -> dict:
     """How far a consumer trails the head: versions behind and events
     behind (head max_lsn - cursor max_lsn) — manifests only, no data

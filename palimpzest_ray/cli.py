@@ -356,6 +356,29 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "ttl",
+        help="row TTL policy: set / show / drop / apply "
+        "(stored expiry enforced as exactly-once deletes)",
+    )
+    p.add_argument("lake")
+    p.add_argument("action", choices=["set", "show", "drop", "apply"])
+    p.add_argument("col", nargs="?", default=None)
+    p.add_argument("--keep-seconds", type=float, default=None)
+    p.add_argument(
+        "--now", type=float, default=None,
+        help="apply: pin the enforcement clock (epoch seconds)",
+    )
+
+    p = sub.add_parser(
+        "sync",
+        help="replica maintenance: first call clones + subscribes, "
+        "later calls poll/apply/ack the net changes",
+    )
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--name", default=None)
+
+    p = sub.add_parser(
         "tag",
         help="named savepoints: create / drop / list (vacuum retains "
         "tagged versions)",
@@ -772,6 +795,33 @@ def main(argv: list[str] | None = None) -> int:
 
         mm = lake_minmax(args.lake, args.columns, version=args.version)
         print(json.dumps({c: list(v) for c, v in mm.items()}))
+        return 0
+
+    if args.cmd == "ttl":
+        from palimpzest_ray.cdc import apply_ttl, drop_ttl, get_ttl, set_ttl
+
+        if args.action == "show":
+            print(json.dumps(get_ttl(args.lake)))
+        elif args.action == "drop":
+            drop_ttl(args.lake)
+            print(json.dumps({"dropped": True}))
+        elif args.action == "set":
+            if not (args.col and args.keep_seconds):
+                raise SystemExit("ttl set needs COL --keep-seconds N")
+            print(json.dumps(set_ttl(
+                args.lake, args.col, args.keep_seconds
+            )))
+        else:  # apply
+            _ensure_ray(args.num_cpus)
+            res = apply_ttl(args.lake, now=args.now)
+            print(json.dumps(_apply_summary(res)))
+        return 0
+
+    if args.cmd == "sync":
+        from palimpzest_ray.cdc import sync_replica
+
+        _ensure_ray(args.num_cpus)
+        print(json.dumps(sync_replica(args.src, args.dst, name=args.name)))
         return 0
 
     if args.cmd == "tag":  # pure metadata, no Ray session

@@ -236,25 +236,39 @@ def test_encoding_injectivity_property():
 
     from palimpzest_ray.cdc.keys import encode_key_tuple
 
-    component = st.one_of(
-        st.lists(
-            st.sampled_from(["a", "b", "\x1f", "\\", "\\\x1f", "0"]),
-            max_size=4,
-        ).map("".join),
-        st.integers(-100, 100),
-        st.booleans(),
+    # the encoder's contract is injectivity over tuples drawn from a
+    # FIXED column-type signature — a lake column has ONE type, so an
+    # int component can never sit where a string component sits (the
+    # canonical stringification deliberately maps int 0 and str "0" to
+    # the same text; they can only meet ACROSS schemas, never within
+    # one lake). Model that: draw a per-position type signature first,
+    # then tuples conforming to it.
+    str_comp = st.lists(
+        st.sampled_from(["a", "b", "\x1f", "\\", "\\\x1f", "0", "true"]),
+        max_size=4,
+    ).map("".join)
+    COMP = {
+        "s": str_comp,
+        "i": st.integers(-100, 100),
+        "b": st.booleans(),
+    }
+    sig = st.lists(st.sampled_from("sib"), min_size=1, max_size=3)
+    lists_of_tuples = sig.flatmap(
+        lambda types: st.lists(
+            st.tuples(*[COMP[t] for t in types]), min_size=2, max_size=12
+        )
     )
-    tuples = st.lists(component, min_size=1, max_size=3).map(tuple)
 
-    @given(st.lists(tuples, min_size=2, max_size=12))
+    @given(lists_of_tuples)
     @settings(max_examples=300, deadline=None)
     def check(ts):
         enc = [encode_key_tuple(t) for t in ts]
-        # injectivity over same-arity tuples: encodings collide iff
-        # the tuples are equal (arity is visible as separator count,
-        # so cross-arity collisions are impossible by construction —
-        # asserted via the full pairwise check)
-        def typed(t):  # 0 == False in Python; not in a typed column
+        # injectivity within the signature: encodings collide iff the
+        # tuples are equal (0 vs False share a signature slot only if
+        # the column is bool OR int, never both — but guard with a
+        # typed compare anyway so bool-vs-int generation drift in this
+        # test could never weaken the assertion silently)
+        def typed(t):
             return tuple((type(x).__name__, x) for x in t)
 
         for i in range(len(ts)):

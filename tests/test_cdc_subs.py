@@ -186,3 +186,64 @@ def test_cli_sub_roundtrip(tmp_path, capsys, ray_session):
     subs = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert subs == {"c1": 2}
     assert cli.main(["sub", lake, "drop", "c1"]) == 0
+
+
+def test_sync_replica_lifecycle(tmp_path, ray_session):
+    """One-call replica maintenance: bootstrap (clone + subscribe),
+    incremental catch-ups, caught-up no-ops, convergence."""
+    from palimpzest_ray.cdc import sync_replica
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _boot(tmp_path, src)
+
+    r0 = sync_replica(src, dst)
+    assert r0["bootstrapped"] and r0["applied"] == 0
+    assert final_state_table(dst).equals(final_state_table(src))
+
+    # changes on the source; next sync applies exactly the net feed
+    apply_changes(
+        _log(tmp_path, "u1.parquet", [
+            {"lsn": 900, "op": "UPDATE", "doc_id": "d000", "n_tok": 77},
+            {"lsn": 901, "op": "DELETE", "doc_id": "d001", "n_tok": None},
+        ]),
+        src,
+    )
+    r1 = sync_replica(src, dst)
+    assert not r1["bootstrapped"] and r1["applied"] == 2
+    assert final_state_table(dst).equals(final_state_table(src))
+
+    # caught up: no-op
+    r2 = sync_replica(src, dst)
+    assert r2["applied"] == 0
+    assert final_state_table(dst).equals(final_state_table(src))
+
+
+def test_cli_ttl_and_sync(tmp_path, capsys, ray_session):
+    import json as _json
+
+    from palimpzest_ray import cli
+
+    lake = str(tmp_path / "lake")
+    _boot(tmp_path, lake, n=10)
+    assert cli.main(
+        ["ttl", lake, "set", "n_tok", "--keep-seconds", "5"]
+    ) == 0
+    pol = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pol["col"] == "n_tok"
+    # n_tok values are 0..9; now=12, keep=5 -> expire n_tok < 7
+    assert cli.main(["ttl", lake, "apply", "--now", "12"]) == 0
+    summ = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summ["rows_deleted"] == 7
+    assert cli.main(["ttl", lake, "show"]) == 0
+    capsys.readouterr()
+    assert cli.main(["ttl", lake, "drop"]) == 0
+    capsys.readouterr()
+
+    dst = str(tmp_path / "replica")
+    assert cli.main(["sync", lake, dst]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bootstrapped"] is True
+    assert cli.main(["sync", lake, dst]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["applied"] == 0
