@@ -386,6 +386,45 @@ def vacuum(
     return VacuumResult(dropped, files_deleted, bytes_reclaimed, cleaned)
 
 
+def find_orphans(lake_root: str) -> dict:
+    """Read-only inverse of :func:`vacuum`'s referenced-set
+    subtraction: data files on disk that NO retained manifest, staged
+    (write-audit-publish) version or branch references — debris from
+    crashed stagings, manual copies, or versions vacuum already
+    dropped. Lists, never deletes (``vacuum`` is the reclaimer);
+    driver-side metadata walk, no Ray session, no data read."""
+    latest = load_latest_manifest(lake_root)
+    if latest is None:
+        return {"orphans": [], "bytes": 0, "files_referenced": 0}
+    referenced: set[str] = set()
+    for f in os.listdir(lake_root):
+        if f.startswith("MANIFEST-v") and f.endswith(".json"):
+            with open(os.path.join(lake_root, f)) as fh:
+                m = LakeManifest.from_json(fh.read())
+            for e in m.parts.values():
+                referenced.add(os.path.normpath(e.file))
+                referenced.update(os.path.normpath(d) for d in e.deltas)
+    from palimpzest_ray.cdc.branch import branch_referenced_files
+
+    referenced |= branch_referenced_files(lake_root)
+    orphans: list[str] = []
+    nbytes = 0
+    data_root = os.path.join(lake_root, "data")
+    if os.path.isdir(data_root):
+        for vdir in sorted(os.listdir(data_root)):
+            for fn in sorted(os.listdir(os.path.join(data_root, vdir))):
+                rel = os.path.normpath(os.path.join("data", vdir, fn))
+                stem = rel[: -len(".bloom")] if rel.endswith(".bloom") else rel
+                if stem not in referenced:
+                    orphans.append(rel)
+                    nbytes += os.path.getsize(os.path.join(lake_root, rel))
+    return {
+        "orphans": orphans,
+        "bytes": nbytes,
+        "files_referenced": len(referenced),
+    }
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed a version between this run's read of
     LATEST and its commit. Nothing was written; re-run the apply against

@@ -391,6 +391,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="create: move an existing tag")
 
     p = sub.add_parser(
+        "orphans",
+        help="list data files no retained manifest/staged version/"
+        "branch references (read-only; vacuum reclaims)",
+    )
+    p.add_argument("lake")
+
+    p = sub.add_parser(
         "skew",
         help="partition-balance report from manifest counters "
         "(zero data I/O)",
@@ -838,6 +845,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             drop_tag(args.lake, args.name)
             print(json.dumps({"dropped": args.name}))
+        return 0
+
+    if args.cmd == "orphans":  # pure metadata, no Ray session
+        from palimpzest_ray.cdc import find_orphans
+
+        print(json.dumps(find_orphans(args.lake)))
         return 0
 
     if args.cmd == "skew":  # pure metadata, no Ray session

@@ -135,3 +135,37 @@ def test_cli_tag_and_skew(tmp_path, capsys, ray_session):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows_total"] == 1
     assert cli.main(["tag", lake, "drop", "v1-cut"]) == 0
+
+
+def test_find_orphans(tmp_path, capsys, ray_session):
+    import shutil
+
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import find_orphans
+
+    lake = str(tmp_path / "lake")
+    _apply(tmp_path, lake, [
+        {"lsn": i + 1, "op": "INSERT", "doc_id": f"d{i}", "n_tok": i}
+        for i in range(8)
+    ], "boot.parquet")
+    rep = find_orphans(lake)
+    assert rep["orphans"] == []
+    assert rep["files_referenced"] > 0
+
+    # a stray copy inside the data dir is an orphan; vacuum reclaims it
+    m = load_manifest(lake, 1)
+    src = next(iter(m.parts.values())).file
+    stray = os.path.join(lake, "data", "v1", "stray-copy.parquet")
+    shutil.copyfile(os.path.join(lake, src), stray)
+    rep2 = find_orphans(lake)
+    assert rep2["orphans"] == [os.path.join("data", "v1", "stray-copy.parquet")]
+    assert rep2["bytes"] > 0
+    from palimpzest_ray.cdc import vacuum
+
+    vacuum(lake, keep_versions=1)
+    assert not os.path.exists(stray)
+    assert find_orphans(lake)["orphans"] == []
+
+    assert cli.main(["orphans", lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["orphans"] == []
