@@ -243,6 +243,9 @@ BENCH_QUERIES = [
     "q131_gdpr_purge",  # round-3: history-rewrite purge after 2 epochs
     "q132_change_router",  # round-3: streaming split + 3-lake catalog txn
     "q133_subscription_replica",  # round-3: poll/ack replica catch-up
+    "q134_enriched_ingest",  # round-3: broadcast dimension enrichment
+    "q136_row_ttl",  # round-3: stored-policy expiry enforcement
+    "q137_multicol_view",  # round-3: composite-key grouped view refresh
     "cdc_replay",
 ]
 
@@ -271,12 +274,25 @@ def main() -> None:
         # nodes. Interleaved trials, best per level: this host's CPU
         # speed swings 3-5x between minutes-long phases, so a single
         # pairing measures the host lottery, not the engine.
+        #
+        # Event count: 4x the default-bench log (GRAFT_SCALE_EVENTS to
+        # override). The criterion is about CLUSTER-SCALE behavior, so
+        # the measurement must sit in the regime where parallel work
+        # dominates: at 600k events the hi-CPU leg finishes in ~5s and
+        # measures per-version fixed costs (which this engine keeps
+        # shrinking — efficiency ~0.7 there is the fixed-cost floor,
+        # not the parallel fraction); at 2.4M+ the same code measures
+        # ~1.0 (near-linear). Both regimes are recorded in BASELINE.md.
         lo, hi = SCALE_CPUS
+        scale_events = int(
+            os.environ.get("GRAFT_SCALE_EVENTS", str(4 * CDC_EVENTS))
+        )
         best: dict[int, float] = {lo: 0.0, hi: 0.0}
         events = 0
         for _ in range(args.trials):
             for cpus in (lo, hi):
-                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                           GRAFT_CDC_EVENTS=str(scale_events))
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--cdc-only"],
                     env=env, capture_output=True, text=True, timeout=3600,

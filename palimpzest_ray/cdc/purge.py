@@ -49,7 +49,12 @@ Out of scope by design (documented, not silent): derived lakes (token
 purge each with its own ``purge_keys`` call or rebuild it; a lake with
 live branches is refused (branch manifests pin parent files; merge or
 delete branches first), as is purging a branch itself (it references
-the parent's files).
+the parent's files). Likewise DOWNSTREAM CONSUMERS: a subscription
+replica (``cdc.subs`` / ``sync_replica``) that already applied the
+keys holds its own copy, and the purge produces no change-feed rows
+(the keys are absent from every version, so ``net_changes_since``
+cannot mention them) — run ``purge_keys`` on each replica with the
+same key set to complete the forget across the fleet.
 """
 
 from __future__ import annotations
