@@ -3570,6 +3570,107 @@ def q137_multicol_view(sf_dir: str):
     )
 
 
+def q138_catalog_subscription(sf_dir: str):
+    """Catalog-level subscription (cdc/catalog.py catalog_subscribe/
+    poll/ack — the consumer-group idea lifted to the transactional
+    cut): two routed transactions split a documents feed across two
+    lakes under single catalog versions; a multi-table cursor pinned
+    after the first transaction replicates BOTH tables through one
+    poll/apply/ack cycle (with a deliberate duplicate poll — at-least-
+    once), and the result is the union of the two REPLICAS. EXACT
+    oracle: the parity CASE routing over both epochs' closed form."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, final_state, route_changes
+    from palimpzest_ray.cdc.catalog import (
+        catalog_ack,
+        catalog_poll,
+        catalog_subscribe,
+        catalog_unsubscribe,
+    )
+    from palimpzest_ray.cdc.snapshot import clone_lake
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_catsub_demo")
+    import shutil
+
+    for d in ("cat", "evens", "odds", "rep_evens", "rep_odds"):
+        shutil.rmtree(os.path.join(work, d), ignore_errors=True)
+    cat = os.path.join(work, "cat")
+    lakes = {n: os.path.join(work, n) for n in ("evens", "odds")}
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    nums = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _evts(mask, lsn0, op, vals):
+        k = int(mask.sum())
+        return pa.table(
+            {
+                "lsn": pa.array(lsn0 + nums[mask], pa.int64()),
+                "op": pa.array([op] * k),
+                "doc_id": pa.array(
+                    [f"doc-{int(i):08d}" for i in nums[mask]]
+                ),
+                "par": pa.array(nums[mask] % 2, pa.int64()),
+                "n_chars": pa.array(vals, pa.int64())
+                if vals is not None
+                else pa.nulls(k, pa.int64()),
+            }
+        )
+
+    routes = {"evens": [("par", "==", 0)], "odds": [("par", "==", 1)]}
+    kw = {n: {"num_partitions": 8} for n in lakes}
+    all_mask = np.ones(len(nums), bool)
+    route_changes(
+        _evts(all_mask, 0, "INSERT",
+              docs["n_chars"].to_numpy(zero_copy_only=False)
+              .astype(np.int64)),
+        cat, routes=routes, lakes=lakes, apply_kwargs=kw,
+    )
+    catalog_subscribe(cat, "mirror")
+    reps = {n: os.path.join(work, f"rep_{n}") for n in lakes}
+    for n in lakes:
+        clone_lake(lakes[n], reps[n])
+
+    m5 = nums % 5 == 0
+    m7 = nums % 7 == 3
+    route_changes(
+        pa.concat_tables([
+            _evts(m5, 10_000_000, "UPDATE",
+                  docs["n_chars"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64)[m5] + 500),
+            _evts(m7, 20_000_000, "DELETE", None),
+        ]),
+        cat, routes=routes, lakes=lakes, apply_kwargs=kw,
+    )
+    feeds, token = catalog_poll(cat, "mirror")
+    feeds2, token2 = catalog_poll(cat, "mirror")  # redelivery
+    assert token2 == token
+    for n in lakes:
+        tab = pa.concat_tables(
+            feeds2[n].iter_batches(batch_format="pyarrow",
+                                   batch_size=65536)
+        )
+        apply_changes(tab, reps[n])
+    catalog_ack(cat, "mirror", token)
+    catalog_unsubscribe(cat, "mirror")
+
+    parts = []
+    for n in ("evens", "odds"):
+        ds = final_state(reps[n], columns=["doc_id", "n_chars"])
+        parts.append(
+            ds.map_batches(
+                lambda b, _n=n: b.append_column(
+                    "tbl", pa.array([_n] * b.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    return pzd.Dataset(parts[0].union(parts[1]))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3707,6 +3808,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q135_filtered_view": q135_filtered_view,
         "q136_row_ttl": q136_row_ttl,
         "q137_multicol_view": q137_multicol_view,
+        "q138_catalog_subscription": q138_catalog_subscription,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3826,6 +3928,20 @@ def _base_oracle_sql() -> dict[str, str]:
         from final
         where n_tok >= 40
         group by source
+    """
+    # catalog-subscription replicas == the parity routing over both
+    # epochs' closed form
+    d["q138_catalog_subscription"] = """
+        with final as (
+          select doc_id as num,
+                 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+                 case when doc_id % 5 = 0 then n_chars + 500
+                      else n_chars end as n_chars
+          from documents
+          where doc_id % 7 <> 3)
+        select doc_id, cast(n_chars as bigint) as n_chars,
+               case when num % 2 = 0 then 'evens' else 'odds' end as tbl
+        from final
     """
     # multi-column grouped view after refresh == the 2-col GROUP BY
     # over the closed form

@@ -199,3 +199,123 @@ __all__ = [
     "read_table",
     "snapshot",
 ]
+
+
+# --- catalog subscriptions: consistent multi-table change feeds --------
+
+def catalog_subscribe(
+    catalog_root: str, name: str, *, from_version: int | None = None
+) -> dict:
+    """Durable MULTI-TABLE cursor: pins a catalog version (default:
+    the current head) AND creates a per-lake subscription on every
+    pinned table at its pinned manifest version — so each lake's
+    vacuum retention floor (``cdc.subs``) automatically protects
+    exactly the versions this consumer still needs. The consumer-group
+    idea lifted to the transactional cut: a poll delivers, per table,
+    the net changes between two CONSISTENT catalog snapshots — never a
+    torn read across tables."""
+    from palimpzest_ray.cdc.subs import (
+        create_subscription,
+        drop_subscription,
+    )
+
+    snap = snapshot(catalog_root, from_version)
+    subs = {}
+    made = []
+    try:
+        for t in sorted(snap.pins):
+            root, v = snap.pin(t)
+            sub_name = f"cat-{name}-{t}"
+            create_subscription(root, sub_name, from_version=v)
+            made.append((root, sub_name))
+            subs[t] = {"root": root, "sub": sub_name}
+    except Exception:
+        for root, sub_name in made:  # all-or-nothing registration
+            drop_subscription(root, sub_name)
+        raise
+    cur = {"name": name, "catalog_version": snap.version, "tables": subs}
+    p = os.path.join(catalog_root, "_subs", f"{name}.json")
+    if os.path.exists(p):
+        for root, sub_name in made:
+            drop_subscription(root, sub_name)
+        raise ValueError(f"catalog subscription {name!r} already exists")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    _atomic_write(p, json.dumps(cur))
+    return cur
+
+
+def _load_cat_sub(catalog_root: str, name: str) -> dict:
+    p = os.path.join(catalog_root, "_subs", f"{name}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no catalog subscription {name!r} under {catalog_root}"
+        )
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def catalog_poll(catalog_root: str, name: str) -> tuple[dict, int]:
+    """Per-table net change feeds from the cursor's catalog snapshot to
+    the CURRENT catalog head — both consistent cuts, so a consumer
+    applying every feed sees whole routed transactions, never half.
+    Returns ``({table: Dataset | None}, head_catalog_version)`` — the
+    ack token; ``None`` for tables whose pin did not move. At-least-
+    once: the cursor advances only on :func:`catalog_ack`. A table
+    added to the catalog after the cursor contributes its FULL pinned
+    state as inserts on the next poll cycle after acking (bootstrap it
+    separately like any new consumer)."""
+    from palimpzest_ray.cdc.engine import net_changes_between
+
+    cur = _load_cat_sub(catalog_root, name)
+    old = snapshot(catalog_root, cur["catalog_version"])
+    head = snapshot(catalog_root)
+    feeds: dict = {}
+    for t, info in sorted(cur["tables"].items()):
+        if t not in head.pins:
+            feeds[t] = None  # table left the catalog; nothing to replay
+            continue
+        root, v_old = old.pin(t)
+        _root2, v_new = head.pin(t)
+        feeds[t] = (
+            None
+            if v_new <= v_old
+            else net_changes_between(root, v_old, v_new)
+        )
+    return feeds, head.version
+
+
+def catalog_ack(catalog_root: str, name: str, token: int) -> dict:
+    """Advance the multi-table cursor to catalog version ``token`` and
+    advance every per-lake retention subscription to that snapshot's
+    pinned versions (releasing vacuum floors table by table)."""
+    from palimpzest_ray.cdc.subs import ack_subscription
+
+    cur = _load_cat_sub(catalog_root, name)
+    t_snap = snapshot(catalog_root, int(token))
+    if int(token) < cur["catalog_version"]:
+        raise ValueError(
+            f"ack token {token} is behind the cursor "
+            f"({cur['catalog_version']})"
+        )
+    for t, info in sorted(cur["tables"].items()):
+        if t in t_snap.pins:
+            _root, v = t_snap.pin(t)
+            ack_subscription(info["root"], info["sub"], v)
+    cur["catalog_version"] = int(token)
+    _atomic_write(
+        os.path.join(catalog_root, "_subs", f"{name}.json"),
+        json.dumps(cur),
+    )
+    return cur
+
+
+def catalog_unsubscribe(catalog_root: str, name: str) -> None:
+    from palimpzest_ray.cdc.subs import drop_subscription
+
+    cur = _load_cat_sub(catalog_root, name)
+    for _t, info in cur["tables"].items():
+        try:
+            drop_subscription(info["root"], info["sub"])
+        except FileNotFoundError:
+            pass
+    os.unlink(os.path.join(catalog_root, "_subs", f"{name}.json"))

@@ -4291,6 +4291,57 @@ def lake_minmax(
     return {c: tuple(v) for c, v in out.items()}
 
 
+def net_changes_between(
+    lake_root: str, from_version: int, to_version: int
+) -> rd.Dataset:
+    """Net changes between two COMMITTED versions — the
+    version-bounded form of :func:`net_changes_since`: the
+    ``to_version`` state's rows with ``from_version.max_lsn < _lsn``
+    (tombstones as DELETEs). Applying it to a replica of
+    ``from_version`` converges it to ``to_version`` even while the
+    source lake has already moved past — what a consistent-cut
+    consumer (catalog subscriptions) replays."""
+    from palimpzest_ray.cdc.manifest import load_manifest
+
+    if to_version < from_version:
+        raise ValueError(
+            f"to_version {to_version} precedes from_version {from_version}"
+        )
+    watermark = load_manifest(lake_root, from_version).max_lsn
+    raw = final_state(
+        lake_root,
+        user_columns_only=False,
+        include_tombstones=True,
+        version=to_version,
+        predicate=[(LSN_COL, ">", int(watermark))],
+    )
+    return raw.map_batches(
+        _feed_factory(watermark), batch_format="pyarrow"
+    )
+
+
+def _feed_factory(watermark: int):
+    def _feed(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch[LSN_COL], pa.scalar(watermark, pa.int64()))
+        )
+        dead = pc.coalesce(batch[TOMBSTONE_COL], pa.scalar(False))
+        op = pc.if_else(dead, pa.scalar("DELETE"), pa.scalar("UPDATE"))
+        return pa.table(
+            {
+                "lsn": batch[LSN_COL].cast(pa.int64()),
+                "op": op,
+                **{
+                    c: batch[c]
+                    for c in batch.column_names
+                    if c not in (LSN_COL, TOMBSTONE_COL)
+                },
+            }
+        )
+
+    return _feed
+
+
 def net_changes_since(lake_root: str, version: int) -> rd.Dataset:
     """Change feed: the NET changes between committed ``version`` and
     the latest version, as a change-log-shaped Dataset (``lsn``, ``op``
@@ -4316,27 +4367,9 @@ def net_changes_since(lake_root: str, version: int) -> rd.Dataset:
         include_tombstones=True,
         predicate=[(LSN_COL, ">", int(watermark))],
     )
-
-    def _feed(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            pc.greater(batch[LSN_COL], pa.scalar(watermark, pa.int64()))
-        )
-        dead = pc.coalesce(batch[TOMBSTONE_COL], pa.scalar(False))
-        op = pc.if_else(dead, pa.scalar("DELETE"), pa.scalar("UPDATE"))
-        out = pa.table(
-            {
-                "lsn": batch[LSN_COL].cast(pa.int64()),
-                "op": op,
-                **{
-                    c: batch[c]
-                    for c in batch.column_names
-                    if c not in (LSN_COL, TOMBSTONE_COL)
-                },
-            }
-        )
-        return out
-
-    return raw.map_batches(_feed, batch_format="pyarrow")
+    return raw.map_batches(
+        _feed_factory(watermark), batch_format="pyarrow"
+    )
 
 
 def final_state_table(
