@@ -22,6 +22,11 @@ Grammar (every expression is a list; scalars are shorthand literals)::
     ["substr", s, start, len]        0-based, vectorized slice
     ["floor"|"ceil", a]
     ["cast", a, "int32"|"int64"|"float32"|"float64"|"string"|"bool"]
+    ["is_null", a]                   SQL IS NULL (never null itself)
+    ["in", a, [v1, v2, ...]]         SQL IN over a LITERAL list
+                                     (null probe -> null, Kleene)
+    ["trim", s]                      both-side whitespace trim
+    ["starts_with"|"ends_with"|"contains", s, "literal"]
 
 ``div`` on integers is integer division and ``mod`` the matching
 C-style remainder (sign of the dividend) — duckdb's ``//`` / ``%``
@@ -41,6 +46,14 @@ _TYPES = {
     "int64": pa.int64(), "float32": pa.float32(), "float64": pa.float64(),
     "string": pa.string(), "bool": pa.bool_(),
 }
+
+#: every op name, for disambiguating "in"'s literal list from a
+#: sub-expression (a string literal list may not START with one)
+_ALL_OPS = frozenset(
+    "col lit add sub mul div mod neg abs eq ne lt le gt ge and or not "
+    "if coalesce greatest least lower upper length concat substr floor "
+    "ceil cast is_null in trim starts_with ends_with contains".split()
+)
 
 _BINOPS = {
     "add": pc.add, "sub": pc.subtract, "mul": pc.multiply,
@@ -87,6 +100,32 @@ def eval_expr(table: pa.Table, expr):
     if op == "lit":
         (v,) = args
         return pa.scalar(v)
+    if op == "in":
+        # membership against a LITERAL list — SQL `col IN (...)`; the
+        # list is data, not a sub-expression, so it is not evaluated
+        _arity(op, args, 2)
+        vals = args[1]
+        if (
+            not isinstance(vals, (list, tuple))
+            or not vals
+            or not all(isinstance(x, (int, float, str, bool)) for x in vals)
+            or (isinstance(vals[0], str) and vals[0] in _ALL_OPS)
+        ):
+            raise ValueError(
+                '"in" takes a non-empty literal list as its 2nd operand '
+                "(a value list, not a sub-expression; a STRING list whose "
+                "first value collides with an op name is not supported)"
+            )
+        probe = eval_expr(table, args[0])
+        mask = pc.is_in(probe, value_set=pa.array(list(vals)))
+        if isinstance(probe, pa.Scalar):
+            if not probe.is_valid:
+                return pa.scalar(None, pa.bool_())
+            return mask
+        # is_in yields false for nulls; SQL IN yields NULL (Kleene)
+        return pc.if_else(
+            pc.is_null(probe), pa.scalar(None, pa.bool_()), mask
+        )
     a = [eval_expr(table, e) for e in args]
     if op in _BINOPS:
         _arity(op, a, 2)
@@ -149,6 +188,24 @@ def eval_expr(table: pa.Table, expr):
         if t not in _TYPES:
             raise ValueError(f"unknown cast type {t!r} (use {sorted(_TYPES)})")
         return pc.cast(a[0], _TYPES[t])
+    if op == "is_null":
+        _arity(op, a, 1)
+        v = a[0]
+        if isinstance(v, pa.Scalar):
+            return pa.scalar(not v.is_valid)
+        return pc.is_null(v)
+    if op == "trim":
+        _arity(op, a, 1)
+        return pc.utf8_trim_whitespace(a[0])
+    if op == "starts_with":
+        _arity(op, a, 2)
+        return pc.starts_with(a[0], pattern=_as_py(a[1], "starts_with"))
+    if op == "ends_with":
+        _arity(op, a, 2)
+        return pc.ends_with(a[0], pattern=_as_py(a[1], "ends_with"))
+    if op == "contains":
+        _arity(op, a, 2)
+        return pc.match_substring(a[0], pattern=_as_py(a[1], "contains"))
     raise ValueError(f"unknown expression op {op!r}")
 
 

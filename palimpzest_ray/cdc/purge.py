@@ -162,7 +162,9 @@ def _scrub_file(
         t = t.filter(pc.invert(hit))
         removed = n_hit
     tmp = path + f".purge-{uuid.uuid4().hex[:8]}"
-    pq.write_table(t, tmp)
+    # same writer settings as the merge (snappy, 64k row groups) so the
+    # rewritten file keeps the lookup-pruning granularity of the original
+    pq.write_table(t, tmp, compression="snappy", row_group_size=64 * 1024)
     os.replace(tmp, path)
     if blob is not None:
         # rebuild from the surviving routing values so a purged key

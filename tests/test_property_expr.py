@@ -159,3 +159,89 @@ def test_length_and_cast_match_duckdb():
     _compare(["floor", ["col", "x"]], "floor(x)")
     _compare(["ceil", ["col", "x"]], "ceil(x)")
     _compare(["coalesce", ["col", "a"], ["col", "b"]], "coalesce(a, b)")
+
+
+def test_new_ops_duckdb_parity():
+    """Targeted duckdb parity for the predicate extensions: is_null,
+    IN over a literal list (Kleene null probe), trim, starts_with /
+    ends_with / contains — the ops NOT NULL and membership CHECK
+    constraints are written with."""
+    import duckdb
+
+    from palimpzest_ray.cdc.expr import eval_expr
+
+    t = pa.table(
+        {
+            "s": pa.array(["  ab ", "xy", None, "abz", ""]),
+            "n": pa.array([1, 5, None, 7, 2], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+
+    cases = [
+        (["is_null", ["col", "n"]], "n is null"),
+        (["not", ["is_null", ["col", "s"]]], "s is not null"),
+        (["in", ["col", "n"], [1, 7, 9]], "n in (1, 7, 9)"),
+        (["trim", ["col", "s"]], "trim(s)"),
+        (["starts_with", ["col", "s"], "ab"], "starts_with(s, 'ab')"),
+        (["ends_with", ["col", "s"], "z"], "s like '%z'"),
+        (["contains", ["col", "s"], "b"], "contains(s, 'b')"),
+    ]
+    for expr, sql in cases:
+        got = eval_expr(t, expr)
+        want = con.execute(f"select {sql} from t").fetchall()
+        got_py = (
+            got.to_pylist()
+            if not isinstance(got, pa.Scalar)
+            else [got.as_py()] * t.num_rows
+        )
+        assert got_py == [r[0] for r in want], (expr, sql, got_py, want)
+
+    # literal-list enforcement: a sub-expression is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="literal list"):
+        eval_expr(t, ["in", ["col", "n"], ["col", "n"]])
+    with _pytest.raises(ValueError, match="literal list"):
+        eval_expr(t, ["in", ["col", "n"], []])
+
+
+def test_not_null_check_constraint_end_to_end(tmp_path, ray_session):
+    """The gap the extension closes: a persistent NOT NULL CHECK."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import add_constraint, apply_changes
+
+    lake = str(tmp_path / "lake")
+    boot = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["INSERT", "INSERT"]),
+            "doc_id": pa.array(["a", "b"]),
+            "label": pa.array(["x", "y"]),
+        }
+    )
+    apply_changes(boot, lake, num_partitions=2)
+    add_constraint(
+        lake, "label_not_null",
+        expr=["not", ["is_null", ["col", "label"]]],
+    )
+    bad = pa.table(
+        {
+            "lsn": pa.array([9], pa.int64()),
+            "op": pa.array(["UPDATE"]),
+            "doc_id": pa.array(["a"]),
+            "label": pa.nulls(1, pa.string()),
+        }
+    )
+    p = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, p)
+    with _raises_constraint():
+        apply_changes(p, lake)
+
+
+def _raises_constraint():
+    import pytest as _pytest
+
+    return _pytest.raises(ValueError, match="label_not_null")
