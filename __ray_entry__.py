@@ -3671,6 +3671,39 @@ def q138_catalog_subscription(sf_dir: str):
     return pzd.Dataset(parts[0].union(parts[1]))
 
 
+def q139_maxwell_ingest(sf_dir: str):
+    """Maxwell-envelope ingest (sources/changelog.py
+    read_maxwell_changes — the third wire format next to plain JSONL
+    and Debezium): both demo epochs rendered as Maxwell JSONL
+    ({"type": insert/update/delete, "data": row image, position}),
+    unwrapped with the same struct kernels and applied (epoch 2
+    merge-on-read). Wire format cannot change state: shares
+    cdc_replay's EXACT oracle."""
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, prepare_demo_inputs
+    from palimpzest_ray.sources.changelog import (
+        read_maxwell_changes,
+        write_maxwell_jsonl,
+    )
+
+    work = demo_workdir(sf_dir, "cdc_maxwell_demo")
+    lake, log1, log2 = prepare_demo_inputs(sf_dir, work)
+    for src, name in ((log1, "mtopic1"), (log2, "mtopic2")):
+        tbl = pq.read_table(os.path.join(src, "log-000.parquet"))
+        write_maxwell_jsonl(tbl, os.path.join(work, name))
+    apply_changes(
+        read_maxwell_changes(os.path.join(work, "mtopic1")), lake,
+        num_partitions=8,
+    )
+    apply_changes(
+        read_maxwell_changes(os.path.join(work, "mtopic2")), lake,
+        num_partitions=8, mode="delta",
+    )
+    return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3809,6 +3842,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q136_row_ttl": q136_row_ttl,
         "q137_multicol_view": q137_multicol_view,
         "q138_catalog_subscription": q138_catalog_subscription,
+        "q139_maxwell_ingest": q139_maxwell_ingest,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3908,6 +3942,8 @@ def _base_oracle_sql() -> dict[str, str]:
     d["q93_debezium_ingest"] = d["cdc_replay"]
     # a subscribed replica that polled/applied/acked == the full replay
     d["q133_subscription_replica"] = d["cdc_replay"]
+    # wire format doesn't change state: Maxwell ingest == parquet replay
+    d["q139_maxwell_ingest"] = d["cdc_replay"]
     # filtered view refreshed after epoch 2 == WHERE + GROUP BY over
     # the replay closed form
     d["q135_filtered_view"] = r"""

@@ -3290,11 +3290,12 @@ def tail_once(
         return apply_patches(
             log_dir, lake_root, since_lsn=watermark, **apply_kwargs
         )
-    if format in ("jsonl", "debezium"):
+    if format in ("jsonl", "debezium", "maxwell"):
         from palimpzest_ray.schemas import CHANGELOG_SCHEMA
         from palimpzest_ray.sources.changelog import (
             read_debezium_changes,
             read_jsonl_changes,
+            read_maxwell_changes,
         )
 
         dirs = [log_dir] if isinstance(log_dir, str) else list(log_dir)
@@ -3318,9 +3319,11 @@ def tail_once(
             if prev is None:
                 raise FileNotFoundError("empty topic and no committed version")
             return ApplyResult(prev, 0, 0, 0, 0, 0)
-        reader = (
-            read_debezium_changes if format == "debezium" else read_jsonl_changes
-        )
+        reader = {
+            "debezium": read_debezium_changes,
+            "maxwell": read_maxwell_changes,
+            "jsonl": read_jsonl_changes,
+        }[format]
         feed = reader(pending)
         if transform is not None:
             feed = transform(feed)

@@ -136,10 +136,11 @@ def main(argv: list[str] | None = None) -> int:
         help="delta = merge-on-read chain append (apply cost ~ changes)",
     )
     p.add_argument(
-        "--format", choices=["parquet", "jsonl", "debezium"],
+        "--format", choices=["parquet", "jsonl", "debezium", "maxwell"],
         default="parquet",
         help="wire format of CHANGES (jsonl = flat change rows, "
-        "debezium = envelope with op c/u/d/r + before/after)",
+        "debezium = envelope with op c/u/d/r + before/after, "
+        "maxwell = type/data envelope with synthesized xid LSNs)",
     )
     _add_gate(p)
 
@@ -163,10 +164,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-partitions", type=int, default=32)
     p.add_argument("--mode", choices=["rewrite", "delta"], default="rewrite")
     p.add_argument(
-        "--format", choices=["parquet", "patch", "jsonl", "debezium"],
+        "--format", choices=["parquet", "patch", "jsonl", "debezium",
+                             "maxwell"],
         default="parquet",
         help="patch = partial row images (null column carries forward); "
-        "jsonl/debezium = JSON topic dirs (consumed-file ledger pruning)",
+        "jsonl/debezium/maxwell = JSON topic dirs (consumed-file "
+        "ledger pruning)",
     )
     _add_gate(p)
 
@@ -1200,18 +1203,19 @@ def main(argv: list[str] | None = None) -> int:
 
         changes = args.changes
         extra = {}
-        if args.format in ("jsonl", "debezium"):
+        if args.format in ("jsonl", "debezium", "maxwell"):
             from palimpzest_ray.schemas import CHANGELOG_SCHEMA
             from palimpzest_ray.sources.changelog import (
                 read_debezium_changes,
                 read_jsonl_changes,
+                read_maxwell_changes,
             )
 
-            reader = (
-                read_debezium_changes
-                if args.format == "debezium"
-                else read_jsonl_changes
-            )
+            reader = {
+                "debezium": read_debezium_changes,
+                "maxwell": read_maxwell_changes,
+                "jsonl": read_jsonl_changes,
+            }[args.format]
             changes = reader(args.changes)
             extra["change_schema"] = CHANGELOG_SCHEMA
         res = apply_changes(

@@ -269,3 +269,138 @@ def read_exported_changes(out_dir: str, schema: pa.Schema = CHANGELOG_SCHEMA,
     if meta["format"] == "debezium":
         return read_debezium_changes(paths, schema, key=key)
     return read_jsonl_changes(paths, schema)
+
+
+# --- Maxwell (Zendesk maxwell-daemon) wire format ----------------------
+
+_MAXWELL_TO_OP = {
+    "insert": "INSERT",
+    "bootstrap-insert": "INSERT",
+    "update": "UPDATE",
+    "delete": "DELETE",
+}
+
+
+def unwrap_maxwell(
+    batch: pa.Table,
+    schema: pa.Schema = CHANGELOG_SCHEMA,
+    key: str = "doc_id",
+    lsn_base: int = 0,
+) -> pa.Table:
+    """One Maxwell JSON batch → normalized change rows (vectorized).
+
+    Maxwell envelopes (``{"type": "insert|update|delete", "ts", "xid",
+    "data": {row image}, "old": {prior values}}`` — public format docs:
+    maxwells-daemon.io/dataformat) carry no log sequence number, only a
+    commit id. LSN synthesis: an explicit ``position``/``lsn`` field
+    wins when present; otherwise ``xid * 2^20 + row-index-within-this-
+    read`` (``lsn_base`` offsets the index across chunked reads) —
+    monotone in commit order, distinct per event, deterministic for a
+    given topic dump. Contract caveat (documented, inherent to the
+    format): ordering WITHIN one transaction follows file order; a
+    transaction that updates the same key 2^20+ times overflows the
+    intra-xid space and is refused upstream by arithmetic, not
+    silently misordered. ``data`` is the row image for every type —
+    Maxwell deletes ship the deleted row — so the key always reads
+    from ``data.key`` and non-key payload columns null out on deletes
+    (the engine's tombstone convention)."""
+    n = batch.num_rows
+    if "type" not in batch.column_names:
+        if n == 0:
+            return conform(batch.select([]), schema)
+        raise ValueError("not a Maxwell envelope: no 'type' column")
+    codes = pc.utf8_lower(batch.column("type").cast(pa.string()))
+    types = list(_MAXWELL_TO_OP)
+    idx = pc.index_in(codes, value_set=pa.array(types))
+    if n and pc.any(pc.is_null(idx)).as_py():
+        bad = pc.filter(codes, pc.is_null(idx)).unique().to_pylist()
+        raise ValueError(f"unknown Maxwell types: {bad}")
+    ops = pc.take(pa.array([_MAXWELL_TO_OP[t] for t in types]), idx)
+
+    lsn = None
+    for cand in ("position", "lsn"):
+        if cand in batch.column_names:
+            lsn = batch.column(cand).cast(pa.int64())
+            break
+    if lsn is None:
+        if "xid" not in batch.column_names:
+            raise ValueError(
+                "Maxwell envelope carries neither position/lsn nor xid — "
+                "no deterministic ordering is derivable"
+            )
+        import numpy as np
+
+        xid = batch.column("xid").cast(pa.int64())
+        idx_in = pa.array(
+            np.arange(lsn_base, lsn_base + n, dtype=np.int64)
+        )
+        lsn = pc.add(
+            pc.multiply(xid, pa.scalar(1 << 20, pa.int64())), idx_in
+        )
+
+    is_del = pc.equal(ops, pa.scalar("DELETE"))
+    cols: dict[str, object] = {"lsn": lsn, "op": ops}
+    for field in schema:
+        if field.name in ("lsn", "op"):
+            continue
+        val = _struct_col(batch, "data", field.name, n)
+        if field.name != key and n:
+            # deletes carry the full prior image; the engine's
+            # tombstone convention is a null payload
+            val = pc.if_else(
+                is_del,
+                pa.nulls(n, val.type if not pa.types.is_null(val.type)
+                         else field.type),
+                val,
+            )
+        cols[field.name] = val
+    return conform(pa.table(cols), schema)
+
+
+def read_maxwell_changes(
+    paths: str | list[str],
+    schema: pa.Schema = CHANGELOG_SCHEMA,
+    key: str = "doc_id",
+) -> rd.Dataset:
+    """Stream a Maxwell JSONL topic dump as a conformed change Dataset
+    (the third wire format next to plain JSONL and Debezium)."""
+
+    def _unwrap(batch: pa.Table) -> pa.Table:
+        return unwrap_maxwell(batch, schema, key=key)
+
+    return rd.read_json(paths).map_batches(_unwrap, batch_format="pyarrow")
+
+
+def write_maxwell_jsonl(
+    changes: pa.Table,
+    out_dir: str,
+    *,
+    key: str = "doc_id",
+    lines_per_file: int = 100_000,
+    database: str = "synthetic",
+    table: str = "docs",
+) -> list[str]:
+    """Render a normalized change table as Maxwell JSONL files — the
+    test/demo fixture encoder (driver-side). ``position`` mirrors the
+    lsn so the round trip is exact."""
+    os.makedirs(out_dir, exist_ok=True)
+    op_to_type = {"INSERT": "insert", "UPDATE": "update", "DELETE": "delete"}
+    payload_cols = [c for c in changes.column_names if c not in ("lsn", "op")]
+    paths: list[str] = []
+    rows = changes.to_pylist()
+    for fi in range(0, max(len(rows), 1), lines_per_file):
+        path = os.path.join(out_dir, f"maxwell-{fi // lines_per_file:05d}.jsonl")
+        with open(path, "w") as f:
+            for r in rows[fi : fi + lines_per_file]:
+                env = {
+                    "database": database,
+                    "table": table,
+                    "type": op_to_type[r["op"]],
+                    "ts": r["lsn"],
+                    "xid": r["lsn"],
+                    "position": r["lsn"],
+                    "data": {c: r[c] for c in payload_cols},
+                }
+                f.write(json.dumps(env) + "\n")
+        paths.append(path)
+    return paths

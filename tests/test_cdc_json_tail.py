@@ -13,6 +13,7 @@ import json
 import os
 
 import pyarrow as pa
+import pytest
 
 from palimpzest_ray.cdc import final_state_table, load_latest_manifest, tail_once
 
@@ -103,3 +104,74 @@ def test_debezium_tail(tmp_path, tmp_lake):
     r = tail_once(topic, tmp_lake, format="debezium", num_partitions=2)
     assert r.events_seen == 0
     assert load_latest_manifest(tmp_lake).version == 1
+
+
+def test_maxwell_roundtrip_and_tail(tmp_path, ray_session):
+    """Maxwell envelope ingest: fixture round trip equals the parquet
+    replay; synthesized xid LSNs order correctly when no position is
+    present; tail --format maxwell follows the topic."""
+    import pyarrow.compute as pc
+
+    from palimpzest_ray.cdc import apply_changes, final_state_table, tail_once
+    from palimpzest_ray.sources.changelog import (
+        read_maxwell_changes,
+        unwrap_maxwell,
+        write_maxwell_jsonl,
+    )
+
+    changes = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3, 10, 11], pa.int64()),
+            "op": pa.array(
+                ["INSERT", "INSERT", "INSERT", "UPDATE", "DELETE"]
+            ),
+            "doc_id": pa.array(["a", "b", "c", "a", "b"]),
+            "n_tok": pa.array([1, 2, 3, 9, None], pa.int32()),
+        }
+    )
+    topic = str(tmp_path / "topic")
+    write_maxwell_jsonl(changes, topic, lines_per_file=3)
+
+    lake_m = str(tmp_path / "lake_m")
+    r = tail_once(topic, lake_m, format="maxwell", num_partitions=2)
+    assert r.rows_upserted >= 1
+    lake_p = str(tmp_path / "lake_p")
+    apply_changes(changes, lake_p, num_partitions=2)
+    # the maxwell path conforms to the full CHANGELOG_SCHEMA; compare
+    # on the columns the parquet twin carries
+    want = final_state_table(lake_p)
+    got = final_state_table(lake_m).select(want.column_names)
+    assert got.cast(want.schema).equals(want)
+
+    # second poll: consumed-file ledger + watermark no-op
+    r2 = tail_once(topic, lake_m, format="maxwell", num_partitions=2)
+    assert r2.rows_upserted == 0
+
+    # no position/lsn: xid-synthesized LSNs keep commit order
+    env = pa.table(
+        {
+            "type": pa.array(["insert", "update", "delete"]),
+            "xid": pa.array([5, 7, 9], pa.int64()),
+            "data": pa.array(
+                [
+                    {"doc_id": "z", "n_tok": 1},
+                    {"doc_id": "z", "n_tok": 2},
+                    {"doc_id": "z", "n_tok": None},
+                ],
+                pa.struct([("doc_id", pa.string()), ("n_tok", pa.int32())]),
+            ),
+        }
+    )
+    out = unwrap_maxwell(env)
+    assert out["op"].to_pylist() == ["INSERT", "UPDATE", "DELETE"]
+    lsns = out["lsn"].to_pylist()
+    assert lsns == sorted(lsns) and len(set(lsns)) == 3
+    # delete keeps its key, nulls its payload
+    assert out["doc_id"].to_pylist()[-1] == "z"
+    assert out["n_tok"].to_pylist()[-1] is None
+
+    with pytest.raises(ValueError, match="unknown Maxwell"):
+        unwrap_maxwell(
+            pa.table({"type": pa.array(["truncate"]),
+                      "xid": pa.array([1], pa.int64())})
+        )
