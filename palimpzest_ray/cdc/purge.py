@@ -83,7 +83,7 @@ from palimpzest_ray.cdc.manifest import (
 )
 from palimpzest_ray.schemas import LSN_COL, TOMBSTONE_COL
 
-__all__ = ["purge_keys"]
+__all__ = ["purge_keys", "purge_where"]
 
 
 def _routed_partitions(m: LakeManifest, karr: pa.Array) -> list[int]:
@@ -432,3 +432,45 @@ def _scrub_quarantine(lake_root: str, key: str, karr: pa.Array) -> int:
         os.replace(tmp, f)
         removed += n
     return removed
+
+
+def purge_where(
+    lake_root: str,
+    predicate: list[tuple],
+    *,
+    max_keys: int = 1_000_000,
+    **purge_kwargs,
+) -> dict:
+    """Predicate-driven forget — "erase every row of user X": collect
+    the LIVE keys matching the conjuncts (zone-map-pruned scan of only
+    the key + predicate columns) and :func:`purge_keys` them. The key
+    set materializes driver-side (purge routing needs it), so
+    ``max_keys`` guards against a predicate that matches half the lake
+    — raise it deliberately for a known-large forget, or split the
+    predicate. Note the predicate selects by the LIVE state: a key
+    whose matching rows are all historical (since overwritten) is not
+    selected — pass it to ``purge_keys`` explicitly."""
+    from palimpzest_ray.cdc.engine import final_state
+
+    head = load_latest_manifest(lake_root)
+    if head is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    import pyarrow.compute as _pc
+
+    keys: list = []
+    ds = final_state(lake_root, columns=[head.key], predicate=predicate)
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        keys.extend(_pc.unique(b[head.key]).to_pylist())
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"predicate matches more than max_keys={max_keys} keys — "
+                "raise max_keys for a deliberate mass forget, or narrow "
+                "the predicate"
+            )
+    if not keys:
+        return {
+            "keys": 0, "versions": 0, "files_scanned": 0,
+            "files_rewritten": 0, "rows_removed": 0,
+            "tombstones_kept_nulled": 0, "quarantine_rows_removed": 0,
+        }
+    return purge_keys(lake_root, sorted(set(keys)), **purge_kwargs)

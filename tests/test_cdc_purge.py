@@ -295,3 +295,30 @@ def test_purge_composite_key_tuples(tmp_path, ray_session):
     pairs = set(zip(t["source"].to_pylist(), t["bucket"].to_pylist()))
     assert ("s0", 2) not in pairs and ("s1", 3) not in pairs
     assert fsck(lake, deep=True)["ok"]
+
+
+def test_purge_where_predicate_forget(tmp_path, ray_session):
+    """purge_where: 'erase every row of source s1' — predicate selects
+    the live keys, purge_keys forgets them everywhere."""
+    from palimpzest_ray.cdc import purge_where
+
+    lake = _mk_lake(tmp_path)
+    before = final_state_table(lake)
+    victims = set(
+        before.filter(pc.equal(before["source"], "s1"))["doc_id"].to_pylist()
+    )
+    assert victims
+    res = purge_where(lake, [("source", "==", "s1")])
+    assert res["keys"] == len(victims)
+    after = final_state_table(lake)
+    assert not set(after["doc_id"].to_pylist()) & victims
+    assert _raw_key_hits(lake, victims) == 0
+    assert fsck(lake, deep=True)["ok"]
+
+    # no matches: clean no-op
+    res2 = purge_where(lake, [("source", "==", "nope")])
+    assert res2["keys"] == 0
+
+    # the mass-forget guard
+    with pytest.raises(ValueError, match="max_keys"):
+        purge_where(lake, [("n_tok", ">=", 0)], max_keys=3)
