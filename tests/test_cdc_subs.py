@@ -247,3 +247,52 @@ def test_cli_ttl_and_sync(tmp_path, capsys, ray_session):
     assert cli.main(["sync", lake, dst]) == 0
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["applied"] == 0
+
+
+def test_lake_digest_and_verify_replica(tmp_path, ray_session):
+    """Digest is layout-independent (partition count, block order),
+    detects a single changed value, and proves replica convergence."""
+    from palimpzest_ray.cdc import (
+        lake_digest,
+        repartition_lake,
+        sync_replica,
+        verify_replica,
+    )
+
+    src = str(tmp_path / "src")
+    _boot(tmp_path, src, n=40)
+    d0 = lake_digest(src)
+    assert d0["rows"] == 40
+
+    # replica fleet loop: bootstrap + catch-up, then PROVE convergence
+    dst = str(tmp_path / "dst")
+    sync_replica(src, dst)
+    apply_changes(
+        _log(tmp_path, "u.parquet", [
+            {"lsn": 900, "op": "UPDATE", "doc_id": "d000", "n_tok": 5},
+            {"lsn": 901, "op": "DELETE", "doc_id": "d001", "n_tok": None},
+        ]),
+        src,
+    )
+    assert verify_replica(src, dst)["match"] is False  # replica behind
+    sync_replica(src, dst)
+    rep = verify_replica(src, dst)
+    assert rep["match"] is True
+    assert rep["src"] == rep["dst"]
+
+    # layout independence: re-bucket the replica; content digest holds
+    repartition_lake(dst, 7)
+    assert verify_replica(src, dst)["match"] is True
+
+    # sensitivity: one value differs -> different digest
+    apply_changes(
+        _log(tmp_path, "u2.parquet", [
+            {"lsn": 950, "op": "UPDATE", "doc_id": "d002", "n_tok": 6},
+        ]),
+        dst,
+    )
+    assert verify_replica(src, dst)["match"] is False
+
+    # projection digest: compare only shared columns
+    rep2 = verify_replica(src, dst, columns=["doc_id"])
+    assert rep2["match"] is True  # keys identical, payload diverged
