@@ -205,3 +205,51 @@ def test_route_expr_predicate_and_delete_falls_through(
     assert "b" not in set(
         final_state_table(lakes["rest"])["doc_id"].to_pylist()
     )
+
+
+def test_route_crash_mid_fanout_catalog_unchanged(tmp_path, ray_session):
+    """A crash after SOME lake applies leaves the catalog unchanged
+    (snapshot readers see the pre-transaction cut) and the re-run
+    converges — commit_transaction's contract witnessed through the
+    router."""
+    import palimpzest_ray.cdc.catalog as catmod
+
+    t, p = _feed(tmp_path)
+    cat = str(tmp_path / "cat")
+    lakes = {"web": str(tmp_path / "web"), "rest": str(tmp_path / "rest")}
+    kw = {n: {"num_partitions": 2} for n in lakes}
+
+    real_apply = catmod.apply_changes
+    calls = {"n": 0}
+
+    def _boom(changes, lake_root, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first lake lands, second dies
+            raise RuntimeError("induced crash mid-fanout")
+        return real_apply(changes, lake_root, **kwargs)
+
+    catmod.apply_changes = _boom
+    try:
+        with pytest.raises(RuntimeError, match="induced"):
+            route_changes(
+                p, cat,
+                routes={"web": [("source", "==", "web")]},
+                lakes=lakes, default="rest", apply_kwargs=kw,
+            )
+    finally:
+        catmod.apply_changes = real_apply
+    # no catalog version exists — readers cannot see the half-applied cut
+    assert not os.path.exists(os.path.join(cat, "CATALOG-v1.json"))
+
+    # re-run converges: both lakes correct, ONE catalog version
+    res = route_changes(
+        p, cat,
+        routes={"web": [("source", "==", "web")]},
+        lakes=lakes, default="rest", apply_kwargs=kw,
+    )
+    assert res.events_routed["web"] == 30
+    assert snapshot(cat).version == 1
+    got = final_state_table(lakes["web"])
+    want = t.filter(pc.equal(t["source"], "web"))
+    assert set(got["doc_id"].to_pylist()) == set(want["doc_id"].to_pylist())
+    assert final_state_table(lakes["rest"]).num_rows == 60
