@@ -3704,6 +3704,74 @@ def q139_maxwell_ingest(sf_dir: str):
     return pzd.Dataset(final_state(lake)).project(["doc_id", "n_tok", "source"])
 
 
+def q140_rollup_ttl(sf_dir: str):
+    """Downsample-then-expire (cdc/ttl.py apply_rollup — the ClickHouse
+    TTL ... GROUP BY idea): events older than the 72h window aggregate
+    per event_type into an ACCUMULATING rollup lake (counts/sums as
+    deltas, max as a candidate — exactly-once under crashes via the
+    producer-txn stamp), then expire from the source; run in TWO
+    enforcements (120h then 72h windows) so the fold-in path is
+    witnessed. EXACT oracle: the SQL GROUP BY over the stale slice."""
+    from datetime import timezone
+
+    import pyarrow.parquet as pq
+
+    from palimpzest_ray.cdc import apply_changes, apply_rollup, final_state
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    work = demo_workdir(sf_dir, "cdc_rollup_demo")
+    lake = os.path.join(work, "lake")
+    roll = os.path.join(work, "roll")
+    import shutil
+
+    for d in (lake, roll):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    feed = pa.table(
+        {
+            "lsn": ev["event_id"].cast(pa.int64()),
+            "op": pa.array(["INSERT"] * ev.num_rows),
+            "doc_id": pc.cast(ev["event_id"], pa.string()),
+            "ts": ev["ts"],
+            "event_type": ev["event_type"],
+            "value": ev["value"],
+        }
+    )
+    apply_changes(feed, lake, num_partitions=8)
+    max_ts = pc.max(ev["ts"]).as_py()
+    now = max_ts.replace(tzinfo=timezone.utc).timestamp()
+    aggs = {
+        "n_ev": ("count", None),
+        "sum_value": ("sum", "value"),
+        "max_value": ("max", "value"),
+    }
+    for keep_h in (120, 72):  # two enforcements: the fold-in path runs
+        apply_rollup(
+            lake, roll, ttl_col="ts", keep_seconds=keep_h * 3600,
+            group_col="event_type", aggs=aggs, now=now, num_partitions=8,
+        )
+
+    def _round(b: pa.Table) -> pa.Table:
+        # float sums are order-dependent at the 1e-9 level across the
+        # two-enforcement fold; inputs are 2-decimal, so CENTS as an
+        # integer is the boundary-safe exact comparison on both sides
+        i = b.column_names.index("sum_value")
+        return b.set_column(
+            i, pa.field("sum_value", pa.int64()),
+            pc.cast(pc.round(pc.multiply(
+                b["sum_value"], pa.scalar(100.0)
+            )), pa.int64()),
+        )
+
+    return pzd.Dataset(
+        final_state(roll).map_batches(_round, batch_format="pyarrow")
+    ).project(["event_type", "n_ev", "sum_value", "max_value"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3843,6 +3911,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q137_multicol_view": q137_multicol_view,
         "q138_catalog_subscription": q138_catalog_subscription,
         "q139_maxwell_ingest": q139_maxwell_ingest,
+        "q140_rollup_ttl": q140_rollup_ttl,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -3994,6 +4063,17 @@ def _base_oracle_sql() -> dict[str, str]:
                cast(sum(n_chars) as bigint) as total_chars
         from final
         group by source, bucket
+    """
+    # rollup TTL in two enforcements == one SQL GROUP BY over the
+    # stale slice (the fold is associative)
+    d["q140_rollup_ttl"] = """
+        select event_type,
+               count(*) as n_ev,
+               cast(round(sum(value) * 100) as bigint) as sum_value,
+               max(value) as max_value
+        from events
+        where ts < (select max(ts) - interval 72 hour from events)
+        group by event_type
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from palimpzest_ray.cdc.manifest import _atomic_write, load_latest_manifest
 
-__all__ = ["apply_ttl", "drop_ttl", "get_ttl", "set_ttl"]
+__all__ = ["apply_rollup", "apply_ttl", "drop_ttl", "get_ttl", "set_ttl"]
 
 
 def _ttl_path(lake_root: str) -> str:
@@ -102,3 +102,146 @@ def apply_ttl(
     return delete_where(
         lake_root, [(pol["col"], "<", cutoff)], mode=mode
     )
+
+
+def apply_rollup(
+    lake_root: str,
+    rollup_root: str,
+    *,
+    ttl_col: str,
+    keep_seconds: float,
+    group_col: str,
+    aggs: dict,
+    now: float | None = None,
+    num_partitions: int = 8,
+    mode: str = "delta",
+) -> dict:
+    """Downsample-then-expire — the ClickHouse ``TTL ... GROUP BY``
+    idea: rows of the source older than ``now - keep_seconds`` are
+    AGGREGATED per ``group_col`` into a rollup lake, then deleted from
+    the source. Detail stays for the hot window; history survives as
+    group aggregates.
+
+    ``aggs``: ``{out_col: (fn, value_col)}`` with fn ∈
+    {"count", "sum", "min", "max"} — the MERGEABLE aggregates, because
+    successive enforcements must fold into the same rollup rows: the
+    rollup lake is an ACCUMULATING lake (``apply_accumulate``) where
+    counts/sums arrive as deltas (`sum_cols`) and extremes as
+    candidates (`max_cols`/`min_cols`). AVG is deliberately absent —
+    store sum + count and divide at read.
+
+    Exactly-once under crashes by composition: the rollup apply is
+    stamped with a producer transaction ``("rollup:<dst>", source
+    head version)``, so a crash between the rollup commit and the
+    source delete re-runs into a watermark no-op before the
+    (idempotent) delete proceeds — the slice can never double-count.
+    Returns ``{"rows_rolled", "groups", "rows_deleted", "noop"}``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from palimpzest_ray.cdc.engine import delete_where, final_state
+    from palimpzest_ray.cdc.manifest import load_latest_manifest as _llm
+    from palimpzest_ray.cdc.patch import apply_accumulate
+
+    for out, (fn, _c) in aggs.items():
+        if fn not in ("count", "sum", "min", "max"):
+            raise ValueError(
+                f"aggregate {fn!r} ({out}) is not mergeable across "
+                "enforcements — use count/sum/min/max (store sum+count "
+                "for avg)"
+            )
+    src = _llm(lake_root)
+    if src is None:
+        raise FileNotFoundError(f"no committed lake version under {lake_root}")
+    t = src.schema.field(ttl_col).type
+    ts = time.time() if now is None else float(now)
+    cutoff_s = ts - keep_seconds
+    if pa.types.is_temporal(t):
+        from datetime import datetime, timezone
+
+        cutoff = datetime.fromtimestamp(cutoff_s, tz=timezone.utc)
+        if getattr(t, "tz", None) is None:
+            cutoff = cutoff.replace(tzinfo=None)
+    else:
+        cutoff = cutoff_s if pa.types.is_floating(t) else int(cutoff_s)
+    predicate = [(ttl_col, "<", cutoff)]
+
+    need = list(dict.fromkeys(
+        [group_col] + [c for _o, (f, c) in aggs.items() if f != "count" and c]
+    ))
+    stale = final_state(lake_root, columns=need, predicate=predicate)
+
+    # per-group partials for THIS slice (map-side combine, tiny shuffle)
+    def _partial(batch: pa.Table) -> pa.Table:
+        from palimpzest_ray.functions.tokens import limit_kernel_threads
+
+        limit_kernel_threads()
+        # arrow group_by handles the empty batch and keeps column types
+        gb = batch.group_by([group_col])
+        arrow_aggs = []
+        for out, (fn, col) in aggs.items():
+            if fn == "count":
+                arrow_aggs.append((group_col, "count"))
+            else:
+                arrow_aggs.append((col, fn))
+        res = gb.aggregate(arrow_aggs)
+        # canonical output names
+        cols = {group_col: res[group_col]}
+        for out, (fn, col) in aggs.items():
+            src_name = (
+                f"{group_col}_count" if fn == "count" else f"{col}_{fn}"
+            )
+            cols[out] = res[src_name]
+        return pa.table(cols)
+
+    batches = list(
+        stale.map_batches(_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        )
+    )
+    if not batches or sum(b.num_rows for b in batches) == 0:
+        return {"rows_rolled": 0, "groups": 0, "rows_deleted": 0,
+                "noop": True}
+    parts = pa.concat_tables(batches, promote_options="permissive")
+    # reduce the partials driver-side (group-sized, tiny)
+    gb = parts.group_by([group_col])
+    red_aggs = []
+    for out, (fn, _c) in aggs.items():
+        red_aggs.append((out, "sum" if fn in ("count", "sum") else fn))
+    red = gb.aggregate(red_aggs)
+    cols = {group_col: red[group_col]}
+    rows_rolled = 0
+    for out, (fn, _c) in aggs.items():
+        nm = f"{out}_sum" if fn in ("count", "sum") else f"{out}_{fn}"
+        cols[out] = red[nm]
+        if fn == "count":
+            rows_rolled = int(pc.sum(red[nm]).as_py() or 0)
+    slice_aggs = pa.table(cols)
+
+    feed = pa.table(
+        {
+            "lsn": pa.array(
+                np.full(slice_aggs.num_rows, int(src.max_lsn) + 1,
+                        dtype=np.int64)
+            ),
+            "op": pa.array(["UPDATE"] * slice_aggs.num_rows),
+            **{c: slice_aggs[c] for c in slice_aggs.column_names},
+        }
+    )
+    sum_cols = tuple(o for o, (f, _c) in aggs.items() if f in ("count", "sum"))
+    max_cols = tuple(o for o, (f, _c) in aggs.items() if f == "max")
+    min_cols = tuple(o for o, (f, _c) in aggs.items() if f == "min")
+    apply_accumulate(
+        feed, rollup_root,
+        key=group_col,
+        num_partitions=num_partitions,
+        sum_cols=sum_cols, max_cols=max_cols, min_cols=min_cols,
+        txn=(f"rollup:{os.path.abspath(rollup_root)}", src.version),
+    )
+    res = delete_where(lake_root, predicate, mode=mode)
+    return {
+        "rows_rolled": rows_rolled,
+        "groups": slice_aggs.num_rows,
+        "rows_deleted": res.rows_deleted,
+        "noop": False,
+    }
