@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "q134_enriched_ingest",  # round-3: broadcast dimension enrichment
     "q136_row_ttl",  # round-3: stored-policy expiry enforcement
     "q137_multicol_view",  # round-3: composite-key grouped view refresh
+    "q140_rollup_ttl",  # round-3: downsample-then-expire double enforcement
     "cdc_replay",
 ]
 

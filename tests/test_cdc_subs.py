@@ -296,3 +296,67 @@ def test_lake_digest_and_verify_replica(tmp_path, ray_session):
     # projection digest: compare only shared columns
     rep2 = verify_replica(src, dst, columns=["doc_id"])
     assert rep2["match"] is True  # keys identical, payload diverged
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_subscription_random_interleaving_property(tmp_path_factory):
+    """Property: across random interleavings of source commits, polls,
+    acks, and crash-before-ack drops, a consumer that finally drains
+    its cursor converges the replica to the source — at-least-once
+    delivery composed with LWW idempotence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from palimpzest_ray.cdc.snapshot import clone_lake
+
+    op_seq = st.lists(
+        st.sampled_from(["commit", "sync", "crashpoll", "noop"]),
+        min_size=3, max_size=10,
+    )
+
+    @given(ops=op_seq)
+    @settings(max_examples=8, deadline=None)
+    def check(ops):
+        tmp = tmp_path_factory.mktemp("subprop")
+        src = str(tmp / "src")
+        dst = str(tmp / "dst")
+        _boot(tmp, src, n=15)
+        create_subscription(src, "c")
+        clone_lake(src, dst)
+        lsn = 100
+        for op in ops:
+            if op == "commit":
+                apply_changes(
+                    _log(tmp, f"u{lsn}.parquet", [
+                        {"lsn": lsn, "op": "UPDATE",
+                         "doc_id": f"d{lsn % 15:03d}", "n_tok": lsn},
+                        {"lsn": lsn + 1, "op": "DELETE",
+                         "doc_id": f"d{(lsn + 3) % 15:03d}", "n_tok": None},
+                    ]),
+                    src,
+                )
+                lsn += 10
+            elif op == "sync":
+                feed, token = poll_subscription(src, "c")
+                if feed is not None:
+                    tab = pa.concat_tables(feed.iter_batches(
+                        batch_format="pyarrow", batch_size=4096))
+                    apply_changes(tab, dst)
+                    ack_subscription(src, "c", token)
+            elif op == "crashpoll":
+                # poll, apply, CRASH before ack — redelivery must heal
+                feed, _token = poll_subscription(src, "c")
+                if feed is not None:
+                    tab = pa.concat_tables(feed.iter_batches(
+                        batch_format="pyarrow", batch_size=4096))
+                    apply_changes(tab, dst)
+        # final drain
+        feed, token = poll_subscription(src, "c")
+        if feed is not None:
+            tab = pa.concat_tables(feed.iter_batches(
+                batch_format="pyarrow", batch_size=4096))
+            apply_changes(tab, dst)
+            ack_subscription(src, "c", token)
+        assert final_state_table(dst).equals(final_state_table(src))
+
+    check()
