@@ -373,6 +373,33 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "rollup",
+        help="downsample-then-expire: aggregate stale rows into an "
+        "accumulating rollup lake, then delete them from the source",
+    )
+    p.add_argument("lake")
+    p.add_argument("rollup_lake")
+    p.add_argument("--ttl-col", required=True)
+    p.add_argument("--keep-seconds", type=float, required=True)
+    p.add_argument("--group-col", required=True)
+    p.add_argument(
+        "--agg", action="append", nargs=3, required=True,
+        metavar=("OUT", "FN", "COL"),
+        help="mergeable aggregate (FN in count/sum/min/max; COL "
+        "ignored for count — pass '-'), repeatable",
+    )
+    p.add_argument("--now", type=float, default=None)
+
+    p = sub.add_parser(
+        "digest",
+        help="order-insensitive content digest of the live state "
+        "(replica convergence proof)",
+    )
+    p.add_argument("lake")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--columns", nargs="+", default=None)
+
+    p = sub.add_parser(
         "sync",
         help="replica maintenance: first call clones + subscribes, "
         "later calls poll/apply/ack the net changes",
@@ -825,6 +852,30 @@ def main(argv: list[str] | None = None) -> int:
             _ensure_ray(args.num_cpus)
             res = apply_ttl(args.lake, now=args.now)
             print(json.dumps(_apply_summary(res)))
+        return 0
+
+    if args.cmd == "rollup":
+        from palimpzest_ray.cdc import apply_rollup
+
+        _ensure_ray(args.num_cpus)
+        aggs = {
+            out: (fn, None if col == "-" else col)
+            for out, fn, col in args.agg
+        }
+        print(json.dumps(apply_rollup(
+            args.lake, args.rollup_lake,
+            ttl_col=args.ttl_col, keep_seconds=args.keep_seconds,
+            group_col=args.group_col, aggs=aggs, now=args.now,
+        )))
+        return 0
+
+    if args.cmd == "digest":
+        from palimpzest_ray.cdc import lake_digest
+
+        _ensure_ray(args.num_cpus)
+        print(json.dumps(lake_digest(
+            args.lake, version=args.version, columns=args.columns
+        )))
         return 0
 
     if args.cmd == "sync":

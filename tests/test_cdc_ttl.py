@@ -215,3 +215,36 @@ def test_rollup_ttl_downsample_then_expire(tmp_path, ray_session):
             lake, roll, ttl_col="age", keep_seconds=0, now=40,
             group_col="kind", aggs={"a": ("avg", "val")},
         )
+
+
+def test_cli_rollup_and_digest(tmp_path, capsys, ray_session):
+    import json as _json
+
+    from palimpzest_ray import cli
+
+    lake = str(tmp_path / "lake")
+    feed = pa.table(
+        {
+            "lsn": pa.array(range(1, 21), pa.int64()),
+            "op": pa.array(["INSERT"] * 20),
+            "doc_id": pa.array([f"e{i}" for i in range(20)]),
+            "age": pa.array(list(range(20)), pa.int64()),
+            "kind": pa.array([f"k{i % 2}" for i in range(20)]),
+            "val": pa.array([float(i) for i in range(20)], pa.float64()),
+        }
+    )
+    apply_changes(feed, lake, num_partitions=2)
+    roll = str(tmp_path / "roll")
+    assert cli.main([
+        "rollup", lake, roll, "--ttl-col", "age",
+        "--keep-seconds", "0", "--now", "10",
+        "--group-col", "kind",
+        "--agg", "n", "count", "-",
+        "--agg", "sum_val", "sum", "val",
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_rolled"] == 10 and out["rows_deleted"] == 10
+
+    assert cli.main(["digest", lake]) == 0
+    d1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d1["rows"] == 10 and len(d1["digest"]) == 16
