@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from datetime import datetime, timedelta
 
 import pyarrow as pa
@@ -185,7 +187,6 @@ def test_rollup_ttl_downsample_then_expire(tmp_path, ray_session):
     from palimpzest_ray.cdc.manifest import load_latest_manifest
     from palimpzest_ray.cdc.patch import apply_accumulate
 
-    src_v_at_enforce2 = None  # reconstruct: txn uses source version
     # direct double-send of enforcement-2's feed with its txn stamp:
     dup = pa.table(
         {
@@ -199,7 +200,6 @@ def test_rollup_ttl_downsample_then_expire(tmp_path, ray_session):
     )
     # the txn recorded at enforcement 2 was (rollup:<abs roll>, v_src);
     # re-sending at or below that version no-ops
-    v_used = None
     m = load_latest_manifest(roll)
     assert m.app_versions  # the producer watermark is recorded
     app_id, v_used = next(iter(m.app_versions.items()))
@@ -248,3 +248,60 @@ def test_cli_rollup_and_digest(tmp_path, capsys, ray_session):
     assert cli.main(["digest", lake]) == 0
     d1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d1["rows"] == 10 and len(d1["digest"]) == 16
+
+
+def test_daemon_loop_with_ttl_maintenance(tmp_path, ray_session):
+    """The production composition: tail_follow drains a growing log
+    while on_commit enforces the stored TTL — expiry rides the ingest
+    loop, no second scheduler."""
+    from palimpzest_ray.cdc import apply_ttl, set_ttl, tail_follow
+
+    lake = str(tmp_path / "lake")
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    import pyarrow.parquet as pq
+
+    def _seg(name, lo, hi):
+        pq.write_table(
+            pa.table(
+                {
+                    "lsn": pa.array(range(lo, hi), pa.int64()),
+                    "op": pa.array(["INSERT"] * (hi - lo)),
+                    "doc_id": pa.array([f"e{i:03d}" for i in range(lo, hi)]),
+                    "age": pa.array(list(range(lo, hi)), pa.int64()),
+                }
+            ),
+            os.path.join(log, name),
+        )
+
+    _seg("seg-000.parquet", 0, 20)
+
+    enforced = []
+
+    def _maintain(res):
+        from palimpzest_ray.cdc import get_ttl
+
+        if get_ttl(lake) is None:
+            set_ttl(lake, "age", keep_seconds=10)
+        r = apply_ttl(lake, now=res.manifest.max_lsn)
+        enforced.append(r.rows_deleted)
+
+    results = tail_follow(
+        log, lake, poll_interval=0.1, idle_stop=2,
+        on_commit=_maintain, num_partitions=2,
+    )
+    assert len(results) >= 1
+    # after segment 1 (ages 0..19, clock 19, keep 10): ages < 9 expired
+    t = final_state_table(lake)
+    assert min(t["age"].to_pylist()) >= 9
+
+    # producer writes more; a second follow drains and re-enforces
+    _seg("seg-001.parquet", 20, 35)
+    tail_follow(
+        log, lake, poll_interval=0.1, idle_stop=2,
+        on_commit=_maintain, num_partitions=2,
+    )
+    t = final_state_table(lake)
+    assert max(t["age"].to_pylist()) == 34
+    assert min(t["age"].to_pylist()) >= 24  # clock 34, keep 10
+    assert sum(enforced) > 0
