@@ -253,3 +253,51 @@ def test_route_crash_mid_fanout_catalog_unchanged(tmp_path, ray_session):
     want = t.filter(pc.equal(t["source"], "web"))
     assert set(got["doc_id"].to_pylist()) == set(want["doc_id"].to_pylist())
     assert final_state_table(lakes["rest"]).num_rows == 60
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_route_partition_property(tmp_path_factory):
+    """Property: under random predicate sets with a default, routing is
+    a PARTITION of the feed — every event lands in exactly one lake and
+    the union of all lakes equals the feed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    thresholds = st.lists(
+        st.integers(0, 10), min_size=1, max_size=3, unique=True
+    )
+
+    @given(ts=thresholds)
+    @settings(max_examples=6, deadline=None)
+    def check(ts):
+        tmp = tmp_path_factory.mktemp("routeprop")
+        n = 40
+        feed = pa.table(
+            {
+                "lsn": pa.array(range(1, n + 1), pa.int64()),
+                "op": pa.array(["INSERT"] * n),
+                "doc_id": pa.array([f"d{i:03d}" for i in range(n)]),
+                "v": pa.array([i % 11 for i in range(n)], pa.int64()),
+            }
+        )
+        routes = {
+            f"r{i}": [("v", "<", t)] for i, t in enumerate(sorted(ts))
+        }
+        lakes = {k: str(tmp / k) for k in routes}
+        lakes["rest"] = str(tmp / "rest")
+        res = route_changes(
+            feed, str(tmp / "cat"), routes=routes, lakes=lakes,
+            default="rest",
+            apply_kwargs={k: {"num_partitions": 2} for k in lakes},
+        )
+        assert res.events_in == n
+        assert sum(res.events_routed.values()) == n
+        seen: list[str] = []
+        for k, root in lakes.items():
+            if os.path.exists(os.path.join(root, "LATEST")):
+                seen.extend(
+                    final_state_table(root)["doc_id"].to_pylist()
+                )
+        assert sorted(seen) == sorted(feed["doc_id"].to_pylist())
+
+    check()

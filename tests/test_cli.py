@@ -665,3 +665,25 @@ def test_cli_purge(tmp_path, capsys):
     after = final_state_table(lake)
     assert victim not in set(after["doc_id"].to_pylist())
     assert fsck(lake, deep=True)["ok"]
+
+
+def test_cli_all_subcommands_parse(capsys):
+    """Every subcommand's parser builds and prints help without error —
+    the regression net against argparse wiring typos."""
+    import re
+
+    from palimpzest_ray import cli
+
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["--help"])
+    assert exc.value.code == 0
+    help_text = capsys.readouterr().out
+    m = re.search(r"\{([a-z0-9,-]+)\}", help_text)
+    assert m, "no subcommand list in --help"
+    cmds = m.group(1).split(",")
+    assert len(cmds) >= 50
+    for cmd in cmds:
+        with pytest.raises(SystemExit) as e2:
+            cli.main([cmd, "--help"])
+        assert e2.value.code == 0, cmd
+        capsys.readouterr()
