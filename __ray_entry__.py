@@ -4029,7 +4029,7 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         select source,
                count(*) as n_docs,
-               cast(sum(n_tok) as bigint) as total_tok
+               cast(sum(n_tok) as double) as total_tok
         from final
         where n_tok >= 40
         group by source
@@ -4060,7 +4060,7 @@ def _base_oracle_sql() -> dict[str, str]:
           where doc_id % 11 <> 7)
         select source, bucket,
                count(*) as n_docs,
-               cast(sum(n_chars) as bigint) as total_chars
+               cast(sum(n_chars) as double) as total_chars
         from final
         group by source, bucket
     """
@@ -4367,7 +4367,7 @@ def _base_oracle_sql() -> dict[str, str]:
                  source
           from documents)
         select source, count(*) as "count(*)",
-               sum(n_tok) as "sum(n_tok)",
+               cast(sum(n_tok) as bigint) as "sum(n_tok)",
                cast(min(n_tok) as int) as "min(n_tok)",
                cast(max(n_tok) as int) as "max(n_tok)",
                count(distinct doc_id) as "count_distinct(doc_id)"
@@ -4415,10 +4415,16 @@ def _base_oracle_sql() -> dict[str, str]:
                      sum(case when num % 5 = 0 then 1 else 0 end) as ndel,
                      sum(case when num % 5 = 1 then 1 else 0 end) as nupd
               from d)
-        select cast(1 as bigint) as version, n as live_rows,
-               cast(0 as bigint) as tombstones, mx as max_lsn from s
-        union all
-        select 2, n - ndel + 10, ndel, mx + ndel + nupd + 10 from s
+        select cast(version as bigint) as version,
+               cast(live_rows as bigint) as live_rows,
+               cast(tombstones as bigint) as tombstones,
+               cast(max_lsn as bigint) as max_lsn
+        from (
+          select 1 as version, n as live_rows, 0 as tombstones,
+                 mx as max_lsn from s
+          union all
+          select 2, n - ndel + 10, ndel, mx + ndel + nupd + 10 from s
+        ) t
     """
     # accumulate apply: the delta/reset/resurrect matrix as CASE
     # arithmetic over the epoch-1 closed form (word-count n_tok)
@@ -4658,7 +4664,7 @@ def _oracle_sql_literal(lang_expr: str) -> dict[str, str]:
         # two-level semantic aggregate with an associative rule
         # generator == plain SUM
         "q82_semantic_agg": """
-            select cast(sum(n_chars) as bigint) as total_chars from documents
+            select cast(sum(n_chars) as double) as total_chars from documents
         """,
         # embedding join with the band forced open == contains-join
         "q83_embedding_join": """
@@ -4862,7 +4868,7 @@ def _oracle_sql_literal(lang_expr: str) -> dict[str, str]:
               select 8 as n_tok, 'synthetic' as source from range(10) t(i)
             )
             select source, count(*) as n_docs,
-                   cast(sum(n_tok) as bigint) as total_tok
+                   cast(sum(n_tok) as double) as total_tok
             from final group by source
         """,
         "q76_text_normalize": f"""
@@ -5072,10 +5078,10 @@ def _oracle_sql_literal(lang_expr: str) -> dict[str, str]:
         """,
         "q28_running_quantity": """
             select l_orderkey, l_linenumber,
-                   sum(cast(round(l_quantity * 100) as bigint)) over (
+                   cast(sum(cast(round(l_quantity * 100) as bigint)) over (
                      partition by l_orderkey order by l_linenumber, l_quantity
                      rows between unbounded preceding and current row
-                   ) as run_qty_c100,
+                   ) as bigint) as run_qty_c100,
                    row_number() over (
                      partition by l_orderkey order by l_linenumber, l_quantity
                    ) as line_no
@@ -5165,7 +5171,7 @@ def _oracle_sql_literal(lang_expr: str) -> dict[str, str]:
                    cast(round(sqrt(l_quantity) * 1000000) as bigint) as sqrt_qty_e6,
                    cast(round(ln(l_extendedprice) * 1000000) as bigint) as ln_ep_e6,
                    cast(sign(l_discount - 0.04) as bigint) as disc_sign,
-                   l_linenumber % 3 as ln_mod3,
+                   cast(l_linenumber % 3 as bigint) as ln_mod3,
                    cast(round(power(1.0 + l_tax, 2) * 1000000) as bigint) as tax_pow_e6
             from lineitem
         """,
@@ -5255,9 +5261,9 @@ def _oracle_sql_literal(lang_expr: str) -> dict[str, str]:
               join s2 using (user_id)
               where e.event_type = 'purchase' and e.ts > s2.t2 group by e.user_id)
             select * from (values
-              ('signup',   1, (select count(*) from s1)),
-              ('click',    2, (select count(*) from s2)),
-              ('purchase', 3, (select count(*) from s3))
+              ('signup',   cast(1 as bigint), (select count(*) from s1)),
+              ('click',    cast(2 as bigint), (select count(*) from s2)),
+              ('purchase', cast(3 as bigint), (select count(*) from s3))
             ) t(step, step_idx, n_entities)
         """,
         "q49_weekly_retention": """

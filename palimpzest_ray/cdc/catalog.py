@@ -228,7 +228,7 @@ def catalog_subscribe(
             sub_name = f"cat-{name}-{t}"
             create_subscription(root, sub_name, from_version=v)
             made.append((root, sub_name))
-            subs[t] = {"root": root, "sub": sub_name}
+            subs[t] = {"root": root, "sub": sub_name, "from_v": v}
     except Exception:
         for root, sub_name in made:  # all-or-nothing registration
             drop_subscription(root, sub_name)
@@ -261,9 +261,11 @@ def catalog_poll(catalog_root: str, name: str) -> tuple[dict, int]:
     Returns ``({table: Dataset | None}, head_catalog_version)`` — the
     ack token; ``None`` for tables whose pin did not move. At-least-
     once: the cursor advances only on :func:`catalog_ack`. A table
-    added to the catalog after the cursor contributes its FULL pinned
-    state as inserts on the next poll cycle after acking (bootstrap it
-    separately like any new consumer)."""
+    added to the catalog after the cursor is registered by the next
+    :func:`catalog_ack` (which creates its per-lake retention
+    subscription) and then contributes its FULL pinned state as
+    upserts on the poll cycle after that ack — ``from_v=0`` is the
+    empty-lake baseline ``net_changes_between`` bootstraps from."""
     from palimpzest_ray.cdc.engine import net_changes_between
 
     cur = _load_cat_sub(catalog_root, name)
@@ -274,7 +276,10 @@ def catalog_poll(catalog_root: str, name: str) -> tuple[dict, int]:
         if t not in head.pins:
             feeds[t] = None  # table left the catalog; nothing to replay
             continue
-        root, v_old = old.pin(t)
+        root = info["root"]
+        v_old = info.get("from_v")
+        if v_old is None:  # pre-from_v cursor on disk: legacy path
+            root, v_old = old.pin(t)
         _root2, v_new = head.pin(t)
         feeds[t] = (
             None
@@ -285,10 +290,15 @@ def catalog_poll(catalog_root: str, name: str) -> tuple[dict, int]:
 
 
 def catalog_ack(catalog_root: str, name: str, token: int) -> dict:
-    """Advance the multi-table cursor to catalog version ``token`` and
+    """Advance the multi-table cursor to catalog version ``token``,
     advance every per-lake retention subscription to that snapshot's
-    pinned versions (releasing vacuum floors table by table)."""
-    from palimpzest_ray.cdc.subs import ack_subscription
+    pinned versions (releasing vacuum floors table by table), and
+    REGISTER any table that joined the catalog since the cursor was
+    created: it gets a per-lake subscription (retention protection
+    from its earliest retained version) and ``from_v=0``, so the next
+    poll delivers its full pinned state as upserts through the same
+    feed path (ADVICE r3: new tables used to be silently dropped)."""
+    from palimpzest_ray.cdc.subs import ack_subscription, create_subscription
 
     cur = _load_cat_sub(catalog_root, name)
     t_snap = snapshot(catalog_root, int(token))
@@ -301,6 +311,15 @@ def catalog_ack(catalog_root: str, name: str, token: int) -> dict:
         if t in t_snap.pins:
             _root, v = t_snap.pin(t)
             ack_subscription(info["root"], info["sub"], v)
+            info["from_v"] = v
+    for t in sorted(set(t_snap.pins) - set(cur["tables"])):
+        root, v = t_snap.pin(t)
+        sub_name = f"cat-{name}-{t}"
+        try:
+            create_subscription(root, sub_name, from_version=1)
+        except ValueError:
+            pass  # debris from the table previously leaving the catalog
+        cur["tables"][t] = {"root": root, "sub": sub_name, "from_v": 0}
     cur["catalog_version"] = int(token)
     _atomic_write(
         os.path.join(catalog_root, "_subs", f"{name}.json"),

@@ -4303,20 +4303,28 @@ def net_changes_between(
     (tombstones as DELETEs). Applying it to a replica of
     ``from_version`` converges it to ``to_version`` even while the
     source lake has already moved past — what a consistent-cut
-    consumer (catalog subscriptions) replays."""
+    consumer (catalog subscriptions) replays. ``from_version=0`` is
+    the EMPTY-lake baseline: the feed is the full ``to_version`` state
+    as upserts — how a table that joined a catalog after a consumer
+    subscribed bootstraps through the same poll path."""
     from palimpzest_ray.cdc.manifest import load_manifest
 
     if to_version < from_version:
         raise ValueError(
             f"to_version {to_version} precedes from_version {from_version}"
         )
-    watermark = load_manifest(lake_root, from_version).max_lsn
+    if from_version == 0:
+        watermark = -(1 << 63)  # below any lsn: everything is new
+        predicate = None
+    else:
+        watermark = load_manifest(lake_root, from_version).max_lsn
+        predicate = [(LSN_COL, ">", int(watermark))]
     raw = final_state(
         lake_root,
         user_columns_only=False,
         include_tombstones=True,
         version=to_version,
-        predicate=[(LSN_COL, ">", int(watermark))],
+        predicate=predicate,
     )
     return raw.map_batches(
         _feed_factory(watermark), batch_format="pyarrow"

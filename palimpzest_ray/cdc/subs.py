@@ -160,10 +160,31 @@ def sync_replica(
     at-least-once safe (a crash between apply and ack redelivers and
     the LWW apply converges). Run it from cron/`tail_follow(on_commit)`
     and the replica follows the source. Returns
-    ``{"bootstrapped": bool, "applied": rows, "version": cursor}``."""
-    sub_name = name or (
-        "replica-" + os.path.basename(os.path.abspath(dst_root))
-    )
+    ``{"bootstrapped": bool, "applied": rows, "version": cursor}``.
+
+    The default cursor name hashes the ABSOLUTE dst path (ADVICE r3:
+    a basename-only default collides for two replicas whose dst dirs
+    share a basename, and the second bootstrap's drop-and-recreate
+    would silently destroy the first consumer's cursor — its unacked
+    changes never redelivered). The orphan restart below is therefore
+    safe: an existing cursor under this name belongs to THIS dst path,
+    so if the dst lake is gone the cursor is provably orphaned."""
+    import hashlib
+
+    if name is None:
+        ap = os.path.abspath(dst_root)
+        base = os.path.basename(ap)
+        legacy = "replica-" + base
+        sub_name = (
+            f"replica-{base}-{hashlib.sha1(ap.encode()).hexdigest()[:8]}"
+        )
+        # migration: a pre-hash cursor keeps working under its old name
+        if (not os.path.exists(_sub_path(src_root, sub_name))
+                and os.path.exists(_sub_path(src_root, legacy))
+                and load_latest_manifest(dst_root) is not None):
+            sub_name = legacy
+    else:
+        sub_name = name
     if load_latest_manifest(dst_root) is None:
         from palimpzest_ray.cdc.snapshot import clone_lake
 

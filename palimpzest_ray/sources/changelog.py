@@ -286,6 +286,7 @@ def unwrap_maxwell(
     schema: pa.Schema = CHANGELOG_SCHEMA,
     key: str = "doc_id",
     lsn_base: int = 0,
+    row_index=None,
 ) -> pa.Table:
     """One Maxwell JSON batch → normalized change rows (vectorized).
 
@@ -294,7 +295,12 @@ def unwrap_maxwell(
     maxwells-daemon.io/dataformat) carry no log sequence number, only a
     commit id. LSN synthesis: an explicit ``position``/``lsn`` field
     wins when present; otherwise ``xid * 2^20 + row-index-within-this-
-    read`` (``lsn_base`` offsets the index across chunked reads) —
+    read`` (``lsn_base`` offsets the index across chunked reads;
+    callers that batch arbitrarily pass the true global file-order
+    index per row via ``row_index`` instead — :func:`read_maxwell_changes`
+    does, because Ray splits a feed into ~1024-row batches and a
+    per-batch ``arange`` restarting at 0 would let two events of one
+    transaction that straddle a batch boundary collide or invert) —
     monotone in commit order, distinct per event, deterministic for a
     given topic dump. Contract caveat (documented, inherent to the
     format): ordering WITHIN one transaction follows file order; a
@@ -331,9 +337,14 @@ def unwrap_maxwell(
         import numpy as np
 
         xid = batch.column("xid").cast(pa.int64())
-        idx_in = pa.array(
-            np.arange(lsn_base, lsn_base + n, dtype=np.int64)
-        )
+        if row_index is not None:
+            idx_in = pa.array(
+                np.asarray(row_index, dtype=np.int64) + lsn_base
+            )
+        else:
+            idx_in = pa.array(
+                np.arange(lsn_base, lsn_base + n, dtype=np.int64)
+            )
         lsn = pc.add(
             pc.multiply(xid, pa.scalar(1 << 20, pa.int64())), idx_in
         )
@@ -357,18 +368,113 @@ def unwrap_maxwell(
     return conform(pa.table(cols), schema)
 
 
+def _expand_jsonl_paths(paths: str | list[str]) -> list[str]:
+    """Directories → their files (sorted: Maxwell rolls files in name
+    order, so sorted names ARE commit order), files pass through."""
+    out: list[str] = []
+    for p in [paths] if isinstance(paths, str) else paths:
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, n)
+                for n in sorted(os.listdir(p))
+                if not n.startswith("_") and not n.startswith(".")
+            )
+        else:
+            out.append(p)
+    return out
+
+
+def _maxwell_has_position(paths: list[str]) -> bool:
+    """Peek the first envelope: does this dump carry an explicit
+    ``position``/``lsn``?  All-or-nothing per dump (a feed that mixes
+    positioned and position-less envelopes has no coherent order)."""
+    for p in paths:
+        with open(p, "rb") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    env = json.loads(line)
+                    return "position" in env or "lsn" in env
+    return True  # empty dump: fast path handles it
+
+
 def read_maxwell_changes(
     paths: str | list[str],
     schema: pa.Schema = CHANGELOG_SCHEMA,
     key: str = "doc_id",
 ) -> rd.Dataset:
     """Stream a Maxwell JSONL topic dump as a conformed change Dataset
-    (the third wire format next to plain JSONL and Debezium)."""
+    (the third wire format next to plain JSONL and Debezium).
 
-    def _unwrap(batch: pa.Table) -> pa.Table:
-        return unwrap_maxwell(batch, schema, key=key)
+    When envelopes carry ``position``/``lsn``, this is a plain
+    vectorized ``read_json`` → unwrap per batch.  When they do NOT
+    (stock Maxwell has only ``xid``), the synthesized LSN needs the
+    GLOBAL file-order row index — Ray hands ``map_batches`` ~1024-row
+    slices, and a per-batch index restarting at 0 lets two events of
+    one transaction that straddle a batch boundary collide or invert,
+    so LWW could keep a stale image.  The position-less path therefore
+    parses one file per task tagging ``(_file_seq, _row_in_file)``,
+    cumsums per-file row counts on the driver (one int per file — the
+    same bounded-driver-state shape as stages/packing.py's prefix sum),
+    and feeds the exact global index into :func:`unwrap_maxwell` via
+    ``row_index``.  The parsed feed is pinned once (materialize) so
+    files parse exactly once; only this degenerate wire format pays
+    that, and it spills to the object store rather than the driver."""
+    flat = _expand_jsonl_paths(paths)
+    if not flat:
+        return rd.from_arrow(schema.empty_table())
 
-    return rd.read_json(paths).map_batches(_unwrap, batch_format="pyarrow")
+    if _maxwell_has_position(flat):
+        def _unwrap(batch: pa.Table) -> pa.Table:
+            return unwrap_maxwell(batch, schema, key=key)
+
+        return rd.read_json(flat).map_batches(_unwrap, batch_format="pyarrow")
+
+    import numpy as np
+    import pyarrow.json as pj
+
+    items = [{"_file_seq": i, "_path": p} for i, p in enumerate(flat)]
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for seq, path in zip(
+            batch["_file_seq"].to_pylist(), batch["_path"].to_pylist()
+        ):
+            if os.path.getsize(path) == 0:
+                continue
+            t = pj.read_json(path)
+            n = t.num_rows
+            t = t.append_column(
+                "_file_seq", pa.array(np.full(n, seq, dtype=np.int64))
+            )
+            t = t.append_column(
+                "_row_in_file", pa.array(np.arange(n, dtype=np.int64))
+            )
+            tabs.append(t)
+        if not tabs:
+            return pa.table({"_file_seq": pa.array([], pa.int64()),
+                             "_row_in_file": pa.array([], pa.int64())})
+        return pa.concat_tables(tabs, promote_options="permissive")
+
+    raw = rd.from_items(items).map_batches(
+        _parse, batch_size=1, batch_format="pyarrow"
+    ).materialize()
+    counts = np.zeros(len(flat), dtype=np.int64)
+    for r in raw.groupby("_file_seq").count().take_all():
+        counts[r["_file_seq"]] = r["count()"]
+    bases = np.zeros(len(flat), dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+
+    def _unwrap_global(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return conform(batch.select([]), schema)
+        seq = batch["_file_seq"].to_numpy(zero_copy_only=False)
+        rif = batch["_row_in_file"].to_numpy(zero_copy_only=False)
+        gidx = bases[seq] + rif
+        body = batch.drop_columns(["_file_seq", "_row_in_file"])
+        return unwrap_maxwell(body, schema, key=key, row_index=gidx)
+
+    return raw.map_batches(_unwrap_global, batch_format="pyarrow")
 
 
 def write_maxwell_jsonl(

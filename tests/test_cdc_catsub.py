@@ -154,3 +154,50 @@ def test_catalog_subscribe_all_or_nothing_and_dup(tmp_path, ray_session):
         catalog_subscribe(cat, "m")
     # the failed duplicate left no extra per-lake cursors behind
     assert list_subscriptions(lakes["a"]) == {"cat-m-a": 1}
+
+
+def test_catalog_ack_registers_new_table(tmp_path, ray_session):
+    """ADVICE r3 (catalog.py:257): a table added to the catalog AFTER
+    catalog_subscribe must be registered on the next ack — per-lake
+    retention subscription created, and the poll after that ack
+    delivering its FULL pinned state as upserts (from_v=0 baseline)."""
+    cat = str(tmp_path / "cat")
+    lakes = {"a": str(tmp_path / "a"), "c": str(tmp_path / "c")}
+    kw = {n: {"num_partitions": 2} for n in lakes}
+    commit_transaction(
+        cat,
+        {"a": _feed(tmp_path, "a1.parquet", [
+            {"lsn": i, "op": "INSERT", "doc_id": f"d{i}", "v": i}
+            for i in range(1, 4)
+        ])},
+        {"a": lakes["a"]}, apply_kwargs=kw,
+    )
+    catalog_subscribe(cat, "m")
+
+    # a NEW table joins the catalog after the cursor exists
+    commit_transaction(
+        cat,
+        {"c": _feed(tmp_path, "c1.parquet", [
+            {"lsn": i, "op": "INSERT", "doc_id": f"n{i}", "v": 100 + i}
+            for i in range(1, 3)
+        ])},
+        lakes, apply_kwargs=kw,
+    )
+    feeds, tok = catalog_poll(cat, "m")
+    assert "c" not in feeds  # not yet registered: cursor predates it
+    cur = catalog_ack(cat, "m", tok)
+    assert "c" in cur["tables"] and cur["tables"]["c"]["from_v"] == 0
+    # retention floor now protects the new lake for this consumer
+    assert "cat-m-c" in list_subscriptions(lakes["c"])
+
+    # next cycle: full pinned state of c arrives as upserts
+    feeds2, tok2 = catalog_poll(cat, "m")
+    assert feeds2["a"] is None  # unchanged
+    got = _collect(feeds2["c"])
+    assert sorted(got["doc_id"].to_pylist()) == ["n1", "n2"]
+    assert set(got["op"].to_pylist()) <= {"UPDATE", "INSERT"}
+    cur2 = catalog_ack(cat, "m", tok2)
+    assert cur2["tables"]["c"]["from_v"] >= 1
+    # and a further poll is quiet
+    feeds3, _ = catalog_poll(cat, "m")
+    assert feeds3["c"] is None

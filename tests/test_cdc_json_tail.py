@@ -175,3 +175,48 @@ def test_maxwell_roundtrip_and_tail(tmp_path, ray_session):
             pa.table({"type": pa.array(["truncate"]),
                       "xid": pa.array([1], pa.int64())})
         )
+
+
+def test_maxwell_positionless_cross_batch_lsn(tmp_path, ray_session):
+    """ADVICE r3 (changelog.py:360): a position-less Maxwell feed whose
+    single transaction spans Ray's ~1024-row batch boundary must get a
+    GLOBAL file-order row index — a per-batch index restarting at 0
+    would collide/invert LSNs and LWW could keep a stale image.  Feed:
+    one xid, 3000 updates of ONE key, n_tok = file-order rank; the
+    final state must hold the LAST image (n_tok=2999), and the lsn
+    column must be a strictly increasing permutation in file order."""
+    from palimpzest_ray.cdc import apply_changes
+    from palimpzest_ray.sources.changelog import read_maxwell_changes
+
+    n = 3000
+    topic = tmp_path / "mtopic"
+    topic.mkdir()
+    # two rolled files: file order is commit order across files too
+    half = n // 2
+    for fi, lo in enumerate((0, half)):
+        with open(topic / f"maxwell-{fi:05d}.jsonl", "w") as f:
+            for i in range(lo, lo + half):
+                f.write(json.dumps({
+                    "type": "update" if i else "insert",
+                    "xid": 1,
+                    "data": {"doc_id": "hot", "n_tok": i, "source": "s"},
+                }) + "\n")
+
+    feed = read_maxwell_changes(str(topic))
+    tbl = feed.to_arrow_refs()
+    import pyarrow.compute as pc
+    import ray
+    tbl = pa.concat_tables([ray.get(r) for r in tbl])
+    assert tbl.num_rows == n
+    # sort by the synthesized lsn: n_tok must come back in exact file
+    # order 0..n-1 (distinct, monotone — no per-batch restart)
+    order = pc.sort_indices(tbl, sort_keys=[("lsn", "ascending")])
+    got = pc.take(tbl["n_tok"], order).to_pylist()
+    assert got == list(range(n))
+    assert len(set(tbl["lsn"].to_pylist())) == n
+
+    lake = str(tmp_path / "lake")
+    apply_changes(feed, lake, num_partitions=2)
+    state = final_state_table(lake)
+    assert state.num_rows == 1
+    assert state["n_tok"].to_pylist() == [n - 1]

@@ -360,3 +360,57 @@ def test_subscription_random_interleaving_property(tmp_path_factory):
         assert final_state_table(dst).equals(final_state_table(src))
 
     check()
+
+
+def test_sync_replica_same_basename_no_collision(tmp_path, ray_session):
+    """ADVICE r3 (subs.py:172): two replicas whose dst dirs share a
+    basename must not share the default cursor — the second bootstrap
+    used to drop-and-recreate the first consumer's subscription,
+    losing its unacked changes. The default name now hashes the
+    absolute dst path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        final_state_table,
+        list_subscriptions,
+        sync_replica,
+    )
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    src = str(tmp_path / "src")
+    rows = [
+        {"lsn": i, "op": "INSERT", "doc_id": f"d{i}", "tokens": [i],
+         "n_tok": 1, "source": "w"}
+        for i in range(1, 4)
+    ]
+    apply_changes(
+        rd.from_arrow(pa.Table.from_pylist(rows, CHANGELOG_SCHEMA)),
+        src, num_partitions=2, change_schema=CHANGELOG_SCHEMA,
+    )
+    dst1 = str(tmp_path / "siteA" / "replica")
+    dst2 = str(tmp_path / "siteB" / "replica")
+    sync_replica(src, dst1)
+    subs_after_first = dict(list_subscriptions(src))
+    sync_replica(src, dst2)  # same basename, different path
+    subs_after_second = dict(list_subscriptions(src))
+    # first consumer's cursor survived; two distinct cursors exist
+    assert set(subs_after_first) <= set(subs_after_second)
+    assert len(subs_after_second) == 2
+
+    # both replicas independently catch up on new changes
+    more = [{"lsn": 10, "op": "UPDATE", "doc_id": "d1",
+             "tokens": [9, 9], "n_tok": 2, "source": "w"}]
+    apply_changes(
+        rd.from_arrow(pa.Table.from_pylist(more, CHANGELOG_SCHEMA)),
+        src, num_partitions=2, change_schema=CHANGELOG_SCHEMA,
+    )
+    r1 = sync_replica(src, dst1)
+    r2 = sync_replica(src, dst2)
+    assert r1["applied"] >= 1 and r2["applied"] >= 1
+    for dst in (dst1, dst2):
+        st = final_state_table(dst)
+        row = {d: n for d, n in zip(st["doc_id"].to_pylist(),
+                                    st["n_tok"].to_pylist())}
+        assert row["d1"] == 2

@@ -51,8 +51,10 @@ def main() -> int:
     quiet()
     import __ray_entry__ as e
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict-dtype"]
+    strict_dtype = "--strict-dtype" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -97,7 +99,21 @@ def main() -> int:
             pd.testing.assert_frame_equal(
                 mine, theirs, check_dtype=False, check_exact=True
             )
-            print(f"ok   {name}: rows={len(mine)} exact-match [{dt:.1f}s]")
+            note = ""
+            if strict_dtype:
+                # The driver's value hash is representation-sensitive:
+                # DuckDB HUGEINT/DECIMAL surfaces as float64/object in
+                # pandas while the engine emits int64 — values equal,
+                # hashes differ. Flag every such column.
+                mism = [
+                    (c, str(mine[c].dtype), str(theirs[c].dtype))
+                    for c in mine.columns
+                    if mine[c].dtype != theirs[c].dtype
+                ]
+                if mism:
+                    note = f"  DTYPE-MISMATCH {mism}"
+                    n_fail += 1
+            print(f"ok   {name}: rows={len(mine)} exact-match [{dt:.1f}s]{note}")
         except AssertionError as ex:
             print(f"FAIL {name}: values differ: {str(ex).splitlines()[-1]}")
             n_fail += 1
