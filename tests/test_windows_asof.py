@@ -205,3 +205,52 @@ def test_window_cum_kinds():
         [("g", "ascending"), ("seq", "ascending")]
     )
     assert rn["row_number"].to_pylist() == [1, 2, 3, 1, 2]
+
+
+def test_window_bucketed_low_cardinality_parity():
+    """VERDICT r3 #2: the low-cardinality window path must SPLIT each
+    partition-key group across many (bucket, group) slices — one task
+    never materializes a whole group — and agree exactly with the
+    map_groups path (including dtypes). 2 sources x 20k rows,
+    num_buckets=8: >= 8 slices, max slice well under a group."""
+    import numpy as np
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    t = pa.table({
+        "source": pa.array(rng.choice(["wiki", "web"], n)),
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "n_tok": pa.array(rng.integers(1, 50, n).astype(np.int64)),
+    })
+    ds = Dataset(rd.from_arrow(t).repartition(8))
+    specs = [("sum", "n_tok", "cum_tok"), ("row_number", None, "rn"),
+             ("min", "n_tok", "cmin"), ("avg", "n_tok", "cavg")]
+
+    dbg: dict = {}
+    norm = [(k, c, o, None, ["doc_id"]) for k, c, o in specs]
+    got = Dataset(ds._ds.materialize())._window_bucketed(
+        norm, ["source"], ["doc_id"], 8, debug=dbg
+    ).to_pandas()
+    assert dbg["n_buckets"] == 8
+    assert dbg["n_slices"] >= 8  # each group split across buckets
+    assert dbg["max_slice_rows"] < n / 4  # no task holds a whole group
+
+    want = ds.window(specs, by="source", order="doc_id",
+                     strategy="groups").to_pandas()
+    import pandas as pd
+    got = got[sorted(got.columns)].sort_values(
+        ["source", "doc_id"], ignore_index=True)
+    want = want[sorted(want.columns)].sort_values(
+        ["source", "doc_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True,
+                                  check_exact=True)
+
+    # auto on a 2-group input picks the bucketed path and stays exact
+    auto = ds.window(specs, by="source", order="doc_id").to_pandas()
+    auto = auto[sorted(auto.columns)].sort_values(
+        ["source", "doc_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(auto, want, check_dtype=True,
+                                  check_exact=True)
