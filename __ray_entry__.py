@@ -3772,6 +3772,55 @@ def q140_rollup_ttl(sf_dir: str):
     ).project(["event_type", "n_ev", "sum_value", "max_value"])
 
 
+def q141_token_shuffle_join(sf_dir: str):
+    """Nested-payload shuffle join (VERDICT r3 #3): the ``tokens``
+    ``list<int32>`` column rides the bucketed cogroup join — narrow-key
+    acero join + ``take`` payload re-attach, zero pandas round trip
+    (``dataset.py`` ``_cogroup_arrow_nested``) — against a flat per-doc
+    stats side on ``doc_id`` with ``strategy="shuffle"`` forced (the
+    100-TB fact-join path where broadcast is impossible).
+    ``n_tok_post`` is computed FROM the joined tokens payload (list
+    length AFTER the join), so oracle equality witnesses the arrays
+    survived the shuffle; byte-level token equality + exact list dtype
+    is proven in tests/test_joins.py::test_nested_payload_join_zero_copy.
+    EXACT oracle: word count == regexp-split length in SQL."""
+    from palimpzest_ray.pipelines.cdc_demo import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        lambda b: tokenize_batch(b).select(["doc_id", "tokens", "source"])
+    )
+
+    def _stats(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.char.add("doc-", np.char.zfill(ids.astype("U8"), 8))
+                ),
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    stats = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(_stats)
+    joined = docs.join(stats, on="doc_id", how="inner", strategy="shuffle")
+
+    def _post(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_chars": b["n_chars"],
+                "n_tok_post": pc.list_value_length(b["tokens"]).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(_post)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3912,6 +3961,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q138_catalog_subscription": q138_catalog_subscription,
         "q139_maxwell_ingest": q139_maxwell_ingest,
         "q140_rollup_ttl": q140_rollup_ttl,
+        "q141_token_shuffle_join": q141_token_shuffle_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4074,6 +4124,16 @@ def _base_oracle_sql() -> dict[str, str]:
         from events
         where ts < (select max(ts) - interval 72 hour from events)
         group by event_type
+    """
+    # nested-payload shuffle join: token arrays ride the cogroup join,
+    # length recomputed FROM the joined payload == SQL word count
+    d["q141_token_shuffle_join"] = r"""
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               source,
+               cast(n_chars as bigint) as n_chars,
+               cast(len(regexp_split_to_array(lower(text), '\s+'))
+                    as bigint) as n_tok_post
+        from documents
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

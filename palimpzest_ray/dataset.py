@@ -1355,11 +1355,20 @@ class Dataset:
             else:
                 # pin once: the probe and the window both read it
                 src = Dataset(self._ds.materialize())
-                n_groups = src._ds.groupby(by).count().count()
-                strategy = (
-                    "bucketed" if 0 < n_groups <= _WINDOW_LOW_CARD
-                    else "groups"
-                )
+                # cheap first look: >LOW_CARD distinct keys in a 64k
+                # prefix proves high cardinality without a shuffle
+                # (q28's by=l_orderkey short-circuits here); only a
+                # low-card-looking prefix pays the exact narrow count
+                head = src._ds.select_columns(by).limit(65536).take_all()
+                distinct = len({tuple(r[c] for c in by) for r in head})
+                if distinct > _WINDOW_LOW_CARD:
+                    strategy = "groups"
+                else:
+                    n_groups = src._ds.groupby(by).count().count()
+                    strategy = (
+                        "bucketed" if 0 < n_groups <= _WINDOW_LOW_CARD
+                        else "groups"
+                    )
         if strategy == "bucketed":
             if not carryable:
                 raise ValueError(
@@ -2121,40 +2130,6 @@ def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
     return ds.map_batches(_r, batch_format="pyarrow")
 
 
-def _merge_frames(lf: pd.DataFrame, rf: pd.DataFrame, on: list[str], how: str) -> pd.DataFrame:
-    """pandas ``merge`` with SQL equi-join null semantics: a null key
-    never matches anything (pandas natively matches NaN keys to each
-    other, which disagrees with acero and ANSI SQL). Null-key rows are
-    excluded from matching and re-emitted unmatched where ``how``
-    preserves their side."""
-    lnull = lf[on].isna().any(axis=1)
-    rnull = rf[on].isna().any(axis=1)
-    merged = lf[~lnull].merge(rf[~rnull], on=on, how=how)
-    parts = [merged]
-    if how in ("left", "outer") and lnull.any():
-        parts.append(lf[lnull].reindex(columns=merged.columns))
-    if how in ("right", "outer") and rnull.any():
-        parts.append(rf[rnull].reindex(columns=merged.columns))
-    if len(parts) == 1:
-        return merged
-    return pd.concat(parts, ignore_index=True)
-
-
-_BCAST_PD_CACHE: dict[str, pd.DataFrame] = {}
-
-
-def _ref_pandas(ref) -> pd.DataFrame:
-    """Per-worker cache of a broadcast table's pandas conversion — the
-    merge kernel runs per batch, the conversion must not."""
-    key = ref.hex()
-    df = _BCAST_PD_CACHE.get(key)
-    if df is None:
-        if len(_BCAST_PD_CACHE) > 4:
-            _BCAST_PD_CACHE.clear()
-        df = _BCAST_PD_CACHE[key] = ray.get(ref).to_pandas()
-    return df
-
-
 def _null_sentinel(t: pa.DataType):
     """A fill value for null-expansion of set-op keys (any constant of
     the type works — the companion is-null flag keeps a real
@@ -2246,8 +2221,11 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
     The per-batch kernel is Arrow acero (``pa.Table.join`` — zero
     pandas conversion, typed-null output) when both schemas are flat;
     acero rejects nested (list/struct/map) non-key columns, so token-
-    array payloads fall back to a pandas merge against a per-worker
-    cached frame.
+    array payloads join NARROW — keys + a row index per side through
+    acero — and re-attach payloads via ``take`` (SURVEY §7.5.4: token
+    arrays never round-trip through pandas). ``base_how`` is always
+    inner/left here, so the left index is never null and left columns
+    take through exactly; unmatched right rows pad as typed nulls.
 
     right/outer joins additionally require emitting right rows that
     matched nothing anywhere — tracked per-batch is impossible without
@@ -2270,6 +2248,18 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
         not pa.types.is_nested(f.type) for f in lschema
     )
     acero_how = {"inner": "inner", "left": "left outer"}[base_how]
+    _ri = "__pz_ri"
+    rk_ref = (
+        None
+        if flat
+        else ray.put(
+            right_tbl.select(on).append_column(
+                _ri,
+                pa.array(np.arange(right_tbl.num_rows, dtype=np.int64)),
+            )
+        )
+    )
+    r_only_b = [c for c in right_tbl.column_names if c not in on]
 
     def _merge(batch: pa.Table) -> pa.Table:
         batch = _cast_key_columns(batch, key_casts)
@@ -2278,8 +2268,23 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
                 ray.get(ref), keys=on, join_type=acero_how, use_threads=False
             )
             return out.replace_schema_metadata(None)
-        out = _merge_frames(batch.to_pandas(), _ref_pandas(ref), on, base_how)
-        return _from_pandas_safe(out)
+        _li = "__pz_li"
+        lk = batch.select(on).append_column(
+            _li, pa.array(np.arange(batch.num_rows, dtype=np.int64))
+        )
+        idx = lk.join(
+            ray.get(rk_ref), keys=on, join_type=acero_how, use_threads=False
+        )
+        lidx = idx[_li].combine_chunks()
+        ridx = idx[_ri].combine_chunks()
+        rt = ray.get(ref)
+        cols = {
+            c: batch[c].combine_chunks().take(lidx)
+            for c in batch.column_names
+        }
+        for c in r_only_b:
+            cols[c] = rt[c].take(ridx)
+        return pa.table(cols).replace_schema_metadata(None)
 
     out = left.map_batches(_merge, batch_format="pyarrow")
 
@@ -2317,7 +2322,7 @@ def _broadcast_join(left: rd.Dataset, right: rd.Dataset, on: list[str], how: str
             else:
                 cols = [batch[c].to_pylist() for c in on]
                 rem = batch.filter(pa.array([t not in probe for t in zip(*cols)]))
-            return _from_pandas_safe(rem.to_pandas())
+            return rem.replace_schema_metadata(None)
 
         unmatched = right.map_batches(_unmatched, batch_format="pyarrow")
         out = _union_aligned(out, unmatched)
@@ -2444,12 +2449,15 @@ def _shuffle_join(
     rt = rt.map_batches(lambda b: _pad_columns(b, l_only, lschema), batch_format="pyarrow")
     both = lt.union(rt)
 
-    how_pd = {"outer": "outer", "inner": "inner", "left": "left", "right": "right"}[how]
     out_schema = pa.schema(
         [lschema.field(c) for c in on + l_only] + [rschema.field(c) for c in r_only]
     )
     # per-bucket kernel: acero hash join on flat schemas (zero pandas,
-    # typed nulls); nested payloads (acero limitation) pandas-merge
+    # typed nulls); nested payloads (acero rejects list/struct non-key
+    # columns) join NARROW — keys + a row index per side through acero,
+    # payloads re-attached via take (null index -> null row, exactly
+    # outer-join semantics). Token arrays never round-trip through
+    # pandas (SURVEY §7.5.4); same acero null-key semantics both paths.
     flat = all(not pa.types.is_nested(f.type) for f in out_schema)
     acero_how = {
         "inner": "inner",
@@ -2465,21 +2473,37 @@ def _shuffle_join(
         out = lf.join(rf, keys=on, join_type=acero_how, use_threads=False)
         return out.select(out_schema.names).replace_schema_metadata(None)
 
-    def _cogroup_pd(group: pd.DataFrame) -> pa.Table:
-        g = group.drop(columns=[_JOIN_BUCKET])
-        lf = g[g[_JOIN_SIDE] == 0][on + l_only]
-        rf = g[g[_JOIN_SIDE] == 1][on + r_only]
-        merged = _merge_frames(lf, rf, on, how_pd)
-        # the null-padded union turned ints into float64(NaN) — cast back
-        # to the true schema (NaN -> null) so output dtypes are stable
-        return pa.Table.from_pandas(
-            merged, schema=out_schema, preserve_index=False
-        ).replace_schema_metadata(None)
+    li, ri = "__pz_li", "__pz_ri"
+
+    def _cogroup_arrow_nested(group: pa.Table) -> pa.Table:
+        side = group[_JOIN_SIDE]
+        lf = group.filter(pc.equal(side, 0)).select(on + l_only)
+        rf = group.filter(pc.equal(side, 1)).select(on + r_only)
+        lk = lf.select(on).append_column(
+            li, pa.array(np.arange(lf.num_rows, dtype=np.int64))
+        )
+        rk = rf.select(on).append_column(
+            ri, pa.array(np.arange(rf.num_rows, dtype=np.int64))
+        )
+        idx = lk.join(rk, keys=on, join_type=acero_how, use_threads=False)
+        cols = {c: idx[c] for c in on}
+        for c in l_only:
+            cols[c] = lf[c].combine_chunks().take(
+                idx[li].combine_chunks()
+            )
+        for c in r_only:
+            cols[c] = rf[c].combine_chunks().take(
+                idx[ri].combine_chunks()
+            )
+        return (
+            pa.table({c: cols[c] for c in out_schema.names})
+            .cast(out_schema)
+            .replace_schema_metadata(None)
+        )
 
     grouped = both.groupby(_JOIN_BUCKET)
-    if flat:
-        return grouped.map_groups(_cogroup_arrow, batch_format="pyarrow")
-    return grouped.map_groups(_cogroup_pd, batch_format="pandas")
+    kernel = _cogroup_arrow if flat else _cogroup_arrow_nested
+    return grouped.map_groups(kernel, batch_format="pyarrow")
 
 
 def _pad_columns(batch: pa.Table, missing: list[str], schema: pa.Schema) -> pa.Table:
@@ -2497,13 +2521,6 @@ def _to_table(ds: rd.Dataset) -> pa.Table:
     if not tables:
         return _arrow_schema(ds).empty_table()
     return pa.concat_tables(tables, promote_options="permissive")
-
-
-def _from_pandas_safe(df: pd.DataFrame) -> pa.Table:
-    # strip the pandas metadata blob: it contains dicts, which break
-    # Ray's schema hashing/dedup (log spam + lost schema-cache hits)
-    t = pa.Table.from_pandas(df, preserve_index=False)
-    return t.replace_schema_metadata(None)
 
 
 def _union_aligned(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
