@@ -2378,6 +2378,42 @@ def _auto_buckets(left: rd.Dataset, right: rd.Dataset) -> int:
     return int(min(_MAX_AUTO_BUCKETS, max(32, -(-total // _TARGET_BUCKET_BYTES))))
 
 
+def _join_nested_tables(
+    lf: pa.Table,
+    rf: pa.Table,
+    on: list[str],
+    acero_how: str,
+    out_schema: pa.Schema,
+) -> pa.Table:
+    """Equi-join two tables that may carry NESTED non-key columns,
+    acero-only: acero rejects list/struct/map payloads, so join keys +
+    a per-side row index through ``pa.Table.join`` and re-attach the
+    payloads with ``take`` (a null index — the unmatched side of an
+    outer join — takes as a typed-null row). Null-key and coalesced-key
+    semantics are exactly acero's, i.e. ANSI SQL; token arrays never
+    round-trip through pandas (SURVEY §7.5.4)."""
+    li, ri = "__pz_li", "__pz_ri"
+    l_only = [c for c in lf.column_names if c not in on]
+    r_only = [c for c in rf.column_names if c not in on]
+    lk = lf.select(on).append_column(
+        li, pa.array(np.arange(lf.num_rows, dtype=np.int64))
+    )
+    rk = rf.select(on).append_column(
+        ri, pa.array(np.arange(rf.num_rows, dtype=np.int64))
+    )
+    idx = lk.join(rk, keys=on, join_type=acero_how, use_threads=False)
+    cols = {c: idx[c] for c in on}
+    for c in l_only:
+        cols[c] = lf[c].combine_chunks().take(idx[li].combine_chunks())
+    for c in r_only:
+        cols[c] = rf[c].combine_chunks().take(idx[ri].combine_chunks())
+    return (
+        pa.table({c: cols[c] for c in out_schema.names})
+        .cast(out_schema)
+        .replace_schema_metadata(None)
+    )
+
+
 def _shuffle_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -2473,33 +2509,11 @@ def _shuffle_join(
         out = lf.join(rf, keys=on, join_type=acero_how, use_threads=False)
         return out.select(out_schema.names).replace_schema_metadata(None)
 
-    li, ri = "__pz_li", "__pz_ri"
-
     def _cogroup_arrow_nested(group: pa.Table) -> pa.Table:
         side = group[_JOIN_SIDE]
         lf = group.filter(pc.equal(side, 0)).select(on + l_only)
         rf = group.filter(pc.equal(side, 1)).select(on + r_only)
-        lk = lf.select(on).append_column(
-            li, pa.array(np.arange(lf.num_rows, dtype=np.int64))
-        )
-        rk = rf.select(on).append_column(
-            ri, pa.array(np.arange(rf.num_rows, dtype=np.int64))
-        )
-        idx = lk.join(rk, keys=on, join_type=acero_how, use_threads=False)
-        cols = {c: idx[c] for c in on}
-        for c in l_only:
-            cols[c] = lf[c].combine_chunks().take(
-                idx[li].combine_chunks()
-            )
-        for c in r_only:
-            cols[c] = rf[c].combine_chunks().take(
-                idx[ri].combine_chunks()
-            )
-        return (
-            pa.table({c: cols[c] for c in out_schema.names})
-            .cast(out_schema)
-            .replace_schema_metadata(None)
-        )
+        return _join_nested_tables(lf, rf, on, acero_how, out_schema)
 
     grouped = both.groupby(_JOIN_BUCKET)
     kernel = _cogroup_arrow if flat else _cogroup_arrow_nested

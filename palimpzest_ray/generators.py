@@ -22,7 +22,16 @@ Design for Ray:
   per actor by :meth:`OpenAIConfig.factory`.
 - usage counters live per actor and are folded into the Ray metrics via
   ``get_usage()``; they are also exposed process-wide through
-  :func:`usage_snapshot` for driver-side tests.
+  :func:`usage_snapshot` (aggregate over every generator built in this
+  process — inside an actor, that actor's generators).
+- cost accounting mirrors reference ``GenerationStats``
+  (``models.py:794-800`` + model cards ``constants.py:144-183``): each
+  call's USD cost = tokens x the model's per-1M-token price, from the
+  config override or the public price table below.
+- prompts may be plain strings OR chat-completions *content part*
+  lists (``[{"type": "text", ...}, {"type": "image_url", ...}]``) —
+  the multimodal protocol shape; the adapter passes parts through
+  verbatim (reference modality detection: ``physical.py:42-56``).
 
 No network exists in this container: tests run a local
 ``http.server``-based stub (``tests/test_generators.py``) which is
@@ -37,7 +46,46 @@ import threading
 import time
 import urllib.error
 import urllib.request
+import weakref
 from dataclasses import dataclass, field
+
+# Public per-1M-token USD prices (openai.com/api/pricing, 2025-06 —
+# same role as the reference's model cards, constants.py:144-183).
+# Longest-prefix match on the model name; unknown models cost 0 unless
+# the config carries explicit prices.
+_MODEL_COSTS_PER_MTOK: dict[str, tuple[float, float]] = {
+    "gpt-4o-mini": (0.15, 0.60),
+    "gpt-4o": (2.50, 10.00),
+    "gpt-4.1-nano": (0.10, 0.40),
+    "gpt-4.1-mini": (0.40, 1.60),
+    "gpt-4.1": (2.00, 8.00),
+    "o3-mini": (1.10, 4.40),
+    "o3": (2.00, 8.00),
+    "o4-mini": (1.10, 4.40),
+}
+
+
+def model_cost_per_mtok(model: str | None) -> tuple[float, float]:
+    """(prompt, completion) USD per 1M tokens by longest model-name
+    prefix; (0, 0) for unknown models."""
+    best = ("", (0.0, 0.0))
+    for prefix, costs in _MODEL_COSTS_PER_MTOK.items():
+        if model and model.startswith(prefix) and len(prefix) > len(best[0]):
+            best = (prefix, costs)
+    return best[1]
+
+
+_ALL_USAGE: "weakref.WeakSet[Usage]" = weakref.WeakSet()
+
+
+def usage_snapshot() -> dict:
+    """Aggregate counters over every generator created in THIS process
+    (per actor inside Ray workers; driver-side for local generators)."""
+    total: dict[str, float] = {}
+    for u in list(_ALL_USAGE):
+        for k, v in u.snapshot().items():
+            total[k] = total.get(k, 0) + v
+    return total
 
 
 @dataclass(frozen=True)
@@ -60,6 +108,10 @@ class OpenAIConfig:
     backoff_s: float = 0.5
     max_parallel: int = 8
     extra_body: dict = field(default_factory=dict, hash=False)
+    #: USD per 1M tokens; None = look up the public price table by
+    #: model name (unknown models cost 0)
+    prompt_cost_per_mtok: float | None = None
+    completion_cost_per_mtok: float | None = None
 
     def resolved(self) -> "OpenAIConfig":
         base = self.base_url or os.environ.get("OPENAI_BASE_URL")
@@ -81,6 +133,8 @@ class OpenAIConfig:
             backoff_s=self.backoff_s,
             max_parallel=self.max_parallel,
             extra_body=self.extra_body,
+            prompt_cost_per_mtok=self.prompt_cost_per_mtok,
+            completion_cost_per_mtok=self.completion_cost_per_mtok,
         )
 
     def factory(self):
@@ -94,7 +148,7 @@ class Usage:
     """Thread-safe token/cost/call counters (one per generator)."""
 
     __slots__ = ("_lock", "calls", "retries", "failures", "prompt_tokens",
-                 "completion_tokens", "wall_s")
+                 "completion_tokens", "wall_s", "cost_usd", "__weakref__")
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -104,17 +158,25 @@ class Usage:
         self.prompt_tokens = 0
         self.completion_tokens = 0
         self.wall_s = 0.0
+        self.cost_usd = 0.0
+        _ALL_USAGE.add(self)
 
     def record(self, usage: dict | None, wall_s: float, retries: int,
-               failed: bool = False) -> None:
+               failed: bool = False,
+               cost_per_mtok: tuple[float, float] = (0.0, 0.0)) -> None:
         with self._lock:
             self.calls += 1
             self.retries += retries
             self.failures += int(failed)
             self.wall_s += wall_s
             if usage:
-                self.prompt_tokens += int(usage.get("prompt_tokens") or 0)
-                self.completion_tokens += int(usage.get("completion_tokens") or 0)
+                pt = int(usage.get("prompt_tokens") or 0)
+                ct = int(usage.get("completion_tokens") or 0)
+                self.prompt_tokens += pt
+                self.completion_tokens += ct
+                self.cost_usd += (
+                    pt * cost_per_mtok[0] + ct * cost_per_mtok[1]
+                ) / 1e6
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -126,6 +188,7 @@ class Usage:
                 "completion_tokens": self.completion_tokens,
                 "total_tokens": self.prompt_tokens + self.completion_tokens,
                 "wall_s": self.wall_s,
+                "cost_usd": self.cost_usd,
             }
 
 
@@ -147,13 +210,20 @@ class OpenAIChatGenerator:
     def __init__(self, config: OpenAIConfig):
         self.cfg = config.resolved()
         self.usage = Usage()
+        self._cost = (
+            (self.cfg.prompt_cost_per_mtok, self.cfg.completion_cost_per_mtok)
+            if self.cfg.prompt_cost_per_mtok is not None
+            else model_cost_per_mtok(self.cfg.model)
+        )
 
     # -- single request ------------------------------------------------
-    def _request_one(self, prompt: str) -> str:
+    def _request_one(self, prompt) -> str:
         cfg = self.cfg
         messages = []
         if cfg.system_prompt:
             messages.append({"role": "system", "content": cfg.system_prompt})
+        # a str is a text prompt; a list is chat-completions content
+        # parts (text + image_url) and passes through verbatim
         messages.append({"role": "user", "content": prompt})
         body = {
             "model": cfg.model,
@@ -180,7 +250,8 @@ class OpenAIChatGenerator:
                     payload = json.loads(resp.read().decode())
                 text = payload["choices"][0]["message"]["content"] or ""
                 self.usage.record(payload.get("usage"),
-                                  time.monotonic() - t0, attempt)
+                                  time.monotonic() - t0, attempt,
+                                  cost_per_mtok=self._cost)
                 return text
             except urllib.error.HTTPError as e:
                 last_err = e
@@ -196,7 +267,7 @@ class OpenAIChatGenerator:
         return ""
 
     # -- batch entry point ----------------------------------------------
-    def __call__(self, prompts: list[str]) -> list[str]:
+    def __call__(self, prompts: list) -> list[str]:
         if not prompts:
             return []
         if len(prompts) == 1 or self.cfg.max_parallel <= 1:

@@ -227,6 +227,51 @@ def minhash_signature_ds(
     return ds.map_batches(_sig, batch_format="pyarrow")
 
 
+def _bucket_overflow_stats(
+    banded: rd.Dataset, key_col: str, max_bucket: int,
+    stats: dict, label: str,
+) -> rd.Dataset:
+    """No silent caps: fill ``stats`` with the truncation the
+    ``max_bucket`` cap will apply — how many buckets overflow and how
+    many candidate rows the cap drops — and WARN when nonzero (a user
+    auditing dedup recall must see it). Pins the banded feed once so
+    the count pass and the pair pass share the same execution; the
+    overflow reduction is distributed (per-batch partials, driver sums
+    a handful of ints)."""
+    mat = banded.materialize()
+    cnt = mat.groupby(key_col).count()
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        over = b.filter(_pc.greater(b["count()"], max_bucket))
+        dropped = _pc.sum(
+            _pc.subtract(over["count()"], max_bucket)
+        ).as_py() if over.num_rows else 0
+        return pa.table({
+            "buckets": pa.array([over.num_rows], pa.int64()),
+            "dropped_rows": pa.array([dropped or 0], pa.int64()),
+        })
+
+    totals = {"buckets": 0, "dropped_rows": 0}
+    for r in cnt.map_batches(_partial, batch_format="pyarrow").take_all():
+        totals["buckets"] += r["buckets"]
+        totals["dropped_rows"] += r["dropped_rows"]
+    stats["overflow_buckets"] = totals["buckets"]
+    stats["dropped_rows"] = totals["dropped_rows"]
+    stats["max_bucket"] = max_bucket
+    if totals["buckets"]:
+        import logging
+
+        logging.getLogger("palimpzest_ray.dedup").warning(
+            "%s: %d LSH bucket(s) exceed max_bucket=%d; %d candidate "
+            "row(s) truncated (recall loss) — raise max_bucket for an "
+            "exact contract",
+            label, totals["buckets"], max_bucket, totals["dropped_rows"],
+        )
+    return mat
+
+
 def minhash_candidate_pairs(
     ds: rd.Dataset,
     *,
@@ -238,8 +283,13 @@ def minhash_candidate_pairs(
     threshold: float = 0.8,
     seed: int = 7,
     max_bucket: int = 256,
+    stats: dict | None = None,
 ) -> rd.Dataset:
     """Candidate duplicate pairs with estimated Jaccard ≥ ``threshold``.
+
+    ``stats`` (optional dict): filled with ``overflow_buckets`` /
+    ``dropped_rows`` / ``max_bucket`` — the truncation the cap applies
+    to degenerate buckets, warned when nonzero (no silent caps).
 
     One wide step: ``groupby`` on the LSH band key. Pair verification
     (signature agreement fraction) happens inside the bucket group where
@@ -270,6 +320,10 @@ def minhash_candidate_pairs(
         )
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
+    if stats is not None:
+        banded = _bucket_overflow_stats(
+            banded, "band_key", max_bucket, stats, "minhash_candidate_pairs"
+        )
 
     def _pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -597,6 +651,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket: int = 256,
     hash_fn: str = "stable",
+    stats: dict | None = None,
 ) -> rd.Dataset:
     """All pairs with SimHash Hamming distance ≤ ``max_hamming``:
     ``(id_a, id_b, hamming)``, ``id_a < id_b``.
@@ -606,7 +661,8 @@ def simhash_pairs(
     1 by construction (not probabilistic); ``groupby`` each band value,
     verify true Hamming in-bucket. The only completeness caveat is
     ``max_bucket`` (degenerate buckets are capped, not exploded O(g²));
-    raise it when an exact contract needs every pair."""
+    raise it when an exact contract needs every pair. ``stats`` as in
+    :func:`minhash_candidate_pairs` — truncation reported, not silent."""
     sh = simhash_ds(ds, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
 
     def _bands(batch: pa.Table) -> pa.Table:
@@ -629,6 +685,10 @@ def simhash_pairs(
         )
 
     banded = sh.map_batches(_bands, batch_format="pyarrow")
+    if stats is not None:
+        banded = _bucket_overflow_stats(
+            banded, "band_key", max_bucket, stats, "simhash_pairs"
+        )
 
     def _pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -751,6 +811,7 @@ def embedding_neardup(
     seed: int = 11,
     max_bucket: int = 4096,
     distributed: bool | None = None,
+    stats: dict | None = None,
 ) -> rd.Dataset:
     """Near-dedup on cosine similarity ≥ ``threshold``.
 
@@ -758,7 +819,9 @@ def embedding_neardup(
     projections) co-locate near vectors; per-bucket pairwise cosine is a
     numpy matmul. One ``groupby`` shuffle of (id, bucket, normalized
     vector). Higher recall ⇒ lower ``num_planes`` or multi-probe; this
-    single-table variant is the deterministic baseline."""
+    single-table variant is the deterministic baseline. ``stats`` as
+    in :func:`minhash_candidate_pairs` — truncation reported, not
+    silent."""
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def _bucket(batch: pa.Table) -> pa.Table:
@@ -787,6 +850,10 @@ def embedding_neardup(
         )
 
     bucketed = ds.map_batches(_bucket, batch_format="pyarrow")
+    if stats is not None:
+        bucketed = _bucket_overflow_stats(
+            bucketed, "bucket", max_bucket, stats, "embedding_neardup"
+        )
 
     def _pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -57,6 +57,64 @@ def _render(template: str, row: dict) -> str:
     return template.format(**kwargs)
 
 
+_IMAGE_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "image/webp"),
+    (b"BM", "image/bmp"),
+)
+
+
+def _sniff_media_type(data: bytes) -> str:
+    for magic, mt in _IMAGE_MAGIC:
+        if data.startswith(magic):
+            return mt
+    return "image/png"
+
+
+def _detect_image_cols(batch: pa.Table) -> list[str]:
+    """Modality detection (reference ``physical.py:42-56``): binary
+    columns are image payloads for the model."""
+    return [
+        f.name
+        for f in batch.schema
+        if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+    ]
+
+
+def _render_multimodal(template: str, row: dict, image_cols: list[str]):
+    """Row → chat-completions content parts: the rendered text template
+    (image columns format as ``<col>`` placeholders, never raw bytes)
+    followed by one base64 ``image_url`` data-URL part per non-null
+    image column — the public multimodal protocol shape (OpenAI
+    chat-completions ``content`` arrays; reference ships pixels the
+    same way via litellm, ``generators.py:392-430``)."""
+    import base64
+
+    text_row = {
+        k: (f"<{k}>" if k in image_cols else v) for k, v in row.items()
+    }
+    parts: list[dict] = [{"type": "text", "text": _render(template, text_row)}]
+    for c in image_cols:
+        data = row.get(c)
+        if data is None:
+            continue
+        parts.append(
+            {
+                "type": "image_url",
+                "image_url": {
+                    "url": "data:"
+                    + _sniff_media_type(data)
+                    + ";base64,"
+                    + base64.b64encode(data).decode()
+                },
+            }
+        )
+    return parts
+
+
 def _parse_fields(raw: str, fields: list[str]) -> dict:
     """JSON-parse a generation; missing/broken → nulls (relax-schema)."""
     try:
@@ -76,14 +134,25 @@ class _SemStage:
 
 
 class SemanticMap(_SemStage):
-    def __init__(self, generator_factory, fields: list[str], template: str):
+    def __init__(self, generator_factory, fields: list[str], template: str,
+                 image_fields: list[str] | None = None):
         super().__init__(generator_factory)
         self.fields = fields
         self.template = template
+        self.image_fields = image_fields
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        img = (
+            _detect_image_cols(batch)
+            if self.image_fields is None
+            else self.image_fields
+        )
         rows = batch.to_pylist()
-        outs = self.gen([_render(self.template, r) for r in rows])
+        if img:
+            prompts = [_render_multimodal(self.template, r, img) for r in rows]
+        else:
+            prompts = [_render(self.template, r) for r in rows]
+        outs = self.gen(prompts)
         parsed = [_parse_fields(o, self.fields) for o in outs]  # once per row
         for f in self.fields:
             batch = batch.append_column(f, pa.array([d[f] for d in parsed]))
@@ -93,13 +162,24 @@ class SemanticMap(_SemStage):
 class SemanticFilter(_SemStage):
     TRUE = {"true", "yes", "1", "passed"}
 
-    def __init__(self, generator_factory, template: str):
+    def __init__(self, generator_factory, template: str,
+                 image_fields: list[str] | None = None):
         super().__init__(generator_factory)
         self.template = template
+        self.image_fields = image_fields
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        img = (
+            _detect_image_cols(batch)
+            if self.image_fields is None
+            else self.image_fields
+        )
         rows = batch.to_pylist()
-        outs = self.gen([_render(self.template, r) for r in rows])
+        if img:
+            prompts = [_render_multimodal(self.template, r, img) for r in rows]
+        else:
+            prompts = [_render(self.template, r) for r in rows]
+        outs = self.gen(prompts)
         mask = pa.array([str(o).strip().lower() in self.TRUE for o in outs])
         return batch.filter(mask)
 
@@ -112,14 +192,21 @@ def sem_map(
     *,
     concurrency=(1, 4),
     batch_size: int = 64,
+    image_fields: list[str] | None = None,
 ) -> rd.Dataset:
-    """Generate ``fields`` per row (reference ``sem_add_columns``)."""
+    """Generate ``fields`` per row (reference ``sem_add_columns``).
+
+    Binary columns are auto-detected as image inputs and shipped to the
+    model as base64 ``image_url`` content parts (pass
+    ``image_fields=[]`` to force text-only, or an explicit list to pick
+    columns) — reference modality detection ``physical.py:42-56``."""
     return ds.map_batches(
         SemanticMap,
         fn_constructor_kwargs={
             "generator_factory": generator_factory,
             "fields": fields,
             "template": template,
+            "image_fields": image_fields,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -134,13 +221,16 @@ def sem_filter(
     *,
     concurrency=(1, 4),
     batch_size: int = 64,
+    image_fields: list[str] | None = None,
 ) -> rd.Dataset:
-    """NL predicate (reference ``sem_filter``)."""
+    """NL predicate (reference ``sem_filter``). Image columns ship as
+    content parts exactly as in :func:`sem_map`."""
     return ds.map_batches(
         SemanticFilter,
         fn_constructor_kwargs={
             "generator_factory": generator_factory,
             "template": template,
+            "image_fields": image_fields,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -35,6 +35,27 @@ class _Stub(BaseHTTPRequestHandler):
                 {"path": self.path, "auth": self.headers.get("Authorization"),
                  "body": body})
         prompt = body["messages"][-1]["content"]
+        if isinstance(prompt, list):
+            # multimodal content parts: echo the shape as JSON
+            texts = [p["text"] for p in prompt if p.get("type") == "text"]
+            imgs = [p for p in prompt if p.get("type") == "image_url"]
+            reply = json.dumps({
+                "n_images": len(imgs),
+                "media": [p["image_url"]["url"].split(";")[0]
+                          for p in imgs],
+                "caption": (texts[0] if texts else "").upper(),
+            })
+            out = json.dumps({
+                "choices": [{"message": {"role": "assistant",
+                                         "content": reply}}],
+                "usage": {"prompt_tokens": 50, "completion_tokens": 10},
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+            return
         if prompt.startswith("FAIL_ONCE:"):
             with self.lock:
                 n = self.fail_counts.get(prompt, 0)
@@ -153,3 +174,91 @@ def test_through_sem_map_and_filter(stub_url):
     kept = sem_filter(rd.from_items([{"v": "true"}, {"v": "no"}]),
                       "{v}", factory, concurrency=1, batch_size=8).take_all()
     assert [d["v"] for d in kept] == ["true"]
+
+
+_PNG1PX = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+    "0000000a49444154789c63000100000500010d0a2db40000000049454e44ae426082"
+)
+
+
+def test_multimodal_content_parts_shape(stub_url):
+    """VERDICT r3 #4: a prompt with image bytes ships as chat-completions
+    content parts — one text part (template rendered, bytes never
+    inlined) + one base64 image_url data-URL per image column — and the
+    adapter passes the parts through verbatim."""
+    from palimpzest_ray.stages.semantic import _render_multimodal
+
+    _Stub.seen.clear()
+    gen = _gen(stub_url)
+    parts = _render_multimodal(
+        "Describe {name}: {img}", {"name": "pic", "img": _PNG1PX}, ["img"]
+    )
+    assert parts[0] == {"type": "text", "text": "Describe pic: <img>"}
+    assert parts[1]["type"] == "image_url"
+    assert parts[1]["image_url"]["url"].startswith("data:image/png;base64,")
+    out = gen([parts])
+    reply = json.loads(out[0])
+    assert reply == {"n_images": 1, "media": ["data:image/png"],
+                     "caption": "DESCRIBE PIC: <IMG>"}
+    # the wire body carried the parts list unmodified
+    body = _Stub.seen[-1]["body"]
+    assert isinstance(body["messages"][-1]["content"], list)
+    assert body["messages"][-1]["content"][1]["type"] == "image_url"
+
+
+def test_sem_map_auto_detects_image_columns(stub_url, ray_session):
+    """sem_map over an ImageFileDataset-equivalent input: the binary
+    column is auto-detected, pixels ship as an image_url part, and the
+    generated fields parse back per row. A null image row ships text-
+    only (no empty image part)."""
+    import pyarrow as pa
+
+    from palimpzest_ray.stages.semantic import sem_map
+
+    t = pa.table({
+        "name": ["a", "b"],
+        "img": pa.array([_PNG1PX, None], pa.binary()),
+    })
+    out = sem_map(
+        rd.from_arrow(t), ["n_images", "caption"], "caption {name}",
+        lambda: OpenAIChatGenerator(OpenAIConfig(
+            base_url=stub_url, model="test-model", backoff_s=0.01)),
+        concurrency=1, batch_size=8,
+    ).to_pandas().sort_values("name")
+    assert out["n_images"].tolist() == [1, 0]
+    assert out["caption"].tolist() == ["CAPTION A", "CAPTION B"]
+
+
+def test_cost_accounting_and_snapshot(stub_url):
+    """VERDICT r3 #7: per-call USD cost mirrors reference
+    GenerationStats (models.py:794-800): tokens x per-1M price from the
+    public table (gpt-4o-mini) or a config override; usage_snapshot
+    aggregates process-wide."""
+    from palimpzest_ray.generators import usage_snapshot
+
+    base = usage_snapshot().get("cost_usd", 0.0)
+    gen = OpenAIChatGenerator(OpenAIConfig(
+        base_url=stub_url, model="gpt-4o-mini", backoff_s=0.01))
+    gen(["two words", "three little words"])
+    u = gen.get_usage()
+    # stub usage: prompt_tokens = word count, completion = reply words
+    want = (u["prompt_tokens"] * 0.15 + u["completion_tokens"] * 0.60) / 1e6
+    assert u["cost_usd"] == pytest.approx(want)
+    assert u["cost_usd"] > 0
+    # config override wins over the table
+    gen2 = OpenAIChatGenerator(OpenAIConfig(
+        base_url=stub_url, model="unknown-model", backoff_s=0.01,
+        prompt_cost_per_mtok=100.0, completion_cost_per_mtok=200.0))
+    gen2(["hello there"])
+    u2 = gen2.get_usage()
+    want2 = (u2["prompt_tokens"] * 100.0 + u2["completion_tokens"] * 200.0) / 1e6
+    assert u2["cost_usd"] == pytest.approx(want2)
+    # unknown model with no override costs 0
+    gen3 = OpenAIChatGenerator(OpenAIConfig(
+        base_url=stub_url, model="mystery", backoff_s=0.01))
+    gen3(["hi"])
+    assert gen3.get_usage()["cost_usd"] == 0.0
+    snap = usage_snapshot()
+    assert snap["cost_usd"] == pytest.approx(
+        base + u["cost_usd"] + u2["cost_usd"])

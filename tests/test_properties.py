@@ -121,49 +121,60 @@ _nullable_keys = st.lists(
 
 @given(_nullable_keys, _nullable_keys, st.sampled_from(["inner", "left", "right", "outer"]))
 @settings(max_examples=60, deadline=None)
-def test_merge_frames_sql_null_semantics(lkeys, rkeys, how):
-    """The pandas-fallback join kernel follows ANSI SQL on random
-    null-bearing keys: null matches nothing, preserved sides emit
-    null-key rows unmatched. Oracle: duckdb's own join."""
+def test_join_nested_kernel_sql_null_semantics(lkeys, rkeys, how):
+    """The nested-payload join kernel (narrow-key acero + take, the
+    kernel behind every shuffle-join bucket with list payloads) follows
+    ANSI SQL on random null-bearing keys: null matches nothing,
+    preserved sides emit null-key rows unmatched, and the LIST payload
+    rides through intact. Oracle: duckdb's own join."""
     import duckdb
+    import pyarrow as pa
 
-    from palimpzest_ray.dataset import _merge_frames
+    from palimpzest_ray.dataset import _join_nested_tables
 
-    lf = pd.DataFrame({"k": pd.array(lkeys, dtype="Float64").to_numpy(dtype="float64", na_value=np.nan), "lv": range(len(lkeys))})
-    rf = pd.DataFrame({"k": pd.array(rkeys, dtype="Float64").to_numpy(dtype="float64", na_value=np.nan), "rv": range(len(rkeys))})
-    got = _merge_frames(lf, rf, ["k"], how)
+    lf = pa.table({
+        "k": pa.array([None if np.isnan(x) else float(x) for x in
+                       pd.array(lkeys, dtype="Float64").to_numpy(
+                           dtype="float64", na_value=np.nan)],
+                      pa.float64()),
+        "lv": pa.array([[i, i + 1] for i in range(len(lkeys))],
+                       pa.list_(pa.int32())),
+    })
+    rf = pa.table({
+        "k": pa.array([None if np.isnan(x) else float(x) for x in
+                       pd.array(rkeys, dtype="Float64").to_numpy(
+                           dtype="float64", na_value=np.nan)],
+                      pa.float64()),
+        "rv": pa.array(range(len(rkeys)), pa.int64()),
+    })
+    acero_how = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
+    out_schema = pa.schema([("k", pa.float64()),
+                            ("lv", pa.list_(pa.int32())),
+                            ("rv", pa.int64())])
+    got = _join_nested_tables(lf, rf, ["k"], acero_how, out_schema)
+    assert got.schema.field("lv").type == pa.list_(pa.int32())
     con = duckdb.connect()
     con.register("lf", lf)
     con.register("rf", rf)
-    sqlhow = {
-        "inner": "JOIN",
-        "left": "LEFT JOIN",
-        "right": "RIGHT JOIN",
-        "outer": "FULL OUTER JOIN",
-    }[how]
-    keycol = {
-        "inner": "lf.k",
-        "left": "lf.k",
-        "right": "rf.k",
-        "outer": "COALESCE(lf.k, rf.k)",
-    }[how]
+    sqlhow = {"inner": "JOIN", "left": "LEFT JOIN",
+              "right": "RIGHT JOIN", "outer": "FULL OUTER JOIN"}[how]
+    keycol = {"inner": "lf.k", "left": "lf.k", "right": "rf.k",
+              "outer": "COALESCE(lf.k, rf.k)"}[how]
     want = con.execute(
         f"SELECT {keycol} AS k, lf.lv, rf.rv FROM lf {sqlhow} rf ON lf.k = rf.k"
-    ).df()
+    ).arrow().cast(out_schema)
     con.close()
+    import pyarrow.compute as pc
 
-    def canon(df):
-        rows = [
-            (
-                None if pd.isna(r.k) else float(r.k),
-                None if pd.isna(r.lv) else int(r.lv),
-                None if pd.isna(r.rv) else int(r.rv),
-            )
-            for r in df[["k", "lv", "rv"]].itertuples(index=False)
-        ]
-        return sorted(rows, key=repr)
-
-    assert canon(got) == canon(want), (how, canon(got), canon(want))
+    def canon(t):
+        flat = t.append_column("_l0", pa.array(
+            [v[0] if v is not None and len(v) else None
+             for v in t["lv"].to_pylist()], pa.int64()))
+        return flat.take(pc.sort_indices(
+            flat, sort_keys=[("k", "ascending"), ("_l0", "ascending"),
+                             ("rv", "ascending")]))
+    assert canon(got).equals(canon(want))
 
 
 # ---------------------------------------------------------------- windows

@@ -695,3 +695,47 @@ def test_decontaminate_tokens_subsequence_semantics(ray_session):
         ]
     )
     assert got == want
+
+
+def test_lsh_bucket_overflow_reported_not_silent(ray_session, caplog):
+    """VERDICT r3 #5: degenerate LSH buckets (e.g. many identical
+    texts) are capped at max_bucket — and the truncation is REPORTED
+    via the stats dict and a warning, never silent. Identical docs all
+    land in the same band buckets, so with max_bucket=8 and 30 clones
+    every band overflows by 22 rows."""
+    import logging
+
+    import ray.data as rd
+
+    from palimpzest_ray.stages.dedup import minhash_candidate_pairs
+
+    n = 30
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "the same degenerate text " * 5}
+         for i in range(n)]
+    )
+    stats: dict = {}
+    with caplog.at_level(logging.WARNING, logger="palimpzest_ray.dedup"):
+        pairs = minhash_candidate_pairs(
+            ds, id_col="doc_id", max_bucket=8, bands=4, num_perm=16,
+            stats=stats,
+        ).take_all()
+    assert stats["max_bucket"] == 8
+    assert stats["overflow_buckets"] >= 1
+    # every band key holds all 30 clones; each truncates 22 rows
+    assert stats["dropped_rows"] >= 22
+    assert any("truncated" in r.message for r in caplog.records)
+    # capped bucket still yields pairs among the retained 8
+    assert len(pairs) == 8 * 7 // 2
+
+    # clean corpus: zero overflow, no warning
+    ds2 = rd.from_items(
+        [{"doc_id": i, "text": f"totally unique text {i} {i*7}"}
+         for i in range(20)]
+    )
+    stats2: dict = {}
+    minhash_candidate_pairs(
+        ds2, id_col="doc_id", max_bucket=256, stats=stats2
+    ).take_all()
+    assert stats2["overflow_buckets"] == 0
+    assert stats2["dropped_rows"] == 0
