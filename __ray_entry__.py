@@ -3821,6 +3821,73 @@ def q141_token_shuffle_join(sf_dir: str):
     return joined.map_batches(_post)
 
 
+def q142_lake_diff(sf_dir: str):
+    """Table diff / drift repair (cdc/digest.py diff_lakes — the
+    Delta-CDF-style convergence feed for replicas with NO shared
+    version history): dst drifts from src three ways (rows src-only,
+    rows dst-only, rows with divergent n_tok), diff_lakes emits the
+    minimal UPDATE/DELETE feed — only (key, u64 row-digest) pairs
+    shuffle for the compare, payloads re-attach via ONE nested-safe
+    join — apply converges dst to src, digest-verified. EXACT oracle:
+    src's closed form in SQL."""
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        diff_lakes,
+        final_state,
+        verify_replica,
+    )
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir, tokenize_batch
+
+    import pyarrow.parquet as pq
+
+    work = demo_workdir(sf_dir, "cdc_diff_demo")
+    src_lake = os.path.join(work, "src")
+    dst_lake = os.path.join(work, "dst")
+    import shutil
+
+    for d in (src_lake, dst_lake):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    base = tokenize_batch(docs)
+    num = base["num"].to_numpy(zero_copy_only=False)
+
+    def feed_of(tbl: pa.Table, drift: bool) -> pa.Table:
+        n = tbl.num_rows
+        nt = tbl["n_tok"].to_numpy(zero_copy_only=False).astype("int32")
+        ids = tbl["num"].to_numpy(zero_copy_only=False)
+        if drift:  # dst's divergent rows
+            nt = nt + np.where(ids % 4 == 1, 7, 0).astype("int32")
+        return pa.table(
+            {
+                "lsn": pa.array(ids.astype("int64")),
+                "op": pa.array(["INSERT"] * n),
+                "doc_id": tbl["doc_id"],
+                "tokens": tbl["tokens"],
+                "n_tok": pa.array(nt, pa.int32()),
+                "source": tbl["source"],
+            }
+        )
+
+    src_rows = base.filter(pa.array(num % 7 != 3))
+    dst_rows = base.filter(pa.array(num % 5 != 0))
+    apply_changes(feed_of(src_rows, False), src_lake, num_partitions=8)
+    apply_changes(feed_of(dst_rows, True), dst_lake, num_partitions=8)
+
+    feed = diff_lakes(src_lake, dst_lake)
+    tab = pa.concat_tables(
+        feed.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    apply_changes(tab, dst_lake)
+    rep = verify_replica(src_lake, dst_lake)
+    assert rep["match"], rep  # digest-proven convergence
+    return pzd.Dataset(
+        final_state(dst_lake, columns=["doc_id", "n_tok", "source"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3962,6 +4029,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q139_maxwell_ingest": q139_maxwell_ingest,
         "q140_rollup_ttl": q140_rollup_ttl,
         "q141_token_shuffle_join": q141_token_shuffle_join,
+        "q142_lake_diff": q142_lake_diff,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4134,6 +4202,15 @@ def _base_oracle_sql() -> dict[str, str]:
                cast(len(regexp_split_to_array(lower(text), '\s+'))
                     as bigint) as n_tok_post
         from documents
+    """
+    # drift repair: dst's post-diff state == src's closed form
+    d["q142_lake_diff"] = r"""
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               cast(len(regexp_split_to_array(lower(text), '\s+'))
+                    as int) as n_tok,
+               source
+        from documents
+        where doc_id % 7 <> 3
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

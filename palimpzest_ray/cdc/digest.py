@@ -105,3 +105,130 @@ def verify_replica(
     a = lake_digest(src_root, version=src_version, columns=columns)
     b = lake_digest(dst_root, version=dst_version, columns=columns)
     return {"match": a == b, "src": a, "dst": b}
+
+
+def diff_lakes(
+    src_root: str,
+    dst_root: str,
+    *,
+    key: str = "doc_id",
+    src_version: int | None = None,
+) -> "object":
+    """Table diff as a RE-APPLIABLE change feed: the minimal
+    (lsn, op, …) events that converge ``dst`` to ``src``'s live state —
+    the Delta-CDF / table-diff idea for replicas that drifted OUTSIDE
+    the subscription path (manual writes, partial restores, forks),
+    where ``net_changes_between`` cannot help because the lakes share
+    no version history.
+
+    Scale shape: only (key, u64 row-digest) pairs shuffle for the
+    comparison — one flat full-outer join; payloads for the changed
+    keys re-attach with ONE more narrow-key join (the nested-payload
+    acero+take kernel, so token arrays never convert). Feed rows:
+
+    - key in src only, or digests differ → UPDATE carrying src's row
+      (upsert semantics engine-wide);
+    - key in dst only → DELETE.
+
+    All events share ``lsn = max(both heads' max_lsn) + 1`` — strictly
+    above every existing row's lsn, so LWW applies them
+    unconditionally; one event per key, so no intra-feed ties.
+    ``apply_changes(diff_lakes(a, b), b)`` then
+    ``verify_replica(a, b)`` is the repair-and-prove loop."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from palimpzest_ray.cdc.engine import final_state
+    from palimpzest_ray.cdc.manifest import load_latest_manifest, load_manifest
+    from palimpzest_ray.dataset import Dataset, _arrow_schema
+
+    src = final_state(src_root, version=src_version)
+    dst = final_state(dst_root)
+    src_schema = _arrow_schema(src)
+    cols = sorted(c for c in src_schema.names if c != key)
+
+    def _dig(side: str):
+        def _d(batch: pa.Table) -> pa.Table:
+            from palimpzest_ray.functions.tokens import limit_kernel_threads
+
+            limit_kernel_threads()
+            usable = [c for c in cols if c in batch.column_names]
+            return pa.table(
+                {
+                    key: batch[key],
+                    f"_h_{side}": pa.array(
+                        _row_hashes(batch, usable) if batch.num_rows
+                        else np.array([], np.uint64)
+                    ),
+                }
+            )
+
+        return _d
+
+    a = Dataset(src.map_batches(_dig("a"), batch_format="pyarrow"))
+    b = Dataset(dst.map_batches(_dig("b"), batch_format="pyarrow"))
+    j = a.join(b, on=key, how="outer", strategy="shuffle")
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        ha, hb = batch["_h_a"], batch["_h_b"]
+        in_a, in_b = pc.is_valid(ha), pc.is_valid(hb)
+        changed = pc.or_(
+            pc.and_(in_a, pc.invert(in_b)),          # src-only: upsert
+            pc.and_kleene(
+                pc.and_(in_a, in_b),
+                pc.invert(pc.equal(ha, hb)),         # drifted: upsert
+            ),
+        )
+        deleted = pc.and_(in_b, pc.invert(in_a))     # dst-only: delete
+        ups = batch.filter(pc.fill_null(changed, False)).select([key])
+        dels = batch.filter(pc.fill_null(deleted, False)).select([key])
+        ups = ups.append_column(
+            "op", pa.array(["UPDATE"] * ups.num_rows, pa.string())
+        )
+        dels = dels.append_column(
+            "op", pa.array(["DELETE"] * dels.num_rows, pa.string())
+        )
+        return pa.concat_tables([ups, dels])
+
+    # seed with a typed empty block: a fixpoint diff has ZERO groups
+    # after the cogroup, which leaves Ray with no schema at all
+    key_t = src_schema.field(key).type
+    seed = rd.from_arrow(pa.table({
+        key: pa.array([], key_t), "op": pa.array([], pa.string()),
+    }))
+    verdicts = Dataset(
+        j._ds.map_batches(_classify, batch_format="pyarrow").union(seed)
+    )
+
+    hs = load_latest_manifest(src_root) if src_version is None else \
+        load_manifest(src_root, src_version)
+    hd = load_latest_manifest(dst_root)
+    lsn = max(int(hs.max_lsn), int(hd.max_lsn)) + 1
+
+    # ONE left join re-attaches src payloads: UPDATE keys match src
+    # (tokens ride the nested-safe acero+take kernel); DELETE keys are
+    # absent from src BY CONSTRUCTION, so their payloads come back as
+    # typed nulls — the engine's tombstone convention — with no second
+    # branch. The trailing typed-empty union keeps the feed schema
+    # resolvable even at the fixpoint (Ray reports no schema for an
+    # executed-empty map output).
+    j2 = verdicts.join(Dataset(src), on=key, how="left", strategy="shuffle")
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {"lsn": pa.array(np.full(n, lsn, np.int64)),
+               "op": batch["op"], key: batch[key]}
+        for c in cols:
+            out[c] = (
+                batch[c] if c in batch.column_names
+                else pa.nulls(n, src_schema.field(c).type)
+            )
+        return pa.table(out)
+
+    feed = j2._ds.map_batches(_stamp, batch_format="pyarrow")
+    feed_seed = rd.from_arrow(pa.table({
+        "lsn": pa.array([], pa.int64()), "op": pa.array([], pa.string()),
+        key: pa.array([], key_t),
+        **{c: pa.array([], src_schema.field(c).type) for c in cols},
+    }))
+    return feed.union(feed_seed)

@@ -409,6 +409,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--name", default=None)
 
     p = sub.add_parser(
+        "diff",
+        help="table diff: the minimal change feed converging DST to "
+        "SRC's live state (repair drifted replicas with no shared "
+        "history); --apply applies it and verifies by digest",
+    )
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--apply", action="store_true")
+
+    p = sub.add_parser(
         "tag",
         help="named savepoints: create / drop / list (vacuum retains "
         "tagged versions)",
@@ -883,6 +894,27 @@ def main(argv: list[str] | None = None) -> int:
 
         _ensure_ray(args.num_cpus)
         print(json.dumps(sync_replica(args.src, args.dst, name=args.name)))
+        return 0
+
+    if args.cmd == "diff":
+        import pyarrow as _pa
+
+        from palimpzest_ray.cdc import apply_changes, diff_lakes, verify_replica
+
+        _ensure_ray(args.num_cpus)
+        feed = diff_lakes(args.src, args.dst, key=args.key)
+        tab = _pa.concat_tables(
+            feed.iter_batches(batch_format="pyarrow", batch_size=65536)
+        )
+        ops = tab["op"].to_pylist()
+        out = {"events": tab.num_rows,
+               "upserts": ops.count("UPDATE"),
+               "deletes": ops.count("DELETE")}
+        if args.apply and tab.num_rows:
+            apply_changes(tab, args.dst)
+        if args.apply:
+            out["verify"] = verify_replica(args.src, args.dst)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "tag":  # pure metadata, no Ray session

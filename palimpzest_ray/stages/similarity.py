@@ -576,3 +576,103 @@ def make_ivf_searcher(
         return search
 
     return factory
+
+
+# ---------------------------------------------------------------------------
+# External-index adapter parity (reference core/data/index_dataset.py:8-60)
+# ---------------------------------------------------------------------------
+
+
+class BaseIndex:
+    """Drop-in mirror of the reference ``BaseIndex`` contract
+    (``core/data/index_dataset.py:24-50``): ``search(query_embedding,
+    results_per_query)`` over ONE embedding or a LIST of embeddings,
+    returning the index's raw results per query (``list`` for one
+    query, ``list[list]`` for a batch) — so user code programmed
+    against the reference keeps working. Use :func:`index_factory` to
+    wrap a concrete index."""
+
+    def __init__(self, index):
+        self.index = index
+
+    def __str__(self):
+        return f"{self.__class__.__name__}"
+
+    def search(self, query_embedding, results_per_query: int = 1):
+        raise NotImplementedError
+
+
+class IVFIndex(BaseIndex):
+    """The persistent :func:`build_ivf_index` artifact behind the
+    reference search contract. The handle (centroids + lazily-cached
+    probed lists) is built once per adapter — construct inside an
+    actor's ``__init__`` for the ``sem_topk`` pattern. Each result is
+    ``{"match_id", "score", "rank"}`` with the engine-wide
+    (score desc, id asc) tie-break; ``nprobe = nlist`` is exact."""
+
+    def __init__(self, index_path: str, *, nprobe: int = 8, **kw):
+        super().__init__(index_path)
+        manifest, _ = load_ivf_index(index_path)
+        self._emb_col = manifest["emb_col"]
+        self._search = make_ivf_searcher(
+            index_path, nprobe=nprobe, **kw
+        )()
+
+    def search(self, query_embedding, results_per_query: int = 1):
+        single = not isinstance(query_embedding[0], (list, np.ndarray))
+        queries = [query_embedding] if single else list(query_embedding)
+        out = [
+            self._search({self._emb_col: q}, results_per_query)
+            for q in queries
+        ]
+        return out[0] if single else out
+
+
+class ChromaIndex(BaseIndex):
+    """Adapter for a chromadb ``Collection`` (duck-typed on
+    ``.query``; chromadb is not installed in this container, so the
+    contract is verified against a stub with the public response
+    shape — ``query(query_embeddings=..., n_results=...)`` returning
+    columnar lists-of-lists). Mirrors reference ``ChromaIndex``
+    (``index_dataset.py:53-56``); raw per-query results pass through so
+    callers program against chroma's own fields, as the reference
+    documents."""
+
+    def __init__(self, index):
+        if not callable(getattr(index, "query", None)):
+            raise TypeError(
+                "ChromaIndex needs an object with .query(query_embeddings=, "
+                f"n_results=) — got {type(index)}"
+            )
+        super().__init__(index)
+
+    def search(self, query_embedding, results_per_query: int = 1):
+        single = not isinstance(query_embedding[0], (list, np.ndarray))
+        queries = [query_embedding] if single else list(query_embedding)
+        res = self.index.query(
+            query_embeddings=[list(map(float, q)) for q in queries],
+            n_results=results_per_query,
+        )
+        per_query = [
+            {k: v[i] for k, v in res.items() if isinstance(v, list)}
+            for i in range(len(queries))
+        ]
+        return per_query[0] if single else per_query
+
+
+def index_factory(index) -> BaseIndex:
+    """Reference ``index_factory`` (``index_dataset.py:8-21``) widened
+    to this engine's indexes: a ``str`` path to a
+    :func:`build_ivf_index` artifact → :class:`IVFIndex`; an object
+    with chroma's ``.query`` → :class:`ChromaIndex`; an existing
+    :class:`BaseIndex` passes through."""
+    if isinstance(index, BaseIndex):
+        return index
+    if isinstance(index, str):
+        return IVFIndex(index)
+    if callable(getattr(index, "query", None)):
+        return ChromaIndex(index)
+    raise TypeError(
+        f"Unsupported index type: {type(index)}\nindex must be a "
+        "BaseIndex, a build_ivf_index path, or a chroma-like collection"
+    )

@@ -414,3 +414,64 @@ def test_sync_replica_same_basename_no_collision(tmp_path, ray_session):
         row = {d: n for d, n in zip(st["doc_id"].to_pylist(),
                                     st["n_tok"].to_pylist())}
         assert row["d1"] == 2
+
+
+def test_diff_lakes_repair_and_prove(tmp_path, ray_session):
+    """Table diff as a re-appliable feed (cdc/digest.py diff_lakes):
+    two lakes with NO shared version history — dst drifted by a manual
+    extra insert, a divergent update, and a missing row (src-only) —
+    converge via apply_changes(diff_lakes(src, dst), dst); proof by
+    verify_replica digest equality. Tokens (list<int32>) ride the diff
+    feed intact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes, final_state_table
+    from palimpzest_ray.cdc.digest import diff_lakes, verify_replica
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    def mk(rows, root):
+        apply_changes(
+            rd.from_arrow(pa.Table.from_pylist(rows, CHANGELOG_SCHEMA)),
+            root, num_partitions=2, change_schema=CHANGELOG_SCHEMA,
+        )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = [
+        {"lsn": i, "op": "INSERT", "doc_id": f"d{i}", "tokens": [i, i],
+         "n_tok": 2, "source": "w"}
+        for i in range(1, 6)
+    ]
+    mk(base, src)
+    # dst drifts: d1 diverges, d9 is a foreign extra, d5 is missing
+    drifted = [dict(r) for r in base if r["doc_id"] != "d5"]
+    drifted[0] = {"lsn": 1, "op": "INSERT", "doc_id": "d1",
+                  "tokens": [99], "n_tok": 1, "source": "w"}
+    drifted.append({"lsn": 6, "op": "INSERT", "doc_id": "d9",
+                    "tokens": [9], "n_tok": 1, "source": "x"})
+    mk(drifted, dst)
+
+    feed = diff_lakes(src, dst)
+    tab = pa.concat_tables(
+        feed.iter_batches(batch_format="pyarrow", batch_size=4096)
+    )
+    ops = dict(zip(tab["doc_id"].to_pylist(), tab["op"].to_pylist()))
+    assert ops == {"d1": "UPDATE", "d5": "UPDATE", "d9": "DELETE"}
+    # minimality: unchanged keys emit nothing
+    assert tab.num_rows == 3
+
+    apply_changes(tab, dst, change_schema=CHANGELOG_SCHEMA)
+    rep = verify_replica(src, dst)
+    assert rep["match"], rep
+    st = final_state_table(dst).sort_by("doc_id")
+    assert st["doc_id"].to_pylist() == [f"d{i}" for i in range(1, 6)]
+    assert st.filter(
+        pa.compute.equal(st["doc_id"], "d1")
+    )["tokens"].to_pylist() == [[1, 1]]
+
+    # fixpoint: a second diff is empty
+    feed2 = diff_lakes(src, dst)
+    assert sum(
+        b.num_rows for b in feed2.iter_batches(batch_format="pyarrow")
+    ) == 0

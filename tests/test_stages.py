@@ -739,3 +739,72 @@ def test_lsh_bucket_overflow_reported_not_silent(ray_session, caplog):
     ).take_all()
     assert stats2["overflow_buckets"] == 0
     assert stats2["dropped_rows"] == 0
+
+
+def test_index_adapter_reference_contract(ray_session, tmp_path):
+    """Reference BaseIndex.search parity (index_dataset.py:24-50): one
+    embedding -> list of results, batch -> list of lists; IVFIndex over
+    the persistent artifact matches ivf_index_search at full probe;
+    index_factory dispatches path/chroma-like/BaseIndex."""
+    import numpy as np
+    import ray.data as rd
+
+    from palimpzest_ray.stages.similarity import (
+        BaseIndex,
+        ChromaIndex,
+        IVFIndex,
+        build_ivf_index,
+        index_factory,
+        ivf_index_search,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 16
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": V[i].tolist()} for i in range(n)]
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(ds, path, nlist=8, train_size=400)
+
+    idx = index_factory(path)
+    assert isinstance(idx, IVFIndex)
+    q = V[7].tolist()
+    one = idx.search(q, results_per_query=5)
+    assert [r["rank"] for r in one] == [1, 2, 3, 4, 5]
+    assert one[0]["match_id"] == 7  # self-match at rank 1
+
+    # batch form: list of lists, order preserved
+    batch = idx.search([V[7].tolist(), V[11].tolist()], results_per_query=3)
+    assert len(batch) == 2 and batch[0][0]["match_id"] == 7
+    assert batch[1][0]["match_id"] == 11
+
+    # full probe == the distributed search path, exactly
+    exact = IVFIndex(path, nprobe=8)
+    got = exact.search(q, results_per_query=5)
+    want = ivf_index_search(path, np.array([q]), k=5, nprobe=8).to_pandas()
+    want = want.sort_values("rank")
+    assert [r["match_id"] for r in got] == want["vec_id"].tolist()
+    assert [r["score"] for r in got] == want["score"].tolist()
+
+    # chroma-like duck type: raw response shape passes through per query
+    class FakeChroma:
+        def query(self, query_embeddings, n_results):
+            return {
+                "ids": [[f"id{j}" for j in range(n_results)]
+                        for _ in query_embeddings],
+                "distances": [[0.1 * j for j in range(n_results)]
+                              for _ in query_embeddings],
+            }
+
+    ch = index_factory(FakeChroma())
+    assert isinstance(ch, ChromaIndex)
+    r1 = ch.search(q, results_per_query=2)
+    assert r1 == {"ids": ["id0", "id1"], "distances": [0.0, 0.1]}
+    rb = ch.search([q, q], results_per_query=1)
+    assert rb == [{"ids": ["id0"], "distances": [0.0]}] * 2
+
+    assert index_factory(ch) is ch  # BaseIndex passthrough
+    with pytest.raises(TypeError, match="Unsupported index type"):
+        index_factory(42)
+    assert isinstance(ch, BaseIndex)
