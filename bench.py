@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "q136_row_ttl",  # round-3: stored-policy expiry enforcement
     "q137_multicol_view",  # round-3: composite-key grouped view refresh
     "q140_rollup_ttl",  # round-3: downsample-then-expire double enforcement
+    "q141_token_shuffle_join",  # round-4: nested payload rides shuffle join
+    "q142_lake_diff",  # round-4: table diff / drift repair + digest proof
     "cdc_replay",
 ]
 
