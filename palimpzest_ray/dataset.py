@@ -415,7 +415,17 @@ class Dataset:
         self._ds.write_parquet(path, **kw)
 
     def stats(self) -> str:
-        return self._ds.stats()
+        s = self._ds.stats()
+        from palimpzest_ray.generators import cluster_usage
+
+        u = cluster_usage()
+        if u.get("calls"):
+            s += (
+                f"\nLLM usage (cluster): calls={int(u['calls'])}, "
+                f"tokens={int(u.get('total_tokens', 0))}, "
+                f"cost=${u.get('cost_usd', 0.0):.6f}"
+            )
+        return s
 
     def describe(self, cols: list[str] | None = None, *, bins: int = 8192) -> pa.Table:
         """Per-numeric-column summary (pandas/Spark ``describe`` parity

@@ -88,6 +88,67 @@ def usage_snapshot() -> dict:
     return total
 
 
+_AGG_NAME, _AGG_NS = "pz_llm_usage", "palimpzest_ray"
+_AGG_HANDLE = None
+
+
+def _usage_actor(create: bool):
+    """The cluster-wide usage aggregator: a zero-CPU named detached
+    actor every generator pushes batch deltas to — how per-actor
+    counters become visible on the driver (``cluster_usage`` /
+    ``Dataset.stats``). Lazy: no Ray import unless Ray is running."""
+    global _AGG_HANDLE
+    if _AGG_HANDLE is not None:
+        return _AGG_HANDLE
+    try:
+        import ray
+        if not ray.is_initialized():
+            return None
+    except Exception:
+        return None
+    if not create:
+        try:
+            _AGG_HANDLE = ray.get_actor(_AGG_NAME, namespace=_AGG_NS)
+            return _AGG_HANDLE
+        except ValueError:
+            return None
+
+    @ray.remote(num_cpus=0)
+    class _UsageAgg:
+        def __init__(self):
+            self.total: dict = {}
+
+        def add(self, delta: dict) -> None:
+            for k, v in delta.items():
+                self.total[k] = self.total.get(k, 0) + v
+
+        def snapshot(self) -> dict:
+            return dict(self.total)
+
+    _AGG_HANDLE = _UsageAgg.options(
+        name=_AGG_NAME, namespace=_AGG_NS, get_if_exists=True,
+        lifetime="detached",
+    ).remote()
+    return _AGG_HANDLE
+
+
+def cluster_usage() -> dict:
+    """Driver-visible LLM usage/cost across EVERY generator actor in
+    the Ray session (reference ``GenerationStats`` rollup). Without a
+    Ray session, falls back to this process's :func:`usage_snapshot`."""
+    try:
+        import ray
+        if not ray.is_initialized():
+            return usage_snapshot()
+    except Exception:
+        return usage_snapshot()
+    agg = _usage_actor(create=False)
+    if agg is None:
+        return {}
+    import ray
+    return ray.get(agg.snapshot.remote())
+
+
 @dataclass(frozen=True)
 class OpenAIConfig:
     """Picklable config for an OpenAI-compatible chat endpoint.
@@ -210,6 +271,7 @@ class OpenAIChatGenerator:
     def __init__(self, config: OpenAIConfig):
         self.cfg = config.resolved()
         self.usage = Usage()
+        self._pushed: dict = {}
         self._cost = (
             (self.cfg.prompt_cost_per_mtok, self.cfg.completion_cost_per_mtok)
             if self.cfg.prompt_cost_per_mtok is not None
@@ -271,7 +333,9 @@ class OpenAIChatGenerator:
         if not prompts:
             return []
         if len(prompts) == 1 or self.cfg.max_parallel <= 1:
-            return [self._request_one(p) for p in prompts]
+            out1 = [self._request_one(p) for p in prompts]
+            self.push_usage()
+            return out1
         out: list[str | None] = [None] * len(prompts)
         sem = threading.Semaphore(self.cfg.max_parallel)
 
@@ -289,10 +353,24 @@ class OpenAIChatGenerator:
             threads.append(t)
         for t in threads:
             t.join()
+        self.push_usage()
         return [o if o is not None else "" for o in out]
 
     def get_usage(self) -> dict:
         return self.usage.snapshot()
+
+    def push_usage(self) -> None:
+        """Ship the since-last-push counter delta to the cluster
+        aggregator (one fire-and-forget actor call per batch —
+        negligible next to the HTTP inference it accounts for)."""
+        agg = _usage_actor(create=True)
+        if agg is None:
+            return
+        snap = self.usage.snapshot()
+        delta = {k: snap[k] - self._pushed.get(k, 0) for k in snap}
+        if any(delta.values()):
+            agg.add.remote(delta)
+            self._pushed = snap
 
 
 def openai_generator(base_url: str | None = None, model: str | None = None,

@@ -262,3 +262,28 @@ def test_cost_accounting_and_snapshot(stub_url):
     snap = usage_snapshot()
     assert snap["cost_usd"] == pytest.approx(
         base + u["cost_usd"] + u2["cost_usd"])
+
+
+def test_cluster_usage_rolls_up_actor_costs(stub_url, ray_session):
+    """VERDICT r3 #7 (the Dataset.stats half): generator actors push
+    batch deltas to the cluster aggregator, so the DRIVER sees the
+    fleet's calls/tokens/cost — and Dataset.stats() appends the LLM
+    usage line after a sem_map runs."""
+    from palimpzest_ray.dataset import Dataset
+    from palimpzest_ray.generators import cluster_usage
+    from palimpzest_ray.stages.semantic import sem_map
+
+    before = cluster_usage().get("cost_usd", 0.0)
+    ds = rd.from_items([{"text": f"t{i}"} for i in range(6)])
+    out = Dataset(sem_map(
+        ds, ["x"], "{text}",
+        openai_generator(stub_url, "gpt-4o-mini", backoff_s=0.01),
+        concurrency=2, batch_size=3,
+    ))
+    out.to_pandas()  # execute: actors run, push deltas
+    u = cluster_usage()
+    assert u["calls"] >= before + 0  # aggregator exists and answers
+    assert u["calls"] >= 6
+    assert u["cost_usd"] > before  # gpt-4o-mini priced > 0
+    st = out.stats()
+    assert "LLM usage (cluster): calls=" in st and "cost=$" in st
