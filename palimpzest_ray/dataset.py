@@ -264,7 +264,10 @@ _WINDOW_ACC = {
 # distributed low-cardinality window path), and the cardinality at or
 # below which "auto" picks it — above, one map_groups task per group
 # is already parallel enough and needs no extra pass.
-_WINDOW_BUCKETED_KINDS = ("sum", "count", "avg", "min", "max", "row_number")
+_WINDOW_BUCKETED_KINDS = (
+    "sum", "count", "avg", "min", "max", "row_number",
+    "rank", "percent_rank", "cume_dist", "ntile",
+)
 _WINDOW_LOW_CARD = 256
 
 
@@ -1323,9 +1326,13 @@ class Dataset:
         group at 100 TB); ``"auto"`` (default) pins the input once and
         probes the key cardinality — ≤ ``_WINDOW_LOW_CARD`` distinct
         groups and every spec carryable → bucketed, else groups.
-        Bucketed supports kinds sum/count/avg/min/max/row_number with a
-        shared ``order`` (no per-spec override) and non-null order
-        keys; anything else falls back to groups."""
+        Bucketed supports kinds sum/count/avg/min/max/row_number/rank/
+        percent_rank/cume_dist/ntile with a shared ``order`` (no
+        per-spec override) and non-null order keys — the ranking kinds
+        carry on counts alone because full-tuple ties never straddle
+        order-range buckets; dense_rank (needs distinct counts, which
+        don't fold map-side) and first/last_value (need value lookups)
+        fall back to groups."""
         by = [by] if isinstance(by, str) else list(by)
         order = [order] if isinstance(order, str) else list(order)
         norm: list[tuple] = []
@@ -1359,7 +1366,8 @@ class Dataset:
             for kind, _c, _o, _k, sp_order in norm
         )
         src = self
-        if strategy == "auto":
+        auto = strategy == "auto"
+        if auto:
             if null_safe or not carryable:
                 strategy = "groups"
             else:
@@ -1368,10 +1376,22 @@ class Dataset:
                 # cheap first look: >LOW_CARD distinct keys in a 64k
                 # prefix proves high cardinality without a shuffle
                 # (q28's by=l_orderkey short-circuits here); only a
-                # low-card-looking prefix pays the exact narrow count
-                head = src._ds.select_columns(by).limit(65536).take_all()
+                # low-card-looking prefix pays the exact narrow count.
+                # A null order key in the prefix also forces groups —
+                # the bucketed range partitioner cannot place nulls
+                # (SQL ranks null order keys as ties; map_groups does).
+                first_o = order[0]
+                head = src._ds.select_columns(
+                    list(dict.fromkeys([*by, first_o]))
+                ).limit(65536).take_all()
                 distinct = len({tuple(r[c] for c in by) for r in head})
-                if distinct > _WINDOW_LOW_CARD:
+                has_null_order = any(
+                    r[first_o] is None
+                    or (isinstance(r[first_o], float)
+                        and r[first_o] != r[first_o])
+                    for r in head
+                )
+                if distinct > _WINDOW_LOW_CARD or has_null_order:
                     strategy = "groups"
                 else:
                     n_groups = src._ds.groupby(by).count().count()
@@ -1385,7 +1405,13 @@ class Dataset:
                     "strategy='bucketed' supports kinds "
                     f"{_WINDOW_BUCKETED_KINDS} with the shared order only"
                 )
-            return src._window_bucketed(norm, by, order, num_buckets)
+            try:
+                return src._window_bucketed(norm, by, order, num_buckets)
+            except ValueError:
+                if not auto:  # explicit ask: surface the contract error
+                    raise
+                # auto chose bucketed off a null-free 64k prefix but the
+                # full order column carries nulls — fall back quietly
 
         def _win(group: pa.Table) -> pa.Table:
             cache: dict[tuple, tuple] = {}
@@ -1418,15 +1444,16 @@ class Dataset:
     ) -> "Dataset":
         """Distributed running windows for low-cardinality partition
         keys: range-bucket the ORDER key (bounded value sample →
-        quantile bounds; equal keys share a bucket, so the global sort
-        order is bucket-major), per-(bucket, group) partial aggregates
-        — ≤ buckets × groups tiny rows — cumsum on the driver into
-        exclusive carry-ins, then each (bucket, group) slice finishes
-        its accumulate locally with the carry added. Work per task is
-        ~n/(buckets × groups) rows instead of a whole partition-key
-        group; driver state is the carry table only."""
-        from ray.data.aggregate import Count, Max, Min, Sum
-
+        quantile bounds; rows with equal order keys share a bucket, so
+        the global sort order is bucket-major AND full-tuple ties never
+        straddle buckets — which is why the ranking kinds carry on
+        counts alone), fold per-(bucket, group) partial aggregates
+        MAP-SIDE (pyarrow group_by per batch, driver folds the tiny
+        partial rows — no second shuffle), cumsum the partials into
+        exclusive carry-ins, then the ONE keyed shuffle finishes each
+        (bucket, group) slice locally with the carry added. Work per
+        task is ~n/(buckets × groups) rows; driver state is the carry
+        table only."""
         mat = self._ds.materialize()
         n = mat.count()
         if n == 0:  # same shape as the groups path on empty input
@@ -1439,10 +1466,17 @@ class Dataset:
                 pa.array(range(0, batch.num_rows, step), pa.int64())
             )
 
-        sample = np.sort(np.array([
+        vals = [
             r[first]
             for r in mat.map_batches(_thin, batch_format="pyarrow").take_all()
-        ]))
+        ]
+        if any(v is None or (isinstance(v, float) and v != v) for v in vals):
+            raise ValueError(
+                "strategy='bucketed' needs non-null order keys "
+                f"(column {first!r} carries nulls) — use strategy="
+                "'groups' (SQL null-tie semantics live there)"
+            )
+        sample = np.sort(np.array(vals))
         nb = max(1, min(num_buckets, sample.size))
         bounds = sample[
             np.linspace(0, sample.size - 1, nb + 1).astype(np.int64)
@@ -1458,38 +1492,47 @@ class Dataset:
 
         wide = mat.map_batches(_with_bucket, batch_format="pyarrow")
 
-        # one partial row per (bucket, group): everything any carryable
-        # kind needs — row count, sum, min, max per measure column
+        # map-side partials: per-batch (bucket, group) count/sum/min/max
+        # — a few tiny rows per batch; the driver folds them. No shuffle.
         cols = sorted({c for _k, c, *_ in norm if c is not None})
-        aggs = [Count(alias_name="__n")]
-        for c in cols:
-            aggs += [
-                Sum(c, alias_name=f"__s_{c}"),
-                Min(c, alias_name=f"__lo_{c}"),
-                Max(c, alias_name=f"__hi_{c}"),
-            ]
-        partials = wide.groupby(["_bucket", *by]).aggregate(*aggs).take_all()
-        partials.sort(key=lambda r: r["_bucket"])
+        gb_aggs = [("_bucket", "count")] + [
+            (c, f) for c in cols for f in ("sum", "min", "max")
+        ]
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            return batch.group_by(["_bucket", *by]).aggregate(gb_aggs)
+
+        partial_tab = pa.concat_tables(
+            wide.map_batches(_partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            ),
+            promote_options="permissive",
+        )
+        fold = partial_tab.group_by(["_bucket", *by]).aggregate(
+            [("_bucket_count", "sum")]
+            + [(f"{c}_{f}", f if f != "sum" else "sum")
+               for c in cols for f in ("sum", "min", "max")]
+        )
+        rows = fold.sort_by("_bucket").to_pylist()
         carry: dict[tuple, dict] = {}
         run: dict[tuple, dict] = {}
-        for r in partials:
+        for r in rows:
             g = tuple(r[c] for c in by)
             acc = run.setdefault(
                 g,
                 {"n": 0, **{c: {"s": 0, "lo": None, "hi": None}
                             for c in cols}},
             )
-            # exclusive prefix: what this bucket's rows start from
             carry[(r["_bucket"], g)] = {
                 "n": acc["n"],
                 **{c: dict(acc[c]) for c in cols},
             }
-            acc["n"] += r["__n"]
+            acc["n"] += r["_bucket_count_sum"]
             for c in cols:
-                s = r.get(f"__s_{c}")
-                if s is not None:
-                    acc[c]["s"] += s
-                lo, hi = r.get(f"__lo_{c}"), r.get(f"__hi_{c}")
+                v = r.get(f"{c}_sum_sum")
+                if v is not None:
+                    acc[c]["s"] += v
+                lo, hi = r.get(f"{c}_min_min"), r.get(f"{c}_max_max")
                 if lo is not None:
                     acc[c]["lo"] = (
                         lo if acc[c]["lo"] is None else min(acc[c]["lo"], lo)
@@ -1498,27 +1541,86 @@ class Dataset:
                     acc[c]["hi"] = (
                         hi if acc[c]["hi"] is None else max(acc[c]["hi"], hi)
                     )
+        totals = {g: acc["n"] for g, acc in run.items()}
 
         if debug is not None:  # test seam: the decomposition, observable
             debug["n_buckets"] = nb
             debug["n_slices"] = len(carry)
-            debug["max_slice_rows"] = max(
-                (r["__n"] for r in partials), default=0
-            )
+            by_slice: dict[tuple, int] = {}
+            for r in rows:
+                k = (r["_bucket"], tuple(r[c] for c in by))
+                by_slice[k] = by_slice.get(k, 0) + r["_bucket_count_sum"]
+            debug["max_slice_rows"] = max(by_slice.values(), default=0)
 
         def _finish(group: pa.Table) -> pa.Table:
             bucket = group["_bucket"][0].as_py()
             g = tuple(group[c][0].as_py() for c in by)
             cin = carry[(bucket, g)]
+            n_tot = totals[g]
             idx = pc.sort_indices(
                 group, sort_keys=[(o, "ascending") for o in order]
             )
             gt = group.take(idx)
             m = gt.num_rows
             pos1 = np.arange(1, m + 1, dtype=np.int64) + cin["n"]
-            for kind, col, out, _k, _o in norm:
+            rank_cache: np.ndarray | None = None
+
+            def _local_flags() -> np.ndarray:
+                flag = np.zeros(m, dtype=bool)
+                if m:
+                    flag[0] = True
+                for o in order:
+                    a = gt[o].combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                    neq = a[1:] != a[:-1]
+                    if a.dtype.kind == "f":
+                        neq &= ~(np.isnan(a[1:]) & np.isnan(a[:-1]))
+                    elif a.dtype.kind in "Mm":
+                        neq &= ~(np.isnat(a[1:]) & np.isnat(a[:-1]))
+                    flag[1:] |= neq
+                return flag
+
+            for kind, col, out, k, _o in norm:
                 if kind in ("row_number", "count"):
                     res = pa.array(pos1)
+                elif kind in ("rank", "percent_rank", "cume_dist"):
+                    # full-tuple ties are bucket-co-located, so every
+                    # prior-bucket row is strictly smaller: global rank
+                    # = prior count + slice-local rank
+                    flag = _local_flags()
+                    if kind == "cume_dist":
+                        gid = np.cumsum(flag) - 1
+                        ends = np.cumsum(np.bincount(
+                            gid, minlength=(gid[-1] + 1) if m else 0
+                        ))
+                        res = pa.array(
+                            (cin["n"] + ends[gid]).astype(np.float64)
+                            / n_tot
+                        )
+                    else:
+                        pos = np.where(
+                            flag, np.arange(m, dtype=np.int64), 0
+                        )
+                        rnk = np.maximum.accumulate(pos) + 1 + cin["n"]
+                        if kind == "percent_rank":
+                            res = pa.array(
+                                (rnk - 1) / (n_tot - 1) if n_tot > 1
+                                else np.zeros(m)
+                            )
+                        else:
+                            res = pa.array(rnk)
+                elif kind == "ntile":
+                    pos0 = pos1 - 1
+                    q_, r_ = divmod(n_tot, k)
+                    if q_ == 0:
+                        res = pa.array(pos0 + 1)
+                    else:
+                        big = r_ * (q_ + 1)
+                        res = pa.array(np.where(
+                            pos0 < big, pos0 // (q_ + 1) + 1,
+                            r_ + (pos0 - big) // q_ + 1,
+                        ).astype(np.int64))
                 else:
                     vals = gt[col].combine_chunks().to_numpy(
                         zero_copy_only=False

@@ -254,3 +254,60 @@ def test_window_bucketed_low_cardinality_parity():
         ["source", "doc_id"], ignore_index=True)
     pd.testing.assert_frame_equal(auto, want, check_dtype=True,
                                   check_exact=True)
+
+
+def test_window_bucketed_ranking_kinds_parity():
+    """The ranking kinds carry across buckets on counts alone (ties are
+    bucket-co-located): rank / percent_rank / cume_dist / ntile(4)
+    exact vs the map_groups path, with deliberate order-key TIES."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    rng = np.random.default_rng(11)
+    n = 12_000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], n)),
+        # coarse order key -> heavy ties, many spanning batch bounds
+        "o": pa.array((rng.integers(0, 300, n)).astype(np.int64)),
+        "u": pa.array(rng.permutation(n).astype(np.int64)),  # tiebreak
+    })
+    ds = Dataset(rd.from_arrow(t).repartition(8))
+    specs = [("rank", None, "rk"), ("percent_rank", None, "pr"),
+             ("cume_dist", None, "cd"), ("ntile", None, "nt", 4),
+             ("sum", "u", "cs")]
+    # order has ties on 'o' alone — full tuple (o, u) is unique and
+    # co-located per bucket; rank over (o,) ALONE would tie across rows
+    # but those share buckets too (bucket = f(o))
+    a = ds.window(specs, by="g", order=["o", "u"],
+                  strategy="bucketed").to_pandas()
+    b = ds.window(specs, by="g", order=["o", "u"],
+                  strategy="groups").to_pandas()
+    key = ["g", "o", "u"]
+    a = a[sorted(a.columns)].sort_values(key, ignore_index=True)
+    b = b[sorted(b.columns)].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
+
+    # rank over the TIED key only: ties still co-located (bucket=f(o))
+    a2 = ds.window([("rank", None, "rk")], by="g", order="o",
+                   strategy="bucketed").to_pandas()
+    b2 = ds.window([("rank", None, "rk")], by="g", order="o",
+                   strategy="groups").to_pandas()
+    ka = a2.groupby(["g", "o"])["rk"].first().sort_index()
+    kb = b2.groupby(["g", "o"])["rk"].first().sort_index()
+    pd.testing.assert_series_equal(ka, kb)
+
+    # nulls beyond the probe prefix: auto falls back, never crashes
+    t3 = pa.table({
+        "g": pa.array(["x"] * 70000 + ["y"] * 3),
+        "o": pa.array(
+            [float(i) for i in range(70000)] + [None, 1.0, 2.0],
+            pa.float64(),
+        ),
+        "v": pa.array(list(range(70003)), pa.int64()),
+    })
+    ds3 = Dataset(rd.from_arrow(t3).repartition(4))
+    out3 = ds3.window([("sum", "v", "cs")], by="g", order="o").to_pandas()
+    assert len(out3) == 70003
