@@ -3888,6 +3888,40 @@ def q142_lake_diff(sf_dir: str):
     )
 
 
+def q143_source_rank(sf_dir: str):
+    """Ranking windows on a LOW-cardinality partition key through the
+    bucketed distributed path (dataset.py _window_bucketed — r4: one
+    keyed shuffle + map-side partial fold; rank carries on counts
+    because full-tuple ties never straddle order-range buckets):
+    rank / percent_rank / cume_dist of every doc's n_chars within its
+    source — deliberately TIED order keys (n_chars repeats heavily), so
+    the cross-bucket tie carry is what the oracle verifies. EXACT
+    oracle: the same SQL window functions."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.char.add("doc-", np.char.zfill(ids.astype("U8"), 8))
+                ),
+                "source": b["source"],
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(_prep)
+        .window(
+            [("rank", None, "rk"), ("percent_rank", None, "pr"),
+             ("cume_dist", None, "cd")],
+            by="source", order="n_chars",
+        )
+        .project(["doc_id", "source", "n_chars", "rk", "pr", "cd"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4030,6 +4064,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q140_rollup_ttl": q140_rollup_ttl,
         "q141_token_shuffle_join": q141_token_shuffle_join,
         "q142_lake_diff": q142_lake_diff,
+        "q143_source_rank": q143_source_rank,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4211,6 +4246,17 @@ def _base_oracle_sql() -> dict[str, str]:
                source
         from documents
         where doc_id % 7 <> 3
+    """
+    # bucketed distributed ranking == the SQL window (tie semantics)
+    d["q143_source_rank"] = """
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               source,
+               cast(n_chars as bigint) as n_chars,
+               cast(rank() over w as bigint) as rk,
+               percent_rank() over w as pr,
+               cume_dist() over w as cd
+        from documents
+        window w as (partition by source order by n_chars)
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """
