@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "q140_rollup_ttl",  # round-3: downsample-then-expire double enforcement
     "q141_token_shuffle_join",  # round-4: nested payload rides shuffle join
     "q142_lake_diff",  # round-4: table diff / drift repair + digest proof
+    "q143_source_rank",  # round-4: bucketed distributed ranking windows
     "cdc_replay",
 ]
 

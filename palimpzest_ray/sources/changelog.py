@@ -302,11 +302,14 @@ def unwrap_maxwell(
     per-batch ``arange`` restarting at 0 would let two events of one
     transaction that straddle a batch boundary collide or invert) —
     monotone in commit order, distinct per event, deterministic for a
-    given topic dump. Contract caveat (documented, inherent to the
-    format): ordering WITHIN one transaction follows file order; a
-    transaction that updates the same key 2^20+ times overflows the
-    intra-xid space and is refused upstream by arithmetic, not
-    silently misordered. ``data`` is the row image for every type —
+    given topic dump. Why this is safe at any size: Maxwell writes
+    events in commit order, so ``xid`` is non-decreasing in file order
+    and the row index is strictly increasing — the synthesized lsn is
+    then STRICTLY monotone for the whole feed (each step adds at least
+    1; an xid step adds ≥2^20 more), with no overflow cliff even for
+    transactions beyond 2^20 events. The 2^20 stride exists for the
+    OTHER caller: chunked reads that unwrap independently with unknown
+    bases stay globally ordered because xid dominates the index. ``data`` is the row image for every type —
     Maxwell deletes ship the deleted row — so the key always reads
     from ``data.key`` and non-key payload columns null out on deletes
     (the engine's tombstone convention)."""
