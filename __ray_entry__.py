@@ -3892,7 +3892,9 @@ def q143_source_rank(sf_dir: str):
     """Ranking windows on a LOW-cardinality partition key through the
     bucketed distributed path (dataset.py _window_bucketed — r4: one
     keyed shuffle + map-side partial fold; rank carries on counts
-    because full-tuple ties never straddle order-range buckets):
+    because full-tuple ties never straddle order-range buckets;
+    strategy pinned — auto would rightly pick map_groups at test
+    scale, the 100-TB decision needs >=2M rows per group):
     rank / percent_rank / cume_dist of every doc's n_chars within its
     source — deliberately TIED order keys (n_chars repeats heavily), so
     the cross-bucket tie carry is what the oracle verifies. EXACT
@@ -3916,7 +3918,7 @@ def q143_source_rank(sf_dir: str):
         .window(
             [("rank", None, "rk"), ("percent_rank", None, "pr"),
              ("cume_dist", None, "cd")],
-            by="source", order="n_chars",
+            by="source", order="n_chars", strategy="bucketed",
         )
         .project(["doc_id", "source", "n_chars", "rk", "pr", "cd"])
     )
@@ -4847,7 +4849,7 @@ def _oracle_sql_literal(lang_expr: str) -> dict[str, str]:
         # two-level semantic aggregate with an associative rule
         # generator == plain SUM
         "q82_semantic_agg": """
-            select cast(sum(n_chars) as double) as total_chars from documents
+            select cast(sum(n_chars) as bigint) as total_chars from documents
         """,
         # embedding join with the band forced open == contains-join
         "q83_embedding_join": """
@@ -5051,7 +5053,7 @@ def _oracle_sql_literal(lang_expr: str) -> dict[str, str]:
               select 8 as n_tok, 'synthetic' as source from range(10) t(i)
             )
             select source, count(*) as n_docs,
-                   cast(sum(n_tok) as double) as total_tok
+                   cast(sum(n_tok) as bigint) as total_tok
             from final group by source
         """,
         "q76_text_normalize": f"""

@@ -269,6 +269,86 @@ _WINDOW_BUCKETED_KINDS = (
     "rank", "percent_rank", "cume_dist", "ntile",
 )
 _WINDOW_LOW_CARD = 256
+# rolling windows wider than this never take the bucketed path: tail
+# candidates approach whole batches and the carry stops being "narrow"
+_ROLL_BUCKETED_MAX_WINDOW = 1024
+# auto picks the bucketed paths only when one partition-key group is
+# genuinely bigger than a sane task (~2M rows) — below that, a whole
+# group per map_groups task is both fine and faster (no extra pass)
+_WINDOW_BUCKETED_MIN_GROUP_ROWS = 2_000_000
+
+
+def _rolling_kernel(vals, n: int, kind: str, w: int) -> np.ndarray:
+    """ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW over one sorted
+    run: sum/avg via prefix-sum differences, min/max via a
+    sliding_window_view reduction, count positionally. ``vals`` is
+    ignored for count."""
+    pos = np.arange(n, dtype=np.int64)
+    cnt = np.minimum(pos + 1, w)
+    if kind == "count":
+        return cnt
+    if kind in ("sum", "avg"):
+        cs = np.concatenate([[0.0], np.cumsum(vals.astype(np.float64))])
+        s = cs[pos + 1] - cs[np.maximum(pos + 1 - w, 0)]
+        return s / cnt if kind == "avg" else s
+    red = np.minimum if kind == "min" else np.maximum
+    head = red.accumulate(vals[: min(w - 1, n)]) if w > 1 else vals[:0]
+    if n >= w:
+        tail = red.reduce(
+            np.lib.stride_tricks.sliding_window_view(vals, w), axis=1
+        )
+        return np.concatenate([head, tail])
+    return head
+
+
+def _bucket_by_order(
+    mat: rd.Dataset, n: int, first: str, num_buckets: int
+) -> tuple[rd.Dataset, int]:
+    """Shared preamble of the distributed window paths: bounded value
+    sample of the first order column → quantile bucket bounds (rows
+    with equal keys share a bucket, so full-tuple ties never straddle
+    buckets) → ``_bucket`` tag per row. ``num_buckets`` is a FLOOR: at
+    scale buckets grow with the data so one (bucket, group) slice
+    stays a sane task (~2M rows) — 64 fixed buckets over 10^10 rows
+    would put ~160M rows in a task; the cap keeps the driver's carry
+    table tiny either way. Raises on null order keys (the range
+    partitioner cannot place them; SQL's null-tie semantics live in
+    the map_groups path)."""
+    step = max(1, n // 65536)
+
+    def _thin(batch: pa.Table) -> pa.Table:
+        return batch.select([first]).take(
+            pa.array(range(0, batch.num_rows, step), pa.int64())
+        )
+
+    vals = [
+        r[first]
+        for r in mat.map_batches(_thin, batch_format="pyarrow").take_all()
+    ]
+    if any(v is None or (isinstance(v, float) and v != v) for v in vals):
+        raise ValueError(
+            "strategy='bucketed' needs non-null order keys "
+            f"(column {first!r} carries nulls) — use strategy="
+            "'groups' (SQL null-tie semantics live there)"
+        )
+    sample = np.sort(np.array(vals))
+    nb = max(num_buckets, min(4096, n // 2_000_000))
+    nb = max(1, min(nb, sample.size))
+    bounds = sample[
+        np.linspace(0, sample.size - 1, nb + 1).astype(np.int64)
+    ][1:-1]
+
+    def _with_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch[first].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket",
+            pa.array(np.searchsorted(bounds, keys, side="right"),
+                     pa.int64()),
+        )
+
+    return mat.map_batches(_with_bucket, batch_format="pyarrow"), nb
+
+
 
 
 def _window_kind_values(g: pa.Table, kind: str, col: str | None, order: list[str], k):
@@ -1325,7 +1405,10 @@ class Dataset:
         task (q106's ``by="source"`` holds ~a quarter of the corpus per
         group at 100 TB); ``"auto"`` (default) pins the input once and
         probes the key cardinality — ≤ ``_WINDOW_LOW_CARD`` distinct
-        groups and every spec carryable → bucketed, else groups.
+        groups, every spec carryable AND an average group bigger than a
+        sane task (``_WINDOW_BUCKETED_MIN_GROUP_ROWS``) → bucketed,
+        else groups (a megabyte-scale group per task is both fine and
+        faster; force ``strategy="bucketed"`` to override).
         Bucketed supports kinds sum/count/avg/min/max/row_number/rank/
         percent_rank/cume_dist/ntile with a shared ``order`` (no
         per-spec override) and non-null order keys — the ranking kinds
@@ -1371,34 +1454,7 @@ class Dataset:
             if null_safe or not carryable:
                 strategy = "groups"
             else:
-                # pin once: the probe and the window both read it
-                src = Dataset(self._ds.materialize())
-                # cheap first look: >LOW_CARD distinct keys in a 64k
-                # prefix proves high cardinality without a shuffle
-                # (q28's by=l_orderkey short-circuits here); only a
-                # low-card-looking prefix pays the exact narrow count.
-                # A null order key in the prefix also forces groups —
-                # the bucketed range partitioner cannot place nulls
-                # (SQL ranks null order keys as ties; map_groups does).
-                first_o = order[0]
-                head = src._ds.select_columns(
-                    list(dict.fromkeys([*by, first_o]))
-                ).limit(65536).take_all()
-                distinct = len({tuple(r[c] for c in by) for r in head})
-                has_null_order = any(
-                    r[first_o] is None
-                    or (isinstance(r[first_o], float)
-                        and r[first_o] != r[first_o])
-                    for r in head
-                )
-                if distinct > _WINDOW_LOW_CARD or has_null_order:
-                    strategy = "groups"
-                else:
-                    n_groups = src._ds.groupby(by).count().count()
-                    strategy = (
-                        "bucketed" if 0 < n_groups <= _WINDOW_LOW_CARD
-                        else "groups"
-                    )
+                src, strategy, _ng = self._window_low_card_probe(by, order)
         if strategy == "bucketed":
             if not carryable:
                 raise ValueError(
@@ -1434,6 +1490,38 @@ class Dataset:
             _win, batch_format="pyarrow"
         )
 
+    def _window_low_card_probe(
+        self, by: list[str], order: list[str]
+    ) -> tuple["Dataset", str, int]:
+        """Pin the input once and decide groups vs bucketed: >LOW_CARD
+        distinct keys in a 64k prefix proves high cardinality without a
+        shuffle (q28's by=l_orderkey short-circuits here); only a
+        low-card-looking prefix pays the exact narrow count. A null
+        order key in the prefix also forces groups — the bucketed range
+        partitioner cannot place nulls (SQL ranks null order keys as
+        ties; map_groups does). Returns (pinned src, strategy,
+        n_groups or -1)."""
+        src = Dataset(self._ds.materialize())
+        first_o = order[0]
+        head = src._ds.select_columns(
+            list(dict.fromkeys([*by, first_o]))
+        ).limit(65536).take_all()
+        distinct = len({tuple(r[c] for c in by) for r in head})
+        has_null_order = any(
+            r[first_o] is None
+            or (isinstance(r[first_o], float) and r[first_o] != r[first_o])
+            for r in head
+        )
+        if distinct > _WINDOW_LOW_CARD or has_null_order:
+            return src, "groups", -1
+        n_groups = src._ds.groupby(by).count().count()
+        big_groups = (
+            0 < n_groups <= _WINDOW_LOW_CARD
+            and src._ds.count() // n_groups
+            >= _WINDOW_BUCKETED_MIN_GROUP_ROWS
+        )
+        return src, ("bucketed" if big_groups else "groups"), n_groups
+
     def _window_bucketed(
         self,
         norm: list[tuple],
@@ -1458,43 +1546,17 @@ class Dataset:
         n = mat.count()
         if n == 0:  # same shape as the groups path on empty input
             return Dataset(mat)
-        first = order[0]
-        step = max(1, n // 65536)
-
-        def _thin(batch: pa.Table) -> pa.Table:
-            return batch.select([first]).take(
-                pa.array(range(0, batch.num_rows, step), pa.int64())
-            )
-
-        vals = [
-            r[first]
-            for r in mat.map_batches(_thin, batch_format="pyarrow").take_all()
-        ]
-        if any(v is None or (isinstance(v, float) and v != v) for v in vals):
-            raise ValueError(
-                "strategy='bucketed' needs non-null order keys "
-                f"(column {first!r} carries nulls) — use strategy="
-                "'groups' (SQL null-tie semantics live there)"
-            )
-        sample = np.sort(np.array(vals))
-        nb = max(1, min(num_buckets, sample.size))
-        bounds = sample[
-            np.linspace(0, sample.size - 1, nb + 1).astype(np.int64)
-        ][1:-1]
-
-        def _with_bucket(batch: pa.Table) -> pa.Table:
-            keys = batch[first].to_numpy(zero_copy_only=False)
-            return batch.append_column(
-                "_bucket",
-                pa.array(np.searchsorted(bounds, keys, side="right"),
-                         pa.int64()),
-            )
-
-        wide = mat.map_batches(_with_bucket, batch_format="pyarrow")
+        wide, nb = _bucket_by_order(mat, n, order[0], num_buckets)
 
         # map-side partials: per-batch (bucket, group) count/sum/min/max
         # — a few tiny rows per batch; the driver folds them. No shuffle.
-        cols = sorted({c for _k, c, *_ in norm if c is not None})
+        # Only the VALUE kinds contribute measure columns (the ranking
+        # kinds carry a col slot they never read — q38 passes a DATE
+        # there, which sum/min/max partials must not touch).
+        cols = sorted({
+            c for k_, c, *_ in norm
+            if c is not None and k_ in ("sum", "avg", "min", "max")
+        })
         gb_aggs = [("_bucket", "count")] + [
             (c, f) for c in cols for f in ("sum", "min", "max")
         ]
@@ -1662,6 +1724,8 @@ class Dataset:
         order: str | list[str],
         out: str | None = None,
         null_safe: bool = False,
+        strategy: str = "auto",
+        num_buckets: int = 64,
     ) -> "Dataset":
         """Moving-frame window aggregate, SQL ``<agg>(col) OVER
         (PARTITION BY by ORDER BY order ROWS BETWEEN window-1 PRECEDING
@@ -1669,43 +1733,175 @@ class Dataset:
         Head rows see a shrinking frame, exactly as SQL. Vectorized per
         group: sum/avg via prefix-sum differences, min/max via a
         ``sliding_window_view`` reduction — no Python row loop. Null
-        handling and partitioning contract as :meth:`window_cum` (pass a
-        null-free measure; one ``by`` group fits in a task)."""
+        handling as :meth:`window_cum` (pass a null-free measure).
+
+        ``strategy`` as in :meth:`window`: low-cardinality partition
+        keys route to the bucketed distributed path — each task sees
+        one order-range slice plus the previous buckets' last ``w-1``
+        NARROW rows as carry (order + measure columns only, folded
+        from map-side per-batch tail candidates; driver state is
+        buckets × groups × (w-1) narrow rows, guarded ≤ 4M) — instead
+        of materializing a whole group per task."""
         assert kind in ("sum", "avg", "min", "max", "count"), kind
         assert window >= 1, "window must be >= 1 rows"
         by = [by] if isinstance(by, str) else list(by)
         order = [order] if isinstance(order, str) else list(order)
         name = out or f"{col}_roll{kind}{window}"
         w = int(window)
+        assert strategy in ("auto", "groups", "bucketed"), strategy
+
+        src = self
+        auto = strategy == "auto"
+        if auto:
+            if null_safe or w > _ROLL_BUCKETED_MAX_WINDOW:
+                strategy = "groups"
+            else:
+                src, strategy, n_groups = self._window_low_card_probe(
+                    by, order
+                )
+                if strategy == "bucketed":
+                    # driver carry memory: nb x groups x (w-1) narrow
+                    # tail rows must stay small
+                    n_rows = src._ds.count()
+                    nb_est = max(num_buckets, min(4096, n_rows // 2_000_000))
+                    if nb_est * n_groups * (w - 1) > 4_000_000:
+                        strategy = "groups"
+        if strategy == "bucketed":
+            try:
+                return src._window_rolling_bucketed(
+                    col, kind, w, by, order, name, num_buckets
+                )
+            except ValueError:
+                if not auto:
+                    raise
 
         def _roll(group: pa.Table) -> pa.Table:
             idx = pc.sort_indices(group, sort_keys=[(o, "ascending") for o in order])
             g = group.take(idx)
             n = g.num_rows
-            pos = np.arange(n, dtype=np.int64)
-            cnt = np.minimum(pos + 1, w)
-            if kind == "count":
-                res = pa.array(cnt)
-            elif kind in ("sum", "avg"):
-                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
-                cs = np.concatenate([[0.0], np.cumsum(vals.astype(np.float64))])
-                s = cs[pos + 1] - cs[np.maximum(pos + 1 - w, 0)]
-                res = pa.array(s / cnt if kind == "avg" else s)
-            else:
-                vals = g[col].combine_chunks().to_numpy(zero_copy_only=False)
-                red = np.minimum if kind == "min" else np.maximum
-                head = red.accumulate(vals[: min(w - 1, n)]) if w > 1 else vals[:0]
-                if n >= w:
-                    tail = red.reduce(
-                        np.lib.stride_tricks.sliding_window_view(vals, w), axis=1
-                    )
-                    res = pa.array(np.concatenate([head, tail]))
-                else:
-                    res = pa.array(head)
-            return g.append_column(name, res)
+            vals = (
+                None if kind == "count"
+                else g[col].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            return g.append_column(
+                name, pa.array(_rolling_kernel(vals, n, kind, w))
+            )
 
-        return GroupedDataset(self._ds, by, null_safe=null_safe).map_groups(
+        return GroupedDataset(src._ds, by, null_safe=null_safe).map_groups(
             _roll, batch_format="pyarrow"
+        )
+
+    def _window_rolling_bucketed(
+        self,
+        col: str,
+        kind: str,
+        w: int,
+        by: list[str],
+        order: list[str],
+        out: str,
+        num_buckets: int,
+        debug: dict | None = None,
+    ) -> "Dataset":
+        """Distributed rolling windows for low-cardinality keys: the
+        running-agg trick doesn't apply (a moving frame forgets), so
+        each (bucket, group) slice instead receives the previous
+        buckets' last ``w-1`` rows as a NARROW carry (order + measure
+        columns only — the token payload never travels) and computes
+        the shared :func:`_rolling_kernel` over carry+slice, keeping
+        the slice's outputs. Carry construction is map-side: per batch,
+        per (bucket, group), the last ``w-1`` rows by order are tail
+        CANDIDATES (top-k is mergeable); the driver folds candidates
+        streaming and cumulates them bucket-major — prior buckets'
+        rows are all strictly earlier in order, so the cumulative tail
+        is concat-then-keep-last."""
+        mat = self._ds.materialize()
+        n = mat.count()
+        if n == 0:
+            return Dataset(mat)
+        wide, nb = _bucket_by_order(mat, n, order[0], num_buckets)
+        tail_k = w - 1
+        need_vals = kind != "count"
+        narrow = list(dict.fromkeys(
+            ["_bucket", *by, *order] + ([col] if need_vals else [])
+        ))
+
+        # exact per-(bucket, group) tails via a NARROW shuffle (order +
+        # measure columns only — the wide payload shuffles once, for
+        # the finish pass; a map-side candidate scheme degenerates when
+        # input batches are unsorted: every short run is a candidate
+        # and the whole dataset streams to the driver)
+        def _tail_group(g: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                g, sort_keys=[(o, "ascending") for o in order]
+            )
+            m = g.num_rows
+            return g.take(idx).slice(max(0, m - tail_k), m)
+
+        buf: dict[tuple, list] = {}
+        if tail_k:
+            tail_rows = (
+                wide.map_batches(
+                    lambda b: b.select(narrow), batch_format="pyarrow"
+                )
+                .groupby(["_bucket", *by])
+                .map_groups(_tail_group, batch_format="pyarrow")
+                .take_all()
+            )
+            for r in tail_rows:
+                key = (r["_bucket"], tuple(r[c] for c in by))
+                buf.setdefault(key, []).append((
+                    tuple(r[o] for o in order),
+                    r[col] if need_vals else None,
+                ))
+            for lst in buf.values():
+                lst.sort()
+
+        # cumulate bucket-major: carry[(b, g)] = last tail_k rows of
+        # ALL buckets < b (prior rows are strictly earlier in order)
+        carry: dict[tuple, tuple] = {}
+        running: dict[tuple, list] = {}
+        for (bucket, g) in sorted(buf):
+            prior = running.get(g, [])
+            carry[(bucket, g)] = (
+                len(prior),
+                np.array([v for _o, v in prior]) if need_vals else None,
+            )
+            merged = prior + buf[(bucket, g)]
+            running[g] = merged[-tail_k:] if tail_k else []
+
+        if debug is not None:
+            debug["n_buckets"] = nb
+            debug["n_slices"] = len(buf) if tail_k else -1
+            debug["carry_rows"] = sum(len(v) for v in running.values())
+
+        def _fin(group: pa.Table) -> pa.Table:
+            bucket = group["_bucket"][0].as_py()
+            g = tuple(group[c][0].as_py() for c in by)
+            t_len, t_vals = carry.get((bucket, g), (0, None))
+            idx = pc.sort_indices(
+                group, sort_keys=[(o, "ascending") for o in order]
+            )
+            gt = group.take(idx)
+            m = gt.num_rows
+            if need_vals:
+                vals = gt[col].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                cat = (
+                    np.concatenate([t_vals.astype(vals.dtype), vals])
+                    if t_len else vals
+                )
+            else:
+                cat = None
+            res = _rolling_kernel(cat, t_len + m, kind, w)[t_len:]
+            return gt.append_column(out, pa.array(res)).drop_columns(
+                ["_bucket"]
+            )
+
+        return Dataset(
+            wide.groupby(["_bucket", *by]).map_groups(
+                _fin, batch_format="pyarrow"
+            )
         )
 
     def window_rolling_time(
@@ -1732,7 +1928,14 @@ class Dataset:
         min / max from a sparse-table range query (``_range_reduce``,
         integer dtypes preserved) — variable-width frames with no row
         loop. ``ts`` values are truncated to microseconds; the interval
-        must be an exact microsecond multiple."""
+        must be an exact microsecond multiple.
+
+        Partitioning contract: one ``by`` group fits in a task (no
+        bucketed path here — a RANGE frame's carry is every prior row
+        within ``interval`` of the bucket boundary, which is bounded by
+        data DENSITY, not row count, so a narrow carry cannot be
+        guaranteed; pre-bucket by a coarser time column and
+        :meth:`union` when a group outgrows a task)."""
         assert kind in ("sum", "avg", "count", "min", "max"), kind
         by = [by] if isinstance(by, str) else list(by)
         td = pd.Timedelta(interval)

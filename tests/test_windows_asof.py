@@ -311,3 +311,44 @@ def test_window_bucketed_ranking_kinds_parity():
     ds3 = Dataset(rd.from_arrow(t3).repartition(4))
     out3 = ds3.window([("sum", "v", "cs")], by="g", order="o").to_pandas()
     assert len(out3) == 70003
+
+
+def test_window_rolling_bucketed_parity():
+    """Rolling windows on a low-cardinality key through the bucketed
+    path: each slice computes over the previous buckets' last w-1
+    NARROW rows as carry — exact parity (incl. dtypes) with the
+    map_groups path for every kind, w spanning slice boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], n)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(-50, 50, n).astype(np.int64)),
+    })
+    ds = Dataset(rd.from_arrow(t).repartition(8))
+    for kind in ("sum", "avg", "min", "max", "count"):
+        a = ds.window_rolling(
+            "v", kind, window=37, by="g", order="o",
+            strategy="bucketed", num_buckets=16,
+        ).to_pandas().sort_values(["g", "o"], ignore_index=True)
+        b = ds.window_rolling(
+            "v", kind, window=37, by="g", order="o", strategy="groups",
+        ).to_pandas().sort_values(["g", "o"], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)],
+            check_dtype=True, check_exact=(kind != "avg"),
+        )
+    # auto picks bucketed for 2 groups and stays exact; w=1 degenerate
+    c = ds.window_rolling("v", "sum", window=1, by="g", order="o")
+    d = ds.window_rolling("v", "sum", window=1, by="g", order="o",
+                          strategy="groups")
+    pd.testing.assert_frame_equal(
+        c.to_pandas().sort_values(["g", "o"], ignore_index=True),
+        d.to_pandas().sort_values(["g", "o"], ignore_index=True),
+    )
