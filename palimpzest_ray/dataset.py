@@ -267,6 +267,7 @@ _WINDOW_ACC = {
 _WINDOW_BUCKETED_KINDS = (
     "sum", "count", "avg", "min", "max", "row_number",
     "rank", "percent_rank", "cume_dist", "ntile",
+    "dense_rank", "first_value", "last_value",
 )
 _WINDOW_LOW_CARD = 256
 # rolling windows wider than this never take the bucketed path: tail
@@ -1605,6 +1606,71 @@ class Dataset:
                     )
         totals = {g: acc["n"] for g, acc in run.items()}
 
+        # extras pass (only when a kind needs it): dense_rank needs the
+        # count of DISTINCT order tuples in prior buckets (distinct
+        # counts ADD exactly across buckets — tuples never straddle),
+        # first/last_value need one value per group. One NARROW shuffle
+        # of order + needed value columns, nb × groups tiny rows back.
+        dense_needed = any(k_ == "dense_rank" for k_, *_ in norm)
+        fl_cols = sorted({
+            c for k_, c, *_ in norm
+            if k_ in ("first_value", "last_value") and c is not None
+        })
+        dense_carry: dict[tuple, int] = {}
+        group_first: dict[tuple, dict] = {}
+        group_last: dict[tuple, dict] = {}
+        if dense_needed or fl_cols:
+            sel = list(dict.fromkeys(
+                ["_bucket", *by, *order] + fl_cols
+            ))
+
+            def _extra(g: pa.Table) -> pa.Table:
+                idx_ = pc.sort_indices(
+                    g, sort_keys=[(o, "ascending") for o in order]
+                )
+                t_ = g.take(idx_)
+                m_ = t_.num_rows
+                flag = np.zeros(m_, dtype=bool)
+                if m_:
+                    flag[0] = True
+                for o in order:
+                    a = t_[o].to_numpy(zero_copy_only=False)
+                    neq = a[1:] != a[:-1]
+                    if a.dtype.kind == "f":
+                        neq &= ~(np.isnan(a[1:]) & np.isnan(a[:-1]))
+                    elif a.dtype.kind in "Mm":
+                        neq &= ~(np.isnat(a[1:]) & np.isnat(a[:-1]))
+                    flag[1:] |= neq
+                row = {
+                    "_bucket": t_["_bucket"].slice(0, 1),
+                    **{c: t_[c].slice(0, 1) for c in by},
+                    "__nd": pa.array([int(flag.sum())], pa.int64()),
+                }
+                for c in fl_cols:
+                    row[f"__first_{c}"] = t_[c].slice(0, 1)
+                    row[f"__last_{c}"] = t_[c].slice(m_ - 1, 1)
+                return pa.table(row)
+
+            extra_rows = (
+                wide.map_batches(
+                    lambda b: b.select(sel), batch_format="pyarrow"
+                )
+                .groupby(["_bucket", *by])
+                .map_groups(_extra, batch_format="pyarrow")
+                .take_all()
+            )
+            extra_rows.sort(key=lambda r: r["_bucket"])
+            run_nd: dict[tuple, int] = {}
+            for r in extra_rows:
+                g = tuple(r[c] for c in by)
+                dense_carry[(r["_bucket"], g)] = run_nd.get(g, 0)
+                run_nd[g] = run_nd.get(g, 0) + r["__nd"]
+                if g not in group_first:
+                    group_first[g] = {
+                        c: r[f"__first_{c}"] for c in fl_cols
+                    }
+                group_last[g] = {c: r[f"__last_{c}"] for c in fl_cols}
+
         if debug is not None:  # test seam: the decomposition, observable
             debug["n_buckets"] = nb
             debug["n_slices"] = len(carry)
@@ -1672,6 +1738,18 @@ class Dataset:
                             )
                         else:
                             res = pa.array(rnk)
+                elif kind == "dense_rank":
+                    flag = _local_flags()
+                    res = pa.array(
+                        np.cumsum(flag).astype(np.int64)
+                        + dense_carry[(bucket, g)]
+                    )
+                elif kind in ("first_value", "last_value"):
+                    src_v = (
+                        group_first if kind == "first_value"
+                        else group_last
+                    )[g][col]
+                    res = pa.array([src_v] * m, type=gt[col].type)
                 elif kind == "ntile":
                     pos0 = pos1 - 1
                     q_, r_ = divmod(n_tot, k)

@@ -352,3 +352,44 @@ def test_window_rolling_bucketed_parity():
         c.to_pandas().sort_values(["g", "o"], ignore_index=True),
         d.to_pandas().sort_values(["g", "o"], ignore_index=True),
     )
+
+
+def test_window_bucketed_full_kind_set_parity():
+    """dense_rank / first_value / last_value complete the bucketed kind
+    set via the narrow extras shuffle — exact parity (incl. dtypes)
+    with map_groups, heavy order ties so distinct counts carry across
+    buckets."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    rng = np.random.default_rng(23)
+    n = 15_000
+    t = pa.table({
+        "g": pa.array(rng.choice(["p", "q", "r"], n)),
+        "o": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+        "u": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 9, n).astype(np.int32)),
+    })
+    ds = Dataset(rd.from_arrow(t).repartition(8))
+    specs = [("dense_rank", None, "dr"), ("first_value", "v", "fv"),
+             ("last_value", "v", "lv"), ("rank", None, "rk")]
+    a = ds.window(specs, by="g", order=["o", "u"],
+                  strategy="bucketed", num_buckets=8).to_pandas()
+    b = ds.window(specs, by="g", order=["o", "u"],
+                  strategy="groups").to_pandas()
+    key = ["g", "o", "u"]
+    a = a[sorted(a.columns)].sort_values(key, ignore_index=True)
+    b = b[sorted(b.columns)].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True,
+                                  check_exact=True)
+    # dense_rank over the TIED key alone (distinct-count carry path)
+    a2 = ds.window([("dense_rank", None, "dr")], by="g", order="o",
+                   strategy="bucketed", num_buckets=8).to_pandas()
+    b2 = ds.window([("dense_rank", None, "dr")], by="g", order="o",
+                   strategy="groups").to_pandas()
+    ka = a2.groupby(["g", "o"])["dr"].first().sort_index()
+    kb = b2.groupby(["g", "o"])["dr"].first().sort_index()
+    pd.testing.assert_series_equal(ka, kb)
