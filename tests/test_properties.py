@@ -411,3 +411,54 @@ def test_diff_lakes_converges_on_random_drift(
         if feed.num_rows:
             apply_changes(feed, dst, change_schema=CHANGELOG_SCHEMA)
         assert verify_replica(src, dst)["match"]
+
+
+@given(
+    st.integers(2, 5),           # groups
+    st.integers(2, 9),           # num_buckets
+    st.integers(0, 25),          # order-key value range (0 => all tie)
+    st.sampled_from(["sum", "min", "max", "avg", "rank", "dense_rank",
+                     "cume_dist", "row_number"]),
+)
+@settings(max_examples=10, deadline=None)
+def test_window_bucketed_random_parity(n_groups, nb, orange, kind):
+    """Property: for random group counts, bucket widths, tie densities
+    (down to ALL order keys equal) and every carryable kind, the
+    bucketed distributed window equals the map_groups window exactly
+    (values and dtypes). Ties use value-kind guards: sum/avg/min/max
+    get a unique order (tie order is undefined for running values),
+    ranking kinds keep the tied key (that's what they carry)."""
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    rng = np.random.default_rng(nb * 1000 + n_groups * 10 + orange)
+    n = 3000
+    ranking = kind in ("rank", "dense_rank", "cume_dist")
+    o = rng.integers(0, orange + 1, n).astype(np.int64)
+    t = pa.table({
+        "g": pa.array(rng.integers(0, n_groups, n).astype(np.int64)),
+        "o": pa.array(o),
+        "u": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(-9, 9, n).astype(np.int64)),
+    })
+    order = ["o"] if ranking else ["o", "u"]
+    ds = Dataset(rd.from_arrow(t).repartition(5))
+    spec = [(kind, None if ranking or kind == "row_number" else "v",
+             "res")]
+    a = ds.window(spec, by="g", order=order, strategy="bucketed",
+                  num_buckets=nb).to_pandas()
+    b = ds.window(spec, by="g", order=order,
+                  strategy="groups").to_pandas()
+    key = ["g", "o", "u"]
+    if ranking:
+        # tied rows share the result: compare per (g, o)
+        ka = a.groupby(["g", "o"])["res"].agg(["first", "nunique"])
+        kb = b.groupby(["g", "o"])["res"].agg(["first", "nunique"])
+        assert (ka["nunique"] == 1).all() and (kb["nunique"] == 1).all()
+        pd.testing.assert_series_equal(ka["first"], kb["first"])
+    else:
+        a = a[sorted(a.columns)].sort_values(key, ignore_index=True)
+        b = b[sorted(b.columns)].sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=True,
+                                      check_exact=(kind != "avg"))
