@@ -3924,6 +3924,56 @@ def q143_source_rank(sf_dir: str):
     )
 
 
+def q144_source_rolling(sf_dir: str):
+    """Moving-frame window on a LOW-cardinality key through the
+    bucketed distributed path (dataset.py _window_rolling_bucketed —
+    r4): 64-doc rolling sum and min of n_chars per source in doc
+    order; each order-range slice computes over the previous buckets'
+    last 63 NARROW carry rows, so the oracle equality witnesses the
+    cross-bucket frame stitching exactly. strategy pinned (auto would
+    rightly pick map_groups at test scale — the 100-TB decision needs
+    >=2M rows per group). EXACT oracle: SQL ROWS BETWEEN 63 PRECEDING
+    AND CURRENT ROW."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.char.add("doc-", np.char.zfill(ids.astype("U8"), 8))
+                ),
+                "source": b["source"],
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    rolled = (
+        docs.map_batches(_prep)
+        .window_rolling(
+            "n_chars", "sum", window=64, by="source", order="doc_id",
+            out="roll_sum", strategy="bucketed", num_buckets=8,
+        )
+        .window_rolling(
+            "n_chars", "min", window=64, by="source", order="doc_id",
+            out="roll_min", strategy="bucketed", num_buckets=8,
+        )
+    )
+
+    def _cast(b: pa.Table) -> pa.Table:
+        # the sum kernel accumulates in float64 (prefix differences);
+        # inputs are integers, so the cents-free exact form is bigint
+        i = b.column_names.index("roll_sum")
+        return b.set_column(
+            i, pa.field("roll_sum", pa.int64()),
+            b["roll_sum"].cast(pa.int64()),
+        )
+
+    return rolled.map_batches(_cast).project(
+        ["doc_id", "source", "n_chars", "roll_sum", "roll_min"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4067,6 +4117,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q141_token_shuffle_join": q141_token_shuffle_join,
         "q142_lake_diff": q142_lake_diff,
         "q143_source_rank": q143_source_rank,
+        "q144_source_rolling": q144_source_rolling,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4259,6 +4310,20 @@ def _base_oracle_sql() -> dict[str, str]:
                cume_dist() over w as cd
         from documents
         window w as (partition by source order by n_chars)
+    """
+    # bucketed distributed rolling frame == the SQL ROWS window
+    d["q144_source_rolling"] = """
+        select 'doc-' || lpad(cast(doc_id as varchar), 8, '0') as doc_id,
+               source,
+               cast(n_chars as bigint) as n_chars,
+               cast(sum(n_chars) over w as bigint) as roll_sum,
+               cast(min(n_chars) over w as bigint) as roll_min
+        from documents
+        window w as (
+          partition by source
+          order by 'doc-' || lpad(cast(doc_id as varchar), 8, '0')
+          rows between 63 preceding and current row
+        )
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

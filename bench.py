@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "q141_token_shuffle_join",  # round-4: nested payload rides shuffle join
     "q142_lake_diff",  # round-4: table diff / drift repair + digest proof
     "q143_source_rank",  # round-4: bucketed distributed ranking windows
+    "q144_source_rolling",  # round-4: bucketed rolling frames, carry stitching
     "cdc_replay",
 ]
 
