@@ -475,3 +475,46 @@ def test_diff_lakes_repair_and_prove(tmp_path, ray_session):
     assert sum(
         b.num_rows for b in feed2.iter_batches(batch_format="pyarrow")
     ) == 0
+
+
+def test_diff_lakes_schema_evolution(tmp_path, ray_session):
+    """diff_lakes across a schema gap: src carries a column dst has
+    never seen (evolution happened on the source only). Every src row
+    digests differently (the column participates), so the repair feed
+    re-upserts them all; apply evolves dst's schema and the digests
+    converge with the new column populated."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes, final_state_table
+    from palimpzest_ray.cdc.digest import diff_lakes, verify_replica
+
+    sch_old = pa.schema([
+        ("lsn", pa.int64()), ("op", pa.string()),
+        ("doc_id", pa.string()), ("n_tok", pa.int32()),
+    ])
+    sch_new = pa.schema(list(sch_old) + [pa.field("lang", pa.string())])
+    old_rows = [
+        {"lsn": i, "op": "INSERT", "doc_id": f"d{i}", "n_tok": i}
+        for i in range(1, 4)
+    ]
+    new_rows = [dict(r, lang=f"L{r['lsn']}") for r in old_rows]
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    apply_changes(
+        rd.from_arrow(pa.Table.from_pylist(new_rows, sch_new)),
+        src, num_partitions=2, change_schema=sch_new,
+    )
+    apply_changes(
+        rd.from_arrow(pa.Table.from_pylist(old_rows, sch_old)),
+        dst, num_partitions=2, change_schema=sch_old,
+    )
+    feed = pa.concat_tables(diff_lakes(src, dst).iter_batches(
+        batch_format="pyarrow", batch_size=4096))
+    assert set(feed["op"].to_pylist()) == {"UPDATE"}
+    assert feed.num_rows == 3 and "lang" in feed.column_names
+    apply_changes(feed, dst)
+    assert verify_replica(src, dst)["match"]
+    st = final_state_table(dst).sort_by("doc_id")
+    assert st["lang"].to_pylist() == ["L1", "L2", "L3"]
