@@ -62,16 +62,30 @@ _IMAGE_MAGIC = (
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
-    (b"RIFF", "image/webp"),
     (b"BM", "image/bmp"),
 )
 
 
-def _sniff_media_type(data: bytes) -> str:
+def _sniff_part_kind(data: bytes) -> tuple[str, str]:
+    """Binary payload → ("image", media_type) or ("audio", format).
+    RIFF needs the byte-8 tag: WAV and WebP share the container
+    (labeling a WAV image/webp would ship speech as pixels)."""
+    if data[:4] == b"RIFF":
+        if data[8:12] == b"WAVE":
+            return "audio", "wav"
+        return "image", "image/webp"
+    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3",
+                                          b"\xff\xf2"):
+        return "audio", "mp3"
     for magic, mt in _IMAGE_MAGIC:
         if data.startswith(magic):
-            return mt
-    return "image/png"
+            return "image", mt
+    return "image", "image/png"
+
+
+def _sniff_media_type(data: bytes) -> str:
+    kind, mt = _sniff_part_kind(data)
+    return mt if kind == "image" else "audio/" + mt
 
 
 def _detect_image_cols(batch: pa.Table) -> list[str]:
@@ -86,11 +100,13 @@ def _detect_image_cols(batch: pa.Table) -> list[str]:
 
 def _render_multimodal(template: str, row: dict, image_cols: list[str]):
     """Row → chat-completions content parts: the rendered text template
-    (image columns format as ``<col>`` placeholders, never raw bytes)
-    followed by one base64 ``image_url`` data-URL part per non-null
-    image column — the public multimodal protocol shape (OpenAI
-    chat-completions ``content`` arrays; reference ships pixels the
-    same way via litellm, ``generators.py:392-430``)."""
+    (binary columns format as ``<col>`` placeholders, never raw bytes)
+    followed by one part per non-null binary column — ``image_url``
+    base64 data-URLs for images, ``input_audio`` for WAV/MP3 (sniffed
+    by magic bytes; a WAV shares RIFF with WebP, so the byte-8 tag
+    decides) — the public multimodal protocol shapes (OpenAI
+    chat-completions ``content`` arrays; reference detects image AND
+    audio fields the same way, ``physical.py:42-56``)."""
     import base64
 
     text_row = {
@@ -101,17 +117,28 @@ def _render_multimodal(template: str, row: dict, image_cols: list[str]):
         data = row.get(c)
         if data is None:
             continue
-        parts.append(
-            {
-                "type": "image_url",
-                "image_url": {
-                    "url": "data:"
-                    + _sniff_media_type(data)
-                    + ";base64,"
-                    + base64.b64encode(data).decode()
-                },
-            }
-        )
+        kind, mt = _sniff_part_kind(data)
+        if kind == "audio":
+            # chat-completions audio part (public protocol shape)
+            parts.append(
+                {
+                    "type": "input_audio",
+                    "input_audio": {
+                        "data": base64.b64encode(data).decode(),
+                        "format": mt,
+                    },
+                }
+            )
+        else:
+            parts.append(
+                {
+                    "type": "image_url",
+                    "image_url": {
+                        "url": "data:" + mt + ";base64,"
+                        + base64.b64encode(data).decode()
+                    },
+                }
+            )
     return parts
 
 

@@ -39,10 +39,12 @@ class _Stub(BaseHTTPRequestHandler):
             # multimodal content parts: echo the shape as JSON
             texts = [p["text"] for p in prompt if p.get("type") == "text"]
             imgs = [p for p in prompt if p.get("type") == "image_url"]
+            auds = [p for p in prompt if p.get("type") == "input_audio"]
             reply = json.dumps({
                 "n_images": len(imgs),
                 "media": [p["image_url"]["url"].split(";")[0]
-                          for p in imgs],
+                          for p in imgs]
+                + [("audio/" + p["input_audio"]["format"]) for p in auds],
                 "caption": (texts[0] if texts else "").upper(),
             })
             out = json.dumps({
@@ -287,3 +289,44 @@ def test_cluster_usage_rolls_up_actor_costs(stub_url, ray_session):
     assert u["cost_usd"] > before  # gpt-4o-mini priced > 0
     st = out.stats()
     assert "LLM usage (cluster): calls=" in st and "cost=$" in st
+
+
+def test_audio_content_parts_and_riff_disambiguation(stub_url):
+    """A WAV column ships as a chat-completions input_audio part (not
+    an image — WAV shares the RIFF container with WebP, the byte-8 tag
+    decides), MP3 sniffs by ID3/frame-sync, and WebP stays an image."""
+    import io
+    import struct
+    import wave
+
+    from palimpzest_ray.stages.semantic import (
+        _render_multimodal,
+        _sniff_part_kind,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 0, 1000, -1000, 0))
+    wav = buf.getvalue()
+    webp = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBPVP8 "
+    mp3 = b"ID3\x04\x00" + b"\x00" * 16
+
+    assert _sniff_part_kind(wav) == ("audio", "wav")
+    assert _sniff_part_kind(webp) == ("image", "image/webp")
+    assert _sniff_part_kind(mp3) == ("audio", "mp3")
+
+    parts = _render_multimodal(
+        "transcribe {clip} vs {pic}",
+        {"clip": wav, "pic": _PNG1PX}, ["clip", "pic"],
+    )
+    assert parts[1]["type"] == "input_audio"
+    assert parts[1]["input_audio"]["format"] == "wav"
+    assert parts[2]["type"] == "image_url"
+
+    gen = _gen(stub_url)
+    reply = json.loads(gen([parts])[0])
+    assert reply["n_images"] == 1
+    assert reply["media"] == ["data:image/png", "audio/wav"]
