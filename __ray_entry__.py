@@ -3974,6 +3974,102 @@ def q144_source_rolling(sf_dir: str):
     )
 
 
+def q145_fk_join_view(sf_dir: str):
+    """Star-schema incremental join view (cdc/jview.py left_on= — r4):
+    an orders fact lake joins customer dims on the fact's ``cust``
+    FOREIGN KEY (not the LWW key), maintained through TWO change
+    epochs — dim updates ripple to every referencing fact via the fk
+    column index, a dim deletion nulls its facts' labels (how=left), a
+    fact re-points to another dim — with refresh cost O(changed keys),
+    never a re-join of the lakes. EXACT oracle: the same closed-form
+    epochs as SQL CASE arithmetic + LEFT JOIN."""
+    from palimpzest_ray.cdc import (
+        apply_changes,
+        create_join_view,
+        final_state,
+        refresh_join_view,
+    )
+    from palimpzest_ray.pipelines.cdc_demo import demo_workdir
+
+    import pyarrow.parquet as pq
+    import shutil
+
+    work = demo_workdir(sf_dir, "cdc_fkview_demo")
+    facts, dims, view = (
+        os.path.join(work, d) for d in ("facts", "dims", "view")
+    )
+    for d in (facts, dims, view):
+        shutil.rmtree(d, ignore_errors=True)
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    ok = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    ck = orders["o_custkey"].to_numpy(zero_copy_only=False)
+    cc = cust["c_custkey"].to_numpy(zero_copy_only=False)
+
+    def sid(prefix, arr):
+        return pa.array(np.char.add(prefix, arr.astype("U10")))
+
+    apply_changes(pa.table({
+        "lsn": pa.array(ok.astype("int64")),
+        "op": pa.array(["INSERT"] * len(ok)),
+        "doc_id": sid("o-", ok),
+        "cust": sid("c-", ck),
+        "total_c": pa.array(
+            np.round(
+                orders["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype("int64")
+        ),
+    }), facts, num_partitions=8)
+    apply_changes(pa.table({
+        "lsn": pa.array(cc.astype("int64")),
+        "op": pa.array(["INSERT"] * len(cc)),
+        "doc_id": sid("c-", cc),
+        "seg": cust["c_mktsegment"],
+    }), dims, num_partitions=4)
+
+    create_join_view(view, facts, dims, how="left", left_on="cust")
+
+    # epoch 2: dim updates (%7==0 -> VIP), dim deletions (%11==3),
+    # fact re-point (%5==0 -> c-1)
+    up = cc[cc % 7 == 0]
+    de = cc[(cc % 11 == 3) & (cc % 7 != 0)]
+    apply_changes(pa.table({
+        "lsn": pa.array(
+            np.concatenate([up, de]).astype("int64") + 10_000_000
+        ),
+        "op": pa.array(["UPDATE"] * len(up) + ["DELETE"] * len(de)),
+        "doc_id": pa.array(
+            list(np.char.add("c-", up.astype("U10")))
+            + list(np.char.add("c-", de.astype("U10")))
+        ),
+        "seg": pa.array(["VIP"] * len(up) + [None] * len(de)),
+    }), dims)
+    rp = ok[ok % 5 == 0]
+    apply_changes(pa.table({
+        "lsn": pa.array(rp.astype("int64") + 20_000_000),
+        "op": pa.array(["UPDATE"] * len(rp)),
+        "doc_id": sid("o-", rp),
+        "cust": pa.array(["c-1"] * len(rp)),
+        "total_c": pa.array(
+            np.round(
+                orders.filter(pa.array(ok % 5 == 0))["o_totalprice"]
+                .to_numpy(zero_copy_only=False) * 100
+            ).astype("int64")
+        ),
+    }), facts)
+    refresh_join_view(view)
+    return pzd.Dataset(
+        final_state(view, columns=["doc_id", "cust", "total_c", "seg"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4118,6 +4214,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q142_lake_diff": q142_lake_diff,
         "q143_source_rank": q143_source_rank,
         "q144_source_rolling": q144_source_rolling,
+        "q145_fk_join_view": q145_fk_join_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4324,6 +4421,27 @@ def _base_oracle_sql() -> dict[str, str]:
           order by 'doc-' || lpad(cast(doc_id as varchar), 8, '0')
           rows between 63 preceding and current row
         )
+    """
+    # star-schema incremental join view == the SQL closed-form epochs
+    d["q145_fk_join_view"] = """
+        with dims as (
+          select c_custkey,
+                 case when c_custkey % 7 = 0 then 'VIP'
+                      else c_mktsegment end as seg
+          from customer
+          where not (c_custkey % 11 = 3 and c_custkey % 7 <> 0)
+        ),
+        facts as (
+          select 'o-' || cast(o_orderkey as varchar) as doc_id,
+                 case when o_orderkey % 5 = 0
+                      then 'c-1'
+                      else 'c-' || cast(o_custkey as varchar) end as cust,
+                 cast(round(o_totalprice * 100) as bigint) as total_c
+          from orders
+        )
+        select f.doc_id, f.cust, f.total_c, d.seg
+        from facts f
+        left join dims d on f.cust = 'c-' || cast(d.c_custkey as varchar)
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "q142_lake_diff",  # round-4: table diff / drift repair + digest proof
     "q143_source_rank",  # round-4: bucketed distributed ranking windows
     "q144_source_rolling",  # round-4: bucketed rolling frames, carry stitching
+    "q145_fk_join_view",  # round-4: star-schema incremental join view
     "cdc_replay",
 ]
 

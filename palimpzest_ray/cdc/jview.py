@@ -28,6 +28,16 @@ Since both sides are keyed lakes, the join is 1:1 per key; ``how`` ∈
 row would have no key to live under). A crash between the view commit
 and the pin update re-refreshes the same key set at a fresh LSN and
 converges by LWW — the same idempotence story as aggregate views.
+
+``left_on=`` generalizes to the STAR-SCHEMA join (fact.fk = dim.key):
+the view stays keyed by the left (fact) key — still 1:1, the dim side
+is keyed — but a dim change must ripple to every fact row referencing
+it, which needs a reverse index. Creation builds a persistent column
+index on the fact's fk (``cdc/colindex.py``) under the view; refresh
+then resolves changed dim keys → affected fact keys through the index
+(O(hits), partition-pruned), unions them with the fact's own changed
+keys, and recomputes exactly that key set — never a rescan of either
+lake.
 """
 
 from __future__ import annotations
@@ -85,10 +95,14 @@ def create_join_view(
     columns_right: list[str] | None = None,
     right_suffix: str = "_right",
     num_partitions: int | None = None,
+    left_on: str | None = None,
 ) -> dict:
-    """Materialize ``left ⋈ right`` (on their LWW keys) as a lake under
-    ``view_root`` and pin both source versions for incremental
-    refresh. ``columns_*`` prune each side (the key always rides)."""
+    """Materialize ``left ⋈ right`` as a lake under ``view_root`` and
+    pin both source versions for incremental refresh. Default joins the
+    two LWW keys; ``left_on=`` joins a LEFT COLUMN against the right
+    key (the star-schema fact⋈dim case) and builds the fk column index
+    the refresh ripple needs. ``columns_*`` prune each side (keys and
+    the fk always ride)."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"how={how!r}: join views support 'inner' and 'left' "
@@ -99,12 +113,25 @@ def create_join_view(
     if ml is None or mr is None:
         raise FileNotFoundError("both source lakes must be committed")
     kl, kr = _routing_key(ml), _routing_key(mr)
-    rows = join_lakes(
-        left_root, right_root, how=how,
-        columns_left=columns_left, columns_right=columns_right,
-        right_suffix=right_suffix,
-        version_left=ml.version, version_right=mr.version,
-    )
+    if left_on is not None:
+        if left_on not in [f.name for f in ml.schema]:
+            raise ValueError(
+                f"left_on={left_on!r} is not a column of {left_root}"
+            )
+        rows = _fk_join(
+            left_root, right_root, how=how, left_on=left_on,
+            kl=kl, kr=kr,
+            columns_left=columns_left, columns_right=columns_right,
+            right_suffix=right_suffix,
+            version_left=ml.version, version_right=mr.version,
+        )
+    else:
+        rows = join_lakes(
+            left_root, right_root, how=how,
+            columns_left=columns_left, columns_right=columns_right,
+            right_suffix=right_suffix,
+            version_left=ml.version, version_right=mr.version,
+        )
 
     def _as_inserts(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -131,9 +158,53 @@ def create_join_view(
         "right_key": kr,
         "left_version": ml.version,
         "right_version": mr.version,
+        "left_on": left_on,
     }
+    if left_on is not None:
+        from palimpzest_ray.cdc.colindex import build_column_index
+
+        idx_root = os.path.join(view_root, "_fkidx")
+        build_column_index(
+            left_root, idx_root, left_on, key=kl,
+            num_partitions=min(32, ml.num_partitions),
+        )
+        meta["fk_index"] = idx_root
     _store_meta(view_root, meta)
     return meta
+
+
+def _fk_join(
+    left_root, right_root, *, how, left_on, kl, kr,
+    columns_left, columns_right, right_suffix,
+    version_left, version_right,
+) -> rd.Dataset:
+    """General fact⋈dim build: left joins on ``left_on`` against the
+    right key — not co-partitioned, so this is the engine's auto
+    broadcast/shuffle join (nested-payload-safe), not join_lakes'
+    zero-exchange plan. Output columns match the refresh kernel's
+    (_nested_safe_join) by construction: left columns, then right
+    non-key columns with ``right_suffix`` on collisions."""
+    from palimpzest_ray.cdc.engine import final_state
+    from palimpzest_ray.dataset import Dataset
+
+    cl = columns_left
+    if cl is not None:
+        cl = list(dict.fromkeys([kl, left_on, *cl]))
+    cr = columns_right
+    if cr is not None:
+        cr = list(dict.fromkeys([kr, *cr]))
+    lds = Dataset(final_state(left_root, columns=cl, version=version_left))
+    rds = Dataset(final_state(right_root, columns=cr, version=version_right))
+
+    def _ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([
+            left_on if c == kr else c for c in batch.column_names
+        ])
+
+    rds = rds.map_batches(_ren)
+    return lds.join(
+        rds, on=left_on, how=how, suffix=right_suffix
+    )._ds
 
 
 def read_join_view(view_root: str) -> rd.Dataset:
@@ -143,7 +214,10 @@ def read_join_view(view_root: str) -> rd.Dataset:
 
 
 def refresh_join_view(view_root: str) -> dict:
-    """Catch the view up to both lakes' heads: changed keys only."""
+    """Catch the view up to both lakes' heads: changed keys only. With
+    ``left_on`` (fact⋈dim), changed DIM keys resolve to affected FACT
+    keys through the fk column index (refreshed to the fact head first
+    — O(changes)), so the recomputed set is exact on both ripples."""
     meta = _load_meta(view_root)
     left_root, right_root = meta["left_root"], meta["right_root"]
     ml = load_latest_manifest(left_root)
@@ -152,20 +226,46 @@ def refresh_join_view(view_root: str) -> dict:
     if ml.version == lv0 and mr.version == rv0:
         return {**meta, "keys_refreshed": 0, "noop": True}
     kl, kr = meta["left_key"], meta["right_key"]
+    left_on = meta.get("left_on")
 
     ktype = load_latest_manifest(view_root).schema.field(kl).type
 
-    def _keys(root, v0, kcol) -> pa.ChunkedArray:
+    def _keys(root, v0, kcol, out_type) -> pa.ChunkedArray:
         feed = net_changes_since(root, v0).select_columns([kcol])
         batches = list(feed.iter_batches(batch_format="pyarrow"))
         if not batches:
-            return pa.chunked_array([], ktype)
+            return pa.chunked_array([], out_type)
         t = pa.concat_tables(batches, promote_options="permissive")
-        return t[kcol].cast(ktype)
+        return t[kcol].cast(out_type)
 
     empty = pa.chunked_array([], ktype)
-    keys_l = _keys(left_root, lv0, kl) if ml.version != lv0 else empty
-    keys_r = _keys(right_root, rv0, kr) if mr.version != rv0 else empty
+    keys_l = _keys(left_root, lv0, kl, ktype) if ml.version != lv0 else empty
+    if left_on is None:
+        keys_r = (
+            _keys(right_root, rv0, kr, ktype)
+            if mr.version != rv0 else empty
+        )
+    elif mr.version != rv0:
+        # dim ripple: changed dim keys -> fact keys via the fk index
+        from palimpzest_ray.cdc.colindex import refresh_column_index
+
+        idx_root = meta["fk_index"]
+        refresh_column_index(left_root, idx_root)
+        rk_type = mr.schema.field(kr).type
+        changed_dims = pc.unique(
+            _keys(right_root, rv0, kr, rk_type)
+        ).to_pylist()
+        if changed_dims:
+            hits = lookup(
+                idx_root, changed_dims, key="value", columns=["doc_id"]
+            )
+            keys_r = hits["doc_id"].cast(ktype)
+        else:
+            keys_r = empty
+    else:
+        keys_r = empty
+    if isinstance(keys_r, pa.Array):
+        keys_r = pa.chunked_array([keys_r], ktype)
     karr = pc.unique(
         pa.chunked_array(list(keys_l.chunks) + list(keys_r.chunks), ktype)
     )
@@ -174,17 +274,39 @@ def refresh_join_view(view_root: str) -> dict:
         _store_meta(view_root, meta)
         return {**meta, "keys_refreshed": 0, "noop": True}
     keys = karr.to_pylist()
+    cl = meta["columns_left"]
+    if left_on is not None and cl is not None:
+        cl = list(dict.fromkeys([left_on, *cl]))
     lt = lookup(
-        left_root, keys, key=kl, columns=meta["columns_left"],
+        left_root, keys, key=kl, columns=cl,
         version=ml.version,
     )
-    rt = lookup(
-        right_root, keys, key=kr, columns=meta["columns_right"],
-        version=mr.version,
-    )
-    joined = _nested_safe_join(
-        lt, rt, kl, kr, _JOIN_TYPES[meta["how"]], meta["right_suffix"]
-    )
+    if left_on is None:
+        rt = lookup(
+            right_root, keys, key=kr, columns=meta["columns_right"],
+            version=mr.version,
+        )
+        joined = _nested_safe_join(
+            lt, rt, kl, kr, _JOIN_TYPES[meta["how"]], meta["right_suffix"]
+        )
+    else:
+        fks = pc.unique(pc.drop_null(lt[left_on])).to_pylist()
+        rt = (
+            lookup(
+                right_root, fks, key=kr, columns=meta["columns_right"],
+                version=mr.version,
+            )
+            if fks
+            else mr.schema.empty_table().select(
+                [kr] + (meta["columns_right"] or [
+                    f.name for f in mr.schema if f.name != kr
+                ])
+            )
+        )
+        joined = _nested_safe_join(
+            lt, rt, left_on, kr, _JOIN_TYPES[meta["how"]],
+            meta["right_suffix"]
+        )
     mv = load_latest_manifest(view_root)
     lsn = int(mv.max_lsn) + 1
     n = joined.num_rows

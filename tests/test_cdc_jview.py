@@ -148,3 +148,88 @@ def test_join_view_refusals(tmp_path):
     )
     with pytest.raises(ValueError, match="inner.*left|'inner' and 'left'"):
         create_join_view(str(tmp_path / "v"), left, left, how="outer")
+
+
+FACTS = pa.schema(
+    [pa.field("lsn", pa.int64()), pa.field("op", pa.string()),
+     pa.field("doc_id", pa.string()), pa.field("dim_id", pa.string()),
+     pa.field("qty", pa.int32())]
+)
+DIMS = pa.schema(
+    [pa.field("lsn", pa.int64()), pa.field("op", pa.string()),
+     pa.field("doc_id", pa.string()), pa.field("label", pa.string())]
+)
+
+
+def _fk_oracle(left_lake, right_lake, how) -> pa.Table:
+    lt = final_state_table(left_lake)
+    rt = final_state_table(right_lake)
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    jt = "inner" if how == "inner" else "left"
+    t = con.execute(
+        f"select l.doc_id, l.dim_id, l.qty, r.label from l {jt} join r "
+        "on l.dim_id = r.doc_id order by l.doc_id"
+    ).arrow()
+    con.close()
+    return t
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_fk_join_view_star_schema_ripples(tmp_path, ray_session, how):
+    """left_on= (fact.dim_id = dim.key): dim changes ripple to every
+    referencing fact through the fk column index; fact fk-repointing,
+    dim deletion (inner drops / left nulls), and fact deletion all
+    converge to the full re-join at each refresh; second refresh
+    no-ops."""
+    facts = str(tmp_path / "facts")
+    dims = str(tmp_path / "dims")
+    view = str(tmp_path / f"fkview_{how}")
+    apply_changes(
+        _ev(FACTS, [
+            (i, "INSERT", f"f{i}", f"D{i % 3}", i) for i in range(1, 9)
+        ]),
+        facts, num_partitions=4,
+    )
+    apply_changes(
+        _ev(DIMS, [(i, "INSERT", f"D{i}", f"lab{i}") for i in range(3)]),
+        dims, num_partitions=2,
+    )
+    meta = create_join_view(view, facts, dims, how=how, left_on="dim_id")
+    assert meta["left_on"] == "dim_id" and "fk_index" in meta
+
+    def check():
+        got = final_state_table(view).sort_by("doc_id").select(
+            ["doc_id", "dim_id", "qty", "label"])
+        want = _fk_oracle(facts, dims, how)
+        assert got.cast(want.schema).equals(want), (
+            f"{got.to_pydict()} vs {want.to_pydict()}")
+
+    check()
+
+    # 1. dim update ripples to all its facts; one fact re-points; one
+    #    new fact references a brand-new dim
+    apply_changes(_ev(DIMS, [
+        (10, "INSERT", "D1", "lab1-v2"),
+        (11, "INSERT", "D9", "lab9"),
+    ]), dims)
+    apply_changes(_ev(FACTS, [
+        (10, "INSERT", "f2", "D9", 22),
+        (11, "INSERT", "f9", "D9", 99),
+    ]), facts)
+    r = refresh_join_view(view)
+    assert not r["noop"] and r["keys_refreshed"] >= 4
+    check()
+
+    # 2. dim deletion: inner drops its facts' rows, left nulls them;
+    #    fact deletion leaves the view
+    apply_changes(_ev(DIMS, [(12, "DELETE", "D0", None)]), dims)
+    apply_changes(_ev(FACTS, [(12, "DELETE", "f1", None, None)]), facts)
+    r2 = refresh_join_view(view)
+    assert not r2["noop"]
+    check()
+
+    # 3. idempotence: nothing changed, refresh no-ops
+    r3 = refresh_join_view(view)
+    assert r3["noop"]
