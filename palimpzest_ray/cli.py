@@ -528,6 +528,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("lake")
     p.add_argument("view")
 
+    p = sub.add_parser(
+        "jview-create",
+        help="materialize an incrementally-maintained JOIN view "
+        "(key-to-key, or --left-on FK for the star-schema fact-dim "
+        "case with its fk-index ripple)",
+    )
+    p.add_argument("view")
+    p.add_argument("left")
+    p.add_argument("right")
+    p.add_argument("--how", choices=["inner", "left"], default="inner")
+    p.add_argument("--left-on", default=None,
+                   help="fact-side foreign-key column joining the "
+                   "right lake's key (default: join the two keys)")
+    p.add_argument("--num-partitions", type=int, default=None)
+
+    p = sub.add_parser(
+        "jview-refresh",
+        help="catch a join view up to both lakes' heads "
+        "(changed keys only; dim changes ripple via the fk index)",
+    )
+    p.add_argument("view")
+
     p = sub.add_parser("index-build", help="build the inverted token index")
     p.add_argument("lake")
     p.add_argument("index")
@@ -1163,6 +1185,19 @@ def main(argv: list[str] | None = None) -> int:
         from palimpzest_ray.cdc import refresh_view
 
         print(json.dumps(refresh_view(args.lake, args.view)))
+        return 0
+    if args.cmd == "jview-create":
+        from palimpzest_ray.cdc import create_join_view
+
+        print(json.dumps(create_join_view(
+            args.view, args.left, args.right, how=args.how,
+            left_on=args.left_on, num_partitions=args.num_partitions,
+        )))
+        return 0
+    if args.cmd == "jview-refresh":
+        from palimpzest_ray.cdc import refresh_join_view
+
+        print(json.dumps(refresh_join_view(args.view)))
         return 0
     if args.cmd == "index-build":
         from palimpzest_ray.cdc import build_token_index
