@@ -233,3 +233,60 @@ def test_fk_join_view_star_schema_ripples(tmp_path, ray_session, how):
     # 3. idempotence: nothing changed, refresh no-ops
     r3 = refresh_join_view(view)
     assert r3["noop"]
+
+
+def test_view_over_join_view_composition(tmp_path, ray_session):
+    """The join view IS a lake, so the aggregate-view machinery
+    composes on top of it unchanged: facts ⋈ dims (fk) -> GROUP BY
+    dim label SUM(qty), both layers refreshed incrementally after a
+    second epoch, each equal to the SQL recompute."""
+    from palimpzest_ray.cdc import create_view, read_view, refresh_view
+
+    facts = str(tmp_path / "facts")
+    dims = str(tmp_path / "dims")
+    jv = str(tmp_path / "jv")
+    agg = str(tmp_path / "agg")
+    apply_changes(
+        _ev(FACTS, [
+            (i, "INSERT", f"f{i}", f"D{i % 2}", 10 + i)
+            for i in range(1, 7)
+        ]),
+        facts, num_partitions=2,
+    )
+    apply_changes(
+        _ev(DIMS, [(i, "INSERT", f"D{i}", f"lab{i}") for i in range(2)]),
+        dims, num_partitions=2,
+    )
+    create_join_view(jv, facts, dims, how="inner", left_on="dim_id")
+    create_view(jv, agg, group_col="label",
+                aggs={"total_qty": ("sum", "qty")})
+
+    def check():
+        got = read_view(agg)
+        t = pa.concat_tables(got.iter_batches(batch_format="pyarrow"))
+        t = t.select(["label", "total_qty"]).sort_by("label")
+        lt = final_state_table(facts)
+        rt = final_state_table(dims)
+        con = duckdb.connect()
+        con.register("l", lt)
+        con.register("r", rt)
+        want = con.execute(
+            "select r.label, sum(l.qty) as total_qty from l "
+            "join r on l.dim_id = r.doc_id group by r.label "
+            "order by r.label"
+        ).arrow()
+        con.close()
+        assert t.cast(want.schema).equals(want), (
+            t.to_pydict(), want.to_pydict())
+
+    check()
+    # epoch 2: a dim relabel (ripples through BOTH layers), a fact
+    # re-point, and a fact delete
+    apply_changes(_ev(DIMS, [(10, "INSERT", "D1", "lab1-v2")]), dims)
+    apply_changes(_ev(FACTS, [
+        (10, "INSERT", "f2", "D1", 99),
+        (11, "DELETE", "f3", None, None),
+    ]), facts)
+    refresh_join_view(jv)
+    refresh_view(jv, agg)
+    check()
