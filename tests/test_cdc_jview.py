@@ -290,3 +290,37 @@ def test_view_over_join_view_composition(tmp_path, ray_session):
     refresh_join_view(jv)
     refresh_view(jv, agg)
     check()
+
+
+def test_fk_view_survives_vacuum_fsck_orphans(tmp_path, ray_session):
+    """The fk column index lives INSIDE the view root (_fkidx): the
+    view's own vacuum / fsck / orphan scan must neither flag nor
+    reclaim it, and refresh keeps working after a vacuum."""
+    from palimpzest_ray.cdc import find_orphans, vacuum
+    from palimpzest_ray.cdc.engine import fsck
+
+    facts = str(tmp_path / "f")
+    dims = str(tmp_path / "d")
+    view = str(tmp_path / "v")
+    apply_changes(
+        _ev(FACTS, [(i, "INSERT", f"f{i}", f"D{i % 2}", i)
+                    for i in range(1, 7)]),
+        facts, num_partitions=2,
+    )
+    apply_changes(
+        _ev(DIMS, [(i, "INSERT", f"D{i}", f"L{i}") for i in range(2)]),
+        dims, num_partitions=2,
+    )
+    create_join_view(view, facts, dims, how="inner", left_on="dim_id")
+    apply_changes(_ev(DIMS, [(10, "INSERT", "D1", "L1v2")]), dims)
+    refresh_join_view(view)
+
+    assert find_orphans(view)["orphans"] == []
+    v = vacuum(view, keep_versions=1)
+    assert v.versions_dropped == [1]
+    assert fsck(view)["ok"]
+    apply_changes(_ev(DIMS, [(11, "INSERT", "D0", "L0v2")]), dims)
+    r = refresh_join_view(view)
+    assert r["rows_upserted"] == 3  # D0's facts recomputed
+    got = final_state_table(view)
+    assert got.num_rows == 6
