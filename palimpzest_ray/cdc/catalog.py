@@ -280,7 +280,13 @@ def catalog_poll(catalog_root: str, name: str) -> tuple[dict, int]:
         v_old = info.get("from_v")
         if v_old is None:  # pre-from_v cursor on disk: legacy path
             root, v_old = old.pin(t)
-        _root2, v_new = head.pin(t)
+        root2, v_new = head.pin(t)
+        if os.path.abspath(root2) != os.path.abspath(root):
+            # table re-rooted since registration: its version numbers
+            # belong to ANOTHER lake's history — deliver nothing until
+            # the next ack re-registers it against the new root
+            feeds[t] = None
+            continue
         feeds[t] = (
             None
             if v_new <= v_old
@@ -307,19 +313,47 @@ def catalog_ack(catalog_root: str, name: str, token: int) -> dict:
             f"ack token {token} is behind the cursor "
             f"({cur['catalog_version']})"
         )
-    for t, info in sorted(cur["tables"].items()):
-        if t in t_snap.pins:
-            _root, v = t_snap.pin(t)
-            ack_subscription(info["root"], info["sub"], v)
-            info["from_v"] = v
-    for t in sorted(set(t_snap.pins) - set(cur["tables"])):
-        root, v = t_snap.pin(t)
+    def _register(t: str, root: str) -> None:
+        """Per-lake retention floor for a table the cursor has not
+        consumed yet: pin the EARLIEST RETAINED version (version 1 may
+        be vacuumed — probing it would FileNotFoundError and wedge the
+        cursor forever), and mark from_v=0 so the next poll delivers
+        the full pinned state as upserts."""
+        import glob as _g
+
         sub_name = f"cat-{name}-{t}"
+        retained = sorted(
+            int(os.path.basename(p_)[len("MANIFEST-v"):-len(".json")])
+            for p_ in _g.glob(os.path.join(root, "MANIFEST-v*.json"))
+        )
         try:
-            create_subscription(root, sub_name, from_version=1)
+            create_subscription(
+                root, sub_name, from_version=retained[0] if retained else 1
+            )
         except ValueError:
             pass  # debris from the table previously leaving the catalog
         cur["tables"][t] = {"root": root, "sub": sub_name, "from_v": 0}
+
+    for t, info in sorted(cur["tables"].items()):
+        if t in t_snap.pins:
+            root, v = t_snap.pin(t)
+            if os.path.abspath(root) != os.path.abspath(info["root"]):
+                # the table left and rejoined under a DIFFERENT lake:
+                # the old cursor entry is for another lake's history —
+                # re-register against the new root (full re-delivery)
+                from palimpzest_ray.cdc.subs import drop_subscription
+
+                try:
+                    drop_subscription(info["root"], info["sub"])
+                except FileNotFoundError:
+                    pass
+                _register(t, root)
+                continue
+            ack_subscription(info["root"], info["sub"], v)
+            info["from_v"] = v
+    for t in sorted(set(t_snap.pins) - set(cur["tables"])):
+        root, _v = t_snap.pin(t)
+        _register(t, root)
     cur["catalog_version"] = int(token)
     _atomic_write(
         os.path.join(catalog_root, "_subs", f"{name}.json"),

@@ -133,8 +133,15 @@ def diff_lakes(
     All events share ``lsn = max(both heads' max_lsn) + 1`` — strictly
     above every existing row's lsn, so LWW applies them
     unconditionally; one event per key, so no intra-feed ties.
+
+    Convergence contract: SRC IS THE AUTHORITY, defined over src's
+    columns. A column only dst carries (dst-side schema drift) is
+    neither compared nor repaired — schema surgery is `alter_schema`'s
+    job, not a change feed's — so the prove step must project:
     ``apply_changes(diff_lakes(a, b), b)`` then
-    ``verify_replica(a, b)`` is the repair-and-prove loop."""
+    ``verify_replica(a, b, columns=<a's user columns>)`` is the
+    repair-and-prove loop (the ``diff --apply`` CLI does exactly
+    this)."""
     import pyarrow.compute as pc
     import ray.data as rd
 

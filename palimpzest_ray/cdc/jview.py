@@ -56,6 +56,7 @@ from palimpzest_ray.cdc.engine import (
     net_changes_since,
 )
 from palimpzest_ray.cdc.pjoin import _JOIN_TYPES, _nested_safe_join, join_lakes
+from palimpzest_ray.schemas import INTERNAL_COLS as _INTERNAL
 
 _META = "_JOIN_VIEW.json"
 
@@ -299,7 +300,8 @@ def refresh_join_view(view_root: str) -> dict:
             if fks
             else mr.schema.empty_table().select(
                 [kr] + (meta["columns_right"] or [
-                    f.name for f in mr.schema if f.name != kr
+                    f.name for f in mr.schema
+                    if f.name != kr and f.name not in _INTERNAL
                 ])
             )
         )

@@ -925,17 +925,32 @@ def main(argv: list[str] | None = None) -> int:
 
         _ensure_ray(args.num_cpus)
         feed = diff_lakes(args.src, args.dst, key=args.key)
-        tab = _pa.concat_tables(
+        batches = list(
             feed.iter_batches(batch_format="pyarrow", batch_size=65536)
         )
-        ops = tab["op"].to_pylist()
-        out = {"events": tab.num_rows,
+        # converged replicas (the common "check for drift" call) yield
+        # ZERO batches — concat_tables([]) would raise
+        tab = _pa.concat_tables(batches) if batches else None
+        ops = tab["op"].to_pylist() if tab is not None else []
+        out = {"events": len(ops),
                "upserts": ops.count("UPDATE"),
                "deletes": ops.count("DELETE")}
-        if args.apply and tab.num_rows:
-            apply_changes(tab, args.dst)
+        if args.apply and tab is not None and tab.num_rows:
+            apply_changes(tab, args.dst, key=args.key)
         if args.apply:
-            out["verify"] = verify_replica(args.src, args.dst)
+            # convergence is defined over the SOURCE's columns (the
+            # authority); a dst-only column is untouched by the repair
+            from palimpzest_ray.cdc.manifest import load_latest_manifest
+            from palimpzest_ray.schemas import INTERNAL_COLS
+
+            src_cols = sorted(
+                f.name
+                for f in load_latest_manifest(args.src).schema
+                if f.name not in INTERNAL_COLS
+            )
+            out["verify"] = verify_replica(
+                args.src, args.dst, columns=src_cols
+            )
         print(json.dumps(out))
         return 0
 

@@ -312,9 +312,10 @@ def _bucket_by_order(
     scale buckets grow with the data so one (bucket, group) slice
     stays a sane task (~2M rows) — 64 fixed buckets over 10^10 rows
     would put ~160M rows in a task; the cap keeps the driver's carry
-    table tiny either way. Raises on null order keys (the range
-    partitioner cannot place them; SQL's null-tie semantics live in
-    the map_groups path)."""
+    table tiny either way. Null order keys raise — at plan time when
+    the bounded sample catches one, else LOUDLY inside the bucket
+    tagger at execution (never a silent NaN-last misplacement); SQL's
+    null-tie semantics live in the map_groups path."""
     step = max(1, n // 65536)
 
     def _thin(batch: pa.Table) -> pa.Table:
@@ -340,6 +341,12 @@ def _bucket_by_order(
     ][1:-1]
 
     def _with_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows and batch[first].null_count:
+            raise ValueError(
+                f"bucketed window: order column {first!r} carries "
+                "nulls — use strategy='groups' (SQL null-tie "
+                "semantics live there)"
+            )
         keys = batch[first].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "_bucket",
@@ -1494,17 +1501,18 @@ class Dataset:
     def _window_low_card_probe(
         self, by: list[str], order: list[str]
     ) -> tuple["Dataset", str, int]:
-        """Pin the input once and decide groups vs bucketed: >LOW_CARD
-        distinct keys in a 64k prefix proves high cardinality without a
-        shuffle (q28's by=l_orderkey short-circuits here); only a
-        low-card-looking prefix pays the exact narrow count. A null
-        order key in the prefix also forces groups — the bucketed range
-        partitioner cannot place nulls (SQL ranks null order keys as
-        ties; map_groups does). Returns (pinned src, strategy,
-        n_groups or -1)."""
-        src = Dataset(self._ds.materialize())
+        """Decide groups vs bucketed: >LOW_CARD distinct keys in a 64k
+        prefix proves high cardinality without a shuffle OR a pin
+        (q28's by=l_orderkey short-circuits here and streams straight
+        into the groupby — the prefix probe re-executes 64k rows of
+        lineage, which is cheaper than pinning everything); only a
+        low-card-looking prefix materializes and pays the exact narrow
+        count. A null order key in the prefix also forces groups — the
+        bucketed range partitioner cannot place nulls (SQL ranks null
+        order keys as ties; map_groups does). Returns
+        (possibly-pinned src, strategy, n_groups or -1)."""
         first_o = order[0]
-        head = src._ds.select_columns(
+        head = self._ds.select_columns(
             list(dict.fromkeys([*by, first_o]))
         ).limit(65536).take_all()
         distinct = len({tuple(r[c] for c in by) for r in head})
@@ -1514,7 +1522,10 @@ class Dataset:
             for r in head
         )
         if distinct > _WINDOW_LOW_CARD or has_null_order:
-            return src, "groups", -1
+            return self, "groups", -1
+        # low-card-looking: pin once — the count probe and the window
+        # both read it
+        src = Dataset(self._ds.materialize())
         n_groups = src._ds.groupby(by).count().count()
         big_groups = (
             0 < n_groups <= _WINDOW_LOW_CARD
@@ -1938,7 +1949,10 @@ class Dataset:
         # ALL buckets < b (prior rows are strictly earlier in order)
         carry: dict[tuple, tuple] = {}
         running: dict[tuple, list] = {}
-        for (bucket, g) in sorted(buf):
+        # bucket-ascending is the only order that matters (cumulation
+        # is per group); sorting full keys would compare group tuples,
+        # which crashes on a null group key next to strings
+        for (bucket, g) in sorted(buf, key=lambda k: k[0]):
             prior = running.get(g, [])
             carry[(bucket, g)] = (
                 len(prior),

@@ -88,13 +88,18 @@ def _sniff_media_type(data: bytes) -> str:
     return mt if kind == "image" else "audio/" + mt
 
 
-def _detect_image_cols(batch: pa.Table) -> list[str]:
+def _detect_media_cols(batch: pa.Table, template: str) -> list[str]:
     """Modality detection (reference ``physical.py:42-56``): binary
-    columns are image payloads for the model."""
+    columns the TEMPLATE references are media payloads for the model.
+    Unreferenced binary columns (checksums, packed blobs riding along)
+    are not inputs and must not silently base64 into every request —
+    pass ``image_fields=[...]`` to ship a column the template does not
+    name."""
     return [
         f.name
         for f in batch.schema
-        if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+        if (pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type))
+        and ("{" + f.name + "}") in template
     ]
 
 
@@ -170,7 +175,7 @@ class SemanticMap(_SemStage):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         img = (
-            _detect_image_cols(batch)
+            _detect_media_cols(batch, self.template)
             if self.image_fields is None
             else self.image_fields
         )
@@ -197,7 +202,7 @@ class SemanticFilter(_SemStage):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         img = (
-            _detect_image_cols(batch)
+            _detect_media_cols(batch, self.template)
             if self.image_fields is None
             else self.image_fields
         )
@@ -223,10 +228,11 @@ def sem_map(
 ) -> rd.Dataset:
     """Generate ``fields`` per row (reference ``sem_add_columns``).
 
-    Binary columns are auto-detected as image inputs and shipped to the
-    model as base64 ``image_url`` content parts (pass
-    ``image_fields=[]`` to force text-only, or an explicit list to pick
-    columns) — reference modality detection ``physical.py:42-56``."""
+    Binary columns the template references are auto-detected as media
+    inputs and shipped as base64 ``image_url`` / ``input_audio``
+    content parts (pass ``image_fields=[...]`` to ship unreferenced
+    columns, ``[]`` to force text-only) — reference modality detection
+    ``physical.py:42-56``."""
     return ds.map_batches(
         SemanticMap,
         fn_constructor_kwargs={

@@ -201,3 +201,42 @@ def test_catalog_ack_registers_new_table(tmp_path, ray_session):
     # and a further poll is quiet
     feeds3, _ = catalog_poll(cat, "m")
     assert feeds3["c"] is None
+
+
+def test_catalog_ack_registers_vacuumed_new_table(tmp_path, ray_session):
+    """Review r4: a table that joins the catalog AFTER its early
+    versions were vacuumed must still register on ack — the retention
+    subscription pins the EARLIEST RETAINED version, not a hardcoded
+    v1 (which would FileNotFoundError and wedge the cursor forever)."""
+    from palimpzest_ray.cdc import vacuum
+
+    cat = str(tmp_path / "cat")
+    lakes = {"a": str(tmp_path / "a"), "c": str(tmp_path / "c")}
+    kw = {n: {"num_partitions": 2} for n in lakes}
+    commit_transaction(
+        cat,
+        {"a": _feed(tmp_path, "a1.parquet", [
+            {"lsn": 1, "op": "INSERT", "doc_id": "d1", "v": 1}])},
+        {"a": lakes["a"]}, apply_kwargs=kw,
+    )
+    catalog_subscribe(cat, "m")
+
+    # the new lake accumulates 3 versions, then v1/v2 are vacuumed,
+    # BEFORE it joins the catalog
+    for i in range(1, 4):
+        commit_transaction(
+            cat,
+            {"c": _feed(tmp_path, f"c{i}.parquet", [
+                {"lsn": i, "op": "INSERT", "doc_id": f"n{i}",
+                 "v": 100 + i}])},
+            lakes, apply_kwargs=kw,
+        )
+    vacuum(lakes["c"], keep_versions=1)
+
+    feeds, tok = catalog_poll(cat, "m")
+    cur = catalog_ack(cat, "m", tok)  # must not raise
+    assert cur["tables"]["c"]["from_v"] == 0
+    feeds2, tok2 = catalog_poll(cat, "m")
+    got = _collect(feeds2["c"])
+    assert sorted(got["doc_id"].to_pylist()) == ["n1", "n2", "n3"]
+    catalog_ack(cat, "m", tok2)

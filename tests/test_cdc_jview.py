@@ -324,3 +324,32 @@ def test_fk_view_survives_vacuum_fsck_orphans(tmp_path, ray_session):
     assert r["rows_upserted"] == 3  # D0's facts recomputed
     got = final_state_table(view)
     assert got.num_rows == 6
+
+
+def test_fk_view_all_facts_deleted_epoch(tmp_path, ray_session):
+    """Review r4: a refresh epoch where EVERY changed fact key was
+    deleted (lt empty, no fks to fetch) must not leak the manifest's
+    internal _lsn/_deleted columns into the feed via the empty-rt
+    fallback — the view schema stays user-only and the keys leave."""
+    facts = str(tmp_path / "f")
+    dims = str(tmp_path / "d")
+    view = str(tmp_path / "v")
+    apply_changes(
+        _ev(FACTS, [(i, "INSERT", f"f{i}", "D0", i) for i in (1, 2)]),
+        facts, num_partitions=2,
+    )
+    apply_changes(
+        _ev(DIMS, [(0, "INSERT", "D0", "L0")]), dims, num_partitions=2,
+    )
+    create_join_view(view, facts, dims, how="inner", left_on="dim_id")
+    apply_changes(
+        _ev(FACTS, [(9, "DELETE", "f1", None, None),
+                    (10, "DELETE", "f2", None, None)]),
+        facts,
+    )
+    r = refresh_join_view(view)
+    assert r["rows_deleted"] == 2 and r["rows_upserted"] == 0
+    t = final_state_table(view)
+    assert t.num_rows == 0
+    assert not any(c.startswith("_") for c in t.column_names), (
+        t.column_names)

@@ -687,3 +687,37 @@ def test_cli_all_subcommands_parse(capsys):
             cli.main([cmd, "--help"])
         assert e2.value.code == 0, cmd
         capsys.readouterr()
+
+
+def test_cli_diff_converged_and_custom_key(tmp_path, capsys, ray_session):
+    """Review r4: `diff` on already-converged replicas prints
+    {"events": 0, ...} instead of crashing on an empty feed, and
+    --key X --apply repairs a lake keyed on a non-default column."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from palimpzest_ray import cli
+    from palimpzest_ray.cdc import apply_changes
+
+    sch = pa.schema([("lsn", pa.int64()), ("op", pa.string()),
+                     ("user_id", pa.string()), ("v", pa.int64())])
+    rows = [{"lsn": i, "op": "INSERT", "user_id": f"u{i}", "v": i}
+            for i in range(1, 5)]
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    apply_changes(pa.Table.from_pylist(rows, sch), src,
+                  num_partitions=2, key="user_id")
+    drift = [dict(r) for r in rows[:3]]
+    drift[0]["v"] = 99
+    apply_changes(pa.Table.from_pylist(drift, sch), dst,
+                  num_partitions=2, key="user_id")
+
+    assert cli.main(["diff", src, dst, "--key", "user_id",
+                     "--apply"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 2 and out["verify"]["match"]
+
+    # converged: empty feed, no crash
+    assert cli.main(["diff", src, dst, "--key", "user_id"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {"events": 0, "upserts": 0, "deletes": 0}

@@ -221,15 +221,18 @@ def test_sem_map_auto_detects_image_columns(stub_url, ray_session):
     t = pa.table({
         "name": ["a", "b"],
         "img": pa.array([_PNG1PX, None], pa.binary()),
+        "blob": pa.array([b"\x00\x01", b"\x02"], pa.binary()),
     })
+    # img is referenced by the template -> ships as a part; blob is
+    # NOT referenced -> stays out of the request entirely
     out = sem_map(
-        rd.from_arrow(t), ["n_images", "caption"], "caption {name}",
+        rd.from_arrow(t), ["n_images", "caption"], "caption {name} {img}",
         lambda: OpenAIChatGenerator(OpenAIConfig(
             base_url=stub_url, model="test-model", backoff_s=0.01)),
         concurrency=1, batch_size=8,
     ).to_pandas().sort_values("name")
     assert out["n_images"].tolist() == [1, 0]
-    assert out["caption"].tolist() == ["CAPTION A", "CAPTION B"]
+    assert out["caption"].tolist() == ["CAPTION A <IMG>", "CAPTION B <IMG>"]
 
 
 def test_cost_accounting_and_snapshot(stub_url):
