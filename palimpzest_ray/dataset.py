@@ -274,9 +274,11 @@ _WINDOW_LOW_CARD = 256
 # candidates approach whole batches and the carry stops being "narrow"
 _ROLL_BUCKETED_MAX_WINDOW = 1024
 # auto picks the bucketed paths only when one partition-key group is
-# genuinely bigger than a sane task (~2M rows) — below that, a whole
-# group per map_groups task is both fine and faster (no extra pass)
-_WINDOW_BUCKETED_MIN_GROUP_ROWS = 2_000_000
+# genuinely bigger than a sane task's HEAP (~1 GiB in-memory) — the
+# hazard is bytes, not rows (measured: a 4M-row/80MB narrow group is
+# 2.7x faster through map_groups than through the bucketed pass; a
+# token-payload group at corpus scale is gigabytes and must split)
+_WINDOW_BUCKETED_MIN_GROUP_BYTES = 1 << 30
 
 
 def _rolling_kernel(vals, n: int, kind: str, w: int) -> np.ndarray:
@@ -1413,10 +1415,11 @@ class Dataset:
         task (q106's ``by="source"`` holds ~a quarter of the corpus per
         group at 100 TB); ``"auto"`` (default) pins the input once and
         probes the key cardinality — ≤ ``_WINDOW_LOW_CARD`` distinct
-        groups, every spec carryable AND an average group bigger than a
-        sane task (``_WINDOW_BUCKETED_MIN_GROUP_ROWS``) → bucketed,
-        else groups (a megabyte-scale group per task is both fine and
-        faster; force ``strategy="bucketed"`` to override).
+        groups, every spec carryable AND an average group bigger than
+        a sane task's heap (``_WINDOW_BUCKETED_MIN_GROUP_BYTES``, ~1
+        GiB in-memory) → bucketed, else groups (a megabyte-scale group
+        per task is both fine and faster — measured 2.7x at 16M narrow
+        rows; force ``strategy="bucketed"`` to override).
         Bucketed supports kinds sum/count/avg/min/max/row_number/rank/
         percent_rank/cume_dist/ntile with a shared ``order`` (no
         per-spec override) and non-null order keys — the ranking kinds
@@ -1523,14 +1526,27 @@ class Dataset:
         )
         if distinct > _WINDOW_LOW_CARD or has_null_order:
             return self, "groups", -1
-        # low-card-looking: pin once — the count probe and the window
-        # both read it
+        # prefix distinct is a LOWER bound on n_groups, so
+        # size/distinct is an UPPER bound on bytes/group: when even
+        # that bound is under the threshold, groups is safe without
+        # pinning or counting anything (the 16M-narrow-rows case — a
+        # full groupby count here cost more than the window itself)
+        est = _estimate_bytes(self._ds)
+        lo_groups = max(distinct, 1)
+        if (
+            est is not None
+            and est // lo_groups < _WINDOW_BUCKETED_MIN_GROUP_BYTES
+        ):
+            return self, "groups", -1
+        # pin once — the probes and the window both read it
         src = Dataset(self._ds.materialize())
+        size = src._ds.size_bytes() or 0
+        if size // lo_groups < _WINDOW_BUCKETED_MIN_GROUP_BYTES:
+            return src, "groups", -1
         n_groups = src._ds.groupby(by).count().count()
         big_groups = (
             0 < n_groups <= _WINDOW_LOW_CARD
-            and src._ds.count() // n_groups
-            >= _WINDOW_BUCKETED_MIN_GROUP_ROWS
+            and size // n_groups >= _WINDOW_BUCKETED_MIN_GROUP_BYTES
         )
         return src, ("bucketed" if big_groups else "groups"), n_groups
 
