@@ -353,3 +353,67 @@ def test_fk_view_all_facts_deleted_epoch(tmp_path, ray_session):
     assert t.num_rows == 0
     assert not any(c.startswith("_") for c in t.column_names), (
         t.column_names)
+
+
+def test_fk_join_view_random_epochs(tmp_path, ray_session):
+    """Randomized (seeded) epochs over the fk join view: facts and
+    dims evolve through 3 rounds of mixed inserts/updates/deletes and
+    fk re-points; after every refresh the view equals the full SQL
+    re-join. Deterministic RNG — failures reproduce."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    facts = str(tmp_path / "f")
+    dims = str(tmp_path / "d")
+    view = str(tmp_path / "v")
+    n_dims = 5
+    apply_changes(
+        _ev(FACTS, [
+            (i, "INSERT", f"f{i}", f"D{rng.integers(n_dims)}",
+             int(rng.integers(100)))
+            for i in range(1, 21)
+        ]),
+        facts, num_partitions=4,
+    )
+    apply_changes(
+        _ev(DIMS, [(i, "INSERT", f"D{i}", f"L{i}")
+                   for i in range(n_dims)]),
+        dims, num_partitions=2,
+    )
+    create_join_view(view, facts, dims, how="left", left_on="dim_id")
+    lsn = 100
+    live_facts = set(range(1, 21))
+    live_dims = set(range(n_dims))
+    for _epoch in range(3):
+        fev, dev = [], []
+        for _ in range(6):
+            r = rng.random()
+            if r < 0.5 and live_facts:  # fact upsert / re-point
+                k = int(rng.choice(sorted(live_facts)))
+                fev.append((lsn, "INSERT", f"f{k}",
+                            f"D{rng.integers(n_dims + 2)}",
+                            int(rng.integers(100))))
+            elif r < 0.7 and len(live_facts) > 2:
+                k = int(rng.choice(sorted(live_facts)))
+                live_facts.discard(k)
+                fev.append((lsn, "DELETE", f"f{k}", None, None))
+            elif r < 0.9:  # dim upsert (maybe brand-new)
+                k = int(rng.integers(n_dims + 2))
+                live_dims.add(k)
+                dev.append((lsn, "INSERT", f"D{k}",
+                            f"L{k}e{_epoch}"))
+            elif len(live_dims) > 1:
+                k = int(rng.choice(sorted(live_dims)))
+                live_dims.discard(k)
+                dev.append((lsn, "DELETE", f"D{k}", None))
+            lsn += 1
+        if fev:
+            apply_changes(_ev(FACTS, fev), facts)
+        if dev:
+            apply_changes(_ev(DIMS, dev), dims)
+        refresh_join_view(view)
+        got = final_state_table(view).sort_by("doc_id").select(
+            ["doc_id", "dim_id", "qty", "label"])
+        want = _fk_oracle(facts, dims, "left")
+        assert got.cast(want.schema).equals(want), (
+            _epoch, got.to_pydict(), want.to_pydict())
