@@ -4070,6 +4070,43 @@ def q145_fk_join_view(sf_dir: str):
     )
 
 
+def q146_null_order_rank(sf_dir: str):
+    """q143-variant with NULL order keys through the PINNED bucketed
+    window path (r5 — dataset.py _bucket_by_order routes nulls to a
+    dedicated NULLS-LAST bucket via the sort(null_safe) is-null-flag +
+    filled-copy trick, so the cross-bucket rank/tie carries stay exact
+    with SQL's ``ORDER BY .. NULLS LAST`` default): every 11th doc's
+    n_chars is nulled, then rank / percent_rank / cume_dist and a
+    running char total per source ordered by (nc_null NULLS LAST,
+    doc_id). The unique doc_id tiebreak makes the ROWS-frame running
+    sum deterministic among the tied null rows. EXACT oracle: the same
+    SQL window functions."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64())
+        nc = b["n_chars"].cast(pa.int64())
+        idn = ids.combine_chunks().to_numpy(zero_copy_only=False)
+        mask = pa.array(idn % 11 == 0)
+        return pa.table({
+            "doc_id": ids,
+            "source": b["source"],
+            "nc_null": pc.if_else(mask, pa.scalar(None, pa.int64()), nc),
+            "n_chars": nc,
+        })
+
+    return (
+        docs.map_batches(_prep)
+        .window(
+            [("rank", None, "rk"), ("percent_rank", None, "pr"),
+             ("cume_dist", None, "cd"), ("sum", "n_chars", "run_chars")],
+            by="source", order=["nc_null", "doc_id"], strategy="bucketed",
+        )
+        .project(["doc_id", "source", "nc_null", "run_chars",
+                  "rk", "pr", "cd"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4215,6 +4252,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q143_source_rank": q143_source_rank,
         "q144_source_rolling": q144_source_rolling,
         "q145_fk_join_view": q145_fk_join_view,
+        "q146_null_order_rank": q146_null_order_rank,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4442,6 +4480,27 @@ def _base_oracle_sql() -> dict[str, str]:
         select f.doc_id, f.cust, f.total_c, d.seg
         from facts f
         left join dims d on f.cust = 'c-' || cast(d.c_custkey as varchar)
+    """
+    # bucketed windows with NULL order keys (NULLS-LAST bucket) == the
+    # same SQL windows under duckdb's ASC NULLS LAST default
+    d["q146_null_order_rank"] = """
+        with t as (
+          select doc_id, source, n_chars,
+                 case when doc_id % 11 = 0 then null
+                      else n_chars end as nc_null
+          from documents
+        )
+        select doc_id, source, nc_null,
+               cast(sum(n_chars) over w2 as bigint) as run_chars,
+               cast(rank() over w as bigint) as rk,
+               percent_rank() over w as pr,
+               cume_dist() over w as cd
+        from t
+        window w as (partition by source
+                     order by nc_null nulls last, doc_id),
+               w2 as (partition by source
+                      order by nc_null nulls last, doc_id
+                      rows unbounded preceding)
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

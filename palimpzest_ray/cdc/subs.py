@@ -67,13 +67,17 @@ def _load_sub(lake_root: str, name: str) -> dict:
 
 
 def create_subscription(
-    lake_root: str, name: str, *, from_version: int | None = None
+    lake_root: str, name: str, *, from_version: int | None = None,
+    dst: str | None = None,
 ) -> dict:
     """Pin a named durable cursor. ``from_version=None`` starts at the
     CURRENT head (the consumer sees changes from now on — bootstrap the
     initial state separately via ``clone_lake``/``export_snapshot`` at
     the same version for a consistent handoff). An explicit retained
-    ``from_version`` starts the feed there instead."""
+    ``from_version`` starts the feed there instead. ``dst`` records the
+    consumer's destination path in the cursor JSON so ``sync_replica``
+    can prove ownership (ADVICE r4: a name collision alone must not let
+    one replica adopt another's cursor)."""
     head = load_latest_manifest(lake_root)
     if head is None:
         raise FileNotFoundError(f"no committed lake version under {lake_root}")
@@ -88,6 +92,8 @@ def create_subscription(
         raise ValueError(f"subscription {name!r} already exists")
     os.makedirs(os.path.dirname(p), exist_ok=True)
     sub = {"name": name, "version": v}
+    if dst is not None:
+        sub["dst"] = dst
     _atomic_write(p, json.dumps(sub))
     return sub
 
@@ -171,35 +177,57 @@ def sync_replica(
     so if the dst lake is gone the cursor is provably orphaned."""
     import hashlib
 
+    ap = os.path.abspath(dst_root)
     if name is None:
-        ap = os.path.abspath(dst_root)
         base = os.path.basename(ap)
         legacy = "replica-" + base
         sub_name = (
             f"replica-{base}-{hashlib.sha1(ap.encode()).hexdigest()[:8]}"
         )
         # migration: a pre-hash cursor keeps working under its old name
-        if (not os.path.exists(_sub_path(src_root, sub_name))
-                and os.path.exists(_sub_path(src_root, legacy))
-                and load_latest_manifest(dst_root) is not None):
-            sub_name = legacy
+        # — but ONLY when it provably belongs to THIS dst (ADVICE r4:
+        # a new replica whose dst basename matches an old consumer and
+        # whose dst lake exists, e.g. seeded by clone, must not adopt
+        # the other consumer's cursor). A dst-less cursor (written
+        # before dst stamping) is claimed by its first adopter and
+        # stamped so any later basename collision is rejected.
+        lp = _sub_path(src_root, legacy)
+        if not os.path.exists(_sub_path(src_root, sub_name)) and \
+                os.path.exists(lp) and \
+                load_latest_manifest(dst_root) is not None:
+            with open(lp) as fh:
+                lsub = json.load(fh)
+            ldst = lsub.get("dst")
+            if ldst == ap:
+                sub_name = legacy
+            elif ldst is None:
+                lsub["dst"] = ap
+                _atomic_write(lp, json.dumps(lsub))
+                sub_name = legacy
     else:
         sub_name = name
     if load_latest_manifest(dst_root) is None:
         from palimpzest_ray.cdc.snapshot import clone_lake
 
         try:
-            sub = create_subscription(src_root, sub_name)
+            sub = create_subscription(src_root, sub_name, dst=ap)
         except ValueError:
             # a cursor from a deleted replica: restart the handoff
             drop_subscription(src_root, sub_name)
-            sub = create_subscription(src_root, sub_name)
+            sub = create_subscription(src_root, sub_name, dst=ap)
         clone_lake(src_root, dst_root)
         return {
             "bootstrapped": True, "applied": 0, "version": sub["version"]
         }
     import pyarrow as pa
 
+    if not os.path.exists(_sub_path(src_root, sub_name)):
+        # replica seeded out-of-band (e.g. clone_lake) with no cursor:
+        # late-pin at the replica's OWN head version — the clone carried
+        # the source manifests, so every change since then redelivers
+        # from there (raises if that version is vacuumed or diverged)
+        v = load_latest_manifest(dst_root).version
+        create_subscription(src_root, sub_name, from_version=v, dst=ap)
     feed, token = poll_subscription(src_root, sub_name)
     if feed is None:
         return {"bootstrapped": False, "applied": 0, "version": token}

@@ -272,10 +272,15 @@ class OpenAIChatGenerator:
         self.cfg = config.resolved()
         self.usage = Usage()
         self._pushed: dict = {}
+        # per-field fallback to the price table: a config that sets only
+        # one of the two rates must not poison Usage.record with a None
+        # (ADVICE r4: (float, None) -> TypeError during accounting)
+        table = model_cost_per_mtok(self.cfg.model)
+        pc = self.cfg.prompt_cost_per_mtok
+        cc = self.cfg.completion_cost_per_mtok
         self._cost = (
-            (self.cfg.prompt_cost_per_mtok, self.cfg.completion_cost_per_mtok)
-            if self.cfg.prompt_cost_per_mtok is not None
-            else model_cost_per_mtok(self.cfg.model)
+            table[0] if pc is None else float(pc),
+            table[1] if cc is None else float(cc),
         )
 
     # -- single request ------------------------------------------------

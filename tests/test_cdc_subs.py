@@ -518,3 +518,69 @@ def test_diff_lakes_schema_evolution(tmp_path, ray_session):
     assert verify_replica(src, dst)["match"]
     st = final_state_table(dst).sort_by("doc_id")
     assert st["lang"].to_pylist() == ["L1", "L2", "L3"]
+
+
+def test_sync_replica_legacy_cursor_ownership(tmp_path, ray_session):
+    """ADVICE r4 (subs.py): a NEW replica whose dst basename matches a
+    pre-hash legacy consumer and whose dst lake already exists (seeded
+    by clone) must NOT adopt the other consumer's cursor. Cursors now
+    record the absolute dst path; a dst-less legacy cursor is claimed
+    (and stamped) by its first adopter, after which any basename
+    collision is rejected and falls to the hashed name."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from palimpzest_ray.cdc import apply_changes, sync_replica
+    from palimpzest_ray.cdc.snapshot import clone_lake
+    from palimpzest_ray.cdc.subs import _sub_path, _load_sub
+    from palimpzest_ray.schemas import CHANGELOG_SCHEMA
+
+    src = str(tmp_path / "src")
+    rows = [
+        {"lsn": i, "op": "INSERT", "doc_id": f"d{i}", "tokens": [i],
+         "n_tok": 1, "source": "w"}
+        for i in range(1, 4)
+    ]
+    apply_changes(
+        rd.from_arrow(pa.Table.from_pylist(rows, CHANGELOG_SCHEMA)),
+        src, num_partitions=2, change_schema=CHANGELOG_SCHEMA,
+    )
+    # the TRUE legacy consumer: pre-hash cursor {name, version} only,
+    # its replica bootstrapped out-of-band at v1
+    dst_a = str(tmp_path / "siteA" / "replica")
+    clone_lake(src, dst_a)
+    legacy = _sub_path(src, "replica-replica")
+    os.makedirs(os.path.dirname(legacy), exist_ok=True)
+    with open(legacy, "w") as fh:
+        json.dump({"name": "replica-replica", "version": 1}, fh)
+
+    # owner syncs first: adopts its old cursor AND stamps the dst path
+    sync_replica(src, dst_a)
+    stamped = _load_sub(src, "replica-replica")
+    assert stamped["dst"] == os.path.abspath(dst_a)
+    v_owner = stamped["version"]
+
+    # impostor: same basename, different path, lake seeded by clone
+    dst_b = str(tmp_path / "siteB" / "replica")
+    clone_lake(src, dst_b)
+    sync_replica(src, dst_b)
+    # the legacy cursor was NOT adopted (version/dst untouched) and the
+    # impostor got its own hashed cursor
+    after = _load_sub(src, "replica-replica")
+    assert after["dst"] == os.path.abspath(dst_a)
+    assert after["version"] == v_owner
+    from palimpzest_ray.cdc import list_subscriptions
+
+    hashed = [n for n in list_subscriptions(src)
+              if n.startswith("replica-replica-")]
+    assert len(hashed) == 1
+
+    # fresh bootstraps also record their dst in the cursor
+    dst_c = str(tmp_path / "siteC" / "rep2")
+    sync_replica(src, dst_c)
+    (name_c,) = [n for n in list_subscriptions(src)
+                 if n.startswith("replica-rep2-")]
+    assert _load_sub(src, name_c)["dst"] == os.path.abspath(dst_c)

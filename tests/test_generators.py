@@ -333,3 +333,25 @@ def test_audio_content_parts_and_riff_disambiguation(stub_url):
     reply = json.loads(gen([parts])[0])
     assert reply["n_images"] == 1
     assert reply["media"] == ["data:image/png", "audio/wav"]
+
+
+def test_one_sided_cost_override_falls_back_per_field(stub_url):
+    """ADVICE r4 (generators.py): setting only one of the two price
+    overrides used to produce a (float, None) rate pair and a
+    TypeError inside Usage.record — each field now falls back to the
+    public price table independently."""
+    gen = OpenAIChatGenerator(OpenAIConfig(
+        base_url=stub_url, model="gpt-4o-mini", backoff_s=0.01,
+        prompt_cost_per_mtok=100.0))  # completion side from the table
+    gen(["two words"])
+    u = gen.get_usage()
+    want = (u["prompt_tokens"] * 100.0 + u["completion_tokens"] * 0.60) / 1e6
+    assert u["cost_usd"] == pytest.approx(want)
+    # completion-only override, unknown model: prompt side costs 0
+    gen2 = OpenAIChatGenerator(OpenAIConfig(
+        base_url=stub_url, model="mystery", backoff_s=0.01,
+        completion_cost_per_mtok=200.0))
+    gen2(["hello there"])
+    u2 = gen2.get_usage()
+    assert u2["cost_usd"] == pytest.approx(
+        u2["completion_tokens"] * 200.0 / 1e6)

@@ -234,7 +234,8 @@ def test_window_bucketed_low_cardinality_parity():
     got = Dataset(ds._ds.materialize())._window_bucketed(
         norm, ["source"], ["doc_id"], 8, debug=dbg
     ).to_pandas()
-    assert dbg["n_buckets"] == 8
+    # 8 value buckets + the reserved (empty here) NULLS-LAST bucket
+    assert dbg["n_buckets"] == 9
     assert dbg["n_slices"] >= 8  # each group split across buckets
     assert dbg["max_slice_rows"] < n / 4  # no task holds a whole group
 
@@ -393,3 +394,152 @@ def test_window_bucketed_full_kind_set_parity():
     ka = a2.groupby(["g", "o"])["dr"].first().sort_index()
     kb = b2.groupby(["g", "o"])["dr"].first().sort_index()
     pd.testing.assert_series_equal(ka, kb)
+
+
+def test_window_bucketed_null_order_keys():
+    """r5: null order keys on the PINNED bucketed path — every null
+    lands in one dedicated NULLS-LAST bucket (the sort(null_safe)
+    is-null-flag + filled-copy trick applied to the range partitioner,
+    dataset.py _bucket_by_order), so rank/tie carries stay exact.
+    Parity with map_groups AND with DuckDB's ORDER BY .. NULLS LAST."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    rng = np.random.default_rng(29)
+    n = 20_000
+    x = [None if rng.random() < 0.1 else int(v)
+         for v in rng.integers(0, 500, n)]
+    t = pa.table({
+        "g": pa.array([f"s{v}" for v in rng.integers(0, 3, n)]),
+        "x": pa.array(x, pa.int64()),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "m": pa.array(rng.integers(1, 100, n).astype(np.int64)),
+    })
+    ds = Dataset(rd.from_arrow(t).repartition(8))
+    specs = [("rank", None, "rk"), ("percent_rank", None, "pr"),
+             ("cume_dist", None, "cd"), ("row_number", None, "rn"),
+             ("sum", "m", "sm"), ("avg", "m", "av"),
+             ("min", "m", "mn"), ("max", "m", "mx"),
+             ("ntile", None, "nt", 7)]
+    a = ds.window(specs, by="g", order=["x", "id"],
+                  strategy="bucketed", num_buckets=8).to_pandas()
+    b = ds.window(specs, by="g", order=["x", "id"],
+                  strategy="groups").to_pandas()
+    key = ["g", "id"]
+    a = a[sorted(a.columns)].sort_values(key, ignore_index=True)
+    b = b[sorted(b.columns)].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    o = con.execute("""
+      select g, x, id, m,
+        rank() over w as rk, percent_rank() over w as pr,
+        cume_dist() over w as cd, row_number() over w as rn,
+        sum(m) over w2 as sm, avg(m) over w2 as av,
+        min(m) over w2 as mn, max(m) over w2 as mx,
+        ntile(7) over w as nt
+      from t
+      window w as (partition by g order by x nulls last, id),
+             w2 as (partition by g order by x nulls last, id
+                    rows unbounded preceding)
+    """).df()
+    o = o[sorted(o.columns)].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, o, check_dtype=False)
+    con.close()
+
+    # all-null order column: one tie bucket, still exact vs groups
+    t2 = pa.table({
+        "g": pa.array(["a"] * 100 + ["b"] * 50),
+        "x": pa.array([None] * 150, pa.int64()),
+        "id": pa.array(np.arange(150, dtype=np.int64)),
+        "m": pa.array(np.arange(150, dtype=np.int64)),
+    })
+    ds2 = Dataset(rd.from_arrow(t2))
+    a2 = ds2.window([("rank", None, "rk"), ("sum", "m", "sm")],
+                    by="g", order=["x", "id"],
+                    strategy="bucketed").to_pandas()
+    b2 = ds2.window([("rank", None, "rk"), ("sum", "m", "sm")],
+                    by="g", order=["x", "id"],
+                    strategy="groups").to_pandas()
+    pd.testing.assert_frame_equal(
+        a2[sorted(a2.columns)].sort_values(key, ignore_index=True),
+        b2[sorted(b2.columns)].sort_values(key, ignore_index=True),
+        check_dtype=False,
+    )
+
+
+def test_window_rolling_bucketed_null_order_keys():
+    """r5: rolling bucketed with null order keys — the NULLS-LAST
+    bucket receives the last non-null rows as carry; the driver-side
+    tail fold sorts (is_null, value) so None never compares against a
+    value. Exact parity with map_groups."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    rng = np.random.default_rng(31)
+    n = 20_000
+    x = [None if rng.random() < 0.08 else int(v)
+         for v in rng.integers(0, 400, n)]
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], n)),
+        "x": pa.array(x, pa.int64()),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(-50, 50, n).astype(np.int64)),
+    })
+    ds = Dataset(rd.from_arrow(t).repartition(8))
+    for kind in ("sum", "min", "count"):
+        a = ds.window_rolling(
+            "v", kind, window=23, by="g", order=["x", "id"], out="r",
+            strategy="bucketed", num_buckets=8,
+        ).to_pandas().sort_values(["g", "id"], ignore_index=True)
+        b = ds.window_rolling(
+            "v", kind, window=23, by="g", order=["x", "id"], out="r",
+            strategy="groups",
+        ).to_pandas().sort_values(["g", "id"], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)],
+            check_dtype=False,
+        )
+
+
+def test_window_auto_bucketed_with_nulls_past_prefix(monkeypatch):
+    """ADVICE r4: force the AUTO decision to bucketed (threshold
+    monkeypatched to 0) on an input whose nulls sit BEYOND the 64k
+    probe prefix — since r5 the bucketed path handles them (NULLS-LAST
+    bucket) instead of falling back, and the result matches
+    map_groups exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import palimpzest_ray.dataset as pzd
+    from palimpzest_ray.dataset import Dataset
+
+    monkeypatch.setattr(pzd, "_WINDOW_BUCKETED_MIN_GROUP_BYTES", 0)
+    n = 70_000
+    t = pa.table({
+        "g": pa.array(["x"] * n + ["y"] * 3),
+        "o": pa.array(
+            [float(i) for i in range(n)] + [None, 1.0, 2.0],
+            pa.float64(),
+        ),
+        "v": pa.array(list(range(n + 3)), pa.int64()),
+    })
+    ds = Dataset(rd.from_arrow(t).repartition(4))
+    specs = [("sum", "v", "cs"), ("rank", None, "rk")]
+    a = ds.window(specs, by="g", order=["o", "v"]).to_pandas()
+    b = ds.window(specs, by="g", order=["o", "v"],
+                  strategy="groups").to_pandas()
+    key = ["g", "v"]
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)].sort_values(key, ignore_index=True),
+        b[sorted(b.columns)].sort_values(key, ignore_index=True),
+        check_dtype=False,
+    )

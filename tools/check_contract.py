@@ -111,8 +111,14 @@ def main() -> int:
                     if mine[c].dtype != theirs[c].dtype
                 ]
                 if mism:
-                    note = f"  DTYPE-MISMATCH {mism}"
+                    # leading FAIL so a failing audit cannot read as
+                    # passing when the trailing note is skimmed over
+                    print(
+                        f"FAIL {name}: values exact but DTYPE-MISMATCH "
+                        f"{mism} [{dt:.1f}s]"
+                    )
                     n_fail += 1
+                    continue
             print(f"ok   {name}: rows={len(mine)} exact-match [{dt:.1f}s]{note}")
         except AssertionError as ex:
             print(f"FAIL {name}: values differ: {str(ex).splitlines()[-1]}")
