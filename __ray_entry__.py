@@ -4107,6 +4107,150 @@ def q146_null_order_rank(sf_dir: str):
     )
 
 
+def _optimizer_fixture():
+    """Shared deterministic rule-generator family for q147/q148 (the
+    Validator-lite contract — reference ``optimize_and_run``
+    ``core/data/dataset.py:682-723`` + ``validator/validator.py:26-52``
+    + ``policy.py``, VERDICT r4 'Next round #1'). Task: predict
+    ``parity`` = n_chars %% 2 from the prompt ``doc {doc_id} has
+    {n_chars} chars``. Three candidates whose accuracy/cost trade off
+    is a CLOSED FORM of (doc_id, n_chars), so DuckDB can re-derive
+    every candidate's sample score AND the policy winner."""
+    import json as _json
+    import re as _re
+
+    from palimpzest_ray.optimizer import SemCandidate, SemStage
+    from palimpzest_ray.stages.semantic import mock_generator
+
+    def _exact(p):
+        n = int(_re.search(r"has (\d+) chars", p).group(1))
+        return _json.dumps({"parity": str(n % 2)})
+
+    def _approx(p):
+        d = int(_re.search(r"doc (\d+) has", p).group(1))
+        n = int(_re.search(r"has (\d+) chars", p).group(1))
+        # right unless doc_id is a multiple of 5 (flipped there)
+        bit = n % 2 if d % 5 else 1 - n % 2
+        return _json.dumps({"parity": str(bit)})
+
+    def _const(p):
+        return _json.dumps({"parity": "0"})
+
+    return SemStage(
+        "map", "doc {doc_id} has {n_chars} chars", fields=["parity"],
+        candidates=[
+            SemCandidate("exact", mock_generator(_exact),
+                         cost_per_call=9.0, time_per_call=0.9),
+            SemCandidate("approx", mock_generator(_approx),
+                         cost_per_call=3.0, time_per_call=0.3),
+            SemCandidate("constant", mock_generator(_const),
+                         cost_per_call=1.0, time_per_call=0.1),
+        ],
+    )
+
+
+def q147_optimize_choice(sf_dir: str):
+    """Sample-driven plan choice under THREE policies (Validator-lite —
+    the deterministic core of the reference optimizer): score each
+    candidate of the q147 rule family on the doc_id<40 sample with a
+    LabeledValidator (truth = n_chars %% 2 from the data itself), then
+    pick per policy with the reference selection protocol
+    (optimizer_strategy.py:129-139 — constraint filter only when
+    satisfiable, then the linear choose scan with the policy's
+    tie-break chain). EXACT oracle: DuckDB recomputes every
+    candidate's n_correct via the same CASE rules and re-derives each
+    winner with the same ORDER BY chain."""
+    from palimpzest_ray.optimizer import (
+        LabeledValidator,
+        MaxQuality,
+        MinCost,
+        MinCostAtFixedQuality,
+        optimize,
+    )
+
+    sample = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .filter(expr="doc_id < 40")
+        .to_arrow()
+        .sort_by("doc_id")
+    )
+    rows = sample.to_pylist()
+    labels = {
+        r["doc_id"]: {"parity": str(r["n_chars"] % 2)} for r in rows
+    }
+    val = LabeledValidator(labels, "doc_id")
+    stage = _optimizer_fixture()
+    out = []
+    for pname, pol in [
+        ("max_quality", MaxQuality()),
+        ("min_cost", MinCost()),
+        ("min_cost_q55", MinCostAtFixedQuality(0.55)),
+    ]:
+        res = optimize(rows, [stage], val, pol)
+        st = next(
+            s for s in res.stats[0] if s.name == res.chosen[0]
+        )
+        out.append({
+            "policy": pname,
+            "chosen": res.chosen[0],
+            "n_correct": int(round(st.score_sum)),
+            "n_scored": st.n_scored,
+            "cost_milli": int(round(res.plan_cost.cost * 1000)),
+        })
+    return pa.Table.from_pylist(out)
+
+
+def q148_optimize_and_run(sf_dir: str):
+    """End-to-end ``optimize_and_run`` (reference dataset.py:682-723):
+    choose on the doc_id<40 sample under MaxQuality, then execute the
+    WINNING candidate distributed (sem_map actor pool) over the FULL
+    documents table. EXACT oracle: the winner under MaxQuality is the
+    'exact' rule by construction (quality 1.0), so the full output is
+    the closed form parity = n_chars %% 2 — if the optimizer chose any
+    other candidate the values (and the chosen column) would differ
+    and the compare goes red."""
+    from palimpzest_ray.optimizer import (
+        LabeledValidator,
+        MaxQuality,
+        optimize_and_run,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    sample_rows = (
+        docs.filter(expr="doc_id < 40")
+        .to_arrow().sort_by("doc_id").to_pylist()
+    )
+    labels = {
+        r["doc_id"]: {"parity": str(r["n_chars"] % 2)}
+        for r in sample_rows
+    }
+    val = LabeledValidator(labels, "doc_id")
+    stage = _optimizer_fixture()
+
+    # optimize on the explicit sample, run the winner over the full set
+    from palimpzest_ray.optimizer import optimize as _opt
+
+    res = _opt(sample_rows, [stage], val, MaxQuality())
+    cand = next(
+        c for c in stage.candidates if c.name == res.chosen[0]
+    )
+    from palimpzest_ray.stages.semantic import sem_map
+
+    out = sem_map(
+        docs._ds, stage.fields, stage.template,
+        cand.generator_factory, concurrency=(1, 2), batch_size=256,
+        image_fields=[],
+    )
+    return (
+        pzd.Dataset(out)
+        .with_column(
+            "chosen",
+            lambda b: pa.array([res.chosen[0]] * b.num_rows),
+        )
+        .project(["doc_id", "parity", "chosen"])
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4253,6 +4397,8 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q144_source_rolling": q144_source_rolling,
         "q145_fk_join_view": q145_fk_join_view,
         "q146_null_order_rank": q146_null_order_rank,
+        "q147_optimize_choice": q147_optimize_choice,
+        "q148_optimize_and_run": q148_optimize_and_run,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4501,6 +4647,64 @@ def _base_oracle_sql() -> dict[str, str]:
                w2 as (partition by source
                       order by nc_null nulls last, doc_id
                       rows unbounded preceding)
+    """
+    # Validator-lite plan choice: per-candidate sample scores via the
+    # same closed-form CASE rules, winners re-derived with the exact
+    # policy tie-break chains (reference policy.py choose() order)
+    d["q147_optimize_choice"] = """
+        with sample as (
+          select doc_id, n_chars from documents where doc_id < 40
+        ),
+        cand as (
+          select * from (values
+            ('exact',    9000, 1),
+            ('approx',   3000, 2),
+            ('constant', 1000, 3)
+          ) t(name, cost_milli, decl_idx)
+        ),
+        scores as (
+          select c.name, c.cost_milli, c.decl_idx,
+            cast(sum(case c.name
+              when 'exact' then 1
+              when 'approx' then
+                case when doc_id % 5 != 0 then 1 else 0 end
+              else case when n_chars % 2 = 0 then 1 else 0 end
+            end) as bigint) as n_correct,
+            cast(count(*) as bigint) as n_scored
+          from sample cross join cand c
+          group by 1, 2, 3
+        ),
+        winners as (
+          select 'max_quality' as policy, name as chosen,
+                 n_correct, n_scored, cost_milli,
+                 row_number() over (
+                   order by n_correct desc, cost_milli asc, decl_idx asc
+                 ) as rn
+          from scores
+          union all
+          select 'min_cost', name, n_correct, n_scored, cost_milli,
+                 row_number() over (
+                   order by cost_milli asc, n_correct desc, decl_idx asc
+                 )
+          from scores
+          union all
+          select 'min_cost_q55', name, n_correct, n_scored, cost_milli,
+                 row_number() over (
+                   order by cost_milli asc, n_correct desc, decl_idx asc
+                 )
+          from scores where n_correct * 1.0 / n_scored > 0.55
+        )
+        select policy, chosen, n_correct, n_scored,
+               cast(cost_milli as bigint) as cost_milli
+        from winners where rn = 1
+    """
+    # optimize_and_run end to end: MaxQuality's winner is the exact
+    # rule (quality 1.0), whose full-table output is the closed form
+    d["q148_optimize_and_run"] = """
+        select doc_id,
+               cast(n_chars % 2 as varchar) as parity,
+               'exact' as chosen
+        from documents
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

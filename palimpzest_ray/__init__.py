@@ -28,6 +28,19 @@ from palimpzest_ray.dataset import (
     read_parquet,
 )
 from palimpzest_ray.generators import OpenAIConfig, openai_generator
+from palimpzest_ray.optimizer import (
+    LabeledValidator,
+    MaxQuality,
+    MinCost,
+    MinTime,
+    Policy,
+    SemCandidate,
+    SemStage,
+    Validator,
+    construct_policy_from_kwargs,
+    optimize,
+    optimize_and_run,
+)
 
 __all__ = [
     "Dataset",
@@ -39,6 +52,17 @@ __all__ = [
     "quiet",
     "OpenAIConfig",
     "openai_generator",
+    "Policy",
+    "MaxQuality",
+    "MinCost",
+    "MinTime",
+    "construct_policy_from_kwargs",
+    "Validator",
+    "LabeledValidator",
+    "SemCandidate",
+    "SemStage",
+    "optimize",
+    "optimize_and_run",
 ]
 
 __version__ = "0.1.0"

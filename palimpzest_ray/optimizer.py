@@ -1,0 +1,588 @@
+"""Validator-lite sample-driven plan optimization (reference parity).
+
+The reference's flagship loop — ``Dataset.optimize_and_run`` (reference
+``core/data/dataset.py:682-723``) — samples a few inputs, runs every
+candidate physical configuration of each semantic operator on them,
+scores the outputs with a ``Validator`` (``validator/validator.py:26-52``
+— pluggable per-record ``*_score_fn`` callbacks), turns the per-record
+scores into per-operator (cost, time, quality) estimates
+(``query/optimizer/cost_model.py:46-146`` ``SampleBasedCostModel``:
+quality = mean of non-None record scores), combines them into plan
+costs (``core/models.py:969-989`` ``PlanCost``: cost and time ADD,
+quality MULTIPLIES) and picks the winner under a ``Policy``
+(``policy.py:1-344``; selection protocol
+``query/optimizer/optimizer_strategy.py:119-139``: drop
+constraint-violating plans only when at least one plan satisfies the
+constraint, then a linear ``policy.choose`` scan keeps the winner).
+
+This module re-expresses that DETERMINISTIC core without live LLMs:
+
+- ``Policy`` and its seven concrete classes mirror the reference's
+  ``constraint``/``choose`` semantics exactly (strict inequalities,
+  the same tie-break chains).
+- ``Validator`` keeps the reference's score-fn shapes;
+  ``LabeledValidator`` is the deterministic batteries-included
+  implementation (field match vs a labels table).
+- ``optimize`` evaluates each stage's candidates on a bounded input
+  sample DRIVER-SIDE through the same render/parse kernels the
+  distributed stages use (`stages/semantic.py` ``_render`` /
+  ``_parse_fields`` / ``SemanticFilter.TRUE``), so the sampled
+  behavior is the production behavior. Downstream stages are sampled
+  on the max-quality upstream candidate's outputs — the reference
+  sentinel strategy's exact convention
+  (``mab_execution_strategy.py:662-691`` ``_get_max_quality_op``).
+- ``optimize_and_run`` then executes the CHOSEN configuration
+  distributed, via the ordinary ``sem_map`` / ``sem_filter`` Ray Data
+  actor-pool stages over the full input.
+
+Scale note: the sampling phase touches ``sample_size`` rows × k
+candidates (driver-side, tiny by construction — it exists to pick a
+config, not to process data); the chosen plan streams through Ray Data
+actor pools exactly like any other semantic pipeline, so the 100-TB
+path is unchanged.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray.data as rd
+
+from palimpzest_ray.stages.semantic import (
+    SemanticFilter,
+    _parse_fields,
+    _render,
+    sem_filter,
+    sem_map,
+)
+
+GeneratorFn = Callable[[list[str]], list[str]]
+
+
+# ---------------------------------------------------------------------------
+# PlanCost (reference core/models.py:868-989)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PlanCost:
+    """(cost, time, quality) of an operator or (sub)plan. Combination
+    follows reference ``PlanCost.__iadd__`` (models.py:969-977): cost
+    and time ADD, quality MULTIPLIES."""
+
+    cost: float = 0.0
+    time: float = 0.0
+    quality: float = 1.0
+
+    def combine(self, other: "PlanCost") -> "PlanCost":
+        return PlanCost(
+            cost=self.cost + other.cost,
+            time=self.time + other.time,
+            quality=self.quality * other.quality,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Policies (reference policy.py:1-344; same constraint/choose semantics)
+# ---------------------------------------------------------------------------
+
+
+class Policy:
+    """``constraint(plan_cost) -> bool`` and ``choose(a, b) -> bool``
+    (True = ``a`` is better). Reference policy.py:64-105."""
+
+    def get_primary_metric(self) -> str:
+        raise NotImplementedError
+
+    def constraint(self, plan: PlanCost) -> bool:
+        raise NotImplementedError
+
+    def choose(self, plan: PlanCost, other: PlanCost) -> bool:
+        raise NotImplementedError
+
+
+class MaxQuality(Policy):
+    """Higher quality wins; cost then time break ties
+    (reference policy.py:113-143)."""
+
+    def __str__(self):
+        return "Maximum Quality"
+
+    def get_primary_metric(self) -> str:
+        return "quality"
+
+    def constraint(self, plan: PlanCost) -> bool:
+        return True
+
+    def choose(self, plan: PlanCost, other: PlanCost) -> bool:
+        if plan.quality == other.quality:
+            if plan.cost == other.cost:
+                return plan.time < other.time
+            return plan.cost < other.cost
+        return plan.quality > other.quality
+
+
+class MinCost(Policy):
+    """Lower cost wins; quality then time break ties
+    (reference policy.py:146-175)."""
+
+    def __str__(self):
+        return "Minimum Cost"
+
+    def get_primary_metric(self) -> str:
+        return "cost"
+
+    def constraint(self, plan: PlanCost) -> bool:
+        return True
+
+    def choose(self, plan: PlanCost, other: PlanCost) -> bool:
+        if plan.cost == other.cost:
+            if plan.quality == other.quality:
+                return plan.time < other.time
+            return plan.quality > other.quality
+        return plan.cost < other.cost
+
+
+class MinTime(Policy):
+    """Lower runtime wins; quality then cost break ties
+    (reference policy.py:178-207)."""
+
+    def __str__(self):
+        return "Minimum Time"
+
+    def get_primary_metric(self) -> str:
+        return "time"
+
+    def constraint(self, plan: PlanCost) -> bool:
+        return True
+
+    def choose(self, plan: PlanCost, other: PlanCost) -> bool:
+        if plan.time == other.time:
+            if plan.quality == other.quality:
+                return plan.cost < other.cost
+            return plan.quality > other.quality
+        return plan.time < other.time
+
+
+class MaxQualityAtFixedCost(Policy):
+    """Max quality subject to ``cost < max_cost`` (strict — reference
+    policy.py:210-240)."""
+
+    def __init__(self, max_cost: float):
+        self.max_cost = max_cost
+
+    def __str__(self):
+        return "MaxQuality@FixedCost"
+
+    def get_primary_metric(self) -> str:
+        return "quality"
+
+    def constraint(self, plan: PlanCost) -> bool:
+        return plan.cost < self.max_cost
+
+    def choose(self, plan: PlanCost, other: PlanCost) -> bool:
+        if plan.quality == other.quality:
+            if plan.cost == other.cost:
+                return plan.time < other.time
+            return plan.cost < other.cost
+        return plan.quality > other.quality
+
+
+class MaxQualityAtFixedTime(Policy):
+    """Max quality subject to ``time < max_time`` (reference
+    policy.py:243-273)."""
+
+    def __init__(self, max_time: float):
+        self.max_time = max_time
+
+    def __str__(self):
+        return "MaxQuality@FixedTime"
+
+    def get_primary_metric(self) -> str:
+        return "quality"
+
+    def constraint(self, plan: PlanCost) -> bool:
+        return plan.time < self.max_time
+
+    def choose(self, plan: PlanCost, other: PlanCost) -> bool:
+        if plan.quality == other.quality:
+            if plan.time == other.time:
+                return plan.cost < other.cost
+            return plan.time < other.time
+        return plan.quality > other.quality
+
+
+class MinCostAtFixedQuality(Policy):
+    """Min cost subject to ``quality > min_quality`` (strict —
+    reference policy.py:276-306)."""
+
+    def __init__(self, min_quality: float):
+        self.min_quality = min_quality
+
+    def __str__(self):
+        return "MinCost@FixedQuality"
+
+    def get_primary_metric(self) -> str:
+        return "cost"
+
+    def constraint(self, plan: PlanCost) -> bool:
+        return plan.quality > self.min_quality
+
+    def choose(self, plan: PlanCost, other: PlanCost) -> bool:
+        if plan.cost == other.cost:
+            if plan.quality == other.quality:
+                return plan.time < other.time
+            return plan.quality > other.quality
+        return plan.cost < other.cost
+
+
+class MinTimeAtFixedQuality(Policy):
+    """Min time subject to ``quality > min_quality`` (reference
+    policy.py:309-344)."""
+
+    def __init__(self, min_quality: float):
+        self.min_quality = min_quality
+
+    def __str__(self):
+        return "MinTime@FixedQuality"
+
+    def get_primary_metric(self) -> str:
+        return "time"
+
+    def constraint(self, plan: PlanCost) -> bool:
+        return plan.quality > self.min_quality
+
+    def choose(self, plan: PlanCost, other: PlanCost) -> bool:
+        if plan.time == other.time:
+            if plan.quality == other.quality:
+                return plan.cost < other.cost
+            return plan.quality > other.quality
+        return plan.time < other.time
+
+
+def construct_policy_from_kwargs(**kwargs) -> Policy | None:
+    """The reference's keyword sugar (policy.py:8-61): exactly one of
+    ``max_quality`` / ``min_cost`` / ``min_time``, at most one of
+    ``cost_budget`` / ``time_budget`` / ``quality_threshold``."""
+    objectives = ["max_quality", "min_cost", "min_time"]
+    constraints = ["cost_budget", "time_budget", "quality_threshold"]
+    n_obj = sum(bool(kwargs.get(k, False)) for k in objectives)
+    n_con = sum(bool(kwargs.get(k, False)) for k in constraints)
+    if n_obj == 0 and n_con == 0:
+        return None
+    assert n_obj == 1, (
+        "Must optimize for one of max_quality, min_cost, or min_time."
+    )
+    assert n_con <= 1, "At most one constraint is supported."
+    if "max_quality" in kwargs and "cost_budget" in kwargs:
+        return MaxQualityAtFixedCost(kwargs["cost_budget"])
+    if "max_quality" in kwargs and "time_budget" in kwargs:
+        return MaxQualityAtFixedTime(kwargs["time_budget"])
+    if "max_quality" in kwargs:
+        return MaxQuality()
+    if "min_cost" in kwargs and "quality_threshold" in kwargs:
+        return MinCostAtFixedQuality(kwargs["quality_threshold"])
+    if "min_cost" in kwargs:
+        return MinCost()
+    if "min_time" in kwargs and "quality_threshold" in kwargs:
+        return MinTimeAtFixedQuality(kwargs["quality_threshold"])
+    return MinTime()
+
+
+# ---------------------------------------------------------------------------
+# Validator (reference validator/validator.py:26-52 score-fn shapes)
+# ---------------------------------------------------------------------------
+
+
+class Validator:
+    """Scores one operator output per record; ``None`` = abstain (the
+    record contributes nothing to the operator's quality estimate —
+    reference cost_model.py:139-146 drops None before the mean)."""
+
+    def map_score_fn(
+        self, fields: list[str], input_record: dict, output: dict
+    ) -> float | None:
+        raise NotImplementedError("Validator.map_score_fn not implemented.")
+
+    def filter_score_fn(
+        self, filter_str: str, input_record: dict, output: bool
+    ) -> float | None:
+        raise NotImplementedError(
+            "Validator.filter_score_fn not implemented."
+        )
+
+
+class LabeledValidator(Validator):
+    """Deterministic validator over a labels table: ``labels`` maps the
+    value of ``key_field`` to {field: expected} for map stages and/or
+    to the expected boolean under ``filter_str`` for filter stages
+    (store it at ``labels[key][filter_str]``). Map score = fraction of
+    requested fields whose generated value string-equals the label
+    (the reference's judge averages per-field 0/1 evaluations —
+    validator.py:102-108); filter score = 1.0 on bool match else 0.0.
+    Unlabeled records abstain (None)."""
+
+    def __init__(self, labels: dict, key_field: str):
+        self.labels = labels
+        self.key_field = key_field
+
+    def map_score_fn(self, fields, input_record, output):
+        lab = self.labels.get(input_record.get(self.key_field))
+        if lab is None:
+            return None
+        scored = [f for f in fields if f in lab]
+        if not scored:
+            return None
+        return sum(
+            1.0 for f in scored if str(output.get(f)) == str(lab[f])
+        ) / len(scored)
+
+    def filter_score_fn(self, filter_str, input_record, output):
+        lab = self.labels.get(input_record.get(self.key_field))
+        if lab is None or filter_str not in lab:
+            return None
+        return 1.0 if bool(output) == bool(lab[filter_str]) else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Candidate configurations over semantic stages
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SemCandidate:
+    """One physical configuration of a semantic stage — the analogue of
+    the reference's per-logical-op physical operator variants (model ×
+    prompt strategy). ``cost_per_call`` / ``time_per_call`` are the
+    declared per-LLM-call prices used when the generator does not
+    expose measured usage (mock/rule generators); a generator with a
+    ``get_usage()`` (``generators.OpenAIChatGenerator``) overrides
+    both with measured ``cost_usd`` / ``wall_s``."""
+
+    name: str
+    generator_factory: Callable[[], GeneratorFn]
+    cost_per_call: float = 0.0
+    time_per_call: float = 0.0
+
+
+@dataclass
+class SemStage:
+    """One logical semantic operator with its candidate set. ``kind``
+    is ``"map"`` (generate ``fields`` from ``template``) or
+    ``"filter"`` (NL predicate; ``filter_str`` names it for the
+    validator, defaulting to the template)."""
+
+    kind: str
+    template: str
+    fields: list[str] | None = None
+    filter_str: str | None = None
+    candidates: list[SemCandidate] = field(default_factory=list)
+
+    def __post_init__(self):
+        assert self.kind in ("map", "filter"), self.kind
+        if self.kind == "map":
+            assert self.fields, "map stage needs fields"
+        if self.filter_str is None:
+            self.filter_str = self.template
+        assert self.candidates, "stage needs at least one candidate"
+
+
+@dataclass
+class CandidateStats:
+    """Per-(stage, candidate) sample estimates — the analogue of one
+    row of the reference ``SampleBasedCostModel`` operator matrix
+    (cost_model.py:118-146)."""
+
+    stage_index: int
+    name: str
+    n_inputs: int
+    n_outputs: int
+    n_scored: int
+    quality: float          # mean of non-None scores (1.0 if none)
+    cost_per_record: float
+    time_per_record: float
+    selectivity: float      # n_outputs / n_inputs (1.0 for maps)
+    score_sum: float = 0.0  # exact numerator (n_correct for 0/1 fns)
+
+
+def _run_candidate_on_sample(
+    stage: SemStage, cand: SemCandidate, rows: list[dict],
+    validator: Validator,
+) -> tuple[CandidateStats, list[dict]]:
+    """Drive one candidate over the sampled rows through the SAME
+    render/parse kernels the distributed stages use, score each record,
+    and return (stats, surviving/augmented rows)."""
+    gen = cand.generator_factory()
+    prompts = [_render(stage.template, r) for r in rows]
+    t0 = _time.monotonic()
+    outs = gen(prompts)
+    wall = _time.monotonic() - t0
+
+    scores: list[float] = []
+    out_rows: list[dict] = []
+    if stage.kind == "map":
+        for r, o in zip(rows, outs):
+            parsed = _parse_fields(o, stage.fields)
+            s = validator.map_score_fn(stage.fields, r, parsed)
+            if s is not None:
+                scores.append(s)
+            out_rows.append({**r, **parsed})
+    else:
+        for r, o in zip(rows, outs):
+            keep = str(o).strip().lower() in SemanticFilter.TRUE
+            s = validator.filter_score_fn(stage.filter_str, r, keep)
+            if s is not None:
+                scores.append(s)
+            if keep:
+                out_rows.append(r)
+
+    n = max(len(rows), 1)
+    usage = gen.get_usage() if hasattr(gen, "get_usage") else None
+    cost = (
+        usage["cost_usd"] if usage is not None
+        else cand.cost_per_call * len(rows)
+    )
+    t = (
+        usage["wall_s"] if usage is not None and usage.get("wall_s")
+        else (cand.time_per_call * len(rows) or wall)
+    )
+    stats = CandidateStats(
+        stage_index=-1,
+        name=cand.name,
+        n_inputs=len(rows),
+        n_outputs=len(out_rows),
+        n_scored=len(scores),
+        quality=(sum(scores) / len(scores)) if scores else 1.0,
+        cost_per_record=cost / n,
+        time_per_record=t / n,
+        selectivity=(len(out_rows) / n) if stage.kind == "filter" else 1.0,
+        score_sum=sum(scores),
+    )
+    return stats, out_rows
+
+
+@dataclass
+class OptimizeResult:
+    chosen: list[str]               # candidate name per stage
+    plan_cost: PlanCost             # sample-estimated, per input record
+    stats: list[list[CandidateStats]]  # [stage][candidate]
+    policy: str
+
+
+def optimize(
+    sample_rows: list[dict] | pa.Table,
+    stages: list[SemStage],
+    validator: Validator,
+    policy: Policy,
+) -> OptimizeResult:
+    """Sample-driven config choice. Evaluates every candidate of every
+    stage on the sample (downstream stages see the max-quality upstream
+    candidate's outputs — reference ``_get_max_quality_op``,
+    mab_execution_strategy.py:662-691), enumerates the cartesian
+    product of per-stage candidates into plan costs (cost/time add
+    scaled by upstream measured selectivity, quality multiplies —
+    models.py:969-977) and selects under ``policy`` with the reference
+    protocol (optimizer_strategy.py:129-139): constraint-violating
+    plans are dropped only when at least one plan satisfies the
+    constraint, then a linear ``choose`` scan keeps the winner."""
+    if isinstance(sample_rows, pa.Table):
+        sample_rows = sample_rows.to_pylist()
+    all_stats: list[list[CandidateStats]] = []
+    rows = sample_rows
+    for si, stage in enumerate(stages):
+        stage_stats: list[CandidateStats] = []
+        outputs: list[list[dict]] = []
+        for cand in stage.candidates:
+            st, out = _run_candidate_on_sample(stage, cand, rows, validator)
+            st.stage_index = si
+            stage_stats.append(st)
+            outputs.append(out)
+        all_stats.append(stage_stats)
+        # feed downstream with the max-quality candidate's outputs
+        # (ties: lower cost, then lower time, then declaration order)
+        best_i = 0
+        for i in range(1, len(stage_stats)):
+            a, b = stage_stats[i], stage_stats[best_i]
+            if (a.quality, -a.cost_per_record, -a.time_per_record) > (
+                b.quality, -b.cost_per_record, -b.time_per_record
+            ):
+                best_i = i
+        rows = outputs[best_i]
+
+    # enumerate plans: per-record cost/time scaled by the combo's own
+    # upstream selectivity chain; quality multiplies
+    combos: list[tuple[list[int], PlanCost]] = [([], PlanCost())]
+    for si, stage_stats in enumerate(all_stats):
+        nxt: list[tuple[list[int], PlanCost]] = []
+        for picks, pc in combos:
+            sel = 1.0
+            for sj, pick in enumerate(picks):
+                sel *= all_stats[sj][pick].selectivity
+            for ci, st in enumerate(stage_stats):
+                nxt.append((
+                    picks + [ci],
+                    pc.combine(PlanCost(
+                        cost=st.cost_per_record * sel,
+                        time=st.time_per_record * sel,
+                        quality=st.quality,
+                    )),
+                ))
+        combos = nxt
+
+    if any(policy.constraint(pc) for _, pc in combos):
+        combos = [(p, pc) for p, pc in combos if policy.constraint(pc)]
+    best_picks, best_pc = combos[0]
+    for picks, pc in combos[1:]:
+        if not policy.choose(best_pc, pc):
+            best_picks, best_pc = picks, pc
+    return OptimizeResult(
+        chosen=[
+            stages[si].candidates[ci].name
+            for si, ci in enumerate(best_picks)
+        ],
+        plan_cost=best_pc,
+        stats=all_stats,
+        policy=str(policy),
+    )
+
+
+def optimize_and_run(
+    ds: rd.Dataset,
+    stages: list[SemStage],
+    validator: Validator,
+    policy: Policy,
+    *,
+    sample_size: int = 32,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> tuple[rd.Dataset, OptimizeResult]:
+    """Reference ``Dataset.optimize_and_run`` (dataset.py:682-723):
+    choose the per-stage config on a bounded sample, then run the
+    chosen configuration DISTRIBUTED over the full input via the
+    ordinary ``sem_map`` / ``sem_filter`` actor-pool stages. The
+    sample is the first ``sample_size`` rows (deterministic — pass a
+    pre-shuffled dataset for a random sample)."""
+    sample = pa.Table.from_pylist(
+        ds.limit(sample_size).take_all()
+    )
+    result = optimize(sample, stages, validator, policy)
+    out = ds
+    for stage, name in zip(stages, result.chosen):
+        cand = next(c for c in stage.candidates if c.name == name)
+        if stage.kind == "map":
+            out = sem_map(
+                out, stage.fields, stage.template,
+                cand.generator_factory,
+                concurrency=concurrency, batch_size=batch_size,
+                image_fields=[],
+            )
+        else:
+            out = sem_filter(
+                out, stage.template, cand.generator_factory,
+                concurrency=concurrency, batch_size=batch_size,
+                image_fields=[],
+            )
+    return out, result
