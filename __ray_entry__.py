@@ -4251,6 +4251,44 @@ def q148_optimize_and_run(sf_dir: str):
     )
 
 
+def q149_distributed_holistic(sf_dir: str):
+    """q29/q43-class holistic grouped aggregates through the PINNED
+    distributed path (r5, VERDICT r4 'What's wrong #1' —
+    dataset.py GroupedDataset._agg_distributed): median via the narrow
+    per-group quantile kernel, mode via the (keys, value) count-reduce
+    + combiner argmax with the smallest-value tie-break,
+    count_distinct via the pair-distinct shuffle, algebraic kinds on
+    the map-side combiner — parts equi-joined on the group key, no
+    whole-group materialization anywhere. EXACT oracle: the same
+    aggregates in SQL (mode restated as the windowed count argmin the
+    tie-break mandates, q43-style)."""
+    orders = _cents(
+        _read(
+            sf_dir, "orders",
+            ["o_orderstatus", "o_totalprice", "o_orderpriority",
+             "o_custkey"],
+        ),
+        ["o_totalprice"],
+    )  # int cents FIRST: a median of ints interpolates to exact .5s
+    out = orders.groupby(["o_orderstatus"]).agg(
+        [
+            ("count", "o_custkey"),
+            ("median", "o_totalprice"),
+            ("mode", "o_orderpriority"),
+            ("count_distinct", "o_custkey"),
+            ("max", "o_totalprice"),
+        ],
+        strategy="distributed",
+    )
+    return out.rename_columns({
+        "count(o_custkey)": "n_orders",
+        "median(o_totalprice)": "median_price",
+        "mode(o_orderpriority)": "mode_prio",
+        "count_distinct(o_custkey)": "n_custs",
+        "max(o_totalprice)": "max_price",
+    })
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4399,6 +4437,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q146_null_order_rank": q146_null_order_rank,
         "q147_optimize_choice": q147_optimize_choice,
         "q148_optimize_and_run": q148_optimize_and_run,
+        "q149_distributed_holistic": q149_distributed_holistic,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4705,6 +4744,29 @@ def _base_oracle_sql() -> dict[str, str]:
                cast(n_chars % 2 as varchar) as parity,
                'exact' as chosen
         from documents
+    """
+    # distributed holistic aggs == the same SQL aggregates (mode
+    # restated with the deterministic smallest-value tie-break)
+    d["q149_distributed_holistic"] = """
+        with m as (
+          select o_orderstatus, o_orderpriority,
+                 row_number() over (
+                   partition by o_orderstatus
+                   order by count(*) desc, o_orderpriority asc
+                 ) rn
+          from orders group by 1, 2
+        )
+        select o.o_orderstatus,
+               cast(count(o.o_custkey) as bigint) as n_orders,
+               median(cast(round(o.o_totalprice * 100) as bigint))
+                 as median_price,
+               min(m.o_orderpriority) as mode_prio,
+               cast(count(distinct o.o_custkey) as bigint) as n_custs,
+               cast(max(cast(round(o.o_totalprice * 100) as bigint))
+                 as bigint) as max_price
+        from orders o
+        left join m on o.o_orderstatus = m.o_orderstatus and m.rn = 1
+        group by o.o_orderstatus, m.o_orderpriority
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

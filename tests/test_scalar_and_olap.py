@@ -901,3 +901,137 @@ def test_window_rolling_time_null_measures_match_duckdb(con):
         "v", "max", interval="5 days", by="g", ts="ts", out="m"
     ).to_pandas().sort_values("ts")
     assert gi["m"].tolist() == [2**53 + 1, 2**53 + 1, 2**53 + 1]
+
+
+def test_agg_distributed_matches_groups_and_duckdb(con):
+    """r5 (VERDICT r4 'What's wrong #1'): the distributed holistic agg
+    path — median via the narrow quantile kernel, count_distinct via
+    the pair-distinct shuffle, mode via the (keys, value) count-reduce
+    + combiner argmax — must equal the per-group holistic path AND
+    DuckDB, including dtypes, null measures and all-null groups."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    vals = rng.integers(0, 50, n).astype("float64")
+    vals[rng.random(n) < 0.05] = np.nan
+    tab = pa.table({
+        "g": pa.array([f"s{v}" for v in rng.integers(0, 5, n)]),
+        "x": pa.array(
+            [None if v != v else int(v) for v in vals], pa.int64()
+        ),
+        "s": pa.array(
+            [f"v{int(v) % 7}" if v == v else None for v in vals]
+        ),
+    })
+    ds = Dataset(rd.from_arrow(tab).repartition(8))
+    funcs = [("count", "x"), ("sum", "x"), ("average", "x"),
+             ("median", "x"), ("count_distinct", "s"), ("mode", "s"),
+             ("min", "x"), ("max", "x")]
+    a = ds.groupby("g").agg(funcs, strategy="distributed").to_pandas()
+    b = ds.groupby("g").agg(funcs, strategy="groups").to_pandas()
+    a = a[sorted(a.columns)].sort_values("g", ignore_index=True)
+    b = b[sorted(b.columns)].sort_values("g", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    con.register("t_aggdist", tab.to_pandas())
+    o = con.execute("""
+      with c as (
+        select g, s, count(*) n from t_aggdist
+        where s is not null group by 1, 2
+      ),
+      m as (
+        select g, s as mode_s,
+               row_number() over (
+                 partition by g order by n desc, s asc
+               ) rn
+        from c
+      )
+      select t.g, count(x) as "count(x)", sum(x) as "sum(x)",
+             avg(x) as "average(x)", median(x) as "median(x)",
+             count(distinct s) as "count_distinct(s)",
+             min(m.mode_s) as "mode(s)",
+             min(x) as "min(x)", max(x) as "max(x)"
+      from t_aggdist t left join m on t.g = m.g and m.rn = 1
+      group by t.g, m.mode_s
+    """).df()
+    o = o[sorted(o.columns)].sort_values("g", ignore_index=True)
+    pd.testing.assert_frame_equal(a, o, check_dtype=False)
+
+    # all-null measure group: survives every part with null results
+    tab2 = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 3),
+        "x": pa.array([1, 2, 2, None, 3] + [None] * 3, pa.int64()),
+    })
+    ds2 = Dataset(rd.from_arrow(tab2))
+    f2 = [("median", "x"), ("mode", "x"), ("count_distinct", "x")]
+    a2 = ds2.groupby("g").agg(f2, strategy="distributed").to_pandas()
+    b2 = ds2.groupby("g").agg(f2, strategy="groups").to_pandas()
+    pd.testing.assert_frame_equal(
+        a2[sorted(a2.columns)].sort_values("g", ignore_index=True),
+        b2[sorted(b2.columns)].sort_values("g", ignore_index=True),
+        check_dtype=False,
+    )
+    row_b = a2.set_index("g").loc["b"]
+    assert pd.isna(row_b["median(x)"]) and pd.isna(row_b["mode(x)"])
+    assert row_b["count_distinct(x)"] == 0
+
+    # mode tie-break: smallest value among max counts, deterministically
+    tab3 = pa.table({"g": ["z"] * 4, "x": pa.array([7, 7, 3, 3])})
+    ds3 = Dataset(rd.from_arrow(tab3))
+    m3 = ds3.groupby("g").mode("x").to_pandas()
+    assert m3["mode(x)"].tolist() == [3]
+
+    # no scale path for string_agg/list/set: loud refusal when pinned
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no scale path"):
+        ds3.groupby("g").agg([("string_agg", "x")],
+                             strategy="distributed")
+
+
+def test_agg_auto_probe_routes_and_warns(monkeypatch, tmp_path):
+    """The auto probe (footer estimate + 64k-prefix key cardinality):
+    with the task-heap threshold forced to 0, a parquet-backed
+    low-cardinality groupby auto-routes median/mode/count_distinct to
+    the distributed path (same results), and a string_agg in the mix
+    pins it to groups with a LOUD warning."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import palimpzest_ray.dataset as pzd
+
+    rng = np.random.default_rng(13)
+    n = 5_000
+    tab = pa.table({
+        "g": pa.array([f"k{v}" for v in rng.integers(0, 3, n)]),
+        "x": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+    })
+    p = tmp_path / "probe.parquet"
+    pq.write_table(tab, p)
+    monkeypatch.setattr(pzd, "_WINDOW_BUCKETED_MIN_GROUP_BYTES", 0)
+    ds = pzd.read_parquet(str(p))
+    gb = ds.groupby("g")
+    assert gb._agg_holistic_probe(
+        [("median", "x")], has_post=False
+    ) == "distributed"
+    a = gb.agg([("median", "x"), ("mode", "x")]).to_pandas()
+    b = gb.agg([("median", "x"), ("mode", "x")],
+               strategy="groups").to_pandas()
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)].sort_values("g", ignore_index=True),
+        b[sorted(b.columns)].sort_values("g", ignore_index=True),
+        check_dtype=False,
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gb.agg([("median", "x"), ("string_agg", "x")]).to_pandas()
+    assert any("no scale path" in str(x.message) for x in w)
