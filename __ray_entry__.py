@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from collections.abc import Callable
 from typing import Any
 
@@ -34,6 +35,23 @@ import palimpzest_ray.dataset as pzd
 from palimpzest_ray.stages import text as T
 
 SF001 = "/root/testdata/sf0.001"
+
+#: bench instrumentation (r5, VERDICT r4 'Next round #4'): demo
+#: pipelines that BUILD their input lakes in-query record that build
+#: time here, keyed by query name, so bench.py can report
+#: setup-vs-operator cost separately. Purely additive — the functions
+#: behave identically when nobody reads this.
+SETUP_SECONDS: dict[str, float] = {}
+
+
+def _setup_begin() -> float:
+    return time.monotonic()
+
+
+def _setup_end(qname: str, t0: float) -> None:
+    SETUP_SECONDS[qname] = (
+        SETUP_SECONDS.get(qname, 0.0) + time.monotonic() - t0
+    )
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> pzd.Dataset:
@@ -3504,6 +3522,7 @@ def q137_multicol_view(sf_dir: str):
     from palimpzest_ray.cdc import apply_changes, views
     from palimpzest_ray.pipelines.cdc_demo import demo_workdir
 
+    _st = _setup_begin()
     work = demo_workdir(sf_dir, "cdc_mcview_demo")
     lake = os.path.join(work, "lake")
     view = os.path.join(work, "view")
@@ -3531,6 +3550,7 @@ def q137_multicol_view(sf_dir: str):
         lake, view, group_col=["source", "bucket"],
         aggs={"n_docs": ("count", None), "total_chars": ("sum", "n_chars")},
     )
+    _setup_end("q137_multicol_view", _st)
     upd = nums[nums % 4 == 1]
     dele = nums[nums % 11 == 7]
     feed2 = pa.concat_tables(
@@ -3840,6 +3860,7 @@ def q142_lake_diff(sf_dir: str):
 
     import pyarrow.parquet as pq
 
+    _st = _setup_begin()
     work = demo_workdir(sf_dir, "cdc_diff_demo")
     src_lake = os.path.join(work, "src")
     dst_lake = os.path.join(work, "dst")
@@ -3875,6 +3896,7 @@ def q142_lake_diff(sf_dir: str):
     dst_rows = base.filter(pa.array(num % 5 != 0))
     apply_changes(feed_of(src_rows, False), src_lake, num_partitions=8)
     apply_changes(feed_of(dst_rows, True), dst_lake, num_partitions=8)
+    _setup_end("q142_lake_diff", _st)
 
     feed = diff_lakes(src_lake, dst_lake)
     tab = pa.concat_tables(
@@ -3994,6 +4016,7 @@ def q145_fk_join_view(sf_dir: str):
     import pyarrow.parquet as pq
     import shutil
 
+    _st = _setup_begin()
     work = demo_workdir(sf_dir, "cdc_fkview_demo")
     facts, dims, view = (
         os.path.join(work, d) for d in ("facts", "dims", "view")
@@ -4035,6 +4058,7 @@ def q145_fk_join_view(sf_dir: str):
     }), dims, num_partitions=4)
 
     create_join_view(view, facts, dims, how="left", left_on="cust")
+    _setup_end("q145_fk_join_view", _st)
 
     # epoch 2: dim updates (%7==0 -> VIP), dim deletions (%11==3),
     # fact re-point (%5==0 -> c-1)

@@ -256,16 +256,27 @@ BENCH_QUERIES = [
 ]
 
 
-def run_queries() -> dict[str, float]:
+def run_queries() -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (op_seconds, setup_seconds). Demo pipelines that build
+    their input lakes IN-QUERY (q137/q142/q145) report that build time
+    via ``__ray_entry__.SETUP_SECONDS`` (r5 bench hygiene — VERDICT r4
+    'Next round #4'); their ``queries`` entry is OPERATOR cost only,
+    with the build reported separately under ``setup_s``."""
     import __ray_entry__ as e
 
     qs = e.queries()
     out: dict[str, float] = {}
+    setup: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        e.SETUP_SECONDS.pop(name, None)
         t0 = time.time()
         _consume(qs[name](SF_DIR))
-        out[name] = round(time.time() - t0, 2)
-    return out
+        total = time.time() - t0
+        s = e.SETUP_SECONDS.get(name, 0.0)
+        if s > 0.0:
+            setup[name] = round(s, 2)
+        out[name] = round(total - s, 2)
+    return out, setup
 
 
 def main() -> None:
@@ -332,13 +343,17 @@ def main() -> None:
 
     t0 = time.time()
     cdc = run_cdc()
-    queries = {} if args.cdc_only else run_queries()
+    queries, setup_s = ({}, {}) if args.cdc_only else run_queries()
     total = round(time.time() - t0, 2)
     out = {
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
         "queries": {**queries, "cdc_apply": cdc["seconds"]},
+        # in-bench demo-lake builds, reported OUT of the per-query op
+        # numbers (r5 regime change — see BASELINE.md); "value" still
+        # counts them (it is the whole wall time)
+        "setup_s": setup_s,
         "cdc": cdc,
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
