@@ -30,3 +30,9 @@ def ray_session():
 @pytest.fixture()
 def tmp_lake(tmp_path):
     return str(tmp_path / "lake")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: sustained soak tests (minutes, full suite only)"
+    )

@@ -1,0 +1,222 @@
+"""Sustained tail_follow soak with fault injection (VERDICT r4 'Next
+round #5'): the operational claim of the north rule proven in ONE run
+instead of piecewise — ≥10 producer epochs drained by a single
+`tail_follow` loop with on_commit view + column-index refresh and
+auto-compaction, one SIGKILL'd merge worker mid-soak (die_once), and a
+concurrent engine-less reader hammering the committed manifests the
+whole time. Asserts digest-verified convergence against a one-shot
+reference lake, the sequential-replay oracle, view/index correctness
+at the end, bounded on-disk file counts, and zero reader errors."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_ray.cdc import (
+    CompactionPolicy,
+    apply_changes,
+    auto_compact,
+    final_state_table,
+    load_latest_manifest,
+    make_base_table,
+    make_change_table,
+    sequential_replay,
+    superseded_files,
+    verify_replica,
+)
+
+N_BASE = 400
+EPOCHS = 12
+EVENTS_PER_EPOCH = 1_500
+
+
+def _epoch_table(i: int) -> pa.Table:
+    return make_change_table(
+        EVENTS_PER_EPOCH,
+        N_BASE,
+        seed=100 + i,
+        start_lsn=1 + i * EVENTS_PER_EPOCH,
+    )
+
+
+@pytest.mark.slow
+def test_tail_follow_soak_with_faults(tmp_path, ray_session):
+    from palimpzest_ray.cdc.colindex import (
+        build_column_index,
+        refresh_column_index,
+    )
+    from palimpzest_ray.cdc.engine import tail_follow
+    from palimpzest_ray.cdc.views import create_view, read_view, refresh_view
+
+    log_dir = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    index = str(tmp_path / "index")
+    os.makedirs(log_dir)
+
+    # bootstrap the lake with the base state, then create the derived
+    # artifacts the on_commit hook keeps fresh for the whole soak
+    base = make_base_table(N_BASE, seed=99)
+    boot = pa.table({
+        "lsn": pa.array([0] * base.num_rows, pa.int64()),
+        "op": pa.array(["INSERT"] * base.num_rows),
+        **{c: base[c] for c in base.column_names},
+    })
+    apply_changes(boot, lake, num_partitions=8)
+    create_view(
+        lake, view, group_col="source",
+        aggs={"n_docs": ("count", None), "total_tok": ("sum", "n_tok")},
+    )
+    build_column_index(lake, index, "source", num_partitions=8)
+
+    # ---- concurrent engine-less reader (replica-consumer pattern):
+    # loads the freshly committed manifest and parses every referenced
+    # file with raw pyarrow — commit atomicity + vacuum retention mean
+    # this must NEVER error while the soak is writing
+    reader_errors: list[str] = []
+    reader_reads = [0]
+    stop_reader = threading.Event()
+
+    def _reader():
+        while not stop_reader.is_set():
+            try:
+                m = load_latest_manifest(lake)
+                if m is not None:
+                    total = 0
+                    for pe in m.parts.values():
+                        for f in [pe.file, *pe.deltas]:
+                            total += pq.read_table(
+                                os.path.join(lake, f)
+                            ).num_rows
+                    assert total > 0
+                    reader_reads[0] += 1
+            except Exception as ex:  # noqa: BLE001 - collected for assert
+                reader_errors.append(repr(ex))
+            time.sleep(0.05)
+
+    reader = threading.Thread(target=_reader, daemon=True)
+    reader.start()
+
+    # ---- producer: one epoch file every ~0.8s, 12 epochs
+    def _producer():
+        for i in range(EPOCHS):
+            t = _epoch_table(i)
+            tmp = os.path.join(log_dir, f".epoch-{i:03d}.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(log_dir, f"epoch-{i:03d}.parquet"))
+            time.sleep(0.8)
+
+    producer = threading.Thread(target=_producer, daemon=True)
+
+    # ---- on_commit maintenance: refresh view + index every commit,
+    # compact opportunistically (tiny thresholds so it actually fires)
+    policy = CompactionPolicy(
+        target_file_mb=64, max_superseded_files=4, keep_versions=3,
+        min_partitions=4, max_delta_files=4,
+    )
+    commits: list[int] = []
+    compactions: list[dict] = []
+
+    def _on_commit(res):
+        commits.append(res.events_seen)
+        refresh_view(lake, view)
+        refresh_column_index(lake, index)
+        compactions.append(auto_compact(lake, policy))
+
+    marker = str(tmp_path / "die_once_marker")
+    producer.start()
+    # tail an existing topic: wait for the first epoch file to land
+    while not os.listdir(log_dir):
+        time.sleep(0.05)
+    t0 = time.monotonic()
+    results = tail_follow(
+        log_dir, lake,
+        poll_interval=0.1, idle_stop=12,
+        on_commit=_on_commit,
+        die_once=marker,  # SIGKILLs one merge worker once, mid-soak
+    )
+    soak_s = time.monotonic() - t0
+    producer.join()
+    stop_reader.set()
+    reader.join(timeout=10)
+
+    # the fault WAS injected and the soak still drained everything
+    assert os.path.exists(marker), "die_once fault was never injected"
+    assert sum(commits) == EPOCHS * EVENTS_PER_EPOCH
+    assert len(results) >= 4  # a sustained follow, not one mega-batch
+
+    # ---- convergence proofs -------------------------------------------
+    all_changes = pa.concat_tables([_epoch_table(i) for i in range(EPOCHS)])
+    want = sequential_replay(base, all_changes)
+    got = final_state_table(lake)
+    got_d = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
+    want_d = {r["doc_id"]: r["tokens"] for r in want.to_pylist()}
+    assert got_d == want_d
+
+    # digest-verified against a ONE-SHOT reference lake (different
+    # commit history, different layout — content digest must match)
+    ref = str(tmp_path / "ref_lake")
+    apply_changes(boot, ref, num_partitions=4)
+    apply_changes(all_changes, ref, num_partitions=4)
+    rep = verify_replica(ref, lake)
+    assert rep["match"], rep
+
+    # view equals the recomputed group-by oracle
+    vt = pa.concat_tables(
+        read_view(view).iter_batches(batch_format="pyarrow")
+    )
+    live = got.to_pandas()
+    oracle = (
+        live.groupby("source")
+        .agg(n_docs=("doc_id", "count"), total_tok=("n_tok", "sum"))
+        .reset_index()
+    )
+    vd = {
+        r["source"]: (r["n_docs"], r["total_tok"])
+        for r in vt.to_pylist()
+    }
+    od = {
+        r["source"]: (r["n_docs"], r["total_tok"])
+        for r in oracle.to_dict("records")
+    }
+    assert vd == od
+
+    # column index resolves a probe value to exactly the live docs
+    from palimpzest_ray.cdc.colindex import lookup_by
+
+    probe = live["source"].iloc[0]
+    hits = lookup_by(lake, index, [probe])
+    assert sorted(hits["doc_id"].to_pylist()) == sorted(
+        live[live["source"] == probe]["doc_id"].tolist()
+    )
+
+    # ---- bounded operational state ------------------------------------
+    n_files = sum(
+        len(files) for _, _, files in os.walk(lake)
+    )
+    n_superseded = len(superseded_files(lake, policy.keep_versions))
+    assert n_superseded <= policy.max_superseded_files + 8
+    assert n_files < 400, n_files  # bounded, not O(commits x partitions)
+    assert not reader_errors, reader_errors[:3]
+    assert reader_reads[0] > 0
+
+    # recorded for BASELINE.md
+    print(json.dumps({
+        "soak_s": round(soak_s, 2),
+        "epochs": EPOCHS,
+        "events": EPOCHS * EVENTS_PER_EPOCH,
+        "commits": len(results),
+        "reader_reads": reader_reads[0],
+        "lake_files": n_files,
+        "superseded": n_superseded,
+        "compaction_fired": sum(
+            1 for c in compactions if any(c.values())
+        ),
+    }))
