@@ -4313,6 +4313,35 @@ def q149_distributed_holistic(sf_dir: str):
     })
 
 
+def q150_sem_flatmap(sf_dir: str):
+    """ONE_TO_MANY LLM convert (r5 — stages/semantic.py sem_flat_map,
+    reference ``LLMConvert`` with ``Cardinality.ONE_TO_MANY``,
+    ``convert.py:262-372``): a deterministic rule generator fans each
+    doc into one record per of its first 3 words; output rows carry
+    the input doc_id plus the generated (tok, pos) fields, exercising
+    the row-take + column-append fan-out path end-to-end through the
+    actor pool. EXACT oracle: the SQL list-slice/unnest closed form."""
+    import json as _json
+
+    from palimpzest_ray.stages.semantic import mock_generator, sem_flat_map
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rule(p):
+        text = p.split("split: ", 1)[1]
+        return _json.dumps([
+            {"tok": w, "pos": i}
+            for i, w in enumerate(text.split(" ")[:3])
+        ])
+
+    out = sem_flat_map(
+        docs._ds, ["tok", "pos"], "split: {text}",
+        mock_generator(rule), concurrency=(1, 2), batch_size=512,
+        image_fields=[],
+    )
+    return pzd.Dataset(out).project(["doc_id", "tok", "pos"])
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4462,6 +4491,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "q147_optimize_choice": q147_optimize_choice,
         "q148_optimize_and_run": q148_optimize_and_run,
         "q149_distributed_holistic": q149_distributed_holistic,
+        "q150_sem_flatmap": q150_sem_flatmap,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_segment_revenue": q03_segment_revenue,
@@ -4791,6 +4821,16 @@ def _base_oracle_sql() -> dict[str, str]:
         from orders o
         left join m on o.o_orderstatus = m.o_orderstatus and m.rn = 1
         group by o.o_orderstatus, m.o_orderpriority
+    """
+    # one-to-many semantic convert == the SQL list-slice/unnest form
+    d["q150_sem_flatmap"] = """
+        select doc_id, s[i + 1] as tok, cast(i as bigint) as pos
+        from (
+          select doc_id,
+                 list_slice(string_split(text, ' '), 1, 3) as s
+          from documents
+        ) cross join range(3) t(i)
+        where i < len(s)
     """
     # TTL enforcement at now=max(ts), keep 72h == the SQL window filter
     d["q136_row_ttl"] = """

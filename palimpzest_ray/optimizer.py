@@ -56,6 +56,7 @@ from palimpzest_ray.stages.semantic import (
     _parse_fields,
     _render,
     sem_filter,
+    sem_flat_map,
     sem_map,
 )
 
@@ -300,18 +301,41 @@ def construct_policy_from_kwargs(**kwargs) -> Policy | None:
 class Validator:
     """Scores one operator output per record; ``None`` = abstain (the
     record contributes nothing to the operator's quality estimate —
-    reference cost_model.py:139-146 drops None before the mean)."""
+    reference cost_model.py:139-146 drops None before the mean). The
+    five score-fn shapes mirror reference validator.py:38-52."""
 
     def map_score_fn(
         self, fields: list[str], input_record: dict, output: dict
     ) -> float | None:
         raise NotImplementedError("Validator.map_score_fn not implemented.")
 
+    def flat_map_score_fn(
+        self, fields: list[str], input_record: dict, output: list[dict]
+    ) -> float | None:
+        raise NotImplementedError(
+            "Validator.flat_map_score_fn not implemented."
+        )
+
     def filter_score_fn(
         self, filter_str: str, input_record: dict, output: bool
     ) -> float | None:
         raise NotImplementedError(
             "Validator.filter_score_fn not implemented."
+        )
+
+    def join_score_fn(
+        self, condition: str, left_input_record: dict,
+        right_input_record: dict, output: bool,
+    ) -> float | None:
+        raise NotImplementedError(
+            "Validator.join_score_fn not implemented."
+        )
+
+    def topk_score_fn(
+        self, fields: list[str], input_record: dict, output: dict
+    ) -> float | None:
+        raise NotImplementedError(
+            "Validator.topk_score_fn not implemented."
         )
 
 
@@ -325,9 +349,11 @@ class LabeledValidator(Validator):
     validator.py:102-108); filter score = 1.0 on bool match else 0.0.
     Unlabeled records abstain (None)."""
 
-    def __init__(self, labels: dict, key_field: str):
+    def __init__(self, labels: dict, key_field: str,
+                 join_labels: dict | None = None):
         self.labels = labels
         self.key_field = key_field
+        self.join_labels = join_labels or {}
 
     def map_score_fn(self, fields, input_record, output):
         lab = self.labels.get(input_record.get(self.key_field))
@@ -345,6 +371,43 @@ class LabeledValidator(Validator):
         if lab is None or filter_str not in lab:
             return None
         return 1.0 if bool(output) == bool(lab[filter_str]) else 0.0
+
+    def flat_map_score_fn(self, fields, input_record, output):
+        """Expected = ``labels[key][field]`` as a LIST per field; score
+        = matched (record, field) pairs over max(expected, produced)
+        records — the reference judge's mean-over-all-qualities with a
+        length penalty for over/under-production
+        (validator.py:139-145)."""
+        lab = self.labels.get(input_record.get(self.key_field))
+        if lab is None:
+            return None
+        scored = [f for f in fields if f in lab]
+        if not scored:
+            return None
+        n_exp = max((len(lab[f]) for f in scored), default=0)
+        n = max(n_exp, len(output))
+        if n == 0:
+            return 1.0  # correctly produced nothing
+        total = 0.0
+        for f in scored:
+            exp = list(lab[f])
+            for i in range(min(len(exp), len(output))):
+                if str(output[i].get(f)) == str(exp[i]):
+                    total += 1.0
+        return total / (n * len(scored))
+
+    def join_score_fn(self, condition, left_input_record,
+                      right_input_record, output):
+        """Expected = ``join_labels[(lkey, rkey)][condition]`` (set via
+        the ``join_labels=`` constructor kwarg)."""
+        key = (
+            left_input_record.get(self.key_field),
+            right_input_record.get(self.key_field),
+        )
+        lab = self.join_labels.get(key)
+        if lab is None or condition not in lab:
+            return None
+        return 1.0 if bool(output) == bool(lab[condition]) else 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -371,7 +434,8 @@ class SemCandidate:
 @dataclass
 class SemStage:
     """One logical semantic operator with its candidate set. ``kind``
-    is ``"map"`` (generate ``fields`` from ``template``) or
+    is ``"map"`` (generate ``fields`` from ``template``),
+    ``"flat_map"`` (ONE_TO_MANY — a JSON list of records per input) or
     ``"filter"`` (NL predicate; ``filter_str`` names it for the
     validator, defaulting to the template)."""
 
@@ -382,9 +446,9 @@ class SemStage:
     candidates: list[SemCandidate] = field(default_factory=list)
 
     def __post_init__(self):
-        assert self.kind in ("map", "filter"), self.kind
-        if self.kind == "map":
-            assert self.fields, "map stage needs fields"
+        assert self.kind in ("map", "flat_map", "filter"), self.kind
+        if self.kind in ("map", "flat_map"):
+            assert self.fields, f"{self.kind} stage needs fields"
         if self.filter_str is None:
             self.filter_str = self.template
         assert self.candidates, "stage needs at least one candidate"
@@ -430,6 +494,15 @@ def _run_candidate_on_sample(
             if s is not None:
                 scores.append(s)
             out_rows.append({**r, **parsed})
+    elif stage.kind == "flat_map":
+        from palimpzest_ray.stages.semantic import _parse_fields_list
+
+        for r, o in zip(rows, outs):
+            parsed = _parse_fields_list(o, stage.fields)
+            s = validator.flat_map_score_fn(stage.fields, r, parsed)
+            if s is not None:
+                scores.append(s)
+            out_rows.extend({**r, **d} for d in parsed)
     else:
         for r, o in zip(rows, outs):
             keep = str(o).strip().lower() in SemanticFilter.TRUE
@@ -458,10 +531,34 @@ def _run_candidate_on_sample(
         quality=(sum(scores) / len(scores)) if scores else 1.0,
         cost_per_record=cost / n,
         time_per_record=t / n,
-        selectivity=(len(out_rows) / n) if stage.kind == "filter" else 1.0,
+        # filters shrink, flat_maps fan out — both scale downstream
+        # per-record cost (reference cost_model selectivity matrix)
+        selectivity=(
+            1.0 if stage.kind == "map" else len(out_rows) / n
+        ),
         score_sum=sum(scores),
     )
     return stats, out_rows
+
+
+def pareto_frontier(plans: list[PlanCost]) -> list[int]:
+    """Indices of the non-dominated plans. ``a`` dominates ``b`` when
+    ``a.cost <= b.cost``, ``a.time <= b.time``, ``a.quality >=
+    b.quality`` with at least one strict inequality (the reference's
+    pareto filter over (cost, time, quality),
+    optimizer_strategy.py:66-118). Ties on all three keep both."""
+    keep: list[int] = []
+    for i, b in enumerate(plans):
+        dominated = any(
+            a.cost <= b.cost and a.time <= b.time
+            and a.quality >= b.quality
+            and (a.cost < b.cost or a.time < b.time
+                 or a.quality > b.quality)
+            for j, a in enumerate(plans) if j != i
+        )
+        if not dominated:
+            keep.append(i)
+    return keep
 
 
 @dataclass
@@ -532,6 +629,13 @@ def optimize(
                 ))
         combos = nxt
 
+    # Pareto pre-filter (reference ParetoStrategy,
+    # optimizer_strategy.py:66-139): drop plans dominated on
+    # (cost, time, quality) before constraint/choose — never changes
+    # the winner under any policy (the winner is never dominated), but
+    # keeps the enumerated set the reference's selection operates on
+    keep = pareto_frontier([pc for _, pc in combos])
+    combos = [combos[i] for i in keep]
     if any(policy.constraint(pc) for _, pc in combos):
         combos = [(p, pc) for p, pc in combos if policy.constraint(pc)]
     best_picks, best_pc = combos[0]
@@ -574,6 +678,13 @@ def optimize_and_run(
         cand = next(c for c in stage.candidates if c.name == name)
         if stage.kind == "map":
             out = sem_map(
+                out, stage.fields, stage.template,
+                cand.generator_factory,
+                concurrency=concurrency, batch_size=batch_size,
+                image_fields=[],
+            )
+        elif stage.kind == "flat_map":
+            out = sem_flat_map(
                 out, stage.fields, stage.template,
                 cand.generator_factory,
                 concurrency=concurrency, batch_size=batch_size,

@@ -247,6 +247,98 @@ def sem_map(
     )
 
 
+def _parse_fields_list(raw: str, fields: list[str]) -> list[dict]:
+    """JSON-parse a ONE_TO_MANY generation: a list of objects, each
+    projected to ``fields``. A bare object counts as a 1-list; broken
+    JSON yields [] (relax-schema: the input row produces no output
+    records, reference ``convert.py`` one-to-many parse discipline)."""
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        return []
+    if isinstance(d, dict):
+        d = [d]
+    if not isinstance(d, list):
+        return []
+    return [
+        {f: o.get(f) for f in fields}
+        for o in d if isinstance(o, dict)
+    ]
+
+
+class SemanticFlatMap(_SemStage):
+    """ONE_TO_MANY LLM convert (reference ``LLMConvert`` with
+    ``Cardinality.ONE_TO_MANY``, ``convert.py:262-372``): each input
+    row fans out into zero or more output rows, each carrying the
+    input columns plus the generated ``fields``."""
+
+    def __init__(self, generator_factory, fields: list[str], template: str,
+                 image_fields: list[str] | None = None):
+        super().__init__(generator_factory)
+        self.fields = fields
+        self.template = template
+        self.image_fields = image_fields
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        img = (
+            _detect_media_cols(batch, self.template)
+            if self.image_fields is None
+            else self.image_fields
+        )
+        rows = batch.to_pylist()
+        if img:
+            prompts = [_render_multimodal(self.template, r, img) for r in rows]
+        else:
+            prompts = [_render(self.template, r) for r in rows]
+        outs = self.gen(prompts)
+        take: list[int] = []
+        gen_cols: dict[str, list] = {f: [] for f in self.fields}
+        for i, (r, o) in enumerate(zip(rows, outs)):
+            for d in _parse_fields_list(o, self.fields):
+                take.append(i)
+                for f in self.fields:
+                    gen_cols[f].append(d[f])
+        out = batch.take(pa.array(take, pa.int64()))
+        for f in self.fields:
+            # all-null fan-out columns surface as string (stable empty
+            # schema instead of arrow null type)
+            vals = gen_cols[f]
+            arr = (
+                pa.array(vals, pa.string())
+                if all(v is None for v in vals)
+                else pa.array(vals)
+            )
+            out = out.append_column(f, arr)
+        return out
+
+
+def sem_flat_map(
+    ds: rd.Dataset,
+    fields: list[str],
+    template: str,
+    generator_factory: Callable[[], GeneratorFn],
+    *,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    image_fields: list[str] | None = None,
+) -> rd.Dataset:
+    """Generate MANY rows per input row (reference ``sem_add_columns``
+    with ``cardinality="one-to-many"``). The generation must be a JSON
+    LIST of objects; broken generations drop the row (relax-schema)."""
+    return ds.map_batches(
+        SemanticFlatMap,
+        fn_constructor_kwargs={
+            "generator_factory": generator_factory,
+            "fields": fields,
+            "template": template,
+            "image_fields": image_fields,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def sem_filter(
     ds: rd.Dataset,
     template: str,

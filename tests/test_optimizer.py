@@ -274,3 +274,99 @@ def test_optimize_and_run_distributed(ray_session):
     # each mapped to lang_out='en' by the chosen map candidate
     assert sorted(tab["id"].to_pylist()) == [i for i in range(60) if i % 3 == 0]
     assert set(tab["lang_out"].to_pylist()) == {"en"}
+
+
+def test_pareto_frontier():
+    from palimpzest_ray.optimizer import pareto_frontier
+
+    plans = [
+        PlanCost(cost=1.0, time=1.0, quality=0.5),   # frontier
+        PlanCost(cost=2.0, time=2.0, quality=0.4),   # dominated by 0
+        PlanCost(cost=3.0, time=1.0, quality=0.9),   # frontier
+        PlanCost(cost=1.0, time=1.0, quality=0.5),   # tie with 0: kept
+        PlanCost(cost=0.5, time=5.0, quality=0.2),   # frontier (cheap)
+    ]
+    assert pareto_frontier(plans) == [0, 2, 3, 4]
+
+
+def test_optimize_flat_map_stage():
+    """flat_map candidates: fan-out selectivity is measured (>1) and
+    scales downstream cost; LabeledValidator scores list outputs with
+    the length-penalized field match."""
+    rows = [{"id": i, "text": f"doc {i}"} for i in range(8)]
+    labels = {
+        r["id"]: {"piece": [f"p{r['id']}-0", f"p{r['id']}-1"]}
+        for r in rows
+    }
+    val = LabeledValidator(labels, "id")
+
+    def exact(p):
+        import json as _json
+        import re as _re
+
+        i = int(_re.search(r"doc (\d+)", p).group(1))
+        return _json.dumps([{"piece": f"p{i}-0"}, {"piece": f"p{i}-1"}])
+
+    def over(p):
+        import json as _json
+        import re as _re
+
+        i = int(_re.search(r"doc (\d+)", p).group(1))
+        # right pieces plus a spurious third -> length-penalized 2/3
+        return _json.dumps([
+            {"piece": f"p{i}-0"}, {"piece": f"p{i}-1"},
+            {"piece": "junk"},
+        ])
+
+    fstage = SemStage(
+        "flat_map", "split: {text}", fields=["piece"],
+        candidates=[
+            SemCandidate("exact-2", mock_generator(exact),
+                         cost_per_call=4.0),
+            SemCandidate("over-3", mock_generator(over),
+                         cost_per_call=1.0),
+        ],
+    )
+    mstage = _map_stage()
+    r = optimize(rows, [fstage], val, MaxQuality())
+    assert r.chosen == ["exact-2"] and r.plan_cost.quality == 1.0
+    st = {s.name: s for s in r.stats[0]}
+    assert st["exact-2"].selectivity == 2.0     # measured fan-out
+    assert st["over-3"].selectivity == 3.0
+    assert st["over-3"].quality == pytest.approx(2 / 3)
+    # downstream cost scales by the chosen fan-out in plan enumeration
+    r2 = optimize(rows, [fstage, mstage], val, MaxQuality())
+    assert r2.plan_cost.cost == pytest.approx(4.0 + 2.0 * 1.0)
+
+
+def test_optimize_and_run_flat_map_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = [{"id": i, "text": f"doc {i}"} for i in range(20)]
+    labels = {
+        r["id"]: {"piece": [f"p{r['id']}-0", f"p{r['id']}-1"]}
+        for r in rows[:8]
+    }
+    val = LabeledValidator(labels, "id")
+
+    def exact(p):
+        import json as _json
+        import re as _re
+
+        i = int(_re.search(r"doc (\d+)", p).group(1))
+        return _json.dumps([{"piece": f"p{i}-0"}, {"piece": f"p{i}-1"}])
+
+    stage = SemStage(
+        "flat_map", "split: {text}", fields=["piece"],
+        candidates=[SemCandidate("exact-2", mock_generator(exact),
+                                 cost_per_call=1.0)],
+    )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out, res = optimize_and_run(
+        ds, [stage], val, MaxQuality(), sample_size=8,
+        concurrency=1, batch_size=8,
+    )
+    tab = pa.Table.from_pylist(out.take_all())
+    assert tab.num_rows == 40
+    assert sorted(set(tab["id"].to_pylist())) == list(range(20))

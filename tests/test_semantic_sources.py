@@ -303,3 +303,31 @@ def test_sem_agg_tree_reduce_bounded_fanin():
         batch_size=16, fan_in=3,
     )
     assert one == "12" and seen == [1]
+
+
+def test_sem_flat_map_one_to_many():
+    """ONE_TO_MANY LLM convert (reference LLMConvert cardinality
+    one-to-many): each row fans into len(list) rows carrying input
+    columns + generated fields; broken JSON drops the row; a bare
+    object counts as a 1-list."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def fn(p):
+        if "alpha" in p:
+            return json.dumps([{"w": "a1"}, {"w": "a2"}, {"w": "a3"}])
+        if "beta" in p:
+            return json.dumps({"w": "b-solo"})  # bare object = 1-list
+        return "NOT JSON"  # gamma: dropped
+
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3], "text": ["alpha", "beta", "gamma"],
+    }))
+    out = pa.Table.from_pylist(
+        S.sem_flat_map(ds, ["w"], "split: {text}", S.mock_generator(fn))
+        .take_all()
+    )
+    rows = sorted(
+        (r["id"], r["w"]) for r in out.to_pylist()
+    )
+    assert rows == [(1, "a1"), (1, "a2"), (1, "a3"), (2, "b-solo")]
