@@ -656,22 +656,50 @@ def optimize(
 def optimize_and_run(
     ds: rd.Dataset,
     stages: list[SemStage],
-    validator: Validator,
-    policy: Policy,
+    validator: Validator | None = None,
+    policy: Policy | None = None,
     *,
+    train_dataset=None,
     sample_size: int = 32,
     concurrency=(1, 4),
     batch_size: int = 64,
+    **policy_kwargs,
 ) -> tuple[rd.Dataset, OptimizeResult]:
     """Reference ``Dataset.optimize_and_run`` (dataset.py:682-723):
     choose the per-stage config on a bounded sample, then run the
     chosen configuration DISTRIBUTED over the full input via the
-    ordinary ``sem_map`` / ``sem_filter`` actor-pool stages. The
-    sample is the first ``sample_size`` rows (deterministic — pass a
-    pre-shuffled dataset for a random sample)."""
-    sample = pa.Table.from_pylist(
-        ds.limit(sample_size).take_all()
+    ordinary ``sem_map`` / ``sem_filter`` actor-pool stages.
+
+    The sample is ``train_dataset`` when given (the reference's
+    labeled-training-input convention — a ``ray.data.Dataset``,
+    ``pa.Table`` or list of row dicts), else the first ``sample_size``
+    rows of ``ds`` (deterministic — pass a pre-shuffled dataset for a
+    random sample). At least one of ``train_dataset`` / ``validator``
+    must be provided (dataset.py:689-692); policy keyword sugar
+    (``max_quality=True``, ``min_cost=True, quality_threshold=0.8``,
+    ...) is accepted in place of an explicit ``policy``
+    (``construct_policy_from_kwargs``, the reference ``run()``
+    convention)."""
+    assert train_dataset is not None or validator is not None, (
+        "Must provide at least one of train_dataset or validator to "
+        "use optimize_and_run()"
     )
+    if validator is None:
+        raise NotImplementedError(
+            "the default LLM-judge Validator is out of scope "
+            "(SURVEY §2.4) — pass a Validator (e.g. LabeledValidator)"
+        )
+    if policy is None:
+        policy = construct_policy_from_kwargs(**policy_kwargs) or MaxQuality()
+    if train_dataset is None:
+        sample = pa.Table.from_pylist(ds.limit(sample_size).take_all())
+    elif isinstance(train_dataset, pa.Table):
+        sample = train_dataset
+    elif isinstance(train_dataset, list):
+        sample = pa.Table.from_pylist(train_dataset)
+    else:  # a ray.data.Dataset (or engine Dataset wrapper)
+        inner = getattr(train_dataset, "_ds", train_dataset)
+        sample = pa.Table.from_pylist(inner.take_all())
     result = optimize(sample, stages, validator, policy)
     out = ds
     for stage, name in zip(stages, result.chosen):

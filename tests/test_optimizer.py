@@ -370,3 +370,32 @@ def test_optimize_and_run_flat_map_distributed(ray_session):
     tab = pa.Table.from_pylist(out.take_all())
     assert tab.num_rows == 40
     assert sorted(set(tab["id"].to_pylist())) == list(range(20))
+
+
+def test_optimize_and_run_train_dataset_and_policy_sugar(ray_session):
+    """Reference conventions (dataset.py:682-723 + run() kwargs
+    sugar): train_dataset supplies the sample rows; policy keyword
+    arguments replace an explicit Policy; omitting both train_dataset
+    and validator asserts; validator=None routes to the o/s LLM-judge
+    refusal."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = _doc_rows(30)
+    train = rows[:9]
+    val = LabeledValidator(_labels(train), "id")
+    stage = _map_stage()
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out, res = optimize_and_run(
+        ds, [stage], val, train_dataset=train,
+        min_cost=True, quality_threshold=0.5,
+        concurrency=1, batch_size=16,
+    )
+    assert res.chosen == ["expensive-right"]
+    assert res.stats[0][0].n_inputs == 9  # sampled the train set
+    tab = pa.Table.from_pylist(out.take_all())
+    assert tab.num_rows == 30
+    with pytest.raises(AssertionError, match="at least one"):
+        optimize_and_run(ds, [stage], None)
+    with pytest.raises(NotImplementedError, match="out of scope"):
+        optimize_and_run(ds, [stage], None, train_dataset=train)
