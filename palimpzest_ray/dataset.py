@@ -3288,25 +3288,48 @@ class GroupedDataset:
         output is at most one row per distinct pair), then a cheap
         count over the already-reduced pairs. No group ever needs to
         fit in one task, unlike the holistic agg path."""
-        from ray.data.aggregate import Sum
+        from ray.data.aggregate import Count, Sum
 
         name = out or f"count_distinct({field})"
         keys = self._keys
         narrow = Dataset(self._ds.select_columns(keys + [field]))
-        # the pair-distinct always runs null-safe: the FIELD leg of the
-        # tuple legitimately holds nulls, and null group keys follow the
-        # caller's null_safe flag transparently this way
-        pairs = narrow.distinct(null_safe=True)
-        # Count only the non-null distinct values, but keep the null pair
-        # so a group whose values are ALL null still yields a 0-count row
-        # (SQL COUNT(DISTINCT x) semantics; also matches the holistic
-        # agg([("count_distinct", ...)]) path).
-        flagged = pairs.with_column(
-            "__nn", lambda t: pc.cast(pc.is_valid(t[field]), pa.int64())
+        if self._null_safe:
+            # null GROUP keys: the surrogate-encoded path — the field
+            # leg rides the same encoding so null values stay distinct
+            # from sentinel-valued rows
+            pairs = narrow.distinct(null_safe=True)
+            flagged = pairs.with_column(
+                "__nn",
+                lambda t: pc.cast(pc.is_valid(t[field]), pa.int64()),
+            )
+            return GroupedDataset(
+                flagged._ds, keys, null_safe=True
+            ).aggregate(Sum("__nn", alias_name=name))
+        # native-typed fast path (r5): drop SQL-ignored null values up
+        # front so the pair distinct runs on native key types (the
+        # null-safe surrogate encoding is O(n) string building —
+        # measured ~2x this whole operator at 16M rows); groups whose
+        # values are ALL null are re-added as 0 via the combiner-count
+        # keys spine (SQL COUNT(DISTINCT x) semantics, matching the
+        # holistic path).
+        nonnull = narrow.filter(
+            batch_fn=lambda t: t.filter(pc.is_valid(t[field]))
         )
-        return GroupedDataset(flagged._ds, keys, null_safe=self._null_safe).aggregate(
-            Sum("__nn", alias_name=name)
+        counts = GroupedDataset(
+            nonnull.distinct()._ds, keys
+        ).aggregate(Count(field, alias_name=name, ignore_nulls=False))
+        spine = GroupedDataset(narrow._ds, keys).aggregate(
+            Count(keys[0], alias_name="__n", ignore_nulls=False)
+        ).project(keys)
+        joined = spine.join(
+            Dataset(counts._ds.materialize()), on=keys, how="left"
         )
+        return joined.with_column(
+            name,
+            lambda t: pc.fill_null(
+                pc.cast(t[name], pa.int64()), pa.scalar(0, pa.int64())
+            ),
+        ).project(keys + [name])
 
     _AGG_DISTRIBUTABLE = {
         "count", "sum", "average", "min", "max", "stddev", "var",
@@ -3404,6 +3427,11 @@ class GroupedDataset:
                 parts.append(src.nunique(fld))
             elif f == "mode":
                 parts.append(src.mode(fld))
+        # pin each part before joining: the join path probes schemas,
+        # which executes a lazy aggregate once for the probe and again
+        # for the data (measured 2x the whole plan). Parts are
+        # result-sized — one row per group — so pinning is free.
+        parts = [Dataset(p._ds.materialize()) for p in parts]
         out = parts[0]
         for p in parts[1:]:
             out = out.join(p, on=keys, how="inner")
@@ -3411,38 +3439,74 @@ class GroupedDataset:
 
     def mode(self, field: str, out: str | None = None) -> Dataset:
         """Distributed SQL-style ``mode(field)`` per group — the scale
-        path for ``agg([("mode", field)])``: count rows per
-        (keys, value) pair (map-side combiner — only distinct pairs
-        cross the exchange), null values carry count 0 so an all-null
-        group survives with a null mode but can never out-vote a real
-        value, then argmax = combiner Max over pair counts + an
-        equi-join filter + combiner Min over the tied values (the
-        deterministic smallest-value tie-break the holistic path uses;
-        duckdb's native mode() picks by arrival order, which is not
-        reproducible). No group ever materializes in one task — every
-        step is a map-side-combined aggregate or an equi-join."""
-        from ray.data.aggregate import Max, Min, Sum
+        path for ``agg([("mode", field)])``: drop SQL-ignored null
+        values up front (so the pair groupby stays on NATIVE key types
+        — the null-safe surrogate-key encoding costs O(n) string
+        building, measured 20x the whole operator at 16M rows), count
+        rows per (keys, value) pair with the map-side combiner (only
+        distinct pairs cross the exchange), then argmax = combiner Max
+        over pair counts + an equi-join filter + combiner Min over the
+        tied values (the deterministic smallest-value tie-break the
+        holistic path uses; duckdb's native mode() picks by arrival
+        order, which is not reproducible). Groups whose values are ALL
+        null are re-added with a null mode via a left join from the
+        distinct-keys spine. No group ever materializes in one task.
+        Null GROUP keys need ``null_safe=True`` grouping, which keeps
+        the surrogate path throughout."""
+        from ray.data.aggregate import Count, Max, Min, Sum
 
         name = out or f"mode({field})"
         keys = self._keys
         narrow = Dataset(self._ds.select_columns(keys + [field]))
-        flagged = narrow.with_column(
-            "__one", lambda t: pc.cast(pc.is_valid(t[field]), pa.int64())
+        if self._null_safe:
+            # null group keys: the surrogate-encoded (slower) path
+            flagged = narrow.with_column(
+                "__one",
+                lambda t: pc.cast(pc.is_valid(t[field]), pa.int64()),
+            )
+            cnt = GroupedDataset(
+                flagged._ds, keys + [field], null_safe=True
+            ).aggregate(Sum("__one", alias_name="__cnt"))
+            mx = GroupedDataset(cnt._ds, keys, null_safe=True).aggregate(
+                Max("__cnt", alias_name="__mx")
+            )
+            best = cnt.join(mx, on=keys, how="inner").filter(
+                batch_fn=lambda t: t.filter(
+                    pc.equal(t["__cnt"], t["__mx"])
+                )
+            )
+            return GroupedDataset(
+                best._ds, keys, null_safe=True
+            ).aggregate(Min(field, alias_name=name))
+        nonnull = narrow.filter(
+            batch_fn=lambda t: t.filter(pc.is_valid(t[field]))
         )
-        # pair grouping runs null-safe: the FIELD leg legitimately
-        # holds nulls (same contract as nunique's pair distinct)
-        cnt = GroupedDataset(
-            flagged._ds, keys + [field], null_safe=True
-        ).aggregate(Sum("__one", alias_name="__cnt"))
-        mx = GroupedDataset(cnt._ds, keys, null_safe=self._null_safe).aggregate(
+        # pin the pair counts: they feed BOTH the max and the join —
+        # lazy lineage would re-execute the full input scan twice
+        # (measured 5x the operator at 16M rows). Size is bounded by
+        # the number of distinct (keys, value) pairs, the same reduce
+        # bound nunique lives with.
+        cnt = Dataset(
+            GroupedDataset(nonnull._ds, keys + [field]).aggregate(
+                Count(field, alias_name="__cnt", ignore_nulls=False)
+            )._ds.materialize()
+        )
+        mx = GroupedDataset(cnt._ds, keys).aggregate(
             Max("__cnt", alias_name="__mx")
         )
         best = cnt.join(mx, on=keys, how="inner").filter(
             batch_fn=lambda t: t.filter(pc.equal(t["__cnt"], t["__mx"]))
         )
-        return GroupedDataset(best._ds, keys, null_safe=self._null_safe).aggregate(
+        modes = GroupedDataset(best._ds, keys).aggregate(
             Min(field, alias_name=name)
         )
+        # all-null groups: re-add from the keys spine (map-side
+        # combiner count — only blocks x groups partial rows shuffle,
+        # unlike a distinct() which exchanges every key row)
+        spine = GroupedDataset(narrow._ds, keys).aggregate(
+            Count(keys[0], alias_name="__n", ignore_nulls=False)
+        ).project(keys)
+        return spine.join(modes, on=keys, how="left")
 
     def quantile(
         self,
