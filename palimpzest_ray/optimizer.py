@@ -444,11 +444,18 @@ class SemStage:
     fields: list[str] | None = None
     filter_str: str | None = None
     candidates: list[SemCandidate] = field(default_factory=list)
+    #: join stages only: the (small) right side — the reference's
+    #: JoinOp shape, one NL condition over every (left, right) pair.
+    #: Template sees ``{row}`` / ``{right}`` exactly as sem_join.
+    right_table: pa.Table | None = None
+    right_prefix: str = "right_"
 
     def __post_init__(self):
-        assert self.kind in ("map", "flat_map", "filter"), self.kind
+        assert self.kind in ("map", "flat_map", "filter", "join"), self.kind
         if self.kind in ("map", "flat_map"):
             assert self.fields, f"{self.kind} stage needs fields"
+        if self.kind == "join":
+            assert self.right_table is not None, "join stage needs right_table"
         if self.filter_str is None:
             self.filter_str = self.template
         assert self.candidates, "stage needs at least one candidate"
@@ -479,8 +486,21 @@ def _run_candidate_on_sample(
     """Drive one candidate over the sampled rows through the SAME
     render/parse kernels the distributed stages use, score each record,
     and return (stats, surviving/augmented rows)."""
+    import json as _json
+
     gen = cand.generator_factory()
-    prompts = [_render(stage.template, r) for r in rows]
+    if stage.kind == "join":
+        right_rows = stage.right_table.to_pylist()
+        pairs = [(lr, rr) for lr in rows for rr in right_rows]
+        prompts = [
+            stage.template.format(
+                row=_json.dumps(lr, default=str, sort_keys=True),
+                right=_json.dumps(rr, default=str, sort_keys=True),
+            )
+            for lr, rr in pairs
+        ]
+    else:
+        prompts = [_render(stage.template, r) for r in rows]
     t0 = _time.monotonic()
     outs = gen(prompts)
     wall = _time.monotonic() - t0
@@ -503,6 +523,19 @@ def _run_candidate_on_sample(
             if s is not None:
                 scores.append(s)
             out_rows.extend({**r, **d} for d in parsed)
+    elif stage.kind == "join":
+        for (lr, rr), o in zip(pairs, outs):
+            keep = str(o).strip().lower() in SemanticFilter.TRUE
+            s = validator.join_score_fn(stage.filter_str, lr, rr, keep)
+            if s is not None:
+                scores.append(s)
+            if keep:
+                merged = dict(lr)
+                for k, v in rr.items():  # sem_join's merge discipline
+                    merged[
+                        stage.right_prefix + k if k in merged else k
+                    ] = v
+                out_rows.append(merged)
     else:
         for r, o in zip(rows, outs):
             keep = str(o).strip().lower() in SemanticFilter.TRUE
@@ -514,13 +547,15 @@ def _run_candidate_on_sample(
 
     n = max(len(rows), 1)
     usage = gen.get_usage() if hasattr(gen, "get_usage") else None
+    # joins make |rows| x |right| calls; cost/time stay normalized
+    # per INPUT record (the right-side multiplier is the join's cost)
     cost = (
         usage["cost_usd"] if usage is not None
-        else cand.cost_per_call * len(rows)
+        else cand.cost_per_call * len(prompts)
     )
     t = (
         usage["wall_s"] if usage is not None and usage.get("wall_s")
-        else (cand.time_per_call * len(rows) or wall)
+        else (cand.time_per_call * len(prompts) or wall)
     )
     stats = CandidateStats(
         stage_index=-1,
@@ -717,6 +752,15 @@ def optimize_and_run(
                 cand.generator_factory,
                 concurrency=concurrency, batch_size=batch_size,
                 image_fields=[],
+            )
+        elif stage.kind == "join":
+            from palimpzest_ray.stages.semantic import sem_join
+
+            out = sem_join(
+                out, stage.right_table, stage.template,
+                cand.generator_factory,
+                right_prefix=stage.right_prefix,
+                concurrency=concurrency, batch_size=batch_size,
             )
         else:
             out = sem_filter(

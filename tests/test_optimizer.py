@@ -399,3 +399,67 @@ def test_optimize_and_run_train_dataset_and_policy_sugar(ray_session):
         optimize_and_run(ds, [stage], None)
     with pytest.raises(NotImplementedError, match="out of scope"):
         optimize_and_run(ds, [stage], None, train_dataset=train)
+
+
+def test_optimize_join_stage_and_distributed_run(ray_session):
+    """join stage kind (reference JoinOp sampling): candidates judged
+    per (left, right) pair with join_score_fn over pair labels;
+    MaxQuality picks the exact condition; the winner runs distributed
+    through sem_join with the same merge discipline."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = [{"id": i, "color": ["red", "blue"][i % 2]} for i in range(10)]
+    right_table = pa.Table.from_pylist([
+        {"id": 100, "hue": "red"}, {"id": 101, "hue": "blue"},
+    ])
+    cond = "match: {row} {right}"
+    join_labels = {
+        (l["id"], r["id"]): {cond: l["color"] == r["hue"]}
+        for l in left for r in right_table.to_pylist()
+    }
+    val = LabeledValidator({}, "id", join_labels=join_labels)
+
+    def exact(p):
+        import json as _json
+
+        l = _json.loads(p.split("match: ")[1].rsplit(" {", 1)[0])
+        r = _json.loads("{" + p.rsplit(" {", 1)[1])
+        return "yes" if l["color"] == r["hue"] else "no"
+
+    def always(p):
+        return "yes"
+
+    stage = SemStage(
+        "join", cond,
+        candidates=[
+            SemCandidate("exact-join", mock_generator(exact),
+                         cost_per_call=2.0),
+            SemCandidate("cross-join", mock_generator(always),
+                         cost_per_call=0.5),
+        ],
+        right_table=right_table,
+    )
+    r = optimize(left, [stage], val, MaxQuality())
+    assert r.chosen == ["exact-join"]
+    st = {s.name: s for s in r.stats[0]}
+    assert st["exact-join"].quality == 1.0
+    assert st["exact-join"].selectivity == 1.0   # one match per left
+    assert st["cross-join"].selectivity == 2.0   # cross product
+    assert st["cross-join"].quality == pytest.approx(0.5)
+    # per-input-record cost includes the right-side multiplier
+    assert st["exact-join"].cost_per_record == pytest.approx(2.0 * 2)
+    r2 = optimize(left, [stage], val, MinCost())
+    assert r2.chosen == ["cross-join"]
+
+    ds = rd.from_arrow(pa.Table.from_pylist(left))
+    out, res = optimize_and_run(
+        ds, [stage], val, MaxQuality(), sample_size=10,
+        concurrency=1, batch_size=8,
+    )
+    tab = pa.Table.from_pylist(out.take_all())
+    assert tab.num_rows == 10
+    assert all(
+        c == h for c, h in zip(tab["color"].to_pylist(),
+                               tab["hue"].to_pylist())
+    )
