@@ -252,6 +252,9 @@ BENCH_QUERIES = [
     "q143_source_rank",  # round-4: bucketed distributed ranking windows
     "q144_source_rolling",  # round-4: bucketed rolling frames, carry stitching
     "q145_fk_join_view",  # round-4: star-schema incremental join view
+    "q146_null_order_rank",  # round-5: NULLS-LAST bucketed windows
+    "q147_optimize_choice",  # round-5: Validator-lite plan choice
+    "q150_sem_flatmap",  # round-5: one-to-many semantic convert
     "cdc_replay",
 ]
 

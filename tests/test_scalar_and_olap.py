@@ -1035,3 +1035,51 @@ def test_agg_auto_probe_routes_and_warns(monkeypatch, tmp_path):
         warnings.simplefilter("always")
         gb.agg([("median", "x"), ("string_agg", "x")]).to_pandas()
     assert any("no scale path" in str(x.message) for x in w)
+
+
+def test_agg_distributed_parity_randomized_configs():
+    """Randomized parity sweep for the distributed holistic path:
+    multi-column keys, string/date/float measure types, varying null
+    densities — distributed == groups on every configuration."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from palimpzest_ray.dataset import Dataset
+
+    for seed, null_p in [(1, 0.0), (2, 0.15), (3, 0.6)]:
+        rng = np.random.default_rng(seed)
+        n = 4_000
+        mask = rng.random(n) < null_p
+        t = pa.table({
+            "k1": pa.array(rng.choice(["a", "b", "c"], n)),
+            "k2": pa.array(rng.integers(0, 3, n).astype(np.int64)),
+            "f": pa.array(
+                [None if m else float(v) for m, v in
+                 zip(mask, rng.normal(100, 10, n))],
+                pa.float64(),
+            ),
+            "s": pa.array(
+                [None if m else f"s{int(v)}" for m, v in
+                 zip(mask, rng.integers(0, 40, n))]
+            ),
+            "d": pa.array(
+                [None if m else dt.date(2024, 1, 1 + int(v))
+                 for m, v in zip(mask, rng.integers(0, 28, n))],
+                pa.date32(),
+            ),
+        })
+        ds = Dataset(rd.from_arrow(t).repartition(6))
+        funcs = [("median", "f"), ("mode", "s"), ("mode", "d"),
+                 ("count_distinct", "s"), ("count_distinct", "d"),
+                 ("count", "f"), ("max", "d")]
+        gb = ds.groupby(["k1", "k2"])
+        a = gb.agg(funcs, strategy="distributed").to_pandas()
+        b = gb.agg(funcs, strategy="groups").to_pandas()
+        key = ["k1", "k2"]
+        a = a[sorted(a.columns)].sort_values(key, ignore_index=True)
+        b = b[sorted(b.columns)].sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
