@@ -409,6 +409,37 @@ class LabeledValidator(Validator):
             return None
         return 1.0 if bool(output) == bool(lab[condition]) else 0.0
 
+    def topk_score_fn(self, fields, input_record, output):
+        """Retrieval quality as mean per-field F1 between the produced
+        list and the labeled relevant set (the reference's stated
+        scoring intent for TopK ops — validator.py:229 'score each
+        item based on relevance; compute F1'). Scalar labels fall back
+        to the map score."""
+        lab = self.labels.get(input_record.get(self.key_field))
+        if lab is None:
+            return None
+        scored = [f for f in fields if f in lab]
+        if not scored:
+            return None
+        total = 0.0
+        for f in scored:
+            exp, got = lab[f], output.get(f)
+            if not isinstance(exp, (list, tuple, set)):
+                total += 1.0 if str(got) == str(exp) else 0.0
+                continue
+            got_set = set(got or [])
+            exp_set = set(exp)
+            if not exp_set and not got_set:
+                total += 1.0
+                continue
+            tp = len(got_set & exp_set)
+            prec = tp / len(got_set) if got_set else 0.0
+            rec = tp / len(exp_set) if exp_set else 0.0
+            total += (
+                2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            )
+        return total / len(scored)
+
 
 # ---------------------------------------------------------------------------
 # Candidate configurations over semantic stages
@@ -437,7 +468,11 @@ class SemStage:
     is ``"map"`` (generate ``fields`` from ``template``),
     ``"flat_map"`` (ONE_TO_MANY — a JSON list of records per input) or
     ``"filter"`` (NL predicate; ``filter_str`` names it for the
-    validator, defaulting to the template)."""
+    validator, defaulting to the template), ``"join"`` (right_table +
+    per-pair NL condition) or ``"topk"`` (1:1 retrieval whose
+    list-valued fields are scored by ``topk_score_fn`` F1 — a
+    retrieval config rides the generator callable, e.g. an index
+    probe wrapped in ``mock_generator``)."""
 
     kind: str
     template: str
@@ -451,8 +486,10 @@ class SemStage:
     right_prefix: str = "right_"
 
     def __post_init__(self):
-        assert self.kind in ("map", "flat_map", "filter", "join"), self.kind
-        if self.kind in ("map", "flat_map"):
+        assert self.kind in (
+            "map", "flat_map", "filter", "join", "topk"
+        ), self.kind
+        if self.kind in ("map", "flat_map", "topk"):
             assert self.fields, f"{self.kind} stage needs fields"
         if self.kind == "join":
             assert self.right_table is not None, "join stage needs right_table"
@@ -507,10 +544,14 @@ def _run_candidate_on_sample(
 
     scores: list[float] = []
     out_rows: list[dict] = []
-    if stage.kind == "map":
+    if stage.kind in ("map", "topk"):
+        score_fn = (
+            validator.topk_score_fn if stage.kind == "topk"
+            else validator.map_score_fn
+        )
         for r, o in zip(rows, outs):
             parsed = _parse_fields(o, stage.fields)
-            s = validator.map_score_fn(stage.fields, r, parsed)
+            s = score_fn(stage.fields, r, parsed)
             if s is not None:
                 scores.append(s)
             out_rows.append({**r, **parsed})
@@ -569,7 +610,8 @@ def _run_candidate_on_sample(
         # filters shrink, flat_maps fan out — both scale downstream
         # per-record cost (reference cost_model selectivity matrix)
         selectivity=(
-            1.0 if stage.kind == "map" else len(out_rows) / n
+            1.0 if stage.kind in ("map", "topk")
+            else len(out_rows) / n
         ),
         score_sum=sum(scores),
     )
@@ -739,7 +781,7 @@ def optimize_and_run(
     out = ds
     for stage, name in zip(stages, result.chosen):
         cand = next(c for c in stage.candidates if c.name == name)
-        if stage.kind == "map":
+        if stage.kind in ("map", "topk"):
             out = sem_map(
                 out, stage.fields, stage.template,
                 cand.generator_factory,

@@ -463,3 +463,47 @@ def test_optimize_join_stage_and_distributed_run(ray_session):
         c == h for c, h in zip(tab["color"].to_pylist(),
                                tab["hue"].to_pylist())
     )
+
+
+def test_optimize_topk_stage_f1_scoring():
+    """topk stage kind: candidates are retrieval configs (callable
+    generators over an index); scoring = mean per-field F1 against the
+    labeled relevant sets (reference validator.py:229 intent)."""
+    docs = {i: [f"d{i}", f"d{i+1}", f"d{i+2}"] for i in range(6)}
+    rows = [{"id": i, "q": f"query {i}"} for i in range(6)]
+    labels = {i: {"hits": docs[i]} for i in range(6)}
+    val = LabeledValidator(labels, "id")
+
+    def perfect(p):
+        import json as _json
+        import re as _re
+
+        i = int(_re.search(r"query (\d+)", p).group(1))
+        return _json.dumps({"hits": [f"d{i}", f"d{i+1}", f"d{i+2}"]})
+
+    def lossy(p):
+        import json as _json
+        import re as _re
+
+        i = int(_re.search(r"query (\d+)", p).group(1))
+        # 2 of 3 right, 1 junk -> precision 2/3, recall 2/3, F1 2/3
+        return _json.dumps({"hits": [f"d{i}", f"d{i+1}", "junk"]})
+
+    stage = SemStage(
+        "topk", "retrieve: {q}", fields=["hits"],
+        candidates=[
+            SemCandidate("ivf-wide", mock_generator(perfect),
+                         cost_per_call=5.0),
+            SemCandidate("ivf-narrow", mock_generator(lossy),
+                         cost_per_call=1.0),
+        ],
+    )
+    r = optimize(rows, [stage], val, MaxQuality())
+    assert r.chosen == ["ivf-wide"] and r.plan_cost.quality == 1.0
+    st = {s.name: s for s in r.stats[0]}
+    assert st["ivf-narrow"].quality == pytest.approx(2 / 3)
+    r2 = optimize(rows, [stage], val,
+                  MinCostAtFixedQuality(0.7))
+    assert r2.chosen == ["ivf-wide"]
+    r3 = optimize(rows, [stage], val, MinCostAtFixedQuality(0.5))
+    assert r3.chosen == ["ivf-narrow"]
