@@ -507,3 +507,70 @@ def test_optimize_topk_stage_f1_scoring():
     assert r2.chosen == ["ivf-wide"]
     r3 = optimize(rows, [stage], val, MinCostAtFixedQuality(0.5))
     assert r3.chosen == ["ivf-narrow"]
+
+
+# ---- selection-protocol properties (pure python, hypothesis) --------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_plan = st.builds(
+    PlanCost,
+    cost=st.floats(0, 100, allow_nan=False),
+    time=st.floats(0, 100, allow_nan=False),
+    quality=st.floats(0, 1, allow_nan=False),
+)
+
+
+def _select(plans, policy):
+    """The reference selection protocol, verbatim
+    (optimizer_strategy.py:129-139)."""
+    if any(policy.constraint(p) for p in plans):
+        plans = [p for p in plans if policy.constraint(p)]
+    best = plans[0]
+    for p in plans[1:]:
+        best = best if policy.choose(best, p) else p
+    return best
+
+
+@given(st.lists(_plan, min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_winner_is_never_dominated(plans):
+    """For every policy, the linear-choose winner lies on the pareto
+    frontier — which is why optimize()'s pareto pre-filter can never
+    change the selected plan."""
+    from palimpzest_ray.optimizer import pareto_frontier
+
+    frontier = set(pareto_frontier(plans))
+    for policy in (MaxQuality(), MinCost(), MinTime(),
+                   MaxQualityAtFixedCost(50.0),
+                   MinCostAtFixedQuality(0.5)):
+        best = _select(plans, policy)
+        # the winner equals SOME frontier plan on all three metrics
+        assert any(
+            plans[i].cost == best.cost and plans[i].time == best.time
+            and plans[i].quality == best.quality
+            for i in frontier
+        )
+        # and selecting from the frontier alone gives the same verdict
+        fbest = _select([plans[i] for i in sorted(frontier)], policy)
+        assert (fbest.cost, fbest.time, fbest.quality) == (
+            best.cost, best.time, best.quality,
+        )
+
+
+@given(st.lists(_plan, min_size=1, max_size=12),
+       st.floats(0.01, 99, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_constraint_filter_only_when_satisfiable(plans, budget):
+    """MaxQuality@FixedCost: when ANY plan fits the budget the winner
+    fits it; when none do, selection degrades to pure MaxQuality
+    (reference optimizer_strategy.py:130)."""
+    policy = MaxQualityAtFixedCost(budget)
+    best = _select(plans, policy)
+    if any(p.cost < budget for p in plans):
+        assert best.cost < budget
+    else:
+        unconstrained = _select(plans, MaxQuality())
+        assert best.quality == unconstrained.quality

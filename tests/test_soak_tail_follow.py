@@ -132,8 +132,9 @@ def test_tail_follow_soak_with_faults(tmp_path, ray_session):
 
     marker = str(tmp_path / "die_once_marker")
     producer.start()
-    # tail an existing topic: wait for the first epoch file to land
-    while not os.listdir(log_dir):
+    # tail an existing topic: wait for the first COMMITTED epoch file
+    # (the .tmp staging file must not satisfy the wait)
+    while not [f for f in os.listdir(log_dir) if f.endswith(".parquet")]:
         time.sleep(0.05)
     t0 = time.monotonic()
     results = tail_follow(
