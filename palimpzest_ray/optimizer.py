@@ -484,6 +484,11 @@ class SemStage:
     #: Template sees ``{row}`` / ``{right}`` exactly as sem_join.
     right_table: pa.Table | None = None
     right_prefix: str = "right_"
+    #: columns this stage READS (the reference sem_filter/sem_map
+    #: ``depends_on`` convention, dataset.py sem_filter signature);
+    #: None = inferred from the template's {placeholders}. Governs the
+    #: admissible stage orderings under optimize(reorder=True).
+    depends_on: list[str] | None = None
 
     def __post_init__(self):
         assert self.kind in (
@@ -640,30 +645,86 @@ def pareto_frontier(plans: list[PlanCost]) -> list[int]:
 
 @dataclass
 class OptimizeResult:
-    chosen: list[str]               # candidate name per stage
+    chosen: list[str]               # candidate name per EXECUTED stage
     plan_cost: PlanCost             # sample-estimated, per input record
-    stats: list[list[CandidateStats]]  # [stage][candidate]
+    stats: list[list[CandidateStats]]  # [stage][candidate], exec order
     policy: str
+    #: execution order as indices into the INPUT stages list (identity
+    #: unless reorder=True moved an independent stage, e.g. a filter
+    #: pushed below an expensive convert)
+    order: list[int] = field(default_factory=list)
 
 
-def optimize(
-    sample_rows: list[dict] | pa.Table,
-    stages: list[SemStage],
-    validator: Validator,
-    policy: Policy,
-) -> OptimizeResult:
-    """Sample-driven config choice. Evaluates every candidate of every
-    stage on the sample (downstream stages see the max-quality upstream
-    candidate's outputs — reference ``_get_max_quality_op``,
-    mab_execution_strategy.py:662-691), enumerates the cartesian
-    product of per-stage candidates into plan costs (cost/time add
-    scaled by upstream measured selectivity, quality multiplies —
-    models.py:969-977) and selects under ``policy`` with the reference
-    protocol (optimizer_strategy.py:129-139): constraint-violating
-    plans are dropped only when at least one plan satisfies the
-    constraint, then a linear ``choose`` scan keeps the winner."""
-    if isinstance(sample_rows, pa.Table):
-        sample_rows = sample_rows.to_pylist()
+def _generated_fields(stage: SemStage) -> set:
+    if stage.kind in ("map", "flat_map", "topk"):
+        return set(stage.fields)
+    if stage.kind == "join":
+        return set(stage.right_table.column_names)
+    return set()
+
+
+def _stage_deps(stage: SemStage) -> set:
+    """Columns a stage reads: the explicit ``depends_on`` (the
+    reference ``sem_filter(depends_on=...)`` convention) or the
+    template's placeholder names (``{row}``/``{right}`` excluded —
+    they expand to the whole record, which would pin every order)."""
+    if stage.depends_on is not None:
+        return set(stage.depends_on)
+    import string as _string
+
+    return {
+        fn.split(".")[0].split("[")[0]
+        for _, fn, _, _ in _string.Formatter().parse(stage.template)
+        if fn
+    } - {"row", "right"}
+
+
+def _admissible_orders(stages: list[SemStage], cap: int = 24) -> list[list[int]]:
+    """Topological orders of the stage dependency DAG (stage j must
+    follow stage i when i generates a field j depends on) — the
+    deterministic analogue of the reference's PushDownFilter /
+    ReorderConverts transformation rules (rules.py:108, 245), with
+    measured selectivities doing the costing instead of heuristics.
+    NOTE: a template that renders the whole record (``{row}``) depends
+    on everything upstream generates — declare ``depends_on=[]``
+    explicitly to mark such a stage order-independent. Capped at
+    ``cap`` orders (exhaustive for <= 4 free stages)."""
+    n = len(stages)
+    gen = [_generated_fields(s) for s in stages]
+    dep = [_stage_deps(s) for s in stages]
+    preds = {
+        j: {i for i in range(n) if i != j and (gen[i] & dep[j])}
+        for j in range(n)
+    }
+    orders: list[list[int]] = []
+
+    def rec(prefix: list[int], remaining: set):
+        if len(orders) >= cap:
+            return
+        if not remaining:
+            orders.append(list(prefix))
+            return
+        for j in sorted(remaining):
+            if preds[j] <= set(prefix):
+                prefix.append(j)
+                remaining.discard(j)
+                rec(prefix, remaining)
+                remaining.add(j)
+                prefix.pop()
+
+    rec([], set(range(n)))
+    return orders or [list(range(n))]
+
+
+def _evaluate_ordering(
+    sample_rows: list[dict], stages: list[SemStage], validator: Validator
+) -> tuple[list[list[CandidateStats]], list[tuple[list[int], PlanCost]]]:
+    """Evaluate one stage ordering on the sample: per-candidate stats
+    (downstream fed by the max-quality upstream candidate — reference
+    ``_get_max_quality_op``, mab_execution_strategy.py:662-691) and
+    the cartesian combo enumeration (cost/time scaled by the combo's
+    own upstream selectivity chain, quality multiplies —
+    models.py:969-977)."""
     all_stats: list[list[CandidateStats]] = []
     rows = sample_rows
     for si, stage in enumerate(stages):
@@ -686,8 +747,6 @@ def optimize(
                 best_i = i
         rows = outputs[best_i]
 
-    # enumerate plans: per-record cost/time scaled by the combo's own
-    # upstream selectivity chain; quality multiplies
     combos: list[tuple[list[int], PlanCost]] = [([], PlanCost())]
     for si, stage_stats in enumerate(all_stats):
         nxt: list[tuple[list[int], PlanCost]] = []
@@ -705,28 +764,64 @@ def optimize(
                     )),
                 ))
         combos = nxt
+    return all_stats, combos
 
-    # Pareto pre-filter (reference ParetoStrategy,
-    # optimizer_strategy.py:66-139): drop plans dominated on
-    # (cost, time, quality) before constraint/choose — never changes
-    # the winner under any policy (the winner is never dominated), but
-    # keeps the enumerated set the reference's selection operates on
-    keep = pareto_frontier([pc for _, pc in combos])
-    combos = [combos[i] for i in keep]
-    if any(policy.constraint(pc) for _, pc in combos):
-        combos = [(p, pc) for p, pc in combos if policy.constraint(pc)]
-    best_picks, best_pc = combos[0]
-    for picks, pc in combos[1:]:
-        if not policy.choose(best_pc, pc):
-            best_picks, best_pc = picks, pc
+
+def optimize(
+    sample_rows: list[dict] | pa.Table,
+    stages: list[SemStage],
+    validator: Validator,
+    policy: Policy,
+    *,
+    reorder: bool = False,
+) -> OptimizeResult:
+    """Sample-driven config choice. Evaluates every candidate of every
+    stage on the sample, enumerates the cartesian product of per-stage
+    candidates into plan costs and selects under ``policy`` with the
+    reference protocol (optimizer_strategy.py:129-139):
+    constraint-violating plans are dropped only when at least one plan
+    satisfies the constraint, then a linear ``choose`` scan keeps the
+    winner. ``reorder=True`` additionally searches the admissible
+    stage orderings (dependency-respecting topological orders — the
+    PushDownFilter/ReorderConverts analogue, rules.py:108/245) and the
+    winner carries its execution ``order``."""
+    if isinstance(sample_rows, pa.Table):
+        sample_rows = sample_rows.to_pylist()
+    orders = (
+        _admissible_orders(stages) if reorder
+        else [list(range(len(stages)))]
+    )
+    # evaluate each ordering; pareto-filter its combos (reference
+    # ParetoStrategy, optimizer_strategy.py:66-139 — never changes the
+    # winner, bounds the candidate set), then select globally
+    plans: list[tuple[list[int], list[int], PlanCost]] = []
+    stats_by_order: dict[tuple, list] = {}
+    for order in orders:
+        perm = [stages[i] for i in order]
+        all_stats, combos = _evaluate_ordering(
+            sample_rows, perm, validator
+        )
+        stats_by_order[tuple(order)] = all_stats
+        keep = pareto_frontier([pc for _, pc in combos])
+        plans.extend(
+            (order, combos[i][0], combos[i][1]) for i in keep
+        )
+    if any(policy.constraint(pc) for _, _, pc in plans):
+        plans = [p for p in plans if policy.constraint(p[2])]
+    best = plans[0]
+    for p in plans[1:]:
+        if not policy.choose(best[2], p[2]):
+            best = p
+    best_order, best_picks, best_pc = best
     return OptimizeResult(
         chosen=[
-            stages[si].candidates[ci].name
-            for si, ci in enumerate(best_picks)
+            stages[best_order[pos]].candidates[ci].name
+            for pos, ci in enumerate(best_picks)
         ],
         plan_cost=best_pc,
-        stats=all_stats,
+        stats=stats_by_order[tuple(best_order)],
         policy=str(policy),
+        order=list(best_order),
     )
 
 
@@ -740,6 +835,7 @@ def optimize_and_run(
     sample_size: int = 32,
     concurrency=(1, 4),
     batch_size: int = 64,
+    reorder: bool = False,
     **policy_kwargs,
 ) -> tuple[rd.Dataset, OptimizeResult]:
     """Reference ``Dataset.optimize_and_run`` (dataset.py:682-723):
@@ -777,9 +873,10 @@ def optimize_and_run(
     else:  # a ray.data.Dataset (or engine Dataset wrapper)
         inner = getattr(train_dataset, "_ds", train_dataset)
         sample = pa.Table.from_pylist(inner.take_all())
-    result = optimize(sample, stages, validator, policy)
+    result = optimize(sample, stages, validator, policy, reorder=reorder)
     out = ds
-    for stage, name in zip(stages, result.chosen):
+    exec_stages = [stages[i] for i in result.order]
+    for stage, name in zip(exec_stages, result.chosen):
         cand = next(c for c in stage.candidates if c.name == name)
         if stage.kind in ("map", "topk"):
             out = sem_map(

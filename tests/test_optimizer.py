@@ -574,3 +574,85 @@ def test_constraint_filter_only_when_satisfiable(plans, budget):
     else:
         unconstrained = _select(plans, MaxQuality())
         assert best.quality == unconstrained.quality
+
+
+def test_optimize_reorder_pushes_filter_below_expensive_convert():
+    """reorder=True mirrors the reference PushDownFilter scenario
+    (tests/pytest/test_optimizer.py test_push_down_filter): an
+    independent filter moves BELOW an expensive convert under MinCost
+    (measured selectivity scales the convert's per-record cost), while
+    a filter that depends_on the generated field stays after it."""
+    rows = _doc_rows(12)
+    labels = _labels(rows)
+    val = LabeledValidator(labels, "id")
+    mstage = _map_stage()  # generates lang_out
+
+    def f_exact(p):
+        return "true" if _docnum(p) % 3 == 0 else "false"
+
+    indep = SemStage(
+        "filter", "keep-english: {text}",
+        candidates=[SemCandidate("keep-en", mock_generator(f_exact),
+                                 cost_per_call=0.5)],
+    )
+    # convert (10.0/rec) first, then filter: identity order costs
+    # 10 + 0.5; pushed-down order costs 0.5 + (1/3) x 10
+    r_fixed = optimize(rows, [mstage, indep], val, MinCost())
+    assert r_fixed.order == [0, 1]
+    r = optimize(rows, [mstage, indep], val, MinCost(), reorder=True)
+    assert r.order == [1, 0]  # filter pushed below the convert
+    assert r.chosen[0] == "keep-en"
+    assert r.plan_cost.cost == pytest.approx(0.5 + (1 / 3) * 1.0)
+    # (MinCost also swaps to the cheap map candidate downstream)
+
+    # dependent filter: template references the GENERATED field ->
+    # only the identity order is admissible
+    dep = SemStage(
+        "filter", "is {lang_out} romance?",
+        candidates=[SemCandidate("dep-filter",
+                                 mock_generator(lambda p: "true"),
+                                 cost_per_call=0.5)],
+    )
+    r2 = optimize(rows, [mstage, dep], val, MinCost(), reorder=True)
+    assert r2.order == [0, 1]
+
+    # explicit depends_on=[] overrides template inference ({row}-style
+    # whole-record templates would otherwise pin the order)
+    indep2 = SemStage(
+        "filter", "keep-english: {text}",
+        candidates=[SemCandidate("keep-en2", mock_generator(f_exact),
+                                 cost_per_call=0.5)],
+        depends_on=[],
+    )
+    r3 = optimize(rows, [mstage, indep2], val, MinCost(), reorder=True)
+    assert r3.order == [1, 0]
+
+
+def test_optimize_and_run_reorder_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = _doc_rows(30)
+    val = LabeledValidator(_labels(rows[:12]), "id")
+    mstage = _map_stage()
+
+    def f_exact(p):
+        import re as _re
+
+        return "true" if int(_re.search(r"doc (\d+)", p).group(1)) % 3 == 0 \
+            else "false"
+
+    indep = SemStage(
+        "filter", "keep-english: {text}",
+        candidates=[SemCandidate("keep-en", mock_generator(f_exact),
+                                 cost_per_call=0.5)],
+    )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out, res = optimize_and_run(
+        ds, [mstage, indep], val, MinCost(), sample_size=12,
+        reorder=True, concurrency=1, batch_size=16,
+    )
+    assert res.order == [1, 0]
+    tab = pa.Table.from_pylist(out.take_all())
+    assert sorted(tab["id"].to_pylist()) == [i for i in range(30) if i % 3 == 0]
+    assert "lang_out" in tab.column_names
