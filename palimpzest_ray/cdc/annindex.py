@@ -238,8 +238,13 @@ def refresh_ivf_lake(lake_root: str, ivf_root: str) -> dict:
     old_state = PzDataset(
         final_state(lake_root, version=base_v, columns=[key, emb_col])
     ).rename_columns({emb_col: "_old_emb"})
+    # pin the O(changes) feed: it is consumed twice (changed-key
+    # projection + the join) and the join's schema probe would run the
+    # lazy semi-join once for the probe and again for data (the
+    # lazy-join hazard measured on diff_lakes / _agg_distributed)
+    feed = PzDataset(feed._ds.materialize())
     changed = feed.project([key]).distinct([key])
-    old_changed = old_state.semi_join(changed, key)
+    old_changed = PzDataset(old_state.semi_join(changed, key)._ds.materialize())
     joined = feed.join(old_changed, on=key, how="left")
     cpath = _centroids_path(ivf_root)
 

@@ -177,8 +177,15 @@ def refresh_column_index(lake_root: str, index_root: str) -> dict:
     old_state = PzDataset(
         final_state(lake_root, version=base_v, columns=[key, column])
     ).rename_columns({column: "_old_value"})
+    # pin the O(changes) feed: it is consumed twice (changed-key
+    # projection + the join) and the join's schema probe would run the
+    # lazy semi-join once for the probe and again for data (the
+    # lazy-join hazard measured on diff_lakes / _agg_distributed)
+    feed = PzDataset(feed._ds.materialize())
     changed_keys = feed.project([key]).distinct([key])
-    old_changed = old_state.semi_join(changed_keys, key)
+    old_changed = PzDataset(
+        old_state.semi_join(changed_keys, key)._ds.materialize()
+    )
     joined = feed.join(old_changed, on=key, how="left")
 
     def _emit(batch: pa.Table) -> pa.Table:

@@ -203,8 +203,15 @@ def diff_lakes(
     seed = rd.from_arrow(pa.table({
         key: pa.array([], key_t), "op": pa.array([], pa.string()),
     }))
+    # pin the verdicts: they are (key, op) pairs for CHANGED rows only
+    # (tiny by the diff contract), and the payload join below would
+    # otherwise execute the whole digest exchange TWICE — once for its
+    # schema probe and once for data (the lazy-join hazard measured on
+    # the distributed aggs, dataset.py _agg_distributed)
     verdicts = Dataset(
-        j._ds.map_batches(_classify, batch_format="pyarrow").union(seed)
+        j._ds.map_batches(_classify, batch_format="pyarrow")
+        .union(seed)
+        .materialize()
     )
 
     hs = load_latest_manifest(src_root) if src_version is None else \
