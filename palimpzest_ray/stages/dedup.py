@@ -971,7 +971,12 @@ def exact_jaccard_pairs(
 
         return _m
 
-    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+    # pin the exploded band stream: BOTH join sides consume it, so the
+    # lazy shingle+minhash pass would run twice. Narrow by construction
+    # (band hash + id + signature length only), object-store-cheap.
+    exploded = ds.map_batches(
+        _explode, batch_format="pyarrow"
+    ).materialize()
     left = _Pz(exploded.map_batches(_side("a"), batch_format="pyarrow"))
     right = _Pz(exploded.map_batches(_side("b"), batch_format="pyarrow"))
     cooc = (

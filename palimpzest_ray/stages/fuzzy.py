@@ -195,7 +195,13 @@ def edit_distance_pairs(
 
         return _m
 
-    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+    # pin the exploded q-gram stream: BOTH join sides consume it, so
+    # the lazy explode pass would run twice. Narrow by construction
+    # (hashed gram + id + length only — the text never explodes), so
+    # the pin is object-store-cheap even at corpus scale.
+    exploded = ds.map_batches(
+        _explode, batch_format="pyarrow"
+    ).materialize()
     left = _Pz(exploded.map_batches(_side("a"), batch_format="pyarrow"))
     right = _Pz(exploded.map_batches(_side("b"), batch_format="pyarrow"))
     cooc = (
